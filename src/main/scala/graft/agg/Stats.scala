@@ -1,0 +1,197 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.4). Every statistic is a single grouped
+  * aggregation — `groupBy(strata).agg(...)` — so the stratified variant is
+  * the same Spark job with strata columns prepended (the reference's `@agg`
+  * single-pass path, handyspark/sql/dataframe.py:315-330). All of these are
+  * Catalyst hash-aggregates with partial/final phases: at 100 TB they do one
+  * shuffle keyed on the (low-cardinality) strata and never materialize more
+  * than #groups rows on the driver.
+  *
+  * Percentiles come in two flavors:
+  *  - `percentileExact` — Catalyst `percentile` (exact, interpolated); used
+  *    by the oracle-checked queries because it matches DuckDB
+  *    `quantile_cont` bit-for-bit on the same data.
+  *  - `percentileApprox` — `approx_percentile` (GK sketch, reference
+  *    dataframe.py:748-756 semantics: accuracy = 1/precision); the 100-TB
+  *    path — mergeable sketch, bounded memory.
+  */
+object Stats {
+
+  private def grouped(df: DataFrame, strata: Seq[String]) =
+    df.groupBy(strata.map(col): _*)
+
+  /** mean/min/max/stddev(sample)/var(sample) for the given columns. */
+  def describe(df: DataFrame, cols: Seq[String], strata: Seq[String] = Nil): DataFrame =
+    grouped(df, strata).agg(
+      count(lit(1)).as("n"),
+      cols.flatMap { c =>
+        Seq(
+          mean(col(c)).as(s"${c}_mean"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"),
+          stddev(col(c)).as(s"${c}_stddev"),
+          var_samp(col(c)).as(s"${c}_var"))
+      }: _*)
+
+  def meanOf(df: DataFrame, cols: Seq[String], strata: Seq[String] = Nil): DataFrame =
+    grouped(df, strata).agg(mean(col(cols.head)).as(cols.head),
+      cols.tail.map(c => mean(col(c)).as(c)): _*)
+
+  /** Exact interpolated percentiles (one pass, all columns × all ps). */
+  def percentileExact(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                      strata: Seq[String] = Nil): DataFrame = {
+    val aggs = for { c <- cols; p <- ps } yield
+      expr(s"percentile($c, ${p})").as(s"${c}_p${(p * 100).toInt}")
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate percentiles — the scale path. `precision` follows the
+    * reference contract: accuracy = 1/precision (default 100). */
+  def percentileApprox(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                       precision: Double = 0.01,
+                       strata: Seq[String] = Nil): DataFrame = {
+    val acc = math.max(1, math.round(1.0 / precision)).toInt
+    val aggs = for { c <- cols; p <- ps } yield
+      expr(s"approx_percentile($c, ${p}, $acc)").as(s"${c}_p${(p * 100).toInt}")
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def median(df: DataFrame, cols: Seq[String], precision: Double = 0.01,
+             strata: Seq[String] = Nil): DataFrame =
+    percentileApprox(df, cols, Seq(0.5), precision, strata)
+
+  /** Per-column null(+NaN for floating) counts and ratios
+    * (reference dataframe.py:513-534). One pass over all columns. */
+  def isNull(df: DataFrame, cols: Seq[String], ratio: Boolean = false,
+             strata: Seq[String] = Nil): DataFrame = {
+    val n = count(lit(1))
+    val aggs = cols.map { c =>
+      val missing = sum(graft.core.HandyFrame.isMissing(df, c).cast("long"))
+      (if (ratio) missing / n else missing).as(if (ratio) s"${c}_ratio" else c)
+    }
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate distinct count per column (HLL++, default rsd 5% like the
+    * reference's approx_count_distinct, dataframe.py:536-542). */
+  def nunique(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+              strata: Seq[String] = Nil): DataFrame = {
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact distinct count per column — oracle-checkable variant. */
+  def nuniqueExact(df: DataFrame, cols: Seq[String],
+                   strata: Seq[String] = Nil): DataFrame = {
+    val aggs = cols.map(c => countDistinct(col(c)).as(c))
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** groupBy(col).count — `value_counts` (reference dataframe.py:225-244);
+    * dropna first to match pandas semantics. */
+  def valueCounts(df: DataFrame, cols: Seq[String], dropna: Boolean = true,
+                  strata: Seq[String] = Nil): DataFrame = {
+    val base = if (dropna) df.na.drop(cols) else df
+    base.groupBy((strata ++ cols).map(col): _*)
+      .agg(count(lit(1)).as("value_counts"))
+  }
+
+  /** Global mode: top-1 by count desc (value asc tiebreak for determinism;
+    * reference relies on pandas stable sort, dataframe.py:641-646). */
+  def mode(df: DataFrame, c: String): DataFrame =
+    df.na.drop(Seq(c)).groupBy(col(c))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(c))
+      .limit(1)
+      .select(col(c).as(s"${c}_mode"))
+
+  /** Stratified mode via row_number window (reference dataframe.py:647-656).
+    * Count + window partitioned on strata: one shuffle on strata keys. */
+  def modeStratified(df: DataFrame, c: String, strata: Seq[String]): DataFrame = {
+    val counts = df.na.drop(Seq(c))
+      .groupBy((strata :+ c).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(desc("cnt"), col(c))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select((strata.map(col) :+ col(c).as(s"${c}_mode")): _*)
+  }
+
+  /** Shannon entropy in bits of a categorical column, optionally per
+    * stratum. NOTE the reference divides by the GLOBAL row count even when
+    * stratified (dataframe.py:663-669) — we default to the fixed per-stratum
+    * semantics and expose `globalN` to reproduce the reference quirk. */
+  def entropy(df: DataFrame, c: String, strata: Seq[String] = Nil,
+              globalN: Boolean = false): DataFrame = {
+    val counts = df.na.drop(Seq(c))
+      .groupBy((strata :+ c).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val withN =
+      if (strata.isEmpty || !globalN) {
+        val w = Window.partitionBy(strata.map(col): _*)
+        counts.withColumn("n", sum("cnt").over(w))
+      } else {
+        val n = df.na.drop(Seq(c)).count().toDouble
+        counts.withColumn("n", lit(n))
+      }
+    withN
+      .withColumn("p", col("cnt") / col("n"))
+      .groupBy(strata.map(col): _*)
+      .agg(sum(-log2(col("p")) * col("p")).as(s"${c}_entropy"))
+  }
+
+  /** Pairwise mutual information (bits) between two categorical columns,
+    * reference dataframe.py:687-734: joint counts joined to both marginals.
+    * Marginals are tiny (≤ #distinct values) → broadcast joins; the only
+    * shuffle is the joint groupBy. */
+  def mutualInfo(df: DataFrame, c0: String, c1: String): DataFrame = {
+    val clean = df.na.drop(Seq(c0, c1))
+    val joint = clean.groupBy(col(c0), col(c1))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val m0 = clean.groupBy(col(c0)).agg(count(lit(1)).cast("double").as("c0"))
+    val m1 = clean.groupBy(col(c1)).agg(count(lit(1)).cast("double").as("c1"))
+    val withMarg = joint
+      .join(broadcast(m0), Seq(c0))
+      .join(broadcast(m1), Seq(c1))
+    withMarg
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .agg(sum(log2(col("cnt") * col("n") / (col("c0") * col("c1"))) *
+        col("cnt") / col("n")).as("mutual_info"))
+  }
+
+  /** Pairwise Pearson correlations over numeric columns in ONE aggregation
+    * pass (the reference assembles a vector and calls ml.stat.Correlation,
+    * dataframe.py:495-505; for a handful of columns pairwise `corr` keeps
+    * everything inside whole-stage codegen with no vector materialization). */
+  def corrPearson(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val clean = df.na.drop(cols)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield corr(col(cols(i)), col(cols(j))).as(s"${cols(i)}__${cols(j)}")
+    clean.agg(pairs.head, pairs.tail: _*)
+  }
+
+  /** Spearman = Pearson over average ranks. Ranks computed with a window
+    * per column (rank + count of ties → average rank), then one corr pass. */
+  def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val clean = df.na.drop(cols)
+    val ranked = cols.foldLeft(clean) { (d, c) =>
+      // average rank for ties: rank() + (ties-1)/2
+      val w = Window.orderBy(col(c))
+      d.withColumn(s"__rk_$c",
+        rank().over(w) + (count(lit(1)).over(
+          Window.partitionBy(col(c))) - 1) / 2.0)
+    }
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield corr(col(s"__rk_${cols(i)}"), col(s"__rk_${cols(j)}"))
+      .as(s"${cols(i)}__${cols(j)}")
+    ranked.agg(pairs.head, pairs.tail: _*)
+  }
+}
