@@ -3,6 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.agg.Stats
+import graft.clean.Clean
+import graft.core.HandyFrame
+import graft.ml.{HandyFencer, HandyImputer}
+import graft.plotdata.PlotData
+import graft.strata.{Bucket, ColStratum, Quantile, StratifiedFrame}
 
 /** Driver-facing query registry. Each entry pairs a Spark implementation
   * (built on the graft library) with an equivalent DuckDB SQL oracle.
@@ -29,8 +34,15 @@ object Queries {
     spark.read.parquet(s"$dir/documents.parquet")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS which (with
+    * spark.sql.legacy.parquet.nanosAsLong=true) arrives as an epoch-nanos
+    * long; re-derive a proper timestamp column at microsecond precision. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -203,7 +215,250 @@ object Queries {
       Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
              round(corr(l_quantity, l_discount), 6) AS qty_disc,
              round(corr(l_extendedprice, l_discount), 6) AS price_disc
-             FROM lineitem"""))
+             FROM lineitem""")),
+
+    // ---- stratify: Bucket (equal-width) grouped path ---------------------
+    QueryDef("q_stratify_bucket",
+      (s, d) => {
+        val sf = StratifiedFrame(lineitem(s, d), Seq(Bucket("l_extendedprice", 5)))
+        sf.agg((df, sc) => df.groupBy(sc.map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+          .withColumnRenamed(sc.head, "bucket"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS lo,
+               max(l_extendedprice)::DOUBLE AS hi FROM lineitem)
+             SELECT least(greatest(floor((l_extendedprice - lo) / ((hi - lo) / 5)),
+               0), 4)::INT AS bucket, count(*) AS cnt
+             FROM lineitem, mm GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stratify: Quantile buckets (exact edges for oracle parity) ------
+    QueryDef("q_stratify_quantile",
+      (s, d) => {
+        val sf = StratifiedFrame(lineitem(s, d),
+          Seq(Quantile("l_extendedprice", 4, exact = true)))
+        sf.agg((df, sc) => df.groupBy(sc.map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+          .withColumnRenamed(sc.head, "bucket"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT quantile_cont(l_extendedprice, 0.25) AS e1,
+               quantile_cont(l_extendedprice, 0.50) AS e2,
+               quantile_cont(l_extendedprice, 0.75) AS e3 FROM lineitem)
+             SELECT least((l_extendedprice >= e1)::INT +
+               (l_extendedprice >= e2)::INT + (l_extendedprice >= e3)::INT, 3)
+               AS bucket, count(*) AS cnt
+             FROM lineitem, e GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stratify: categorical × bucket combo ----------------------------
+    QueryDef("q_stratify_combo",
+      (s, d) => {
+        val sf = StratifiedFrame(lineitem(s, d),
+          Seq(ColStratum("l_returnflag"), Bucket("l_quantity", 3)))
+        sf.agg((df, sc) => df.groupBy(sc.map(col): _*)
+          .agg(round(sum("l_extendedprice"), 2).as("price_sum"))
+          .withColumnRenamed(sc(1), "bucket"))
+          .orderBy("l_returnflag", "bucket")
+      },
+      Some("""WITH mm AS (SELECT min(l_quantity)::DOUBLE AS lo,
+               max(l_quantity)::DOUBLE AS hi FROM lineitem)
+             SELECT l_returnflag,
+               least(greatest(floor((l_quantity - lo) / ((hi - lo) / 3)), 0), 2)::INT
+                 AS bucket,
+               round(sum(l_extendedprice), 2) AS price_sum
+             FROM lineitem, mm GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- fill: global mean imputation (nulls synthesized) ----------------
+    QueryDef("q_fill_mean",
+      (s, d) => {
+        val withNulls = lineitem(s, d).withColumn("q",
+          when(col("l_quantity") > 45, null).otherwise(col("l_quantity")))
+        val filled = Clean.fill(withNulls.toHandy, Clean.Mean, Seq("q"))
+        filled.df.agg(round(sum("q"), 2).as("filled_sum"),
+          count(lit(1)).as("n"))
+      },
+      Some("""WITH t AS (SELECT CASE WHEN l_quantity > 45 THEN NULL
+               ELSE l_quantity END AS q FROM lineitem),
+             m AS (SELECT avg(q) AS mv FROM t)
+             SELECT round(sum(coalesce(q, mv)), 2) AS filled_sum,
+               count(*) AS n FROM t, m""")),
+
+    // ---- fill: stratified median imputation ------------------------------
+    QueryDef("q_fill_median_strat",
+      (s, d) => {
+        val withNulls = lineitem(s, d).withColumn("q",
+          when(col("l_quantity") > 45, null).otherwise(col("l_quantity")))
+        val filled = Clean.fill(withNulls.toHandy, Clean.Median, Seq("q"),
+          Seq(ColStratum("l_returnflag")))
+        filled.df.groupBy("l_returnflag")
+          .agg(round(sum("q"), 2).as("filled_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (SELECT l_returnflag, CASE WHEN l_quantity > 45 THEN NULL
+               ELSE l_quantity END AS q FROM lineitem),
+             m AS (SELECT l_returnflag, quantile_cont(q, 0.5) AS mv FROM t
+               GROUP BY 1)
+             SELECT t.l_returnflag, round(sum(coalesce(q, mv)), 2) AS filled_sum
+             FROM t JOIN m USING (l_returnflag)
+             GROUP BY t.l_returnflag ORDER BY t.l_returnflag""")),
+
+    // ---- imputer transformer replay (learn → dict → CASE WHEN replay) ----
+    QueryDef("q_imputer_replay",
+      (s, d) => {
+        val withNulls = lineitem(s, d).withColumn("q",
+          when(col("l_quantity") > 45, null).otherwise(col("l_quantity")))
+        // learn on one frame...
+        val learned = Clean.fill(withNulls.toHandy, Clean.Mean, Seq("q"),
+          Seq(ColStratum("l_returnflag")))
+        // ...replay via the serializable transformer on a fresh frame
+        val imputer = new HandyImputer().setFillDict(learned.state.statistics)
+        imputer.transform(withNulls)
+          .groupBy("l_returnflag")
+          .agg(round(sum("q"), 2).as("filled_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (SELECT l_returnflag, CASE WHEN l_quantity > 45 THEN NULL
+               ELSE l_quantity END AS q FROM lineitem),
+             m AS (SELECT l_returnflag, avg(q) AS mv FROM t GROUP BY 1)
+             SELECT t.l_returnflag, round(sum(coalesce(q, mv)), 2) AS filled_sum
+             FROM t JOIN m USING (l_returnflag)
+             GROUP BY t.l_returnflag ORDER BY t.l_returnflag""")),
+
+    // ---- fence: Tukey capping --------------------------------------------
+    QueryDef("q_fence_cap",
+      (s, d) => {
+        val fenced = Clean.fence(lineitem(s, d).toHandy, Seq("l_extendedprice"))
+        fenced.df.agg(
+          round(sum("l_extendedprice"), 2).as("capped_sum"),
+          round(min("l_extendedprice"), 4).as("capped_min"),
+          round(max("l_extendedprice"), 4).as("capped_max"))
+      },
+      Some("""WITH f AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+             c AS (SELECT least(greatest(l_extendedprice, q1 - 1.5 * (q3 - q1)),
+               q3 + 1.5 * (q3 - q1)) AS v FROM lineitem, f)
+             SELECT round(sum(v), 2) AS capped_sum,
+               round(min(v), 4) AS capped_min,
+               round(max(v), 4) AS capped_max FROM c""")),
+
+    // ---- fencer transformer replay ---------------------------------------
+    QueryDef("q_fencer_replay",
+      (s, d) => {
+        val learned = Clean.fence(lineitem(s, d).toHandy, Seq("l_extendedprice"))
+        val fencer = new HandyFencer().setFenceDict(learned.state.fences)
+        fencer.transform(lineitem(s, d))
+          .agg(round(sum("l_extendedprice"), 2).as("capped_sum"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH f AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+             c AS (SELECT least(greatest(l_extendedprice, q1 - 1.5 * (q3 - q1)),
+               q3 + 1.5 * (q3 - q1)) AS v FROM lineitem, f)
+             SELECT round(sum(v), 2) AS capped_sum, count(*) AS n FROM c""")),
+
+    // ---- Tukey outlier counts, stratified --------------------------------
+    QueryDef("q_outlier_counts",
+      (s, d) => Clean.outlierCounts(lineitem(s, d),
+          Seq("l_extendedprice", "l_quantity"), 1.5, Seq("l_returnflag"))
+        .withColumnRenamed("l_extendedprice", "price_outliers")
+        .withColumnRenamed("l_quantity", "qty_outliers")
+        .orderBy("l_returnflag"),
+      Some("""WITH f AS (SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p_q1,
+               quantile_cont(l_extendedprice, 0.75) AS p_q3,
+               quantile_cont(l_quantity, 0.25) AS q_q1,
+               quantile_cont(l_quantity, 0.75) AS q_q3
+               FROM lineitem GROUP BY 1)
+             SELECT l_returnflag,
+               sum((l_extendedprice < p_q1 - 1.5 * (p_q3 - p_q1) OR
+                    l_extendedprice > p_q3 + 1.5 * (p_q3 - p_q1))::INT)::BIGINT
+                 AS price_outliers,
+               sum((l_quantity < q_q1 - 1.5 * (q_q3 - q_q1) OR
+                    l_quantity > q_q3 + 1.5 * (q_q3 - q_q1))::INT)::BIGINT
+                 AS qty_outliers
+             FROM lineitem JOIN f USING (l_returnflag)
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- boxplot stats ----------------------------------------------------
+    QueryDef("q_bxp_stats",
+      (s, d) => PlotData.bxpStats(lineitem(s, d), "l_extendedprice",
+          strata = Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("q1"), 4).as("q1"), round(col("med"), 4).as("med"),
+          round(col("q3"), 4).as("q3"), round(col("mean"), 4).as("mean"),
+          col("n"), round(col("lo_whisker"), 4).as("lo_whisker"),
+          round(col("hi_whisker"), 4).as("hi_whisker"), col("fliers"))
+        .orderBy("l_returnflag"),
+      Some("""WITH st AS (SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.50) AS med,
+               quantile_cont(l_extendedprice, 0.75) AS q3,
+               avg(l_extendedprice) AS mean, count(*) AS n
+               FROM lineitem GROUP BY 1),
+             j AS (SELECT l.*, st.q1, st.med, st.q3, st.mean, st.n,
+               st.q1 - 1.5 * (st.q3 - st.q1) AS lf,
+               st.q3 + 1.5 * (st.q3 - st.q1) AS uf
+               FROM lineitem l JOIN st USING (l_returnflag))
+             SELECT l_returnflag, round(any_value(q1), 4) AS q1,
+               round(any_value(med), 4) AS med, round(any_value(q3), 4) AS q3,
+               round(any_value(mean), 4) AS mean, any_value(n) AS n,
+               round(min(CASE WHEN l_extendedprice BETWEEN lf AND uf
+                 THEN l_extendedprice END), 4) AS lo_whisker,
+               round(max(CASE WHEN l_extendedprice BETWEEN lf AND uf
+                 THEN l_extendedprice END), 4) AS hi_whisker,
+               sum((l_extendedprice < lf OR l_extendedprice > uf)::INT)::BIGINT
+                 AS fliers
+             FROM j GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- histogram (dense bucket completion) ------------------------------
+    QueryDef("q_histogram",
+      (s, d) => PlotData.histogram(lineitem(s, d), "l_extendedprice", 10)
+        .select(col("bucket"), col("cnt"),
+          round(col("bin_lo"), 4).as("bin_lo"), round(col("bin_hi"), 4).as("bin_hi")),
+      Some("""WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS lo,
+               max(l_extendedprice)::DOUBLE AS hi FROM lineitem),
+             c AS (SELECT least(greatest(floor((l_extendedprice - lo) /
+               ((hi - lo) / 10)), 0), 9)::INT AS bucket, count(*) AS cnt
+               FROM lineitem, mm GROUP BY 1),
+             g AS (SELECT t.range::INT AS bucket, lo, hi
+               FROM range(0, 10) t, mm)
+             SELECT g.bucket, coalesce(cnt, 0) AS cnt,
+               round(lo + g.bucket * ((hi - lo) / 10), 4) AS bin_lo,
+               round(lo + (g.bucket + 1) * ((hi - lo) / 10), 4) AS bin_hi
+             FROM g LEFT JOIN c USING (bucket) ORDER BY 1""")),
+
+    // ---- 2-D scatter binning ----------------------------------------------
+    QueryDef("q_scatter_bins",
+      (s, d) => PlotData.scatterBins(lineitem(s, d), "l_quantity", "l_discount", 10)
+        .select(col("bx"), col("by"), col("cnt"),
+          round(col("proportion"), 6).as("proportion")),
+      Some("""WITH mm AS (SELECT min(l_quantity)::DOUBLE AS xlo,
+               max(l_quantity)::DOUBLE AS xhi, min(l_discount)::DOUBLE AS ylo,
+               max(l_discount)::DOUBLE AS yhi, count(*)::DOUBLE AS n FROM lineitem)
+             SELECT
+               least(greatest(floor((l_quantity - xlo) / ((xhi - xlo) / 10)), 0), 9)::INT AS bx,
+               least(greatest(floor((l_discount - ylo) / ((yhi - ylo) / 10)), 0), 9)::INT AS by,
+               count(*) AS cnt,
+               round(count(*) / any_value(n), 6) AS proportion
+             FROM lineitem, mm GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- top-k fliers (TakeOrderedAndProject) -----------------------------
+    QueryDef("q_top_fliers",
+      (s, d) => {
+        val ev = events(s, d)
+        val row = Clean.calcFences(ev, Seq("value")).head()
+        PlotData.topFliers(ev, "value",
+            row.getAs[Double]("value_lfence"),
+            row.getAs[Double]("value_ufence"), 100)
+          .select(col("event_id"), round(col("value"), 4).as("value"))
+      },
+      Some("""WITH f AS (SELECT quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3 FROM events)
+             SELECT event_id, round(value, 4) AS value
+             FROM events, f
+             WHERE value < q1 - 1.5 * (q3 - q1)
+                OR value > q3 + 1.5 * (q3 - q1)
+             ORDER BY abs(value) DESC, value LIMIT 100"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

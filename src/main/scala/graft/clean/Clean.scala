@@ -1,0 +1,160 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{HandyFrame, HandyState}
+import graft.strata.{StratifiedFrame, StratumSpec, ColStratum}
+
+/** Imputation (`fill`) and Tukey fencing (`fence`) with learn-then-replay
+  * semantics (reference handyspark/sql/dataframe.py:246-265, 598-631 and
+  * ml/base.py:62-156): statistics are computed EAGERLY in one grouped pass,
+  * recorded into the frame state keyed by filter clause, and applied as
+  * literal-folded CASE WHEN chains — no join against a stats table, so the
+  * replay is a pure map-side projection at any scale.
+  */
+object Clean {
+
+  sealed trait FillStrategy
+  case object Mean extends FillStrategy
+  case object Median extends FillStrategy
+  case object Mode extends FillStrategy
+
+  /** Learn per-stratum fill values for `cols` and apply them. Statistics are
+    * recorded in the returned frame's `state.statistics` keyed by clause
+    * ("" for global). One grouped agg (plus one for Mode) regardless of the
+    * number of strata — the 100-TB grouped path. */
+  def fill(hf: HandyFrame, strategy: FillStrategy, cols: Seq[String],
+           strata: Seq[StratumSpec] = Nil): HandyFrame = {
+    val df = hf.df
+    if (strata.isEmpty) {
+      val values: Map[String, Any] = strategy match {
+        case Mean =>
+          val r = df.agg(cols.head -> "avg", cols.tail.map(_ -> "avg"): _*).head()
+          cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+        case Median =>
+          val aggs = cols.map(c => expr(s"percentile($c, 0.5)").as(c))
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+        case Mode =>
+          cols.map(c => c -> graft.agg.Stats.mode(df, c).head().get(0)).toMap
+      }
+      val filled = values.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, when(HandyFrame.isMissing(d, c), lit(v))
+          .otherwise(col(c)))
+      }
+      val st = values.foldLeft(hf.state) { case (s, (c, v)) =>
+        s.withStatistics(c, "", v)
+      }
+      HandyFrame(filled, st)
+    } else {
+      val sf = StratifiedFrame(df, strata)
+      val sc = sf.strataCols
+      val statsDf = strategy match {
+        case Mean =>
+          sf.bucketed.groupBy(sc.map(col): _*)
+            .agg(avg(cols.head).as(cols.head),
+              cols.tail.map(c => avg(c).as(c)): _*)
+        case Median =>
+          sf.bucketed.groupBy(sc.map(col): _*)
+            .agg(expr(s"percentile(${cols.head}, 0.5)").as(cols.head),
+              cols.tail.map(c => expr(s"percentile($c, 0.5)").as(c)): _*)
+        case Mode =>
+          cols.map { c =>
+            graft.agg.Stats.modeStratified(sf.bucketed, c, sc)
+              .withColumnRenamed(s"${c}_mode", c)
+          }.reduce(_.join(_, sc))
+      }
+      val rows = statsDf.collect() // #strata rows — bounded driver collect
+      val schema = statsDf.schema
+      // clause -> col -> value
+      val learned: Seq[(String, String, Any)] = rows.toSeq.flatMap { row =>
+        val values = sc.map(c => c -> row.get(schema.fieldIndex(c)))
+        val clause = sf.clauseOf(values)
+        cols.map(c => (clause, c, row.get(schema.fieldIndex(c))))
+      }
+      // apply: per column, a literal-folded CASE chain —
+      // WHEN missing AND stratum-match THEN value ... ELSE col
+      val filled = cols.foldLeft(sf.bucketed) { (d, c) =>
+        val whenChain = rows.foldLeft[Option[Column]](None) { (acc, row) =>
+          val cond = sc.map(scn =>
+            col(scn) === lit(row.get(schema.fieldIndex(scn)))).reduce(_ && _)
+          val v = row.get(schema.fieldIndex(c))
+          val branch = HandyFrame.isMissing(d, c) && cond
+          Some(acc.fold(when(branch, lit(v)))(_.when(branch, lit(v))))
+        }
+        d.withColumn(c, whenChain.get.otherwise(col(c)))
+      }.drop(sf.strataCols.filterNot(df.columns.contains): _*)
+      val st = learned.foldLeft(hf.state) { case (s, (clause, c, v)) =>
+        s.withStatistics(c, clause, v)
+      }
+      HandyFrame(filled, st)
+    }
+  }
+
+  /** Tukey fences per column (and stratum): lfence = q1 − k·IQR,
+    * ufence = q3 + k·IQR (reference `_calc_fences`, dataframe.py:332-351).
+    * One agg computing both quantiles for every column. Uses EXACT
+    * percentiles by default (oracle-parity); `approx=true` switches to the
+    * mergeable-sketch approx_percentile for the 100-TB path. */
+  def calcFences(df: DataFrame, cols: Seq[String], k: Double = 1.5,
+                 strata: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val (q1e, q3e) =
+        if (approx) (s"approx_percentile($c, 0.25, 10000)",
+          s"approx_percentile($c, 0.75, 10000)")
+        else (s"percentile($c, 0.25)", s"percentile($c, 0.75)")
+      Seq(expr(q1e).as(s"${c}_q1"), expr(q3e).as(s"${c}_q3"))
+    }
+    df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select((strata.map(col) :+ col("n")) ++ cols.flatMap { c =>
+        val iqr = col(s"${c}_q3") - col(s"${c}_q1")
+        Seq(col(s"${c}_q1"), col(s"${c}_q3"),
+          (col(s"${c}_q1") - lit(k) * iqr).as(s"${c}_lfence"),
+          (col(s"${c}_q3") + lit(k) * iqr).as(s"${c}_ufence"))
+      }: _*)
+  }
+
+  /** Learn fences and cap values into [lfence, ufence] via
+    * greatest/least (reference dataframe.py:598-631). Global version. */
+  def fence(hf: HandyFrame, cols: Seq[String], k: Double = 1.5): HandyFrame = {
+    val fencesRow = calcFences(hf.df, cols, k).head()
+    val capped = cols.foldLeft(hf.df) { (d, c) =>
+      val lo = fencesRow.getAs[Double](s"${c}_lfence")
+      val hi = fencesRow.getAs[Double](s"${c}_ufence")
+      d.withColumn(c, least(greatest(col(c), lit(lo)), lit(hi)))
+    }
+    val st = cols.foldLeft(hf.state) { (s, c) =>
+      s.withFences(c, "", fencesRow.getAs[Double](s"${c}_lfence"),
+        fencesRow.getAs[Double](s"${c}_ufence"))
+    }
+    HandyFrame(capped, st)
+  }
+
+  /** Count of Tukey outliers per column, optionally per stratum
+    * (reference `outliers`, dataframe.py:544-576). Fences are learned in a
+    * first (tiny-result) agg; counting is ONE scan with the fences either
+    * inlined as literals (global) or broadcast-joined on strata keys. */
+  def outlierCounts(df: DataFrame, cols: Seq[String], k: Double = 1.5,
+                    strata: Seq[String] = Nil): DataFrame = {
+    val fences = calcFences(df, cols, k, strata)
+    if (strata.isEmpty) {
+      val row = fences.head()
+      val aggs = cols.map { c =>
+        val lo = row.getAs[Double](s"${c}_lfence")
+        val hi = row.getAs[Double](s"${c}_ufence")
+        sum((col(c) < lit(lo) || col(c) > lit(hi)).cast("long")).as(c)
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    } else {
+      val fsel = strata.map(col) ++ cols.flatMap(c =>
+        Seq(col(s"${c}_lfence"), col(s"${c}_ufence")))
+      val joined = df.join(broadcast(fences.select(fsel: _*)), strata)
+      val aggs = cols.map { c =>
+        sum((col(c) < col(s"${c}_lfence") || col(c) > col(s"${c}_ufence"))
+          .cast("long")).as(c)
+      }
+      joined.groupBy(strata.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.plotdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed pre-aggregations behind the reference's plots (SURVEY §2.11,
+  * reference handyspark/plot.py). Rendering is out of engine scope — each
+  * operator returns the aggregated plot data as a small DataFrame: bins +
+  * counts (hist), boxplot stats (bxp), 2-D bucket proportions (scatter).
+  * All are one grouped aggregation over a single scan.
+  */
+object PlotData {
+
+  /** Equal-width histogram: edges from one min/max action, counts from one
+    * groupBy over the arithmetic bucket index, completed to the dense
+    * 0..bins-1 range (reference plot.py:126-148 left-joins the full bucket
+    * range and fills 0). */
+  def histogram(df: DataFrame, c: String, bins: Int = 10,
+                strata: Seq[String] = Nil): DataFrame = {
+    val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val w = (hi - lo) / bins
+    val idx = least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
+      lit(bins - 1)).cast("int")
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy((strata.map(col) :+ idx.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // dense completion: distinct strata × full bucket range (tiny frames)
+    val buckets = df.sparkSession.range(bins).select(col("id").cast("int").as("bucket"))
+    val full =
+      if (strata.isEmpty) buckets
+      else df.select(strata.map(col): _*).distinct().crossJoin(buckets)
+    full.join(counts, strata :+ "bucket", "left")
+      .na.fill(0, Seq("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bucket") * lit(w))
+      .withColumn("bin_hi", lit(lo) + (col("bucket") + 1) * lit(w))
+      .orderBy((strata :+ "bucket").map(col): _*)
+  }
+
+  /** Categorical histogram = value_counts completed over the full
+    * category×strata product (reference plot.py:112-124). */
+  def histogramCategorical(df: DataFrame, c: String, topN: Int = 20,
+                           strata: Seq[String] = Nil): DataFrame = {
+    val counts = df.na.drop(Seq(c))
+      .groupBy((strata :+ c).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    if (strata.isEmpty) counts.orderBy(desc("cnt"), col(c)).limit(topN)
+    else {
+      val cats = df.na.drop(Seq(c)).select(col(c)).distinct()
+      val combos = df.select(strata.map(col): _*).distinct().crossJoin(cats)
+      combos.join(counts, strata :+ c, "left").na.fill(0, Seq("cnt"))
+        .orderBy((strata :+ c).map(col): _*)
+    }
+  }
+
+  /** Boxplot stats per column/stratum (reference `_calc_bxp_stats`,
+    * dataframe.py:402-473): q1/median/q3/mean in one pass, whiskers =
+    * min/max of in-fence values and flier count in a second pass with the
+    * fences broadcast back on strata keys. */
+  def bxpStats(df: DataFrame, c: String, k: Double = 1.5,
+               strata: Seq[String] = Nil, exact: Boolean = true): DataFrame = {
+    val (q1e, q3e) =
+      if (exact) (s"percentile($c, 0.25)", s"percentile($c, 0.75)")
+      else (s"approx_percentile($c, 0.25, 10000)", s"approx_percentile($c, 0.75, 10000)")
+    val mede = if (exact) s"percentile($c, 0.5)" else s"approx_percentile($c, 0.5, 10000)"
+    val stats = df.groupBy(strata.map(col): _*).agg(
+      expr(q1e).as("q1"), expr(mede).as("med"), expr(q3e).as("q3"),
+      avg(col(c)).as("mean"), count(lit(1)).as("n"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lfence", col("q1") - lit(k) * col("iqr"))
+      .withColumn("ufence", col("q3") + lit(k) * col("iqr"))
+    val joined =
+      if (strata.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), strata)
+    val inFence = col(c) >= col("lfence") && col(c) <= col("ufence")
+    joined.groupBy(strata.map(col): _*).agg(
+      first("q1").as("q1"), first("med").as("med"), first("q3").as("q3"),
+      first("mean").as("mean"), first("n").as("n"),
+      min(when(inFence, col(c))).as("lo_whisker"),
+      max(when(inFence, col(c))).as("hi_whisker"),
+      sum((!inFence).cast("long")).as("fliers"))
+  }
+
+  /** Top-N fliers by |value| descending (reference dataframe.py:446-450,
+    * bounded at 1000) — Catalyst plans TakeOrderedAndProject. */
+  def topFliers(df: DataFrame, c: String, lo: Double, hi: Double,
+                n: Int = 1000): DataFrame =
+    df.filter(col(c) < lit(lo) || col(c) > lit(hi))
+      .orderBy(abs(col(c)).desc, col(c))
+      .limit(n)
+
+  /** 2-D scatter binning (reference plot.py:50-92): `bins`×`bins` bucket
+    * grid over two columns, proportion = count/total. One scan + one
+    * groupBy; edges from a single combined min/max agg. */
+  def scatterBins(df: DataFrame, x: String, y: String, bins: Int = 30): DataFrame = {
+    val r = df.agg(
+      min(col(x)).cast("double"), max(col(x)).cast("double"),
+      min(col(y)).cast("double"), max(col(y)).cast("double"),
+      count(lit(1))).head()
+    val (xlo, xhi, ylo, yhi, n) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    val wx = (xhi - xlo) / bins
+    val wy = (yhi - ylo) / bins
+    def idx(c: String, lo: Double, w: Double) =
+      least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
+        lit(bins - 1)).cast("int")
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(idx(x, xlo, wx).as("bx"), idx(y, ylo, wy).as("by"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("proportion", col("cnt") / lit(n.toDouble))
+      .orderBy("bx", "by")
+  }
+}

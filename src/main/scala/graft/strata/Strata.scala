@@ -1,0 +1,162 @@
+package graft.strata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stratification — the reference's signature dataflow operator
+  * (handyspark/sql/dataframe.py:1152-1161, 1812-2052).
+  *
+  * A stratum is either an existing categorical column, an equal-width
+  * `Bucket`, or a `Quantile` bucket over a continuous column. Stratifying
+  * yields (a) clause strings per observed combination — the public contract
+  * keys for `statistics_`/`fences_` maps — and (b) two execution paths:
+  *
+  *  - the GROUPED path (reference `@agg` decorators): one Spark job with
+  *    strata columns prepended to the groupBy — a single shuffle keyed on
+  *    low-cardinality strata; this is the 100-TB path;
+  *  - the FILTERED path: one child DataFrame per combination, recombined by
+  *    union — per-stratum predicate-pushdown scans; right only for small
+  *    stratum counts (documented in SURVEY §7.4: O(#strata) jobs).
+  */
+sealed trait StratumSpec {
+  /** name of the (possibly derived) column this stratum groups on */
+  def colName: String
+}
+
+/** Stratify on an existing (categorical) column. */
+final case class ColStratum(name: String) extends StratumSpec {
+  def colName: String = name
+}
+
+/** Equal-width binning of a continuous column (reference `Bucket`,
+  * dataframe.py:1385-1433). Edges come from one min/max action; bucket
+  * index is `min(floor((x-min)/width), bins-1)` — pure arithmetic, stays
+  * inside whole-stage codegen (no Bucketizer UDF-style evaluation). */
+final case class Bucket(column: String, bins: Int = 5) extends StratumSpec {
+  def colName: String = s"__bucket_${column}_$bins"
+}
+
+/** Quantile binning (reference `Quantile`, dataframe.py:1436-1462): edges
+  * from percentiles, same arithmetic mapping as Bucket between edges.
+  * `exact=false` (default) fits edges with the mergeable GK sketch
+  * (`approxQuantile`, relativeError 0.01 like the reference) — the 100-TB
+  * path; `exact=true` uses interpolated exact percentiles, matching DuckDB
+  * `quantile_cont` for oracle-checked queries. */
+final case class Quantile(column: String, bins: Int = 5, exact: Boolean = false)
+    extends StratumSpec {
+  def colName: String = s"__quantile_${column}_$bins"
+}
+
+/** One observed strata combination: its values and its filter clause. */
+final case class Stratum(values: Seq[(String, Any)], clause: String)
+
+final case class StratifiedFrame(
+    df: DataFrame,
+    specs: Seq[StratumSpec],
+    /** df with derived bucket columns appended (same as df if no buckets) */
+    bucketed: DataFrame,
+    /** edges per derived column, for clause pretty-printing */
+    edges: Map[String, Array[Double]],
+    strata: Seq[Stratum]) {
+
+  def strataCols: Seq[String] = specs.map(_.colName)
+
+  /** GROUPED path: run `f` once with strata columns prepended. */
+  def agg(f: (DataFrame, Seq[String]) => DataFrame): DataFrame =
+    f(bucketed, strataCols)
+
+  /** FILTERED path: run `f` per stratum child, recombine by union
+    * (reference dataframe.py:1863, 1946-1972). */
+  def perStratum(f: DataFrame => DataFrame): DataFrame =
+    strata.map { st =>
+      val child = st.values.foldLeft(bucketed) { case (d, (c, v)) =>
+        d.filter(col(c) === lit(v))
+      }
+      f(child).withColumn("__stratum", lit(st.clause))
+    }.reduce(_.unionAll(_))
+
+  /** Human-readable clause for a combination, used as statistics/fences
+    * dictionary keys (tests in the reference codify these strings,
+    * test_dataframe.py:201-202, 233-234). */
+  def clauseOf(values: Seq[(String, Any)]): String =
+    StratifiedFrame.clause(values, specs, edges)
+}
+
+object StratifiedFrame {
+
+  def apply(df: DataFrame, specs: Seq[StratumSpec]): StratifiedFrame = {
+    // 1. fit bucket edges (one action per continuous spec; a single
+    //    combined agg would also work but specs are few)
+    val edges: Map[String, Array[Double]] = specs.collect {
+      case b @ Bucket(c, n) =>
+        val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+          .head()
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        val w = (hi - lo) / n
+        b.colName -> Array.tabulate(n + 1)(i => lo + i * w)
+      case q @ Quantile(c, n, exact) =>
+        val ps = Array.tabulate(n + 1)(i => i.toDouble / n)
+        if (exact) {
+          val aggs = ps.map(p => expr(s"percentile($c, $p)"))
+          val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+          q.colName -> Array.tabulate(n + 1)(i => r.getDouble(i))
+        } else q.colName -> df.stat.approxQuantile(c, ps, 0.01)
+    }.toMap
+
+    // 2. append derived bucket-index columns (arithmetic only)
+    val bucketed = specs.foldLeft(df) { (d, s) =>
+      s match {
+        case Bucket(c, n) =>
+          val Array(lo, hi @ _*) = edges(s.colName): @unchecked
+          val w = (hi.last - lo) / n
+          d.withColumn(s.colName,
+            least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
+              lit(n - 1)).cast("int"))
+        case Quantile(c, n, _) =>
+          val es = edges(s.colName)
+          // index = #edges strictly below x, clamped — expressed as a
+          // CASE chain over the (≤ ~20) interior edges; codegen-friendly
+          val idx = es.slice(1, n).foldLeft(lit(0)) { (acc, e) =>
+            acc + (col(c) >= lit(e)).cast("int")
+          }
+          d.withColumn(s.colName, least(idx, lit(n - 1)))
+        case ColStratum(_) => d
+      }
+    }
+
+    // 3. discover observed combinations (one action) + clause strings
+    val combos = bucketed
+      .groupBy(specs.map(s => col(s.colName)): _*)
+      .count()
+      .orderBy(specs.map(s => col(s.colName)): _*)
+      .collect()
+    val strata = combos.map { row =>
+      val values = specs.zipWithIndex.map { case (s, i) =>
+        s.colName -> row.get(i)
+      }
+      Stratum(values, clause(values, specs, edges))
+    }.toSeq
+
+    StratifiedFrame(df, specs, bucketed, edges, strata)
+  }
+
+  private[strata] def clause(values: Seq[(String, Any)], specs: Seq[StratumSpec],
+                             edges: Map[String, Array[Double]]): String =
+    values.zip(specs).map {
+      case ((_, v), ColStratum(name)) =>
+        v match {
+          case s: String => s"""$name == "$s""""
+          case other     => s"$name == $other"
+        }
+      case ((cn, v), spec) =>
+        val es = edges(cn)
+        val i = v.asInstanceOf[Number].intValue()
+        val c = spec match {
+          case Bucket(c, _)      => c
+          case Quantile(c, _, _) => c
+          case _                 => cn
+        }
+        val hiOp = if (i == es.length - 2) "<=" else "<"
+        s"($c >= ${es(i)}) and ($c $hiOp ${es(i + 1)})"
+    }.mkString(" and ")
+}

@@ -1,0 +1,98 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  lazy val df: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", 1.0, "x"), ("a", 2.0, "y"), ("a", 3.0, "x"),
+      ("b", 10.0, "x"), ("b", 20.0, "x"), ("b", 30.0, "y"),
+      ("b", 40.0, "y"), ("a", 4.0, "y")
+    ).toDF("g", "v", "c")
+  }
+
+  test("describe computes mean/min/max/stddev/var per stratum") {
+    val r = Stats.describe(df, Seq("v"), Seq("g"))
+      .orderBy("g").collect()
+    assert(r(0).getAs[Double]("v_mean") == 2.5) // a: 1,2,3,4
+    assert(r(1).getAs[Double]("v_min") == 10.0)
+    assert(r(1).getAs[Double]("v_max") == 40.0)
+    // sample stddev of 1,2,3,4 = sqrt(5/3)
+    assert(math.abs(r(0).getAs[Double]("v_stddev") - math.sqrt(5.0 / 3)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("v_var") - 5.0 / 3) < 1e-12)
+  }
+
+  test("percentileExact interpolates like quantile_cont") {
+    val r = Stats.percentileExact(df.filter(col("g") === "a"), Seq("v"), Seq(0.5))
+      .head()
+    assert(r.getDouble(0) == 2.5) // median of 1,2,3,4
+  }
+
+  test("valueCounts counts groups after dropna") {
+    val r = Stats.valueCounts(df, Seq("c")).orderBy("c").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("x", 4L), ("y", 4L)))
+  }
+
+  test("mode picks most frequent with deterministic tiebreak") {
+    // x and y tie at 4 — tiebreak ascending picks x
+    assert(Stats.mode(df, "c").head().getString(0) == "x")
+  }
+
+  test("modeStratified picks per-stratum top-1") {
+    val r = Stats.modeStratified(df, "c", Seq("g")).orderBy("g").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "x"), ("b", "x"))) // both tie 2-2 → tiebreak "x"
+  }
+
+  test("entropy of a uniform 2-value column is 1 bit") {
+    val r = Stats.entropy(df, "c").head()
+    assert(math.abs(r.getAs[Double]("c_entropy") - 1.0) < 1e-12)
+  }
+
+  test("mutual information is 0 for independent columns") {
+    import spark.implicits._
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "w")
+    val mi = Stats.mutualInfo(ind, "u", "w").head().getAs[Double]("mutual_info")
+    assert(math.abs(mi) < 1e-12)
+  }
+
+  test("mutual information equals entropy for identical columns") {
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("u", "w")
+    val mi = Stats.mutualInfo(same, "u", "w").head().getAs[Double]("mutual_info")
+    assert(math.abs(mi - 1.0) < 1e-12) // H = 1 bit for uniform 2 values
+  }
+
+  test("isNull counts nulls and NaNs on floating columns") {
+    import spark.implicits._
+    val withNulls = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("b", Double.NaN), ("b", 2.0)
+    ).toDF("g", "v")
+    val r = Stats.isNull(withNulls, Seq("v")).head()
+    assert(r.getLong(0) == 2L) // null + NaN
+  }
+
+  test("corrPearson computes pairwise correlation") {
+    import spark.implicits._
+    val lin = (1 to 10).map(i => (i.toDouble, 2.0 * i, -1.0 * i))
+      .toDF("x", "y", "z")
+    val r = Stats.corrPearson(lin, Seq("x", "y", "z")).head()
+    assert(math.abs(r.getAs[Double]("x__y") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("x__z") + 1.0) < 1e-12)
+  }
+
+  test("corrSpearman is 1 for any monotone relation") {
+    import spark.implicits._
+    val mono = (1 to 10).map(i => (i.toDouble, math.exp(i.toDouble)))
+      .toDF("x", "y")
+    val r = Stats.corrSpearman(mono, Seq("x", "y")).head()
+    assert(math.abs(r.getAs[Double]("x__y") - 1.0) < 1e-12)
+  }
+}
