@@ -32,6 +32,8 @@ object Queries {
     spark.read.parquet(s"$dir/orders.parquet")
   private def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+  private def spark_part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS which (with
@@ -458,7 +460,132 @@ object Queries {
              FROM events, f
              WHERE value < q1 - 1.5 * (q3 - q1)
                 OR value > q3 + 1.5 * (q3 - q1)
-             ORDER BY abs(value) DESC, value LIMIT 100"""))
+             ORDER BY abs(value) DESC, value LIMIT 100""")),
+
+    // ---- string function suite (native codegen'd Columns) -----------------
+    QueryDef("q_string_suite",
+      (s, d) => {
+        import graft.funcs.implicits._
+        val p = col("p_name")
+        spark_part(s, d).select(
+          col("p_partkey"),
+          p.str.upper.as("up"),
+          p.str.lower.as("lo"),
+          p.str.len.as("len"),
+          p.str.contains("a").cast("int").as("has_a"),
+          p.str.startswith("b").cast("int").as("starts_b"),
+          p.str.endswith("e").cast("int").as("ends_e"),
+          p.str.find("ge").as("find_ge"),
+          p.str.slice(0, 5).as("first5"),
+          p.str.rjust(25).as("rj"),
+          p.str.replace("[aeiou]", "").as("novowel"),
+          p.str.count("a").as("n_a"),
+          p.str.capitalize.as("cap"),
+          p.str.strip.as("stripped"),
+          reverse(p).as("rev"),
+          p.str.translate("abc", "xyz").as("tr"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             upper(p_name) AS up, lower(p_name) AS lo,
+             length(p_name) AS len,
+             contains(p_name, 'a')::INT AS has_a,
+             starts_with(p_name, 'b')::INT AS starts_b,
+             (p_name LIKE '%e')::INT AS ends_e,
+             (strpos(p_name, 'ge') - 1) AS find_ge,
+             substr(p_name, 1, 5) AS first5,
+             lpad(p_name, 25, ' ') AS rj,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+             (length(p_name) - length(replace(p_name, 'a', ''))) AS n_a,
+             upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS cap,
+             trim(p_name) AS stripped,
+             reverse(p_name) AS rev,
+             translate(p_name, 'abc', 'xyz') AS tr
+             FROM part ORDER BY p_partkey""")),
+
+    // ---- datetime function suite ------------------------------------------
+    QueryDef("q_datetime_suite",
+      (s, d) => {
+        import graft.funcs.implicits._
+        val t = col("o_orderdate")
+        orders(s, d).select(
+          col("o_orderkey"),
+          t.dt.year.as("yr"),
+          t.dt.month.as("mo"),
+          t.dt.day.as("dy"),
+          t.dt.dayofweek.as("dow"),   // pandas Monday=0
+          t.dt.dayofyear.as("doy"),
+          t.dt.week.as("iso_week"),
+          t.dt.quarter.as("qtr"),
+          t.dt.daysinmonth.as("dim"),
+          t.dt.isLeapYear.cast("int").as("leap"),
+          t.dt.isMonthStart.cast("int").as("m_start"),
+          t.dt.isMonthEnd.cast("int").as("m_end"),
+          t.dt.isQuarterStart.cast("int").as("q_start"),
+          t.dt.isYearStart.cast("int").as("y_start"),
+          t.dt.strftime("%Y-%m").as("ym"),
+          t.dt.weekdayName.as("dow_name"),
+          t.dt.normalize.as("day_floor"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             day(o_orderdate) AS dy,
+             (isodow(o_orderdate) - 1) AS dow,
+             dayofyear(o_orderdate) AS doy,
+             weekofyear(o_orderdate) AS iso_week,
+             quarter(o_orderdate) AS qtr,
+             day(last_day(o_orderdate)) AS dim,
+             ((year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 != 0)
+               OR year(o_orderdate) % 400 = 0)::INT AS leap,
+             (day(o_orderdate) = 1)::INT AS m_start,
+             (o_orderdate::DATE = last_day(o_orderdate))::INT AS m_end,
+             (day(o_orderdate) = 1 AND (month(o_orderdate) - 1) % 3 = 0)::INT
+               AS q_start,
+             (dayofyear(o_orderdate) = 1)::INT AS y_start,
+             strftime(o_orderdate, '%Y-%m') AS ym,
+             dayname(o_orderdate) AS dow_name,
+             date_trunc('day', o_orderdate) AS day_floor
+             FROM orders ORDER BY o_orderkey""")),
+
+    // ---- series boolean-mask / transform suite ----------------------------
+    QueryDef("q_series_suite",
+      (s, d) => {
+        import graft.funcs.implicits._
+        val li = lineitem(s, d)
+        li.agg(
+          sum(col("l_quantity").series.between(5, 25).cast("long")).as("n_between"),
+          sum(col("l_returnflag").series.isin(Seq("A", "R")).cast("long")).as("n_isin"),
+          round(sum(col("l_extendedprice").series.clip(1000, 50000)), 2).as("clip_sum"),
+          round(sum(col("l_discount").series.roundTo(1)), 1).as("round_sum"),
+          round(sum(col("l_quantity").series.absOf), 2).as("abs_sum"))
+      },
+      Some("""SELECT
+             sum((l_quantity BETWEEN 5 AND 25)::INT)::BIGINT AS n_between,
+             sum((l_returnflag IN ('A', 'R'))::INT)::BIGINT AS n_isin,
+             round(sum(least(greatest(l_extendedprice, 1000), 50000)), 2)
+               AS clip_sum,
+             round(sum(round(l_discount, 1)), 1) AS round_sum,
+             round(sum(abs(l_quantity)), 2) AS abs_sum
+             FROM lineitem""")),
+
+    // ---- assign: multi-column computed append -----------------------------
+    QueryDef("q_assign",
+      (s, d) => {
+        val hf = lineitem(s, d).toHandy.assign(
+          "revenue" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          "charge" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))))
+        hf.df.groupBy("l_returnflag")
+          .agg(round(sum("revenue"), 2).as("revenue"),
+            round(sum("charge"), 2).as("charge"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+               AS charge
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -93,6 +93,22 @@ final case class HandyFrame(df: DataFrame, state: HandyState = HandyState()) {
 
   /** Map any DataFrame transformation while preserving state. */
   def transform(f: DataFrame => DataFrame): HandyFrame = copy(df = f(df))
+
+  // -- assign/transform/apply analogs (reference sql/transform.py:96-131) --
+
+  /** `transform(f, name)`: add one computed column (withColumn). */
+  def addColumn(name: String, c: Column): HandyFrame =
+    copy(df = df.withColumn(name, c))
+
+  /** `apply(f, name)`: project ONLY the computed column. */
+  def applyColumn(name: String, c: Column): HandyFrame =
+    copy(df = df.select(c.as(name)))
+
+  /** `assign(**kwargs)`: append many computed columns at once. In the
+    * reference, callable kwargs bind by parameter-name=column-name
+    * (sql/transform.py:54-57); in Scala the binding is explicit Columns. */
+  def assign(cols: (String, Column)*): HandyFrame =
+    copy(df = df.withColumns(cols.toMap))
 }
 
 object HandyFrame {

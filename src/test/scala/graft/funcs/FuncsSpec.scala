@@ -1,0 +1,128 @@
+package graft.funcs
+
+import graft.SparkSpec
+import graft.funcs.implicits._
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class FuncsSpec extends SparkSpec {
+
+  lazy val strDf = {
+    import spark.implicits._
+    Seq("hello world", "Mr. Owen Harris", "  pad  ", "café", "-42", "ABC")
+      .toDF("s")
+  }
+
+  private def one(colExpr: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(input).toDF("s").select(colExpr).head().get(0)
+  }
+
+  test("find returns pandas -1 semantics") {
+    assert(one(col("s").str.find("Mr."), "Mr. Owen") == 0)
+    assert(one(col("s").str.find("xyz"), "Mr. Owen") == -1)
+    assert(one(col("s").str.find("Owen"), "Mr. Owen") == 4)
+  }
+
+  test("rfind finds last occurrence") {
+    assert(one(col("s").str.rfind("l"), "hello world") == 9)
+    assert(one(col("s").str.rfind("zz"), "hello") == -1)
+  }
+
+  test("slice is 0-based [start, stop)") {
+    assert(one(col("s").str.slice(2, 5), "hello world") == "llo")
+    assert(one(col("s").str.slice(0, 5), "hello world") == "hello")
+  }
+
+  test("replace is regex by default, literal on demand") {
+    assert(one(col("s").str.replace("l+", "L"), "hello") == "heLo")
+    assert(one(col("s").str.replace("l+", "L", regex = false), "well l+") == "well L")
+  }
+
+  test("zfill pads with sign handling") {
+    assert(one(col("s").str.zfill(5), "42") == "00042")
+    assert(one(col("s").str.zfill(5), "-42") == "-0042")
+    assert(one(col("s").str.zfill(3), "123456") == "123456")
+  }
+
+  test("center matches pandas (extra char on right)") {
+    assert(one(col("s").str.center(5, "*"), "ab") == "*ab**")
+    assert(one(col("s").str.center(6, "*"), "ab") == "**ab**")
+  }
+
+  test("title/istitle/swapcase/capitalize match Python semantics") {
+    assert(one(col("s").str.title, "mr. owen-harris") == "Mr. Owen-Harris")
+    assert(one(col("s").str.istitle, "Mr. Owen") == true)
+    assert(one(col("s").str.istitle, "MR. OWEN") == false)
+    assert(one(col("s").str.swapcase, "AbC") == "aBc")
+    assert(one(col("s").str.capitalize, "hELLO wORLD") == "Hello world")
+  }
+
+  test("removeAccents folds diacritics") {
+    assert(one(col("s").str.removeAccents, "café naïve") == "cafe naive")
+  }
+
+  test("char-class predicates") {
+    assert(one(col("s").str.isalpha, "abc") == true)
+    assert(one(col("s").str.isalpha, "ab1") == false)
+    assert(one(col("s").str.isdigit, "123") == true)
+    assert(one(col("s").str.isspace, "  \t") == true)
+    assert(one(col("s").str.islower, "abc1") == true)
+    assert(one(col("s").str.isupper, "ABC1") == true)
+  }
+
+  test("wrap hard-wraps at width") {
+    assert(one(col("s").str.wrap(5), "aa bb cc dd") == "aa bb\ncc dd")
+  }
+
+  // ---- datetime ----
+  private def oneTs(colExpr: org.apache.spark.sql.Column, ts: String): Any = {
+    import spark.implicits._
+    Seq(Timestamp.valueOf(ts)).toDF("t").select(colExpr).head().get(0)
+  }
+
+  test("dayofweek is Monday=0 like pandas") {
+    // 2012-01-02 was a Monday
+    assert(oneTs(col("t").dt.dayofweek, "2012-01-02 00:00:00") == 0)
+    assert(oneTs(col("t").dt.dayofweek, "2012-01-08 00:00:00") == 6) // Sunday
+  }
+
+  test("leap year / month boundaries") {
+    assert(oneTs(col("t").dt.isLeapYear, "2012-06-15 00:00:00") == true)
+    assert(oneTs(col("t").dt.isLeapYear, "2100-06-15 00:00:00") == false)
+    assert(oneTs(col("t").dt.daysinmonth, "2012-02-10 00:00:00") == 29)
+    assert(oneTs(col("t").dt.isMonthEnd, "2012-02-29 00:00:00") == true)
+    assert(oneTs(col("t").dt.isQuarterStart, "2012-04-01 00:00:00") == true)
+    assert(oneTs(col("t").dt.isYearEnd, "2012-12-31 00:00:00") == true)
+  }
+
+  test("strftime token translation") {
+    assert(DateFuncs.translateFormat("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(oneTs(col("t").dt.strftime("%Y-%m"), "2012-03-15 10:30:00") == "2012-03")
+    assert(oneTs(col("t").dt.strftime("%d of %B"), "2012-03-05 00:00:00")
+      == "05 of March")
+  }
+
+  test("floor/ceil/round to day") {
+    assert(oneTs(col("t").dt.floor("D"), "2012-03-15 10:30:00").toString
+      == "2012-03-15 00:00:00.0")
+    assert(oneTs(col("t").dt.ceil("D"), "2012-03-15 10:30:00").toString
+      == "2012-03-16 00:00:00.0")
+    assert(oneTs(col("t").dt.ceil("D"), "2012-03-15 00:00:00").toString
+      == "2012-03-15 00:00:00.0")
+    assert(oneTs(col("t").dt.round("D"), "2012-03-15 10:30:00").toString
+      == "2012-03-15 00:00:00.0")
+    assert(oneTs(col("t").dt.round("D"), "2012-03-15 15:00:00").toString
+      == "2012-03-16 00:00:00.0")
+  }
+
+  test("series clip and replaceValues") {
+    import spark.implicits._
+    val df = Seq(1.0, 5.0, 10.0).toDF("v")
+    val clipped = df.select(col("v").series.clip(2, 8)).collect().map(_.getDouble(0))
+    assert(clipped.toSeq == Seq(2.0, 5.0, 8.0))
+    val replaced = df.select(col("v").series.replaceValues(Map(5.0 -> 50.0)))
+      .collect().map(_.getDouble(0))
+    assert(replaced.toSeq == Seq(1.0, 50.0, 10.0))
+  }
+}
