@@ -585,7 +585,125 @@ object Queries {
              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
              round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
                AS charge
-             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Mahalanobis distance (2-col case has a closed-form oracle) -------
+    QueryDef("q_mahalanobis",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val model = graft.outlier.Mahalanobis.fit(li,
+          Seq("l_quantity", "l_extendedprice"))
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          round(model.distance, 6).as("mahalanobis"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH m AS (SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+               avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp,
+               corr(l_quantity, l_extendedprice) AS r FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               round(sqrt((u * u - 2 * r * u * v + v * v) / (1 - r * r)), 6)
+                 AS mahalanobis
+             FROM (SELECT l_orderkey, l_linenumber, r,
+               (l_quantity - mq) / sq AS u,
+               (l_extendedprice - mp) / sp AS v
+               FROM lineitem, m)
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q_mahalanobis_outliers",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("v2", col("value") * col("value") + col("user_id") % 7)
+        val flagged = graft.outlier.Mahalanobis.addDistance(ev,
+          Seq("value", "v2"), 0.999)
+        flagged.agg(sum(col("__outlier").cast("long")).as("n_outliers"),
+          count(lit(1)).as("n"))
+      },
+      Some("""WITH t AS (SELECT value, value * value + user_id % 7 AS v2
+               FROM events),
+             m AS (SELECT avg(value) AS m1, stddev_samp(value) AS s1,
+               avg(v2) AS m2, stddev_samp(v2) AS s2, corr(value, v2) AS r
+               FROM t)
+             SELECT sum((sqrt((u * u - 2 * r * u * v + v * v) / (1 - r * r)) >
+               sqrt(-2 * ln(1 - 0.999)))::INT)::BIGINT AS n_outliers,
+               count(*) AS n
+             FROM (SELECT (value - m1) / s1 AS u, (v2 - m2) / s2 AS v, r
+               FROM t, m)""")),
+
+    // ---- Welch t statistic matrix (SQL-expressible part of t-test) --------
+    QueryDef("q_welch",
+      (s, d) => graft.stat.StatTests.welchStats(lineitem(s, d),
+          "l_extendedprice", Seq("l_returnflag"))
+        .select(col("a_l_returnflag").as("g1"), col("b_l_returnflag").as("g2"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("welch_df"), 4).as("welch_df"))
+        .orderBy("g1", "g2"),
+      Some("""WITH g AS (SELECT l_returnflag, avg(l_extendedprice) AS m,
+               var_samp(l_extendedprice) AS v, count(*)::DOUBLE AS n
+               FROM lineitem GROUP BY 1)
+             SELECT a.l_returnflag AS g1, b.l_returnflag AS g2,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+               round(pow(a.v / a.n + b.v / b.n, 2) /
+                 (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 4)
+                 AS welch_df
+             FROM g a, g b WHERE a.l_returnflag < b.l_returnflag
+             ORDER BY g1, g2""")),
+
+    // ---- binary classification: confusion matrix + curves -----------------
+    QueryDef("q_confusion",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.confusionMatrix(li, "l_discount", "label", 0.05)
+      },
+      Some("""SELECT
+             sum((l_discount < 0.05 AND l_returnflag != 'R')::INT)::BIGINT AS tn,
+             sum((l_discount >= 0.05 AND l_returnflag != 'R')::INT)::BIGINT AS fp,
+             sum((l_discount < 0.05 AND l_returnflag = 'R')::INT)::BIGINT AS fn,
+             sum((l_discount >= 0.05 AND l_returnflag = 'R')::INT)::BIGINT AS tp
+             FROM lineitem""")),
+
+    QueryDef("q_metrics_by_threshold",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.metricsByThreshold(li, "l_discount", "label")
+          .select(round(col("threshold"), 4).as("threshold"),
+            round(col("fpr"), 6).as("fpr"),
+            round(col("recall"), 6).as("recall"),
+            round(col("precision"), 6).as("precision"))
+      },
+      Some("""WITH sl AS (SELECT l_discount AS score,
+               (l_returnflag = 'R')::INT AS label FROM lineitem),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY score),
+             c AS (SELECT score,
+               sum(pos) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p, sum(neg) OVER () AS n FROM per)
+             SELECT round(score, 4) AS threshold, round(fp / n, 6) AS fpr,
+               round(tp / p, 6) AS recall,
+               round(tp / (tp + fp), 6) AS precision FROM c
+             UNION ALL SELECT 0.0, 1.0, 1.0, 0.0""")),
+
+    // ---- vector/array disassemble -----------------------------------------
+    QueryDef("q_disassemble",
+      (s, d) => {
+        val emb = graft.util.VectorOps.disassemble(embeddings(s, d), "embedding")
+        emb.groupBy("label").agg(
+          round(avg(col("embedding_0").cast("double")), 6).as("e0_mean"),
+          round(avg(col("embedding_1").cast("double")), 6).as("e1_mean"),
+          round(avg(col("embedding_2").cast("double")), 6).as("e2_mean"),
+          count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some("""SELECT label,
+             round(avg(embedding[1]::DOUBLE), 6) AS e0_mean,
+             round(avg(embedding[2]::DOUBLE), 6) AS e1_mean,
+             round(avg(embedding[3]::DOUBLE), 6) AS e2_mean,
+             count(*) AS n
+             FROM embeddings GROUP BY label ORDER BY label"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,100 @@
+package graft.stat
+
+import org.apache.commons.math3.distribution._
+import org.apache.commons.math3.stat.descriptive.StatisticalSummaryValues
+import org.apache.commons.math3.stat.inference.TTest
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Statistical tests (reference handyspark/stats.py). The reference crossed
+  * py4j to reach commons-math3 and mllib; here they are direct JVM calls.
+  */
+object StatTests {
+
+  /** One-pass per-group summary → commons-math3 SSVs
+    * (reference stats.py:6-20). */
+  def summaryValues(df: DataFrame, c: String,
+                    strata: Seq[String] = Nil): Map[Seq[Any], StatisticalSummaryValues] = {
+    val rows = df.groupBy(strata.map(col): _*).agg(
+      avg(col(c)).as("mean"), var_samp(col(c)).as("variance"),
+      count(col(c)).as("n"), max(col(c)).as("max"), min(col(c)).as("min"),
+      sum(col(c)).as("sum")).collect()
+    rows.map { r =>
+      val key = strata.indices.map(r.get).toSeq
+      key -> new StatisticalSummaryValues(
+        r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+        r.getAs[Long]("n"), r.getAs[Double]("max"), r.getAs[Double]("min"),
+        r.getAs[Double]("sum"))
+    }.toMap
+  }
+
+  /** Pairwise Welch t-test p-value matrix between strata of one column
+    * (reference stats.py:22-34). The heavy lifting is ONE grouped agg; the
+    * #strata² t-tests run on driver-local SSVs. */
+  def tTestMatrix(df: DataFrame, c: String, strata: Seq[String]): Seq[(Seq[Any], Seq[Any], Double)] = {
+    val ssvs = summaryValues(df, c, strata).toSeq.sortBy(_._1.mkString("|"))
+    val tt = new TTest()
+    for {
+      (k1, s1) <- ssvs
+      (k2, s2) <- ssvs if k1.mkString("|") < k2.mkString("|")
+    } yield (k1, k2, tt.tTest(s1, s2))
+  }
+
+  /** Welch t statistic + degrees of freedom as a DataFrame (the
+    * SQL-expressible part — p-values need the t CDF). */
+  def welchStats(df: DataFrame, c: String, strata: Seq[String]): DataFrame = {
+    val g = df.groupBy(strata.map(col): _*).agg(
+      avg(col(c)).as("mean"), var_samp(col(c)).as("variance"),
+      count(col(c)).cast("double").as("n"))
+    val a = g.select((strata.map(cn => col(cn).as(s"a_$cn")) ++
+      Seq(col("mean").as("m1"), col("variance").as("v1"), col("n").as("n1"))): _*)
+    val b = g.select((strata.map(cn => col(cn).as(s"b_$cn")) ++
+      Seq(col("mean").as("m2"), col("variance").as("v2"), col("n").as("n2"))): _*)
+    val crossed = a.crossJoin(b)
+      .filter(concat_ws("|", strata.map(cn => col(s"a_$cn")): _*) <
+        concat_ws("|", strata.map(cn => col(s"b_$cn")): _*))
+    val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+    crossed
+      .withColumn("t_stat", (col("m1") - col("m2")) / sqrt(se2))
+      .withColumn("welch_df", (se2 * se2) /
+        ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1) +
+         (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)))
+  }
+
+  /** One-sample Kolmogorov-Smirnov test of a column against a named
+    * distribution (reference stats.py:36-64 supports the commons-math3
+    * family; unknown names fall back to Normal(0,1)). Distributed: the
+    * empirical CDF comparison runs via mllib's testOneSample on the
+    * column's RDD. */
+  def ksTest(df: DataFrame, c: String, dist: String,
+             params: Double*): KsResult = {
+    val rd: RealDistribution = (dist, params.toList) match {
+      case ("norm", m :: s :: Nil)    => new NormalDistribution(m, s)
+      case ("norm", Nil)              => new NormalDistribution(0, 1)
+      case ("uniform", a :: b :: Nil) => new UniformRealDistribution(a, b)
+      case ("exp", m :: Nil)          => new ExponentialDistribution(m)
+      case ("gamma", a :: b :: Nil)   => new GammaDistribution(a, b)
+      case ("beta", a :: b :: Nil)    => new BetaDistribution(a, b)
+      case ("cauchy", m :: s :: Nil)  => new CauchyDistribution(m, s)
+      case ("chi2", k :: Nil)         => new ChiSquaredDistribution(k)
+      case ("f", a :: b :: Nil)       => new FDistribution(a, b)
+      case ("t", k :: Nil)            => new TDistribution(k)
+      case ("lognorm", m :: s :: Nil) => new LogNormalDistribution(m, s)
+      case ("weibull", a :: b :: Nil) => new WeibullDistribution(a, b)
+      case ("laplace", m :: b :: Nil) => new LaplaceDistribution(m, b)
+      case ("levy", m :: s :: Nil)    => new LevyDistribution(m, s)
+      case ("logistic", m :: s :: Nil) => new LogisticDistribution(m, s)
+      case ("pareto", s :: a :: Nil)  => new ParetoDistribution(s, a)
+      case ("triangular", a :: b :: cc :: Nil) => new TriangularDistribution(a, b, cc)
+      case ("gumbel", m :: b :: Nil)  => new GumbelDistribution(m, b)
+      case _                          => new NormalDistribution(0, 1)
+    }
+    val rdd = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0))
+    val r = org.apache.spark.mllib.stat.Statistics
+      .kolmogorovSmirnovTest(rdd, (x: Double) => rd.cumulativeProbability(x))
+    KsResult(r.statistic, r.pValue)
+  }
+
+  final case class KsResult(statistic: Double, pValue: Double)
+}

@@ -1,0 +1,30 @@
+package graft.util
+
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Vector/array interop (reference handyspark/util.py:140-190). */
+object VectorOps {
+
+  /** ML VectorUDT column → ArrayType(Double) — the reference does an RDD
+    * map (util.py:140-156); since Spark 3 this is one native function. */
+  def denseToArray(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, vector_to_array(col(c)))
+
+  /** Explode a vector/array column into `c_0..c_{n-1}` scalar columns
+    * (reference disassemble, util.py:158-190). Width = MIN size over the
+    * dataset — the reference's documented ragged-array semantics
+    * (util.py:171). One action for the width, then a pure projection. */
+  def disassemble(df: DataFrame, c: String): DataFrame = {
+    val asArray = df.schema(c).dataType match {
+      case _: ArrayType => df
+      case _            => denseToArray(df, c)
+    }
+    val width = asArray.agg(min(size(col(c)))).head().getInt(0)
+    val fields = df.columns.filterNot(_ == c).map(col) ++
+      (0 until width).map(i => col(c).getItem(i).as(s"${c}_$i"))
+    asArray.select(fields.toSeq: _*)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.stat
+
+import graft.SparkSpec
+import graft.eval.BinaryMetrics
+import graft.outlier.Mahalanobis
+import graft.util.VectorOps
+import org.apache.spark.sql.functions._
+
+class StatEvalSpec extends SparkSpec {
+
+  test("Mahalanobis distance of the mean point is 0; planted point is flagged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 500).map { _ =>
+      val x = rnd.nextGaussian(); (x, x * 0.5 + rnd.nextGaussian() * 0.1)
+    }
+    val df = (base :+ ((10.0, -10.0))).toDF("x", "y")
+    val flagged = Mahalanobis.addDistance(df, Seq("x", "y"), 0.999)
+    val out = flagged.filter(col("__outlier")).select("x", "y").collect()
+    assert(out.exists(r => r.getDouble(0) == 10.0 && r.getDouble(1) == -10.0))
+  }
+
+  test("chi2Threshold matches the closed form for k=2") {
+    assert(math.abs(Mahalanobis.chi2Threshold(2, 0.999) -
+      math.sqrt(-2 * math.log(0.001))) < 1e-9)
+  }
+
+  test("tTestMatrix p-value is high for same-distribution groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextGaussian())).toDF("g", "v")
+    val m = StatTests.tTestMatrix(df, "v", Seq("g"))
+    assert(m.size == 1)
+    assert(m.head._3 > 0.01) // same distribution → no significant difference
+  }
+
+  test("tTestMatrix p-value is tiny for shifted groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2)
+    val df = (1 to 400).map { i =>
+      val shift = if (i % 2 == 0) 0.0 else 5.0
+      (if (i % 2 == 0) "a" else "b", rnd.nextGaussian() + shift)
+    }.toDF("g", "v")
+    assert(StatTests.tTestMatrix(df, "v", Seq("g")).head._3 < 1e-10)
+  }
+
+  test("KS test accepts the true distribution, rejects a wrong one") {
+    val df = spark.range(2000).select(randn(42).as("v"))
+    val ok = StatTests.ksTest(df, "v", "norm", 0, 1)
+    assert(ok.pValue > 0.01)
+    val bad = StatTests.ksTest(df, "v", "uniform", 0, 1)
+    assert(bad.pValue < 1e-6)
+  }
+
+  test("confusion matrix counts sum to n and match manual counts") {
+    import spark.implicits._
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.2, 0.0),
+      (0.1, 0.0)).toDF("score", "label")
+    val r = BinaryMetrics.confusionMatrix(df, "score", "label", 0.5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L))) // tn fp fn tp
+  }
+
+  test("roc curve matches mllib adapter point set") {
+    import spark.implicits._
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.2, 0.0),
+      (0.1, 0.0)).toDF("score", "label")
+    val native = BinaryMetrics.roc(df, "score", "label")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val mllib = BinaryMetrics.mllibMetrics(df, "score", "label")
+      .roc().collect().toSet
+    assert(native == mllib)
+  }
+
+  test("auc via mllib adapter on perfect classifier is 1") {
+    import spark.implicits._
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("score", "label")
+    assert(BinaryMetrics.mllibMetrics(df, "score", "label").areaUnderROC() == 1.0)
+  }
+
+  test("disassemble splits arrays at min-width with ragged input") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0)))
+      .toDF("id", "arr")
+    val out = VectorOps.disassemble(df, "arr")
+    assert(out.columns.toSeq == Seq("id", "arr_0", "arr_1"))
+    assert(out.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(1.0, 4.0))
+  }
+
+  test("disassemble handles ml vectors") {
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq((1L, Vectors.dense(1.0, 2.0)), (2L, Vectors.dense(3.0, 4.0)))
+      .toDF("id", "vec")
+    val out = VectorOps.disassemble(df, "vec")
+    assert(out.columns.toSeq == Seq("id", "vec_0", "vec_1"))
+    assert(out.orderBy("id").collect().map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
+  }
+}
