@@ -703,7 +703,290 @@ object Queries {
              round(avg(embedding[2]::DOUBLE), 6) AS e1_mean,
              round(avg(embedding[3]::DOUBLE), 6) AS e2_mean,
              count(*) AS n
-             FROM embeddings GROUP BY label ORDER BY label"""))
+             FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ======================================================================
+    // Extension tier: training-data pipeline operators
+    // ======================================================================
+
+    // ---- exact dedup (duplicates synthesized deterministically) -----------
+    QueryDef("q_dedup_exact",
+      (s, d) => {
+        val docs = documents(s, d)
+        val withDups = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id") + 1000000, col("text")))
+        graft.pipeline.Dedup.exact(withDups, "doc_id", "text")
+          .select(col("doc_id"), col("dup_count")).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents
+               WHERE doc_id % 10 = 0)
+             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+             FROM t GROUP BY text ORDER BY doc_id""")),
+
+    // ---- exact n-gram Jaccard near-dup pairs ------------------------------
+    QueryDef("q_ngram_jaccard",
+      (s, d) => {
+        val docs = documents(s, d)
+        val all = docs.select(col("doc_id")).as("a")
+          .crossJoin(docs.select(col("doc_id").as("doc_id_b")))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+        graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3, all)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
+             ORDER BY id_a, id_b""")),
+
+    // ---- MinHash + LSH near-dup pipeline ----------------------------------
+    QueryDef("q_minhash_dedup",
+      (s, d) => graft.pipeline.Dedup.minhashDedup(documents(s, d),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32,
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8
+             ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup (engine-specific hash — rows-only check) --------
+    QueryDef("q_simhash_dedup",
+      (s, d) => graft.pipeline.Dedup.simhashDedup(documents(s, d),
+          "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- embedding cosine near-dup: exact pairs ---------------------------
+    QueryDef("q_embedding_pairs",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"),
+          expr("transform(embedding, x -> cast(x as double))").as("va"))
+        val b = e.select(col("vec_id").as("id_b"),
+          expr("transform(embedding, x -> cast(x as double))").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", graft.pipeline.Dedup.cosine(col("va"), col("vb")))
+          .filter(col("cos") >= 0.45)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+             ORDER BY id_a, id_b""")),
+
+    // ---- LSH-bucketed embedding near-dup (scale path — rows-only) ---------
+    QueryDef("q_embedding_dedup_lsh",
+      (s, d) => graft.pipeline.Dedup.embeddingDedup(embeddings(s, d),
+          "vec_id", "embedding", dim = 64, threshold = 0.4, bits = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- similarity search: brute-force cosine top-k ----------------------
+    QueryDef("q_sim_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .head().getSeq[Double](0).toArray
+        graft.pipeline.Similarity.bruteForceTopK(
+            e.filter(col("vec_id") =!= 0), "vec_id", "embedding", qvec, 10)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0)
+             SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+             FROM embeddings, q WHERE vec_id != 0
+             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+               vec_id LIMIT 10""")),
+
+    // ---- similarity search: multi-query top-k via broadcast join ----------
+    QueryDef("q_sim_topk_multi",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Similarity.topKJoin(e,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rn"), col("corpus_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             scored AS (SELECT query_id, e.vec_id AS corpus_id,
+               list_cosine_similarity(e.v, qv) AS cos
+               FROM e, q WHERE e.vec_id != query_id),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rn FROM scored)
+             SELECT query_id, rn, corpus_id, round(cos, 6) AS cos
+             FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
+
+    // ---- IVF two-stage ANN (approximate — rows-only) ----------------------
+    QueryDef("q_sim_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .head().getSeq[Double](0).toArray
+        val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding", nCells = 8)
+        graft.pipeline.Similarity.ivfTopK(assigned, centers, "vec_id",
+          qvec, 10, nProbe = 3)
+      },
+      None),
+
+    // ---- text analysis: token counts / quality ----------------------------
+    QueryDef("q_text_stats",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        documents(s, d).select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(meanWordLen(col("text")), 6).as("mean_word_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents)
+             SELECT doc_id, len(toks) AS n_tokens,
+               round((length(text) - length(regexp_replace(text,
+                 '[.,!?;:]', '', 'g'))) / greatest(length(text), 1)::DOUBLE, 6)
+                 AS punct_ratio,
+               round(len(list_filter(toks, x -> x IN ('the','a','an','of','to',
+                 'and','in','is','it','that','for','on','with','as','at','by')))
+                 / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+               round(list_sum(list_transform(toks, x -> length(x)))
+                 / greatest(len(toks), 1)::DOUBLE, 6) AS mean_word_len
+             FROM t ORDER BY doc_id""")),
+
+    // ---- language ID (marker-word heuristic) ------------------------------
+    QueryDef("q_lang_id",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        documents(s, d)
+          .select(col("lang"), languageId(col("text")).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some("""WITH sc AS (SELECT lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','and','of','to','in','is','that','it','with','for')))::DOUBLE AS s_en,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu')))::DOUBLE AS s_de,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))::DOUBLE AS s_fr,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('el','los','las','es','una','del','por','con','para','como')))::DOUBLE AS s_es,
+               (length(text) - length(replace(text, '的', ''))
+                + length(text) - length(replace(text, '是', ''))
+                + length(text) - length(replace(text, '在', ''))
+                + length(text) - length(replace(text, '了', ''))
+                + length(text) - length(replace(text, '我', ''))
+                + length(text) - length(replace(text, '有', ''))
+                + length(text) - length(replace(text, '和', ''))
+                + length(text) - length(replace(text, '不', ''))
+                + length(text) - length(replace(text, '这', ''))
+                + length(text) - length(replace(text, '中', '')))::DOUBLE AS s_zh
+               FROM documents),
+             pred AS (SELECT lang, CASE
+               WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+               ELSE 'zh' END AS lang_pred FROM sc)
+             SELECT lang, lang_pred, count(*) AS n FROM pred
+             GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
+
+    // ---- document fingerprinting (engine hash — rows-only) ----------------
+    QueryDef("q_fingerprint",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .groupBy().agg(countDistinct(col("fp")).as("n_distinct_fp"),
+            count(lit(1)).as("n_docs"))
+      },
+      None),
+
+    // ---- events: windowed aggregation (batch mirror of streaming path) ----
+    QueryDef("q_events_windowed",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+             count(*) AS n, round(sum(value), 2) AS value_sum
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- events: sessionization via window gaps ---------------------------
+    QueryDef("q_events_sessions",
+      (s, d) => {
+        val ev = events(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        ev.withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800)
+              .cast("int"))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY
+                 user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+               FROM events),
+             s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+             per AS (SELECT user_id, session_id, count(*) AS n_events
+               FROM s GROUP BY 1, 2)
+             SELECT user_id, count(*)::BIGINT AS n_sessions,
+               sum(n_events)::BIGINT AS n_events
+             FROM per GROUP BY user_id ORDER BY user_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine against one query vector — a pure
+  *    map + TakeOrderedAndProject; the correctness baseline.
+  *  - `topKJoin`: exact top-k for MANY queries — bounded by a window over
+  *    the (queries × corpus) join; right only for small query sets.
+  *  - `ivfTopK`: IVF-style two-stage search — coarse centroids from
+  *    ml.KMeans, probe the nearest `nProbe` cells only; at 100 TB this
+  *    turns a full corpus scan per query into a scan of ~nProbe/nCells of
+  *    the data, with the centroid table broadcast.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact cosine top-k neighbors of one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol),
+        Dedup.cosine(asDouble(col(vecCol)), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k for a set of query rows (broadcast the queries). */
+  def topKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "corpus_id", "cos", "rn")
+  }
+
+  /** IVF index: KMeans cell assignment for every corpus vector. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).select(col(idCol), col("v"), col("cell"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Two-stage IVF search: rank cells by centroid cosine, scan only the
+    * top `nProbe` cells. */
+  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
+              idCol: String, query: Array[Double], k: Int,
+              nProbe: Int = 3): DataFrame = {
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (i, cosLocal(c, query)) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol), Dedup.cosine(col("v"), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. Everything
+  * is native Catalyst expressions (split / higher-order functions / regexp)
+  * — no UDFs, so the whole surface stays inside whole-stage codegen and
+  * scales as a pure map over the corpus: no shuffle, no driver data.
+  */
+object TextAnalysis {
+
+  /** whitespace tokenization (trimmed, collapsed whitespace) */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** A BPE-ish subword count: word count + one extra per 4 chars of long
+    * words — a deterministic proxy for tokenizer load estimation. */
+  def subwordCount(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, w) => acc + greatest(ceil(length(w) / 4.0).cast("long"), lit(1L)))
+
+  // ---- quality scoring (length / punctuation / stopword ratios) ----------
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))) /
+      greatest(length(c), lit(1)).cast("double")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stopArr, t))) /
+      greatest(size(tokens(c)), lit(1)).cast("double")
+  }
+
+  def meanWordLen(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)) /
+      greatest(size(tokens(c)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with typical
+    * word lengths and some (not too much) punctuation + stopword presence. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c) / lit(500.0), lit(1.0))
+    val wordScore = lit(1.0) - least(abs(meanWordLen(c) - lit(5.0)) / lit(5.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * lit(10.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    (lenScore + wordScore + punctScore + stopScore) / lit(4.0)
+  }
+
+  // ---- language identification (stopword-hit heuristic) -------------------
+
+  /** Per-language marker wordlists (tiny, high-frequency function words). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "del", "por", "con", "para", "como"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "这", "中"))
+
+  /** Hit count of language markers among the tokens (zh matched by
+    * substring since Chinese text is unsegmented). */
+  def langScore(c: Column, lang: String,
+                markers: Seq[String]): Column =
+    if (lang == "zh")
+      markers.map(m => (length(c) - length(regexp_replace(c, m, ""))) / length(lit(m)))
+        .reduce(_ + _)
+    else {
+      val arr = array(markers.map(lit): _*)
+      size(filter(tokens(c), t => array_contains(arr, t)))
+    }
+
+  /** argmax language by marker hits; ties break by LangMarkers order. */
+  def languageId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(c, l, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** 64-bit document fingerprint: rolling rotate-xor hash over token
+    * xxhash64s — order-sensitive, whitespace-normalized (documents that
+    * differ only in whitespace/trim share a fingerprint). Rotate-xor keeps
+    * every step inside the long domain (no ANSI overflow, unlike a
+    * polynomial acc*31+h fold). */
+  def fingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), t => xxhash64(t)), lit(0L),
+      (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(h))
+
+  /** Convenience: append all analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_subwords", subwordCount(c))
+      .withColumn("punct_ratio", punctRatio(c))
+      .withColumn("stopword_ratio", stopwordRatio(c))
+      .withColumn("mean_word_len", meanWordLen(c))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("lang_pred", languageId(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different content about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "unrelated words entirely qwerty asdf zxcv")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts keeping min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+    assert(r.count() == 4)
+    val dup = r.filter(col("dup_count") === 2).head()
+    assert(dup.getAs[Long]("doc_id") == 0L)
+    assert(Dedup.exactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").head().getLong(0) == 3L)
+  }
+
+  test("wordNgrams slides over tokens") {
+    import spark.implicits._
+    val r = Seq("a b c d").toDF("t")
+      .select(Dedup.wordNgrams(col("t"), 3)).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.wordNgrams(col("t"), 3)).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngramJaccard computes exact jaccard for exact dup") {
+    import spark.implicits._
+    val cand = Seq((0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 3, cand)
+      .head().getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical texts share signature; near-dups are close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) < 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(4L)) > 16)
+  }
+
+  test("simhashDedup surfaces the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L)))
+  }
+
+  test("cosine matches the closed form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val c = df.select(Dedup.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - (1 * 2 + 2 * 3) / math.sqrt(5 * 13)) < 1e-12)
+  }
+
+  test("embeddingDedup finds planted duplicate vector") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    val planted = base :+ (99L, base.head._2.map(_ * 1.001))
+    val df = planted.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDedup(df, "vec_id", "embedding", dim = 16,
+      threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 99L)))
+  }
+
+  test("bruteForceTopK returns self-similar neighbors first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Array(1.0, 0.0), 2).collect()
+    assert(r(0).getLong(0) == 1L)
+    assert(r(1).getLong(0) == 2L)
+  }
+
+  test("ivfTopK recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val clusters = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val center = Array.tabulate(8)(j => if (j == c * 2) 5.0 else 0.0)
+      ((c * 50 + i).toLong, center.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = clusters.toDF("vec_id", "embedding")
+    val query = Array.tabulate(8)(j => if (j == 0) 5.0 else 0.0)
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val (assigned, centers) = Similarity.ivfAssign(df, "vec_id", "embedding", 4)
+    val ivf = Similarity.ivfTopK(assigned, centers, "vec_id", query, 10, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((bf & ivf).size >= 8) // ≥80% recall with 2-of-4 probes
+  }
+
+  test("text analysis columns are sane") {
+    import spark.implicits._
+    val df = Seq("the cat sat on the mat.").toDF("text")
+    val r = TextAnalysis.analyze(df, "text").head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Double]("stopword_ratio") == 3.0 / 6) // the, on, the
+    assert(r.getAs[Double]("punct_ratio") > 0)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1)
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "hello  world"), ("b", " hello world "), ("c", "world hello"))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("multimodal: media frame schema, stub features, frame sampling") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, Array[Byte](9, 8, 7)))
+      .toDF("id", "data")
+    val media = Multimodal.asMediaFrame(df, "id", "data", "png")
+    assert(media.schema.fieldNames.toSeq == Multimodal.MediaSchema.fieldNames.toSeq)
+    assert(media.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Multimodal.MetadataType.fieldNames.toSeq)
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val r = feats.orderBy("media_id").collect()
+    assert(r(0).getSeq[Double](3).length == 8)
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").collect()
+    assert(r(0).getSeq[Double](3) == again(0).getSeq[Double](3))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.resize(media, 224, 224), everyNth = 4, maxFrames = 8)
+    assert(frames.filter(col("media_id") === 1).count() == 2) // idx 0,4
+  }
+}

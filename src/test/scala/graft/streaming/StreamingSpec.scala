@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedValueCounts aggregates a memory stream incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedValueCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowDur = "1 hour", watermark = "2 hours")
+    val q = counts.writeStream.format("memory")
+      .queryName("vc").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:05:00"), "click"),
+        (ts("2026-01-01 10:20:00"), "click"),
+        (ts("2026-01-01 10:40:00"), "view"),
+        (ts("2026-01-01 11:10:00"), "click"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT event_type, value_counts FROM vc " +
+        "WHERE window.start = '2026-01-01 10:00:00' ORDER BY event_type")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+      assert(r == Seq(("click", 2L), ("view", 1L)))
+      // incremental update: new event lands in the same window
+      input.addData((ts("2026-01-01 10:55:00"), "view"))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT value_counts FROM vc WHERE " +
+        "window.start = '2026-01-01 10:00:00' AND event_type = 'view'")
+        .head().getLong(0)
+      assert(r2 == 2L)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = StreamingOps.streamingDedup(
+      input.toDF().toDF("ts", "key"), "ts", Seq("key"))
+    val q = dedup.writeStream.format("memory")
+      .queryName("dd").outputMode("append").start()
+    try {
+      input.addData((ts("2026-01-01 10:00:00"), 1L),
+        (ts("2026-01-01 10:00:00"), 1L), (ts("2026-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionCounts groups events into gap-based sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamingOps.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id", gap = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("ss").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), 7L), (ts("2026-01-01 10:10:00"), 7L),
+        (ts("2026-01-01 12:00:00"), 7L))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n_events FROM ss ORDER BY session_window.start")
+        .collect().map(_.getLong(0)).toSeq
+      assert(r == Seq(2L, 1L)) // two sessions: gap > 30 min
+    } finally q.stop()
+  }
+}
