@@ -729,11 +729,7 @@ object Queries {
     QueryDef("q_ngram_jaccard",
       (s, d) => {
         val docs = documents(s, d)
-        val all = docs.select(col("doc_id")).as("a")
-          .crossJoin(docs.select(col("doc_id").as("doc_id_b")))
-          .filter(col("doc_id") < col("doc_id_b"))
-          .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
-        graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3, all)
+        graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3)
           .filter(col("jaccard") >= 0.3)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
@@ -759,7 +755,7 @@ object Queries {
     // ---- MinHash + LSH near-dup pipeline ----------------------------------
     QueryDef("q_minhash_dedup",
       (s, d) => graft.pipeline.Dedup.minhashDedup(documents(s, d),
-          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32,
+          "doc_id", "text", shingleSize = 3, numHashes = 63, bands = 21,
           threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
@@ -792,12 +788,16 @@ object Queries {
     QueryDef("q_embedding_pairs",
       (s, d) => {
         val e = embeddings(s, d)
-        val a = e.select(col("vec_id").as("id_a"),
-          expr("transform(embedding, x -> cast(x as double))").as("va"))
-        val b = e.select(col("vec_id").as("id_b"),
-          expr("transform(embedding, x -> cast(x as double))").as("vb"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("n2", graft.pipeline.Dedup.sqNorm(col("v")))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("n2").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("n2").as("nb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .withColumn("cos", graft.pipeline.Dedup.cosine(col("va"), col("vb")))
+          .withColumn("cos", graft.pipeline.Dedup.cosinePre(
+            col("va"), col("vb"), col("na"), col("nb")))
           .filter(col("cos") >= 0.45)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
           .orderBy("id_a", "id_b")

@@ -42,12 +42,16 @@ object Stats {
     grouped(df, strata).agg(mean(col(cols.head)).as(cols.head),
       cols.tail.map(c => mean(col(c)).as(c)): _*)
 
-  /** Exact interpolated percentiles (one pass, all columns × all ps). */
+  /** Exact interpolated percentiles (one pass, all columns × all ps).
+    * Uses the ARRAY form of `percentile` — one aggregation buffer per
+    * column instead of one per (column, p). */
   def percentileExact(df: DataFrame, cols: Seq[String], ps: Seq[Double],
                       strata: Seq[String] = Nil): DataFrame = {
-    val aggs = for { c <- cols; p <- ps } yield
-      expr(s"percentile($c, ${p})").as(s"${c}_p${(p * 100).toInt}")
-    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+    val arr = ps.mkString("array(", ",", ")")
+    val aggs = cols.map(c => expr(s"percentile($c, $arr)").as(s"__ps_$c"))
+    val unpack = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
+      yield element_at(col(s"__ps_$c"), i + 1).as(s"${c}_p${(p * 100).toInt}"))
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*).select(unpack: _*)
   }
 
   /** Approximate percentiles — the scale path. `precision` follows the

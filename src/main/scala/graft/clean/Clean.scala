@@ -98,20 +98,22 @@ object Clean {
     * mergeable-sketch approx_percentile for the 100-TB path. */
   def calcFences(df: DataFrame, cols: Seq[String], k: Double = 1.5,
                  strata: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      val (q1e, q3e) =
-        if (approx) (s"approx_percentile($c, 0.25, 10000)",
-          s"approx_percentile($c, 0.75, 10000)")
-        else (s"percentile($c, 0.25)", s"percentile($c, 0.75)")
-      Seq(expr(q1e).as(s"${c}_q1"), expr(q3e).as(s"${c}_q3"))
+    // array-form percentile: ONE aggregation buffer per column
+    val aggs = cols.map { c =>
+      val e =
+        if (approx) s"approx_percentile($c, array(0.25, 0.75), 10000)"
+        else s"percentile($c, array(0.25, 0.75))"
+      expr(e).as(s"__q_$c")
     }
     df.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
       .select((strata.map(col) :+ col("n")) ++ cols.flatMap { c =>
-        val iqr = col(s"${c}_q3") - col(s"${c}_q1")
-        Seq(col(s"${c}_q1"), col(s"${c}_q3"),
-          (col(s"${c}_q1") - lit(k) * iqr).as(s"${c}_lfence"),
-          (col(s"${c}_q3") + lit(k) * iqr).as(s"${c}_ufence"))
+        val q1 = element_at(col(s"__q_$c"), 1)
+        val q3 = element_at(col(s"__q_$c"), 2)
+        val iqr = q3 - q1
+        Seq(q1.as(s"${c}_q1"), q3.as(s"${c}_q3"),
+          (q1 - lit(k) * iqr).as(s"${c}_lfence"),
+          (q3 + lit(k) * iqr).as(s"${c}_ufence"))
       }: _*)
   }
 

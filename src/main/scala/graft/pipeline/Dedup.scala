@@ -46,25 +46,30 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle,s).
-    * Pure map-side expression array — mergeable, no shuffle. */
-  def minhashSignature(c: Column, n: Int, numHashes: Int): Column = {
-    val shingles = array_distinct(wordNgrams(c, n))
+  /** MinHash signature from a MATERIALIZED shingle-array column: for seed
+    * s, min over shingles of xxhash64(shingle, s). The shingle array must
+    * be a real column (not an inline expression) — otherwise Catalyst
+    * re-evaluates the shingling once per hash seed. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))
     }: _*)
-  }
 
   /** Candidate near-dup pairs via banded LSH over the minhash signature.
     * numHashes must be divisible by bands; rows agreeing on ALL values in
-    * at least one band become candidates. */
+    * at least one band become candidates. Defaults (63 hashes, 21 bands,
+    * r=3) put the S-curve threshold at ≈0.36 Jaccard: pairs ≥0.7 are
+    * caught with P ≈ 1−4e−7 while j≈0.05 noise pairs collide with
+    * P ≈ 2.6e−3 — the candidate set stays linear in corpus size. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): DataFrame = {
+                        shingleSize: Int = 3, numHashes: Int = 63,
+                        bands: Int = 21): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol), minhashSignature(col(textCol), shingleSize,
-      numHashes).as("sig"))
+    val sig = df
+      .select(col(idCol), array_distinct(wordNgrams(col(textCol), shingleSize))
+        .as("shingles"))
+      .select(col(idCol), minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -77,19 +82,28 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (verify step after LSH).
-    * Distributed: explode distinct shingles, join on shingle, count
-    * intersections; sizes joined back — no row ever holds two documents. */
+  /** Exact n-gram Jaccard. With `candidates` the verify is CANDIDATE-DRIVEN:
+    * shingles are attached to each candidate pair and matched — cost is
+    * |candidates| × shingles-per-doc, never the shingle-frequency-quadratic
+    * all-pairs join. Without candidates it is the exact all-pairs path
+    * (shingle-inverted-index self-join). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   candidates: DataFrame): DataFrame = {
+                   candidates: Option[DataFrame] = None): DataFrame = {
     val shingled = df.select(col(idCol),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("sh"))
     val sizes = shingled.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val a = shingled.select(col(idCol).as("id_a"), col("sh"))
-    val b = shingled.select(col(idCol).as("id_b"), col("sh"))
-    val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val common = candidates match {
+      case Some(cands) =>
+        val shA = shingled.select(col(idCol).as("id_a"), col("sh"))
+        val shB = shingled.select(col(idCol).as("id_b"), col("sh"))
+        cands.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      case None =>
+        val a = shingled.select(col(idCol).as("id_a"), col("sh"))
+        val b = shingled.select(col(idCol).as("id_b"), col("sh"))
+        a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    }
     common
       .join(sizes.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")
@@ -102,10 +116,10 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verify →
     * pairs above threshold. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                   shingleSize: Int = 3, numHashes: Int = 63,
+                   bands: Int = 21, threshold: Double = 0.7): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    ngramJaccard(df, idCol, textCol, shingleSize, cands)
+    ngramJaccard(df, idCol, textCol, shingleSize, Some(cands))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -165,12 +179,19 @@ object Dedup {
 
   // ---- embedding cosine near-dup -------------------------------------------
 
+  /** Squared L2 norm of an array column. */
+  def sqNorm(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+
   /** Exact cosine similarity between two double-array columns, matching
     * DuckDB list_cosine_similarity: dot / sqrt(na*nb). */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    cosinePre(a, b, sqNorm(a), sqNorm(b))
+
+  /** Cosine with PRE-COMPUTED squared norms — use in pairwise joins so the
+    * per-vector norms are evaluated once per row, not once per pair. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), _ + _)
     dot / sqrt(na * nb)
   }
 
@@ -197,11 +218,14 @@ object Dedup {
     val vecs = df.select(col(idCol),
       transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, bits))
-    val a = vecs.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
-    val b = vecs.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
+      .withColumn("n2", sqNorm(col("v")))
+    val a = vecs.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = vecs.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
   }

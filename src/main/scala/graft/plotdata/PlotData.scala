@@ -59,13 +59,14 @@ object PlotData {
     * fences broadcast back on strata keys. */
   def bxpStats(df: DataFrame, c: String, k: Double = 1.5,
                strata: Seq[String] = Nil, exact: Boolean = true): DataFrame = {
-    val (q1e, q3e) =
-      if (exact) (s"percentile($c, 0.25)", s"percentile($c, 0.75)")
-      else (s"approx_percentile($c, 0.25, 10000)", s"approx_percentile($c, 0.75, 10000)")
-    val mede = if (exact) s"percentile($c, 0.5)" else s"approx_percentile($c, 0.5, 10000)"
+    val qe =
+      if (exact) s"percentile($c, array(0.25, 0.5, 0.75))"
+      else s"approx_percentile($c, array(0.25, 0.5, 0.75), 10000)"
     val stats = df.groupBy(strata.map(col): _*).agg(
-      expr(q1e).as("q1"), expr(mede).as("med"), expr(q3e).as("q3"),
-      avg(col(c)).as("mean"), count(lit(1)).as("n"))
+      expr(qe).as("__q"), avg(col(c)).as("mean"), count(lit(1)).as("n"))
+      .select((strata.map(col) ++ Seq(
+        element_at(col("__q"), 1).as("q1"), element_at(col("__q"), 2).as("med"),
+        element_at(col("__q"), 3).as("q3"), col("mean"), col("n"))): _*)
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lfence", col("q1") - lit(k) * col("iqr"))
       .withColumn("ufence", col("q3") + lit(k) * col("iqr"))

@@ -97,9 +97,9 @@ object StratifiedFrame {
       case q @ Quantile(c, n, exact) =>
         val ps = Array.tabulate(n + 1)(i => i.toDouble / n)
         if (exact) {
-          val aggs = ps.map(p => expr(s"percentile($c, $p)"))
-          val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
-          q.colName -> Array.tabulate(n + 1)(i => r.getDouble(i))
+          val arr = ps.mkString("array(", ",", ")")
+          val r = df.agg(expr(s"percentile($c, $arr)")).head()
+          q.colName -> r.getSeq[Double](0).toArray
         } else q.colName -> df.stat.approxQuantile(c, ps, 0.01)
     }.toMap
 

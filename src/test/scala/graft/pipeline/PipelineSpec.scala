@@ -37,7 +37,7 @@ class PipelineSpec extends SparkSpec {
 
   test("minhash LSH finds near-dup and exact-dup pairs") {
     val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
-      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      shingleSize = 3, numHashes = 63, bands = 21, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
     assert(pairs.contains((0L, 1L))) // near dup
@@ -48,7 +48,7 @@ class PipelineSpec extends SparkSpec {
   test("ngramJaccard computes exact jaccard for exact dup") {
     import spark.implicits._
     val cand = Seq((0L, 3L)).toDF("id_a", "id_b")
-    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 3, cand)
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 3, Some(cand))
       .head().getAs[Double]("jaccard")
     assert(j == 1.0)
   }
