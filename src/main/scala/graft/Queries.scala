@@ -986,7 +986,68 @@ object Queries {
                FROM s GROUP BY 1, 2)
              SELECT user_id, count(*)::BIGINT AS n_sessions,
                sum(n_events)::BIGINT AS n_events
-             FROM per GROUP BY user_id ORDER BY user_id"""))
+             FROM per GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Spearman correlation (rank-transform + Pearson) -------------------
+    QueryDef("q_corr_spearman",
+      (s, d) => Stats.corrSpearman(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(round(col("l_quantity__l_extendedprice"), 6).as("qty_price"),
+          round(col("l_quantity__l_discount"), 6).as("qty_disc"),
+          round(col("l_extendedprice__l_discount"), 6).as("price_disc")),
+      Some("""WITH r AS (SELECT
+               rank() OVER (ORDER BY l_quantity) +
+                 (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+               rank() OVER (ORDER BY l_extendedprice) +
+                 (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp,
+               rank() OVER (ORDER BY l_discount) +
+                 (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
+               FROM lineitem)
+             SELECT round(corr(rq, rp), 6) AS qty_price,
+               round(corr(rq, rd), 6) AS qty_disc,
+               round(corr(rp, rd), 6) AS price_disc FROM r""")),
+
+    // ---- KS test / t-test p-values (JVM distributions — rows-only) --------
+    QueryDef("q_ks_test",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val r1 = graft.stat.StatTests.ksTest(lineitem(s, d),
+          "l_extendedprice", "uniform", 0.0, 110000.0)
+        val r2 = graft.stat.StatTests.ksTest(lineitem(s, d),
+          "l_extendedprice", "norm", 0.0, 1.0)
+        Seq(("uniform", r1.statistic, r1.pValue),
+          ("norm01", r2.statistic, r2.pValue))
+          .toDF("dist", "statistic", "p_value")
+      },
+      None),
+
+    QueryDef("q_ttest_matrix",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        graft.stat.StatTests.tTestMatrix(lineitem(s, d), "l_extendedprice",
+            Seq("l_returnflag"))
+          .map { case (k1, k2, p) =>
+            (k1.head.toString, k2.head.toString, p) }
+          .toDF("g1", "g2", "p_value").orderBy("g1", "g2")
+      },
+      None),
+
+    // ---- stratify API round-trip: grouped-path median per stratum ---------
+    QueryDef("q_stratify_api",
+      (s, d) => {
+        val sf = lineitem(s, d).toHandy
+          .stratify(ColStratum("l_returnflag"), ColStratum("l_linestatus"))
+        sf.agg((df, sc) => Stats.percentileExact(df,
+            Seq("l_extendedprice"), Seq(0.5), sc))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_extendedprice_p50"), 4).as("median"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median
+             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -101,7 +101,7 @@ object Stats {
   def valueCounts(df: DataFrame, cols: Seq[String], dropna: Boolean = true,
                   strata: Seq[String] = Nil): DataFrame = {
     val base = if (dropna) df.na.drop(cols) else df
-    base.groupBy((strata ++ cols).map(col): _*)
+    base.groupBy((strata ++ cols).distinct.map(col): _*)
       .agg(count(lit(1)).as("value_counts"))
   }
 

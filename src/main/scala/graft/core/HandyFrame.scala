@@ -109,6 +109,31 @@ final case class HandyFrame(df: DataFrame, state: HandyState = HandyState()) {
     * (sql/transform.py:54-57); in Scala the binding is explicit Columns. */
   def assign(cols: (String, Column)*): HandyFrame =
     copy(df = df.withColumns(cols.toMap))
+
+  /** Stratify — enter the reference's signature dataflow operator. */
+  def stratify(specs: graft.strata.StratumSpec*): graft.strata.StratifiedFrame =
+    graft.strata.StratifiedFrame(df, specs.toSeq)
+
+  /** Stage count of the physical plan (reference counts RDD debug-string
+    * indents, sql/dataframe.py:112-116; here: shuffle exchanges + 1,
+    * descending through AQE wrapper plans). */
+  def stages: Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def countEx(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _                      => 0
+      }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => countEx(a.executedPlan)
+        case _                        => p.children.map(countEx).sum
+      }
+      self + inner
+    }
+    countEx(df.queryExecution.executedPlan) + 1
+  }
 }
 
 object HandyFrame {

@@ -65,6 +65,26 @@ final case class StratifiedFrame(
   def agg(f: (DataFrame, Seq[String]) => DataFrame): DataFrame =
     f(bucketed, strataCols)
 
+  // -- reference-style stratified statistics (all on the GROUPED path:
+  //    one shuffle keyed on the strata, like the @agg decorators) --------
+
+  def mean(cols: String*): DataFrame =
+    agg((d, sc) => d.groupBy(sc.map(col): _*)
+      .agg(avg(cols.head).as(cols.head), cols.tail.map(c => avg(c).as(c)): _*))
+  def median(cols: Seq[String], precision: Double = 0.01): DataFrame =
+    agg((d, sc) => graft.agg.Stats.percentileApprox(d, cols, Seq(0.5),
+      precision, sc))
+  def valueCounts(cols: String*): DataFrame =
+    agg((d, sc) => graft.agg.Stats.valueCounts(d, cols.toSeq, strata = sc))
+  def mode(c: String): DataFrame =
+    agg((d, sc) => graft.agg.Stats.modeStratified(d, c, sc))
+  def entropy(c: String): DataFrame =
+    agg((d, sc) => graft.agg.Stats.entropy(d, c, sc))
+  def describe(cols: String*): DataFrame =
+    agg((d, sc) => graft.agg.Stats.describe(d, cols.toSeq, sc))
+  def outliers(cols: Seq[String], k: Double = 1.5): DataFrame =
+    agg((d, sc) => graft.clean.Clean.outlierCounts(d, cols, k, sc))
+
   /** FILTERED path: run `f` per stratum child, recombine by union
     * (reference dataframe.py:1863, 1946-1972). */
   def perStratum(f: DataFrame => DataFrame): DataFrame =

@@ -1,0 +1,65 @@
+package graft.core
+
+import graft.SparkSpec
+import graft._
+import graft.core.HandyColumns.ColsOps
+import graft.strata.ColStratum
+import org.apache.spark.sql.functions._
+
+class CoreSpec extends SparkSpec {
+
+  lazy val df = {
+    import spark.implicits._
+    (1 to 50).map(i => (i, i.toDouble * 2, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "v", "parity")
+  }
+
+  test("column classes partition the schema like the reference") {
+    val hf = df.toHandy
+    assert(hf.numericalCols == Seq("id", "v"))
+    assert(hf.continuousCols == Seq("v"))
+    assert(hf.categoricalCols == Seq("id", "parity"))
+    assert(hf.stringCols == Seq("parity"))
+  }
+
+  test("safety limit bounds collect and safetyOff is one-shot") {
+    val hf = df.toHandy.setSafetyLimit(10)
+    val (rows, hf2) = hf.safeCollect()
+    assert(rows.length == 10)
+    val (all, hf3) = hf2.safetyOff().safeCollect()
+    assert(all.length == 50)
+    val (limited, _) = hf3.safeCollect() // flag reset after one use
+    assert(limited.length == 10)
+  }
+
+  test("setResponse records classes for categorical response") {
+    val hf = df.toHandy.setResponse("parity")
+    assert(hf.state.isClassification)
+    assert(hf.state.classes.get.toSet == Set("even", "odd"))
+    val cont = df.toHandy.setResponse("v")
+    assert(!cont.state.isClassification)
+  }
+
+  test("cols façade: type-alias selectors and stats") {
+    val hf = df.toHandy
+    val m = hf.cols("continuous").mean().head()
+    assert(m.getDouble(0) == 51.0) // mean of 2..100
+    assert(hf.cols("v").nunique().head().getLong(0) > 40)
+    val vc = hf.cols("parity").valueCounts().collect()
+    assert(vc.map(_.getLong(1)).sum == 50)
+  }
+
+  test("stages counts shuffle exchanges + 1") {
+    assert(df.toHandy.stages == 1) // pure scan
+    assert(df.groupBy("parity").count().toHandy.stages == 2)
+    assert(df.repartition(4).groupBy("parity").count().toHandy.stages == 3)
+  }
+
+  test("stratify API: grouped stats carry strata columns") {
+    val sf = df.toHandy.stratify(ColStratum("parity"))
+    val medians = sf.mean("v").orderBy("parity").collect()
+    assert(medians.length == 2)
+    val vc = sf.valueCounts("parity").collect()
+    assert(vc.map(_.getLong(1)).sum == 50)
+  }
+}
