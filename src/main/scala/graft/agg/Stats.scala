@@ -42,13 +42,14 @@ object Stats {
     grouped(df, strata).agg(mean(col(cols.head)).as(cols.head),
       cols.tail.map(c => mean(col(c)).as(c)): _*)
 
-  /** Exact interpolated percentiles (one pass, all columns × all ps).
-    * Uses the ARRAY form of `percentile` — one aggregation buffer per
-    * column instead of one per (column, p). */
+  /** Exact interpolated percentiles (one pass, all columns × all ps) via
+    * the engine's primitive-buffer TypedImperativeAggregate
+    * (graft.expr.ExactPercentile) — ~10× faster than Spark's boxed-map
+    * `percentile` on mostly-distinct numeric columns. */
   def percentileExact(df: DataFrame, cols: Seq[String], ps: Seq[Double],
                       strata: Seq[String] = Nil): DataFrame = {
-    val arr = ps.mkString("array(", ",", ")")
-    val aggs = cols.map(c => expr(s"percentile($c, $arr)").as(s"__ps_$c"))
+    val aggs = cols.map(c =>
+      graft.expr.ExactPercentile.of(col(c), ps).as(s"__ps_$c"))
     val unpack = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
       yield element_at(col(s"__ps_$c"), i + 1).as(s"${c}_p${(p * 100).toInt}"))
     grouped(df, strata).agg(aggs.head, aggs.tail: _*).select(unpack: _*)

@@ -32,7 +32,8 @@ object Clean {
           val r = df.agg(cols.head -> "avg", cols.tail.map(_ -> "avg"): _*).head()
           cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
         case Median =>
-          val aggs = cols.map(c => expr(s"percentile($c, 0.5)").as(c))
+          val aggs = cols.map(c =>
+            element_at(graft.expr.ExactPercentile.of(col(c), Seq(0.5)), 1).as(c))
           val r = df.agg(aggs.head, aggs.tail: _*).head()
           cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
         case Mode =>
@@ -55,9 +56,10 @@ object Clean {
             .agg(avg(cols.head).as(cols.head),
               cols.tail.map(c => avg(c).as(c)): _*)
         case Median =>
+          def med(c: String) =
+            element_at(graft.expr.ExactPercentile.of(col(c), Seq(0.5)), 1).as(c)
           sf.bucketed.groupBy(sc.map(col): _*)
-            .agg(expr(s"percentile(${cols.head}, 0.5)").as(cols.head),
-              cols.tail.map(c => expr(s"percentile($c, 0.5)").as(c)): _*)
+            .agg(med(cols.head), cols.tail.map(med): _*)
         case Mode =>
           cols.map { c =>
             graft.agg.Stats.modeStratified(sf.bucketed, c, sc)
@@ -101,9 +103,9 @@ object Clean {
     // array-form percentile: ONE aggregation buffer per column
     val aggs = cols.map { c =>
       val e =
-        if (approx) s"approx_percentile($c, array(0.25, 0.75), 10000)"
-        else s"percentile($c, array(0.25, 0.75))"
-      expr(e).as(s"__q_$c")
+        if (approx) expr(s"approx_percentile($c, array(0.25, 0.75), 10000)")
+        else graft.expr.ExactPercentile.of(col(c), Seq(0.25, 0.75))
+      e.as(s"__q_$c")
     }
     df.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)

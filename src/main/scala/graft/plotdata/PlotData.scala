@@ -60,10 +60,10 @@ object PlotData {
   def bxpStats(df: DataFrame, c: String, k: Double = 1.5,
                strata: Seq[String] = Nil, exact: Boolean = true): DataFrame = {
     val qe =
-      if (exact) s"percentile($c, array(0.25, 0.5, 0.75))"
-      else s"approx_percentile($c, array(0.25, 0.5, 0.75), 10000)"
+      if (exact) graft.expr.ExactPercentile.of(col(c), Seq(0.25, 0.5, 0.75))
+      else expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), 10000)")
     val stats = df.groupBy(strata.map(col): _*).agg(
-      expr(qe).as("__q"), avg(col(c)).as("mean"), count(lit(1)).as("n"))
+      qe.as("__q"), avg(col(c)).as("mean"), count(lit(1)).as("n"))
       .select((strata.map(col) ++ Seq(
         element_at(col("__q"), 1).as("q1"), element_at(col("__q"), 2).as("med"),
         element_at(col("__q"), 3).as("q3"), col("mean"), col("n"))): _*)

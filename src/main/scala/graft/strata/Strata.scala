@@ -117,8 +117,7 @@ object StratifiedFrame {
       case q @ Quantile(c, n, exact) =>
         val ps = Array.tabulate(n + 1)(i => i.toDouble / n)
         if (exact) {
-          val arr = ps.mkString("array(", ",", ")")
-          val r = df.agg(expr(s"percentile($c, $arr)")).head()
+          val r = df.agg(graft.expr.ExactPercentile.of(col(c), ps.toSeq)).head()
           q.colName -> r.getSeq[Double](0).toArray
         } else q.colName -> df.stat.approxQuantile(c, ps, 0.01)
     }.toMap
