@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JIT/codegen paths so the first measured query doesn't
+    // absorb several seconds of JVM warmup
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(graft.expr.ExactPercentile.of(
+        org.apache.spark.sql.functions.col("l_quantity"), Seq(0.5))).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

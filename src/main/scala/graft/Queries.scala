@@ -786,22 +786,10 @@ object Queries {
 
     // ---- embedding cosine near-dup: exact pairs ---------------------------
     QueryDef("q_embedding_pairs",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("v"))
-          .withColumn("n2", graft.pipeline.Dedup.sqNorm(col("v")))
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-          col("n2").as("na"))
-        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
-          col("n2").as("nb"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .withColumn("cos", graft.pipeline.Dedup.cosinePre(
-            col("va"), col("vb"), col("na"), col("nb")))
-          .filter(col("cos") >= 0.45)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => graft.pipeline.Similarity.allPairsCosine(
+          embeddings(s, d), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cos

@@ -49,11 +49,57 @@ object Dedup {
   /** MinHash signature from a MATERIALIZED shingle-array column: for seed
     * s, min over shingles of xxhash64(shingle, s). The shingle array must
     * be a real column (not an inline expression) — otherwise Catalyst
-    * re-evaluates the shingling once per hash seed. */
+    * re-evaluates the shingling once per hash seed. Kept as the
+    * expression-level form; the hot path below uses the typed variant. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))
     }: _*)
+
+  /** JVM-side shingling: distinct word n-grams of a text (same semantics
+    * as wordNgrams: whitespace tokens, whole text when shorter than n). */
+  private[pipeline] def shinglesOf(text: String, n: Int): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen += sb.toString
+        i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  /** (id, shingle) exploded pairs computed in one typed JVM pass — the
+    * interpreted HOF pipeline (split→transform→slice→concat_ws→explode)
+    * costs ~10× more per row. */
+  def shingled(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => shinglesOf(text, n).map(sh => (id, sh)) }
+      .toDF("__id", "sh")
+  }
+
+  // deterministic affine mixers for single-hash minhash derivation
+  private def mixers(numHashes: Int): (Array[Long], Array[Long]) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val a = Array.tabulate(numHashes)(i => splitmix(i * 2L + 1) | 1L)
+    val b = Array.tabulate(numHashes)(i => splitmix(i * 2L + 2))
+    (a, b)
+  }
 
   /** Candidate near-dup pairs via banded LSH over the minhash signature.
     * numHashes must be divisible by bands; rows agreeing on ALL values in
@@ -66,15 +112,43 @@ object Dedup {
                         bands: Int = 21): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(idCol), array_distinct(wordNgrams(col(textCol), shingleSize))
-        .as("shingles"))
-      .select(col(idCol), minhashSignature(col("shingles"), numHashes).as("sig"))
-    val banded = sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band", "bucket")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ma, mb) = mixers(numHashes)
+    // one string hash per shingle, numHashes affine derivations (universal
+    // hashing) — 60× fewer string hashes than hashing per (shingle, seed),
+    // and a tight JIT'd loop instead of interpreted HOF evaluation
+    val banded = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val shs = shinglesOf(text, shingleSize)
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var s = 0
+        while (s < shs.length) {
+          val t = shs(s)
+          val hi = scala.util.hashing.MurmurHash3.stringHash(t, 41)
+          val lo = scala.util.hashing.MurmurHash3.stringHash(t, 97)
+          val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+          var i = 0
+          while (i < numHashes) {
+            val v = h * ma(i) + mb(i)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          s += 1
+        }
+        // fold each band's r signature values into one bucket key
+        (0 until bands).iterator.map { b =>
+          var key = 1125899906842597L + b
+          var i = b * rowsPerBand
+          while (i < (b + 1) * rowsPerBand) {
+            key = key * 31 + sig(i)
+            i += 1
+          }
+          (id, b, key)
+        }
+      }
+      .toDF(idCol, "band", "bucket")
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -89,18 +163,29 @@ object Dedup {
     * (shingle-inverted-index self-join). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Option[DataFrame] = None): DataFrame = {
-    val shingled = df.select(col(idCol),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("sh"))
-    val sizes = shingled.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // with candidates: only the docs that appear in a candidate pair get
+    // shingled — the verify cost tracks |candidates|, not corpus size
+    val source = candidates match {
+      case Some(cands) =>
+        val ids = cands.select(col("id_a").as("__cid"))
+          .unionAll(cands.select(col("id_b"))).distinct()
+        df.join(broadcast(ids), col(idCol) === col("__cid"), "left_semi")
+      case None => df
+    }
+    // shingled is consumed by BOTH the pair join and the sizes agg —
+    // cache so the shingling pass runs once
+    val sh = shingled(source, idCol, textCol, n)
+      .withColumnRenamed("__id", idCol).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = candidates match {
       case Some(cands) =>
-        val shA = shingled.select(col(idCol).as("id_a"), col("sh"))
-        val shB = shingled.select(col(idCol).as("id_b"), col("sh"))
+        val shA = sh.select(col(idCol).as("id_a"), col("sh"))
+        val shB = sh.select(col(idCol).as("id_b"), col("sh"))
         cands.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       case None =>
-        val a = shingled.select(col(idCol).as("id_a"), col("sh"))
-        val b = shingled.select(col(idCol).as("id_b"), col("sh"))
+        val a = sh.select(col(idCol).as("id_a"), col("sh"))
+        val b = sh.select(col(idCol).as("id_b"), col("sh"))
         a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     }
