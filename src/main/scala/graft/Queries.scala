@@ -1035,7 +1035,72 @@ object Queries {
       },
       Some("""SELECT l_returnflag, l_linestatus,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS median
-             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- mode fill on a categorical column (global + stratified) ----------
+    QueryDef("q_fill_mode",
+      (s, d) => {
+        val withNulls = orders(s, d).withColumn("prio",
+          when(col("o_orderkey") % 7 === 0, null)
+            .otherwise(col("o_orderpriority")))
+        val filled = Clean.fill(withNulls.toHandy, Clean.Mode, Seq("prio"),
+          Seq(ColStratum("o_orderstatus")))
+        filled.df.groupBy("o_orderstatus", "prio")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus", "prio")
+      },
+      Some("""WITH t AS (SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                 ELSE o_orderpriority END AS prio FROM orders),
+             m AS (SELECT o_orderstatus, prio AS mode_v, row_number() OVER (
+               PARTITION BY o_orderstatus ORDER BY count(*) DESC, prio) AS rn
+               FROM t WHERE prio IS NOT NULL GROUP BY o_orderstatus, prio),
+             mv AS (SELECT o_orderstatus, mode_v FROM m WHERE rn = 1)
+             SELECT t.o_orderstatus, coalesce(prio, mode_v) AS prio,
+               count(*) AS n
+             FROM t JOIN mv USING (o_orderstatus)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Mahalanobis outlier removal --------------------------------------
+    QueryDef("q_mahalanobis_remove",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("v2", col("value") * col("value") + col("user_id") % 7)
+        val kept = graft.outlier.Mahalanobis.removeOutliers(ev,
+          Seq("value", "v2"), 0.999)
+        kept.agg(count(lit(1)).as("n_kept"),
+          round(sum("value"), 2).as("value_sum"))
+      },
+      Some("""WITH t AS (SELECT value, value * value + user_id % 7 AS v2
+               FROM events),
+             m AS (SELECT avg(value) AS m1, stddev_samp(value) AS s1,
+               avg(v2) AS m2, stddev_samp(v2) AS s2, corr(value, v2) AS r
+               FROM t)
+             SELECT count(*) AS n_kept, round(sum(value), 2) AS value_sum
+             FROM (SELECT value, (value - m1) / s1 AS u, (v2 - m2) / s2 AS v, r
+               FROM t, m)
+             WHERE sqrt((u * u - 2 * r * u * v + v * v) / (1 - r * r)) <=
+               sqrt(-2 * ln(1 - 0.999))""")),
+
+    // ---- approximate distinct counts (HLL++ — engine sketch, rows-only) ---
+    QueryDef("q_nunique_approx",
+      (s, d) => Stats.nunique(lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      None),
+
+    // ---- stratify FILTERED path: per-stratum agg + clause recombination ----
+    QueryDef("q_stratify_filtered",
+      (s, d) => {
+        val sf = StratifiedFrame(lineitem(s, d), Seq(ColStratum("l_returnflag")))
+        sf.perStratum(child => child.agg(
+            round(avg("l_extendedprice"), 4).as("price_mean"),
+            count(lit(1)).as("n")))
+          .orderBy("__stratum")
+      },
+      Some("""SELECT round(avg(l_extendedprice), 4) AS price_mean,
+             count(*) AS n,
+             'l_returnflag == "' || l_returnflag || '"' AS __stratum
+             FROM lineitem GROUP BY l_returnflag ORDER BY __stratum"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
