@@ -182,8 +182,30 @@ object Stats {
     clean.agg(pairs.head, pairs.tail: _*)
   }
 
+  /** Distributed Spearman via mllib (sortByKey + zipWithIndex per column —
+    * no single-partition global window): the 100-TB path. Returns the
+    * correlation matrix flattened to the same pair-column layout as
+    * corrSpearman. */
+  def corrSpearmanDistributed(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    val clean = df.na.drop(cols)
+    val rdd = clean.select(cols.map(c => col(c).cast("double")): _*)
+      .rdd.map(r => Vectors.dense(Array.tabulate(cols.length)(r.getDouble)))
+    val m = org.apache.spark.mllib.stat.Statistics.corr(rdd, "spearman")
+    val spark = df.sparkSession
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield s"${cols(i)}__${cols(j)}" -> m(i, j)
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(pairs.map(_._2))),
+      org.apache.spark.sql.types.StructType(pairs.map(p =>
+        org.apache.spark.sql.types.StructField(p._1,
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Spearman = Pearson over average ranks. Ranks computed with a window
-    * per column (rank + count of ties → average rank), then one corr pass. */
+    * per column (rank + count of ties → average rank), then one corr pass.
+    * NOTE: the per-column rank windows are GLOBAL (single-partition) — this
+    * is the oracle-parity variant; use corrSpearmanDistributed at scale. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols)
     val ranked = cols.foldLeft(clean) { (d, c) =>

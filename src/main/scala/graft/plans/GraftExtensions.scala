@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.DoubleType
+
+/** SparkSessionExtensions entry point for the engine's Catalyst tier:
+  *
+  *  - registers `exact_percentile(col, array(p...))` as a SQL function
+  *    (the primitive-buffer TypedImperativeAggregate from graft.expr);
+  *  - injects [[StrataUnionRewrite]], the opt-in optimizer rule that
+  *    collapses the stratification FILTERED path (union of per-stratum
+  *    global aggregates) into one grouped aggregate (SURVEY §4's
+  *    large-cardinality strata rewrite).
+  *
+  * Enable with:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
+    ext.injectOptimizerRule(_ => StrataUnionRewrite)
+  }
+}
+
+object GraftExtensions {
+
+  /** Evaluate the foldable percentage argument. SQL literals like 0.25
+    * arrive as DECIMAL, so element conversion is type-directed. */
+  private def percentagesOf(e: Expression): Seq[Double] = {
+    require(e.foldable, "exact_percentile percentages must be foldable")
+    def toD(v: Any): Double = v match {
+      case d: java.lang.Double                     => d
+      case f: java.lang.Float                      => f.toDouble
+      case n: java.lang.Number                     => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal   => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"unsupported percentage literal: $other")
+    }
+    (e.dataType, e.eval()) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _), a: ArrayData) =>
+        a.toObjectArray(et).map(toD).toSeq
+      case (_, v) => Seq(toD(v))
+    }
+  }
+
+  val exactPercentileDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("exact_percentile"),
+    new ExpressionInfo(classOf[graft.expr.ExactPercentile].getName,
+      "exact_percentile"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "usage: exact_percentile(col, percentage | array(percentages))")
+      graft.expr.ExactPercentile(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType),
+        percentagesOf(exprs(1)))
+    })
+}

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+/** Optimizer rule for the stratification FILTERED path at large stratum
+  * counts (SURVEY §4 / §7.4 risk 8): a union of per-stratum global
+  * aggregates
+  *
+  * {{{
+  * Union(
+  *   Aggregate(Nil, [aggs..., lit(clause₁) AS __stratum], Filter(k = v₁, src)),
+  *   Aggregate(Nil, [aggs..., lit(clause₂) AS __stratum], Filter(k = v₂, src)),
+  *   ...)
+  * }}}
+  *
+  * scans the source once PER STRATUM — O(#strata) jobs. When every child
+  * filters the SAME source on the SAME key with a distinct literal and
+  * computes the SAME aggregates, the union collapses into ONE grouped
+  * aggregate over `k IN (v...)` with the stratum label rebuilt as a
+  * CASE over k — one scan, one shuffle, any stratum count.
+  *
+  * SEMANTICS GUARD: a global aggregate emits one row on EMPTY input, a
+  * grouped aggregate emits none — the rewrite is only sound when every
+  * stratum value is present in the source. `StratifiedFrame` derives
+  * strata from observed combinations (presence guaranteed), so the rule
+  * is OPT-IN via `spark.graft.rewriteStrataUnion=true`.
+  */
+object StrataUnionRewrite extends Rule[LogicalPlan] {
+
+  private val FlagKey = "spark.graft.rewriteStrataUnion"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(FlagKey, "false").toBoolean) return plan
+    plan.transformUp {
+      case u: Union if u.children.size >= 2 =>
+        tryRewrite(u).getOrElse(u)
+    }
+  }
+
+  private case class Shape(
+      aggExprs: Seq[NamedExpression], clauseIdx: Int, clauseLit: Literal,
+      key: AttributeReference, value: Literal,
+      otherConjuncts: Seq[Expression],
+      pruned: Option[Seq[NamedExpression]], source: LogicalPlan)
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def shapeOf(p: LogicalPlan): Option[Shape] = {
+    // column pruning may interpose an attribute-only Project between the
+    // aggregate and the filter
+    val (aggExprsOpt, filterOpt, prunedOpt) = p match {
+      case Aggregate(Nil, aggExprs, f: Filter, _) =>
+        (Some(aggExprs), Some(f), None)
+      case Aggregate(Nil, aggExprs, Project(projList, f: Filter), _)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        (Some(aggExprs), Some(f), Some(projList))
+      case _ => (None, None, None)
+    }
+    for {
+      aggExprs <- aggExprsOpt
+      filter <- filterOpt
+      conjuncts = splitConjuncts(filter.condition)
+      eqs = conjuncts.collect {
+        case e @ EqualTo(k: AttributeReference, v: Literal) => (e, k, v)
+      }
+      idx = aggExprs.indexWhere {
+        case Alias(Literal(_, StringType), _) => true
+        case _                                => false
+      }
+      if eqs.length == 1 && idx >= 0
+    } yield {
+      val (eq, k, v) = eqs.head
+      val rest = conjuncts.filterNot(_ eq eq)
+      val lit = aggExprs(idx).asInstanceOf[Alias].child.asInstanceOf[Literal]
+      Shape(aggExprs, idx, lit, k, v, rest, prunedOpt, filter.child)
+    }
+  }
+
+  private def tryRewrite(u: Union): Option[LogicalPlan] = {
+    val maybeShapes = u.children.map(shapeOf)
+    if (maybeShapes.exists(_.isEmpty)) return None
+    val ss = maybeShapes.flatten
+    val first = ss.head
+    // children reference their own copies of the source attributes
+    // (distinct expr ids), so cross-child equality is checked on the
+    // id-free SQL rendering of each expression
+    val compatible = ss.tail.forall { s =>
+      s.source.canonicalized == first.source.canonicalized &&
+      s.key.name == first.key.name &&
+      s.clauseIdx == first.clauseIdx &&
+      s.aggExprs.length == first.aggExprs.length &&
+      s.aggExprs.zipWithIndex.forall { case (a, i) =>
+        i == s.clauseIdx || a.sql == first.aggExprs(i).sql
+      } &&
+      s.otherConjuncts.map(_.sql).toSet ==
+        first.otherConjuncts.map(_.sql).toSet
+    }
+    if (!compatible) return None
+    if (ss.map(_.value.value).distinct.size != ss.size) return None
+
+    val key = first.key
+    val cond = (first.otherConjuncts :+ In(key, ss.map(_.value)))
+      .reduce(And)
+    val filteredBase = Filter(cond, first.source)
+    // re-apply column pruning, keeping the grouping key visible
+    val filtered = first.pruned match {
+      case Some(projList) if !projList.exists(_.exprId == key.exprId) =>
+        Project(projList :+ key, filteredBase)
+      case Some(projList) => Project(projList, filteredBase)
+      case None           => filteredBase
+    }
+    // grouped aggregate: first child's agg exprs (stable expr ids) with the
+    // clause slot replaced by a CASE over the grouping key
+    val caseExpr = CaseWhen(
+      ss.map(s => (EqualTo(key, s.value), s.clauseLit)), None)
+    val origClause = first.aggExprs(first.clauseIdx).asInstanceOf[Alias]
+    val newAggExprs = first.aggExprs.updated(first.clauseIdx,
+      Alias(caseExpr, origClause.name)(exprId = origClause.exprId))
+    val grouped = Aggregate(Seq(key), newAggExprs, filtered, None)
+
+    // align output attribute ids with the union's output
+    val proj = grouped.output.zip(u.output).map { case (a, outAttr) =>
+      Alias(a, outAttr.name)(exprId = outAttr.exprId)
+    }
+    Some(Project(proj, grouped))
+  }
+}

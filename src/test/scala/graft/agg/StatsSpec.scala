@@ -95,4 +95,18 @@ class StatsSpec extends SparkSpec {
     val r = Stats.corrSpearman(mono, Seq("x", "y")).head()
     assert(math.abs(r.getAs[Double]("x__y") - 1.0) < 1e-12)
   }
+
+  test("corrSpearmanDistributed agrees with the window-rank variant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 200).map { _ =>
+      val x = rnd.nextGaussian()
+      (x, x * 2 + rnd.nextGaussian(), rnd.nextInt(5).toDouble) // ties in z
+    }.toDF("x", "y", "z")
+    val a = Stats.corrSpearman(data, Seq("x", "y", "z")).head()
+    val b = Stats.corrSpearmanDistributed(data, Seq("x", "y", "z")).head()
+    Seq("x__y", "x__z", "y__z").foreach { p =>
+      assert(math.abs(a.getAs[Double](p) - b.getAs[Double](p)) < 1e-9)
+    }
+  }
 }

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions needs its own SparkSession (extensions are fixed at
+  * session build time), so this suite does not share graft.SparkSpec. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // getOrCreate would return the extension-less session other suites
+  // already built — force a fresh session (same SparkContext) by clearing
+  // the active/default session around the build
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prior.foreach(SparkSession.setDefaultSession)
+    SparkSession.setActiveSession(s)
+    s
+  }
+
+  override def afterAll(): Unit = {} // shared JVM; leave sessions
+
+  test("exact_percentile is callable from SQL") {
+    import spark.implicits._
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("t")
+    val r = spark.sql(
+      "SELECT exact_percentile(v, array(0.25, 0.5)) FROM t").head()
+    assert(r.getSeq[Double](0) == Seq(25.75, 50.5))
+    val one = spark.sql("SELECT exact_percentile(v, 0.5) FROM t").head()
+    assert(one.getSeq[Double](0) == Seq(50.5))
+  }
+
+  test("StrataUnionRewrite collapses per-stratum aggregate union into one grouped agg") {
+    import spark.implicits._
+    // use a parquet source: a LocalRelation would be folded through the
+    // filters by ConvertToLocalRelation before the rule can see the shape
+    val tmp = java.nio.file.Files.createTempDirectory("strata").toString
+    Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0), ("c", 5.0))
+      .toDF("g", "v").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+
+    def unionPlan = {
+      val children = Seq("a", "b", "c").map { s =>
+        df.filter(col("g") === s)
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .withColumn("__stratum", lit(s"""g == "$s""""))
+      }
+      children.reduce(_.unionAll(_))
+    }
+
+    // flag off: 3 aggregates survive in the optimized plan
+    spark.conf.set("spark.graft.rewriteStrataUnion", "false")
+    val off = unionPlan.queryExecution.optimizedPlan
+    val nAggOff = off.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggOff == 3)
+
+    // flag on: single grouped aggregate, same results
+    spark.conf.set("spark.graft.rewriteStrataUnion", "true")
+    val plan = unionPlan
+    val optimized = plan.queryExecution.optimizedPlan
+    val aggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected collapsed plan, got:\n$optimized")
+    assert(aggs.head.groupingExpressions.nonEmpty)
+
+    val rows = plan.orderBy("__stratum")
+      .collect().map(r => (r.getString(2), r.getDouble(0), r.getLong(1))).toSeq
+    assert(rows == Seq(
+      ("""g == "a"""", 4.0, 2L),
+      ("""g == "b"""", 40.0, 2L),
+      ("""g == "c"""", 5.0, 1L)))
+    spark.conf.set("spark.graft.rewriteStrataUnion", "false")
+  }
+}
