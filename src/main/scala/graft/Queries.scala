@@ -1100,7 +1100,29 @@ object Queries {
       Some("""SELECT round(avg(l_extendedprice), 4) AS price_mean,
              count(*) AS n,
              'l_returnflag == "' || l_returnflag || '"' AS __stratum
-             FROM lineitem GROUP BY l_returnflag ORDER BY __stratum"""))
+             FROM lineitem GROUP BY l_returnflag ORDER BY __stratum""")),
+
+    // ---- approx percentiles (GK sketch — the 100-TB default; rows-only) ---
+    QueryDef("q_median_approx",
+      (s, d) => Stats.percentileApprox(lineitem(s, d),
+          Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75),
+          precision = 1e-4, strata = Seq("l_returnflag"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // ---- Mahalanobis with a full 3x3 inverse (rows-only) ------------------
+    QueryDef("q_mahalanobis_3col",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val model = graft.outlier.Mahalanobis.fit(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        li.agg(
+          round(avg(model.distance), 6).as("mean_dist"),
+          round(max(model.distance), 6).as("max_dist"),
+          sum((model.distance > graft.outlier.Mahalanobis.chi2Threshold(3, 0.999))
+            .cast("long")).as("n_outliers"))
+      },
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

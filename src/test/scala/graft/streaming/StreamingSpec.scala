@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming over the real events table matches batch counts") {
+    val dir = "/root/testdata/sf0.001"
+    // file streams require a DIRECTORY source — stage the file into one
+    val staged = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(ts div 1000)"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(ts div 1000)"))
+    val counts = StreamingOps.windowedValueCounts(stream, "ts", "event_type",
+      windowDur = "1 day", watermark = "2 days")
+    val q = counts.writeStream.format("memory")
+      .queryName("ev").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, sum(value_counts) FROM ev GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batched = batch.groupBy("event_type").count().orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batched)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
