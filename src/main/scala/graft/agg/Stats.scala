@@ -170,6 +170,23 @@ object Stats {
         col("cnt") / col("n")).as("mutual_info"))
   }
 
+  /** Full pairwise mutual-information matrix over categorical columns
+    * (reference mutual_info computes all pairs; diagonal = entropy,
+    * dataframe.py:687-734). One MI job per pair — each a joint groupBy
+    * plus broadcast marginals. */
+  def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
+    val offDiag = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val mi = mutualInfo(df, cols(i), cols(j)).head().getAs[Double]("mutual_info")
+      (cols(i), cols(j), mi)
+    }
+    val diag = cols.map { c =>
+      (c, c, entropy(df, c).head().getAs[Double](s"${c}_entropy"))
+    }
+    (diag ++ offDiag).sortBy(t => (t._1, t._2))
+  }
+
   /** Pairwise Pearson correlations over numeric columns in ONE aggregation
     * pass (the reference assembles a vector and calls ml.stat.Correlation,
     * dataframe.py:495-505; for a handful of columns pairwise `corr` keeps

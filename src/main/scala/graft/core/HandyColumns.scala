@@ -63,5 +63,20 @@ final case class HandyColumns(hf: HandyFrame, selector: Seq[String]) {
 object HandyColumns {
   implicit final class ColsOps(private val hf: HandyFrame) extends AnyVal {
     def cols(selector: String*): HandyColumns = HandyColumns(hf, selector.toSeq)
+    /** groupBy passthrough that keeps the decorated state (reference
+      * HandyGrouped, dataframe.py:841-855). */
+    def groupedBy(cols: String*): HandyGrouped =
+      HandyGrouped(hf, cols.toSeq)
   }
+}
+
+/** Thin wrapper over RelationalGroupedDataset that remembers the group
+  * columns and the engine state (reference HandyGrouped). */
+final case class HandyGrouped(hf: HandyFrame, groupCols: Seq[String]) {
+  def agg(exprs: (String, String)*): HandyFrame =
+    HandyFrame(hf.df.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(exprs.toMap), hf.state)
+  def count(): HandyFrame =
+    HandyFrame(hf.df.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .count(), hf.state)
 }

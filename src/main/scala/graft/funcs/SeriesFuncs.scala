@@ -23,6 +23,22 @@ object SeriesFuncs {
     }
   def roundTo(c: Column, scale: Int): Column = round(c, scale)
   def absOf(c: Column): Column = abs(c)
+
+  /** pandas between_time: keep rows whose TIME-OF-DAY lies in
+    * [start, end] (inclusive), "HH:mm" or "HH:mm:ss" bounds. */
+  def betweenTime(c: Column, start: String, end: String): Column = {
+    def secs(s: String): Int = {
+      val p = s.split(":").map(_.toInt)
+      p(0) * 3600 + p(1) * 60 + (if (p.length > 2) p(2) else 0)
+    }
+    val tod = hour(c) * 3600 + minute(c) * 60 + second(c)
+    tod.between(secs(start), secs(end))
+  }
+
+  /** pandas Series.truncate(before, after) as a predicate: values (or
+    * timestamps) within the inclusive bounds. */
+  def truncateRange(c: Column, before: Any, after: Any): Column =
+    c.between(before, after)
 }
 
 /** pandas-style accessors: `col.str.find(...)`, `col.dt.weekday` — sugar

@@ -96,6 +96,16 @@ object StringFuncs {
     rev.cast("int")
   }
 
+  /** Unicode normalization (pandas str.normalize): NFC/NFD/NFKC/NFKD. */
+  def normalizeUnicode(form: String): Column => Column = {
+    val f = udf { s: String =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.valueOf(form))
+    }
+    c => f(c)
+  }
+
   // ---- true-UDF tier (pandas-specific semantics with no native analog) ----
   /** NFKD-normalize + strip combining marks (reference remove_accents,
     * sql/string.py:22-29). */

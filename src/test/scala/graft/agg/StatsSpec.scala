@@ -70,6 +70,16 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(mi - 1.0) < 1e-12) // H = 1 bit for uniform 2 values
   }
 
+  test("mutualInfoMatrix: diagonal is entropy, symmetric pairs sorted") {
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("u", "w")
+    val mm = Stats.mutualInfoMatrix(same, Seq("u", "w"))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(mm(("u", "u")) - 1.0) < 1e-12) // H(u) = 1 bit
+    assert(math.abs(mm(("u", "w")) - 1.0) < 1e-12) // identical cols
+  }
+
   test("isNull counts nulls and NaNs on floating columns") {
     import spark.implicits._
     val withNulls = Seq[(String, java.lang.Double)](

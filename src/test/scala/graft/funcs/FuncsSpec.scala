@@ -116,6 +116,21 @@ class FuncsSpec extends SparkSpec {
       == "2012-03-16 00:00:00.0")
   }
 
+  test("betweenTime keeps rows by time of day") {
+    import spark.implicits._
+    val df = Seq(
+      Timestamp.valueOf("2020-01-01 09:30:00"),
+      Timestamp.valueOf("2020-01-02 18:00:00")).toDF("t")
+    val kept = df.filter(SeriesFuncs.betweenTime(col("t"), "09:00", "10:00"))
+      .count()
+    assert(kept == 1)
+  }
+
+  test("normalizeUnicode NFKD decomposition feeds accent removal") {
+    assert(one(StringFuncs.normalizeUnicode("NFKD")(col("s"))
+      .startsWith("cafe"), "café") == true)
+  }
+
   test("series clip and replaceValues") {
     import spark.implicits._
     val df = Seq(1.0, 5.0, 10.0).toDF("v")
