@@ -42,7 +42,8 @@ object StrataUnionRewrite extends Rule[LogicalPlan] {
 
   private case class Shape(
       aggExprs: Seq[NamedExpression], clauseIdx: Int, clauseLit: Literal,
-      key: AttributeReference, value: Literal,
+      /** stratum equalities, sorted by key name */
+      eqs: Seq[(AttributeReference, Literal)],
       otherConjuncts: Seq[Expression],
       pruned: Option[Seq[NamedExpression]], source: LogicalPlan)
 
@@ -66,19 +67,21 @@ object StrataUnionRewrite extends Rule[LogicalPlan] {
       aggExprs <- aggExprsOpt
       filter <- filterOpt
       conjuncts = splitConjuncts(filter.condition)
-      eqs = conjuncts.collect {
+      eqExprs = conjuncts.collect {
         case e @ EqualTo(k: AttributeReference, v: Literal) => (e, k, v)
       }
       idx = aggExprs.indexWhere {
         case Alias(Literal(_, StringType), _) => true
         case _                                => false
       }
-      if eqs.length == 1 && idx >= 0
+      if eqExprs.nonEmpty && idx >= 0 &&
+        eqExprs.map(_._2.name).distinct.size == eqExprs.size
     } yield {
-      val (eq, k, v) = eqs.head
-      val rest = conjuncts.filterNot(_ eq eq)
+      val rest = conjuncts.filterNot(c => eqExprs.exists(_._1 eq c))
       val lit = aggExprs(idx).asInstanceOf[Alias].child.asInstanceOf[Literal]
-      Shape(aggExprs, idx, lit, k, v, rest, prunedOpt, filter.child)
+      Shape(aggExprs, idx, lit,
+        eqExprs.map(t => (t._2, t._3)).sortBy(_._1.name),
+        rest, prunedOpt, filter.child)
     }
   }
 
@@ -92,7 +95,7 @@ object StrataUnionRewrite extends Rule[LogicalPlan] {
     // id-free SQL rendering of each expression
     val compatible = ss.tail.forall { s =>
       s.source.canonicalized == first.source.canonicalized &&
-      s.key.name == first.key.name &&
+      s.eqs.map(_._1.name) == first.eqs.map(_._1.name) &&
       s.clauseIdx == first.clauseIdx &&
       s.aggExprs.length == first.aggExprs.length &&
       s.aggExprs.zipWithIndex.forall { case (a, i) =>
@@ -102,27 +105,33 @@ object StrataUnionRewrite extends Rule[LogicalPlan] {
         first.otherConjuncts.map(_.sql).toSet
     }
     if (!compatible) return None
-    if (ss.map(_.value.value).distinct.size != ss.size) return None
+    if (ss.map(_.eqs.map(_._2.value)).distinct.size != ss.size) return None
 
-    val key = first.key
-    val cond = (first.otherConjuncts :+ In(key, ss.map(_.value)))
-      .reduce(And)
+    // grouping keys from the FIRST child (its expr ids match its source)
+    val keys = first.eqs.map(_._1)
+    // per-child stratum predicate over the first child's key attrs
+    def childPred(s: Shape): Expression =
+      keys.zip(s.eqs.map(_._2))
+        .map { case (k, v) => EqualTo(k, v): Expression }
+        .reduce(And)
+    val strataCond = ss.map(childPred).reduce(Or)
+    val cond = (first.otherConjuncts :+ strataCond).reduce(And)
     val filteredBase = Filter(cond, first.source)
-    // re-apply column pruning, keeping the grouping key visible
+    // re-apply column pruning, keeping the grouping keys visible
     val filtered = first.pruned match {
-      case Some(projList) if !projList.exists(_.exprId == key.exprId) =>
-        Project(projList :+ key, filteredBase)
-      case Some(projList) => Project(projList, filteredBase)
-      case None           => filteredBase
+      case Some(projList) =>
+        val missing = keys.filterNot(k => projList.exists(_.exprId == k.exprId))
+        Project(projList ++ missing, filteredBase)
+      case None => filteredBase
     }
     // grouped aggregate: first child's agg exprs (stable expr ids) with the
-    // clause slot replaced by a CASE over the grouping key
+    // clause slot replaced by a CASE over the grouping keys
     val caseExpr = CaseWhen(
-      ss.map(s => (EqualTo(key, s.value), s.clauseLit)), None)
+      ss.map(s => (childPred(s), s.clauseLit)), None)
     val origClause = first.aggExprs(first.clauseIdx).asInstanceOf[Alias]
     val newAggExprs = first.aggExprs.updated(first.clauseIdx,
       Alias(caseExpr, origClause.name)(exprId = origClause.exprId))
-    val grouped = Aggregate(Seq(key), newAggExprs, filtered, None)
+    val grouped = Aggregate(keys, newAggExprs, filtered, None)
 
     // align output attribute ids with the union's output
     val proj = grouped.output.zip(u.output).map { case (a, outAttr) =>

@@ -143,8 +143,13 @@ object StratifiedFrame {
       }
     }
 
-    // 3. discover observed combinations (one action) + clause strings
+    // 3. discover observed combinations (one action) + clause strings.
+    //    Null-valued combinations are dropped (matching the reference's
+    //    dropna'd value_counts discovery, dataframe.py:1846,225-244) — a
+    //    `col === null` filter clause would never match, silently yielding
+    //    an empty stratum on the filtered path.
     val combos = bucketed
+      .na.drop(specs.map(_.colName))
       .groupBy(specs.map(s => col(s.colName)): _*)
       .count()
       .orderBy(specs.map(s => col(s.colName)): _*)

@@ -84,4 +84,37 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("""g == "c"""", 5.0, 1L)))
     spark.conf.set("spark.graft.rewriteStrataUnion", "false")
   }
+
+  test("StrataUnionRewrite handles multi-key strata") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("strata2").toString
+    Seq(("a", 0, 1.0), ("a", 1, 3.0), ("b", 0, 10.0), ("b", 1, 30.0))
+      .toDF("g", "h", "v").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+
+    def unionPlan = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).map {
+      case (gv, hv) =>
+        df.filter(col("g") === gv && col("h") === hv)
+          .agg(sum("v").as("sv"))
+          .withColumn("__stratum", lit(s"""g == "$gv" and h == $hv"""))
+    }.reduce(_.unionAll(_))
+
+    spark.conf.set("spark.graft.rewriteStrataUnion", "true")
+    try {
+      val plan = unionPlan
+      val aggs = plan.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.size == 1,
+        s"expected collapse, got:\n${plan.queryExecution.optimizedPlan}")
+      assert(aggs.head.groupingExpressions.size == 2)
+      val rows = plan.orderBy("__stratum")
+        .collect().map(r => (r.getString(1), r.getDouble(0))).toSeq
+      assert(rows == Seq(
+        ("""g == "a" and h == 0""", 1.0),
+        ("""g == "a" and h == 1""", 3.0),
+        ("""g == "b" and h == 0""", 10.0),
+        ("""g == "b" and h == 1""", 30.0)))
+    } finally spark.conf.set("spark.graft.rewriteStrataUnion", "false")
+  }
 }

@@ -38,6 +38,18 @@ class StrataSpec extends SparkSpec {
     assert(grouped.map(_._2) == filtered)
   }
 
+  test("null strata values are dropped from combo discovery") {
+    import spark.implicits._
+    val withNull = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("b", 2.0), (null, 3.0)).toDF("g", "v")
+    val sf = StratifiedFrame(withNull, Seq(ColStratum("g")))
+    assert(sf.strata.map(_.values.head._2).toSet == Set("a", "b"))
+    // filtered path covers exactly the non-null rows
+    val total = sf.perStratum(d => d.agg(count(lit(1)).as("n")))
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 2L)
+  }
+
   test("Quantile exact edges give equal-count bins") {
     val sf = StratifiedFrame(df, Seq(Quantile("v", 2, exact = true)))
     val counts = sf.agg((d, sc) => d.groupBy(col(sc.head).as("b"))
