@@ -129,12 +129,18 @@ object implicits {
 
   final class SeriesAccessor(private val c: Column) extends AnyVal {
     def between(lo: Any, hi: Any): Column = SeriesFuncs.between(c, lo, hi)
+    def betweenTime(start: String, end: String): Column =
+      SeriesFuncs.betweenTime(c, start, end)
     def isin(vs: Seq[Any]): Column = SeriesFuncs.isin(c, vs)
     def isna: Column = SeriesFuncs.isna(c)
     def notna: Column = SeriesFuncs.notna(c)
     def clip(lo: Double, hi: Double): Column = SeriesFuncs.clip(c, lo, hi)
+    def clipLower(lo: Double): Column = SeriesFuncs.clipLower(c, lo)
+    def clipUpper(hi: Double): Column = SeriesFuncs.clipUpper(c, hi)
     def replaceValues(m: Map[Any, Any]): Column = SeriesFuncs.replaceValues(c, m)
     def roundTo(n: Int): Column = SeriesFuncs.roundTo(c, n)
     def absOf: Column = SeriesFuncs.absOf(c)
+    def truncateRange(before: Any, after: Any): Column =
+      SeriesFuncs.truncateRange(c, before, after)
   }
 }

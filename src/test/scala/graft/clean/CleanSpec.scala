@@ -70,12 +70,15 @@ class CleanSpec extends SparkSpec {
       fenced.df.agg(sum("v")).head().getDouble(0))
   }
 
-  test("fencer transformer replays fences on fresh data") {
+  test("fencer transformer replays fences on fresh data and survives save/load") {
     import spark.implicits._
     val data = (Seq.fill(20)(5.0) ++ Seq(100.0, -100.0)).toDF("v")
     val learned = Clean.fence(data.toHandy, Seq("v"))
     val fencer = new HandyFencer().setFenceDict(learned.state.fences)
-    val replayed = fencer.transform(data).agg(sum("v")).head().getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("fencer").toString
+    fencer.write.overwrite().save(tmp)
+    val loaded = HandyFencer.load(tmp)
+    val replayed = loaded.transform(data).agg(sum("v")).head().getDouble(0)
     assert(replayed == learned.df.agg(sum("v")).head().getDouble(0))
   }
 

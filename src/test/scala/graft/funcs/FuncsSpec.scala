@@ -116,6 +116,26 @@ class FuncsSpec extends SparkSpec {
       == "2012-03-16 00:00:00.0")
   }
 
+  test("remaining string surface: get/repeat/pad/count/translate/sliceReplace") {
+    assert(one(col("s").str.get(1), "abc") == "b")
+    assert(one(col("s").str.repeat(3), "ab") == "ababab")
+    assert(one(col("s").str.pad(5, "left", "0"), "42") == "00042")
+    assert(one(col("s").str.pad(6, "both", "*"), "ab") == "**ab**")
+    assert(one(col("s").str.count("[ab]"), "abcab") == 4)
+    assert(one(col("s").str.translate("abc", "xyz"), "aabbcc") == "xxyyzz")
+    assert(one(col("s").str.sliceReplace(1, 3, "XY"), "abcde") == "aXYde")
+    assert(one(col("s").str.ljust(4), "ab") == "ab  ")
+    assert(one(col("s").str.matches("b"), "abc") == false)
+    assert(one(col("s").str.matches("a.c"), "abc") == true)
+  }
+
+  test("dt tz conversion and microseconds") {
+    assert(oneTs(col("t").dt.tzConvert("America/New_York"),
+      "2020-06-15 12:00:00").toString == "2020-06-15 08:00:00.0")
+    assert(oneTs(col("t").dt.microsecond, "2020-06-15 12:00:00.123456") == 123456)
+    assert(oneTs(col("t").dt.weekdayName, "2020-06-15 00:00:00") == "Monday")
+  }
+
   test("betweenTime keeps rows by time of day") {
     import spark.implicits._
     val df = Seq(
