@@ -1000,12 +1000,11 @@ object Queries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val r1 = graft.stat.StatTests.ksTest(lineitem(s, d),
-          "l_extendedprice", "uniform", 0.0, 110000.0)
-        val r2 = graft.stat.StatTests.ksTest(lineitem(s, d),
-          "l_extendedprice", "norm", 0.0, 1.0)
-        Seq(("uniform", r1.statistic, r1.pValue),
-          ("norm01", r2.statistic, r2.pValue))
+        // both distributions tested from ONE distributed sort
+        graft.stat.StatTests.ksTestMulti(lineitem(s, d), "l_extendedprice",
+            Seq(("uniform", "uniform", Seq(0.0, 110000.0)),
+              ("norm01", "norm", Seq(0.0, 1.0))))
+          .map { case (label, r) => (label, r.statistic, r.pValue) }
           .toDF("dist", "statistic", "p_value")
       },
       None),

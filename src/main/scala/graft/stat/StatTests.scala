@@ -97,4 +97,60 @@ object StatTests {
   }
 
   final case class KsResult(statistic: Double, pValue: Double)
+
+  /** One-sample KS against SEVERAL distributions from ONE distributed
+    * sort: the column is sorted and indexed once, then every CDF's
+    * sup-deviation is folded in the same pass (mllib's testOneSample
+    * sorts per call — n tests would mean n shuffles). p-values use the
+    * same one-sided Kolmogorov CDF as mllib. */
+  def ksTestMulti(df: DataFrame, c: String,
+                  dists: Seq[(String, String, Seq[Double])]): Seq[(String, KsResult)] = {
+    val rds = dists.map { case (label, name, params) =>
+      label -> distributionFor(name, params)
+    }
+    val data = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex().cache()
+    try {
+      val n = data.count().toDouble
+      // per element: D = max(|cdf − i/n|, |cdf − (i+1)/n|); fold max per dist
+      val sups = data.mapPartitions { it =>
+        val acc = Array.fill(rds.size)(0.0)
+        it.foreach { case (v, i) =>
+          var d = 0
+          while (d < rds.size) {
+            val cdf = rds(d)._2.cumulativeProbability(v)
+            val lo = math.abs(cdf - i / n)
+            val hi = math.abs(cdf - (i + 1) / n)
+            val m = math.max(lo, hi)
+            if (m > acc(d)) acc(d) = m
+            d += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        Array.tabulate(a.length)(i => math.max(a(i), b(i)))
+      }
+      val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+      rds.zipWithIndex.map { case ((label, _), i) =>
+        val stat = sups(i)
+        label -> KsResult(stat, 1.0 - ks.cdf(stat, n.toInt))
+      }
+    } finally { data.unpersist(false); () }
+  }
+
+  private[stat] def distributionFor(dist: String, params: Seq[Double]): RealDistribution =
+    (dist, params.toList) match {
+      case ("norm", m :: s :: Nil)    => new NormalDistribution(m, s)
+      case ("norm", Nil)              => new NormalDistribution(0, 1)
+      case ("uniform", a :: b :: Nil) => new UniformRealDistribution(a, b)
+      case ("exp", m :: Nil)          => new ExponentialDistribution(m)
+      case ("gamma", a :: b :: Nil)   => new GammaDistribution(a, b)
+      case ("beta", a :: b :: Nil)    => new BetaDistribution(a, b)
+      case ("cauchy", m :: s :: Nil)  => new CauchyDistribution(m, s)
+      case ("chi2", k :: Nil)         => new ChiSquaredDistribution(k)
+      case ("t", k :: Nil)            => new TDistribution(k)
+      case ("lognorm", m :: s :: Nil) => new LogNormalDistribution(m, s)
+      case ("weibull", a :: b :: Nil) => new WeibullDistribution(a, b)
+      case _                          => new NormalDistribution(0, 1)
+    }
 }

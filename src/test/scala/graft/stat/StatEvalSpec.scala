@@ -53,6 +53,17 @@ class StatEvalSpec extends SparkSpec {
     assert(bad.pValue < 1e-6)
   }
 
+  test("ksTestMulti (single sort) matches per-distribution mllib results") {
+    val df = spark.range(2000).select(randn(42).as("v"))
+    val multi = StatTests.ksTestMulti(df, "v",
+      Seq(("n", "norm", Seq(0.0, 1.0)), ("u", "uniform", Seq(0.0, 1.0)))).toMap
+    val n1 = StatTests.ksTest(df, "v", "norm", 0, 1)
+    val u1 = StatTests.ksTest(df, "v", "uniform", 0, 1)
+    assert(math.abs(multi("n").statistic - n1.statistic) < 1e-12)
+    assert(math.abs(multi("u").statistic - u1.statistic) < 1e-12)
+    assert(math.abs(multi("n").pValue - n1.pValue) < 1e-6)
+  }
+
   test("confusion matrix counts sum to n and match manual counts") {
     import spark.implicits._
     val df = Seq((0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.2, 0.0),
