@@ -1101,6 +1101,26 @@ object Queries {
              'l_returnflag == "' || l_returnflag || '"' AS __stratum
              FROM lineitem GROUP BY l_returnflag ORDER BY __stratum""")),
 
+    // ---- filtered path WITH the strata-union rewrite rule active ----------
+    QueryDef("q_stratify_rewritten",
+      (s, d) => {
+        // activate the engine's optimizer rule on this (plain) session:
+        // the per-stratum union below is collapsed to one grouped agg
+        if (!s.experimental.extraOptimizations.contains(
+            graft.plans.StrataUnionRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.StrataUnionRewrite
+        s.conf.set("spark.graft.rewriteStrataUnion", "true")
+        val sf = StratifiedFrame(orders(s, d), Seq(ColStratum("o_orderstatus")))
+        sf.perStratum(child => child.agg(
+            round(sum("o_totalprice"), 2).as("total"),
+            count(lit(1)).as("n")))
+          .orderBy("__stratum")
+      },
+      Some("""SELECT round(sum(o_totalprice), 2) AS total, count(*) AS n,
+             'o_orderstatus == "' || o_orderstatus || '"' AS __stratum
+             FROM orders GROUP BY o_orderstatus ORDER BY __stratum""")),
+
     // ---- approx percentiles (GK sketch — the 100-TB default; rows-only) ---
     QueryDef("q_median_approx",
       (s, d) => Stats.percentileApprox(lineitem(s, d),
