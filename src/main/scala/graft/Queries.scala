@@ -687,6 +687,49 @@ object Queries {
                round(tp / (tp + fp), 6) AS precision FROM c
              UNION ALL SELECT 0.0, 1.0, 1.0, 0.0""")),
 
+    // ---- ROC / PR curve points --------------------------------------------
+    QueryDef("q_roc",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.roc(li, "l_discount", "label")
+          .select(round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+          .orderBy("fpr", "tpr")
+      },
+      Some("""WITH sl AS (SELECT l_discount AS score,
+               (l_returnflag = 'R')::INT AS label FROM lineitem),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY score),
+             c AS (SELECT
+               sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p, sum(neg) OVER () AS n FROM per)
+             SELECT fpr, tpr FROM (
+               SELECT round(fp / n, 6) AS fpr, round(tp / p, 6) AS tpr FROM c
+               UNION ALL SELECT 0.0, 0.0 UNION ALL SELECT 1.0, 1.0)
+             ORDER BY fpr, tpr""")),
+
+    QueryDef("q_pr",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.pr(li, "l_discount", "label")
+          .select(round(col("recall"), 6).as("recall"),
+            round(col("precision"), 6).as("precision"))
+          .orderBy("recall", "precision")
+      },
+      Some("""WITH sl AS (SELECT l_discount AS score,
+               (l_returnflag = 'R')::INT AS label FROM lineitem),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY score),
+             c AS (SELECT
+               sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p FROM per)
+             SELECT round(tp / p, 6) AS recall,
+               round(tp / (tp + fp), 6) AS precision
+             FROM c ORDER BY recall, precision""")),
+
     // ---- vector/array disassemble -----------------------------------------
     QueryDef("q_disassemble",
       (s, d) => {
