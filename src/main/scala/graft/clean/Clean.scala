@@ -61,10 +61,13 @@ object Clean {
           sf.bucketed.groupBy(sc.map(col): _*)
             .agg(med(cols.head), cols.tail.map(med): _*)
         case Mode =>
+          // full outer: a stratum that is all-null for ONE column must still
+          // carry the other columns' modes (its own fill value stays null,
+          // matching Mean/Median behavior on all-null strata)
           cols.map { c =>
             graft.agg.Stats.modeStratified(sf.bucketed, c, sc)
               .withColumnRenamed(s"${c}_mode", c)
-          }.reduce(_.join(_, sc))
+          }.reduce(_.join(_, sc, "full_outer"))
       }
       val rows = statsDf.collect() // #strata rows — bounded driver collect
       val schema = statsDf.schema

@@ -19,7 +19,7 @@ import org.json4s.jackson.Serialization
   * Dictionary shape: {column -> {filterClause -> value}}; the empty clause
   * "" means unconditional (global fill/fence).
   */
-private[ml] object DictCodec {
+object DictCodec {
   implicit val formats: Formats = DefaultFormats
 
   def encodeFill(d: Map[String, Map[String, Any]]): String =
@@ -36,15 +36,13 @@ private[ml] object DictCodec {
     })
 
   /** A clause like `l_returnflag == "R" and (x >= 1.0) and (x < 2.0)` back
-    * into a Column predicate. We only generate ==, >=, <, <= and `and`. */
+    * into a Column predicate. Spark SQL natively accepts `==`, lowercase
+    * `and`, and double-quoted string literals (with backslash escapes, which
+    * is what StratifiedFrame.clause emits), so the clause parses verbatim —
+    * no text rewriting, which would corrupt values containing the words
+    * being rewritten (e.g. a stratum value `"rock and roll"`). */
   def clauseToColumn(clause: String): Column =
-    if (clause.isEmpty) lit(true) else expr(clauseToSql(clause))
-
-  def clauseToSql(clause: String): String =
-    clause
-      .replaceAll("\\b==\\b", "=")
-      .replace("\"", "'")
-      .replaceAll("\\band\\b", "AND")
+    if (clause.isEmpty) lit(true) else expr(clause)
 }
 
 /** Replays recorded imputation values (reference HandyImputer,

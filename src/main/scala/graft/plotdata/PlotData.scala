@@ -18,15 +18,22 @@ object PlotData {
   def histogram(df: DataFrame, c: String, bins: Int = 10,
                 strata: Seq[String] = Nil): DataFrame = {
     val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    val w = (hi - lo) / bins
-    val idx = least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
-      lit(bins - 1)).cast("int")
+    // degenerate guards: empty/all-null column → single empty [0,0) bucket;
+    // all-equal column → single [v,v] bucket (no zero-width division)
+    val (lo, hi) =
+      if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
+      else (r.getDouble(0), r.getDouble(1))
+    val nb = if (hi == lo) 1 else bins
+    val w = if (hi == lo) 0.0 else (hi - lo) / nb
+    val idx =
+      if (w == 0) lit(0).cast("int")
+      else least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
+        lit(nb - 1)).cast("int")
     val counts = df.filter(col(c).isNotNull)
       .groupBy((strata.map(col) :+ idx.as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
     // dense completion: distinct strata × full bucket range (tiny frames)
-    val buckets = df.sparkSession.range(bins).select(col("id").cast("int").as("bucket"))
+    val buckets = df.sparkSession.range(nb).select(col("id").cast("int").as("bucket"))
     val full =
       if (strata.isEmpty) buckets
       else df.select(strata.map(col): _*).distinct().crossJoin(buckets)
@@ -98,10 +105,16 @@ object PlotData {
       min(col(x)).cast("double"), max(col(x)).cast("double"),
       min(col(y)).cast("double"), max(col(y)).cast("double"),
       count(lit(1))).head()
+    // degenerate guards: no non-null data → empty result (counts frame is
+    // empty anyway); all-equal axis → width 1 so everything lands in bucket 0
     val (xlo, xhi, ylo, yhi, n) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
-    val wx = (xhi - xlo) / bins
-    val wy = (yhi - ylo) / bins
+      if (r.isNullAt(0) || r.isNullAt(2))
+        (0.0, 1.0, 0.0, 1.0, math.max(r.getLong(4), 1L))
+      else
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          math.max(r.getLong(4), 1L))
+    val wx = if (xhi == xlo) 1.0 else (xhi - xlo) / bins
+    val wy = if (yhi == ylo) 1.0 else (yhi - ylo) / bins
     def idx(c: String, lo: Double, w: Double) =
       least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
         lit(bins - 1)).cast("int")

@@ -15,10 +15,13 @@ object StatTests {
     * (reference stats.py:6-20). */
   def summaryValues(df: DataFrame, c: String,
                     strata: Seq[String] = Nil): Map[Seq[Any], StatisticalSummaryValues] = {
+    // cast the input once: min/max/sum preserve integer/decimal input types,
+    // so aggregating the raw column would make getAs[Double] throw below
+    val dc = col(c).cast("double")
     val rows = df.groupBy(strata.map(col): _*).agg(
-      avg(col(c)).as("mean"), var_samp(col(c)).as("variance"),
-      count(col(c)).as("n"), max(col(c)).as("max"), min(col(c)).as("min"),
-      sum(col(c)).as("sum")).collect()
+      avg(dc).as("mean"), var_samp(dc).as("variance"),
+      count(dc).as("n"), max(dc).as("max"), min(dc).as("min"),
+      sum(dc).as("sum")).collect()
     rows.map { r =>
       val key = strata.indices.map(r.get).toSeq
       key -> new StatisticalSummaryValues(

@@ -107,38 +107,61 @@ object StratifiedFrame {
   def apply(df: DataFrame, specs: Seq[StratumSpec]): StratifiedFrame = {
     // 1. fit bucket edges (one action per continuous spec; a single
     //    combined agg would also work but specs are few)
+    // Degenerate inputs are explicit: an empty/all-null column yields NO
+    // edges (no strata — the combo discovery below then finds nothing); an
+    // all-equal column collapses to a single [v, v] bucket so the clause
+    // string stays truthful and no division-by-zero width is ever built.
     val edges: Map[String, Array[Double]] = specs.collect {
       case b @ Bucket(c, n) =>
         val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
           .head()
-        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-        val w = (hi - lo) / n
-        b.colName -> Array.tabulate(n + 1)(i => lo + i * w)
+        val fitted =
+          if (r.isNullAt(0) || r.isNullAt(1)) Array.empty[Double]
+          else {
+            val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+            if (hi == lo) Array(lo, hi)
+            else { val w = (hi - lo) / n; Array.tabulate(n + 1)(i => lo + i * w) }
+          }
+        b.colName -> fitted
       case q @ Quantile(c, n, exact) =>
         val ps = Array.tabulate(n + 1)(i => i.toDouble / n)
-        if (exact) {
-          val r = df.agg(graft.expr.ExactPercentile.of(col(c), ps.toSeq)).head()
-          q.colName -> r.getSeq[Double](0).toArray
-        } else q.colName -> df.stat.approxQuantile(c, ps, 0.01)
+        val fitted =
+          if (exact) {
+            val r = df.agg(graft.expr.ExactPercentile.of(col(c), ps.toSeq)).head()
+            if (r.isNullAt(0)) Array.empty[Double]
+            else r.getSeq[Double](0).toArray
+          } else df.stat.approxQuantile(c, ps, 0.01) // empty when no data
+        q.colName -> (if (fitted.length < 2) Array.empty[Double] else fitted)
     }.toMap
 
     // 2. append derived bucket-index columns (arithmetic only)
     val bucketed = specs.foldLeft(df) { (d, s) =>
       s match {
-        case Bucket(c, n) =>
-          val Array(lo, hi @ _*) = edges(s.colName): @unchecked
-          val w = (hi.last - lo) / n
-          d.withColumn(s.colName,
-            least(greatest(floor((col(c) - lit(lo)) / lit(w)), lit(0)),
-              lit(n - 1)).cast("int"))
-        case Quantile(c, n, _) =>
+        case Bucket(c, _) =>
           val es = edges(s.colName)
-          // index = #edges strictly below x, clamped — expressed as a
-          // CASE chain over the (≤ ~20) interior edges; codegen-friendly
-          val idx = es.slice(1, n).foldLeft(lit(0)) { (acc, e) =>
-            acc + (col(c) >= lit(e)).cast("int")
+          if (es.isEmpty) d.withColumn(s.colName, lit(null).cast("int"))
+          else {
+            val nb = es.length - 1 // 1 for the degenerate all-equal column
+            val w = (es.last - es.head) / nb
+            val idx =
+              if (w == 0) when(col(c).isNotNull, lit(0))
+              else least(greatest(floor((col(c) - lit(es.head)) / lit(w)),
+                lit(0)), lit(nb - 1))
+            d.withColumn(s.colName, idx.cast("int"))
           }
-          d.withColumn(s.colName, least(idx, lit(n - 1)))
+        case Quantile(c, _, _) =>
+          val es = edges(s.colName)
+          if (es.isEmpty) d.withColumn(s.colName, lit(null).cast("int"))
+          else {
+            val nb = es.length - 1
+            // index = #edges strictly below x, clamped — expressed as a
+            // CASE chain over the (≤ ~20) interior edges; codegen-friendly
+            val idx = es.slice(1, nb).foldLeft(
+              when(col(c).isNotNull, lit(0))) { (acc, e) =>
+              acc + (col(c) >= lit(e)).cast("int")
+            }
+            d.withColumn(s.colName, least(idx, lit(nb - 1)).cast("int"))
+          }
         case ColStratum(_) => d
       }
     }
@@ -169,8 +192,12 @@ object StratifiedFrame {
     values.zip(specs).map {
       case ((_, v), ColStratum(name)) =>
         v match {
-          case s: String => s"""$name == "$s""""
-          case other     => s"$name == $other"
+          // backslash-escape so the clause round-trips through Spark's SQL
+          // parser even when the value contains quotes or backslashes
+          case s: String =>
+            val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+            s"""$name == "$esc""""
+          case other => s"$name == $other"
         }
       case ((cn, v), spec) =>
         val es = edges(cn)

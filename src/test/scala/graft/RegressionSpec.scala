@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.Clean
+import graft.core.HandyFrame
+import graft.ml.{DictCodec, HandyFencer, HandyImputer}
+import graft.plotdata.PlotData
+import graft.stat.StatTests
+import graft.strata.{Bucket, ColStratum, Quantile, StratifiedFrame}
+
+/** Regression coverage for the round-1 advice findings: clause literal
+  * corruption, integer-column SSVs, stratified-mode join loss, degenerate
+  * bucket fitting, and optimizer-rule session leakage. */
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clause values containing 'and' / quotes survive replay") {
+    val df = Seq(
+      ("rock and roll", 10.0), ("rock and roll", Double.NaN),
+      ("it's jazz", 1.0), ("it's jazz", Double.NaN)
+    ).toDF("genre", "score")
+
+    val sf = StratifiedFrame(df, Seq(ColStratum("genre")))
+    val clauses = sf.strata.map(_.clause)
+    assert(clauses.contains("""genre == "rock and roll""""))
+
+    // replay each clause as a predicate: must match exactly its own stratum
+    for (st <- sf.strata) {
+      val n = df.filter(DictCodec.clauseToColumn(st.clause)).count()
+      assert(n == 2, s"clause ${st.clause} matched $n rows, expected 2")
+    }
+
+    // full imputer round trip keyed by those clauses
+    val imp = new HandyImputer().setFillDict(Map(
+      "score" -> Map(
+        """genre == "rock and roll"""" -> 99.0,
+        """genre == "it's jazz"""" -> 7.0)))
+    val out = imp.transform(df)
+      .groupBy("genre").agg(sum("score").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("rock and roll") == 109.0)
+    assert(out("it's jazz") == 8.0)
+  }
+
+  test("clause with escaped double quote in value round-trips") {
+    val df = Seq(("""say "hi"""", 1.0), ("plain", 2.0)).toDF("k", "v")
+    val sf = StratifiedFrame(df, Seq(ColStratum("k")))
+    val quoted = sf.strata.map(_.clause).find(_.contains("hi")).get
+    assert(df.filter(DictCodec.clauseToColumn(quoted)).count() == 1)
+  }
+
+  test("fencer replay leaves non-matching strata untouched") {
+    val df = Seq(("a", 100.0), ("b", 100.0)).toDF("k", "v")
+    val f = new HandyFencer().setFenceDict(Map(
+      "v" -> Map("""k == "a"""" -> ((0.0, 10.0)))))
+    val out = f.transform(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 10.0)  // capped
+    assert(out("b") == 100.0) // untouched
+  }
+
+  test("summaryValues and tTestMatrix work on integer columns") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 7))
+      .toDF("g", "x")
+    val ssv = StatTests.summaryValues(df, "x")
+    assert(ssv(Seq()).getMax == 7.0 && ssv(Seq()).getMin == 1.0 &&
+      ssv(Seq()).getSum == 22.0)
+    val m = StatTests.tTestMatrix(df, "x", Seq("g"))
+    assert(m.size == 1 && m.head._3 > 0 && m.head._3 < 1)
+  }
+
+  test("stratified Mode fill keeps strata that are all-null for one column") {
+    val df = Seq[(String, java.lang.Double, String)](
+      ("a", 1.0, null), ("a", 1.0, null), ("a", null, null), // s missing in a
+      ("b", 2.0, "x"), ("b", null, "x"), ("b", 2.0, "y")
+    ).toDF("g", "num", "s")
+    // num's mode exists in both strata; s's mode only in stratum b.
+    // Inner-joining the per-column mode frames would drop stratum a entirely
+    // and skip its num fill; outer join must keep it.
+    val filled = Clean.fill(HandyFrame(df), Clean.Mode, Seq("num", "s"),
+      Seq(ColStratum("g"))).df
+    val a = filled.filter(col("g") === "a")
+    assert(a.filter(col("num").isNull || isnan(col("num"))).count() == 0,
+      "stratum a num fill was skipped")
+    assert(a.filter(col("s").isNull).count() == 3, "no s mode exists for a")
+    val b = filled.filter(col("g") === "b")
+    assert(b.filter(col("num").isNull || isnan(col("num"))).count() == 0)
+  }
+
+  test("Bucket on an all-equal column: single truthful stratum") {
+    val df = Seq(("r", 5.0), ("s", 5.0), ("t", 5.0)).toDF("k", "x")
+    val sf = StratifiedFrame(df, Seq(Bucket("x", 3)))
+    assert(sf.strata.size == 1)
+    assert(sf.strata.head.clause == "(x >= 5.0) and (x <= 5.0)")
+    val counts = sf.valueCounts("k")
+    assert(counts.count() == 3)
+  }
+
+  test("Bucket/Quantile on empty and all-null columns: no strata, no crash") {
+    val empty = spark.emptyDataset[(String, Double)].toDF("k", "x")
+    assert(StratifiedFrame(empty, Seq(Bucket("x", 3))).strata.isEmpty)
+    assert(StratifiedFrame(empty, Seq(Quantile("x", 3))).strata.isEmpty)
+    assert(StratifiedFrame(empty, Seq(Quantile("x", 3, exact = true)))
+      .strata.isEmpty)
+
+    val allNull = Seq(("a", null: java.lang.Double), ("b", null: java.lang.Double))
+      .toDF("k", "x")
+    assert(StratifiedFrame(allNull, Seq(Bucket("x", 3))).strata.isEmpty)
+    assert(StratifiedFrame(allNull, Seq(Quantile("x", 3, exact = true)))
+      .strata.isEmpty)
+  }
+
+  test("Quantile on an all-equal column collapses to one stratum") {
+    val df = Seq.fill(10)(7.5).map(("k", _)).toDF("k", "x")
+    val sf = StratifiedFrame(df, Seq(Quantile("x", 4, exact = true)))
+    assert(sf.strata.size == 1)
+    val st = sf.strata.head.clause
+    assert(st.startsWith("(x >= 7.5) and (x <= 7.5)"), st)
+  }
+
+  test("histogram guards: all-equal and all-null columns") {
+    val eq = Seq(3.0, 3.0, 3.0).toDF("x")
+    val h = PlotData.histogram(eq, "x", bins = 10).collect()
+    assert(h.length == 1 && h.head.getAs[Long]("cnt") == 3)
+
+    val nulls = Seq[java.lang.Double](null, null).toDF("x")
+    val h2 = PlotData.histogram(nulls, "x", bins = 5).collect()
+    assert(h2.forall(_.getAs[Long]("cnt") == 0))
+  }
+
+  test("scatterBins guards: all-equal axis") {
+    val df = Seq((1.0, 2.0), (1.0, 2.0)).toDF("x", "y")
+    val b = PlotData.scatterBins(df, "x", "y", bins = 10).collect()
+    assert(b.length == 1 && b.head.getAs[Double]("proportion") == 1.0)
+  }
+
+  test("q_stratify_rewritten does not leak rule/conf into the session") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.queries("q_stratify_rewritten")(spark, dir)
+    assert(out.count() == 3)
+    assert(spark.conf.get("spark.graft.rewriteStrataUnion", "false") == "false")
+    assert(!spark.experimental.extraOptimizations
+      .contains(graft.plans.StrataUnionRewrite))
+  }
+}
