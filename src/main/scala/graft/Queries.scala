@@ -929,8 +929,7 @@ object Queries {
     QueryDef("q_lang_id",
       (s, d) => {
         import graft.pipeline.TextAnalysis._
-        documents(s, d)
-          .select(col("lang"), languageId(col("text")).as("lang_pred"))
+        withLanguageId(documents(s, d).select("lang", "text"), "text")
           .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
           .orderBy("lang", "lang_pred")
       },

@@ -75,11 +75,29 @@ object Dedup {
     }
   }
 
-  /** (id, shingle) exploded pairs computed in one typed JVM pass — the
+  /** (id, shingle-hash) exploded pairs computed in one typed JVM pass — the
     * interpreted HOF pipeline (split→transform→slice→concat_ws→explode)
-    * costs ~10× more per row. */
+    * costs ~10× more per row. Shingles are deduped as STRINGS per doc, then
+    * emitted as 64-bit hashes: join/shuffle keys shrink from ~25-byte
+    * strings to 8-byte longs, and downstream set-intersection joins compare
+    * longs. (64-bit collisions across a corpus's distinct shingles are
+    * ~1e-8-probable; an exactness-critical caller can switch to
+    * `shingledStrings`.) */
   def shingled(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        shinglesOf(text, n).map(sh => (id, hash64(sh)))
+      }
+      .toDF("__id", "sh")
+  }
+
+  /** String-keyed variant of `shingled` for collision-free exact joins. */
+  def shingledStrings(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -88,14 +106,24 @@ object Dedup {
       .toDF("__id", "sh")
   }
 
+  /** 64-bit string hash (two murmur32 halves) — same mix used across the
+    * engine's fingerprints. */
+  @inline private[pipeline] def hash64(t: String): Long = {
+    val hi = scala.util.hashing.MurmurHash3.stringHash(t, 41)
+    val lo = scala.util.hashing.MurmurHash3.stringHash(t, 97)
+    (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+  }
+
+  // deterministic 64-bit finalizer (SplitMix64) for seed derivation
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   // deterministic affine mixers for single-hash minhash derivation
   private def mixers(numHashes: Int): (Array[Long], Array[Long]) = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
     val a = Array.tabulate(numHashes)(i => splitmix(i * 2L + 1) | 1L)
     val b = Array.tabulate(numHashes)(i => splitmix(i * 2L + 2))
     (a, b)
@@ -125,10 +153,7 @@ object Dedup {
         val sig = Array.fill(numHashes)(Long.MaxValue)
         var s = 0
         while (s < shs.length) {
-          val t = shs(s)
-          val hi = scala.util.hashing.MurmurHash3.stringHash(t, 41)
-          val lo = scala.util.hashing.MurmurHash3.stringHash(t, 97)
-          val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+          val h = hash64(shs(s))
           var i = 0
           while (i < numHashes) {
             val v = h * ma(i) + mb(i)
@@ -220,9 +245,7 @@ object Dedup {
     val f = udf { tokens: Seq[String] =>
       val counts = new Array[Int](64)
       tokens.foreach { t =>
-        val hi = scala.util.hashing.MurmurHash3.stringHash(t, 41)
-        val lo = scala.util.hashing.MurmurHash3.stringHash(t, 97)
-        val h2 = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        val h2 = hash64(t)
         var b = 0
         while (b < 64) {
           if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -304,23 +327,68 @@ object Dedup {
     proj.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Deterministic pseudo-random hyperplanes (components uniform in
+    * [-0.5, 0.5), seeded from (bit, index) — no stored model, any executor
+    * can regenerate them). */
+  private[pipeline] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, i) =>
+      (splitmix(b.toLong * 1000003L + i) >>> 11) / (1L << 53).toDouble - 0.5
+    }
+
   /** Embedding near-dup pairs above a cosine threshold. Buckets first
-    * (pure map + one small shuffle), exact cosine only within buckets. */
+    * (pure map — signature + norm in one tight JVM pass per row), then
+    * exact cosine ONLY within buckets via a per-bucket nested loop after
+    * one shuffle on the bucket key. Each pair lives in exactly one bucket
+    * (the key is the full signature), so no distinct is needed. The
+    * per-bucket group is materialized: pick `bits` so the expected bucket
+    * size stays bounded (≈ n / 2^bits) — more bits = faster + lower recall.
+    * Interpreted HOF cosines per candidate pair cost ~50× this loop. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
-    val vecs = df.select(col(idCol),
-      transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), dim, bits))
-      .withColumn("n2", sqNorm(col("v")))
-    val a = vecs.select(col("bucket"), col(idCol).as("id_a"),
-      col("v").as("va"), col("n2").as("na"))
-    val b = vecs.select(col("bucket"), col(idCol).as("id_b"),
-      col("v").as("vb"), col("n2").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosinePre(col("va"), col("vb"),
-        col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos").distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
+    val assigned = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = planes.value
+        it.map { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          var bucket = 0L
+          var b = 0
+          while (b < ps.length) {
+            val p = ps(b)
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += v(j) * p(j); j += 1 }
+            if (dot > 0) bucket |= (1L << b)
+            b += 1
+          }
+          (bucket, id, v, n2)
+        }
+      }
+    assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val out = Array.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < rows.length) {
+        val va = rows(i)._3; val na = rows(i)._4
+        var j = i + 1
+        while (j < rows.length) {
+          val vb = rows(j)._3
+          var dot = 0.0
+          var k = 0
+          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+          val cos = dot / math.sqrt(na * rows(j)._4)
+          if (cos >= threshold) out += ((rows(i)._2, rows(j)._2, cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b", "cos")
   }
 }

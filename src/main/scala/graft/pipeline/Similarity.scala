@@ -96,7 +96,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
+    // random init: k-means|| spends several extra Spark jobs picking seeds,
+    // and IVF coarse cells only need roughly-balanced partitions of the
+    // space, not an optimal clustering — Lloyd iterations recover plenty
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec).select(col(idCol), col("v"), col("cell"))

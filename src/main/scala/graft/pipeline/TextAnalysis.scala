@@ -82,6 +82,38 @@ object TextAnalysis {
     }
   }
 
+  /** Language ID with the scores MATERIALIZED as columns first. The
+    * Column-form above re-evaluates each interpreted filter/aggregate HOF
+    * (and the tokenization inside it) once in the `greatest` and again per
+    * `when` branch — ~3× redundant work. Three stacked projections (tokens →
+    * scores → argmax) are kept apart by Catalyst's CollapseProject non-cheap
+    * multi-reference rule, so each score evaluates exactly once. Semantics
+    * identical to `languageId`. */
+  def withLanguageId(df: DataFrame, textCol: String,
+                     out: String = "lang_pred"): DataFrame = {
+    val toksCol = "__li_toks"
+    val scoreCol = LangMarkers.map { case (l, _) => l -> s"__li_$l" }.toMap
+    val withToks = df.withColumn(toksCol, tokens(col(textCol)))
+    val withScores = LangMarkers.foldLeft(withToks) { case (d, (l, ms)) =>
+      val sc =
+        if (l == "zh") langScore(col(textCol), l, ms)
+        else {
+          val arr = array(ms.map(lit): _*)
+          size(filter(col(toksCol), t => array_contains(arr, t)))
+        }
+      d.withColumn(scoreCol(l), sc)
+    }
+    val scores = LangMarkers.map { case (l, _) =>
+      l -> col(scoreCol(l)).cast("double")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withScores.withColumn(out, pred)
+      .drop(toksCol +: LangMarkers.map { case (l, _) => scoreCol(l) }: _*)
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** 64-bit document fingerprint: rolling rotate-xor hash over token
@@ -97,13 +129,14 @@ object TextAnalysis {
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
-    df.withColumn("n_tokens", tokenCount(c))
-      .withColumn("n_subwords", subwordCount(c))
-      .withColumn("punct_ratio", punctRatio(c))
-      .withColumn("stopword_ratio", stopwordRatio(c))
-      .withColumn("mean_word_len", meanWordLen(c))
-      .withColumn("quality", qualityScore(c))
-      .withColumn("lang_pred", languageId(c))
-      .withColumn("fingerprint", fingerprint(c))
+    withLanguageId(
+      df.withColumn("n_tokens", tokenCount(c))
+        .withColumn("n_subwords", subwordCount(c))
+        .withColumn("punct_ratio", punctRatio(c))
+        .withColumn("stopword_ratio", stopwordRatio(c))
+        .withColumn("mean_word_len", meanWordLen(c))
+        .withColumn("quality", qualityScore(c))
+        .withColumn("fingerprint", fingerprint(c)),
+      textCol)
   }
 }

@@ -111,34 +111,52 @@ object StatTests {
     val rds = dists.map { case (label, name, params) =>
       label -> distributionFor(name, params)
     }
-    val data = df.select(col(c).cast("double")).na.drop()
-      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex().cache()
-    try {
-      val n = data.count().toDouble
-      // per element: D = max(|cdf − i/n|, |cdf − (i+1)/n|); fold max per dist
-      val sups = data.mapPartitions { it =>
-        val acc = Array.fill(rds.size)(0.0)
-        it.foreach { case (v, i) =>
-          var d = 0
-          while (d < rds.size) {
-            val cdf = rds(d)._2.cumulativeProbability(v)
-            val lo = math.abs(cdf - i / n)
-            val hi = math.abs(cdf - (i + 1) / n)
-            val m = math.max(lo, hi)
-            if (m > acc(d)) acc(d) = m
-            d += 1
-          }
+    // Tungsten range-partition + in-partition radix sort (compact UnsafeRow
+    // shuffle) — RDD sortBy would shuffle Java-serialized boxed Doubles.
+    // Partition i holds range i, so partition-major order IS sorted order.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col(c).cast("double").as("v")).na.drop()
+      .repartitionByRange(np, col("v")).sortWithinPartitions("v")
+      .as[Double].rdd
+    // pass 1: per-partition counts → global rank offsets (replaces
+    // zipWithIndex, whose internal count pass + materialized (v, i) tuples
+    // and the cache were half the cost); pass 2 reuses the sort's shuffle
+    // files, so the exchange runs once.
+    val partCounts = sorted
+      .mapPartitionsWithIndex { (pi, it) =>
+        var cnt = 0L
+        while (it.hasNext) { it.next(); cnt += 1 }
+        Iterator.single((pi, cnt))
+      }.collect().sortBy(_._1).map(_._2)
+    val n = partCounts.sum.toDouble
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    // per element: D = max(|cdf − i/n|, |cdf − (i+1)/n|); fold max per dist
+    val sups = sorted.mapPartitionsWithIndex { (pi, it) =>
+      val acc = Array.fill(rds.size)(0.0)
+      var i = offsets(pi)
+      it.foreach { v =>
+        var d = 0
+        while (d < rds.size) {
+          val cdf = rds(d)._2.cumulativeProbability(v)
+          val lo = math.abs(cdf - i / n)
+          val hi = math.abs(cdf - (i + 1) / n)
+          val m = math.max(lo, hi)
+          if (m > acc(d)) acc(d) = m
+          d += 1
         }
-        Iterator.single(acc)
-      }.reduce { (a, b) =>
-        Array.tabulate(a.length)(i => math.max(a(i), b(i)))
+        i += 1
       }
-      val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
-      rds.zipWithIndex.map { case ((label, _), i) =>
-        val stat = sups(i)
-        label -> KsResult(stat, 1.0 - ks.cdf(stat, n.toInt))
-      }
-    } finally { data.unpersist(false); () }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      Array.tabulate(a.length)(i => math.max(a(i), b(i)))
+    }
+    val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+    rds.zipWithIndex.map { case ((label, _), i) =>
+      val stat = sups(i)
+      label -> KsResult(stat, 1.0 - ks.cdf(stat, n.toInt))
+    }
   }
 
   private[stat] def distributionFor(dist: String, params: Seq[Double]): RealDistribution =

@@ -50,16 +50,40 @@ final case class Quantile(column: String, bins: Int = 5, exact: Boolean = false)
 /** One observed strata combination: its values and its filter clause. */
 final case class Stratum(values: Seq[(String, Any)], clause: String)
 
-final case class StratifiedFrame(
-    df: DataFrame,
-    specs: Seq[StratumSpec],
+final class StratifiedFrame private[strata] (
+    val df: DataFrame,
+    val specs: Seq[StratumSpec],
     /** df with derived bucket columns appended (same as df if no buckets) */
-    bucketed: DataFrame,
+    val bucketed: DataFrame,
     /** edges per derived column, for clause pretty-printing */
-    edges: Map[String, Array[Double]],
-    strata: Seq[Stratum]) {
+    val edges: Map[String, Array[Double]]) {
 
   def strataCols: Seq[String] = specs.map(_.colName)
+
+  /** Observed strata combinations + clause strings, discovered LAZILY on
+    * first use (one Spark action). The reference discovers combos eagerly at
+    * stratify() time (dataframe.py:1846); deferring it means grouped-path
+    * pipelines — which prepend strata columns to a groupBy and never touch
+    * per-combination clauses — skip an entire extra scan of the input. The
+    * filtered path and clause-keyed statistics trigger it on demand.
+    * Null-valued combinations are dropped (matching the reference's
+    * dropna'd value_counts discovery, dataframe.py:1846, 225-244) — a
+    * `col === null` filter clause would never match, silently yielding an
+    * empty stratum on the filtered path. */
+  lazy val strata: Seq[Stratum] = {
+    val combos = bucketed
+      .na.drop(specs.map(_.colName))
+      .groupBy(specs.map(s => col(s.colName)): _*)
+      .count()
+      .orderBy(specs.map(s => col(s.colName)): _*)
+      .collect()
+    combos.map { row =>
+      val values = specs.zipWithIndex.map { case (s, i) =>
+        s.colName -> row.get(i)
+      }
+      Stratum(values, StratifiedFrame.clause(values, specs, edges))
+    }.toSeq
+  }
 
   /** GROUPED path: run `f` once with strata columns prepended. */
   def agg(f: (DataFrame, Seq[String]) => DataFrame): DataFrame =
@@ -166,25 +190,8 @@ object StratifiedFrame {
       }
     }
 
-    // 3. discover observed combinations (one action) + clause strings.
-    //    Null-valued combinations are dropped (matching the reference's
-    //    dropna'd value_counts discovery, dataframe.py:1846,225-244) — a
-    //    `col === null` filter clause would never match, silently yielding
-    //    an empty stratum on the filtered path.
-    val combos = bucketed
-      .na.drop(specs.map(_.colName))
-      .groupBy(specs.map(s => col(s.colName)): _*)
-      .count()
-      .orderBy(specs.map(s => col(s.colName)): _*)
-      .collect()
-    val strata = combos.map { row =>
-      val values = specs.zipWithIndex.map { case (s, i) =>
-        s.colName -> row.get(i)
-      }
-      Stratum(values, clause(values, specs, edges))
-    }.toSeq
-
-    StratifiedFrame(df, specs, bucketed, edges, strata)
+    // 3. combo discovery is lazy — see `StratifiedFrame.strata`.
+    new StratifiedFrame(df, specs, bucketed, edges)
   }
 
   private[strata] def clause(values: Seq[(String, Any)], specs: Seq[StratumSpec],
