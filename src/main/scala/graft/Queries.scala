@@ -1186,7 +1186,10 @@ object Queries {
         .orderBy("l_returnflag"),
       None),
 
-    // ---- Mahalanobis with a full 3x3 inverse (rows-only) ------------------
+    // ---- Mahalanobis with a full 3x3 inverse ------------------------------
+    // Oracle replays the same algebra with the 3x3 correlation inverse
+    // written out via cofactors; chi2(3).ppf(0.999) is inlined as a literal
+    // (closed-form k=3 CDF: erf(sqrt(x/2)) - sqrt(2/pi)*sqrt(x)*exp(-x/2)).
     QueryDef("q_mahalanobis_3col",
       (s, d) => {
         val li = lineitem(s, d)
@@ -1198,7 +1201,55 @@ object Queries {
           sum((model.distance > graft.outlier.Mahalanobis.chi2Threshold(3, 0.999))
             .cast("long")).as("n_outliers"))
       },
-      None)
+      Some("""WITH t AS (SELECT l_quantity AS x, l_extendedprice AS y,
+               l_discount AS z FROM lineitem),
+             m AS (SELECT avg(x) AS mx, stddev_samp(x) AS sx,
+               avg(y) AS my, stddev_samp(y) AS sy,
+               avg(z) AS mz, stddev_samp(z) AS sz,
+               corr(x, y) AS r12, corr(x, z) AS r13, corr(y, z) AS r23 FROM t),
+             u AS (SELECT (x - mx) / sx AS u, (y - my) / sy AS v,
+               (z - mz) / sz AS w, r12, r13, r23,
+               1 - r12*r12 - r13*r13 - r23*r23 + 2*r12*r13*r23 AS det
+               FROM t, m),
+             dist AS (SELECT sqrt(((1 - r23*r23)*u*u + (1 - r13*r13)*v*v
+               + (1 - r12*r12)*w*w + 2*(r13*r23 - r12)*u*v
+               + 2*(r12*r23 - r13)*u*w + 2*(r12*r13 - r23)*v*w) / det) AS dd
+               FROM u)
+             SELECT round(avg(dd), 6) AS mean_dist, round(max(dd), 6) AS max_dist,
+               sum((dd > 4.0331422236561405)::BIGINT)::BIGINT AS n_outliers
+             FROM dist""")),
+
+    // ---- KS statistics vs closed-form CDFs (window-ECDF oracle) -----------
+    // The p-value needs the Kolmogorov CDF (not SQL-expressible), so the
+    // oracle-checked query emits the statistics only; q_ks_test keeps the
+    // p-values as a rows-only check.
+    QueryDef("q_ks_stat",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        graft.stat.StatTests.ksTestMulti(lineitem(s, d), "l_extendedprice",
+            Seq(("exp30000", "exp", Seq(30000.0)),
+              ("uniform", "uniform", Seq(0.0, 110000.0))))
+          .map { case (label, r) => (label, r.statistic) }
+          .toDF("dist", "ks_stat")
+          .select(col("dist"), round(col("ks_stat"), 6).as("ks_stat"))
+          .orderBy("dist")
+      },
+      Some("""WITH s AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+             r AS (SELECT v, (row_number() OVER (ORDER BY v))::DOUBLE AS i,
+               (count(*) OVER ())::DOUBLE AS n FROM s),
+             d AS (SELECT
+               max(greatest(abs((1 - exp(-v / 30000.0)) - (i - 1) / n),
+                 abs((1 - exp(-v / 30000.0)) - i / n))) AS exp_d,
+               max(greatest(
+                 abs(least(greatest(v / 110000.0, 0), 1) - (i - 1) / n),
+                 abs(least(greatest(v / 110000.0, 0), 1) - i / n))) AS uni_d
+               FROM r)
+             SELECT 'exp30000' AS dist, round(exp_d, 6) AS ks_stat FROM d
+             UNION ALL
+             SELECT 'uniform' AS dist, round(uni_d, 6) AS ks_stat FROM d
+             ORDER BY dist"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
