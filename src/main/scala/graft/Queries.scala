@@ -925,6 +925,34 @@ object Queries {
                  / greatest(len(toks), 1)::DOUBLE, 6) AS mean_word_len
              FROM t ORDER BY doc_id""")),
 
+    // ---- composite document quality score ---------------------------------
+    QueryDef("q_quality",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        documents(s, d).select(col("doc_id"),
+          round(qualityScore(col("text")), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+             c AS (SELECT doc_id,
+               least(length(text) / 500.0, 1.0) AS len_score,
+               1.0 - least(abs(list_sum(list_transform(toks, x -> length(x)))
+                 / greatest(len(toks), 1)::DOUBLE - 5.0) / 5.0, 1.0)
+                 AS word_score,
+               1.0 - least(((length(text) - length(regexp_replace(text,
+                 '[.,!?;:]', '', 'g'))) / greatest(length(text), 1)::DOUBLE)
+                 * 10.0, 1.0) AS punct_score,
+               least((len(list_filter(toks, x -> x IN ('the','a','an','of',
+                 'to','and','in','is','it','that','for','on','with','as',
+                 'at','by'))) / greatest(len(toks), 1)::DOUBLE) * 4.0, 1.0)
+                 AS stop_score
+               FROM t)
+             SELECT doc_id, round((len_score + word_score + punct_score
+               + stop_score) / 4.0, 6) AS quality
+             FROM c ORDER BY doc_id""")),
+
     // ---- language ID (marker-word heuristic) ------------------------------
     QueryDef("q_lang_id",
       (s, d) => {

@@ -162,7 +162,8 @@ object Dedup {
           }
           s += 1
         }
-        // fold each band's r signature values into one bucket key
+        // fold each band's r signature values (and the band index) into one
+        // bucket key — rows from different bands can never collide on it
         (0 until bands).iterator.map { b =>
           var key = 1125899906842597L + b
           var i = b * rowsPerBand
@@ -170,15 +171,34 @@ object Dedup {
             key = key * 31 + sig(i)
             i += 1
           }
-          (id, b, key)
+          (key, id)
         }
       }
-      .toDF(idCol, "band", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // posting-list pair generation, deduped across bands
+    pairsByKey(banded).distinct()
+  }
+
+  /** Ordered (id_a, id_b) pairs of ids sharing a key — posting-list pair
+    * generation. One shuffle of the (key, id) rows (a self-join would
+    * shuffle BOTH sides), pairs emitted from a JIT'd nested loop per
+    * posting list. A key's posting list is materialized, and an f-frequent
+    * key emits f²/2 pairs — the same quadratic blowup a self-join has; at
+    * scale, stop-list ultra-frequent keys before calling. */
+  private[pipeline] def pairsByKey(keyed: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ids = it.map(_._2).toArray
+      java.util.Arrays.sort(ids)
+      val out = Array.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < ids.length) {
+        var j = i + 1
+        while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard. With `candidates` the verify is CANDIDATE-DRIVEN:
@@ -209,9 +229,10 @@ object Dedup {
         cands.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       case None =>
-        val a = sh.select(col(idCol).as("id_a"), col("sh"))
-        val b = sh.select(col(idCol).as("id_b"), col("sh"))
-        a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        val spark = sh.sparkSession
+        import spark.implicits._
+        pairsByKey(sh.select(col("sh"), col(idCol).cast("long"))
+            .as[(Long, Long)])
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     }
     common
