@@ -88,23 +88,87 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos")
   }
 
-  /** IVF index: KMeans cell assignment for every corpus vector. */
+  /** IVF index: coarse-quantizer cells for every corpus vector.
+    *
+    * The quantizer is trained on a BOUNDED deterministic sample (first
+    * ~64·nCells vectors by hashed id) with a local JIT'd Lloyd loop, then
+    * broadcast; the corpus pass is one typed map assigning each vector to
+    * its nearest center. This is the standard IVF construction at scale —
+    * a distributed KMeans over the full corpus would burn several full
+    * scans (init + per-iteration jobs) to fit centers whose only job is to
+    * partition the space roughly evenly. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    // random init: k-means|| spends several extra Spark jobs picking seeds,
-    // and IVF coarse cells only need roughly-balanced partitions of the
-    // space, not an optimal clustering — Lloyd iterations recover plenty
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec).select(col(idCol), col("v"), col("cell"))
-    (assigned, model.clusterCenters.map(_.toArray))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+    val sampleN = math.max(nCells * 64, 1024)
+    val sample = vecs
+      .map { case (id, v) =>
+        (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L), v)
+      }
+      .orderBy(col("_1")).limit(sampleN) // TakeOrdered: no full-sort shuffle
+      .collect().map(_._2)
+    val centers = localKMeans(sample, nCells, iters = 10, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assigned = vecs.map { case (id, v) =>
+      (id, v, Similarity.nearestCenter(v, bc.value))
+    }.toDF(idCol, "v", "cell")
+    (assigned, centers)
+  }
+
+  private[pipeline] def nearestCenter(v: Array[Double],
+                                      cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic local Lloyd iterations over a sample (seeded farthest-
+    * point-ish init: evenly spaced picks from the hashed-id-ordered
+    * sample). */
+  private[pipeline] def localKMeans(sample: Array[Array[Double]], k: Int,
+                                    iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty sample for IVF quantizer")
+    val n = sample.length
+    val dim = sample(0).length
+    var centers = Array.tabulate(math.min(k, n))(i => sample(i * n / math.min(k, n)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      var s = 0
+      while (s < n) {
+        val v = sample(s)
+        val c = nearestCenter(v, centers)
+        val acc = sums(c)
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        counts(c) += 1
+        s += 1
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else {
+          val m = sums(c)
+          var i = 0
+          while (i < dim) { m(i) /= counts(c); i += 1 }
+          m
+        }
+      }.toArray
+      it += 1
+    }
+    centers
   }
 
   /** Two-stage IVF search: rank cells by centroid cosine, scan only the
