@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming variants of the engine's aggregations — an
   * EXTENSION over the reference, which has no streaming at all (SURVEY
@@ -40,6 +41,40 @@ object StreamingOps {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Per-key Welford accumulator for `runningStats` — O(1) state per key. */
+  final case class RunningState(n: Long, mean: Double, m2: Double)
+
+  /** One emitted update of a key's running moments. */
+  final case class RunningStat(key: String, n: Long, mean: Double,
+                               stddev: Double)
+
+  /** Per-key running count/mean/stddev maintained across micro-batches with
+    * EXPLICIT state (flatMapGroupsWithState) — the custom-state tier for
+    * semantics windowed aggregation can't express: moments over the entire
+    * stream history, emitted on every update, with numerically-stable
+    * Welford accumulation. State is O(1) per key (three doubles), so the
+    * state store stays bounded by key cardinality at any volume. */
+  def runningStats(stream: Dataset[(String, Double)]): Dataset[RunningStat] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[RunningState, RunningStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[RunningState]) =>
+          var s = state.getOption.getOrElse(RunningState(0L, 0.0, 0.0))
+          rows.foreach { case (_, v) =>
+            val n1 = s.n + 1
+            val d = v - s.mean
+            val mean = s.mean + d / n1
+            s = RunningState(n1, mean, s.m2 + d * (v - mean))
+          }
+          state.update(s)
+          Iterator.single(RunningStat(key, s.n, s.mean,
+            if (s.n > 1) math.sqrt(s.m2 / (s.n - 1)) else 0.0))
+      }
+  }
 
   /** Sessionization with mapGroupsWithState-free session windows
     * (session_window is native since Spark 3.2). */

@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningStats keeps Welford state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stats = StreamingOps.runningStats(input.toDS())
+    val q = stats.writeStream.format("memory")
+      .queryName("rs").outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT n, mean FROM rs WHERE key = 'a'")
+        .orderBy(desc("n")).head()
+      assert(r1.getLong(0) == 2L && r1.getDouble(1) == 2.0)
+      // second batch continues from the first batch's state
+      input.addData(("a", 5.0))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT n, mean, stddev FROM rs WHERE key = 'a'")
+        .orderBy(desc("n")).head()
+      assert(r2.getLong(0) == 3L && r2.getDouble(1) == 3.0)
+      assert(math.abs(r2.getDouble(2) - 2.0) < 1e-12) // stddev of 1,3,5
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events table matches batch counts") {
     val dir = "/root/testdata/sf0.001"
     // file streams require a DIRECTORY source — stage the file into one
