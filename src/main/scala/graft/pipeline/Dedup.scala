@@ -235,11 +235,13 @@ object Dedup {
             .as[(Long, Long)])
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     }
+    // sizes is #docs rows (tiny next to the pair stream) — broadcast both
+    // copies so the common-pairs frame never shuffles for these joins
     common
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("sz", "sz_a")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("sz", "sz_b")), "id_b")
       .withColumn("jaccard",
         col("common") / (col("sz_a") + col("sz_b") - col("common")))
   }

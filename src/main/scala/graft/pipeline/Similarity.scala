@@ -31,21 +31,68 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact top-k for a set of query rows (broadcast the queries). */
+  /** Exact top-k for a set of query rows. The queries are broadcast as
+    * primitive arrays; each corpus partition scores them in a tight JVM
+    * loop and keeps a bounded per-query heap, so only #partitions × Q × k
+    * candidate rows reach the final window — the scored corpus × Q stream
+    * itself is never shuffled (the previous window-over-cross-join
+    * formulation shuffled every scored row). Dot products sum sequentially
+    * ascending — bit-identical to the HOF/DuckDB formulation. */
   def topKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, dim: Int = -1): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", Dedup.sqNorm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Dedup.sqNorm(col("qv")))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos",
-        Dedup.cosinePre(col("cv"), col("qv"), col("cn"), col("qn")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i) * v(i); i += 1 }
+        (id, v, n)
+      }
+    val bc = spark.sparkContext.broadcast(qs)
+    // head of the heap = WORST kept candidate (lowest cos, then largest id)
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val candidates = corpus
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val queries = bc.value
+        val heaps = Array.fill(queries.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        rows.foreach { case (cid, v) =>
+          var na = 0.0
+          var i = 0
+          while (i < v.length) { na += v(i) * v(i); i += 1 }
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, qv, qn) = queries(qi)
+            if (cid != qid) {
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j) * qv(j); j += 1 }
+              val cand = (dot / math.sqrt(na * qn), cid)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(cand)
+              else if (worstFirst.compare(cand, h.head) < 0) {
+                h.dequeue(); h.enqueue(cand)
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => (queries(qi)._1, cid, cos) }
+        }
+      }
+      .toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
-    scored.withColumn("rn", row_number().over(w))
+    candidates.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "corpus_id", "cos", "rn")
   }
