@@ -184,7 +184,7 @@ object Dedup {
     * posting list. A key's posting list is materialized, and an f-frequent
     * key emits f²/2 pairs — the same quadratic blowup a self-join has; at
     * scale, stop-list ultra-frequent keys before calling. */
-  private[pipeline] def pairsByKey(keyed: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+  private[graft] def pairsByKey(keyed: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed.groupByKey(_._1).flatMapGroups { (_, it) =>

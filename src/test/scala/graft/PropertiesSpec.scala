@@ -27,6 +27,71 @@ class PropertiesSpec extends SparkSpec {
   // value, so re-fencing the capped data tightens the fences again (this
   // property-test discovery is inherent to quantile_cont semantics, shared
   // by the reference). The guaranteed invariants are the ones below.
+  test("property: posting-list pair generation equals the self-join pairs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 30L)))
+    for (data <- samples(gen, 3)) {
+      val keyed = data.distinct // (key, id) — posting lists carry unique ids
+      val ds = keyed.toDS()
+      val fromLists = graft.pipeline.Dedup.pairsByKey(ds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val df = keyed.toDF("k", "id")
+      val a = df.select(col("k"), col("id").as("id_a"))
+      val b = df.select(col("k"), col("id").as("id_b"))
+      val fromJoin = a.join(b, "k").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fromLists == fromJoin)
+    }
+  }
+
+  test("property: heap-based topKJoin equals the window-over-cross-join form") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)))
+    for ((vs, it) <- samples(gen, 2).zipWithIndex) {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding").repartition(5)
+      val queries = df.filter(col("vec_id") < 3)
+      val fast = graft.pipeline.Similarity
+        .topKJoin(df, queries, "vec_id", "embedding", 4)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).sorted.toSeq
+      // reference formulation: score every (corpus, query) pair, rank
+      val c = df.select(col("vec_id").as("corpus_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+      val q = df.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qv"))
+      val scored = c.crossJoin(q).filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("cos", graft.pipeline.Dedup.cosine(col("cv"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+      val slow = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+          r.getAs[Long]("corpus_id"),
+          math.rint(r.getAs[Double]("cos") * 1e12))).sorted.toSeq
+      assert(fast == slow, s"case $it")
+    }
+  }
+
+  test("property: df-level language id equals the Column form") {
+    import spark.implicits._
+    val word = Gen.oneOf("the", "der", "le", "el", "xyz", "und", "la",
+      "is", "ist", "es", "dog", "hund", "chien", "perro")
+    val gen = Gen.listOfN(30, Gen.listOfN(12, word).map(_.mkString(" ")))
+    for (texts <- samples(gen, 2)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+      val a = graft.pipeline.TextAnalysis.withLanguageId(df, "t")
+        .select("id", "lang_pred").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      val b = df.select(col("id"),
+          graft.pipeline.TextAnalysis.languageId(col("t")).as("lang_pred"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(a == b)
+    }
+  }
+
   test("property: fencing caps into learned fences, preserves in-fence rows") {
     import spark.implicits._
     samples(doubles, 5).filter(_.size >= 4).foreach { vs =>
