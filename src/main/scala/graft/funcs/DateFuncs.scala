@@ -25,6 +25,14 @@ object DateFuncs {
   def secondOf(c: Column): Column = second(c)
   def microsecondOf(c: Column): Column =
     (unix_micros(c) % 1000000L).cast("int")
+  /** pandas .dt.nanosecond: the sub-microsecond component — always 0 for
+    * Spark's TimestampType (microsecond precision). */
+  def nanosecondOf(c: Column): Column = (unix_micros(c) * 0L).cast("int")
+  /** pandas .dt.time: the time-of-day as "HH:mm:ss". */
+  def timeOf(c: Column): Column = date_format(c, "HH:mm:ss")
+  /** pandas .dt.tz: Spark session timestamps are session-timezone-relative,
+    * so the tz is the session zone. */
+  def tzName(c: Column): Column = current_timezone()
   /** ISO week number (Spark weekofyear is ISO-8601). */
   def week(c: Column): Column = weekofyear(c)
   def yearOf(c: Column): Column = year(c)

@@ -93,6 +93,7 @@ object implicits {
     def rfind(sub: String): Column = StringFuncs.rfind(c, sub)
     def removeAccents: Column = StringFuncs.removeAccents(c)
     def wrap(w: Int): Column = StringFuncs.wrap(w)(c)
+    def join(sep: String): Column = StringFuncs.joinChars(c, sep)
   }
 
   final class DtAccessor(private val c: Column) extends AnyVal {
@@ -125,6 +126,9 @@ object implicits {
     def normalize: Column = DateFuncs.normalize(c)
     def tzConvert(tz: String): Column = DateFuncs.tzConvert(c, tz)
     def tzLocalize(tz: String): Column = DateFuncs.tzLocalize(c, tz)
+    def nanosecond: Column = DateFuncs.nanosecondOf(c)
+    def time: Column = DateFuncs.timeOf(c)
+    def tz: Column = DateFuncs.tzName(c)
   }
 
   final class SeriesAccessor(private val c: Column) extends AnyVal {

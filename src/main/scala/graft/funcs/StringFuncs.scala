@@ -72,6 +72,13 @@ object StringFuncs {
   def lstrip(c: Column): Column = ltrim(c)
   def rstrip(c: Column): Column = rtrim(c)
   def get(c: Column, i: Int): Column = substring(c, i + 1, 1)
+  /** pandas str.join(sep) on a string treats it as a char sequence:
+    * "abc".join("-") == "a-b-c". Lookahead keeps the last char bare. */
+  def joinChars(c: Column, sep: String): Column =
+    regexp_replace(c, "(.)(?=.)",
+      "$1" + java.util.regex.Matcher.quoteReplacement(sep))
+  /** pandas str.join(sep) on a list-typed column: join the elements. */
+  def joinArray(c: Column, sep: String): Column = array_join(c, sep)
   def lowerCase(c: Column): Column = lower(c)
   def upperCase(c: Column): Column = upper(c)
   /** capitalize: first char upper, REST lower (unlike initcap). */

@@ -18,6 +18,26 @@ class FuncsSpec extends SparkSpec {
     Seq(input).toDF("s").select(colExpr).head().get(0)
   }
 
+  test("str.join interleaves separator between chars, array join joins elements") {
+    import spark.implicits._
+    assert(one(col("s").str.join("-"), "abc") == "a-b-c")
+    assert(one(col("s").str.join("$1"), "ab") == "a$1b") // literal sep
+    assert(one(col("s").str.join("-"), "x") == "x")
+    val arr = Seq(Seq("a", "b", "c")).toDF("a")
+      .select(StringFuncs.joinArray(col("a"), ",")).head().getString(0)
+    assert(arr == "a,b,c")
+  }
+
+  test("dt.nanosecond/time/tz") {
+    import spark.implicits._
+    val df = Seq(Timestamp.valueOf("2026-03-01 13:45:30")).toDF("t")
+    val r = df.select(col("t").dt.nanosecond, col("t").dt.time, col("t").dt.tz)
+      .head()
+    assert(r.getInt(0) == 0)
+    assert(r.getString(1) == "13:45:30")
+    assert(r.getString(2) == "UTC") // session tz fixed in SparkSpec
+  }
+
   test("find returns pandas -1 semantics") {
     assert(one(col("s").str.find("Mr."), "Mr. Owen") == 0)
     assert(one(col("s").str.find("xyz"), "Mr. Owen") == -1)
