@@ -953,6 +953,30 @@ object Queries {
                + stop_score) / 4.0, 6) AS quality
              FROM c ORDER BY doc_id""")),
 
+    // ---- multimodal plumbing: payload -> batched decode -> frame sample ---
+    // The documents' text bytes stand in for media payloads (the container
+    // ships no codecs; decode is the documented deterministic stub). This
+    // exercises the real Spark-side contract — binary column + typed
+    // metadata struct, mapPartitions batch decode, explode frame sampling —
+    // in the driver flow; rows-only since the stub hash is engine-specific.
+    QueryDef("q_multimodal",
+      (s, d) => {
+        import graft.pipeline.Multimodal._
+        val media = asMediaFrame(
+          documents(s, d).withColumn("payload", encode(col("text"), "utf-8")),
+          "doc_id", "payload", "txt")
+        val feats = extractFeatures(resize(media, 32, 32), dim = 8)
+        sampleFrames(feats.withColumn("meta", struct(
+            col("meta.format").as("format"), col("meta.width").as("width"),
+            col("meta.height").as("height"), lit(6).as("n_frames"))),
+            everyNth = 2)
+          .agg(count(lit(1)).as("n_frame_rows"),
+            countDistinct(col("media_id")).as("n_media"),
+            round(avg(element_at(col("features"), 1)), 6).as("mean_f0"),
+            max(col("meta.width")).as("width"))
+      },
+      None),
+
     // ---- language ID (marker-word heuristic) ------------------------------
     QueryDef("q_lang_id",
       (s, d) => {
