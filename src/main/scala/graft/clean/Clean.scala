@@ -69,7 +69,9 @@ object Clean {
               .withColumnRenamed(s"${c}_mode", c)
           }.reduce(_.join(_, sc, "full_outer"))
       }
-      val rows = statsDf.collect() // #strata rows — bounded driver collect
+      // null strata keys (rows outside any stratum — e.g. null bucket
+      // inputs) carry no clause; drop them like combo discovery does
+      val rows = statsDf.na.drop(sc).collect() // #strata rows — bounded collect
       val schema = statsDf.schema
       // clause -> col -> value
       val learned: Seq[(String, String, Any)] = rows.toSeq.flatMap { row =>
@@ -78,7 +80,8 @@ object Clean {
         cols.map(c => (clause, c, row.get(schema.fieldIndex(c))))
       }
       // apply: per column, a literal-folded CASE chain —
-      // WHEN missing AND stratum-match THEN value ... ELSE col
+      // WHEN missing AND stratum-match THEN value ... ELSE col.
+      // No learned strata (empty/all-null input) → nothing to fill.
       val filled = cols.foldLeft(sf.bucketed) { (d, c) =>
         val whenChain = rows.foldLeft[Option[Column]](None) { (acc, row) =>
           val cond = sc.map(scn =>
@@ -87,7 +90,7 @@ object Clean {
           val branch = HandyFrame.isMissing(d, c) && cond
           Some(acc.fold(when(branch, lit(v)))(_.when(branch, lit(v))))
         }
-        d.withColumn(c, whenChain.get.otherwise(col(c)))
+        whenChain.fold(d)(ch => d.withColumn(c, ch.otherwise(col(c))))
       }.drop(sf.strataCols.filterNot(df.columns.contains): _*)
       val st = learned.foldLeft(hf.state) { case (s, (clause, c, v)) =>
         s.withStatistics(c, clause, v)

@@ -110,14 +110,18 @@ final class StratifiedFrame private[strata] (
     agg((d, sc) => graft.clean.Clean.outlierCounts(d, cols, k, sc))
 
   /** FILTERED path: run `f` per stratum child, recombine by union
-    * (reference dataframe.py:1863, 1946-1972). */
+    * (reference dataframe.py:1863, 1946-1972). With no observed strata
+    * (empty/all-null input) the result is `f`'s shape with zero rows. */
   def perStratum(f: DataFrame => DataFrame): DataFrame =
-    strata.map { st =>
-      val child = st.values.foldLeft(bucketed) { case (d, (c, v)) =>
-        d.filter(col(c) === lit(v))
-      }
-      f(child).withColumn("__stratum", lit(st.clause))
-    }.reduce(_.unionAll(_))
+    if (strata.isEmpty)
+      f(bucketed).withColumn("__stratum", lit("")).limit(0)
+    else
+      strata.map { st =>
+        val child = st.values.foldLeft(bucketed) { case (d, (c, v)) =>
+          d.filter(col(c) === lit(v))
+        }
+        f(child).withColumn("__stratum", lit(st.clause))
+      }.reduce(_.unionAll(_))
 
   /** Human-readable clause for a combination, used as statistics/fences
     * dictionary keys (tests in the reference codify these strings,

@@ -134,6 +134,19 @@ class RegressionSpec extends SparkSpec {
     assert(b.length == 1 && b.head.getAs[Double]("proportion") == 1.0)
   }
 
+  test("perStratum and stratified fill on a no-strata input: empty, no crash") {
+    val allNull = Seq(("a", null: java.lang.Double), ("b", null: java.lang.Double))
+      .toDF("k", "x")
+    val sf = StratifiedFrame(allNull, Seq(Bucket("x", 3)))
+    val out = sf.perStratum(_.agg(count(lit(1)).as("n")))
+    assert(out.columns.toSeq == Seq("n", "__stratum") && out.count() == 0)
+
+    val filled = Clean.fill(HandyFrame(allNull), Clean.Mean, Seq("x"),
+      Seq(Bucket("x", 3)))
+    assert(filled.df.count() == 2) // rows preserved, nothing fillable
+    assert(filled.state.statistics.isEmpty)
+  }
+
   test("q_stratify_rewritten does not leak rule/conf into the session") {
     val dir = "/root/testdata/sf0.001"
     val out = Queries.queries("q_stratify_rewritten")(spark, dir)
