@@ -219,18 +219,47 @@ object Stats {
           org.apache.spark.sql.types.DoubleType))))
   }
 
-  /** Spearman = Pearson over average ranks. Ranks computed with a window
-    * per column (rank + count of ties → average rank), then one corr pass.
-    * NOTE: the per-column rank windows are GLOBAL (single-partition) — this
-    * is the oracle-parity variant; use corrSpearmanDistributed at scale. */
+  /** (value, average-rank) lookup for one column, FULLY DISTRIBUTED and
+    * exact: grouped tie counts → range-partitioned sort of the distinct
+    * values → cumulative offsets from per-partition sums (two cheap passes
+    * over the distinct-value frame, never a single-partition window).
+    * avg rank of a tie-run = #smaller + (ties + 1) / 2. */
+  private def avgRankFrame(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.groupBy(col(c).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(np, col("v")).sortWithinPartitions("v")
+      .as[(Double, Long)].rdd
+    val partSums = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val ranked = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var before = offsets(pi)
+      it.map { case (v, cnt) =>
+        val r = before + (cnt + 1) / 2.0
+        before += cnt
+        (v, r)
+      }
+    }
+    spark.createDataFrame(ranked).toDF("v", "rk")
+  }
+
+  /** Spearman = Pearson over average ranks. Exact AND distributed: each
+    * column's ranks come from `avgRankFrame` (no global window — the old
+    * formulation moved the whole input into one partition per column) and
+    * are joined back on the value, then one corr pass. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols)
     val ranked = cols.foldLeft(clean) { (d, c) =>
-      // average rank for ties: rank() + (ties-1)/2
-      val w = Window.orderBy(col(c))
-      d.withColumn(s"__rk_$c",
-        rank().over(w) + (count(lit(1)).over(
-          Window.partitionBy(col(c))) - 1) / 2.0)
+      val rks = avgRankFrame(clean, c)
+        .withColumnRenamed("v", s"__v_$c").withColumnRenamed("rk", s"__rk_$c")
+      d.join(rks, col(c).cast("double") === col(s"__v_$c"))
+        .drop(s"__v_$c")
     }
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
