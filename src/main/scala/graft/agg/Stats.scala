@@ -219,52 +219,146 @@ object Stats {
           org.apache.spark.sql.types.DoubleType))))
   }
 
-  /** (value, average-rank) lookup for one column, FULLY DISTRIBUTED and
-    * exact: grouped tie counts → range-partitioned sort of the distinct
-    * values → cumulative offsets from per-partition sums (two cheap passes
-    * over the distinct-value frame, never a single-partition window).
-    * avg rank of a tie-run = #smaller + (ties + 1) / 2. */
-  private def avgRankFrame(df: DataFrame, c: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val np = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.groupBy(col(c).cast("double").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(np, col("v")).sortWithinPartitions("v")
-      .as[(Double, Long)].rdd
-    val partSums = sorted.mapPartitionsWithIndex { (pi, it) =>
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator.single((pi, s))
+  /** Per-partition summary of a sorted partition for exact tie-averaged
+    * ranking: row count, first/last key (raw double bits) and the lengths
+    * of the first/last tie runs. */
+  private final case class PartRuns(cnt: Long, firstKey: Long, prefixLen: Long,
+                                    lastKey: Long, suffixLen: Long)
+
+  /** One distributed rank pass: range-sort the rows by column `keyIdx`,
+    * then REPLACE that slot with its exact average rank. Ties are averaged
+    * even when a tie run spans partition boundaries: per-partition run
+    * summaries are merged on the driver and the (few) boundary runs are
+    * broadcast back. Two light passes over the sort's shuffle output — no
+    * join, no global window, no single partition. */
+  private def rankPass(rows: org.apache.spark.rdd.RDD[Array[Double]],
+                       keyIdx: Int): org.apache.spark.rdd.RDD[Array[Double]] = {
+    import org.apache.spark.RangePartitioner
+    val keyed = rows.map(a => (a(keyIdx), a))
+    val parts = math.max(1, rows.partitions.length)
+    val sorted = keyed.repartitionAndSortWithinPartitions(
+      new RangePartitioner(parts, keyed))
+    val summaries = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var cnt = 0L
+      var firstKey = 0L; var prefixLen = 0L
+      var lastKey = 0L; var suffixLen = 0L
+      var prefixDone = false
+      it.foreach { case (k, _) =>
+        val bits = java.lang.Double.doubleToLongBits(k)
+        if (cnt == 0) {
+          firstKey = bits; prefixLen = 1; lastKey = bits; suffixLen = 1
+        } else if (bits == lastKey) {
+          suffixLen += 1
+          if (!prefixDone) prefixLen += 1
+        } else {
+          prefixDone = true
+          lastKey = bits
+          suffixLen = 1
+        }
+        cnt += 1
+      }
+      Iterator.single((pi, PartRuns(cnt, firstKey, prefixLen, lastKey, suffixLen)))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val ranked = sorted.mapPartitionsWithIndex { (pi, it) =>
-      var before = offsets(pi)
-      it.map { case (v, cnt) =>
-        val r = before + (cnt + 1) / 2.0
-        before += cnt
-        (v, r)
+    val offsets = summaries.map(_.cnt).scanLeft(0L)(_ + _)
+    // merge tie runs spanning partitions: key bits -> (0-based start, len)
+    val boundary = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val ne = summaries.indices.filter(summaries(_).cnt > 0).toArray
+    var x = 0
+    while (x < ne.length) {
+      val i = ne(x)
+      val si = summaries(i)
+      var y = x + 1
+      if (y < ne.length && summaries(ne(y)).firstKey == si.lastKey) {
+        val start = offsets(i) + si.cnt - si.suffixLen
+        var total = si.suffixLen
+        var continues = true
+        while (y < ne.length && continues &&
+            summaries(ne(y)).firstKey == si.lastKey) {
+          val sj = summaries(ne(y))
+          total += sj.prefixLen
+          continues = sj.prefixLen == sj.cnt // run swallowed partition whole
+          y += 1
+        }
+        boundary(si.lastKey) = (start, total)
+        x = y - 1 // the partition the run ended in may start another run
+      } else x += 1
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(boundary.toMap)
+    sorted.mapPartitionsWithIndex { (pi, it) =>
+      val bmap = bc.value
+      val buf = it.buffered
+      var pos = offsets(pi) // 0-based global index of the next row
+      val runs = new Iterator[scala.collection.mutable.ArrayBuffer[Array[Double]]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): scala.collection.mutable.ArrayBuffer[Array[Double]] = {
+          val bits = java.lang.Double.doubleToLongBits(buf.head._1)
+          val b = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+          while (buf.hasNext &&
+            java.lang.Double.doubleToLongBits(buf.head._1) == bits) b += buf.next()._2
+          b
+        }
+      }
+      runs.flatMap { run =>
+        val bits = java.lang.Double.doubleToLongBits(run.head(keyIdx))
+        // 1-based positions p+1..p+len average to p + (len+1)/2
+        val rank = bmap.get(bits) match {
+          case Some((start, total)) => start + (total + 1) / 2.0
+          case None                 => pos + (run.length + 1) / 2.0
+        }
+        pos += run.length
+        run.foreach(_(keyIdx) = rank)
+        run
       }
     }
-    spark.createDataFrame(ranked).toDF("v", "rk")
   }
 
   /** Spearman = Pearson over average ranks. Exact AND distributed: each
-    * column's ranks come from `avgRankFrame` (no global window — the old
-    * formulation moved the whole input into one partition per column) and
-    * are joined back on the value, then one corr pass. */
+    * column is rank-transformed in place by a positional sort pass
+    * (`rankPass`), carrying the other columns through the sort; then ONE
+    * moment aggregation over the rank tuples (centered on the exact rank
+    * mean (n+1)/2, so no catastrophic cancellation). No joins and no
+    * global window — the previous formulation moved the entire input into
+    * a single partition per column. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val clean = df.na.drop(cols)
-    val ranked = cols.foldLeft(clean) { (d, c) =>
-      val rks = avgRankFrame(clean, c)
-        .withColumnRenamed("v", s"__v_$c").withColumnRenamed("rk", s"__rk_$c")
-      d.join(rks, col(c).cast("double") === col(s"__v_$c"))
-        .drop(s"__v_$c")
-    }
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield corr(col(s"__rk_${cols(i)}"), col(s"__rk_${cols(j)}"))
-      .as(s"${cols(i)}__${cols(j)}")
-    ranked.agg(pairs.head, pairs.tail: _*)
+    val base = clean.select(cols.map(c => col(c).cast("double")): _*)
+      .rdd.map(r => Array.tabulate(cols.length)(r.getDouble))
+    val n = base.count().toDouble
+    val ranked = cols.indices.foldLeft(base)((rdd, i) => rankPass(rdd, i))
+    val k = cols.length
+    val mid = (n + 1) / 2.0 // exact mean of average ranks
+    val zero = (new Array[Double](k), Array.ofDim[Double](k, k))
+    val (q, cross) = ranked.treeAggregate(zero)(
+      seqOp = { case ((q0, x0), a) =>
+        var i = 0
+        while (i < k) {
+          val ci = a(i) - mid
+          q0(i) += ci * ci
+          var j = i + 1
+          while (j < k) { x0(i)(j) += ci * (a(j) - mid); j += 1 }
+          i += 1
+        }
+        (q0, x0)
+      },
+      combOp = { case ((q1, x1), (q2, x2)) =>
+        var i = 0
+        while (i < k) {
+          q1(i) += q2(i)
+          var j = i + 1
+          while (j < k) { x1(i)(j) += x2(i)(j); j += 1 }
+          i += 1
+        }
+        (q1, x1)
+      })
+    val pairs = for { i <- 0 until k; j <- 0 until k if i < j }
+      yield s"${cols(i)}__${cols(j)}" ->
+        cross(i)(j) / math.sqrt(q(i) * q(j))
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(pairs.map(_._2))),
+      org.apache.spark.sql.types.StructType(pairs.map(p =>
+        org.apache.spark.sql.types.StructField(p._1,
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

@@ -106,6 +106,34 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("x__y") - 1.0) < 1e-12)
   }
 
+  test("corrSpearman exact on tie-heavy data vs local average-rank reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 2 distinct x values and 3 distinct y values across 4 partitions:
+    // every tie run spans several partitions, exercising the boundary merge
+    val data = (1 to 400).map { _ =>
+      (rnd.nextInt(2).toDouble, rnd.nextInt(3).toDouble)
+    }
+    def avgRanks(v: Seq[Double]): Map[Double, Double] = {
+      val sorted = v.sorted
+      v.distinct.map { d =>
+        val first = sorted.indexOf(d) + 1
+        val cnt = sorted.count(_ == d)
+        d -> (first + (first + cnt - 1)) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(data.map(_._1)); val ry = avgRanks(data.map(_._2))
+    val xs = data.map(d => rx(d._1)); val ys = data.map(d => ry(d._2))
+    val n = data.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val expected = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+    val got = Stats.corrSpearman(data.toDF("x", "y").repartition(4),
+      Seq("x", "y")).head().getAs[Double]("x__y")
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
   test("corrSpearmanDistributed agrees with the window-rank variant") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
