@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads them as
       // epoch-nanos longs (graft.Queries.events re-derives a timestamp)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -225,42 +225,10 @@ object Stats {
   private final case class PartRuns(cnt: Long, firstKey: Long, prefixLen: Long,
                                     lastKey: Long, suffixLen: Long)
 
-  /** One distributed rank pass: range-sort the rows by column `keyIdx`,
-    * then REPLACE that slot with its exact average rank. Ties are averaged
-    * even when a tie run spans partition boundaries: per-partition run
-    * summaries are merged on the driver and the (few) boundary runs are
-    * broadcast back. Two light passes over the sort's shuffle output — no
-    * join, no global window, no single partition. */
-  private def rankPass(rows: org.apache.spark.rdd.RDD[Array[Double]],
-                       keyIdx: Int): org.apache.spark.rdd.RDD[Array[Double]] = {
-    import org.apache.spark.RangePartitioner
-    val keyed = rows.map(a => (a(keyIdx), a))
-    val parts = math.max(1, rows.partitions.length)
-    val sorted = keyed.repartitionAndSortWithinPartitions(
-      new RangePartitioner(parts, keyed))
-    val summaries = sorted.mapPartitionsWithIndex { (pi, it) =>
-      var cnt = 0L
-      var firstKey = 0L; var prefixLen = 0L
-      var lastKey = 0L; var suffixLen = 0L
-      var prefixDone = false
-      it.foreach { case (k, _) =>
-        val bits = java.lang.Double.doubleToLongBits(k)
-        if (cnt == 0) {
-          firstKey = bits; prefixLen = 1; lastKey = bits; suffixLen = 1
-        } else if (bits == lastKey) {
-          suffixLen += 1
-          if (!prefixDone) prefixLen += 1
-        } else {
-          prefixDone = true
-          lastKey = bits
-          suffixLen = 1
-        }
-        cnt += 1
-      }
-      Iterator.single((pi, PartRuns(cnt, firstKey, prefixLen, lastKey, suffixLen)))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = summaries.map(_.cnt).scanLeft(0L)(_ + _)
-    // merge tie runs spanning partitions: key bits -> (0-based start, len)
+  /** Merge tie runs that span partition boundaries:
+    * key bits -> (0-based global start, total length). */
+  private def mergeBoundaryRuns(summaries: Array[PartRuns],
+                                offsets: Array[Long]): Map[Long, (Long, Long)] = {
     val boundary = scala.collection.mutable.Map[Long, (Long, Long)]()
     val ne = summaries.indices.filter(summaries(_).cnt > 0).toArray
     var x = 0
@@ -283,82 +251,90 @@ object Stats {
         x = y - 1 // the partition the run ended in may start another run
       } else x += 1
     }
-    val spark = org.apache.spark.sql.SparkSession.active
-    val bc = spark.sparkContext.broadcast(boundary.toMap)
-    sorted.mapPartitionsWithIndex { (pi, it) =>
+    boundary.toMap
+  }
+
+  /** One distributed rank pass over a flat all-double DataFrame: Tungsten
+    * range-sort by column `keyIdx`, then REPLACE that slot with its exact
+    * average rank. Ties are averaged even when a tie run spans partition
+    * boundaries (per-partition run summaries merged on the driver, the few
+    * boundary runs broadcast back). Two light row passes over the ONE
+    * sort shuffle — no join, no global window, no single partition. */
+  private def rankColumn(df: DataFrame, keyIdx: Int): DataFrame = {
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val c = df.columns(keyIdx)
+    val sorted = df.repartitionByRange(np, col(c)).sortWithinPartitions(c)
+    val rdd = sorted.rdd // ONE val: both jobs below reuse the sort shuffle
+    val summaries = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cnt = 0L
+      var firstKey = 0L; var prefixLen = 0L
+      var lastKey = 0L; var suffixLen = 0L
+      var prefixDone = false
+      it.foreach { r =>
+        val bits = java.lang.Double.doubleToLongBits(r.getDouble(keyIdx))
+        if (cnt == 0) {
+          firstKey = bits; prefixLen = 1; lastKey = bits; suffixLen = 1
+        } else if (bits == lastKey) {
+          suffixLen += 1
+          if (!prefixDone) prefixLen += 1
+        } else {
+          prefixDone = true
+          lastKey = bits
+          suffixLen = 1
+        }
+        cnt += 1
+      }
+      Iterator.single((pi, PartRuns(cnt, firstKey, prefixLen, lastKey, suffixLen)))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = summaries.map(_.cnt).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(mergeBoundaryRuns(summaries, offsets))
+    val k = df.columns.length
+    val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
       val bmap = bc.value
       val buf = it.buffered
       var pos = offsets(pi) // 0-based global index of the next row
-      val runs = new Iterator[scala.collection.mutable.ArrayBuffer[Array[Double]]] {
-        def hasNext: Boolean = buf.hasNext
-        def next(): scala.collection.mutable.ArrayBuffer[Array[Double]] = {
-          val bits = java.lang.Double.doubleToLongBits(buf.head._1)
-          val b = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-          while (buf.hasNext &&
-            java.lang.Double.doubleToLongBits(buf.head._1) == bits) b += buf.next()._2
-          b
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        def hasNext: Boolean = pending.hasNext || buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            // consume one whole tie run, assign its average rank
+            val bits = java.lang.Double.doubleToLongBits(buf.head.getDouble(keyIdx))
+            val run = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            while (buf.hasNext && java.lang.Double.doubleToLongBits(
+              buf.head.getDouble(keyIdx)) == bits) run += buf.next()
+            // 1-based positions p+1..p+len average to p + (len+1)/2
+            val rank = bmap.get(bits) match {
+              case Some((start, total)) => start + (total + 1) / 2.0
+              case None                 => pos + (run.length + 1) / 2.0
+            }
+            pos += run.length
+            pending = run.iterator.map { r =>
+              org.apache.spark.sql.Row.fromSeq(
+                Seq.tabulate(k)(j => if (j == keyIdx) rank else r.getDouble(j)))
+            }
+          }
+          pending.next()
         }
-      }
-      runs.flatMap { run =>
-        val bits = java.lang.Double.doubleToLongBits(run.head(keyIdx))
-        // 1-based positions p+1..p+len average to p + (len+1)/2
-        val rank = bmap.get(bits) match {
-          case Some((start, total)) => start + (total + 1) / 2.0
-          case None                 => pos + (run.length + 1) / 2.0
-        }
-        pos += run.length
-        run.foreach(_(keyIdx) = rank)
-        run
       }
     }
+    spark.createDataFrame(ranked, sorted.schema)
   }
 
   /** Spearman = Pearson over average ranks. Exact AND distributed: each
-    * column is rank-transformed in place by a positional sort pass
-    * (`rankPass`), carrying the other columns through the sort; then ONE
-    * moment aggregation over the rank tuples (centered on the exact rank
-    * mean (n+1)/2, so no catastrophic cancellation). No joins and no
+    * column is rank-transformed in place by a positional Tungsten sort pass
+    * (`rankColumn`), carrying the other columns through the sort, then one
+    * codegen corr aggregation over the rank columns. No joins and no
     * global window — the previous formulation moved the entire input into
     * a single partition per column. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
     val clean = df.na.drop(cols)
-    val base = clean.select(cols.map(c => col(c).cast("double")): _*)
-      .rdd.map(r => Array.tabulate(cols.length)(r.getDouble))
-    val n = base.count().toDouble
-    val ranked = cols.indices.foldLeft(base)((rdd, i) => rankPass(rdd, i))
-    val k = cols.length
-    val mid = (n + 1) / 2.0 // exact mean of average ranks
-    val zero = (new Array[Double](k), Array.ofDim[Double](k, k))
-    val (q, cross) = ranked.treeAggregate(zero)(
-      seqOp = { case ((q0, x0), a) =>
-        var i = 0
-        while (i < k) {
-          val ci = a(i) - mid
-          q0(i) += ci * ci
-          var j = i + 1
-          while (j < k) { x0(i)(j) += ci * (a(j) - mid); j += 1 }
-          i += 1
-        }
-        (q0, x0)
-      },
-      combOp = { case ((q1, x1), (q2, x2)) =>
-        var i = 0
-        while (i < k) {
-          q1(i) += q2(i)
-          var j = i + 1
-          while (j < k) { x1(i)(j) += x2(i)(j); j += 1 }
-          i += 1
-        }
-        (q1, x1)
-      })
-    val pairs = for { i <- 0 until k; j <- 0 until k if i < j }
-      yield s"${cols(i)}__${cols(j)}" ->
-        cross(i)(j) / math.sqrt(q(i) * q(j))
-    spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row.fromSeq(pairs.map(_._2))),
-      org.apache.spark.sql.types.StructType(pairs.map(p =>
-        org.apache.spark.sql.types.StructField(p._1,
-          org.apache.spark.sql.types.DoubleType))))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val ranked = cols.indices.foldLeft(clean)((d, i) => rankColumn(d, i))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield corr(col(cols(i)), col(cols(j))).as(s"${cols(i)}__${cols(j)}")
+    ranked.agg(pairs.head, pairs.tail: _*)
   }
 }
