@@ -1198,33 +1198,21 @@ object Queries {
     // ---- filtered path WITH the strata-union rewrite rule active ----------
     QueryDef("q_stratify_rewritten",
       (s, d) => {
-        // activate the engine's optimizer rule on this (plain) session:
-        // the per-stratum union below is collapsed to one grouped agg.
-        // The rewrite's empty-stratum soundness guard is opt-in, so the rule
-        // and conf flag are scoped to THIS query: materialize under the flag,
-        // then restore the session in finally (later queries must not
-        // silently run with the rewrite active).
-        val hadRule = s.experimental.extraOptimizations.contains(
-          graft.plans.StrataUnionRewrite)
-        if (!hadRule)
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ graft.plans.StrataUnionRewrite
-        s.conf.set("spark.graft.rewriteStrataUnion", "true")
-        try {
-          val sf = StratifiedFrame(orders(s, d), Seq(ColStratum("o_orderstatus")))
-          val df = sf.perStratum(child => child.agg(
-              round(sum("o_totalprice"), 2).as("total"),
-              count(lit(1)).as("n")))
-            .orderBy("__stratum")
-          val rows = df.collect() // force optimization+execution under the flag
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-        } finally {
-          s.conf.set("spark.graft.rewriteStrataUnion", "false")
-          if (!hadRule)
-            s.experimental.extraOptimizations =
-              s.experimental.extraOptimizations
-                .filterNot(_ == graft.plans.StrataUnionRewrite)
-        }
+        // activate the engine's optimizer rule on an ISOLATED child session
+        // (same SparkContext, own SessionState): the per-stratum union below
+        // is collapsed to one grouped agg when the plan executes, and the
+        // opt-in rule/conf never touch the caller's session — the rewrite's
+        // empty-stratum soundness guard stays scoped to this query.
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s2.experimental.extraOptimizations =
+          s2.experimental.extraOptimizations :+ graft.plans.StrataUnionRewrite
+        s2.conf.set("spark.graft.rewriteStrataUnion", "true")
+        val sf = StratifiedFrame(orders(s2, d), Seq(ColStratum("o_orderstatus")))
+        sf.perStratum(child => child.agg(
+            round(sum("o_totalprice"), 2).as("total"),
+            count(lit(1)).as("n")))
+          .orderBy("__stratum")
       },
       Some("""SELECT round(sum(o_totalprice), 2) AS total, count(*) AS n,
              'o_orderstatus == "' || o_orderstatus || '"' AS __stratum

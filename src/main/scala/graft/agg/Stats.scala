@@ -61,9 +61,13 @@ object Stats {
                        precision: Double = 0.01,
                        strata: Seq[String] = Nil): DataFrame = {
     val acc = math.max(1, math.round(1.0 / precision)).toInt
-    val aggs = for { c <- cols; p <- ps } yield
-      expr(s"approx_percentile($c, ${p}, $acc)").as(s"${c}_p${(p * 100).toInt}")
-    grouped(df, strata).agg(aggs.head, aggs.tail: _*)
+    // array form: ONE GK sketch per column, not one per (column, p)
+    val psSql = ps.mkString("array(", ", ", ")")
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile($c, $psSql, $acc)").as(s"__pa_$c"))
+    val unpack = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
+      yield element_at(col(s"__pa_$c"), i + 1).as(s"${c}_p${(p * 100).toInt}"))
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*).select(unpack: _*)
   }
 
   def median(df: DataFrame, cols: Seq[String], precision: Double = 0.01,
