@@ -113,17 +113,10 @@ object StringFuncs {
     c => f(c)
   }
 
-  // ---- true-UDF tier (pandas-specific semantics with no native analog) ----
   /** NFKD-normalize + strip combining marks (reference remove_accents,
-    * sql/string.py:22-29). */
-  val removeAccents: Column => Column = {
-    val f = udf { s: String =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
-        .replaceAll("\\p{M}", "")
-    }
-    c => f(c)
-  }
+    * sql/string.py:22-29) — a codegen'd Catalyst expression, not a UDF
+    * (graft.expr.RemoveAccents). */
+  val removeAccents: Column => Column = c => graft.expr.RemoveAccents.of(c)
 
   /** Python str.title semantics: uppercase after every non-letter. */
   val title: Column => Column = {

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
+    ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
 }
@@ -62,5 +63,15 @@ object GraftExtensions {
       graft.expr.ExactPercentile(
         org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType),
         percentagesOf(exprs(1)))
+    })
+
+  val removeAccentsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("remove_accents"),
+    new ExpressionInfo(classOf[graft.expr.RemoveAccents].getName,
+      "remove_accents"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: remove_accents(col)")
+      graft.expr.RemoveAccents(exprs.head)
     })
 }

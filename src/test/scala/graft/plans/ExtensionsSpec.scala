@@ -40,6 +40,21 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.getSeq[Double](0) == Seq(50.5))
   }
 
+  test("remove_accents is callable from SQL and stays in codegen") {
+    val r = spark.sql("SELECT remove_accents('café naïve — Ñandú')").head()
+    assert(r.getString(0) == "cafe naive — Nandu")
+    assert(spark.sql("SELECT remove_accents(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    // null-safe unary scaffolding + doGenCode → inside WholeStageCodegen
+    val codegen = spark.range(3)
+      .selectExpr("remove_accents(concat('café', id))")
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = codegen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [remove_accents"), plan)
+    assert(codegen.collect().map(_.getString(0)).toSeq ==
+      Seq("cafe0", "cafe1", "cafe2"))
+  }
+
   test("StrataUnionRewrite collapses per-stratum aggregate union into one grouped agg") {
     import spark.implicits._
     // use a parquet source: a LocalRelation would be folded through the
