@@ -3,18 +3,18 @@ package graft.eval
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Binary-classification evaluation (reference extensions/evaluation.py).
   *
   * The reference adapts DataFrames to mllib's RDD-based
   * BinaryClassificationMetrics through py4j SerDe. Here the curves are
-  * DataFrame-NATIVE: one groupBy(score) aggregation + a cumulative window
-  * over distinct scores — the same two-phase shape mllib uses internally,
-  * but staying in Tungsten rows with codegen. The window is global but runs
-  * over #distinct-scores rows (already aggregated), which is the inherent
-  * size of the curve itself. An mllib adapter is kept for AUC parity.
+  * DataFrame-NATIVE: one groupBy(score) aggregation, then cumulative
+  * tp/fp from a range-partitioned sort with per-partition offset merging
+  * (the same distributed cumulative pattern as mllib's internals and the
+  * engine's KS/Spearman passes) — no global window, no single-partition
+  * stage even when the classifier emits millions of distinct scores. An
+  * mllib adapter is kept for AUC parity.
   */
 object BinaryMetrics {
 
@@ -33,24 +33,48 @@ object BinaryMetrics {
     * fpr / recall(tpr) / precision. Thresholds are the distinct scores,
     * descending (mllib semantics: predict positive when score >= t). */
   def curveData(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
     val sl = scoreAndLabels(df, scoreCol, labelCol)
     val perScore = sl.groupBy(col("score")).agg(
-      sum(col("label")).as("pos"),
-      (count(lit(1)) - sum(col("label"))).as("neg"))
-    val w = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    perScore
-      .withColumn("tp", sum("pos").over(w))
-      .withColumn("fp", sum("neg").over(w))
-      .withColumn("p", sum("pos").over(wAll))
-      .withColumn("n", sum("neg").over(wAll))
-      .select(col("score").as("threshold"),
-        col("tp"), col("fp"),
-        (col("p") - col("tp")).as("fn"),
-        (col("n") - col("fp")).as("tn"),
-        (col("fp") / col("n")).as("fpr"),
-        (col("tp") / col("p")).as("recall"),
+      sum(col("label")).cast("double").as("pos"),
+      (count(lit(1)) - sum(col("label"))).cast("double").as("neg"))
+    // distributed cumulative tp/fp over descending score: range sort, then
+    // per-partition running sums seeded with the collected partition totals
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = perScore
+      .repartitionByRange(np, col("score").desc)
+      .sortWithinPartitions(col("score").desc)
+    val rdd = sorted.rdd // one val: both passes reuse the sort shuffle
+    val partTotals = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var pos = 0.0; var neg = 0.0
+      it.foreach { r => pos += r.getDouble(1); neg += r.getDouble(2) }
+      Iterator.single((pi, (pos, neg)))
+    }.collect().sortBy(_._1).map(_._2)
+    val posOff = partTotals.map(_._1).scanLeft(0.0)(_ + _)
+    val negOff = partTotals.map(_._2).scanLeft(0.0)(_ + _)
+    val (p, n) = (posOff.last, negOff.last)
+    val cum = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var tp = posOff(pi)
+      var fp = negOff(pi)
+      it.map { r =>
+        tp += r.getDouble(1)
+        fp += r.getDouble(2)
+        org.apache.spark.sql.Row(r.getDouble(0), tp, fp)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("threshold",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tp",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(cum, schema)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (lit(p) - col("tp")).as("fn"),
+        (lit(n) - col("fp")).as("tn"),
+        (col("fp") / lit(n)).as("fpr"),
+        (col("tp") / lit(p)).as("recall"),
         (col("tp") / (col("tp") + col("fp"))).as("precision"))
   }
 
