@@ -42,6 +42,18 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming NEAR-dedup: drop rows whose 64-bit SimHash signature was
+    * already seen within the watermark — identical or near-identical token
+    * sequences share a signature, so trivial rewrites dedup too. State is
+    * one long per distinct signature, expired by the watermark. */
+  def streamingNearDedup(stream: DataFrame, tsCol: String, textCol: String,
+                         watermark: String = "24 hours"): DataFrame =
+    stream
+      .withColumn("__sig", graft.pipeline.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+
   /** Per-key Welford accumulator for `runningStats` — O(1) state per key. */
   final case class RunningState(n: Long, mean: Double, m2: Double)
 

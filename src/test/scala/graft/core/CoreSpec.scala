@@ -62,4 +62,20 @@ class CoreSpec extends SparkSpec {
     val vc = sf.valueCounts("parity").collect()
     assert(vc.map(_.getLong(1)).sum == 50)
   }
+
+  test("transformGroups: grouped-map batch per key") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("parity", StringType), StructField("v_sum", DoubleType),
+      StructField("n", IntegerType)))
+    // per-group batch: one summary row per key (applyInPandas shape)
+    val out = df.toHandy.transformGroups(Seq("parity"), outSchema) { rows =>
+      val rs = rows.toSeq
+      val parity = rs.head.getAs[String]("parity")
+      Iterator.single(Row(parity, rs.map(_.getAs[Double]("v")).sum, rs.size))
+    }.df.orderBy("parity").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(2)).sum == 50)
+  }
 }

@@ -39,6 +39,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDedup drops same-signature near-duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingOps.streamingNearDedup(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+    val q = deduped.writeStream.format("memory")
+      .queryName("nd").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), "the quick brown fox jumps"),
+        (ts("2026-01-01 10:01:00"), "the quick brown fox jumps"), // exact dup
+        (ts("2026-01-01 10:02:00"), "a completely different document text"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM nd").head().getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("runningStats keeps Welford state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
