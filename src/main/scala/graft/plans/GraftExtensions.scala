@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
     ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
+    GraftExtensions.columnFunctionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
 }
@@ -74,4 +75,27 @@ object GraftExtensions {
       require(exprs.length == 1, "usage: remove_accents(col)")
       graft.expr.RemoveAccents(exprs.head)
     })
+
+  /** Engine Column-builders surfaced as one-arg SQL functions: any
+    * `Column => Column` composes into an Expression builder through the
+    * bridge, so the text-analysis tier is callable from plain SQL
+    * (`SELECT graft_quality(text) FROM docs`). */
+  val columnFunctionDescriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def oneArg(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = (
+      FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"usage: $name(col)")
+        Bridge.resolvedExpression(f(Bridge.column(exprs.head)))
+      })
+    Seq(
+      oneArg("graft_fingerprint", graft.pipeline.TextAnalysis.fingerprint),
+      oneArg("graft_simhash", graft.pipeline.Dedup.simhash),
+      oneArg("graft_quality", graft.pipeline.TextAnalysis.qualityScore),
+      oneArg("graft_token_count",
+        c => graft.pipeline.TextAnalysis.tokenCount(c).cast("int")),
+      oneArg("graft_lang_id", graft.pipeline.TextAnalysis.languageId))
+  }
 }

@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a catalyst Expression TREE (unresolved
+    * functions become real `UnresolvedFunction` nodes the analyzer will
+    * resolve). `expression` above wraps the column node opaquely, which is
+    * fine inside normal Dataset plans but NOT for expressions returned
+    * from a FunctionRegistry builder — the analyzer never descends into
+    * the opaque leaf and codegen then fails on it. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -55,6 +55,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("cafe0", "cafe1", "cafe2"))
   }
 
+  test("text-analysis tier is callable from SQL") {
+    import spark.implicits._
+    Seq(("the cat and the dog sat on the mat together", "x"))
+      .toDF("text", "k").createOrReplaceTempView("docs")
+    val r = spark.sql(
+      """SELECT graft_token_count(text) AS n, graft_lang_id(text) AS lang,
+         graft_quality(text) AS q, graft_fingerprint(text) AS fp,
+         graft_simhash(text) AS sh FROM docs""").head()
+    assert(r.getInt(0) == 10)
+    assert(r.getString(1) == "en")
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1)
+    assert(r.getLong(3) != 0L && r.getLong(4) != 0L)
+  }
+
   test("StrataUnionRewrite collapses per-stratum aggregate union into one grouped agg") {
     import spark.implicits._
     // use a parquet source: a LocalRelation would be folded through the
