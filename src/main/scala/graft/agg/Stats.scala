@@ -223,46 +223,11 @@ object Stats {
           org.apache.spark.sql.types.DoubleType))))
   }
 
-  /** Per-partition summary of a sorted partition for exact tie-averaged
-    * ranking: row count, first/last key (raw double bits) and the lengths
-    * of the first/last tie runs. */
-  private final case class PartRuns(cnt: Long, firstKey: Long, prefixLen: Long,
-                                    lastKey: Long, suffixLen: Long)
-
-  /** Merge tie runs that span partition boundaries:
-    * key bits -> (0-based global start, total length). */
-  private def mergeBoundaryRuns(summaries: Array[PartRuns],
-                                offsets: Array[Long]): Map[Long, (Long, Long)] = {
-    val boundary = scala.collection.mutable.Map[Long, (Long, Long)]()
-    val ne = summaries.indices.filter(summaries(_).cnt > 0).toArray
-    var x = 0
-    while (x < ne.length) {
-      val i = ne(x)
-      val si = summaries(i)
-      var y = x + 1
-      if (y < ne.length && summaries(ne(y)).firstKey == si.lastKey) {
-        val start = offsets(i) + si.cnt - si.suffixLen
-        var total = si.suffixLen
-        var continues = true
-        while (y < ne.length && continues &&
-            summaries(ne(y)).firstKey == si.lastKey) {
-          val sj = summaries(ne(y))
-          total += sj.prefixLen
-          continues = sj.prefixLen == sj.cnt // run swallowed partition whole
-          y += 1
-        }
-        boundary(si.lastKey) = (start, total)
-        x = y - 1 // the partition the run ended in may start another run
-      } else x += 1
-    }
-    boundary.toMap
-  }
-
   /** One distributed rank pass over a flat all-double DataFrame: Tungsten
     * range-sort by column `keyIdx`, then REPLACE that slot with its exact
-    * average rank. Ties are averaged even when a tie run spans partition
-    * boundaries (per-partition run summaries merged on the driver, the few
-    * boundary runs broadcast back). Two light row passes over the ONE
+    * average rank. Range partitioning routes EQUAL sort keys to one
+    * partition, so tie runs are always partition-local: global positions
+    * need only the per-partition counts. Two light row passes over the ONE
     * sort shuffle — no join, no global window, no single partition. */
   private def rankColumn(df: DataFrame, keyIdx: Int): DataFrame = {
     val spark = df.sparkSession
@@ -270,32 +235,18 @@ object Stats {
     val c = df.columns(keyIdx)
     val sorted = df.repartitionByRange(np, col(c)).sortWithinPartitions(c)
     val rdd = sorted.rdd // ONE val: both jobs below reuse the sort shuffle
-    val summaries = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var cnt = 0L
-      var firstKey = 0L; var prefixLen = 0L
-      var lastKey = 0L; var suffixLen = 0L
-      var prefixDone = false
-      it.foreach { r =>
-        val bits = java.lang.Double.doubleToLongBits(r.getDouble(keyIdx))
-        if (cnt == 0) {
-          firstKey = bits; prefixLen = 1; lastKey = bits; suffixLen = 1
-        } else if (bits == lastKey) {
-          suffixLen += 1
-          if (!prefixDone) prefixLen += 1
-        } else {
-          prefixDone = true
-          lastKey = bits
-          suffixLen = 1
-        }
-        cnt += 1
-      }
-      Iterator.single((pi, PartRuns(cnt, firstKey, prefixLen, lastKey, suffixLen)))
+    // -0.0 sorts equal to 0.0 (and must share one tie run), so normalize
+    // before taking bits; doubleToLongBits already canonicalizes NaN
+    def keyBits(d: Double): Long =
+      java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((pi, n))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = summaries.map(_.cnt).scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(mergeBoundaryRuns(summaries, offsets))
+    val offsets = counts.scanLeft(0L)(_ + _)
     val k = df.columns.length
     val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
-      val bmap = bc.value
       val buf = it.buffered
       var pos = offsets(pi) // 0-based global index of the next row
       new Iterator[org.apache.spark.sql.Row] {
@@ -304,15 +255,12 @@ object Stats {
         def next(): org.apache.spark.sql.Row = {
           if (!pending.hasNext) {
             // consume one whole tie run, assign its average rank
-            val bits = java.lang.Double.doubleToLongBits(buf.head.getDouble(keyIdx))
+            val bits = keyBits(buf.head.getDouble(keyIdx))
             val run = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-            while (buf.hasNext && java.lang.Double.doubleToLongBits(
-              buf.head.getDouble(keyIdx)) == bits) run += buf.next()
+            while (buf.hasNext && keyBits(buf.head.getDouble(keyIdx)) == bits)
+              run += buf.next()
             // 1-based positions p+1..p+len average to p + (len+1)/2
-            val rank = bmap.get(bits) match {
-              case Some((start, total)) => start + (total + 1) / 2.0
-              case None                 => pos + (run.length + 1) / 2.0
-            }
+            val rank = pos + (run.length + 1) / 2.0
             pos += run.length
             pending = run.iterator.map { r =>
               org.apache.spark.sql.Row.fromSeq(
@@ -330,7 +278,7 @@ object Stats {
     * column is rank-transformed in place by a positional Tungsten sort pass
     * (`rankColumn`), carrying the other columns through the sort, then one
     * codegen corr aggregation over the rank columns. No joins and no
-    * global window — the previous formulation moved the entire input into
+    * global window — the window formulation moved the entire input into
     * a single partition per column. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols)

@@ -26,7 +26,10 @@ object BinaryMetrics {
       case "vector" => vector_to_array(col(scoreCol)).getItem(1)
       case _        => col(scoreCol).cast("double")
     }
+    // drop null scores/labels: mllib's metrics require complete pairs, and
+    // the cumulative passes read these columns as primitive doubles
     df.select(scoreExpr.as("score"), col(labelCol).cast("double").as("label"))
+      .na.drop(Seq("score", "label"))
   }
 
   /** Per-threshold confusion counts: threshold, tp, fp, fn, tn, plus

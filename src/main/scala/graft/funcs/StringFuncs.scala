@@ -75,7 +75,7 @@ object StringFuncs {
   /** pandas str.join(sep) on a string treats it as a char sequence:
     * "abc".join("-") == "a-b-c". Lookahead keeps the last char bare. */
   def joinChars(c: Column, sep: String): Column =
-    regexp_replace(c, "(.)(?=.)",
+    regexp_replace(c, "(?s)(.)(?=.)",
       "$1" + java.util.regex.Matcher.quoteReplacement(sep))
   /** pandas str.join(sep) on a list-typed column: join the elements. */
   def joinArray(c: Column, sep: String): Column = array_join(c, sep)

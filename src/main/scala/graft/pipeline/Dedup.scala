@@ -85,6 +85,7 @@ object Dedup {
     * `shingledStrings`.) */
   def shingled(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
+    Similarity.requireIntegralId(df, idCol, "shingled")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -139,6 +140,7 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 63,
                         bands: Int = 21): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    Similarity.requireIntegralId(df, idCol, "minhashCandidates")
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
@@ -368,6 +370,7 @@ object Dedup {
     * Interpreted HOF cosines per candidate pair cost ~50× this loop. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    Similarity.requireIntegralId(df, idCol, "embeddingDedup")
     val spark = df.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))

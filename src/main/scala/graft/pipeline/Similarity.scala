@@ -19,6 +19,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** The typed scale paths key on long ids; fail loudly on non-integral id
+    * columns instead of silently null-casting them. */
+  private[pipeline] def requireIntegralId(df: DataFrame, idCol: String,
+                                          op: String): Unit = {
+    val tn = df.schema(idCol).dataType.typeName
+    require(Set("byte", "short", "integer", "long").contains(tn),
+      s"$op requires an integral id column; got $tn for '$idCol'")
+  }
+
   /** Exact cosine top-k neighbors of one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Double], k: Int): DataFrame = {
@@ -40,6 +49,8 @@ object Similarity {
     * ascending — bit-identical to the HOF/DuckDB formulation. */
   def topKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, dim: Int = -1): DataFrame = {
+    require(k >= 1, s"topKJoin requires k >= 1, got $k")
+    Similarity.requireIntegralId(corpus, idCol, "topKJoin")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
@@ -146,6 +157,7 @@ object Similarity {
     * partition the space roughly evenly. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    requireIntegralId(df, idCol, "ivfAssign")
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"), asDouble(col(vecCol)))

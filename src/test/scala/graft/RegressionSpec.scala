@@ -147,6 +147,58 @@ class RegressionSpec extends SparkSpec {
     assert(filled.state.statistics.isEmpty)
   }
 
+  test("corrSpearman treats -0.0 and 0.0 as one tie run") {
+    val data = Seq((-0.0, 1.0), (0.0, 2.0), (-0.0, 3.0), (0.0, 4.0),
+      (1.0, 5.0), (2.0, 6.0))
+    // zeros all share avg rank 2.5; local reference on normalized values
+    val got = graft.agg.Stats.corrSpearman(
+      data.toDF("x", "y").repartition(3), Seq("x", "y"))
+      .head().getAs[Double]("x__y")
+    val rx = Map(0.0 -> 2.5, 1.0 -> 5.0, 2.0 -> 6.0)
+    val xs = data.map(d => rx(d._1 + 0.0)); val ys = data.map(_._2)
+    val mx = xs.sum / 6; val my = ys.sum / 6
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val expected = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
+  test("transformGroups: null key and the string 'null' are distinct groups") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq(("null", 1.0), (null: String, 2.0), ("null", 3.0))
+      .toDF("k", "v")
+    val outSchema = StructType(Seq(StructField("n", IntegerType)))
+    val sizes = graft.core.HandyFrame(df)
+      .transformGroups(Seq("k"), outSchema)(rows =>
+        Iterator.single(Row(rows.size)))
+      .df.collect().map(_.getInt(0)).sorted.toSeq
+    assert(sizes == Seq(1, 2), s"got $sizes")
+  }
+
+  test("str.join handles newlines; topKJoin rejects k < 1") {
+    val r = Seq("a\nb").toDF("s")
+      .select(graft.funcs.StringFuncs.joinChars(col("s"), "-"))
+      .head().getString(0)
+    assert(r == "a-\n-b")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.topKJoin(
+        Seq((1L, Seq(1.0))).toDF("vec_id", "embedding"),
+        Seq((1L, Seq(1.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0)
+    }
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
+  test("typed pipeline ops reject non-integral id columns loudly") {
+    val df = Seq(("doc-1", "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.shingled(df, "doc_id", "text", 3)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("q_stratify_rewritten does not leak rule/conf into the session") {
     val dir = "/root/testdata/sf0.001"
     val out = Queries.queries("q_stratify_rewritten")(spark, dir)

@@ -109,8 +109,9 @@ class StatsSpec extends SparkSpec {
   test("corrSpearman exact on tie-heavy data vs local average-rank reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    // 2 distinct x values and 3 distinct y values across 4 partitions:
-    // every tie run spans several partitions, exercising the boundary merge
+    // 2 distinct x values and 3 distinct y values at parallelism 4: range
+    // partitioning puts each tie run whole into one partition; this checks
+    // the tie-averaged ranks and global offsets against a local reference
     val data = (1 to 400).map { _ =>
       (rnd.nextInt(2).toDouble, rnd.nextInt(3).toDouble)
     }
