@@ -336,22 +336,6 @@ object Dedup {
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
 
-  /** Random-hyperplane LSH bucket signature for an embedding: `bits`-bit
-    * sign pattern of projections onto deterministic pseudo-random
-    * hyperplanes (seeded hash-based, no stored model). */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 16): Column = {
-    val proj = (0 until bits).map { b =>
-      // hyperplane components derived from (bit, index) hashes in [-0.5, 0.5)
-      val dots = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (v, i) => v * (pmod(xxhash64(i, lit(b)), lit(1000000L))
-            .cast("double") / 1e6 - 0.5)),
-        lit(0.0), _ + _)
-      when(dots > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    proj.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** Deterministic pseudo-random hyperplanes (components uniform in
     * [-0.5, 0.5), seeded from (bit, index) — no stored model, any executor
     * can regenerate them). */
