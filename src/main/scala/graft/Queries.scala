@@ -187,6 +187,23 @@ object Queries {
                FROM lineitem WHERE l_returnflag IS NOT NULL
                GROUP BY l_returnflag)""")),
 
+    // ---- per-stratum entropy (grouped path) -------------------------------
+    QueryDef("q_entropy_strat",
+      (s, d) => {
+        val sf = StratifiedFrame(orders(s, d), Seq(ColStratum("o_orderstatus")))
+        sf.entropy("o_orderpriority")
+          .select(col("o_orderstatus"),
+            round(col("o_orderpriority_entropy"), 6).as("entropy"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, round(sum(-log2(p) * p), 6) AS entropy
+             FROM (SELECT o_orderstatus,
+               count(*) / sum(count(*)) OVER (PARTITION BY o_orderstatus)::DOUBLE
+                 AS p
+               FROM orders WHERE o_orderpriority IS NOT NULL
+               GROUP BY o_orderstatus, o_orderpriority)
+             GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     QueryDef("q_mutual_info",
       (s, d) => Stats.mutualInfo(lineitem(s, d), "l_returnflag", "l_linestatus")
         .select(round(col("mutual_info"), 6).as("mutual_info")),

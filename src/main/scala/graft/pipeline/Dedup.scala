@@ -289,25 +289,44 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: bucket by 16-bit chunks (a pair within
-    * Hamming distance ≤3 of 64 bits shares at least one of 4 chunks),
-    * verify with bit_count. */
+    * Hamming distance ≤3 of 64 bits shares at least one of 4 chunks by
+    * pigeonhole), verify with Long.bitCount inside the per-bucket loop —
+    * posting-list shaped like the other LSH ops: one shuffle of the
+    * (chunkKey, id, signature) rows, pairs emitted filtered, deduped
+    * across chunks. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh"))
-    val chunked = sigs.select(col(idCol), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "key")))
-    val a = chunked.select(col("chunk"), col("key"), col(idCol).as("id_a"),
-      col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("key"), col(idCol).as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    Similarity.requireIntegralId(df, idCol, "simhashDedup")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunked = df
+      .select(col(idCol).cast("long"), simhash(col(textCol)))
+      .as[(Long, Long)]
+      .flatMap { case (id, sh) =>
+        (0 until 4).iterator.map { i =>
+          // chunk index folded above the 16 chunk-value bits → buckets from
+          // different chunk positions can never collide
+          val key = (i.toLong << 16) | ((sh >>> (i * 16)) & 0xFFFFL)
+          (key, id, sh)
+        }
+      }
+    chunked.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val out = Array.newBuilder[(Long, Long, Int)]
+      var i = 0
+      while (i < rows.length) {
+        var j = i + 1
+        while (j < rows.length) {
+          if (rows(i)._2 != rows(j)._2) {
+            val h = java.lang.Long.bitCount(rows(i)._3 ^ rows(j)._3)
+            if (h <= maxHamming) out += ((rows(i)._2, rows(j)._2, h))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b", "hamming").distinct()
   }
 
   // ---- embedding cosine near-dup -------------------------------------------
