@@ -446,6 +446,22 @@ object Queries {
                round(lo + (g.bucket + 1) * ((hi - lo) / 10), 4) AS bin_hi
              FROM g LEFT JOIN c USING (bucket) ORDER BY 1""")),
 
+    // ---- categorical histogram: counts over category×strata completion ----
+    QueryDef("q_hist_categorical",
+      (s, d) => PlotData.histogramCategorical(orders(s, d), "o_orderpriority",
+          strata = Seq("o_orderstatus"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""WITH cats AS (SELECT DISTINCT o_orderpriority FROM orders
+               WHERE o_orderpriority IS NOT NULL),
+             combos AS (SELECT DISTINCT o_orderstatus FROM orders),
+             c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+               FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2)
+             SELECT combos.o_orderstatus, cats.o_orderpriority,
+               coalesce(cnt, 0) AS cnt
+             FROM combos CROSS JOIN cats
+             LEFT JOIN c USING (o_orderstatus, o_orderpriority)
+             ORDER BY o_orderstatus, o_orderpriority""")),
+
     // ---- 2-D scatter binning ----------------------------------------------
     QueryDef("q_scatter_bins",
       (s, d) => PlotData.scatterBins(lineitem(s, d), "l_quantity", "l_discount", 10)
@@ -784,6 +800,36 @@ object Queries {
                WHERE doc_id % 10 = 0)
              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
              FROM t GROUP BY text ORDER BY doc_id""")),
+
+    // ---- exact-dedup victim listing (window path) -------------------------
+    QueryDef("q_dedup_dups",
+      (s, d) => {
+        val docs = documents(s, d)
+        val withDups = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id") + 1000000, col("text")))
+        graft.pipeline.Dedup.exactDuplicates(withDups, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents
+               WHERE doc_id % 10 = 0),
+             r AS (SELECT doc_id, row_number() OVER (PARTITION BY text
+               ORDER BY doc_id) AS rn FROM t)
+             SELECT doc_id FROM r WHERE rn > 1 ORDER BY doc_id""")),
+
+    // ---- subword-count proxy (tokenizer load estimation) ------------------
+    QueryDef("q_subwords",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        documents(s, d).select(col("doc_id"),
+            subwordCount(col("text")).as("n_subwords"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+               x -> greatest(ceil(length(x) / 4.0), 1)))::BIGINT AS n_subwords
+             FROM documents ORDER BY doc_id""")),
 
     // ---- exact n-gram Jaccard near-dup pairs ------------------------------
     QueryDef("q_ngram_jaccard",
