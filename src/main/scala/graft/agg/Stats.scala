@@ -281,12 +281,26 @@ object Stats {
     * global window — the window formulation moved the entire input into
     * a single partition per column. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val clean = df.na.drop(cols)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
-    val ranked = cols.indices.foldLeft(clean)((d, i) => rankColumn(d, i))
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield corr(col(cols(i)), col(cols(j))).as(s"${cols(i)}__${cols(j)}")
-    ranked.agg(pairs.head, pairs.tail: _*)
+    // each pass's output is consumed ~3× (the next sort's range-bounds
+    // sample, its counts job, and execution proper) — persist intermediates
+    // and materialize the (tiny) matrix eagerly so they can be released
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val ranked = cols.indices.foldLeft(clean) { (d, i) =>
+        val r = rankColumn(d, i)
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += r
+        r
+      }
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield corr(col(cols(i)), col(cols(j))).as(s"${cols(i)}__${cols(j)}")
+      val result = ranked.agg(pairs.head, pairs.tail: _*)
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally cached.foreach(_.unpersist(false))
   }
 }
