@@ -92,6 +92,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: simhashDedup equals brute-force chunk-share + hamming") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = Gen.listOfN(25, Gen.listOfN(6, word).map(_.mkString(" ")))
+    for (texts <- samples(gen, 2)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val fast = graft.pipeline.Dedup.simhashDedup(df, "id", "t", maxHamming = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      // brute force: local signatures, pairs sharing >= 1 of the 4 chunks
+      val sigs = df.select(col("id"),
+          graft.pipeline.Dedup.simhash(col("t")).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val slow = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        (ida, sa) = sigs(i); (idb, sb) = sigs(j)
+        share = (0 until 4).exists(c =>
+          ((sa >>> (c * 16)) & 0xFFFFL) == ((sb >>> (c * 16)) & 0xFFFFL))
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if share && h <= 20
+      } yield (ida, idb, h)).sorted.toSeq
+      assert(fast == slow)
+    }
+  }
+
   test("property: fencing caps into learned fences, preserves in-fence rows") {
     import spark.implicits._
     samples(doubles, 5).filter(_.size >= 4).foreach { vs =>
