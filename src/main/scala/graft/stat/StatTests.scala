@@ -159,6 +159,40 @@ object StatTests {
     }
   }
 
+  /** Approximate one-sample KS for the 100-TB path: the ECDF is sampled at
+    * `m` sketch quantiles (ONE mergeable approx_percentile aggregation —
+    * no global sort, bounded memory), and the sup-deviation is evaluated
+    * driver-side at those points. Error vs the exact statistic is bounded
+    * by ~1/m + the sketch's rank error (1/accuracy); with the defaults
+    * that is ≈ 2e-3 absolute. Use `ksTestMulti` when exactness matters. */
+  def ksTestApprox(df: DataFrame, c: String,
+                   dists: Seq[(String, String, Seq[Double])],
+                   m: Int = 1024, accuracy: Int = 10000): Seq[(String, KsResult)] = {
+    val ps = Array.tabulate(m + 1)(i => i.toDouble / m)
+    val psSql = ps.mkString("array(", ", ", ")")
+    val row = df.select(col(c).cast("double").as("v")).na.drop()
+      .agg(expr(s"approx_percentile(v, $psSql, $accuracy)").as("qs"),
+        count(lit(1)).as("n"))
+      .head()
+    if (row.isNullAt(0)) return dists.map { case (label, _, _) =>
+      label -> KsResult(Double.NaN, Double.NaN)
+    }
+    val qs = row.getSeq[Double](0)
+    val n = row.getLong(1)
+    val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+    dists.map { case (label, name, params) =>
+      val rd = distributionFor(name, params)
+      var d = 0.0
+      var i = 0
+      while (i <= m) {
+        val dev = math.abs(rd.cumulativeProbability(qs(i)) - i.toDouble / m)
+        if (dev > d) d = dev
+        i += 1
+      }
+      label -> KsResult(d, 1.0 - ks.cdf(d, n.toInt))
+    }
+  }
+
   private[stat] def distributionFor(dist: String, params: Seq[Double]): RealDistribution =
     (dist, params.toList) match {
       case ("norm", m :: s :: Nil)    => new NormalDistribution(m, s)

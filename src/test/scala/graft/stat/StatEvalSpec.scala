@@ -64,6 +64,26 @@ class StatEvalSpec extends SparkSpec {
     assert(math.abs(multi("n").pValue - n1.pValue) < 1e-6)
   }
 
+  test("ksTestApprox tracks the exact statistic within its error bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(5000)(rnd.nextGaussian()).toDF("v")
+    val dists = Seq(
+      ("norm01", "norm", Seq(0.0, 1.0)),
+      ("uniform", "uniform", Seq(-4.0, 4.0)))
+    val exact = StatTests.ksTestMulti(data, "v", dists).toMap
+    val approx = StatTests.ksTestApprox(data, "v", dists, m = 512).toMap
+    dists.foreach { case (label, _, _) =>
+      val e = exact(label).statistic
+      val a = approx(label).statistic
+      assert(math.abs(e - a) < 1.0 / 512 + 2e-3,
+        s"$label exact=$e approx=$a")
+    }
+    // and the decision agrees: normal accepted, uniform strongly rejected
+    assert(approx("norm01").pValue > 0.01)
+    assert(approx("uniform").pValue < 1e-6)
+  }
+
   test("confusion matrix counts sum to n and match manual counts") {
     import spark.implicits._
     val df = Seq((0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.2, 0.0),
