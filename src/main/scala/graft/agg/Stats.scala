@@ -281,16 +281,21 @@ object Stats {
     * global window — the window formulation moved the entire input into
     * a single partition per column. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrSpearman needs at least two columns")
     val spark = df.sparkSession
     val clean = df.na.drop(cols)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
     // each pass's output is consumed ~3× (the next sort's range-bounds
     // sample, its counts job, and execution proper) — persist intermediates
-    // and materialize the (tiny) matrix eagerly so they can be released
+    // and materialize the (tiny) matrix eagerly so they can be released.
+    // Only a sliding window of one cached pass is live: once pass i+1's
+    // eager counts job has run, downstream jobs reuse ITS sort shuffle and
+    // pass i's cache is dead — unpersist it immediately, not at the end.
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val ranked = cols.indices.foldLeft(clean) { (d, i) =>
-        val r = rankColumn(d, i)
+        val r = rankColumn(d, i) // runs the counts job on d eagerly
+        cached.lastOption.foreach(_.unpersist(false))
         r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached += r
         r

@@ -88,7 +88,8 @@ object Dedup {
     Similarity.requireIntegralId(df, idCol, "shingled")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    df.na.drop(Seq(idCol, textCol)) // null rows can't shingle or join
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         shinglesOf(text, n).map(sh => (id, hash64(sh)))
@@ -101,7 +102,8 @@ object Dedup {
                       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) => shinglesOf(text, n).map(sh => (id, sh)) }
       .toDF("__id", "sh")
@@ -148,7 +150,8 @@ object Dedup {
     // one string hash per shingle, numHashes affine derivations (universal
     // hashing) — 60× fewer string hashes than hashing per (shingle, seed),
     // and a tight JIT'd loop instead of interpreted HOF evaluation
-    val banded = df.select(col(idCol).cast("long"), col(textCol))
+    val banded = df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val shs = shinglesOf(text, shingleSize)
@@ -185,21 +188,31 @@ object Dedup {
     * shuffle BOTH sides), pairs emitted from a JIT'd nested loop per
     * posting list. A key's posting list is materialized, and an f-frequent
     * key emits f²/2 pairs — the same quadratic blowup a self-join has; at
-    * scale, stop-list ultra-frequent keys before calling. */
-  private[graft] def pairsByKey(keyed: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    * scale, stop-list ultra-frequent keys before calling, or bound memory
+    * with `maxPostingList` (over-cap lists are SKIPPED — only acceptable
+    * for candidate generation, never for exact joins, hence the
+    * exact-friendly unbounded default). */
+  private[graft] def pairsByKey(keyed: org.apache.spark.sql.Dataset[(Long, Long)],
+                                maxPostingList: Int = Int.MaxValue): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val ids = it.map(_._2).toArray
-      java.util.Arrays.sort(ids)
-      val out = Array.newBuilder[(Long, Long)]
-      var i = 0
-      while (i < ids.length) {
-        var j = i + 1
-        while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
-        i += 1
+      // cap + 1 would overflow at the unbounded default — saturate instead
+      val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
+                  else maxPostingList + 1
+      val ids = it.map(_._2).take(limit).toArray
+      if (ids.length > maxPostingList) Iterator.empty
+      else {
+        java.util.Arrays.sort(ids)
+        val out = Array.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out.result().iterator
       }
-      out.result().iterator
     }.toDF("id_a", "id_b")
   }
 
@@ -295,11 +308,11 @@ object Dedup {
     * (chunkKey, id, signature) rows, pairs emitted filtered, deduped
     * across chunks. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1 << 20): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "simhashDedup")
     val spark = df.sparkSession
     import spark.implicits._
-    val chunked = df
+    val chunked = df.na.drop(Seq(idCol, textCol))
       .select(col(idCol).cast("long"), simhash(col(textCol)))
       .as[(Long, Long)]
       .flatMap { case (id, sh) =>
@@ -311,7 +324,13 @@ object Dedup {
         }
       }
     chunked.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val rows = it.toArray.sortBy(_._2)
+      // maxBucket bounds the materialized posting list: an over-cap chunk
+      // bucket means a degenerate near-identical mass (exact-dedup it
+      // first) and is skipped rather than OOMing the executor
+      val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
+      val rows = it.take(limit).toArray.sortBy(_._2)
+      if (rows.length > maxBucket) Iterator.empty
+      else {
       val out = Array.newBuilder[(Long, Long, Int)]
       var i = 0
       while (i < rows.length) {
@@ -326,6 +345,7 @@ object Dedup {
         i += 1
       }
       out.result().iterator
+      }
     }.toDF("id_a", "id_b", "hamming").distinct()
   }
 
@@ -372,12 +392,13 @@ object Dedup {
     * size stays bounded (≈ n / 2^bits) — more bits = faster + lower recall.
     * Interpreted HOF cosines per candidate pair cost ~50× this loop. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+                     threshold: Double = 0.95, bits: Int = 8,
+                     maxBucket: Int = 1 << 20): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "embeddingDedup")
     val spark = df.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
-    val assigned = df
+    val assigned = df.na.drop(Seq(idCol, vecCol))
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -400,7 +421,11 @@ object Dedup {
         }
       }
     assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val rows = it.toArray.sortBy(_._2)
+      // see simhashDedup: cap bounds per-bucket materialization
+      val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
+      val rows = it.take(limit).toArray.sortBy(_._2)
+      if (rows.length > maxBucket) Iterator.empty
+      else {
       val out = Array.newBuilder[(Long, Long, Double)]
       var i = 0
       while (i < rows.length) {
@@ -418,6 +443,7 @@ object Dedup {
         i += 1
       }
       out.result().iterator
+      }
     }.toDF("id_a", "id_b", "cos")
   }
 }

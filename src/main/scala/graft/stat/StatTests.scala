@@ -101,6 +101,24 @@ object StatTests {
 
   final case class KsResult(statistic: Double, pValue: Double)
 
+  /** One-sample KS p-value. Exact commons-math CDF for int-range n; the
+    * asymptotic Kolmogorov distribution beyond that (n.toInt would wrap —
+    * exactly the regime the sketch variant exists for). */
+  private def ksPValue(d: Double, n: Long): Double =
+    if (n <= Int.MaxValue)
+      1.0 - new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+        .cdf(d, n.toInt)
+    else {
+      val z = math.sqrt(n.toDouble) * d
+      var sum = 0.0
+      var k = 1
+      while (k <= 100) {
+        sum += (if (k % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * k * k * z * z)
+        k += 1
+      }
+      math.min(1.0, math.max(0.0, 2.0 * sum))
+    }
+
   /** One-sample KS against SEVERAL distributions from ONE distributed
     * sort: the column is sorted and indexed once, then every CDF's
     * sup-deviation is folded in the same pass (mllib's testOneSample
@@ -152,10 +170,9 @@ object StatTests {
     }.reduce { (a, b) =>
       Array.tabulate(a.length)(i => math.max(a(i), b(i)))
     }
-    val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
     rds.zipWithIndex.map { case ((label, _), i) =>
       val stat = sups(i)
-      label -> KsResult(stat, 1.0 - ks.cdf(stat, n.toInt))
+      label -> KsResult(stat, ksPValue(stat, n.toLong))
     }
   }
 
@@ -179,7 +196,6 @@ object StatTests {
     }
     val qs = row.getSeq[Double](0)
     val n = row.getLong(1)
-    val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
     dists.map { case (label, name, params) =>
       val rd = distributionFor(name, params)
       var d = 0.0
@@ -189,7 +205,7 @@ object StatTests {
         if (dev > d) d = dev
         i += 1
       }
-      label -> KsResult(d, 1.0 - ks.cdf(d, n.toInt))
+      label -> KsResult(d, ksPValue(d, n))
     }
   }
 
