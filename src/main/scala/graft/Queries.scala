@@ -177,6 +177,16 @@ object Queries {
              count(DISTINCT l_partkey) AS l_partkey,
              count(DISTINCT l_returnflag) AS l_returnflag FROM lineitem""")),
 
+    // ---- stratified exact distinct counts ---------------------------------
+    QueryDef("q_nunique_strat",
+      (s, d) => Stats.nuniqueExact(lineitem(s, d),
+          Seq("l_orderkey", "l_partkey"), strata = Seq("l_returnflag"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS l_orderkey,
+             count(DISTINCT l_partkey) AS l_partkey
+             FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // ---- entropy / mutual information ------------------------------------
     QueryDef("q_entropy",
       (s, d) => Stats.entropy(lineitem(s, d), "l_returnflag")
