@@ -132,7 +132,11 @@ object Clean {
     val capped = cols.foldLeft(hf.df) { (d, c) =>
       val lo = fencesRow.getAs[Double](s"${c}_lfence")
       val hi = fencesRow.getAs[Double](s"${c}_ufence")
-      d.withColumn(c, least(greatest(col(c), lit(lo)), lit(hi)))
+      // greatest/least SKIP nulls (a null input would become the bound)
+      // and order NaN above everything (least(NaN, hi) = hi) — cap only
+      // present values, keep null/NaN unchanged
+      d.withColumn(c, when(!HandyFrame.isMissing(d, c),
+        least(greatest(col(c), lit(lo)), lit(hi))).otherwise(col(c)))
     }
     val st = cols.foldLeft(hf.state) { (s, c) =>
       s.withFences(c, "", fencesRow.getAs[Double](s"${c}_lfence"),

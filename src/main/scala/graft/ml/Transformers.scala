@@ -106,7 +106,11 @@ class HandyFencer(override val uid: String)
     getFenceDict.foldLeft(df) { case (d, (c, byClause)) =>
       val chain = byClause.toSeq.sortBy(_._1).foldLeft[Option[Column]](None) {
         case (acc, (clause, (lo, hi))) =>
-          val cond = DictCodec.clauseToColumn(clause)
+          // null/NaN values stay put: greatest/least skip nulls (the raw
+          // fold would turn a null into the fence bound) and order NaN
+          // above everything (least(NaN, hi) = hi)
+          val cond = !graft.core.HandyFrame.isMissing(d, c) &&
+            DictCodec.clauseToColumn(clause)
           val capped = least(greatest(col(c), lit(lo)), lit(hi))
           Some(acc.fold(when(cond, capped))(_.when(cond, capped)))
       }

@@ -49,6 +49,25 @@ class RegressionSpec extends SparkSpec {
     assert(df.filter(DictCodec.clauseToColumn(quoted)).count() == 1)
   }
 
+  test("fencing preserves null and NaN values instead of capping them") {
+    // greatest/least skip nulls and order NaN above everything — without
+    // the guard, null becomes the bound and NaN becomes the upper fence
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 100.0, null, Double.NaN)
+      .toDF("v")
+    val fenced = Clean.fence(HandyFrame(df), Seq("v")).df.collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(fenced.count(_ == null) == 1, "null was capped away")
+    assert(fenced.count(v => v != null && v.asInstanceOf[Double].isNaN) == 1,
+      "NaN was capped away")
+
+    val rep = new HandyFencer().setFenceDict(Map("v" -> Map("" -> ((0.0, 10.0)))))
+    val out = rep.transform(df).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out.count(_ == null) == 1)
+    assert(out.count(v => v != null && v.asInstanceOf[Double].isNaN) == 1)
+    assert(out.count(v => v != null && v.asInstanceOf[Double] == 10.0) == 1) // 100 capped
+  }
+
   test("fencer replay leaves non-matching strata untouched") {
     val df = Seq(("a", 100.0), ("b", 100.0)).toDF("k", "v")
     val f = new HandyFencer().setFenceDict(Map(
