@@ -12,10 +12,17 @@ object SeriesFuncs {
   def isin(c: Column, values: Seq[Any]): Column = c.isin(values: _*)
   def isna(c: Column): Column = c.isNull
   def notna(c: Column): Column = c.isNotNull
+  // pandas clip leaves null/NaN untouched; Spark greatest/least skip nulls
+  // (null would become the bound) and order NaN above all (least(NaN, hi)
+  // = hi) — guard so only present values are clipped
+  private def present(c: Column): Column =
+    c.isNotNull && !isnan(c.cast("double"))
   def clip(c: Column, lo: Double, hi: Double): Column =
-    least(greatest(c, lit(lo)), lit(hi))
-  def clipLower(c: Column, lo: Double): Column = greatest(c, lit(lo))
-  def clipUpper(c: Column, hi: Double): Column = least(c, lit(hi))
+    when(present(c), least(greatest(c, lit(lo)), lit(hi))).otherwise(c)
+  def clipLower(c: Column, lo: Double): Column =
+    when(present(c), greatest(c, lit(lo))).otherwise(c)
+  def clipUpper(c: Column, hi: Double): Column =
+    when(present(c), least(c, lit(hi))).otherwise(c)
   /** value-map replace (pandas Series.replace with a dict). */
   def replaceValues(c: Column, mapping: Map[Any, Any]): Column =
     mapping.foldLeft(c) { case (acc, (from, to)) =>

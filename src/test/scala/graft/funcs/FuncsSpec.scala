@@ -18,6 +18,16 @@ class FuncsSpec extends SparkSpec {
     Seq(input).toDF("s").select(colExpr).head().get(0)
   }
 
+  test("clip leaves null and NaN untouched like pandas") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](5.0, -1.0, 100.0, null, Double.NaN).toDF("v")
+    val out = df.select(col("v").series.clip(0.0, 10.0)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out.count(_ == null) == 1)
+    assert(out.count(v => v != null && v.asInstanceOf[Double].isNaN) == 1)
+    assert(out.contains(0.0) && out.contains(10.0) && out.contains(5.0))
+  }
+
   test("str.join interleaves separator between chars, array join joins elements") {
     import spark.implicits._
     assert(one(col("s").str.join("-"), "abc") == "a-b-c")
