@@ -171,10 +171,14 @@ object StratifiedFrame {
           else {
             val nb = es.length - 1 // 1 for the degenerate all-equal column
             val w = (es.last - es.head) / nb
+            // null input must yield a NULL bucket (dropped by combo
+            // discovery) — without the guard, greatest(null, 0) puts every
+            // null row into bucket 0 (Spark greatest/least skip nulls)
             val idx =
               if (w == 0) when(col(c).isNotNull, lit(0))
-              else least(greatest(floor((col(c) - lit(es.head)) / lit(w)),
-                lit(0)), lit(nb - 1))
+              else when(col(c).isNotNull,
+                least(greatest(floor((col(c) - lit(es.head)) / lit(w)),
+                  lit(0)), lit(nb - 1)))
             d.withColumn(s.colName, idx.cast("int"))
           }
         case Quantile(c, _, _) =>

@@ -106,6 +106,18 @@ class RegressionSpec extends SparkSpec {
     assert(b.filter(col("num").isNull || isnan(col("num"))).count() == 0)
   }
 
+  test("Bucket excludes null values instead of silently bucketing them as 0") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("b", 2.0), ("c", 9.0), ("d", null), ("e", null)
+    ).toDF("k", "x")
+    val sf = StratifiedFrame(df, Seq(Bucket("x", 2)))
+    // null x rows must not appear in any stratum's counts
+    val total = sf.agg((d, sc) => d.groupBy(sc.map(col): _*)
+      .agg(count(lit(1)).as("n")))
+      .na.drop().collect().map(_.getLong(1)).sum
+    assert(total == 3, s"null rows leaked into buckets (counted $total)")
+  }
+
   test("Bucket on an all-equal column: single truthful stratum") {
     val df = Seq(("r", 5.0), ("s", 5.0), ("t", 5.0)).toDF("k", "x")
     val sf = StratifiedFrame(df, Seq(Bucket("x", 3)))
