@@ -281,19 +281,22 @@ object Dedup {
     * engine's other fingerprints. */
   val simhash: Column => Column = {
     val f = udf { tokens: Seq[String] =>
-      val counts = new Array[Int](64)
-      tokens.foreach { t =>
-        val h2 = hash64(t)
-        var b = 0
-        while (b < 64) {
-          if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
+      if (tokens == null) null.asInstanceOf[java.lang.Long] // null text → null
+      else {
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          val h2 = hash64(t)
+          var b = 0
+          while (b < 64) {
+            if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
         }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(sig)
       }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-      sig
     }
     c => f(TextAnalysis.tokens(c))
   }

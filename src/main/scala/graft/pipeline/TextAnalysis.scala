@@ -77,9 +77,10 @@ object TextAnalysis {
   def languageId(c: Column): Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> langScore(c, l, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
       when(sc === best && best > 0, lit(l)).otherwise(acc)
     }
+    when(c.isNotNull, pred) // null text → null, not "und"
   }
 
   /** Language ID with the scores MATERIALIZED as columns first. The
@@ -110,7 +111,7 @@ object TextAnalysis {
     val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
       when(sc === best && best > 0, lit(l)).otherwise(acc)
     }
-    withScores.withColumn(out, pred)
+    withScores.withColumn(out, when(col(textCol).isNotNull, pred))
       .drop(toksCol +: LangMarkers.map { case (l, _) => scoreCol(l) }: _*)
   }
 
