@@ -773,6 +773,35 @@ object Queries {
                round(tp / (tp + fp), 6) AS precision
              FROM c ORDER BY recall, precision""")),
 
+    // DataFrame-native trapezoid AUC (ROC + PR), oracle'd against the same
+    // trapezoid built from DuckDB lag windows over the per-score curve
+    QueryDef("q_auc",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.auc(li, "l_discount", "label")
+          .select(round(col("auc_roc"), 6).as("auc_roc"),
+            round(col("auc_pr"), 6).as("auc_pr"))
+      },
+      Some("""WITH sl AS (SELECT l_discount AS score,
+               (l_returnflag = 'R')::INT AS label FROM lineitem),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY score),
+             c AS (SELECT score,
+               sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p, sum(neg) OVER () AS n FROM per),
+             seg AS (SELECT tp, fp, p, n,
+               coalesce(lag(tp) OVER (ORDER BY score DESC), 0) AS tp0,
+               coalesce(lag(fp) OVER (ORDER BY score DESC), 0) AS fp0 FROM c)
+             SELECT
+               round(sum((fp - fp0) * (tp + tp0) / 2) / (max(p) * max(n)), 6)
+                 AS auc_roc,
+               round(sum((tp - tp0) / p * (tp / (tp + fp) +
+                 CASE WHEN tp0 + fp0 = 0 THEN tp / (tp + fp)
+                      ELSE tp0 / (tp0 + fp0) END) / 2), 6) AS auc_pr
+             FROM seg""")),
+
     // ---- vector/array disassemble -----------------------------------------
     QueryDef("q_disassemble",
       (s, d) => {
@@ -1032,7 +1061,36 @@ object Queries {
     // exercises the real Spark-side contract — binary column + typed
     // metadata struct, mapPartitions batch decode, explode frame sampling —
     // in the driver flow; rows-only since the stub hash is engine-specific.
+    // REAL image decode, hash-checked end-to-end: each doc gets a
+    // deterministic 8×4 grayscale PNG test pattern; javax.imageio decodes
+    // it and the pooled luminance features must reproduce the analytic
+    // formula the oracle computes directly from doc_id. PNG is lossless,
+    // so any drift in decode/pooling breaks the hash.
     QueryDef("q_multimodal",
+      (s, d) => {
+        import graft.pipeline.Multimodal._
+        val pngOf = udf((id: Long) => syntheticPng(id))
+        val media = asMediaFrame(
+          documents(s, d).select("doc_id").withColumn("payload",
+            pngOf(col("doc_id"))),
+          "doc_id", "payload", "png")
+        decodeAndExtract(media, dim = 8)
+          .select(col("media_id").as("doc_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            posexplode(col("features")).as(Seq("bucket", "feat")))
+          .select(col("doc_id"), col("width"), col("height"), col("bucket"),
+            round(col("feat"), 6).as("feat"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""SELECT d.doc_id, 8 AS width, 4 AS height,
+             CAST(p // 4 AS INT) AS bucket,
+             round(avg(((d.doc_id * 7 + p * 13) % 256) / 255.0), 6) AS feat
+             FROM documents d CROSS JOIN generate_series(0, 31) AS t(p)
+             GROUP BY 1, 2, 3, 4 ORDER BY doc_id, bucket""")),
+
+    // frame-sampling / resize plumbing retained as a rows-only query (the
+    // stub feature path — audio/video codecs aren't in this container)
+    QueryDef("q_multimodal_frames",
       (s, d) => {
         import graft.pipeline.Multimodal._
         val media = asMediaFrame(

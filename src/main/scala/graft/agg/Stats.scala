@@ -168,27 +168,56 @@ object Stats {
     val withMarg = joint
       .join(broadcast(m0), Seq(c0))
       .join(broadcast(m1), Seq(c1))
+    // n as a scalar agg crossJoined in (exactly the oracle's shape) — a
+    // partial/final count, never a single-partition window stage
+    val n = clean.agg(count(lit(1)).cast("double").as("n"))
     withMarg
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .crossJoin(broadcast(n))
       .agg(sum(log2(col("cnt") * col("n") / (col("c0") * col("c1"))) *
         col("cnt") / col("n")).as("mutual_info"))
   }
 
-  /** Full pairwise mutual-information matrix over categorical columns
-    * (reference mutual_info computes all pairs; diagonal = entropy,
-    * dataframe.py:687-734). One MI job per pair — each a joint groupBy
-    * plus broadcast marginals. */
+  /** Full pairwise mutual-information matrix over categorical columns in
+    * ONE fused pass (reference mutual_info computes all pairs; diagonal =
+    * entropy, dataframe.py:687-734). Every input row explodes into its
+    * (i ≤ j) column-pair cells, and a single groupBy((i,j,vi,vj)) computes
+    * every pair's joint counts in one shuffle — previously one Spark job
+    * per pair, O(k²) scans of the input. The grouped cell frame is bounded
+    * by Σ_pairs card_i·card_j (EDA-scale) and is finished on the driver:
+    * marginals fold out of the joint cells, so nothing re-reads the input.
+    * Per-pair null semantics match mutualInfo/entropy (a row is dropped
+    * for a pair iff either of THAT pair's values is null). */
   def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
-    val offDiag = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield {
-      val mi = mutualInfo(df, cols(i), cols(j)).head().getAs[Double]("mutual_info")
-      (cols(i), cols(j), mi)
+    val idx = cols.indices
+    val pairCells = array((for { i <- idx; j <- idx if i <= j } yield
+      struct(lit(i).as("i"), lit(j).as("j"),
+        col(cols(i)).cast("string").as("vi"),
+        col(cols(j)).cast("string").as("vj"))): _*)
+    val cells = df.select(explode(pairCells).as("p"))
+      .filter(col("p.vi").isNotNull && col("p.vj").isNotNull)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.vi").as("vi"), col("p.vj").as("vj"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .collect()
+    def log2d(x: Double): Double = math.log(x) / math.log(2.0)
+    val out = cells.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq.map {
+      case ((i, j), rs) =>
+        // sort cells by value so the float fold is deterministic
+        val sorted = rs.map(r => (r.getString(2), r.getString(3), r.getDouble(4)))
+          .sortBy(t => (t._1, t._2))
+        val n = sorted.map(_._3).sum
+        val mi =
+          if (i == j) sorted.map { case (_, _, c) => -c / n * log2d(c / n) }.sum
+          else {
+            val mI = sorted.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._3).sum }
+            val mJ = sorted.groupBy(_._2).map { case (v, cs) => v -> cs.map(_._3).sum }
+            sorted.map { case (vi, vj, c) =>
+              c / n * log2d(c * n / (mI(vi) * mJ(vj)))
+            }.sum
+          }
+        (cols(i), cols(j), mi)
     }
-    val diag = cols.map { c =>
-      (c, c, entropy(df, c).head().getAs[Double](s"${c}_entropy"))
-    }
-    (diag ++ offDiag).sortBy(t => (t._1, t._2))
+    out.sortBy(t => (t._1, t._2))
   }
 
   /** Pairwise Pearson correlations over numeric columns in ONE aggregation

@@ -24,7 +24,8 @@ object Clean {
     * ("" for global). One grouped agg (plus one for Mode) regardless of the
     * number of strata — the 100-TB grouped path. */
   def fill(hf: HandyFrame, strategy: FillStrategy, cols: Seq[String],
-           strata: Seq[StratumSpec] = Nil): HandyFrame = {
+           strata: Seq[StratumSpec] = Nil): HandyFrame =
+      graft.util.Errors.context(s"fill($strategy)", cols) {
     val df = hf.df
     if (strata.isEmpty) {
       val values: Map[String, Any] = strategy match {
@@ -127,7 +128,8 @@ object Clean {
 
   /** Learn fences and cap values into [lfence, ufence] via
     * greatest/least (reference dataframe.py:598-631). Global version. */
-  def fence(hf: HandyFrame, cols: Seq[String], k: Double = 1.5): HandyFrame = {
+  def fence(hf: HandyFrame, cols: Seq[String], k: Double = 1.5): HandyFrame =
+      graft.util.Errors.context("fence", cols) {
     val fencesRow = calcFences(hf.df, cols, k).head()
     val capped = cols.foldLeft(hf.df) { (d, c) =>
       val lo = fencesRow.getAs[Double](s"${c}_lfence")

@@ -11,8 +11,19 @@ import graft.agg.Stats
   */
 final case class HandyColumns(hf: HandyFrame, selector: Seq[String]) {
 
-  private def names: Seq[String] =
-    selector.flatMap(s => ColumnClasses.resolve(hf.schema, s)).distinct
+  private def names: Seq[String] = {
+    val resolved =
+      selector.flatMap(s => ColumnClasses.resolve(hf.schema, s)).distinct
+    val missing = resolved.filterNot(hf.schema.fieldNames.contains)
+    // fail HERE with the framed summary (reference HANDY EXCEPTION SUMMARY,
+    // util.py:42-92) instead of letting Spark's analysis error surface
+    // three operators later
+    graft.util.Errors.context("cols", selector)(
+      require(missing.isEmpty,
+        s"unknown column(s) ${missing.mkString(", ")}; available: " +
+          hf.schema.fieldNames.mkString(", ")))
+    resolved
+  }
 
   private def df: DataFrame = hf.df
 

@@ -131,6 +131,43 @@ final case class HandyFrame(df: DataFrame, state: HandyState = HandyState()) {
     copy(df = grouped.toDF())
   }
 
+  /** `_gen_row_ids` analog (reference sql/dataframe.py:973-978 — marked
+    * "experimental, DO NOT USE" there because monotonically-increasing ids
+    * are plan-dependent). Here: contiguous 0-based ids via zipWithIndex
+    * over the CURRENT plan ordering — deterministic for a given plan, but
+    * ids are NOT stable across re-optimization; same caveat applies and is
+    * why the reference marks it experimental. */
+  def genRowIds(idCol: String = "__row_id"): HandyFrame = {
+    val withId = df.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    val schema2 = StructType(df.schema.fields :+
+      StructField(idCol, LongType, nullable = false))
+    copy(df = df.sparkSession.createDataFrame(withId, schema2))
+  }
+
+  /** `_loc` analog (reference sql/dataframe.py:979-985, same experimental
+    * caveat): rows with row-id in [start, endExclusive). The id assignment
+    * is one zipWithIndex pass; the range filter prunes whole partitions by
+    * their id offsets before touching rows. */
+  def loc(start: Long, endExclusive: Long): DataFrame = {
+    val rdd = df.rdd
+    // per-partition counts → id offsets, so out-of-range partitions are
+    // skipped wholesale rather than streamed
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      Iterator.single((pi, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val sel = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val base = offsets(pi)
+      if (base >= endExclusive || base + counts(pi) <= start) Iterator.empty
+      else it.zipWithIndex.collect {
+        case (r, i) if base + i >= start && base + i < endExclusive => r
+      }
+    }
+    df.sparkSession.createDataFrame(sel, df.schema)
+  }
+
   /** Stratify — enter the reference's signature dataflow operator. */
   def stratify(specs: graft.strata.StratumSpec*): graft.strata.StratifiedFrame =
     graft.strata.StratifiedFrame(df, specs.toSeq)

@@ -32,17 +32,19 @@ object BinaryMetrics {
       .na.drop(Seq("score", "label"))
   }
 
-  /** Per-threshold confusion counts: threshold, tp, fp, fn, tn, plus
-    * fpr / recall(tpr) / precision. Thresholds are the distinct scores,
-    * descending (mllib semantics: predict positive when score >= t). */
-  def curveData(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  /** Shared distributed-cumulative scaffolding: per-score (pos, neg)
+    * counts range-sorted by descending score, plus the per-partition
+    * cumulative offsets (so partition k can start its running tp/fp at the
+    * exact totals of partitions 0..k-1) and the grand totals P and N. One
+    * sort shuffle, reused by both the offsets pass and the caller's pass. */
+  private def cumScaffold(df: DataFrame, scoreCol: String, labelCol: String)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+         Array[Double], Array[Double], Double, Double) = {
     val spark = df.sparkSession
     val sl = scoreAndLabels(df, scoreCol, labelCol)
     val perScore = sl.groupBy(col("score")).agg(
       sum(col("label")).cast("double").as("pos"),
       (count(lit(1)) - sum(col("label"))).cast("double").as("neg"))
-    // distributed cumulative tp/fp over descending score: range sort, then
-    // per-partition running sums seeded with the collected partition totals
     val np = spark.sessionState.conf.numShufflePartitions
     val sorted = perScore
       .repartitionByRange(np, col("score").desc)
@@ -55,7 +57,15 @@ object BinaryMetrics {
     }.collect().sortBy(_._1).map(_._2)
     val posOff = partTotals.map(_._1).scanLeft(0.0)(_ + _)
     val negOff = partTotals.map(_._2).scanLeft(0.0)(_ + _)
-    val (p, n) = (posOff.last, negOff.last)
+    (rdd, posOff, negOff, posOff.last, negOff.last)
+  }
+
+  /** Per-threshold confusion counts: threshold, tp, fp, fn, tn, plus
+    * fpr / recall(tpr) / precision. Thresholds are the distinct scores,
+    * descending (mllib semantics: predict positive when score >= t). */
+  def curveData(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val (rdd, posOff, negOff, p, n) = cumScaffold(df, scoreCol, labelCol)
     val cum = rdd.mapPartitionsWithIndex { (pi, it) =>
       var tp = posOff(pi)
       var fp = negOff(pi)
@@ -120,6 +130,60 @@ object BinaryMetrics {
       sum(((pred === 1) && (lbl === 0)).cast("long")).as("fp"),
       sum(((pred === 0) && (lbl === 1)).cast("long")).as("fn"),
       sum(((pred === 1) && (lbl === 1)).cast("long")).as("tp"))
+  }
+
+  /** DataFrame-native AUC under the ROC and PR curves by trapezoid over
+    * the score-descending curve (reference extensions/evaluation.py:8-58
+    * reaches these through the mllib adapter). Same distributed cumulative
+    * pass as `curveData`; each partition folds its rows' trapezoid
+    * contributions locally, so only #partitions partial sums reach the
+    * driver — no global window, and the curve itself is never
+    * materialized. Matches mllib's semantics exactly: ROC is anchored at
+    * (0,0) (the final curve point already IS (1,1)); PR prepends (0, p₁)
+    * where p₁ is the precision at the highest threshold. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (rdd, posOff, negOff, p, n) = cumScaffold(df, scoreCol, labelCol)
+    val partials = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var tp = posOff(pi)
+      var fp = negOff(pi)
+      var rocArea = 0.0
+      var prArea = 0.0
+      it.foreach { r =>
+        val tp0 = tp; val fp0 = fp
+        tp += r.getDouble(1)
+        fp += r.getDouble(2)
+        rocArea += (fp - fp0) * (tp + tp0) / 2
+        val prec = tp / (tp + fp)
+        // the global first curve point has no predecessor: mllib's PR curve
+        // prepends (0, p₁), i.e. prev precision = own precision there
+        val prec0 = if (tp0 + fp0 == 0) prec else tp0 / (tp0 + fp0)
+        prArea += (tp - tp0) / p * (prec + prec0) / 2
+      }
+      Iterator.single((pi, rocArea, prArea))
+    }.collect().sortBy(_._1)
+    Seq((partials.map(_._2).sum / (p * n), partials.map(_._3).sum))
+      .toDF("auc_roc", "auc_pr")
+  }
+
+  /** Formatted Actual/Predicted confusion table (reference
+    * print_confusion_matrix, extensions/evaluation.py:97-116: predicted
+    * classes in columns ascending, actuals in rows, pandas-style
+    * two-level header). One distributed agg for the counts; the frame is
+    * local string formatting. */
+  def printConfusionMatrix(df: DataFrame, scoreCol: String, labelCol: String,
+                           threshold: Double = 0.5): String = {
+    val r = confusionMatrix(df, scoreCol, labelCol, threshold).head()
+    val (tn, fp, fn, tp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val w = math.max(5, Seq(tn, fp, fn, tp).map(_.toString.length).max + 2)
+    def cell(s: String) = s.reverse.padTo(w, ' ').reverse
+    val header1 = " " * 12 + cell("Predicted") + cell("")
+    val header2 = " " * 12 + cell("0.0") + cell("1.0")
+    val row0 = "Actual 0.0  " + cell(tn.toString) + cell(fp.toString)
+    val row1 = "       1.0  " + cell(fn.toString) + cell(tp.toString)
+    Seq(header1, header2, row0, row1).mkString("\n")
   }
 
   /** mllib adapter for AUC metrics (areaUnderROC/areaUnderPR). */

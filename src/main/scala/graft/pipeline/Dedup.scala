@@ -216,13 +216,44 @@ object Dedup {
     }.toDF("id_a", "id_b")
   }
 
+  /** Candidate pairs from the shingle inverted index with an explicit
+    * document-frequency stop-list: shingles appearing in more than `maxDf`
+    * documents are dropped BEFORE pair generation. An f-frequent shingle
+    * emits f²/2 pairs, so one stop-list pass removes the quadratic blowup
+    * at its source and recall degrades PREDICTABLY — a pair is missed only
+    * when every shingle it shares is stop-listed (i.e. its overlap is pure
+    * boilerplate) — unlike `maxPostingList`, which truncates whole keys
+    * silently at an arbitrary memory bound. The stop-list itself is tiny by
+    * construction (only ultra-frequent shingles exceed a high `maxDf`), so
+    * it is applied as a broadcast anti-join: no extra shuffle of the
+    * posting stream. */
+  def ngramCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      maxDf: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // shingled() dedups shingles per doc, so count(*) per shingle == df
+    val sh = shingled(df, idCol, textCol, n)
+    val stop = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("sh")
+    val kept = sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    pairsByKey(kept.select(col("sh"), col("__id")).as[(Long, Long)]).distinct()
+  }
+
   /** Exact n-gram Jaccard. With `candidates` the verify is CANDIDATE-DRIVEN:
     * shingles are attached to each candidate pair and matched — cost is
     * |candidates| × shingles-per-doc, never the shingle-frequency-quadratic
     * all-pairs join. Without candidates it is the exact all-pairs path
-    * (shingle-inverted-index self-join). */
+    * (shingle-inverted-index self-join); a finite `maxDf` routes it through
+    * the stop-listed candidate generator (`ngramCandidates`) followed by
+    * the exact candidate-driven verify — jaccard values stay exact for
+    * every surviving pair, only pairs whose entire overlap is stop-listed
+    * boilerplate are missed. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   candidates: Option[DataFrame] = None): DataFrame = {
+                   candidates: Option[DataFrame] = None,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    if (candidates.isEmpty && maxDf != Int.MaxValue)
+      return ngramJaccard(df, idCol, textCol, n,
+        Some(ngramCandidates(df, idCol, textCol, n, maxDf)))
     // with candidates: only the docs that appear in a candidate pair get
     // shingled — the verify cost tracks |candidates|, not corpus size
     val source = candidates match {
@@ -379,51 +410,69 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
 
   /** Deterministic pseudo-random hyperplanes (components uniform in
-    * [-0.5, 0.5), seeded from (bit, index) — no stored model, any executor
-    * can regenerate them). */
-  private[pipeline] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    * [-0.5, 0.5), seeded from (table, bit, index) — no stored model, any
+    * executor can regenerate them). */
+  private[pipeline] def hyperplanes(bits: Int, dim: Int,
+                                    table: Int = 0): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (b, i) =>
-      (splitmix(b.toLong * 1000003L + i) >>> 11) / (1L << 53).toDouble - 0.5
+      (splitmix((table.toLong * 10007L + b) * 1000003L + i) >>> 11) /
+        (1L << 53).toDouble - 0.5
     }
 
   /** Embedding near-dup pairs above a cosine threshold. Buckets first
-    * (pure map — signature + norm in one tight JVM pass per row), then
+    * (pure map — signatures + norm in one tight JVM pass per row), then
     * exact cosine ONLY within buckets via a per-bucket nested loop after
-    * one shuffle on the bucket key. Each pair lives in exactly one bucket
-    * (the key is the full signature), so no distinct is needed. The
-    * per-bucket group is materialized: pick `bits` so the expected bucket
-    * size stays bounded (≈ n / 2^bits) — more bits = faster + lower recall.
+    * one shuffle on the bucket key.
+    *
+    * RECALL is governed by the standard multi-table LSH S-curve: a pair at
+    * cosine c collides in one table with p(c)^bits where
+    * p(c) = 1 − arccos(c)/π, and is caught by AT LEAST one of `tables`
+    * independent signature tables with 1 − (1 − p^bits)^tables. One table
+    * of 4 bits catches only ~15% of 0.4-cosine pairs (measured,
+    * RecallSpec); 8 tables of 8 bits catch ~99% of 0.95-cosine pairs.
+    * `tables` multiplies the shuffled row count — the exact-verify work
+    * stays deduped because a pair found in several tables is distinct'd.
+    * With tables=1 each pair lives in exactly one bucket and the distinct
+    * is skipped. The per-bucket group is materialized: pick `bits` so the
+    * expected bucket size stays bounded (≈ n / 2^bits) — more bits =
+    * faster + lower per-table recall (compensate with more tables).
     * Interpreted HOF cosines per candidate pair cost ~50× this loop. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.95, bits: Int = 8,
-                     maxBucket: Int = 1 << 20): DataFrame = {
+                     maxBucket: Int = 1 << 20, tables: Int = 1): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "embeddingDedup")
+    require(bits * tables <= 56, "table index + signature must fit a long key")
     val spark = df.sparkSession
     import spark.implicits._
-    val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(tables)(t => hyperplanes(bits, dim, t)))
     val assigned = df.na.drop(Seq(idCol, vecCol))
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val ps = planes.value
-        it.map { case (id, v) =>
+        val tabs = planes.value
+        it.flatMap { case (id, v) =>
           var n2 = 0.0
           var i = 0
           while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-          var bucket = 0L
-          var b = 0
-          while (b < ps.length) {
-            val p = ps(b)
-            var dot = 0.0
-            var j = 0
-            while (j < v.length) { dot += v(j) * p(j); j += 1 }
-            if (dot > 0) bucket |= (1L << b)
-            b += 1
+          tabs.iterator.zipWithIndex.map { case (ps, t) =>
+            var bucket = 0L
+            var b = 0
+            while (b < ps.length) {
+              val p = ps(b)
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j) * p(j); j += 1 }
+              if (dot > 0) bucket |= (1L << b)
+              b += 1
+            }
+            // table index folded above the signature bits: buckets from
+            // different tables can never collide
+            ((t.toLong << bits) | bucket, id, v, n2)
           }
-          (bucket, id, v, n2)
         }
       }
-    assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
+    val pairs = assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
       // see simhashDedup: cap bounds per-bucket materialization
       val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
       val rows = it.take(limit).toArray.sortBy(_._2)
@@ -448,5 +497,6 @@ object Dedup {
       out.result().iterator
       }
     }.toDF("id_a", "id_b", "cos")
+    if (tables == 1) pairs else pairs.distinct()
   }
 }

@@ -10,13 +10,82 @@ import org.apache.spark.sql.types._
   * partition-batched transforms (`mapPartitions` — the JVM analog of
   * `mapInPandas`: one buffer per batch, no per-row driver round-trips).
   *
-  * The actual codec calls are STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` produces deterministic fake features derived
-  * from the payload bytes. The Spark-side contract — schema, batch shape,
-  * partitioning, null handling — is real and tested; swap `decodeStub`
-  * for a real codec (JavaCV, TwelveMonkeys, ffmpeg-cli) to productionize.
+  * Image decode is REAL: `ImageIOCodec` uses the JDK's `javax.imageio`
+  * (PNG/JPEG/BMP/GIF — no external jars) to decode payloads into
+  * width/height metadata plus luminance features average-pooled to a fixed
+  * dimension. Payloads no codec recognizes (audio/video in this container)
+  * fall back to `decodeStub`'s deterministic fake features, keeping the
+  * Spark-side contract — schema, batch shape, partitioning, null handling
+  * — identical; swap in a JavaCV/ffmpeg-backed `MediaCodec` to extend.
   */
 object Multimodal {
+
+  /** Pluggable decoder: payload → (width, height, `dim`-pooled features),
+    * or None when the payload is not decodable by this codec. Implemented
+    * per format family; must be deterministic. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], dim: Int): Option[(Int, Int, Array[Double])]
+  }
+
+  /** Real image decode via the JDK's `javax.imageio`. Features are the
+    * luminance plane average-pooled into `dim` equal row-major pixel-index
+    * buckets — deterministic, resolution-independent, and cheap enough to
+    * run inline in the partition stream. Single-band (grayscale) images
+    * read raster samples directly (exact, no colorspace conversion); RGB
+    * images use the BT.601 luma weights. */
+  object ImageIOCodec extends MediaCodec {
+    def decode(payload: Array[Byte], dim: Int): Option[(Int, Int, Array[Double])] = {
+      if (payload == null) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val n = w * h
+          val sums = new Array[Double](dim)
+          val counts = new Array[Int](dim)
+          val raster = img.getRaster
+          val oneBand = raster.getNumBands == 1
+          var p = 0
+          while (p < n) {
+            val x = p % w; val y = p / w
+            val lum =
+              if (oneBand) raster.getSample(x, y, 0) / 255.0
+              else {
+                val rgb = img.getRGB(x, y)
+                (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)) / 255.0
+              }
+            val b = (p.toLong * dim / n).toInt
+            sums(b) += lum; counts(b) += 1
+            p += 1
+          }
+          var b = 0
+          while (b < dim) { if (counts(b) > 0) sums(b) /= counts(b); b += 1 }
+          Some((w, h, sums))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic grayscale test-pattern PNG: pixel p (row-major) carries
+    * sample `(seed*7 + p*13) % 256`. PNG is lossless, so a decode pipeline
+    * can be validated end-to-end against the analytic formula — decoded
+    * luminance is exactly sample/255. */
+  def syntheticPng(seed: Long, w: Int = 8, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      raster.setSample(p % w, p / w, 0, ((seed * 7 + p * 13) % 256).toInt)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** metadata struct carried next to every payload */
   val MetadataType: StructType = StructType(Seq(
@@ -65,6 +134,35 @@ object Multimodal {
       rows.map { r =>
         val feats = decodeStub(r.getAs[Array[Byte]](payloadIdx), dim)
         Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Decode + feature-extract with a REAL codec: decodable payloads get
+    * their true width/height written into the metadata struct and
+    * luminance-pooled features appended; payloads the codec rejects fall
+    * back to `decodeStub` features with metadata untouched. Same
+    * partition-batched shape as `extractFeatures` — one streaming pass,
+    * no shuffle. */
+  def decodeAndExtract(df: DataFrame, dim: Int = 16,
+                       codec: MediaCodec = ImageIOCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        codec.decode(payload, dim) match {
+          case Some((w, h, feats)) =>
+            val m = r.getStruct(metaIdx)
+            val newMeta = Row(m.get(0), w, h, m.get(3))
+            Row.fromSeq(r.toSeq.updated(metaIdx, newMeta) :+ feats.toSeq)
+          case None =>
+            val feats = decodeStub(payload, dim)
+            Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+        }
       }
     }(enc)
   }

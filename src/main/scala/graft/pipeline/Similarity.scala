@@ -115,13 +115,26 @@ object Similarity {
     * 12.5M pairs). Summation order is sequential ascending, so cosines
     * are bit-identical to the HOF/DuckDB formulation. O(n²)·dim compute:
     * this is deliberately the SMALL-corpus exact path; `Dedup
-    * .embeddingDedup` (hyperplane LSH buckets) is the 100-TB path. */
+    * .embeddingDedup` (hyperplane LSH buckets) is the 100-TB path.
+    *
+    * `maxRows` is a hard guard, not advice: the corpus is collected to the
+    * driver, so pointing this at a big table would OOM the driver long
+    * before the O(n²) compute hurt. The bound is checked with a
+    * `limit(maxRows+1).count()` probe — a partial scan that short-circuits
+    * — BEFORE any collect. Callers above the bound belong on
+    * `Dedup.embeddingDedup`. */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, maxRows: Int = 200000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"),
         asDouble(col(vecCol))).as[(Long, Array[Double])]
+    val probe = df.limit(maxRows + 1).count()
+    require(probe <= maxRows,
+      s"allPairsCosine is the exact small-corpus baseline (driver collect + " +
+        s"O(n^2) compute) and refuses corpora above maxRows=$maxRows rows; " +
+        s"this input has more. Use Dedup.embeddingDedup (hyperplane-LSH " +
+        s"buckets) for large corpora, or raise maxRows deliberately.")
     val local = vecs.collect().sortBy(_._1)
     val withNorm = local.map { case (id, v) =>
       var na = 0.0; var i = 0

@@ -24,21 +24,44 @@ import org.apache.spark.sql.types.StringType
   *
   * SEMANTICS GUARD: a global aggregate emits one row on EMPTY input, a
   * grouped aggregate emits none — the rewrite is only sound when every
-  * stratum value is present in the source. `StratifiedFrame` derives
-  * strata from observed combinations (presence guaranteed), so the rule
-  * is OPT-IN via `spark.graft.rewriteStrataUnion=true`.
+  * stratum value is present in the source. Two activation paths:
+  *
+  *  - EXPLICIT: `spark.graft.rewriteStrataUnion=true` rewrites every
+  *    matching union (caller asserts presence);
+  *  - AUTO: unions whose clause column is the engine's own `__stratum`
+  *    marker collapse automatically once they have more than
+  *    `spark.graft.strataUnionAutoThreshold` (default 32) children.
+  *    `StratifiedFrame.perStratum` is the only producer of that shape and
+  *    derives strata from OBSERVED combinations, so presence is guaranteed
+  *    by construction; below the threshold the per-stratum scans stay as
+  *    authored (they enjoy per-stratum predicate pushdown and the job
+  *    count is harmless).
   */
 object StrataUnionRewrite extends Rule[LogicalPlan] {
 
   private val FlagKey = "spark.graft.rewriteStrataUnion"
+  private val AutoKey = "spark.graft.strataUnionAutoThreshold"
+
+  /** the clause-column name `StratifiedFrame.perStratum` emits — the
+    * auto path's marker */
+  val StratumMarker = "__stratum"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(FlagKey, "false").toBoolean) return plan
+    val explicit = conf.getConfString(FlagKey, "false").toBoolean
+    val autoThreshold = conf.getConfString(AutoKey, "32").toInt
     plan.transformUp {
-      case u: Union if u.children.size >= 2 =>
+      case u: Union if u.children.size >= 2 &&
+          (explicit || (u.children.size > autoThreshold && isMarked(u))) =>
         tryRewrite(u).getOrElse(u)
     }
   }
+
+  /** every child's clause literal is aliased `__stratum` — i.e. this union
+    * was built by perStratum, whose strata are observed combinations */
+  private def isMarked(u: Union): Boolean =
+    u.children.forall(c => shapeOf(c).exists { s =>
+      s.aggExprs(s.clauseIdx).name == StratumMarker
+    })
 
   private case class Shape(
       aggExprs: Seq[NamedExpression], clauseIdx: Int, clauseLit: Literal,

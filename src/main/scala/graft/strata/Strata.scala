@@ -111,8 +111,23 @@ final class StratifiedFrame private[strata] (
 
   /** FILTERED path: run `f` per stratum child, recombine by union
     * (reference dataframe.py:1863, 1946-1972). With no observed strata
-    * (empty/all-null input) the result is `f`'s shape with zero rows. */
-  def perStratum(f: DataFrame => DataFrame): DataFrame =
+    * (empty/all-null input) the result is `f`'s shape with zero rows.
+    *
+    * SCALE AUTO-SWITCH: the union is O(#strata) jobs as authored. The
+    * `StrataUnionRewrite` optimizer rule is registered (idempotently) on
+    * the session here, and — keyed on the `__stratum` marker column only
+    * this method emits — automatically collapses aggregate-shaped unions
+    * into ONE grouped scan once the stratum count exceeds
+    * `spark.graft.strataUnionAutoThreshold` (default 32). Sound because
+    * `strata` holds OBSERVED combinations (a grouped aggregate can never
+    * lose a stratum that a filtered global aggregate would keep). The rule
+    * is inert for every other plan shape, so registering it does not
+    * change unrelated queries. */
+  def perStratum(f: DataFrame => DataFrame): DataFrame = {
+    val exp = df.sparkSession.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.StrataUnionRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+
+        graft.plans.StrataUnionRewrite
     if (strata.isEmpty)
       f(bucketed).withColumn("__stratum", lit("")).limit(0)
     else
@@ -122,6 +137,7 @@ final class StratifiedFrame private[strata] (
         }
         f(child).withColumn("__stratum", lit(st.clause))
       }.reduce(_.unionAll(_))
+  }
 
   /** Human-readable clause for a combination, used as statistics/fences
     * dictionary keys (tests in the reference codify these strings,

@@ -80,6 +80,25 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(mm(("u", "w")) - 1.0) < 1e-12) // identical cols
   }
 
+  test("fused mutualInfoMatrix matches per-pair mutualInfo/entropy with nulls") {
+    import spark.implicits._
+    val df3 = Seq(
+      ("a", "x", "p"), ("a", "y", null), ("b", "x", "q"), ("b", "y", "p"),
+      ("a", "x", "q"), ("b", null, "p")
+    ).toDF("u", "w", "z")
+    val cols = Seq("u", "w", "z")
+    val mm = Stats.mutualInfoMatrix(df3, cols)
+      .map(t => (t._1, t._2) -> t._3).toMap
+    for (c <- cols) {
+      val h = Stats.entropy(df3, c).head().getAs[Double](s"${c}_entropy")
+      assert(math.abs(mm((c, c)) - h) < 1e-12, s"diag $c: ${mm((c, c))} vs $h")
+    }
+    for (Seq(a, b) <- cols.combinations(2)) {
+      val mi = Stats.mutualInfo(df3, a, b).head().getAs[Double]("mutual_info")
+      assert(math.abs(mm((a, b)) - mi) < 1e-12, s"pair $a,$b: ${mm((a, b))} vs $mi")
+    }
+  }
+
   test("isNull counts nulls and NaNs on floating columns") {
     import spark.implicits._
     val withNulls = Seq[(String, java.lang.Double)](

@@ -49,6 +49,56 @@ class CoreSpec extends SparkSpec {
     assert(vc.map(_.getLong(1)).sum == 50)
   }
 
+  test("genRowIds and loc: contiguous ids, range fetch skips partitions") {
+    val hf = df.repartition(4).toHandy
+    val ids = hf.genRowIds().df.select("__row_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 50L))
+    val slice = hf.loc(10, 15)
+    assert(slice.count() == 5)
+    assert(slice.columns.toSeq == df.columns.toSeq)
+    assert(hf.loc(48, 60).count() == 2) // clamped at the end
+    assert(hf.loc(50, 60).count() == 0)
+  }
+
+  test("error prettifier frames unknown-column failures with operator context") {
+    val hf = df.toHandy
+    val e = intercept[graft.util.GraftException] {
+      hf.cols("Fare ").mean() // typo'd column, reference's canonical example
+    }
+    assert(e.summaryText.contains("GRAFT EXCEPTION SUMMARY"))
+    assert(e.summaryText.contains("Operator: cols"))
+    assert(e.summaryText.contains("Fare "))
+    assert(e.summaryText.contains("available: id, v, parity"))
+    // nested contexts keep the INNERMOST operator's summary
+    val nested = intercept[graft.util.GraftException] {
+      graft.util.Errors.context("outer")(
+        graft.util.Errors.context("inner")(sys.error("boom")))
+    }
+    assert(nested.summaryText.contains("Operator: inner"))
+    // fill names the operator and columns
+    val fe = intercept[graft.util.GraftException] {
+      graft.clean.Clean.fill(hf, graft.clean.Clean.Mean, Seq("nope"))
+    }
+    assert(fe.summaryText.contains("Operator: fill(Mean)") &&
+      fe.summaryText.contains("nope"))
+  }
+
+  test("printConfusionMatrix renders the Actual/Predicted table") {
+    import spark.implicits._
+    val scored = Seq((0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0),
+      (0.2, 0.0), (0.1, 0.0)).toDF("score", "label")
+    val s = graft.eval.BinaryMetrics.printConfusionMatrix(
+      scored, "score", "label", 0.5)
+    val lines = s.split("\n")
+    assert(lines.length == 4)
+    assert(lines(0).contains("Predicted"))
+    assert(lines(1).trim.split("\\s+").toSeq == Seq("0.0", "1.0"))
+    assert(lines(2).startsWith("Actual 0.0"))
+    assert(lines(2).split("\\s+").takeRight(2).toSeq == Seq("2", "1")) // tn fp
+    assert(lines(3).split("\\s+").takeRight(2).toSeq == Seq("1", "2"))
+  }
+
   test("stages counts shuffle exchanges + 1") {
     assert(df.toHandy.stages == 1) // pure scan
     assert(df.groupBy("parity").count().toHandy.stages == 2)

@@ -53,6 +53,30 @@ class PipelineSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("ngram stop-list drops boilerplate-only pairs, keeps real overlaps exactly") {
+    import spark.implicits._
+    // every doc ends with the same boilerplate; only docs 0/1 share real text
+    val corpus = (0L until 12L).map { i =>
+      val body = i match {
+        case 0L => "alpha beta gamma delta epsilon"
+        case 1L => "alpha beta gamma delta zeta" // near-dup of 0
+        case _  => s"unique$i words$i only$i here$i now$i"
+      }
+      (i, s"$body common legal boilerplate footer")
+    }.toDF("doc_id", "text")
+    // unigram shingles: "common"/"legal"/… have df=12, real words df≤2
+    val noStop = Dedup.ngramJaccard(corpus, "doc_id", "text", 1)
+      .filter(col("jaccard") > 0)
+    assert(noStop.count() == 66) // all 12·11/2 pairs share the boilerplate
+    val stopped = Dedup.ngramJaccard(corpus, "doc_id", "text", 1, maxDf = 4)
+      .collect()
+    assert(stopped.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((0L, 1L)))
+    // jaccard of the surviving pair is EXACT (boilerplate still counted):
+    // intersection = 4 body + 4 boilerplate = 8, union = 10
+    assert(math.abs(stopped.head.getAs[Double]("jaccard") - 8.0 / 10.0) < 1e-12)
+  }
+
   test("simhash: identical texts share signature; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -85,6 +109,20 @@ class PipelineSpec extends SparkSpec {
       threshold = 0.99, bits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 99L)))
+  }
+
+  test("allPairsCosine refuses corpora above maxRows; works under it") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i => (i.toLong, Seq(1.0, i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.allPairsCosine(vecs, "vec_id", "embedding", 0.9, maxRows = 10)
+    }
+    assert(e.getMessage.contains("embeddingDedup"))
+    // under the bound: exact pairs still come out
+    val ok = Similarity.allPairsCosine(vecs, "vec_id", "embedding",
+      0.999, maxRows = 20)
+    assert(ok.count() > 0)
   }
 
   test("bruteForceTopK returns self-similar neighbors first") {
@@ -138,6 +176,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fps("a") == fps("b"))
     assert(fps("a") != fps("c"))
+  }
+
+  test("ImageIOCodec decodes synthetic PNG exactly; unknown payloads fall back") {
+    import spark.implicits._
+    val df = Seq((7L, Multimodal.syntheticPng(7L)), (8L, Array[Byte](1, 2, 3)))
+      .toDF("id", "data")
+    val media = Multimodal.asMediaFrame(df, "id", "data", "png")
+    val out = Multimodal.decodeAndExtract(media, dim = 8)
+      .orderBy("media_id").collect()
+    val meta7 = out(0).getStruct(2)
+    assert(meta7.getInt(1) == 8 && meta7.getInt(2) == 4) // real width/height
+    val feats = out(0).getSeq[Double](3)
+    val expected = (0 until 8).map(b =>
+      (0 until 4).map(i => ((7L * 7 + (b * 4 + i) * 13) % 256) / 255.0).sum / 4)
+    feats.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"pooled feature $g != analytic $e")
+    }
+    // undecodable payload: stub features, metadata untouched
+    assert(out(1).getStruct(2).isNullAt(1))
+    assert(out(1).getSeq[Double](3).length == 8)
   }
 
   test("multimodal: media frame schema, stub features, frame sampling") {

@@ -114,6 +114,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.graft.rewriteStrataUnion", "false")
   }
 
+  test("perStratum auto-collapses to one grouped scan above the threshold") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("strata_auto").toString
+    (0 until 40).flatMap(i => Seq((f"k$i%02d", i * 1.0), (f"k$i%02d", i * 2.0)))
+      .toDF("g", "v").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val sf = graft.strata.StratifiedFrame(df,
+      Seq(graft.strata.ColStratum("g")))
+    // 40 strata > default threshold 32: no explicit flag, still ONE scan
+    assert(spark.conf.get("spark.graft.rewriteStrataUnion", "false") == "false")
+    val out = sf.perStratum(c =>
+      c.agg(sum("v").as("sv"), count(lit(1)).as("n")))
+    val optimized = out.queryExecution.optimizedPlan
+    assert(!optimized.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]),
+      s"40-stratum union did not auto-collapse:\n$optimized")
+    assert(optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size == 1)
+    val rows = out.collect()
+    assert(rows.length == 40)
+    val m = rows.map(r => r.getAs[String]("__stratum") ->
+      ((r.getAs[Double]("sv"), r.getAs[Long]("n")))).toMap
+    assert(m("""g == "k03"""") == ((9.0, 2L)))
+  }
+
   test("StrataUnionRewrite handles multi-key strata") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("strata2").toString

@@ -111,6 +111,25 @@ class StatEvalSpec extends SparkSpec {
     assert(BinaryMetrics.mllibMetrics(df, "score", "label").areaUnderROC() == 1.0)
   }
 
+  test("DataFrame-native auc matches mllib areaUnderROC/areaUnderPR") {
+    import spark.implicits._
+    // imperfect classifier with score ties and both label classes per tie
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.8, 0.0), (0.7, 0.0), (0.6, 1.0),
+      (0.6, 0.0), (0.4, 1.0), (0.2, 0.0), (0.2, 1.0), (0.1, 0.0))
+      .toDF("score", "label").repartition(4)
+    val native = BinaryMetrics.auc(df, "score", "label").head()
+    val m = BinaryMetrics.mllibMetrics(df, "score", "label")
+    assert(math.abs(native.getDouble(0) - m.areaUnderROC()) < 1e-12,
+      s"roc ${native.getDouble(0)} vs ${m.areaUnderROC()}")
+    assert(math.abs(native.getDouble(1) - m.areaUnderPR()) < 1e-12,
+      s"pr ${native.getDouble(1)} vs ${m.areaUnderPR()}")
+    // perfect classifier: both areas 1
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("score", "label")
+    val pa = BinaryMetrics.auc(perfect, "score", "label").head()
+    assert(pa.getDouble(0) == 1.0 && pa.getDouble(1) == 1.0)
+  }
+
   test("disassemble splits arrays at min-width with ragged input") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0)))
