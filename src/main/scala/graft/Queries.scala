@@ -897,6 +897,40 @@ object Queries {
              WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
              ORDER BY id_a, id_b""")),
 
+    // the SCALE path for exact jaccard on boilerplate-heavy corpora:
+    // shingles in > maxDf docs are dropped from the WHOLE computation (an
+    // f-frequent shingle emits f²/2 pairs), giving jaccard over the
+    // INFORMATIVE shingles; a pair disappears only when its entire overlap
+    // is stop-listed boilerplate.
+    QueryDef("q_ngram_stoplist",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3, maxDf = 20)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             shall AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
+             sh AS (SELECT doc_id, s FROM shall
+               WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 20)),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
+             ORDER BY id_a, id_b""")),
+
     // ---- MinHash + LSH near-dup pipeline ----------------------------------
     QueryDef("q_minhash_dedup",
       (s, d) => graft.pipeline.Dedup.minhashDedup(documents(s, d),

@@ -138,15 +138,21 @@ object Stats {
     * semantics and expose `globalN` to reproduce the reference quirk. */
   def entropy(df: DataFrame, c: String, strata: Seq[String] = Nil,
               globalN: Boolean = false): DataFrame = {
-    val counts = df.na.drop(Seq(c))
+    val clean = df.na.drop(Seq(c))
+    val counts = clean
       .groupBy((strata :+ c).map(col): _*)
       .agg(count(lit(1)).cast("double").as("cnt"))
     val withN =
-      if (strata.isEmpty || !globalN) {
+      if (strata.isEmpty) {
+        // global: n as a scalar agg crossJoined in — the empty-partition
+        // window would funnel the counts frame through one partition
+        val n = clean.agg(count(lit(1)).cast("double").as("n"))
+        counts.crossJoin(broadcast(n))
+      } else if (!globalN) {
         val w = Window.partitionBy(strata.map(col): _*)
         counts.withColumn("n", sum("cnt").over(w))
       } else {
-        val n = df.na.drop(Seq(c)).count().toDouble
+        val n = clean.count().toDouble
         counts.withColumn("n", lit(n))
       }
     withN

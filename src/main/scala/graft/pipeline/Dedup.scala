@@ -243,20 +243,29 @@ object Dedup {
     * shingles are attached to each candidate pair and matched — cost is
     * |candidates| × shingles-per-doc, never the shingle-frequency-quadratic
     * all-pairs join. Without candidates it is the exact all-pairs path
-    * (shingle-inverted-index self-join); a finite `maxDf` routes it through
-    * the stop-listed candidate generator (`ngramCandidates`) followed by
-    * the exact candidate-driven verify — jaccard values stay exact for
-    * every surviving pair, only pairs whose entire overlap is stop-listed
-    * boilerplate are missed. */
+    * (shingle-inverted-index self-join).
+    *
+    * A finite `maxDf` drops shingles appearing in more than `maxDf` docs
+    * from the WHOLE computation — jaccard over the INFORMATIVE shingles
+    * (sizes and intersections both exclude boilerplate). An f-frequent
+    * shingle emits f²/2 pairs, so this one broadcast-anti-join pass removes
+    * the quadratic blowup at its source and recall degrades PREDICTABLY —
+    * a pair disappears only when its entire overlap is stop-listed — unlike
+    * `maxPostingList`, which truncates whole keys silently at a memory
+    * bound. (Routing stop-listed CANDIDATES through the pair-attach verify
+    * instead was measured 18× slower at sf0.1: with weak filtering the
+    * candidate set approaches all overlapping pairs and the verify join
+    * explodes to |pairs|×shingles-per-doc rows.) */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Option[DataFrame] = None,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    if (candidates.isEmpty && maxDf != Int.MaxValue)
-      return ngramJaccard(df, idCol, textCol, n,
-        Some(ngramCandidates(df, idCol, textCol, n, maxDf)))
+    // the candidate frame is consumed TWICE below (the id semi-join and the
+    // pair join) — cache it, or its generator (an LSH banding pass) runs
+    // once per consumer
+    val candCached = candidates.map(_.cache())
     // with candidates: only the docs that appear in a candidate pair get
     // shingled — the verify cost tracks |candidates|, not corpus size
-    val source = candidates match {
+    val source = candCached match {
       case Some(cands) =>
         val ids = cands.select(col("id_a").as("__cid"))
           .unionAll(cands.select(col("id_b"))).distinct()
@@ -265,10 +274,19 @@ object Dedup {
     }
     // shingled is consumed by BOTH the pair join and the sizes agg —
     // cache so the shingling pass runs once
-    val sh = shingled(source, idCol, textCol, n)
+    val shAll = shingled(source, idCol, textCol, n)
       .withColumnRenamed("__id", idCol).cache()
+    val sh = if (maxDf == Int.MaxValue) shAll else {
+      // shingled() dedups shingles per doc, so count(*) per shingle == df;
+      // the stop list is tiny by construction (only ultra-frequent shingles
+      // exceed a high maxDf) → broadcast anti-join, no extra shuffle of
+      // the posting stream
+      val stop = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("sh")
+      shAll.join(broadcast(stop), Seq("sh"), "left_anti").cache()
+    }
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val common = candidates match {
+    val common = candCached match {
       case Some(cands) =>
         val shA = sh.select(col(idCol).as("id_a"), col("sh"))
         val shB = sh.select(col(idCol).as("id_b"), col("sh"))

@@ -72,9 +72,9 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(stopped.map(r =>
       (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((0L, 1L)))
-    // jaccard of the surviving pair is EXACT (boilerplate still counted):
-    // intersection = 4 body + 4 boilerplate = 8, union = 10
-    assert(math.abs(stopped.head.getAs[Double]("jaccard") - 8.0 / 10.0) < 1e-12)
+    // jaccard over the INFORMATIVE shingles (boilerplate excluded from
+    // sizes and intersection): common = 4 body words, union = 6
+    assert(math.abs(stopped.head.getAs[Double]("jaccard") - 4.0 / 6.0) < 1e-12)
   }
 
   test("simhash: identical texts share signature; near-dups are close") {
