@@ -1022,6 +1022,19 @@ object Queries {
              SELECT query_id, rn, corpus_id, round(cos, 6) AS cos
              FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
 
+    // batch IVF: many queries, one corpus pass, per-query probe cells
+    QueryDef("q_sim_ivf_multi",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val queries = e.filter(col("vec_id") < 5)
+        val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(
+          e, "vec_id", "embedding", nCells = 8)
+        graft.pipeline.Similarity.ivfTopKMulti(assigned, centers, "vec_id",
+          queries, "embedding", k = 5, nProbe = 3)
+          .orderBy("query_id", "rn")
+      },
+      None),
+
     // ---- IVF two-stage ANN (approximate — rows-only) ----------------------
     QueryDef("q_sim_ivf",
       (s, d) => {

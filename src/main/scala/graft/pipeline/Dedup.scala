@@ -459,7 +459,12 @@ object Dedup {
                      threshold: Double = 0.95, bits: Int = 8,
                      maxBucket: Int = 1 << 20, tables: Int = 1): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "embeddingDedup")
-    require(bits * tables <= 56, "table index + signature must fit a long key")
+    // key = (table << bits) | signature: table index bits + signature bits
+    // must fit a non-negative long
+    val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, tables - 1).toLong)
+    require(bits + tableBits <= 63,
+      s"table index + signature must fit a long key (bits=$bits tables=$tables)")
     val spark = df.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(

@@ -243,6 +243,86 @@ object Similarity {
     centers
   }
 
+  /** Multi-query two-stage IVF search: every query is broadcast with its
+    * own `nProbe` probe-cell set; one pass over the assigned corpus scores
+    * each row only against the queries probing ITS cell (cell → queries
+    * inverted on the executor), keeping a bounded per-query heap — the
+    * batch analog of `ivfTopK` with `topKJoin`'s no-shuffle candidate
+    * stream. Scan cost is Σ_q |probed cells of q| / nCells of the corpus,
+    * not Q × corpus. */
+  def ivfTopKMulti(assigned: DataFrame, centers: Array[Array[Double]],
+                   idCol: String, queries: DataFrame, vecCol: String,
+                   k: Int, nProbe: Int = 3): DataFrame = {
+    require(k >= 1, s"ivfTopKMulti requires k >= 1, got $k")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (qid, qv) =>
+        var n = 0.0
+        var i = 0
+        while (i < qv.length) { n += qv(i) * qv(i); i += 1 }
+        val probed = centers.zipWithIndex.map { case (c, ci) =>
+          var dot = 0.0; var nc = 0.0
+          var j = 0
+          while (j < c.length) { dot += c(j) * qv(j); nc += c(j) * c(j); j += 1 }
+          (ci, dot / math.sqrt(nc * n))
+        }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+        (qid, qv, n, probed)
+      }
+    val bc = spark.sparkContext.broadcast(qs)
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val candidates = assigned
+      .select(col(idCol).cast("long"), col("v"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        val queries = bc.value
+        // cell → indexes of the queries probing it
+        val byCell = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+        queries.zipWithIndex.foreach { case ((_, _, _, probed), qi) =>
+          probed.foreach(c => byCell.getOrElseUpdate(c,
+            scala.collection.mutable.ArrayBuffer.empty) += qi)
+        }
+        val heaps = Array.fill(queries.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        rows.foreach { case (cid, v, cell) =>
+          byCell.get(cell).foreach { qis =>
+            var na = 0.0
+            var i = 0
+            while (i < v.length) { na += v(i) * v(i); i += 1 }
+            qis.foreach { qi =>
+              val (qid, qv, qn, _) = queries(qi)
+              if (cid != qid) {
+                var dot = 0.0
+                var j = 0
+                while (j < v.length) { dot += v(j) * qv(j); j += 1 }
+                val cand = (dot / math.sqrt(na * qn), cid)
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue(cand)
+                else if (worstFirst.compare(cand, h.head) < 0) {
+                  h.dequeue(); h.enqueue(cand)
+                }
+              }
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => (bc.value(qi)._1, cid, cos) }
+        }
+      }
+      .toDF("query_id", "corpus_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    candidates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "corpus_id", "cos", "rn")
+  }
+
   /** Two-stage IVF search: rank cells by centroid cosine, scan only the
     * top `nProbe` cells. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],

@@ -156,6 +156,34 @@ class PipelineSpec extends SparkSpec {
     assert((bf & ivf).size >= 8) // ≥80% recall with 2-of-4 probes
   }
 
+  test("ivfTopKMulti recall vs brute force for a batch of queries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val clusters = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val center = Array.tabulate(8)(j => if (j == c * 2) 5.0 else 0.0)
+      ((c * 50 + i).toLong, center.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = clusters.toDF("vec_id", "embedding")
+    val (assigned, centers) = Similarity.ivfAssign(df, "vec_id", "embedding", 4)
+    // queries = one member of each cluster
+    val queries = Seq(0L, 50L, 100L, 150L)
+      .map(i => (i, clusters(i.toInt)._2)).toDF("vec_id", "embedding")
+    val multi = Similarity.ivfTopKMulti(assigned, centers, "vec_id",
+      queries, "embedding", k = 10, nProbe = 2)
+      .collect().groupBy(_.getLong(0))
+    for (q <- Seq(0L, 50L, 100L, 150L)) {
+      val bf = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") =!= q), "vec_id", "embedding",
+        clusters(q.toInt)._2.toArray, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = multi(q).map(_.getLong(1)).toSet
+      assert((bf & ivf).size >= 8, s"query $q recall ${(bf & ivf).size}/10")
+    }
+  }
+
   test("text analysis columns are sane") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat.").toDF("text")
