@@ -118,6 +118,46 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: stop-listed jaccard pairs are a subset over kept shingles") {
+    import spark.implicits._
+    val words = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+      .map(_.mkString(" "))
+    for ((texts, seed) <- samples(Gen.listOfN(10, words), 3).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val full = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 2)
+        .filter(col("jaccard") > 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      // maxDf = #docs → nothing stop-listed → identical pair set
+      val noop = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 2,
+          maxDf = 10)
+        .filter(col("jaccard") > 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(noop == full, s"seed $seed: maxDf=#docs changed the pair set")
+      // tighter maxDf only removes pairs, never invents them
+      val tight = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 2,
+          maxDf = 3)
+        .filter(col("jaccard") > 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(tight.subsetOf(full), s"seed $seed: stop-list invented pairs")
+    }
+  }
+
+  test("property: multi-table embeddingDedup pairs are a superset of one table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val one = graft.pipeline.Dedup.embeddingDedup(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.5, bits = 4, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val four = graft.pipeline.Dedup.embeddingDedup(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.5, bits = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // table 0's planes are shared, so every single-table pair survives
+    assert(one.subsetOf(four), "table-0 pairs lost in the multi-table run")
+  }
+
   test("property: fencing caps into learned fences, preserves in-fence rows") {
     import spark.implicits._
     samples(doubles, 5).filter(_.size >= 4).foreach { vs =>
