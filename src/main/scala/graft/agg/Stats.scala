@@ -138,27 +138,29 @@ object Stats {
     * semantics and expose `globalN` to reproduce the reference quirk. */
   def entropy(df: DataFrame, c: String, strata: Seq[String] = Nil,
               globalN: Boolean = false): DataFrame = {
+    // derived columns carry a __graft prefix so an input column literally
+    // named "cnt"/"n"/"p" can't be shadowed or turn a join ambiguous
     val clean = df.na.drop(Seq(c))
     val counts = clean
       .groupBy((strata :+ c).map(col): _*)
-      .agg(count(lit(1)).cast("double").as("cnt"))
+      .agg(count(lit(1)).cast("double").as("__graft_cnt"))
     val withN =
       if (strata.isEmpty) {
         // global: n as a scalar agg crossJoined in — the empty-partition
         // window would funnel the counts frame through one partition
-        val n = clean.agg(count(lit(1)).cast("double").as("n"))
+        val n = clean.agg(count(lit(1)).cast("double").as("__graft_n"))
         counts.crossJoin(broadcast(n))
       } else if (!globalN) {
         val w = Window.partitionBy(strata.map(col): _*)
-        counts.withColumn("n", sum("cnt").over(w))
+        counts.withColumn("__graft_n", sum("__graft_cnt").over(w))
       } else {
         val n = clean.count().toDouble
-        counts.withColumn("n", lit(n))
+        counts.withColumn("__graft_n", lit(n))
       }
+    val p = col("__graft_cnt") / col("__graft_n")
     withN
-      .withColumn("p", col("cnt") / col("n"))
       .groupBy(strata.map(col): _*)
-      .agg(sum(-log2(col("p")) * col("p")).as(s"${c}_entropy"))
+      .agg(sum(-log2(p) * p).as(s"${c}_entropy"))
   }
 
   /** Pairwise mutual information (bits) between two categorical columns,
@@ -166,21 +168,25 @@ object Stats {
     * Marginals are tiny (≤ #distinct values) → broadcast joins; the only
     * shuffle is the joint groupBy. */
   def mutualInfo(df: DataFrame, c0: String, c1: String): DataFrame = {
+    // derived columns carry a __graft prefix — see entropy
     val clean = df.na.drop(Seq(c0, c1))
     val joint = clean.groupBy(col(c0), col(c1))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    val m0 = clean.groupBy(col(c0)).agg(count(lit(1)).cast("double").as("c0"))
-    val m1 = clean.groupBy(col(c1)).agg(count(lit(1)).cast("double").as("c1"))
+      .agg(count(lit(1)).cast("double").as("__graft_cnt"))
+    val m0 = clean.groupBy(col(c0))
+      .agg(count(lit(1)).cast("double").as("__graft_c0"))
+    val m1 = clean.groupBy(col(c1))
+      .agg(count(lit(1)).cast("double").as("__graft_c1"))
     val withMarg = joint
       .join(broadcast(m0), Seq(c0))
       .join(broadcast(m1), Seq(c1))
     // n as a scalar agg crossJoined in (exactly the oracle's shape) — a
     // partial/final count, never a single-partition window stage
-    val n = clean.agg(count(lit(1)).cast("double").as("n"))
+    val n = clean.agg(count(lit(1)).cast("double").as("__graft_n"))
+    val (cnt, cm0, cm1, cn) = (col("__graft_cnt"), col("__graft_c0"),
+      col("__graft_c1"), col("__graft_n"))
     withMarg
       .crossJoin(broadcast(n))
-      .agg(sum(log2(col("cnt") * col("n") / (col("c0") * col("c1"))) *
-        col("cnt") / col("n")).as("mutual_info"))
+      .agg(sum(log2(cnt * cn / (cm0 * cm1)) * cnt / cn).as("mutual_info"))
   }
 
   /** Full pairwise mutual-information matrix over categorical columns in
@@ -195,10 +201,20 @@ object Stats {
     * for a pair iff either of THAT pair's values is null). */
   def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
     val idx = cols.indices
+    // cells key on the string rendering (the struct array must be
+    // homogeneous); normalize -0.0 first — groupBy treats -0.0 == 0.0 but
+    // their strings differ, which would split the tie group and diverge
+    // from mutualInfo/entropy (NaN is safe: one "NaN" rendering)
+    def cellKey(name: String): Column = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        when(col(name) === 0.0, lit(0.0).cast(df.schema(name).dataType))
+          .otherwise(col(name)).cast("string")
+      case _ => col(name).cast("string")
+    }
     val pairCells = array((for { i <- idx; j <- idx if i <= j } yield
       struct(lit(i).as("i"), lit(j).as("j"),
-        col(cols(i)).cast("string").as("vi"),
-        col(cols(j)).cast("string").as("vj"))): _*)
+        cellKey(cols(i)).as("vi"), cellKey(cols(j)).as("vj"))): _*)
     val cells = df.select(explode(pairCells).as("p"))
       .filter(col("p.vi").isNotNull && col("p.vj").isNotNull)
       .groupBy(col("p.i").as("i"), col("p.j").as("j"),

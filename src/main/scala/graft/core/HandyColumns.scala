@@ -14,7 +14,15 @@ final case class HandyColumns(hf: HandyFrame, selector: Seq[String]) {
   private def names: Seq[String] = {
     val resolved =
       selector.flatMap(s => ColumnClasses.resolve(hf.schema, s)).distinct
-    val missing = resolved.filterNot(hf.schema.fieldNames.contains)
+    // existence check matches Spark's resolution: case-insensitive unless
+    // spark.sql.caseSensitive is set
+    val caseSensitive =
+      hf.df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    val known =
+      if (caseSensitive) hf.schema.fieldNames.toSet
+      else hf.schema.fieldNames.map(_.toLowerCase).toSet
+    val missing = resolved.filterNot(c =>
+      known(if (caseSensitive) c else c.toLowerCase))
     // fail HERE with the framed summary (reference HANDY EXCEPTION SUMMARY,
     // util.py:42-92) instead of letting Spark's analysis error surface
     // three operators later

@@ -227,16 +227,27 @@ object Dedup {
     * construction (only ultra-frequent shingles exceed a high `maxDf`), so
     * it is applied as a broadcast anti-join: no extra shuffle of the
     * posting stream. */
+  /** Drop shingles whose document frequency exceeds `maxDf` via ONE
+    * broadcast anti-join (the stop list is tiny by construction — only
+    * ultra-frequent shingles exceed a high bound, and `shingled` dedups
+    * per doc so count(*) per shingle IS the df). Shared by ngramJaccard
+    * and ngramCandidates; input must be cached by the caller since it
+    * feeds both the df aggregation and the anti-join. */
+  private def stopListed(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val stop = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("sh")
+      sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    }
+
   def ngramCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
                       maxDf: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // shingled() dedups shingles per doc, so count(*) per shingle == df
-    val sh = shingled(df, idCol, textCol, n)
-    val stop = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select("sh")
-    val kept = sh.join(broadcast(stop), Seq("sh"), "left_anti")
-    pairsByKey(kept.select(col("sh"), col("__id")).as[(Long, Long)]).distinct()
+    val sh = shingled(df, idCol, textCol, n).cache()
+    pairsByKey(stopListed(sh, maxDf)
+      .select(col("sh"), col("__id")).as[(Long, Long)]).distinct()
   }
 
   /** Exact n-gram Jaccard. With `candidates` the verify is CANDIDATE-DRIVEN:
@@ -255,7 +266,15 @@ object Dedup {
     * bound. (Routing stop-listed CANDIDATES through the pair-attach verify
     * instead was measured 18× slower at sf0.1: with weak filtering the
     * candidate set approaches all overlapping pairs and the verify join
-    * explodes to |pairs|×shingles-per-doc rows.) */
+    * explodes to |pairs|×shingles-per-doc rows.)
+    *
+    * CACHING: the posting stream (and the candidates frame, when given)
+    * feed two consumers each, so they are `.cache()`d — lazy plans would
+    * otherwise recompute the generator per consumer. The entries stay in
+    * the cache manager until LRU eviction (the result is lazy, so there is
+    * no sound place to unpersist inside this method); long-lived sessions
+    * doing many dedup calls can `spark.catalog.clearCache()` between
+    * batches. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Option[DataFrame] = None,
                    maxDf: Int = Int.MaxValue): DataFrame = {
@@ -276,15 +295,8 @@ object Dedup {
     // cache so the shingling pass runs once
     val shAll = shingled(source, idCol, textCol, n)
       .withColumnRenamed("__id", idCol).cache()
-    val sh = if (maxDf == Int.MaxValue) shAll else {
-      // shingled() dedups shingles per doc, so count(*) per shingle == df;
-      // the stop list is tiny by construction (only ultra-frequent shingles
-      // exceed a high maxDf) → broadcast anti-join, no extra shuffle of
-      // the posting stream
-      val stop = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select("sh")
-      shAll.join(broadcast(stop), Seq("sh"), "left_anti").cache()
-    }
+    val sh = if (maxDf == Int.MaxValue) shAll
+             else stopListed(shAll, maxDf).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = candCached match {
       case Some(cands) =>

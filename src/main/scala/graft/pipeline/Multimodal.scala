@@ -52,11 +52,16 @@ object Multimodal {
           val counts = new Array[Int](dim)
           val raster = img.getRaster
           val oneBand = raster.getNumBands == 1
+          // normalize by the actual component depth — a 16-bit grayscale
+          // PNG has samples up to 65535, not 255
+          val oneBandMax =
+            if (oneBand) ((1L << img.getColorModel.getComponentSize(0)) - 1).toDouble
+            else 255.0
           var p = 0
           while (p < n) {
             val x = p % w; val y = p / w
             val lum =
-              if (oneBand) raster.getSample(x, y, 0) / 255.0
+              if (oneBand) raster.getSample(x, y, 0) / oneBandMax
               else {
                 val rgb = img.getRGB(x, y)
                 (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +

@@ -129,7 +129,10 @@ object Similarity {
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"),
         asDouble(col(vecCol))).as[(Long, Array[Double])]
-    val probe = df.limit(maxRows + 1).count()
+    // saturate: maxRows + 1 overflows when a caller passes Int.MaxValue to
+    // deliberately disable the guard
+    val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+    val probe = df.limit(probeLimit).count()
     require(probe <= maxRows,
       s"allPairsCosine is the exact small-corpus baseline (driver collect + " +
         s"O(n^2) compute) and refuses corpora above maxRows=$maxRows rows; " +
@@ -254,6 +257,7 @@ object Similarity {
                    idCol: String, queries: DataFrame, vecCol: String,
                    k: Int, nProbe: Int = 3): DataFrame = {
     require(k >= 1, s"ivfTopKMulti requires k >= 1, got $k")
+    requireIntegralId(queries, idCol, "ivfTopKMulti")
     val spark = assigned.sparkSession
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))

@@ -51,16 +51,24 @@ object StrataUnionRewrite extends Rule[LogicalPlan] {
     val autoThreshold = conf.getConfString(AutoKey, "32").toInt
     plan.transformUp {
       case u: Union if u.children.size >= 2 &&
-          (explicit || (u.children.size > autoThreshold && isMarked(u))) =>
+          (explicit || (u.children.size > autoThreshold && autoEligible(u))) =>
         tryRewrite(u).getOrElse(u)
     }
   }
 
-  /** every child's clause literal is aliased `__stratum` — i.e. this union
-    * was built by perStratum, whose strata are observed combinations */
-  private def isMarked(u: Union): Boolean =
+  /** AUTO-path eligibility: every child's clause literal is aliased
+    * `__stratum` (only perStratum builds that shape, and its strata are
+    * OBSERVED combinations) AND the filter carries nothing beyond the
+    * stratum equalities. The second condition is load-bearing: presence is
+    * guaranteed only for the stratum predicate itself — if the caller's
+    * `f` added its own filter (an extra conjunct), a stratum can be
+    * emptied by it, and the union's global aggregate would emit a row
+    * (null aggregates) where a grouped aggregate emits none. Such plans
+    * only collapse under the EXPLICIT flag, where the caller asserts
+    * non-emptiness. */
+  private def autoEligible(u: Union): Boolean =
     u.children.forall(c => shapeOf(c).exists { s =>
-      s.aggExprs(s.clauseIdx).name == StratumMarker
+      s.aggExprs(s.clauseIdx).name == StratumMarker && s.otherConjuncts.isEmpty
     })
 
   private case class Shape(

@@ -99,6 +99,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("entropy/mutualInfo tolerate input columns named like internals") {
+    import spark.implicits._
+    val tricky = Seq(("a", "x", 1.0), ("b", "y", 2.0), ("a", "x", 3.0),
+      ("b", "x", 4.0)).toDF("n", "cnt", "p")
+    val h = Stats.entropy(tricky, "n").head().getAs[Double]("n_entropy")
+    assert(math.abs(h - 1.0) < 1e-12) // uniform 2 values
+    val mi = Stats.mutualInfo(tricky, "n", "cnt")
+      .head().getAs[Double]("mutual_info")
+    assert(mi >= 0 && mi <= 1)
+  }
+
+  test("mutualInfoMatrix groups -0.0 with 0.0 like groupBy does") {
+    import spark.implicits._
+    val df0 = Seq((-0.0, "a"), (0.0, "a"), (-0.0, "b"), (1.0, "b"))
+      .toDF("x", "g")
+    val mm = Stats.mutualInfoMatrix(df0, Seq("x", "g"))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val hx = Stats.entropy(df0, "x").head().getAs[Double]("x_entropy")
+    assert(math.abs(mm(("x", "x")) - hx) < 1e-12,
+      s"diag ${mm(("x", "x"))} vs entropy $hx — ±0.0 split the tie group")
+  }
+
   test("isNull counts nulls and NaNs on floating columns") {
     import spark.implicits._
     val withNulls = Seq[(String, java.lang.Double)](

@@ -70,6 +70,9 @@ class CoreSpec extends SparkSpec {
     assert(e.summaryText.contains("Operator: cols"))
     assert(e.summaryText.contains("Fare "))
     assert(e.summaryText.contains("available: id, v, parity"))
+    // Spark resolution is case-insensitive by default: mixed-case selectors
+    // for real columns must pass the guard
+    assert(hf.cols("V").mean().head().getDouble(0) == 51.0)
     // nested contexts keep the INNERMOST operator's summary
     val nested = intercept[graft.util.GraftException] {
       graft.util.Errors.context("outer")(

@@ -226,6 +226,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getSeq[Double](3).length == 8)
   }
 
+  test("ImageIOCodec normalizes 16-bit grayscale by the real component depth") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 8).foreach(p => img.getRaster.setSample(p % 4, p / 4, 0,
+      p * 8000)) // samples up to 56000 — far beyond 8-bit range
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "data")
+    val media = Multimodal.asMediaFrame(df, "id", "data", "png")
+    val feats = Multimodal.decodeAndExtract(media, dim = 4)
+      .head().getSeq[Double](3)
+    assert(feats.forall(f => f >= 0.0 && f <= 1.0),
+      s"16-bit samples not normalized: $feats")
+    assert(feats.max > 0.5) // the high samples actually registered
+  }
+
   test("multimodal: media frame schema, stub features, frame sampling") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, Array[Byte](9, 8, 7)))

@@ -140,6 +140,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("""g == "k03"""") == ((9.0, 2L)))
   }
 
+  test("auto-collapse refuses unions whose children carry extra filters") {
+    import spark.implicits._
+    // presence is only guaranteed for the stratum predicate itself: f's own
+    // filter can empty a stratum, where a union of global aggregates emits
+    // a (null-agg) row but a grouped aggregate emits none — the AUTO path
+    // must leave such plans as authored
+    val tmp = java.nio.file.Files.createTempDirectory("strata_guard").toString
+    (0 until 40).map(i => (f"k$i%02d", i * 1.0))
+      .toDF("g", "v").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val sf = graft.strata.StratifiedFrame(df,
+      Seq(graft.strata.ColStratum("g")))
+    // v > 5 empties strata k00..k05
+    val out = sf.perStratum(c =>
+      c.filter(col("v") > 5.0).agg(sum("v").as("sv")))
+    assert(out.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]),
+      "extra-filter union was auto-collapsed (soundness hole)")
+    val rows = out.collect()
+    assert(rows.length == 40, s"union semantics lost: ${rows.length} rows")
+    assert(rows.count(_.isNullAt(0)) == 6) // k00..k05 emptied by the filter
+  }
+
   test("StrataUnionRewrite handles multi-key strata") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("strata2").toString
