@@ -1193,6 +1193,56 @@ object Queries {
              SELECT lang, lang_pred, count(*) AS n FROM pred
              GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
 
+    // ---- corpus vocabulary (tokenizer-training feed) ----------------------
+    QueryDef("q_vocab",
+      (s, d) => graft.pipeline.TextAnalysis.vocabulary(
+          documents(s, d), "doc_id", "text", minCount = 5)
+        .orderBy(desc("count"), col("token"))
+        .limit(100),
+      Some("""SELECT token, count(*)::BIGINT AS count,
+             count(DISTINCT doc_id)::BIGINT AS doc_freq
+             FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+             WHERE token != ''
+             GROUP BY token HAVING count(*) >= 5
+             ORDER BY count DESC, token LIMIT 100""")),
+
+    // ---- reproducible hash sampling (partitioning-independent) ------------
+    // membership = Lehmer hash of the id, reproduced VERBATIM in the oracle
+    // arithmetic — the decision is provably engine-independent
+    QueryDef("q_hash_sample",
+      (s, d) => graft.pipeline.Sampling.hashSample(
+          documents(s, d), "doc_id", 0.2, seed = 7)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum")),
+      Some("""SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM (SELECT doc_id,
+               (((((doc_id + 7) % 2147483646 + 1)
+                 * 48271 % 2147483647)
+                 * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k
+               FROM documents)
+             WHERE k < 0.2""")),
+
+    QueryDef("q_train_test_split",
+      (s, d) => graft.pipeline.Sampling.trainTestSplit(
+          documents(s, d), "doc_id", valFraction = 0.1, testFraction = 0.1,
+          seed = 3)
+        .groupBy("split").agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("split"),
+      Some("""SELECT CASE
+               WHEN k < 0.1 THEN 'test'
+               WHEN k < 0.2 THEN 'val'
+               ELSE 'train' END AS split,
+             count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM (SELECT doc_id,
+               (((((doc_id + 3) % 2147483646 + 1)
+                 * 48271 % 2147483647)
+                 * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k
+               FROM documents)
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- document fingerprinting (engine hash — rows-only) ----------------
     QueryDef("q_fingerprint",
       (s, d) => {

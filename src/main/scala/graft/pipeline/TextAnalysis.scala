@@ -127,6 +127,20 @@ object TextAnalysis {
       (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(h))
 
+  /** Corpus vocabulary: one explode + one grouped agg giving each token's
+    * total occurrence count and document frequency (exact distinct — at
+    * 100 TB swap `approx_count_distinct` in; token cardinality is
+    * Zipf-bounded so the shuffle is small next to the corpus). The vocab
+    * builder for tokenizer training / frequency-filtered feature sets. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L): DataFrame =
+    df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("count"), countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("count") >= minCount)
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

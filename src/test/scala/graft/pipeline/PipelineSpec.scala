@@ -184,6 +184,59 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is partitioning-independent and fraction-accurate") {
+    import spark.implicits._
+    val ids = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.hashSample(ids, "doc_id", 0.3, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids.repartition(7), "doc_id", 0.3, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership changed under repartitioning")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"fraction off: ${a.size}")
+    // different seeds give different samples
+    val c = Sampling.hashSample(ids, "doc_id", 0.3, seed = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("stratifiedSample honors per-stratum fractions; split is exhaustive") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), seed = 4)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(s("en") / 1000.0 - 0.5) < 0.1, s"en: ${s("en")}")
+    assert(math.abs(s("de") / 2000.0 - 0.1) < 0.05, s"de: ${s("de")}")
+    // absent stratum → dropped entirely
+    val none = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.5), seed = 4).filter(col("lang") === "de").count()
+    assert(none == 0)
+
+    val split = Sampling.trainTestSplit(df, "doc_id", 0.2, 0.1, seed = 5)
+    assert(split.count() == 3000) // exhaustive: every row gets a split
+    val byClass = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass.keySet == Set("train", "val", "test"))
+    assert(math.abs(byClass("test") / 3000.0 - 0.1) < 0.05)
+    assert(math.abs(byClass("val") / 3000.0 - 0.2) < 0.05)
+  }
+
+  test("vocabulary counts tokens and doc frequencies") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat the dog"), (2L, "the bird"), (3L, "a bird"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("the") == ((3L, 2L))) // 3 occurrences across 2 docs
+    assert(v("bird") == ((2L, 2L)))
+    assert(v("cat") == ((1L, 1L)))
+    val filtered = TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("the", "bird"))
+  }
+
   test("text analysis columns are sane") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat.").toDF("text")
