@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hash sampling composes with streams: stateless, replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    // Sampling.hashSample is a pure filter — works unchanged on a stream,
+    // and the SAME ids survive as in the batch run (membership is keyed on
+    // the id, not on partitioning or arrival order)
+    val sampled = graft.pipeline.Sampling.hashSample(
+      input.toDF().toDF("ts", "doc_id"), "doc_id", 0.5, seed = 9)
+    val q = sampled.writeStream.format("memory")
+      .queryName("hs").outputMode("append").start()
+    try {
+      input.addData((0L until 100L).map(i =>
+        (ts("2026-01-01 10:00:00"), i)): _*)
+      q.processAllAvailable()
+      val streamIds = spark.sql("SELECT doc_id FROM hs")
+        .collect().map(_.getLong(0)).toSet
+      val batchIds = graft.pipeline.Sampling.hashSample(
+        (0L until 100L).toDF("doc_id"), "doc_id", 0.5, seed = 9)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamIds == batchIds, "stream membership diverged from batch")
+      assert(streamIds.size > 30 && streamIds.size < 70)
+    } finally q.stop()
+  }
+
   test("sessionCounts groups events into gap-based sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
