@@ -1215,14 +1215,16 @@ object Queries {
       (s, d) => graft.pipeline.Sampling.hashSample(
           documents(s, d), "doc_id", 0.2, seed = 7)
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum")),
-      Some("""SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
-             FROM (SELECT doc_id,
-               (((((doc_id + 7) % 2147483646 + 1)
-                 * 48271 % 2147483647)
-                 * 48271 % 2147483647)
-                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k
-               FROM documents)
-             WHERE k < 0.2""")),
+      Some("""WITH s1 AS (SELECT doc_id,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM documents),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 7) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM s3 WHERE k < 0.2""")),
 
     QueryDef("q_train_test_split",
       (s, d) => graft.pipeline.Sampling.trainTestSplit(
@@ -1230,18 +1232,21 @@ object Queries {
           seed = 3)
         .groupBy("split").agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
         .orderBy("split"),
-      Some("""SELECT CASE
+      Some("""WITH s1 AS (SELECT doc_id,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x
+               FROM documents WHERE doc_id IS NOT NULL),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 3) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT CASE
                WHEN k < 0.1 THEN 'test'
                WHEN k < 0.2 THEN 'val'
                ELSE 'train' END AS split,
              count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
-             FROM (SELECT doc_id,
-               (((((doc_id + 3) % 2147483646 + 1)
-                 * 48271 % 2147483647)
-                 * 48271 % 2147483647)
-                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k
-               FROM documents)
-             GROUP BY 1 ORDER BY 1""")),
+             FROM s3 GROUP BY 1 ORDER BY 1""")),
 
     // ---- document fingerprinting (engine hash — rows-only) ----------------
     QueryDef("q_fingerprint",

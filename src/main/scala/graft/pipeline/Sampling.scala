@@ -12,28 +12,39 @@ import org.apache.spark.sql.functions._
   * re-runnable, and cheap (pure projection arithmetic inside whole-stage
   * codegen, no shuffle).
   *
-  * The hash is THREE iterated Lehmer/Park-Miller steps
-  * `x → (x · 48271) mod (2^31 − 1)` from `x₀ = (id + seed) mod (2^31 − 2)
-  * + 1`, folded to (0, 1). One step is NOT enough: for sequential ids
-  * below ~44k the first multiply never wraps the modulus, so every key
-  * lands near 0 and a 30% sample keeps 100% of the rows (measured) —
-  * three wraps equidistribute. x₀ ≥ 1 avoids the generator's 0 fixed
-  * point. Every intermediate stays below 2^31·48271 ≈ 1e14 (ANSI-mode
-  * safe in a long), and the arithmetic is expressible verbatim in any SQL
-  * engine, so sampling decisions can be reproduced (and oracle-checked)
-  * outside Spark.
+  * The hash: fold the full 64-bit id into the Lehmer field
+  * (`x₀ = (lo₃₁ + hi·48271) mod (2^31 − 2) + 1` over the id's low/high
+  * halves — a plain `id mod` would systematically alias ids 2^31 − 2
+  * apart), run THREE Park-Miller steps `x → (x·48271) mod (2^31 − 1)`,
+  * inject the seed AFTER that nonlinearity (`y₀ = (x₃ + seed') mod
+  * (2^31 − 2) + 1` — adding the seed to the id directly would make every
+  * seed a pure shift of the id stream, `key(id, s+Δ) = key(id+Δ, s)`),
+  * then TWO more steps and fold to (0, 1). One step is NOT enough: for
+  * sequential ids below ~44k a single multiply never wraps the modulus,
+  * so every key lands near 0 and a 30% sample keeps 100% of the rows
+  * (measured). The `+ 1`s avoid the generator's 0 fixed point; every
+  * intermediate stays below 2^33·48271 ≈ 4e14 (ANSI-mode safe in a
+  * long), and the arithmetic is expressible verbatim in any SQL engine,
+  * so sampling decisions can be reproduced (and oracle-checked) outside
+  * Spark. The key space is 31-bit: ids beyond ~2^31 necessarily share
+  * keys statistically (fine for sampling), just never at a small linear
+  * offset. Seeds are effective mod 2^31 − 2.
   */
 object Sampling {
 
   private val M = 2147483647L // 2^31 − 1 (prime)
   private val A = 48271L      // Park–Miller multiplier
 
-  /** uniform (0, 1) sampling key for an integral id (seed shifts the id
-    * stream, so different seeds give independent samples) */
+  /** uniform (0, 1) sampling key for an integral id */
   def hashKey(id: Column, seed: Long = 0L): Column = {
-    val x0 = pmod(id.cast("long") + lit(seed), lit(M - 1)) + lit(1L)
+    val idL = id.cast("long")
+    val lo = pmod(idL, lit(2147483648L))          // low 31 bits
+    val hi = shiftrightunsigned(idL, 31)          // high 33 bits
+    val x0 = pmod(lo + hi * lit(A), lit(M - 1)) + lit(1L)
     val x3 = (1 to 3).foldLeft(x0)((x, _) => pmod(x * lit(A), lit(M)))
-    x3.cast("double") / lit(M.toDouble)
+    val y0 = pmod(x3 + lit(math.floorMod(seed, M - 1)), lit(M - 1)) + lit(1L)
+    val y2 = (1 to 2).foldLeft(y0)((x, _) => pmod(x * lit(A), lit(M)))
+    y2.cast("double") / lit(M.toDouble)
   }
 
   /** Keep ~`fraction` of rows, keyed on `idCol` — same id always makes the
@@ -52,6 +63,9 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fractions: Map[String, Double],
                        seed: Long = 0L): DataFrame = {
+    fractions.foreach { case (k, f) =>
+      require(f >= 0 && f <= 1, s"fraction for '$k' must be in [0,1], got $f")
+    }
     Similarity.requireIntegralId(df, idCol, "stratifiedSample")
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
       when(col(stratumCol) === lit(k), lit(f)).otherwise(acc)
@@ -61,14 +75,21 @@ object Sampling {
 
   /** Deterministic train/validation/test assignment: adds `splitCol` with
     * values "train"/"val"/"test" by hash range — membership survives
-    * appends and re-partitioning, the property random splits lack. */
+    * appends and re-partitioning, the property random splits lack. Rows
+    * with a null id are DROPPED (they have no stable membership key; the
+    * CASE's otherwise-branch would silently dump them all into "train"),
+    * matching hashSample/stratifiedSample. */
   def trainTestSplit(df: DataFrame, idCol: String, valFraction: Double,
                      testFraction: Double, seed: Long = 0L,
                      splitCol: String = "split"): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      s"valFraction must be in [0,1], got $valFraction")
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
     require(valFraction + testFraction < 1.0, "val + test must leave train mass")
     Similarity.requireIntegralId(df, idCol, "trainTestSplit")
     val k = hashKey(col(idCol), seed)
-    df.withColumn(splitCol,
+    df.na.drop(Seq(idCol)).withColumn(splitCol,
       when(k < lit(testFraction), lit("test"))
         .when(k < lit(testFraction + valFraction), lit("val"))
         .otherwise(lit("train")))

@@ -134,12 +134,17 @@ object TextAnalysis {
     * builder for tokenizer training / frequency-filtered feature sets. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
                  minCount: Long = 1L): DataFrame =
+    // internal aliases carry the __graft prefix so an idCol literally
+    // named "token" can't make the groupBy ambiguous
     df.na.drop(Seq(idCol, textCol))
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token")
-      .agg(count(lit(1)).as("count"), countDistinct(col(idCol)).as("doc_freq"))
+      .select(col(idCol).as("__graft_id"),
+        explode(tokens(col(textCol))).as("__graft_token"))
+      .filter(col("__graft_token") =!= "")
+      .groupBy("__graft_token")
+      .agg(count(lit(1)).as("count"),
+        countDistinct(col("__graft_id")).as("doc_freq"))
       .filter(col("count") >= minCount)
+      .withColumnRenamed("__graft_token", "token")
 
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {

@@ -235,6 +235,33 @@ class PipelineSpec extends SparkSpec {
     val filtered = TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 2)
       .collect().map(_.getString(0)).toSet
     assert(filtered == Set("the", "bird"))
+    // id column literally named "token" must not turn the groupBy ambiguous
+    val tricky = TextAnalysis.vocabulary(
+      docs.withColumnRenamed("doc_id", "token"), "token", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tricky("the") == 3L)
+  }
+
+  test("sampling guards: null ids dropped from splits, bad fractions rejected") {
+    import spark.implicits._
+    val withNull = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"),
+      (2L, "c")).toDF("doc_id", "text")
+    val split = Sampling.trainTestSplit(withNull, "doc_id", 0.2, 0.2)
+    assert(split.count() == 2, "null-id row was assigned a split")
+    intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(withNull, "doc_id", 0.3, -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(withNull, "doc_id", "text", Map("a" -> 1.5))
+    }
+    // seed is NOT a pure shift of the id stream: key(id, s+d) != key(id+d, s)
+    val ids = (0L until 50L).toDF("doc_id")
+    def sample(seed: Long) = Sampling.hashSample(ids, "doc_id", 0.5, seed)
+      .collect().map(_.getLong(0)).toSet
+    val shifted = Sampling.hashSample(
+      (5L until 55L).toDF("doc_id"), "doc_id", 0.5, 0)
+      .collect().map(_.getLong(0)).map(_ - 5).toSet
+    assert(sample(5) != shifted, "seed acts as a pure id shift")
   }
 
   test("text analysis columns are sane") {
