@@ -80,7 +80,10 @@ object Stats {
              strata: Seq[String] = Nil): DataFrame = {
     val n = count(lit(1))
     val aggs = cols.map { c =>
-      val missing = sum(graft.core.HandyFrame.isMissing(df, c).cast("long"))
+      // coalesce: sum over an EMPTY frame is null, but "zero rows" means
+      // zero missing values (pandas isnull().sum() semantics)
+      val missing = coalesce(
+        sum(graft.core.HandyFrame.isMissing(df, c).cast("long")), lit(0L))
       (if (ratio) missing / n else missing).as(if (ratio) s"${c}_ratio" else c)
     }
     grouped(df, strata).agg(aggs.head, aggs.tail: _*)

@@ -163,7 +163,10 @@ object BinaryMetrics {
       }
       Iterator.single((pi, rocArea, prArea))
     }.collect().sortBy(_._1)
-    Seq((partials.map(_._2).sum / (p * n), partials.map(_._3).sum))
+    // no positives (or no rows): both areas are undefined — NaN, not a
+    // misleading 0.0 (rocArea/(p·n) is already NaN via 0/0)
+    val prAuc = if (p == 0) Double.NaN else partials.map(_._3).sum
+    Seq((partials.map(_._2).sum / (p * n), prAuc))
       .toDF("auc_roc", "auc_pr")
   }
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input sweep: every major operator must tolerate an EMPTY
+  * frame without crashing (empty result or null-aggregate row — never an
+  * exception). Empty inputs are routine at scale: a filter that matches
+  * nothing, a new partition, a stratum about to appear. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyNum = spark.emptyDataset[(String, Double, Double)]
+    .toDF("g", "x", "y")
+  private lazy val emptyDocs = spark.emptyDataset[(Long, String)]
+    .toDF("doc_id", "text")
+  private lazy val emptyVecs = spark.emptyDataset[(Long, Seq[Double])]
+    .toDF("vec_id", "embedding")
+
+  test("aggregation surface tolerates empty input") {
+    assert(graft.agg.Stats.describe(emptyNum, Seq("x", "y")).count() == 1)
+    assert(graft.agg.Stats.valueCounts(emptyNum, Seq("g")).count() == 0)
+    assert(graft.agg.Stats.mode(emptyNum, "g").count() == 0)
+    assert(graft.agg.Stats.entropy(emptyNum, "g").count() == 1)
+    assert(graft.agg.Stats.entropy(emptyNum, "g", Seq("g")).count() == 0)
+    assert(graft.agg.Stats.mutualInfo(emptyNum, "g", "x").count() == 1)
+    assert(graft.agg.Stats.mutualInfoMatrix(emptyNum, Seq("g", "x")).isEmpty)
+    assert(graft.agg.Stats.nuniqueExact(emptyNum, Seq("g")).head().getLong(0) == 0)
+    assert(graft.agg.Stats.isNull(emptyNum, Seq("x")).head().getLong(0) == 0)
+    val p = graft.agg.Stats.percentileExact(emptyNum, Seq("x"), Seq(0.5)).head()
+    assert(p.isNullAt(0)) // no data → null percentile
+  }
+
+  test("clean/fill/fence surface tolerates empty input") {
+    val hf = graft.core.HandyFrame(emptyNum)
+    val filled = graft.clean.Clean.fill(hf, graft.clean.Clean.Mean, Seq("x"))
+    assert(filled.df.count() == 0)
+    val fences = graft.clean.Clean.calcFences(emptyNum, Seq("x"))
+    assert(fences.count() == 1) // null fences row
+    assert(graft.clean.Clean.outlierCounts(emptyNum, Seq("x")).count() == 1)
+  }
+
+  test("dedup/similarity surface tolerates empty input") {
+    assert(graft.pipeline.Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Dedup.minhashDedup(
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Dedup.ngramJaccard(
+      emptyDocs, "doc_id", "text", 3, maxDf = 5).count() == 0)
+    assert(graft.pipeline.Dedup.simhashDedup(
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Dedup.embeddingDedup(
+      emptyVecs, "vec_id", "embedding", dim = 4, tables = 2).count() == 0)
+    assert(graft.pipeline.Similarity.allPairsCosine(
+      emptyVecs, "vec_id", "embedding", 0.5).count() == 0)
+    assert(graft.pipeline.Similarity.bruteForceTopK(
+      emptyVecs, "vec_id", "embedding", Array(1.0, 0.0, 0.0, 0.0), 5)
+      .count() == 0)
+    assert(graft.pipeline.Similarity.topKJoin(
+      emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() == 0)
+  }
+
+  test("text/sampling/eval surface tolerates empty input") {
+    assert(graft.pipeline.TextAnalysis.analyze(emptyDocs, "text").count() == 0)
+    assert(graft.pipeline.TextAnalysis.vocabulary(
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Sampling.hashSample(
+      emptyDocs, "doc_id", 0.5).count() == 0)
+    assert(graft.pipeline.Sampling.trainTestSplit(
+      emptyDocs, "doc_id", 0.1, 0.1).count() == 0)
+    val scored = spark.emptyDataset[(Double, Double)].toDF("score", "label")
+    assert(graft.eval.BinaryMetrics.curveData(scored, "score", "label")
+      .count() == 0)
+    val aucRow = graft.eval.BinaryMetrics.auc(scored, "score", "label").head()
+    assert(aucRow.getDouble(0).isNaN && aucRow.getDouble(1).isNaN) // 0/0
+    assert(graft.eval.BinaryMetrics.confusionMatrix(
+      scored, "score", "label", 0.5).count() == 1)
+  }
+}
