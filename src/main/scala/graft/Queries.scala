@@ -1269,6 +1269,35 @@ object Queries {
              count(*) AS n, round(sum(value), 2) AS value_sum
              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- as-of join: latest click before each purchase, per user ----------
+    // oracle = DuckDB's NATIVE ASOF JOIN — the engine's merge-scan
+    // formulation must reproduce a first-class reference implementation
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            round(col("value"), 2).as("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"),
+            col("tsu").as("click_tsu"), round(col("value"), 2).as("click_value"))
+        graft.joins.AsofJoin.asofJoin(purchases, clicks,
+            keys = Seq("user_id"), tsCol = "tsu",
+            valueCols = Seq("click_tsu", "click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               round(value, 2) AS value, event_type FROM events),
+             p AS (SELECT event_id, user_id, tsu, value FROM e
+               WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, tsu AS click_tsu, value AS click_value
+               FROM e WHERE event_type = 'click')
+             SELECT p.user_id, p.tsu, p.event_id, p.value,
+               c.click_tsu, c.click_value
+             FROM p ASOF LEFT JOIN c
+               ON p.user_id = c.user_id AND p.tsu >= c.click_tsu
+             ORDER BY event_id""")),
+
     // ---- events: sessionization via window gaps ---------------------------
     QueryDef("q_events_sessions",
       (s, d) => {

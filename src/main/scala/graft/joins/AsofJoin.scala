@@ -1,0 +1,95 @@
+package graft.joins
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Point-in-time (backward as-of) join — for every left row, attach the
+  * LATEST right row with `right.ts <= left.ts` within the same key.
+  * Spark has no native operator for this shape (kdb `aj`, pandas
+  * `merge_asof`, DuckDB `ASOF JOIN` all treat it as first-class); the SQL
+  * formulation (`ON l.k = r.k AND l.ts >= r.ts` + max-per-group) plans as
+  * a range join that is O(|L|·|R|) per key.
+  *
+  * Plan shape here: tag + align both inputs, ONE hash repartition on the
+  * key, one in-partition Tungsten sort by (key, ts, tag), then a single
+  * carry-forward merge scan per partition — cost is sort + one pass,
+  * independent of match fan-out. Right rows AT the left row's exact
+  * timestamp DO match (the tag orders right before left on ties —
+  * DuckDB/pandas inclusive semantics). Rows with a null key or null
+  * timestamp are dropped (a null ts can be neither "before" nor "after").
+  *
+  * At 100 TB: one shuffle keyed on the join key, partition-local
+  * sort+scan, no state beyond one carried row per key — the same shape a
+  * sort-merge join has, minus the second sort (both sides union into one).
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side columns carried onto matches (must not
+    *                  clash with left's column names)
+    * @param tsCol     ordering column, present in BOTH frames (numeric or
+    *                  timestamp) */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(valueCols.nonEmpty, "asofJoin needs right-side value columns")
+    val clash = valueCols.filter(left.columns.contains)
+    require(clash.isEmpty, s"value columns clash with left: ${clash.mkString(", ")}")
+
+    val leftPayload = left.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == tsCol)
+    val valueTypes = valueCols.map(c => right.schema(c).dataType)
+
+    val l2 = left.na.drop(keys :+ tsCol).select(
+      keys.map(col) ++
+        Seq(col(tsCol), lit(1).as("__tag")) ++
+        leftPayload.map(col) ++
+        valueCols.zip(valueTypes).map { case (c, t) => lit(null).cast(t).as(c) }: _*)
+    val r2 = right.na.drop(keys :+ tsCol).select(
+      keys.map(col) ++
+        Seq(col(tsCol), lit(0).as("__tag")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+
+    val spark = left.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = l2.unionAll(r2)
+      .repartition(np, keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col(tsCol) :+ col("__tag")): _*)
+
+    val k = keys.length
+    val tagIdx = k + 1
+    val payloadStart = k + 2
+    val valueStart = payloadStart + leftPayload.length
+    val nVals = valueCols.length
+    val outSchema = StructType(
+      keys.map(c => left.schema(c)) ++
+        Seq(left.schema(tsCol)) ++
+        leftPayload.map(c => left.schema(c)) ++
+        valueCols.zip(valueTypes).map { case (c, t) =>
+          StructField(c, t, nullable = true)
+        })
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sorted.mapPartitions { rows =>
+      // repartition routes every row of a key to ONE partition, so the
+      // carried latest-right state is partition-local
+      var curKey: Seq[Any] = null
+      var carry: Array[Any] = null
+      rows.flatMap { r =>
+        val key = (0 until k).map(r.get)
+        if (key != curKey) { curKey = key; carry = null }
+        if (r.getInt(tagIdx) == 0) {
+          carry = Array.tabulate(nVals)(i => r.get(valueStart + i))
+          None
+        } else {
+          val vals =
+            if (carry == null) Seq.fill[Any](nVals)(null) else carry.toSeq
+          Some(Row.fromSeq(
+            key ++ Seq(r.get(k)) ++
+              (0 until leftPayload.length).map(i => r.get(payloadStart + i)) ++
+              vals))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.joins
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(leftRows: Seq[(String, Long, Double)],
+                  rightRows: Seq[(String, Long, Double)]) = {
+    val left = leftRows.toDF("k", "ts", "v")
+    val right = rightRows.toDF("k", "ts", "q")
+    AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+  }
+
+  test("backward as-of picks the latest right row at or before each left ts") {
+    val m = run(
+      leftRows = Seq(("a", 10L, 1.0), ("a", 25L, 2.0), ("a", 5L, 3.0)),
+      rightRows = Seq(("a", 10L, 100.0), ("a", 20L, 200.0), ("a", 30L, 300.0)))
+    assert(m(("a", 10L)) == 100.0) // exact-timestamp right row matches
+    assert(m(("a", 25L)) == 200.0) // latest at-or-before 25
+    assert(m(("a", 5L)) == null)   // nothing before 5 → null
+  }
+
+  test("keys never leak matches across each other; null ts rows dropped") {
+    val m = run(
+      leftRows = Seq(("a", 10L, 1.0), ("b", 10L, 2.0)),
+      rightRows = Seq(("a", 5L, 100.0)))
+    assert(m(("a", 10L)) == 100.0)
+    assert(m(("b", 10L)) == null) // b has no right rows
+
+    val withNull = Seq[(String, java.lang.Long, Double)](
+      ("a", 10L, 1.0), ("a", null, 9.0)).toDF("k", "ts", "v")
+    val right = Seq(("a", 5L, 100.0)).toDF("k", "ts", "q")
+    assert(AsofJoin.asofJoin(withNull, right, Seq("k"), "ts", Seq("q"))
+      .count() == 1)
+  }
+
+  test("matches a window-function reference on many keys and partitions") {
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 400).map(i =>
+      (s"k${i % 7}", rnd.nextInt(1000).toLong, i.toDouble))
+    val right = (0 until 300).map(i =>
+      (s"k${i % 7}", rnd.nextInt(1000).toLong, i * 10.0))
+    // reference: per left row, max-ts right row with ts <= left.ts.
+    // build with distinct right ts per key to keep the reference unambiguous
+    val rightDedup = right.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val expect = left.map { case (k, ts, v) =>
+      val best = rightDedup.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      ((k, ts, v), best)
+    }.toMap
+    val got = AsofJoin.asofJoin(
+      left.toDF("k", "ts", "v").repartition(13),
+      rightDedup.toDF("k", "ts", "q").repartition(5),
+      Seq("k"), "ts", Seq("q"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    expect.foreach { case (key, want) =>
+      assert(got(key) == want, s"$key: got ${got(key)} want $want")
+    }
+  }
+}
