@@ -1298,6 +1298,53 @@ object Queries {
                ON p.user_id = c.user_id AND p.tsu >= c.click_tsu
              ORDER BY event_id""")),
 
+    // ---- range join: purchases inside click-session windows ---------------
+    // intervals = per-user click sessions (4-day gap — the synthetic
+    // events put median per-user click spacing at ~35 h, so a web-style
+    // 30-min gap yields only single-point sessions); points = purchase
+    // timestamps; the bin-exploded equi-join must reproduce DuckDB's
+    // BETWEEN range join exactly
+    QueryDef("q_range_join",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tsu")
+        val sessions = ev.filter(col("event_type") === "click")
+          .withColumn("prev", lag("tsu", 1).over(w))
+          .withColumn("new_s", (col("prev").isNull ||
+            col("tsu") - col("prev") > 345600L * 1000000L).cast("int"))
+          .withColumn("sid", sum("new_s").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("tsu").as("lo"), max("tsu").as("hi"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        graft.joins.RangeJoin.pointInInterval(purchases, sessions,
+            keys = Seq("user_id"), pointCol = "tsu", loCol = "lo",
+            hiCol = "hi", binWidth = 86400L * 1000000L)
+          .select("event_id", "user_id", "tsu", "sid", "lo", "hi")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               event_type FROM events),
+             c AS (SELECT user_id, tsu,
+               CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                 IS NULL OR tsu - lag(tsu) OVER (PARTITION BY user_id
+                 ORDER BY tsu) > 345600000000 THEN 1 ELSE 0 END AS new_s
+               FROM e WHERE event_type = 'click'),
+             s2 AS (SELECT user_id, tsu, sum(new_s) OVER (PARTITION BY
+               user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+               FROM c),
+             sess AS (SELECT user_id, sid, min(tsu) AS lo, max(tsu) AS hi
+               FROM s2 GROUP BY 1, 2),
+             p AS (SELECT event_id, user_id, tsu FROM e
+               WHERE event_type = 'purchase')
+             SELECT p.event_id, p.user_id, p.tsu, sess.sid, sess.lo, sess.hi
+             FROM p JOIN sess ON p.user_id = sess.user_id
+               AND p.tsu BETWEEN sess.lo AND sess.hi
+             ORDER BY event_id""")),
+
     // ---- events: sessionization via window gaps ---------------------------
     QueryDef("q_events_sessions",
       (s, d) => {

@@ -39,6 +39,35 @@ class AsofJoinSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("range join: bins, boundaries, signs, and the giant-interval guard") {
+    val points = Seq(("a", -5L, 1), ("a", 0L, 2), ("a", 10L, 3),
+      ("a", 25L, 4), ("b", 10L, 5)).toDF("k", "x", "pid")
+    val intervals = Seq(("a", -15L, -5L, 100), ("a", 10L, 24L, 200),
+      ("b", 0L, 50L, 300)).toDF("k", "lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(points, intervals,
+        Seq("k"), "x", "lo", "hi", binWidth = 10L)
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Int]("iid"))).toSet
+    // -5 lands on the inclusive upper boundary of [-15,-5]; 10 on the
+    // inclusive lower boundary of [10,24]; 0 and 25 match nothing
+    assert(got == Set((1, 100), (3, 200), (5, 300)), got.toString)
+
+    // every matching pair appears exactly once even when the interval
+    // spans several bins
+    val wide = Seq(("a", 0L, 95L, 1)).toDF("k", "lo", "hi", "iid")
+    val p2 = Seq(("a", 50L, 9)).toDF("k", "x", "pid")
+    assert(RangeJoin.pointInInterval(p2, wide, Seq("k"), "x", "lo", "hi",
+      binWidth = 10L).count() == 1)
+
+    // degenerate giant interval fails loudly instead of exploding
+    val giant = Seq(("a", 0L, Long.MaxValue / 2, 1)).toDF("k", "lo", "hi", "iid")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(p2, giant, Seq("k"), "x", "lo", "hi",
+        binWidth = 10L).count()
+    }
+    assert(e.getMessage.contains("raise binWidth") ||
+      Option(e.getCause).exists(_.getMessage.contains("raise binWidth")))
+  }
+
   test("matches a window-function reference on many keys and partitions") {
     val rnd = new scala.util.Random(13)
     val left = (0 until 400).map(i =>
