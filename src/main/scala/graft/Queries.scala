@@ -1307,17 +1307,12 @@ object Queries {
     QueryDef("q_range_join",
       (s, d) => {
         val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("tsu")
-        val sessions = ev.filter(col("event_type") === "click")
-          .withColumn("prev", lag("tsu", 1).over(w))
-          .withColumn("new_s", (col("prev").isNull ||
-            col("tsu") - col("prev") > 345600L * 1000000L).cast("int"))
-          .withColumn("sid", sum("new_s").over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-          .groupBy("user_id", "sid")
-          .agg(min("tsu").as("lo"), max("tsu").as("hi"))
+        val sessions = graft.events.Sessionize.sessionBounds(
+            ev.filter(col("event_type") === "click")
+              .select("user_id", "tsu"),
+            keys = Seq("user_id"), tsCol = "tsu",
+            gap = 345600L * 1000000L, sidCol = "sid")
+          .drop("n_events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("tsu"))
         graft.joins.RangeJoin.pointInInterval(purchases, sessions,
@@ -1348,20 +1343,11 @@ object Queries {
     // ---- events: sessionization via window gaps ---------------------------
     QueryDef("q_events_sessions",
       (s, d) => {
-        val ev = events(s, d)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts")
-        ev.withColumn("prev_ts", lag("ts", 1).over(w))
-          .withColumn("new_session",
-            (col("prev_ts").isNull ||
-              col("ts").cast("long") - col("prev_ts").cast("long") > 1800)
-              .cast("int"))
-          .withColumn("session_id", sum("new_session").over(
-            w.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("n_events"))
+        // ordering by epoch seconds instead of the raw timestamp is
+        // session-equivalent: ties within one second have gap 0 either way
+        val ev = events(s, d).withColumn("tss", col("ts").cast("long"))
+        graft.events.Sessionize.sessionBounds(ev, Seq("user_id"), "tss",
+            gap = 1800L)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
           .orderBy("user_id")

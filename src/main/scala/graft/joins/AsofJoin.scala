@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * carry-forward merge scan per partition — cost is sort + one pass,
   * independent of match fan-out. Right rows AT the left row's exact
   * timestamp DO match (the tag orders right before left on ties —
-  * DuckDB/pandas inclusive semantics). Rows with a null key or null
-  * timestamp are dropped (a null ts can be neither "before" nor "after").
+  * DuckDB/pandas inclusive semantics). LEFT-join semantics for null keys
+  * and timestamps: left rows with a null key or ts are RETAINED with null
+  * value columns (they can match nothing — a null ts is neither "before"
+  * nor "after"), exactly like `ASOF LEFT JOIN`; right rows with null
+  * key/ts are dropped.
   *
   * At 100 TB: one shuffle keyed on the join key, partition-local
   * sort+scan, no state beyond one carried row per key — the same shape a
@@ -35,6 +38,8 @@ object AsofJoin {
     require(valueCols.nonEmpty, "asofJoin needs right-side value columns")
     val clash = valueCols.filter(left.columns.contains)
     require(clash.isEmpty, s"value columns clash with left: ${clash.mkString(", ")}")
+    require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
+      "__tag is reserved by asofJoin")
 
     val leftPayload = left.columns.toSeq
       .filterNot(c => keys.contains(c) || c == tsCol)
@@ -70,14 +75,25 @@ object AsofJoin {
           StructField(c, t, nullable = true)
         })
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    sorted.mapPartitions { rows =>
+    val matched = sorted.mapPartitions { rows =>
       // repartition routes every row of a key to ONE partition, so the
       // carried latest-right state is partition-local
-      var curKey: Seq[Any] = null
+      var curKey: Array[Any] = null
       var carry: Array[Any] = null
+      // field-wise compare straight off the row — no per-row Seq
+      // allocation, and Array[Byte] (BinaryType) keys compare by CONTENT
+      // (Seq/== would be reference equality there: every row would look
+      // like a new key and silently reset the carry)
+      def sameKey(r: Row): Boolean =
+        curKey != null && (0 until k).forall { i =>
+          (r.get(i), curKey(i)) match {
+            case (a: Array[Byte], b: Array[Byte]) =>
+              java.util.Arrays.equals(a, b)
+            case (a, b) => a == b
+          }
+        }
       rows.flatMap { r =>
-        val key = (0 until k).map(r.get)
-        if (key != curKey) { curKey = key; carry = null }
+        if (!sameKey(r)) { curKey = Array.tabulate(k)(r.get); carry = null }
         if (r.getInt(tagIdx) == 0) {
           carry = Array.tabulate(nVals)(i => r.get(valueStart + i))
           None
@@ -85,11 +101,20 @@ object AsofJoin {
           val vals =
             if (carry == null) Seq.fill[Any](nVals)(null) else carry.toSeq
           Some(Row.fromSeq(
-            key ++ Seq(r.get(k)) ++
+            curKey.toSeq ++ Seq(r.get(k)) ++
               (0 until leftPayload.length).map(i => r.get(payloadStart + i)) ++
               vals))
         }
       }
     }(enc)
+    // ASOF LEFT JOIN semantics: left rows whose key/ts is null can match
+    // nothing but are still emitted, with null value columns
+    val nullKeyLeft = left
+      .filter((keys :+ tsCol).map(c => col(c).isNull).reduce(_ || _))
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
+        valueCols.zip(valueTypes).map { case (c, t) =>
+          lit(null).cast(t).as(c)
+        }: _*)
+    matched.unionByName(nullKeyLeft)
   }
 }

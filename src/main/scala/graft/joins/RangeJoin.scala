@@ -30,6 +30,8 @@ object RangeJoin {
       .intersect(points.columns.toSet) -- keys
     require(clash.isEmpty,
       s"point/interval column names clash: ${clash.mkString(", ")}")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"), "__bin is reserved by rangeJoin")
     val loBin = expr(s"`$loCol` div ${binWidth}L")
     val hiBin = expr(s"`$hiCol` div ${binWidth}L")
     val binned = intervals

@@ -25,18 +25,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(m(("a", 5L)) == null)   // nothing before 5 → null
   }
 
-  test("keys never leak matches across each other; null ts rows dropped") {
+  test("keys never leak matches across each other; ASOF LEFT null semantics") {
     val m = run(
       leftRows = Seq(("a", 10L, 1.0), ("b", 10L, 2.0)),
       rightRows = Seq(("a", 5L, 100.0)))
     assert(m(("a", 10L)) == 100.0)
     assert(m(("b", 10L)) == null) // b has no right rows
 
+    // left rows with null ts are RETAINED with null values (ASOF LEFT
+    // JOIN semantics); right rows with null ts are dropped
     val withNull = Seq[(String, java.lang.Long, Double)](
       ("a", 10L, 1.0), ("a", null, 9.0)).toDF("k", "ts", "v")
-    val right = Seq(("a", 5L, 100.0)).toDF("k", "ts", "q")
-    assert(AsofJoin.asofJoin(withNull, right, Seq("k"), "ts", Seq("q"))
-      .count() == 1)
+    val right = Seq[(String, java.lang.Long, Double)](
+      ("a", 5L, 100.0), ("a", null, 777.0)).toDF("k", "ts", "q")
+    val out = AsofJoin.asofJoin(withNull, right, Seq("k"), "ts", Seq("q"))
+      .collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(1)).get
+    assert(nullRow.getDouble(2) == 9.0 && nullRow.isNullAt(3))
+    assert(out.find(!_.isNullAt(1)).get.getDouble(3) == 100.0)
+  }
+
+  test("binary join keys compare by content, not reference") {
+    val left = Seq((Array[Byte](1, 2), 10L, 1.0), (Array[Byte](3), 10L, 2.0))
+      .toDF("k", "ts", "v")
+    val right = Seq((Array[Byte](1, 2), 5L, 100.0)).toDF("k", "ts", "q")
+    val m = AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("q"))
+      .collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(m(Seq[Byte](1, 2)) == 100.0, "binary key match lost")
+    assert(m(Seq[Byte](3)) == null)
   }
 
   test("range join: bins, boundaries, signs, and the giant-interval guard") {
