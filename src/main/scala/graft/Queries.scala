@@ -1193,6 +1193,43 @@ object Queries {
              SELECT lang, lang_pred, count(*) AS n FROM pred
              GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
 
+    // ---- PII scrubbing (emails / IPs / long digit runs) -------------------
+    // the fixture docs carry no PII, so deterministic PII is appended from
+    // doc_id first; the scrub must then strip it back out — oracle runs
+    // the same append + replace chain in DuckDB (dialect-safe patterns)
+    QueryDef("q_pii_scrub",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis.scrubPii
+        val withPii = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com from "),
+            lit("10.0.0."), pmod(col("doc_id"), lit(200L)),
+            lit(" acct "), col("doc_id") + lit(10000000L)).as("text"))
+        withPii.select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
+          .withColumn("has_pii_left",
+            (col("scrubbed").rlike("@example\\.com") ||
+              col("scrubbed").rlike("10\\.0\\.0\\.")).cast("int"))
+          .select(col("doc_id"),
+            substring(col("scrubbed"), -40, 40).as("tail"),
+            col("has_pii_left"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH withpii AS (SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com from ' ||
+               '10.0.0.' || (doc_id % 200) || ' acct ' ||
+               (doc_id + 10000000) AS text FROM documents),
+             scrubbed AS (SELECT doc_id, regexp_replace(regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{7,}\b', '<NUM>', 'g') AS s FROM withpii)
+             SELECT doc_id, CASE WHEN length(s) >= 40
+                 THEN substring(s, length(s) - 39, 40) ELSE s END AS tail,
+               (regexp_matches(s, '@example\.com') OR
+                regexp_matches(s, '10\.0\.0\.'))::INT AS has_pii_left
+             FROM scrubbed ORDER BY doc_id""")),
+
     // ---- corpus vocabulary (tokenizer-training feed) ----------------------
     QueryDef("q_vocab",
       (s, d) => graft.pipeline.TextAnalysis.vocabulary(

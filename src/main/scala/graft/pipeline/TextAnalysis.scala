@@ -146,6 +146,20 @@ object TextAnalysis {
       .filter(col("count") >= minCount)
       .withColumnRenamed("__graft_token", "token")
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * long digit runs (phone/account numbers) replaced with typed
+    * placeholder tokens. Pure codegen'd regexp_replace chain — no UDF, no
+    * shuffle. Patterns deliberately use only constructs with identical
+    * semantics in Java regex and RE2 (character classes, bounded repeats,
+    * \d, word boundaries), so the scrub is reproducible outside Spark. */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

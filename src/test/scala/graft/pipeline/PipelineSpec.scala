@@ -264,6 +264,14 @@ class PipelineSpec extends SparkSpec {
     assert(sample(5) != shifted, "seed acts as a pure id shift")
   }
 
+  test("scrubPii strips emails, IPs, and long digit runs; keeps short numbers") {
+    import spark.implicits._
+    val s = Seq("mail a.b+c@x-corp.io on 192.168.1.200, call 5551234567, " +
+      "room 42 floor 3").toDF("t")
+      .select(TextAnalysis.scrubPii(col("t"))).head().getString(0)
+    assert(s == "mail <EMAIL> on <IP>, call <NUM>, room 42 floor 3", s)
+  }
+
   test("text analysis columns are sane") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat.").toDF("text")
