@@ -347,6 +347,11 @@ object Stats {
     // pass i's cache is dead — unpersist it immediately, not at the end.
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
+      // pass 1 consumes the source projection TWICE (the range-bounds
+      // sample job + the sort shuffle write) — persist it like the
+      // intermediate passes so the parquet scan runs once
+      clean.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += clean
       val ranked = cols.indices.foldLeft(clean) { (d, i) =>
         val r = rankColumn(d, i) // runs the counts job on d eagerly
         cached.lastOption.foreach(_.unpersist(false))
