@@ -931,6 +931,82 @@ object Queries {
              WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
              ORDER BY id_a, id_b""")),
 
+    // ---- connected components over the near-dup pair graph ----------------
+    // alternating large-star/small-star (SoCC'14) resolves PAIRS into
+    // transitive clusters: the canonical label is the min doc id reachable
+    // through the graph, even across chains with no direct pair. Oracle:
+    // DuckDB recursive CTE computing the min-label closure of the same
+    // exact jaccard >= 0.3 graph.
+    QueryDef("q_dedup_cc",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.3)
+        graft.pipeline.Components.connectedComponents(pairs)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (SELECT id_a, id_b
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+               WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3),
+             edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+             SELECT id, min(r) AS component FROM reach
+             GROUP BY id ORDER BY id""")),
+
+    // transitive near-dedup end-to-end: ONE representative (min id) kept
+    // per component, untouched docs pass through; victims removed by a
+    // broadcast anti-join (the corpus never shuffles).
+    QueryDef("q_dedup_cc_keep",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.3)
+        graft.pipeline.Dedup.nearDedupByComponent(docs, "doc_id", pairs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (SELECT id_a, id_b
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+               WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3),
+             edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+             victims AS (SELECT id FROM reach GROUP BY id
+               HAVING id <> min(r))
+             SELECT doc_id FROM documents
+             WHERE doc_id NOT IN (SELECT id FROM victims)
+             ORDER BY doc_id""")),
+
     // ---- MinHash + LSH near-dup pipeline ----------------------------------
     QueryDef("q_minhash_dedup",
       (s, d) => graft.pipeline.Dedup.minhashDedup(documents(s, d),

@@ -333,6 +333,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Transitive near-dedup: resolve a near-dup PAIR graph into connected
+    * components and keep ONE representative (the min id) per component;
+    * documents in no pair are untouched. This is the correct "drop the
+    * near-dups" semantics — pairwise keep-min drops too much on chains
+    * (A~B, B~C, A!~C would lose both B and C). The victims frame is tiny
+    * (bounded by #near-dup docs), so the removal is a broadcast anti-join:
+    * the corpus never shuffles. */
+  def nearDedupByComponent(df: DataFrame, idCol: String,
+                           pairs: DataFrame): DataFrame = {
+    val victims = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__victim"))
+    df.join(broadcast(victims), col(idCol) === col("__victim"), "left_anti")
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash from token hashes: per bit, sign of Σ(±1) over token

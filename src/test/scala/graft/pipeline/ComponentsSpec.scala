@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses transitively to the min id") {
+    // A-B, B-C, C-D: one component rooted at 1 even though 1 and 4 share no pair
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate roots; self-loops ignored") {
+    val r = cc(Seq((5L, 9L), (9L, 5L), (7L, 7L), (2L, 3L), (10L, 6L)))
+    assert(r == Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 3L -> 2L,
+      10L -> 6L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("star and cycle converge") {
+    // star already in final shape + a 4-cycle
+    val r = cc(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)))
+    assert(r(2L) == 1L && r(3L) == 1L && r(4L) == 1L)
+    assert(Seq(10L, 11L, 12L, 13L).forall(r(_) == 10L))
+  }
+
+  test("random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find oracle
+      val parent = Array.tabulate(50)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // path-compress to min-root labels for the nodes that appear
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      assert(cc(edges) == want, s"trial $trial")
+    }
+  }
+
+  test("nearDedupByComponent keeps one representative per cluster") {
+    import spark.implicits._
+    val df = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {0,1,2} (chain) and {5,7}; 3,4,6,8,9 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedupByComponent(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("empty pair frame yields empty components and a no-op dedup") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(empty).count() == 0)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.nearDedupByComponent(df, "doc_id", empty).count() == 2)
+  }
+}
