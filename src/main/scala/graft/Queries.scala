@@ -1178,6 +1178,194 @@ object Queries {
                + stop_score) / 4.0, 6) AS quality
              FROM c ORDER BY doc_id""")),
 
+    // ---- benchmark decontamination -----------------------------------------
+    // Standard eval-leakage guard: drop training docs sharing any word
+    // n-gram with a benchmark set (GPT-3 used 13-grams; 4 here so the
+    // synthetic near-dups actually collide). Benchmark = every 97th doc;
+    // its distinct n-gram set is broadcast, the corpus never shuffles.
+    QueryDef("q_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.pipeline.Decontaminate
+          .contaminated(docs, "doc_id", "text", bench, "text", n = 4)
+          .filter(col("doc_id") % 97 =!= 0) // benchmark rows trivially overlap
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM tok),
+             bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+             SELECT doc_id, count(*) AS overlap
+             FROM sh JOIN bg USING (s)
+             WHERE doc_id % 97 <> 0
+             GROUP BY 1 ORDER BY 1""")),
+
+    // the end-to-end remove: clean corpus = docs with zero benchmark
+    // overlap (benchmark members self-overlap and are dropped too).
+    QueryDef("q_decontaminate_keep",
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.pipeline.Decontaminate
+          .decontaminate(docs, "doc_id", "text", bench, "text", n = 4)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM tok),
+             bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+             SELECT doc_id FROM documents
+             WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh JOIN bg USING (s))
+             ORDER BY doc_id""")),
+
+    // ---- sequence packing (training context-window layout) -----------------
+    // GPT-style concatenate-and-chunk: docs laid out in id order, cut every
+    // 512 tokens; a doc may straddle a cut. Pure prefix sum — computed with
+    // the engine's range-sort + per-partition-offset scaffold (no
+    // unpartitioned window), and exactly reproducible as a SQL window.
+    QueryDef("q_pack_chunked",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        graft.pipeline.Packing.chunkedPack(docs, "doc_id", "n_tokens",
+            budget = 512)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tokens
+               FROM documents),
+             c AS (SELECT doc_id, tokens,
+               coalesce(sum(tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start_token FROM tok)
+             SELECT doc_id, tokens, start_token,
+               start_token // 512 AS first_bin,
+               (start_token + greatest(tokens, 1) - 1) // 512 AS last_bin
+             FROM c ORDER BY doc_id""")),
+
+    // first-fit packing WITHOUT splitting docs (BERT/T5-style): greedy
+    // per-partition first-fit — bin ASSIGNMENT is partition-local and not
+    // SQL-expressible, so the driver records the one-row invariant summary
+    // (rows-only); PackingSpec pins the invariants (no bin over budget,
+    // no doc lost, deterministic reruns, oversize isolation).
+    QueryDef("q_pack_greedy",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val packed = graft.pipeline.Packing.packGreedy(docs, "doc_id",
+          "n_tokens", budget = 512)
+        graft.pipeline.Packing.packingSummary(packed, 512)
+      },
+      None),
+
+    // ---- Gopher-style repetition quality signals ---------------------------
+    // The synthetic corpus has no newlines and no repeated >=5-grams, so the
+    // query synthesizes repetition DETERMINISTICALLY on both sides: ' a ' is
+    // turned into line breaks, and every third doc re-appends its first line
+    // — exercising the dup-line, dup-line-char, and dup-ngram paths with
+    // per-doc-varying nonzero values. All ratios are exact integer quotients
+    // so the hash compare is bitwise.
+    QueryDef("q_repetition",
+      (s, d) => {
+        val base = documents(s, d)
+          .withColumn("text", expr("replace(text, ' a ', chr(10))"))
+        val prepared = base.withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n"), expr("split_part(text, chr(10), 1)")))
+          .otherwise(col("text")))
+        graft.pipeline.TextAnalysis.repetitionSignals(prepared, "doc_id", "text")
+          .select(col("doc_id"), col("n_lines"),
+            round(col("dup_line_frac"), 6).as("dup_line_frac"),
+            round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+            round(col("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+            round(col("top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+            round(col("dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
+            round(col("dup_10gram_char_frac"), 6).as("dup_10gram_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs2 AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN t || chr(10) || split_part(t, chr(10), 1)
+                 ELSE t END AS text
+               FROM (SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+                     FROM documents)),
+             lraw AS (SELECT doc_id, trim(x) AS line
+               FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+                     FROM docs2)
+               WHERE trim(x) <> ''),
+             lstat AS (SELECT doc_id, count(*) AS nl,
+                 count(DISTINCT line) AS nd, sum(length(line)) AS lchars
+               FROM lraw GROUP BY 1),
+             lcnt AS (SELECT doc_id, line, count(*) AS c
+               FROM lraw GROUP BY 1, 2),
+             ldup AS (SELECT doc_id, sum(CASE WHEN c > 1
+                 THEN c * length(line) ELSE 0 END) AS dchars
+               FROM lcnt GROUP BY 1),
+             tok AS (SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+               FROM docs2),
+             g2c AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS g FROM tok)
+               GROUP BY 1, 2),
+             top2 AS (SELECT doc_id, c * length(g) AS cov FROM g2c
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g ASC) = 1),
+             g3c AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> array_to_string(t[i:i+2], ' '))) AS g FROM tok)
+               GROUP BY 1, 2),
+             top3 AS (SELECT doc_id, c * length(g) AS cov FROM g3c
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g ASC) = 1),
+             d5 AS (SELECT doc_id, sum(CASE WHEN c > 1
+                 THEN (c - 1) * length(g) ELSE 0 END) AS dup
+               FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g FROM tok)
+                 GROUP BY 1, 2) GROUP BY 1),
+             d10 AS (SELECT doc_id, sum(CASE WHEN c > 1
+                 THEN (c - 1) * length(g) ELSE 0 END) AS dup
+               FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(t) - 9),
+                   i -> array_to_string(t[i:i+9], ' '))) AS g FROM tok)
+                 GROUP BY 1, 2) GROUP BY 1)
+             SELECT d.doc_id,
+               coalesce(ls.nl, 0) AS n_lines,
+               round(coalesce((ls.nl - ls.nd)::DOUBLE / ls.nl, 0), 6)
+                 AS dup_line_frac,
+               round(coalesce(ld.dchars::DOUBLE / nullif(ls.lchars, 0), 0), 6)
+                 AS dup_line_char_frac,
+               round(coalesce(t2.cov::DOUBLE / length(d.text), 0), 6)
+                 AS top_2gram_char_frac,
+               round(coalesce(t3.cov::DOUBLE / length(d.text), 0), 6)
+                 AS top_3gram_char_frac,
+               round(coalesce(d5.dup::DOUBLE / length(d.text), 0), 6)
+                 AS dup_5gram_char_frac,
+               round(coalesce(d10.dup::DOUBLE / length(d.text), 0), 6)
+                 AS dup_10gram_char_frac
+             FROM docs2 d
+             LEFT JOIN lstat ls ON ls.doc_id = d.doc_id
+             LEFT JOIN ldup ld ON ld.doc_id = d.doc_id
+             LEFT JOIN top2 t2 ON t2.doc_id = d.doc_id
+             LEFT JOIN top3 t3 ON t3.doc_id = d.doc_id
+             LEFT JOIN d5 ON d5.doc_id = d.doc_id
+             LEFT JOIN d10 ON d10.doc_id = d.doc_id
+             ORDER BY d.doc_id""")),
+
     // ---- multimodal plumbing: payload -> batched decode -> frame sample ---
     // The documents' text bytes stand in for media payloads (the container
     // ships no codecs; decode is the documented deterministic stub). This

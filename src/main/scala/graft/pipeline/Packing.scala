@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing: assign documents to fixed-token-budget context
+  * windows for LLM training. Two tiers, matching the two strategies real
+  * pipelines use:
+  *
+  *  - [[chunkedPack]] — GPT-style concatenate-and-chunk: documents are
+  *    laid out in id order as one token stream and cut every `budget`
+  *    tokens; a document may straddle a cut (its `first_bin`/`last_bin`
+  *    then differ and the trainer splits it). Fully deterministic and
+  *    exactly reproducible in SQL (it is a prefix-sum), so it is the
+  *    oracle-checked tier.
+  *  - [[packGreedy]] — first-fit bin packing WITHOUT splitting documents
+  *    (BERT/T5-style "sequence packing"): greedy first-fit into open
+  *    bins, per partition. Global first-fit is inherently sequential, so
+  *    the scale design packs each partition independently — bin ids are
+  *    `partition << 40 | local` and the per-partition tail waste is
+  *    amortized to nothing when partitions hold ≫ budget tokens.
+  *
+  * The prefix sum in chunkedPack uses the engine's standard
+  * range-sort + per-partition-offset scaffold (one sort shuffle, a
+  * #partitions-sized collect, one streaming pass) — never an
+  * unpartitioned window. */
+object Packing {
+
+  private val packSchema = StructType(Seq(
+    StructField("id", LongType), StructField("tokens", LongType),
+    StructField("start_token", LongType), StructField("first_bin", LongType),
+    StructField("last_bin", LongType)))
+
+  /** Concatenate-and-chunk layout. Returns (id, tokens, start_token,
+    * first_bin, last_bin): the document's tokens occupy stream positions
+    * [start_token, start_token+tokens), and bins are budget-sized cuts of
+    * the stream. Zero-token documents take no space (`last_bin` ==
+    * `first_bin`). Null ids/token counts are dropped; negative counts are
+    * rejected at runtime. */
+  def chunkedPack(df: DataFrame, idCol: String, tokensCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val src = df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tokens"))
+      .na.drop(Seq("id", "tokens"))
+    val sorted = src.repartitionByRange(np, col("id"))
+      .sortWithinPartitions("id")
+    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    val totals = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach { r =>
+        val t = r.getLong(1)
+        require(t >= 0, s"negative token count $t")
+        s += t
+      }
+      Iterator.single((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val off = totals.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var start = off(pi)
+      it.map { r =>
+        val t = r.getLong(1)
+        val s = start
+        start += t
+        Row(r.getLong(0), t, s, s / budget,
+          (s + math.max(t, 1L) - 1L) / budget)
+      }
+    }
+    spark.createDataFrame(rows, packSchema)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** First-fit packing without splitting: each doc goes to the first open
+    * bin with room; a doc larger than the budget gets a bin of its own.
+    * At most `maxOpenBins` bins stay open per partition (the oldest is
+    * sealed when the list is full) — bounded memory, and the utilization
+    * loss vs unbounded first-fit is negligible for realistic token
+    * distributions. Deterministic: docs are processed in id order within
+    * hash-assigned partitions. Returns (id, tokens, bin). */
+  def packGreedy(df: DataFrame, idCol: String, tokensCol: String,
+                 budget: Long, maxOpenBins: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxOpenBins > 0, s"maxOpenBins must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np = spark.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tokens"))
+      .na.drop(Seq("id", "tokens"))
+      .repartition(np, col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pi = org.apache.spark.TaskContext.getPartitionId().toLong
+        var nextLocal = 0L
+        // open bins as (binId, remaining)
+        val open = new scala.collection.mutable.ArrayDeque[(Long, Long)]()
+        def newBin(): Long = { val b = (pi << 40) | nextLocal; nextLocal += 1; b }
+        it.map { case (id, t) =>
+          require(t >= 0, s"negative token count $t")
+          val fit = open.indexWhere(_._2 >= t)
+          val bin =
+            if (t >= budget) newBin() // oversize or exact fill: own bin, sealed
+            else if (fit >= 0) {
+              val (b, rem) = open(fit)
+              if (rem - t == 0) open.remove(fit) else open(fit) = (b, rem - t)
+              b
+            } else {
+              if (open.size >= maxOpenBins) open.removeHead()
+              val b = newBin()
+              open.append((b, budget - t))
+              b
+            }
+          (id, t, bin)
+        }
+      }
+      .toDF(idCol, "tokens", "bin")
+  }
+
+  /** One-row packing report: bins, docs, tokens, the largest bin, and
+    * utilization = total_tokens / (n_bins × budget). `n_overfull` counts
+    * bins above budget — nonzero only when single documents exceed the
+    * budget (they pack alone). */
+  def packingSummary(packed: DataFrame, budget: Long): DataFrame = {
+    val perBin = packed.groupBy("bin")
+      .agg(sum("tokens").as("bin_tokens"), count(lit(1)).as("bin_docs"))
+    perBin.agg(
+      count(lit(1)).as("n_bins"),
+      sum("bin_docs").as("n_docs"),
+      sum("bin_tokens").as("total_tokens"),
+      max("bin_tokens").as("max_bin_tokens"),
+      sum(when(col("bin_tokens") > budget, 1L).otherwise(0L)).as("n_overfull"),
+      round(sum("bin_tokens") / (count(lit(1)) * lit(budget.toDouble)), 6)
+        .as("utilization"))
+  }
+}

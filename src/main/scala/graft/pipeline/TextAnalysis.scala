@@ -160,6 +160,98 @@ object TextAnalysis {
     regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", table A1):
+    * the standard quality filters for removing boilerplate- and
+    * repetition-heavy documents from a training corpus. Computed in ONE
+    * typed JVM pass per row (tokenize once, hash-map counts) — a pure
+    * per-row map with no shuffle; the interpreted-HOF formulation would
+    * re-walk the token array per n-gram size. Signals:
+    *
+    *  - `n_lines`, `dup_line_frac`: trimmed non-empty lines; fraction of
+    *    line occurrences beyond the first of their value;
+    *  - `dup_line_char_frac`: characters in lines occurring >1 time (all
+    *    occurrences) over total line characters;
+    *  - `top_{2,3}gram_char_frac`: chars covered by the most frequent
+    *    word n-gram (count × n-gram length, ties broken by smallest
+    *    n-gram for determinism) over total text length;
+    *  - `dup_{5,10}gram_char_frac`: Σ (count−1) × length over n-grams
+    *    occurring >1 time, over total text length — a documented
+    *    simplification of Gopher's coverage measure (overlapping
+    *    occurrences are each charged, not merged).
+    *
+    * Documents shorter than n tokens contribute 0 for that n-gram signal.
+    * All ratios are exact integer quotients — bit-identical to any engine
+    * computing the same counts (the DuckDB oracle reproduces them). */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        // ---- line signals --------------------------------------------------
+        val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toArray
+        val nLines = lines.length
+        val lineCounts = new java.util.HashMap[String, Int]()
+        var lineChars = 0L
+        lines.foreach { l =>
+          lineCounts.merge(l, 1, (a, b) => a + b); lineChars += l.length
+        }
+        var dupLineChars = 0L
+        lineCounts.forEach { (l, c) =>
+          if (c > 1) dupLineChars += c.toLong * l.length
+        }
+        val dupLineFrac =
+          if (nLines == 0) 0.0
+          else (nLines - lineCounts.size).toDouble / nLines
+        val dupLineCharFrac =
+          if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+        // ---- n-gram signals ------------------------------------------------
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val total = text.length.toDouble
+        def counts(n: Int): java.util.HashMap[String, Int] = {
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            m.merge(sb.toString, 1, (a, b) => a + b)
+            i += 1
+          }
+          m
+        }
+        def topFrac(n: Int): Double =
+          if (toks.length < n || total == 0) 0.0
+          else {
+            var bestC = 0
+            var bestG: String = null
+            counts(n).forEach { (g, c) =>
+              if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+                bestC = c; bestG = g
+              }
+            }
+            bestC.toLong * bestG.length / total
+          }
+        def dupFrac(n: Int): Double =
+          if (toks.length < n || total == 0) 0.0
+          else {
+            var dup = 0L
+            counts(n).forEach { (g, c) =>
+              if (c > 1) dup += (c - 1).toLong * g.length
+            }
+            dup / total
+          }
+        (id, nLines.toLong, dupLineFrac, dupLineCharFrac,
+          topFrac(2), topFrac(3), dupFrac(5), dupFrac(10))
+      }
+      .toDF(idCol, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_5gram_char_frac", "dup_10gram_char_frac")
+  }
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  test("chunkedPack lays out the token stream in id order") {
+    import spark.implicits._
+    val df = Seq((1L, 40L), (2L, 80L), (3L, 0L), (4L, 100L), (5L, 10L))
+      .toDF("doc_id", "n")
+    val r = Packing.chunkedPack(df, "doc_id", "n", budget = 100)
+      .orderBy("doc_id").collect()
+    // stream: doc1 [0,40) bin 0; doc2 [40,120) bins 0-1; doc3 [120,120) bin 1;
+    // doc4 [120,220) bins 1-2; doc5 [220,230) bin 2
+    assert(r.map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq ==
+      Seq((1L, 0L, 0L, 0L), (2L, 40L, 0L, 1L), (3L, 120L, 1L, 1L),
+          (4L, 120L, 1L, 2L), (5L, 220L, 2L, 2L)))
+  }
+
+  test("chunkedPack matches a sequential prefix sum on 1000 rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 1000L).map(i => (i, rnd.nextInt(300).toLong))
+    val r = Packing.chunkedPack(data.toDF("doc_id", "n"), "doc_id", "n", 512)
+      .orderBy("doc_id").collect()
+    var acc = 0L
+    data.zipWithIndex.foreach { case ((id, n), i) =>
+      assert(r(i).getLong(0) == id)
+      assert(r(i).getLong(2) == acc, s"start of doc $id")
+      assert(r(i).getLong(3) == acc / 512)
+      assert(r(i).getLong(4) == (acc + math.max(n, 1) - 1) / 512)
+      acc += n
+    }
+  }
+
+  test("packGreedy: no bin over budget, all docs kept, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 500L).map(i => (i, (rnd.nextInt(400) + 1).toLong))
+    val df = data.toDF("doc_id", "n")
+    val packed = Packing.packGreedy(df, "doc_id", "n", budget = 1024).cache()
+    val bins = packed.groupBy("bin").agg(sum("tokens").as("s"))
+    assert(bins.filter(col("s") > 1024).count() == 0)
+    assert(packed.count() == 500)
+    assert(packed.select("doc_id").distinct().count() == 500)
+    // determinism: identical assignment on a rerun
+    val again = Packing.packGreedy(df, "doc_id", "n", budget = 1024)
+    assert(packed.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      again.as[(Long, Long, Long)].collect().sorted.toSeq)
+    // utilization sanity: wasted space bounded (docs ≤ 400 on 1024 budget)
+    val s = Packing.packingSummary(packed, 1024).head()
+    assert(s.getAs[Long]("n_overfull") == 0L)
+    assert(s.getAs[Double]("utilization") > 0.5)
+    packed.unpersist()
+  }
+
+  test("packGreedy: oversize docs pack alone and are counted overfull") {
+    import spark.implicits._
+    val df = Seq((1L, 2000L), (2L, 10L), (3L, 10L)).toDF("doc_id", "n")
+    val packed = Packing.packGreedy(df, "doc_id", "n", budget = 100)
+    val big = packed.filter(col("doc_id") === 1).head().getLong(2)
+    // the oversize doc shares its bin with nobody
+    assert(packed.filter(col("bin") === big).count() == 1)
+    val s = Packing.packingSummary(packed, 100).head()
+    assert(s.getAs[Long]("n_overfull") == 1L)
+    assert(s.getAs[Long]("n_docs") == 3L)
+    assert(s.getAs[Long]("total_tokens") == 2020L)
+  }
+}

@@ -351,4 +351,69 @@ class PipelineSpec extends SparkSpec {
       Multimodal.resize(media, 224, 224), everyNth = 4, maxFrames = 8)
     assert(frames.filter(col("media_id") === 1).count() == 2) // idx 0,4
   }
+
+  test("repetitionSignals: dup lines, dup ngrams, short docs, ties") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "aa bb" appears twice (10 of 20 line chars duplicated)
+      (0L, "aa bb\ncc dd\naa bb\nee ff"),
+      // no duplicate lines or >=5-grams
+      (1L, "one two three four five six"),
+      // "x y" 2-gram repeats 3x; 5-gram "x y x y x" twice (overlapping)
+      (2L, "x y x y x y x"),
+      // shorter than 5 tokens: dup_5gram must be 0, top_2gram still works
+      (3L, "p q p q"),
+      // single token: every n-gram signal 0, one line
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 0: 4 lines, 1 duplicate occurrence beyond first -> 1/4
+    assert(r(0).getAs[Long]("n_lines") == 4L)
+    assert(r(0).getAs[Double]("dup_line_frac") == 0.25)
+    assert(r(0).getAs[Double]("dup_line_char_frac") == 10.0 / 20.0)
+    // doc 1: nothing repeats
+    assert(r(1).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(1).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(r(1).getAs[Double]("top_2gram_char_frac") > 0.0)
+    // doc 2: top 2-gram "x y" count 3, len 3, text len 13 -> 9/13
+    assert(r(2).getAs[Double]("top_2gram_char_frac") == 9.0 / 13.0)
+    // 5-grams: "x y x y x" twice, "y x y x y" once -> (2-1)*9/13
+    assert(r(2).getAs[Double]("dup_5gram_char_frac") == 9.0 / 13.0)
+    assert(r(2).getAs[Double]("dup_10gram_char_frac") == 0.0) // only 7 tokens
+    // doc 3: 4 tokens -> no 5-grams; top 2-gram "p q" twice, len 3/7
+    assert(r(3).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(r(3).getAs[Double]("top_2gram_char_frac") == 6.0 / 7.0)
+    // doc 4: single token, no 2-grams
+    assert(r(4).getAs[Long]("n_lines") == 1L)
+    assert(r(4).getAs[Double]("top_2gram_char_frac") == 0.0)
+    // tie-break: two 2-grams with equal count -> lexicographically smallest
+    val tie = TextAnalysis.repetitionSignals(
+      Seq((0L, "b a b a")).toDF("doc_id", "text"), "doc_id", "text").head()
+    // 2-grams: "b a" x2? no: "b a","a b","b a" -> "b a" count 2 wins anyway;
+    // use a true tie: "c d e f" -> "c d","d e","e f" all count 1, min "c d"
+    val tie2 = TextAnalysis.repetitionSignals(
+      Seq((0L, "c d e f")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(tie2.getAs[Double]("top_2gram_char_frac") == 3.0 / 7.0)
+    assert(tie.getAs[Double]("top_2gram_char_frac") == 2 * 3.0 / 7.0)
+  }
+
+  test("decontaminate flags and removes benchmark n-gram overlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat today"),       // shares 5-gram with bench
+      (2L, "completely unrelated training text"), // clean
+      (3L, "the cat sat on the mat and more"),    // shares the same 5-gram
+      (4L, "cat sat on a mat")                    // 5 tokens, no shared gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "q: the cat sat on the mat ?")).toDF("bid", "btext")
+    val bad = Decontaminate.contaminated(train, "doc_id", "text",
+      bench, "btext", n = 5).orderBy("doc_id").collect()
+    assert(bad.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 1 shares "the cat sat on the", "cat sat on the mat" (2 grams)
+    assert(bad(0).getAs[Long]("overlap") == 2L)
+    val kept = Decontaminate.decontaminate(train, "doc_id", "text",
+      bench, "btext", n = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
 }
