@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a pair graph — the step between
   * near-dup PAIR generation (minhash / simhash / embedding LSH) and an
@@ -13,103 +15,161 @@ import org.apache.spark.sql.functions._
   * doc id reachable through the near-dup graph) so exactly one
   * representative per cluster survives.
   *
-  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
-  * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
-  * and Beyond", SoCC 2014) — the standard O(log n)-round dataflow CC.
-  * Each round is two hash-shuffles keyed on node id:
+  * Two tiers behind one entry point:
   *
-  *  - large-star: every node connects its LARGER neighbors to the
-  *    minimum of its neighborhood (incl. itself);
-  *  - small-star: every node connects its smaller-or-equal neighbors
-  *    (and itself) to its minimum neighbor.
-  *
-  * Both halves are plain groupBy-min + join — no per-node posting list is
-  * ever materialized in executor memory (a star center's neighborhood
-  * reaches component size; the DataFrame formulation keeps it as rows).
-  * Convergence is detected by an (count, xor-of-hashes) edge-multiset
-  * checksum; converged edges form stars (node → component root).
-  *
-  * Lineage is truncated every round with `localCheckpoint` — iterative
-  * join/distinct plans otherwise grow exponentially and re-execute from
-  * the source each round. (On a real cluster prefer
-  * `sparkContext.setCheckpointDir` + `checkpoint()` for fault tolerance;
-  * local checkpoints live in executor block managers.)
+  *  - **small graphs** (≤ `localThreshold` distinct edges): driver-local
+  *    union-find with min-root linking. A near-dup pair graph is small by
+  *    construction — its victim set must fit a broadcast anyway — and the
+  *    iterative dataflow algorithm pays ~1 s of scheduling per round for
+  *    a graph the driver folds in milliseconds. The bound is explicit
+  *    (2 longs × 1M edges ≈ 16 MB collected; the component map broadcast
+  *    back is ≤ 2× that).
+  *  - **large graphs**: alternating large-star / small-star (Kiveris,
+  *    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+  *    in MapReduce and Beyond", SoCC 2014) — the standard O(log n)-round
+  *    dataflow CC. Each round is two groupBy-min shuffles + joins; no
+  *    per-node posting list is ever materialized in executor memory (a
+  *    star center's neighborhood reaches component size; the DataFrame
+  *    formulation keeps it as rows). Each round materializes through ONE
+  *    action that simultaneously persists the round's edges, counts
+  *    them, and folds an order-insensitive xor fingerprint for the
+  *    convergence test; the previous round's blocks are released
+  *    explicitly. Lineage is cut by re-wrapping the persisted RDD, so
+  *    plans never grow with the iteration count.
   */
 object Components {
 
+  /** SplitMix64-style mix of an ORIENTED edge for the xor fingerprint —
+    * asymmetric in (u, v), order-insensitive across rows under xor. */
+  private def mixEdge(u: Long, v: Long): Long = {
+    var x = u * 0x9E3779B97F4A7C15L + java.lang.Long.rotateLeft(v, 31)
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Persist the edge set and, in the SAME action, count it and fold the
+    * xor fingerprint (one pass, no separate count/checksum jobs). */
+  private def materialize(edges: DataFrame): (RDD[(Long, Long)], Long, Long) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rdd = edges.as[(Long, Long)].rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (n, sig) = rdd.mapPartitions { it =>
+      var n = 0L; var x = 0L
+      it.foreach { case (u, v) => n += 1; x ^= mixEdge(u, v) }
+      Iterator.single((n, x))
+    }.fold((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
+    (rdd, n, sig)
+  }
+
+  /** Driver-local union-find with min-root linking (the root of every
+    * class is its minimum id, so find() IS the component label). */
+  private[pipeline] def localCC(edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (a, b) =>
+      out.put(a, find(a)); out.put(b, find(b))
+    }
+    out
+  }
+
   /** (id, component) for every node appearing in `pairs`, where
     * `component` is the minimum node id in the node's connected
-    * component. Self-loops are ignored; `pairs` need not be
-    * deduplicated or ordered. Nodes not mentioned in any pair are by
-    * definition their own singleton component — callers wanting full
-    * coverage union those in (see [[Dedup.nearDedupByComponent]]). */
+    * component. Self-loops are ignored; `pairs` need not be deduplicated
+    * or ordered. Nodes in no (non-self) pair are their own singleton
+    * component — callers wanting full-corpus coverage union untouched
+    * rows in (see [[Dedup.nearDedupByComponent]]). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame = {
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("id")))
+                          bCol: String = "id_b", maxIter: Int = 50,
+                          localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // `pairs` is consumed three times below (both unionAll arms of
+    // `nodes`, plus the edge init) — without a persist, an expensive
+    // generator (an LSH or inverted-index pipeline) re-runs per consumer.
+    // Same cache contract as ngramJaccard: entries live until LRU
+    // eviction or spark.catalog.clearCache().
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = p.select(col(aCol).cast("long").as("id"))
+      .unionAll(p.select(col(bCol).cast("long").as("id")))
       .distinct()
 
     // canonical orientation u > v (small-star's input contract)
-    var edges = pairs.select(
+    val init = p.select(
         greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+    var (rdd, n, sig) = materialize(init)
 
-    var lastChecksum: (Long, Long) = checksum(edges)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      // ---- large-star ----------------------------------------------------
-      // symmetric neighborhoods; m(u) = min(N(u) ∪ {u}); for every
-      // neighbor v > u emit (v, m(u)). Output stays oriented u' > v'
-      // because m(u) <= u < v.
-      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
+    if (n <= localThreshold) {
+      val comp = localCC(rdd.collect())
+      rdd.unpersist(blocking = false)
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val compDf = comp.asScala.toSeq.map { case (k, v) => (k, v) }
+        .toDF("id", "__root")
+      nodes.join(broadcast(compDf), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    } else {
+      var edges = rewrap(spark, rdd)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        // ---- large-star: symmetric neighborhoods; m(u) = min(N(u) ∪ {u});
+        // every neighbor v > u connects to m(u). Output stays oriented
+        // u' > v' because m(u) <= u < v.
+        val sym = edges.unionAll(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(min("v").as("mv"))
+          .select(col("u"), least(col("u"), col("mv")).as("m"))
+        val ls = sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        // ---- small-star: on oriented edges every neighbor is smaller;
+        // m = min(N(u)); non-min neighbors and u itself connect to m.
+        val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+        val ss = ls.join(mins2, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionAll(mins2.select(col("u"), col("m").as("v")))
+          .distinct()
 
-      // ---- small-star ----------------------------------------------------
-      // on oriented edges every neighbor of u is smaller; m = min(N(u));
-      // emit (v, m) for the non-min neighbors plus the (u, m) spine.
-      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(mins2, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .unionAll(mins2.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint()
-
-      val c = checksum(ss)
-      converged = c == lastChecksum
-      lastChecksum = c
-      edges = ss
-      it += 1
+        val (rdd2, n2, sig2) = materialize(ss)
+        converged = n2 == n && sig2 == sig
+        rdd.unpersist(blocking = false)
+        rdd = rdd2; n = n2; sig = sig2
+        edges = rewrap(spark, rdd)
+        it += 1
+      }
+      // converged edges are stars (node → root); roots label themselves.
+      // The final round's blocks stay persisted until the result is GC'd
+      // (unpersisting here would force a recompute for the consumer).
+      nodes.join(edges.select(col("u").as("id"), col("v").as("__root")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
     }
-
-    // converged edges are stars: (node, root). Roots have no outgoing
-    // edge — they label themselves.
-    nodes.join(edges.select(col("u").as("id"), col("v").as("__root")),
-        Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 
-  /** Order-insensitive edge-multiset fingerprint: (row count, xor of
-    * per-row 64-bit hashes). Two jobs per round total (the eager local
-    * checkpoint materializes the round; this agg reads the cached
-    * blocks). */
-  private def checksum(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(
-      count(lit(1)).as("n"),
-      // xor-fold via sum of hash is collision-prone across multisets;
-      // bit_xor is associative/commutative and order-independent
-      expr("bit_xor(xxhash64(u, v))").as("h")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  /** Wrap a persisted edge RDD as a fresh DataFrame: the logical plan
+    * becomes an opaque scan of the cached blocks, cutting the iterative
+    * lineage (plans would otherwise double in size every round). */
+  private def rewrap(spark: SparkSession, rdd: RDD[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rdd).toDF("u", "v")
   }
 }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 class ComponentsSpec extends SparkSpec {
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(pairs: Seq[(Long, Long)],
+                 localThreshold: Long = 1L << 20): Map[Long, Long] = {
     import spark.implicits._
-    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+    Components.connectedComponents(pairs.toDF("id_a", "id_b"),
+        localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -47,8 +49,17 @@ class ComponentsSpec extends SparkSpec {
       // path-compress to min-root labels for the nodes that appear
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      assert(cc(edges) == want, s"trial $trial")
+      // both tiers must agree with the reference: the driver-local
+      // union-find (default) and the large-star/small-star dataflow
+      // rounds (forced with a negative threshold)
+      assert(cc(edges) == want, s"trial $trial (local)")
+      assert(cc(edges, localThreshold = -1L) == want, s"trial $trial (distributed)")
     }
+  }
+
+  test("chain collapses through the distributed rounds too") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), localThreshold = -1L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
   test("nearDedupByComponent keeps one representative per cluster") {
