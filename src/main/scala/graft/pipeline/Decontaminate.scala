@@ -42,6 +42,42 @@ object Decontaminate {
       .agg(count(lit(1)).as("overlap")) // shingled dedups per doc → distinct
       .withColumnRenamed("__id", idCol)
 
+  /** The benchmark's distinct n-gram hashes collected to a SORTED array
+    * for per-row membership tests (binary search; 8 bytes per gram). A
+    * benchmark set is small by contract — thousands of eval items, not a
+    * corpus — and the explicit `maxGrams` bound rejects misuse before the
+    * driver collects something corpus-sized. */
+  def benchmarkGramSet(benchmark: DataFrame, benchTextCol: String,
+                       n: Int = 13, maxGrams: Int = 50_000_000): Array[Long] = {
+    val grams = benchGrams(benchmark, benchTextCol, n)
+      .limit(maxGrams + 1).collect().map(_.getLong(0))
+    require(grams.length <= maxGrams,
+      s"benchmark has more than $maxGrams distinct $n-grams — " +
+        "that is a corpus, not a benchmark; raise maxGrams explicitly " +
+        "or use the join-based decontaminate")
+    java.util.Arrays.sort(grams)
+    grams
+  }
+
+  /** Streaming-friendly decontaminate: keep rows sharing NO n-gram with
+    * the benchmark, decided per row against the broadcast sorted gram
+    * array — completely stateless, so it composes with any streaming
+    * query (no stateful agg, no stream-stream join, no watermark
+    * requirement). Works identically on batch frames. Null text rows are
+    * dropped (they cannot be checked). */
+  def decontaminateStream(stream: DataFrame, textCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          n: Int = 13): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(
+      benchmarkGramSet(benchmark, benchTextCol, n))
+    val clean = udf { text: String =>
+      val grams = bc.value
+      Dedup.shinglesOf(text, n)
+        .forall(sh => java.util.Arrays.binarySearch(grams, Dedup.hash64(sh)) < 0)
+    }
+    stream.filter(col(textCol).isNotNull && clean(col(textCol)))
+  }
+
   /** Documents with NO n-gram overlap against the benchmark — the clean
     * training corpus. A broadcast anti-join on the benchmark's n-gram
     * set applied to the corpus shingle stream; rows whose text is null

@@ -170,4 +170,32 @@ class StreamingSpec extends SparkSpec {
       assert(r == Seq(2L, 1L)) // two sessions: gap > 30 min
     } finally q.stop()
   }
+
+  test("decontaminateStream drops benchmark-overlapping docs, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the cat sat on the mat today").toDF("btext")
+    val input = MemoryStream[(Long, String)]
+    val clean = graft.pipeline.Decontaminate.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", bench, "btext", n = 5)
+    val q = clean.writeStream.format("memory")
+      .queryName("dc").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat and then left"), // overlaps
+        (2L, "totally unrelated stream document here"),
+        (3L, "another clean one without benchmark grams"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dc ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(2L, 3L))
+      // batch parity: the same membership rule on a batch frame
+      val batch = Seq((1L, "the cat sat on the mat and then left"),
+        (2L, "totally unrelated stream document here")).toDF("doc_id", "text")
+      val b = graft.pipeline.Decontaminate.decontaminateStream(
+        batch, "text", bench, "btext", n = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(b == Seq(2L))
+    } finally q.stop()
+  }
 }
