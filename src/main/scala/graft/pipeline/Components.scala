@@ -86,12 +86,22 @@ object Components {
     out
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, component) for every node appearing in `pairs`, where
     * `component` is the minimum node id in the node's connected
     * component. Self-loops are ignored; `pairs` need not be deduplicated
     * or ordered. Nodes in no (non-self) pair are their own singleton
     * component — callers wanting full-corpus coverage union untouched
-    * rows in (see [[Dedup.nearDedupByComponent]]). */
+    * rows in (see [[Dedup.nearDedupByComponent]]).
+    *
+    * The returned frame is EAGER and persisted (one row per graph node);
+    * every internal persist — the pair generator, the node set, each
+    * round's edge RDD — is released before this method returns, so the
+    * only blocks that outlive the call are the result's own. Release them
+    * with `.unpersist()` on the returned frame when done (iterative
+    * callers that skip this accumulate block-manager pressure — the
+    * round-3 leaked-blocks lesson). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50,
                           localThreshold: Long = 1L << 20): DataFrame = {
@@ -99,12 +109,11 @@ object Components {
     // `pairs` is consumed three times below (both unionAll arms of
     // `nodes`, plus the edge init) — without a persist, an expensive
     // generator (an LSH or inverted-index pipeline) re-runs per consumer.
-    // Same cache contract as ngramJaccard: entries live until LRU
-    // eviction or spark.catalog.clearCache().
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = p.select(col(aCol).cast("long").as("id"))
       .unionAll(p.select(col(bCol).cast("long").as("id")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // canonical orientation u > v (small-star's input contract)
     val init = p.select(
@@ -113,8 +122,10 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()
     var (rdd, n, sig) = materialize(init)
+    nodes.count() // force from the cached pair blocks, then drop them
+    p.unpersist(blocking = false)
 
-    if (n <= localThreshold) {
+    val labeled: DataFrame = if (n <= localThreshold) {
       val comp = localCC(rdd.collect())
       rdd.unpersist(blocking = false)
       import scala.jdk.CollectionConverters._
@@ -156,13 +167,31 @@ object Components {
         edges = rewrap(spark, rdd)
         it += 1
       }
-      // converged edges are stars (node → root); roots label themselves.
-      // The final round's blocks stay persisted until the result is GC'd
-      // (unpersisting here would force a recompute for the consumer).
-      nodes.join(edges.select(col("u").as("id"), col("v").as("__root")),
+      if (!converged)
+        log.warn(s"connectedComponents exhausted maxIter=$maxIter without " +
+          s"converging ($n edges remain) — labels are an upper bound on the " +
+          "true min-id components (some clusters may stay split); raise " +
+          "maxIter for a guaranteed fixpoint")
+      // Converged edges are stars (node → root); roots label themselves.
+      // The min-agg makes one-row-per-node an INVARIANT, not a
+      // consequence of convergence: on maxIter exhaustion (or the
+      // astronomically-rare fingerprint collision) a node can still carry
+      // several candidate labels, and emitting them all would silently
+      // corrupt downstream anti-joins.
+      nodes.join(
+          edges.select(col("u").as("id"), col("v").as("__root"))
+            .groupBy("id").agg(min("__root").as("__root")),
           Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
     }
+    // Materialize the result, then release every internal block: the
+    // final round's edges and the node set are only reachable through
+    // the (now cached) result.
+    val res = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    rdd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    res
   }
 
   /** Wrap a persisted edge RDD as a fresh DataFrame: the logical plan

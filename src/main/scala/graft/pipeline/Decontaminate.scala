@@ -70,10 +70,15 @@ object Decontaminate {
                           n: Int = 13): DataFrame = {
     val bc = stream.sparkSession.sparkContext.broadcast(
       benchmarkGramSet(benchmark, benchTextCol, n))
+    // Null is handled INSIDE the udf (returning false = drop): the
+    // isNotNull conjunct below documents the semantics, but predicate
+    // order is the optimizer's to choose, so the udf must not rely on it.
     val clean = udf { text: String =>
-      val grams = bc.value
-      Dedup.shinglesOf(text, n)
-        .forall(sh => java.util.Arrays.binarySearch(grams, Dedup.hash64(sh)) < 0)
+      text != null && {
+        val grams = bc.value
+        Dedup.shinglesOf(text, n)
+          .forall(sh => java.util.Arrays.binarySearch(grams, Dedup.hash64(sh)) < 0)
+      }
     }
     stream.filter(col(textCol).isNotNull && clean(col(textCol)))
   }

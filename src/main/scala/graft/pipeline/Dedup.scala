@@ -337,15 +337,33 @@ object Dedup {
     * components and keep ONE representative (the min id) per component;
     * documents in no pair are untouched. This is the correct "drop the
     * near-dups" semantics — pairwise keep-min drops too much on chains
-    * (A~B, B~C, A!~C would lose both B and C). The victims frame is tiny
-    * (bounded by #near-dup docs), so the removal is a broadcast anti-join:
-    * the corpus never shuffles. */
+    * (A~B, B~C, A!~C would lose both B and C).
+    *
+    * Victims ≤ `maxBroadcastVictims` (the usual case — a near-dup victim
+    * set is small next to the corpus) are collected and removed with a
+    * broadcast anti-join, so the corpus never shuffles and the component
+    * cache is released before returning. A genuinely dup-heavy corpus can
+    * make the victim set O(corpus) — above the bound the removal falls
+    * back to a shuffle anti-join instead of blowing the driver/broadcast
+    * limit (the components frame stays cached until that join is
+    * consumed; `spark.catalog.clearCache()` releases it). */
   def nearDedupByComponent(df: DataFrame, idCol: String,
-                           pairs: DataFrame): DataFrame = {
-    val victims = Components.connectedComponents(pairs)
-      .filter(col("id") =!= col("component"))
+                           pairs: DataFrame,
+                           maxBroadcastVictims: Long = 1L << 22): DataFrame = {
+    val comp = Components.connectedComponents(pairs) // eager + persisted
+    val victims = comp.filter(col("id") =!= col("component"))
       .select(col("id").as("__victim"))
-    df.join(broadcast(victims), col(idCol) === col("__victim"), "left_anti")
+    val nVictims = victims.count() // cheap: comp is cached
+    if (nVictims <= maxBroadcastVictims) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val ids = victims.as[Long].collect().toSeq
+      comp.unpersist(blocking = false)
+      val vdf = spark.createDataset(ids).toDF("__victim")
+      df.join(broadcast(vdf), col(idCol) === col("__victim"), "left_anti")
+    } else {
+      df.join(victims, col(idCol) === col("__victim"), "left_anti")
+    }
   }
 
   // ---- SimHash -------------------------------------------------------------

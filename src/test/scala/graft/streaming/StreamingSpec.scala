@@ -189,9 +189,13 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.sql("SELECT doc_id FROM dc ORDER BY doc_id")
         .collect().map(_.getLong(0)).toSeq
       assert(kept == Seq(2L, 3L))
-      // batch parity: the same membership rule on a batch frame
-      val batch = Seq((1L, "the cat sat on the mat and then left"),
-        (2L, "totally unrelated stream document here")).toDF("doc_id", "text")
+      // batch parity: the same membership rule on a batch frame; the
+      // null-text row must be dropped without an NPE even if the
+      // optimizer evaluates the udf before the isNotNull conjunct
+      // (ADVICE r3: null handled inside the udf)
+      val batch = Seq((1L, Some("the cat sat on the mat and then left")),
+        (2L, Some("totally unrelated stream document here")),
+        (3L, Option.empty[String])).toDF("doc_id", "text")
       val b = graft.pipeline.Decontaminate.decontaminateStream(
         batch, "text", bench, "btext", n = 5)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
