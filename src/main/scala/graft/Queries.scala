@@ -1895,7 +1895,83 @@ object Queries {
              SELECT 'exp30000' AS dist, round(exp_d, 6) AS ks_stat FROM d
              UNION ALL
              SELECT 'uniform' AS dist, round(uni_d, 6) AS ks_stat FROM d
-             ORDER BY dist"""))
+             ORDER BY dist""")),
+
+    // ---- Gopher/C4 heuristic quality filters -------------------------------
+    // Same newline synthesis as q_repetition (the raw corpus is single-line)
+    // so the line-level signals vary. Keep flags compare the UNROUNDED
+    // signals on both sides — the division arithmetic is identical
+    // (int/double), so the IEEE results match bitwise.
+    QueryDef("q_quality_filters",
+      (s, d) => {
+        val docs2 = documents(s, d)
+          .withColumn("text", expr("replace(text, ' a ', chr(10))"))
+        graft.pipeline.TextAnalysis.qualityFilters(docs2, "text", minWords = 30)
+          .select(col("doc_id"), col("word_count"),
+            round(col("mean_word_len"), 6).as("mean_word_len"),
+            round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+            round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+            col("stopword_hits"),
+            round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+            round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+            round(col("terminal_punct_line_frac"), 6)
+              .as("terminal_punct_line_frac"),
+            col("sentence_count"),
+            col("keep_gopher").cast("int").as("keep_gopher"),
+            col("keep_c4").cast("int").as("keep_c4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+               FROM documents),
+             t AS (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x <> '') AS w,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 x -> trim(x)), x -> x <> '') AS l
+               FROM d2),
+             m AS (SELECT doc_id, text, w, l, len(w) AS wc,
+               greatest(len(w), 1)::DOUBLE AS wcd,
+               greatest(len(l), 1)::DOUBLE AS lcd,
+               coalesce(list_sum(list_transform(w, x -> length(x))), 0) /
+                 greatest(len(w), 1)::DOUBLE AS mwl,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) /
+                 greatest(len(w), 1)::DOUBLE AS awf,
+               ((length(text) - length(translate(text, '#', ''))) +
+                CAST((length(text) - length(regexp_replace(text,
+                  '\.\.\.', '', 'g'))) / 3 AS BIGINT) +
+                (length(text) - length(translate(text, '…', '')))) /
+                 greatest(len(w), 1)::DOUBLE AS swr,
+               (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT +
+                list_contains(w, 'to')::INT + list_contains(w, 'of')::INT +
+                list_contains(w, 'and')::INT + list_contains(w, 'that')::INT +
+                list_contains(w, 'have')::INT + list_contains(w, 'with')::INT)
+                 AS hits,
+               len(list_filter(l, x -> regexp_matches(x, '^[-*•]'))) /
+                 greatest(len(l), 1)::DOUBLE AS blf,
+               len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$'))) /
+                 greatest(len(l), 1)::DOUBLE AS elf,
+               len(list_filter(l, x -> regexp_matches(x, '[.!?"'']$'))) /
+                 greatest(len(l), 1)::DOUBLE AS tpf,
+               length(text) - length(translate(text, '.!?', '')) AS sc,
+               contains(lower(text), 'lorem ipsum') AS lorem,
+               contains(text, '{') AS brace
+               FROM t)
+             SELECT doc_id, wc AS word_count,
+               round(mwl, 6) AS mean_word_len,
+               round(awf, 6) AS alpha_word_frac,
+               round(swr, 6) AS symbol_word_ratio,
+               hits AS stopword_hits,
+               round(blf, 6) AS bullet_line_frac,
+               round(elf, 6) AS ellipsis_line_frac,
+               round(tpf, 6) AS terminal_punct_line_frac,
+               sc AS sentence_count,
+               CASE WHEN wc BETWEEN 30 AND 100000
+                 AND mwl BETWEEN 3.0 AND 10.0 AND swr <= 0.1
+                 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+                 AND hits >= 2 THEN 1 ELSE 0 END AS keep_gopher,
+               CASE WHEN sc >= 3 AND wc >= 5 AND NOT lorem AND NOT brace
+                 THEN 1 ELSE 0 END AS keep_c4
+             FROM m ORDER BY doc_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

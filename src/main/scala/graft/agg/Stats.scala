@@ -257,6 +257,61 @@ object Stats {
     clean.agg(pairs.head, pairs.tail: _*)
   }
 
+  /** Higher central moments — population skewness (m3/m2^1.5) and
+    * population EXCESS kurtosis (m4/m2² − 3) — for every column in one
+    * long-format frame (column, n, mean, variance, skewness, kurtosis),
+    * ordered by column name. Two aggregation passes: means first (scalar
+    * crossJoin — no unpartitioned window), then centered power means.
+    * Centered accumulation is deliberate: the one-pass raw-power identity
+    * m3 = E[x³] − 3μE[x²] + 2μ³ cancels catastrophically when skew ≈ 0,
+    * and skew/kurt are exactly the regimes where that matters. Both passes
+    * are partial/final hash aggregates — two corpus scans, no shuffle
+    * beyond the 1-row agg exchanges, driver holds k means. */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val clean = df.na.drop(cols)
+    val meanAggs = cols.map(c => avg(col(c)).as(s"__mu_$c"))
+    val means = clean.agg(meanAggs.head, meanAggs.tail: _*)
+    val centered = clean.crossJoin(broadcast(means))
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      val z = col(c) - col(s"__mu_$c")
+      Seq(avg(z * z).as(s"__m2_$c"), avg(z * z * z).as(s"__m3_$c"),
+        avg(z * z * z * z).as(s"__m4_$c"), first(col(s"__mu_$c")).as(s"__mu2_$c"))
+    }
+    val g = centered.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.sorted.map { c =>
+      struct(lit(c).as("column"), col("n"),
+        col(s"__mu2_$c").as("mean"),
+        col(s"__m2_$c").as("variance"),
+        (col(s"__m3_$c") / pow(col(s"__m2_$c"), 1.5)).as("skewness"),
+        (col(s"__m4_$c") / (col(s"__m2_$c") * col(s"__m2_$c")) - lit(3.0))
+          .as("kurtosis"))
+    }
+    g.select(explode(array(rows: _*)).as("m")).select("m.*")
+  }
+
+  /** Sample covariance matrix (upper triangle incl. diagonal) for the
+    * given columns, fused into ONE aggregation pass — k(k+1)/2 codegen'd
+    * `covar_samp` expressions, one shuffle of a single partial-agg row.
+    * Long format (col_a, col_b, cov) ordered by (col_a, col_b); the
+    * diagonal is the sample variance. Same k²-column ceiling as the
+    * Mahalanobis fit (~20 columns) — beyond that, assemble a vector and
+    * use ml.stat.Correlation's covariance path. */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val clean = df.na.drop(cols)
+    val sorted = cols.sorted
+    val aggs = for {
+      i <- sorted.indices; j <- sorted.indices if i <= j
+    } yield covar_samp(col(sorted(i)), col(sorted(j)))
+      .as(s"__cov_${i}_$j")
+    val g = clean.agg(aggs.head, aggs.tail: _*)
+    val rows = for {
+      i <- sorted.indices; j <- sorted.indices if i <= j
+    } yield struct(lit(sorted(i)).as("col_a"), lit(sorted(j)).as("col_b"),
+      col(s"__cov_${i}_$j").as("cov"))
+    g.select(explode(array(rows: _*)).as("c")).select("c.*")
+      .orderBy("col_a", "col_b")
+  }
+
   /** Distributed Spearman via mllib (sortByKey + zipWithIndex per column —
     * no single-partition global window): the 100-TB path. Returns the
     * correlation matrix flattened to the same pair-column layout as

@@ -252,6 +252,92 @@ object TextAnalysis {
         "dup_5gram_char_frac", "dup_10gram_char_frac")
   }
 
+  // ---- heuristic corpus filters (Gopher rules + C4 rules) ------------------
+
+  /** Gopher's 8 high-frequency English stop words — the "must contain at
+    * least 2" existence check (Rae et al. 2021, table A1), distinct from
+    * the RATIO stopword list above. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Heuristic quality-filter signals à la Gopher (Rae et al. 2021,
+    * table A1) and C4 (Raffel et al. 2020, §2.2), as pure Catalyst
+    * column expressions appended to the frame — whole-stage codegen, no
+    * shuffle, no UDF; the corpus is filtered in a single map pass.
+    * Appended columns:
+    *
+    *  - `word_count`, `mean_word_len`, `alpha_word_frac` (words with ≥1
+    *    ASCII letter), `symbol_word_ratio` ('#' or ellipsis per word),
+    *    `stopword_hits` (distinct [[GopherStopwords]] present),
+    *  - `bullet_line_frac` / `ellipsis_line_frac` / `terminal_punct_line_frac`
+    *    over trimmed non-empty lines,
+    *  - `sentence_count` (terminal-punctuation chars — C4's sentence
+    *    proxy), `has_lorem_ipsum`, `has_brace`,
+    *  - `keep_gopher`: word count in [minWords, maxWords], mean word
+    *    length in [3, 10], symbol/word ≤ 0.1, bullets ≤ 90% of lines,
+    *    ellipses ≤ 30% of lines, ≥ 80% alphabetic words, ≥ 2 stop words;
+    *  - `keep_c4`: ≥ 3 sentences, ≥ 5 words, no "lorem ipsum", no '{'.
+    *
+    * Null text yields null signals and false keeps. Thresholds follow the
+    * papers; word-count bounds are parameters because Gopher's 50 lower
+    * bound is corpus-dependent. */
+  def qualityFilters(df: DataFrame, textCol: String,
+                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val c = col(textCol)
+    // materialize shared arrays once per row (HOFs are interpreted —
+    // round-2 lesson: never re-tokenize inside each consumer)
+    val toksC = "__qf_toks"
+    val linesC = "__qf_lines"
+    val words = col(toksC)
+    val lines = col(linesC)
+    val nWords = size(words)
+    val nLines = size(lines)
+    val wordsD = greatest(nWords, lit(1)).cast("double")
+    val linesD = greatest(nLines, lit(1)).cast("double")
+    def charCount(src: Column, ch: String): Column =
+      length(src) - length(translate(src, ch, ""))
+    val ellipses =
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3) +
+        charCount(c, "…")).cast("long")
+
+    val out = df
+      .withColumn(toksC, filter(split(trim(c), "\\s+"), w => w =!= ""))
+      .withColumn(linesC,
+        filter(transform(split(c, "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("word_count", nWords)
+      .withColumn("mean_word_len",
+        aggregate(words, lit(0L), (a, w) => a + length(w)) / wordsD)
+      .withColumn("alpha_word_frac",
+        size(filter(words, w => w.rlike("[A-Za-z]"))) / wordsD)
+      .withColumn("symbol_word_ratio",
+        (charCount(c, "#") + ellipses) / wordsD)
+      .withColumn("stopword_hits",
+        GopherStopwords.map(w => when(array_contains(words, w), 1)
+          .otherwise(0)).reduce(_ + _))
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l => l.rlike("^[-*•]"))) / linesD)
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))) / linesD)
+      .withColumn("terminal_punct_line_frac",
+        size(filter(lines, l => l.rlike("[.!?\"']$"))) / linesD)
+      .withColumn("sentence_count", charCount(c, ".!?").cast("long"))
+      .withColumn("has_lorem_ipsum", lower(c).contains("lorem ipsum"))
+      .withColumn("has_brace", c.contains("{"))
+    out
+      .withColumn("keep_gopher",
+        coalesce(col("word_count").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stopword_hits") >= 2, lit(false)))
+      .withColumn("keep_c4",
+        coalesce(col("sentence_count") >= 3 && col("word_count") >= 5 &&
+          !col("has_lorem_ipsum") && !col("has_brace"), lit(false)))
+      .drop(toksC, linesC)
+  }
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -416,4 +416,37 @@ class PipelineSpec extends SparkSpec {
       bench, "btext", n = 5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L))
   }
+
+  test("qualityFilters computes Gopher/C4 signals and keep flags") {
+    import spark.implicits._
+    val good = ("the data pipeline reads parquet files and filters rows. " +
+      "it computes signals that have real words with normal lengths. " +
+      "these sentences end with punctuation. every line is prose.") * 2
+    val rows = Seq(
+      (0L, good),                                       // passes both
+      (1L, "- one\n- two\n- three\n- four"),            // all bullet lines
+      (2L, "wait...\nmore...\nhmm...\nok then fine"),   // 75% ellipsis lines
+      (3L, "## ## ## ## tags # markers # here # now"),  // symbol-heavy
+      (4L, "Lorem ipsum dolor sit amet. Consectetur adipiscing elit. " +
+        "Sed do eiusmod tempor."),                      // lorem → c4 drop
+      (5L, "val x = { 1 }. a brace. appears here."),    // brace → c4 drop
+      (6L, "12345 67890 11111 22222 33333"),            // non-alphabetic
+      (7L, null.asInstanceOf[String]))                  // null text
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilters(rows, "text", minWords = 10)
+      .orderBy("doc_id").collect()
+    def b(i: Int, c: String) = r(i).getAs[Boolean](c)
+    def d(i: Int, c: String) = r(i).getAs[Double](c)
+    assert(b(0, "keep_gopher") && b(0, "keep_c4"))
+    assert(d(1, "bullet_line_frac") == 1.0 && !b(1, "keep_gopher"))
+    assert(d(2, "ellipsis_line_frac") == 0.75 && !b(2, "keep_gopher"))
+    assert(d(3, "symbol_word_ratio") > 0.1 && !b(3, "keep_gopher"))
+    assert(b(4, "has_lorem_ipsum") && !b(4, "keep_c4"))
+    assert(b(5, "has_brace") && !b(5, "keep_c4"))
+    assert(d(6, "alpha_word_frac") == 0.0 && !b(6, "keep_gopher"))
+    assert(!b(7, "keep_gopher") && !b(7, "keep_c4")) // null → false, no NPE
+    // terminal punctuation fraction: doc 0 is one line of prose ending '.'
+    assert(d(0, "terminal_punct_line_frac") == 1.0)
+    assert(r(0).getAs[Long]("sentence_count") >= 6L)
+  }
 }
