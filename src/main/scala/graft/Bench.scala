@@ -30,6 +30,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries from each other's leftover cache entries: numbers
+      // must not depend on Map iteration order or on another query having
+      // pre-warmed a shared pipeline, and accumulated blocks would
+      // otherwise drive LRU eviction churn late in the run (the round-4
+      // q_dedup_cc 12.6 s artifact). The two timed runs of ONE query
+      // still share caches — min() stays the steady-state number.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> math.min(once(fn), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

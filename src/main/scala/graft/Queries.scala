@@ -246,6 +246,63 @@ object Queries {
              round(corr(l_extendedprice, l_discount), 6) AS price_disc
              FROM lineitem""")),
 
+    // ---- higher central moments (population skew / excess kurtosis) ------
+    // oracle recomputes the centered power means explicitly: DuckDB's
+    // skewness()/kurtosis() are the BIAS-CORRECTED sample statistics, a
+    // different estimator than the population m3/m2^1.5, m4/m2²−3 the
+    // operator (and pandas' scipy default) exposes.
+    QueryDef("q_moments",
+      (s, d) => Stats.moments(lineitem(s, d), Seq("l_quantity", "l_discount"))
+        .select(col("column"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"),
+          round(col("skewness"), 6).as("skewness"),
+          round(col("kurtosis"), 6).as("kurtosis"))
+        .orderBy("column"),
+      Some("""WITH clean AS (SELECT l_quantity::DOUBLE AS q, l_discount::DOUBLE AS dis
+               FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+             m AS (SELECT count(*) AS n, avg(q) AS muq, avg(dis) AS mud FROM clean),
+             p AS (SELECT any_value(n) AS n, any_value(muq) AS muq,
+               any_value(mud) AS mud,
+               avg(pow(q - muq, 2)) AS q2, avg(pow(q - muq, 3)) AS q3,
+               avg(pow(q - muq, 4)) AS q4,
+               avg(pow(dis - mud, 2)) AS d2, avg(pow(dis - mud, 3)) AS d3,
+               avg(pow(dis - mud, 4)) AS d4
+               FROM clean, m)
+             SELECT * FROM (
+               SELECT 'l_discount' AS "column", n, round(mud, 6) AS mean,
+                 round(d2, 6) AS variance,
+                 round(d3 / pow(d2, 1.5), 6) AS skewness,
+                 round(d4 / (d2 * d2) - 3, 6) AS kurtosis FROM p
+               UNION ALL
+               SELECT 'l_quantity', n, round(muq, 6), round(q2, 6),
+                 round(q3 / pow(q2, 1.5), 6), round(q4 / (q2 * q2) - 3, 6) FROM p)
+             ORDER BY 1""")),
+
+    // ---- covariance matrix (upper triangle, one agg pass) ----------------
+    QueryDef("q_cov",
+      (s, d) => Stats.covarianceMatrix(lineitem(s, d),
+          Seq("l_quantity", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), round(col("cov"), 6).as("cov"))
+        .orderBy("col_a", "col_b"),
+      Some("""WITH clean AS (SELECT l_quantity AS q, l_discount AS dis, l_tax AS t
+               FROM lineitem WHERE l_quantity IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+             SELECT * FROM (
+               SELECT 'l_discount' AS col_a, 'l_discount' AS col_b,
+                 round(covar_samp(dis, dis), 6) AS cov FROM clean
+               UNION ALL SELECT 'l_discount', 'l_quantity',
+                 round(covar_samp(dis, q), 6) FROM clean
+               UNION ALL SELECT 'l_discount', 'l_tax',
+                 round(covar_samp(dis, t), 6) FROM clean
+               UNION ALL SELECT 'l_quantity', 'l_quantity',
+                 round(covar_samp(q, q), 6) FROM clean
+               UNION ALL SELECT 'l_quantity', 'l_tax',
+                 round(covar_samp(q, t), 6) FROM clean
+               UNION ALL SELECT 'l_tax', 'l_tax',
+                 round(covar_samp(t, t), 6) FROM clean)
+             ORDER BY col_a, col_b""")),
+
     // ---- stratify: Bucket (equal-width) grouped path ---------------------
     QueryDef("q_stratify_bucket",
       (s, d) => {

@@ -279,12 +279,16 @@ object Stats {
     }
     val g = centered.agg(aggs.head, aggs.tail: _*)
     val rows = cols.sorted.map { c =>
+      val m2 = col(s"__m2_$c")
+      // constant column → m2 = 0 → 0/0: emit NaN (scipy's answer) rather
+      // than trip ANSI division-by-zero
       struct(lit(c).as("column"), col("n"),
         col(s"__mu2_$c").as("mean"),
-        col(s"__m2_$c").as("variance"),
-        (col(s"__m3_$c") / pow(col(s"__m2_$c"), 1.5)).as("skewness"),
-        (col(s"__m4_$c") / (col(s"__m2_$c") * col(s"__m2_$c")) - lit(3.0))
-          .as("kurtosis"))
+        m2.as("variance"),
+        when(m2 === 0d, lit(Double.NaN))
+          .otherwise(col(s"__m3_$c") / pow(m2, 1.5)).as("skewness"),
+        when(m2 === 0d, lit(Double.NaN))
+          .otherwise(col(s"__m4_$c") / (m2 * m2) - lit(3.0)).as("kurtosis"))
     }
     g.select(explode(array(rows: _*)).as("m")).select("m.*")
   }

@@ -22,8 +22,12 @@ import org.apache.spark.storage.StorageLevel
   *    construction — its victim set must fit a broadcast anyway — and the
   *    iterative dataflow algorithm pays ~1 s of scheduling per round for
   *    a graph the driver folds in milliseconds. The bound is explicit
-  *    (2 longs × 1M edges ≈ 16 MB collected; the component map broadcast
-  *    back is ≤ 2× that).
+  *    (2 longs × 1M edges ≈ tens of MB collected). The result is
+  *    parallelized driver data: recompute-free, NOTHING persisted, so
+  *    repeated calls (a bench harness, an iterative pipeline) leave zero
+  *    block-manager residue — the round-4 q_dedup_cc regression was this
+  *    tier paying four eager actions and a persist/unpersist cycle per
+  *    invocation.
   *  - **large graphs**: alternating large-star / small-star (Kiveris,
   *    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
   *    in MapReduce and Beyond", SoCC 2014) — the standard O(log n)-round
@@ -64,7 +68,8 @@ object Components {
   }
 
   /** Driver-local union-find with min-root linking (the root of every
-    * class is its minimum id, so find() IS the component label). */
+    * class is its minimum id, so find() IS the component label).
+    * Self-loops register their node but link nothing. */
   private[pipeline] def localCC(edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -90,51 +95,58 @@ object Components {
 
   /** (id, component) for every node appearing in `pairs`, where
     * `component` is the minimum node id in the node's connected
-    * component. Self-loops are ignored; `pairs` need not be deduplicated
-    * or ordered. Nodes in no (non-self) pair are their own singleton
-    * component — callers wanting full-corpus coverage union untouched
-    * rows in (see [[Dedup.nearDedupByComponent]]).
+    * component. Self-loops are ignored (their nodes still get a singleton
+    * row); `pairs` need not be deduplicated or ordered. Nodes in no pair
+    * at all are absent — callers wanting full-corpus coverage union
+    * untouched rows in (see [[Dedup.nearDedupByComponent]]).
     *
-    * The returned frame is EAGER and persisted (one row per graph node);
-    * every internal persist — the pair generator, the node set, each
-    * round's edge RDD — is released before this method returns, so the
-    * only blocks that outlive the call are the result's own. Release them
-    * with `.unpersist()` on the returned frame when done (iterative
-    * callers that skip this accumulate block-manager pressure — the
-    * round-3 leaked-blocks lesson). */
+    * Caching contract: the pair generator runs EXACTLY once in both
+    * tiers. The small-graph tier returns parallelized driver data —
+    * unpersisted, free to recompute, zero blocks left behind. The
+    * large-graph tier returns an EAGER persisted frame (one row per
+    * node) with every internal block released before returning; release
+    * the result with `.unpersist()` when done (iterative callers that
+    * skip this accumulate block-manager pressure — the round-3
+    * leaked-blocks lesson). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50,
                           localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    // `pairs` is consumed three times below (both unionAll arms of
-    // `nodes`, plus the edge init) — without a persist, an expensive
-    // generator (an LSH or inverted-index pipeline) re-runs per consumer.
+    import spark.implicits._
+    // The generator behind `pairs` (an LSH or inverted-index pipeline) is
+    // the expensive part — persist it so it runs once, then fold it to
+    // the DISTINCT ORIENTED edge set and persist THAT (far smaller, and
+    // the only thing every later step needs). Self-loops are kept here so
+    // their nodes appear in the output; the star rounds filter them.
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = p.select(col(aCol).cast("long").as("id"))
-      .unionAll(p.select(col(bCol).cast("long").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // canonical orientation u > v (small-star's input contract)
-    val init = p.select(
+    val edges0 = p.select(
         greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
-    var (rdd, n, sig) = materialize(init)
-    nodes.count() // force from the cached pair blocks, then drop them
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges0.count() // ONE action: fills p, folds + fills edges0
     p.unpersist(blocking = false)
 
-    val labeled: DataFrame = if (n <= localThreshold) {
-      val comp = localCC(rdd.collect())
-      rdd.unpersist(blocking = false)
+    if (nEdges <= localThreshold) {
+      // ---- driver tier: collect the (bounded) edge set, union-find it,
+      // hand back parallelized local data. One more action against the
+      // cached edge set, then nothing stays persisted.
+      val comp = localCC(edges0.as[(Long, Long)].collect())
+      edges0.unpersist(blocking = false)
       import scala.jdk.CollectionConverters._
-      import spark.implicits._
-      val compDf = comp.asScala.toSeq.map { case (k, v) => (k, v) }
-        .toDF("id", "__root")
-      nodes.join(broadcast(compDf), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+      val rows = comp.asScala.toSeq.map { case (k, v) => (k, v) }
+      spark.createDataset(spark.sparkContext.parallelize(rows))
+        .toDF("id", "component")
     } else {
+      // ---- dataflow tier ----
+      val nodes = edges0.select(col("u").as("id"))
+        .unionAll(edges0.select(col("v").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var (rdd, n, sig) = materialize(edges0.filter(col("u") =!= col("v")))
+      nodes.count() // force from the cached edge blocks, then drop them
+      edges0.unpersist(blocking = false)
+
       var edges = rewrap(spark, rdd)
       var converged = false
       var it = 0
@@ -172,26 +184,26 @@ object Components {
           s"converging ($n edges remain) — labels are an upper bound on the " +
           "true min-id components (some clusters may stay split); raise " +
           "maxIter for a guaranteed fixpoint")
-      // Converged edges are stars (node → root); roots label themselves.
-      // The min-agg makes one-row-per-node an INVARIANT, not a
-      // consequence of convergence: on maxIter exhaustion (or the
-      // astronomically-rare fingerprint collision) a node can still carry
-      // several candidate labels, and emitting them all would silently
-      // corrupt downstream anti-joins.
-      nodes.join(
-          edges.select(col("u").as("id"), col("v").as("__root"))
-            .groupBy("id").agg(min("__root").as("__root")),
-          Seq("id"), "left_outer")
+      // Converged edges are stars (node → root): distinct oriented edges
+      // with exactly one row per non-root node, so the join is direct. On
+      // maxIter exhaustion (or the ~2^-64 fingerprint collision) a node
+      // can still carry several candidate labels — only THEN pay the
+      // min-agg shuffle to keep one-row-per-node an invariant (emitting
+      // multiple rows would silently corrupt downstream anti-joins).
+      val starEdges = edges.select(col("u").as("id"), col("v").as("__root"))
+      val perNode = if (converged) starEdges
+        else starEdges.groupBy("id").agg(min("__root").as("__root"))
+      val labeled = nodes.join(perNode, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+      // Materialize the result, then release every internal block: the
+      // final round's edges and the node set are only reachable through
+      // the (now cached) result.
+      val res = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      rdd.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      res
     }
-    // Materialize the result, then release every internal block: the
-    // final round's edges and the node set are only reachable through
-    // the (now cached) result.
-    val res = labeled.persist(StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    rdd.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    res
   }
 
   /** Wrap a persisted edge RDD as a fresh DataFrame: the logical plan

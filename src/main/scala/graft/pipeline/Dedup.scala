@@ -342,18 +342,25 @@ object Dedup {
     * Victims ≤ `maxBroadcastVictims` (the usual case — a near-dup victim
     * set is small next to the corpus) are collected and removed with a
     * broadcast anti-join, so the corpus never shuffles and the component
-    * cache is released before returning. A genuinely dup-heavy corpus can
-    * make the victim set O(corpus) — above the bound the removal falls
-    * back to a shuffle anti-join instead of blowing the driver/broadcast
-    * limit (the components frame stays cached until that join is
-    * consumed; `spark.catalog.clearCache()` releases it). */
+    * cache is released before returning. The default bound (1M ids ≈
+    * ~100 MB of driver Seq + LocalRelation overhead) matches
+    * connectedComponents' localThreshold rationale — raise it only with
+    * driver memory to spare. A genuinely dup-heavy corpus can make the
+    * victim set O(corpus) — above the bound the removal falls back to a
+    * shuffle anti-join: the victim set (far smaller than the component
+    * frame) is persisted, the component cache is released, and the one
+    * surviving cache entry is the victims frame itself
+    * (`spark.catalog.clearCache()` releases it once the join is
+    * consumed). */
   def nearDedupByComponent(df: DataFrame, idCol: String,
                            pairs: DataFrame,
-                           maxBroadcastVictims: Long = 1L << 22): DataFrame = {
-    val comp = Components.connectedComponents(pairs) // eager + persisted
+                           maxBroadcastVictims: Long = 1L << 20): DataFrame = {
+    // small-graph tier: recompute-free local data; large-graph tier:
+    // eager + persisted (unpersist below is a no-op for the former)
+    val comp = Components.connectedComponents(pairs)
     val victims = comp.filter(col("id") =!= col("component"))
       .select(col("id").as("__victim"))
-    val nVictims = victims.count() // cheap: comp is cached
+    val nVictims = victims.count() // cheap: comp is cached or local
     if (nVictims <= maxBroadcastVictims) {
       val spark = df.sparkSession
       import spark.implicits._
@@ -362,7 +369,10 @@ object Dedup {
       val vdf = spark.createDataset(ids).toDF("__victim")
       df.join(broadcast(vdf), col(idCol) === col("__victim"), "left_anti")
     } else {
-      df.join(victims, col(idCol) === col("__victim"), "left_anti")
+      val v = victims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count() // materialize from the component cache, then release it
+      comp.unpersist(blocking = false)
+      df.join(v, col(idCol) === col("__victim"), "left_anti")
     }
   }
 

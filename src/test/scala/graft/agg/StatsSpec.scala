@@ -189,4 +189,66 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(a.getAs[Double](p) - b.getAs[Double](p)) < 1e-9)
     }
   }
+
+  test("moments match closed-form population skew/kurtosis") {
+    import spark.implicits._
+    // 1,2,3,4,10: mean 4, m2 = (9+4+1+0+36)/5 = 10,
+    // m3 = (-27-8-1+0+216)/5 = 36, m4 = (81+16+1+0+1296)/5 = 278.8
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("v")
+    val r = Stats.moments(d, Seq("v")).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("mean") - 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("variance") - 10.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skewness") - 36.0 / math.pow(10.0, 1.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kurtosis") - (278.8 / 100.0 - 3.0)) < 1e-12)
+  }
+
+  test("moments: constant column yields NaN skew/kurtosis, zero variance") {
+    import spark.implicits._
+    val d = Seq.fill(4)(7.0).toDF("v")
+    val r = Stats.moments(d, Seq("v")).head()
+    assert(r.getAs[Double]("variance") == 0.0)
+    // m2 = 0 → 0/0: NaN is the honest answer (scipy.stats.skew returns
+    // nan here too), not 0 — downstream should see "undefined"
+    assert(r.getAs[Double]("skewness").isNaN)
+    assert(r.getAs[Double]("kurtosis").isNaN)
+  }
+
+  test("moments: listwise na.drop shares one n across columns") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 5.0), (3.0, 6.0), (4.0, 7.0))
+      .toDF("a", "b")
+    val rows = Stats.moments(d, Seq("a", "b")).collect()
+    // the (1.0, null) row is dropped for BOTH columns: n = 3, mean(a) = 3
+    assert(rows.forall(_.getAs[Long]("n") == 3L))
+    val a = rows.find(_.getString(0) == "a").get
+    assert(math.abs(a.getAs[Double]("mean") - 3.0) < 1e-12)
+  }
+
+  test("moments and covarianceMatrix on empty input emit no-row / null frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    val m = Stats.moments(empty, Seq("a", "b")).collect()
+    // agg over empty input yields one row per column with n = 0 and null
+    // moments (avg of nothing) — never a crash
+    assert(m.forall(r => r.getAs[Long]("n") == 0L && r.isNullAt(2)))
+    val c = Stats.covarianceMatrix(empty, Seq("a", "b")).collect()
+    assert(c.length == 3 && c.forall(_.isNullAt(2)))
+  }
+
+  test("covarianceMatrix matches closed-form sample covariance") {
+    import spark.implicits._
+    val d = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0)).toDF("x", "y")
+    val r = Stats.covarianceMatrix(d, Seq("y", "x")) // unsorted input cols
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getDouble(2))
+      .toMap
+    // means: x̄ = 2.5, ȳ = 5; covar_samp(x,y) = Σ(x−x̄)(y−ȳ)/3
+    val cxy = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0))
+      .map { case (x, y) => (x - 2.5) * (y - 5.0) }.sum / 3.0
+    assert(math.abs(r(("x", "y")) - cxy) < 1e-12)
+    assert(math.abs(r(("x", "x")) - 5.0 / 3.0) < 1e-12) // var_samp(1..4)
+    // upper triangle of the SORTED columns only: (x,x), (x,y), (y,y)
+    assert(r.keySet == Set(("x", "x"), ("x", "y"), ("y", "y")))
+  }
 }
