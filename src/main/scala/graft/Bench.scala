@@ -38,6 +38,10 @@ object Bench {
       // still share caches — min() stays the steady-state number.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // nudge the ContextCleaner: accumulated broadcast/shuffle state is
+      // only released after a driver GC collects the references; 90
+      // queries in one 8 GB JVM otherwise degrade the late queries
+      System.gc()
       name -> math.min(once(fn), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
