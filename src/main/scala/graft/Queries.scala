@@ -1576,6 +1576,59 @@ object Queries {
              GROUP BY token HAVING count(*) >= 5
              ORDER BY count DESC, token LIMIT 100""")),
 
+    // ---- TF-IDF weights (smoothed, scikit convention) ---------------------
+    // one explode + two hash aggregates; the df join is vocab-sized and
+    // AQE-broadcast at this scale; N attaches as a broadcast scalar
+    QueryDef("q_tfidf",
+      (s, d) => graft.pipeline.Relevance.tfidf(
+          documents(s, d), "doc_id", "text", minDf = 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "token"),
+      Some("""WITH clean AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+               FROM clean),
+             tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token != '' GROUP BY 1, 2),
+             dfreq AS (SELECT token, count(*) AS doc_freq FROM tf
+               GROUP BY 1 HAVING count(*) >= 5),
+             n AS (SELECT count(*) AS n FROM clean)
+             SELECT tf.doc_id, tf.token, tf.tf, doc_freq,
+               round(tf.tf * (ln((n.n + 1)::DOUBLE / (doc_freq + 1)) + 1), 6)
+                 AS tfidf
+             FROM tf JOIN dfreq USING (token), n
+             ORDER BY doc_id, token""")),
+
+    // ---- BM25 retrieval scores (targeted-subset mining) -------------------
+    // token stream pruned to the query terms by a literal predicate BEFORE
+    // the first shuffle; Lucene non-negative idf; k1=1.2, b=0.75
+    QueryDef("q_bm25",
+      (s, d) => graft.pipeline.Relevance.bm25(
+          documents(s, d), "doc_id", "text", Seq("spark", "join"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id"),
+      Some("""WITH clean AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+               FROM clean),
+             lens AS (SELECT doc_id, count(*) AS len FROM tok
+               WHERE token != '' GROUP BY 1),
+             n AS (SELECT count(*) AS n FROM clean),
+             avgdl AS (SELECT avg(len) AS avgdl FROM lens),
+             qtf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+             dfreq AS (SELECT token, count(*) AS doc_freq FROM qtf GROUP BY 1)
+             SELECT doc_id,
+               round(sum(ln(1 + (n.n - doc_freq + 0.5) / (doc_freq + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))), 6) AS score
+             FROM qtf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+               n, avgdl
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- reproducible hash sampling (partitioning-independent) ------------
     // membership = Lehmer hash of the id, reproduced VERBATIM in the oracle
     // arithmetic — the decision is provably engine-independent

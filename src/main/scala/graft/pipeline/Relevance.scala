@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Term-weighting relevance scores for corpus curation (extension tier —
+  * no reference analog): TF-IDF weights for frequency-filtered feature
+  * sets and BM25 retrieval scores for "find the documents about X"
+  * targeted-subset mining.
+  *
+  * Scale shape: everything is explode → partial/final hash aggregate.
+  * The only joins are (a) per-token document frequencies joined back to
+  * the term-frequency stream ON TOKEN — vocab-sized (Zipf-bounded), left
+  * to AQE to broadcast or shuffle; (b) scalar corpus aggregates
+  * (doc count, mean length) attached by broadcast crossJoin, never a
+  * single-partition window. BM25 prunes the token stream to the query
+  * terms with a literal `isin` BEFORE any shuffle, so its cost tracks
+  * the posting lists of the query terms, not the corpus.
+  */
+object Relevance {
+
+  /** Per-(doc, token) TF-IDF weights: `tf` is the in-document count,
+    * `idf = ln((N+1)/(df+1)) + 1` (smoothed, scikit-learn's
+    * `TfidfVectorizer(smooth_idf=True)` convention — never zero, never
+    * divides by zero), `tfidf = tf · idf`. N is the count of rows that
+    * survive `na.drop(id, text)`; tokens are the engine's standard
+    * whitespace split. `minDf` drops tokens in fewer than `minDf` docs
+    * (feature-set pruning); raw weights — L2-normalize per doc
+    * downstream if a unit-length embedding is wanted. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            minDf: Long = 1L): DataFrame = {
+    val clean = df.na.drop(Seq(idCol, textCol))
+    val toks = clean.select(col(idCol).as("__graft_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("__graft_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, token) pairs, so count(*) per token IS
+    // the document frequency — no second distinct pass
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val n = clean.agg(count(lit(1)).as("__graft_n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("__graft_id").as(idCol), col("token"), col("tf"),
+        col("doc_freq"),
+        (col("tf") * (log((col("__graft_n") + 1).cast("double") /
+          (col("doc_freq") + 1)) + 1)).as("tfidf"))
+  }
+
+  /** BM25 score of every document against a bag of query terms (docs
+    * sharing no term are absent — union zeros in if a total ranking is
+    * needed). Lucene's non-negative idf variant:
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, score contribution
+    * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·len/avgdl))` with `len` the
+    * document's token count and `avgdl` the corpus mean. The token
+    * stream is pruned to the query terms by a literal predicate before
+    * the first shuffle; document lengths ride the same pruned stream's
+    * doc ids via one aggregate each. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val clean = df.na.drop(Seq(idCol, textCol))
+    val toks = clean.select(col(idCol).as("__graft_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    // per-doc length BEFORE pruning (BM25 normalizes by full doc length)
+    val lens = toks.groupBy("__graft_id").agg(count(lit(1)).as("__graft_len"))
+    val scalars = clean.agg(count(lit(1)).as("__graft_n"))
+      .crossJoin(broadcast(
+        lens.agg(avg(col("__graft_len")).as("__graft_avgdl"))))
+    val qtf = toks.filter(col("token").isin(query.distinct: _*))
+      .groupBy("__graft_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val idf: Column = log(lit(1.0) +
+      (col("__graft_n") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5))
+    val contrib = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__graft_len") / col("__graft_avgdl")))
+    qtf.join(broadcast(dfreq), "token")
+      .join(lens, "__graft_id")
+      .crossJoin(broadcast(scalars))
+      .select(col("__graft_id"), contrib.as("__graft_c"))
+      .groupBy("__graft_id").agg(sum(col("__graft_c")).as("score"))
+      .select(col("__graft_id").as(idCol), col("score"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class RelevanceSpec extends SparkSpec {
+
+  test("tfidf matches the smoothed closed form") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = Relevance.tfidf(docs, "doc_id", "text")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("token")) ->
+        (x.getAs[Long]("tf"), x.getAs[Double]("tfidf"))).toMap
+    // N = 2; idf(a) = ln(3/3)+1 = 1 (df 2), idf(b) = idf(c) = ln(3/2)+1
+    val idf1 = math.log(3.0 / 2) + 1
+    assert(r((1L, "a")) == ((2L, 2.0)))
+    assert(math.abs(r((1L, "b"))._2 - idf1) < 1e-12)
+    assert(math.abs(r((2L, "c"))._2 - idf1) < 1e-12)
+    assert(r.size == 4)
+  }
+
+  test("tfidf minDf prunes rare tokens; null rows drop listwise") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, null))
+      .toDF("doc_id", "text")
+    val r = Relevance.tfidf(docs, "doc_id", "text", minDf = 2L)
+    // only "a" survives (df 2); the null-text row contributes nothing to N
+    assert(r.select("token").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(r.count() == 2)
+  }
+
+  test("bm25 matches a hand-computed score") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x z"), (2L, "x q"), (3L, "q q")).toDF("doc_id", "text")
+    val got = Relevance.bm25(docs, "doc_id", "text", Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N = 3, df(x) = 2, idf = ln(1 + 1.5/2.5); avgdl = (4+2+2)/3
+    val idf = math.log(1 + 1.5 / 2.5)
+    val avgdl = 8.0 / 3
+    def s(tf: Double, len: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+    assert(got.keySet == Set(1L, 2L)) // doc 3 shares no term: absent
+    assert(math.abs(got(1L) - s(2, 4)) < 1e-12)
+    assert(math.abs(got(2L) - s(1, 2)) < 1e-12)
+  }
+
+  test("bm25 multi-term scores sum per document") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "y y z")).toDF("doc_id", "text")
+    val one = Relevance.bm25(docs, "doc_id", "text", Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Relevance.bm25(docs, "doc_id", "text", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val yOnly = Relevance.bm25(docs, "doc_id", "text", Seq("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(two(1L) - (one(1L) + yOnly(1L))) < 1e-12)
+    assert(math.abs(two(2L) - yOnly(2L)) < 1e-12)
+  }
+
+  test("empty and degenerate inputs do not crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Relevance.tfidf(empty, "doc_id", "text").count() == 0)
+    assert(Relevance.bm25(empty, "doc_id", "text", Seq("x")).count() == 0)
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(Relevance.tfidf(blank, "doc_id", "text").count() == 0)
+  }
+}
