@@ -44,10 +44,35 @@ object Bench {
       System.gc()
       name -> math.min(once(fn), once(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a file: with 90+ queries the one-line
+    // map exceeds the harness's 2000-char output tail, which truncated the
+    // line mid-JSON and left it unparseable in rounds 1-4. The printed line
+    // below carries the slowest queries (the ones that matter for a perf
+    // read) up to a hard length budget; BENCH_FULL.json has everything.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString(
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
+        ",", s"""},"sf":"$sfDir"}""")
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    val budget = 1700 // line must survive inside a ~2000-char stdout tail
+    val sorted = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val tail = s"""},"n_queries":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val sb = new StringBuilder(head)
+    var first = true
+    sorted.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + tail.length <= budget) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(tail)
+    println(sb.toString)
     spark.stop()
   }
 }
