@@ -1669,6 +1669,88 @@ object Queries {
              count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
              FROM s3 GROUP BY 1 ORDER BY 1""")),
 
+    // ---- weighted Bernoulli sampling (quality-weighted downsampling) ------
+    // oracle replays the Lehmer hash verbatim (see q_hash_sample) with the
+    // keep-probability min(1, rate·weight) clamp
+    QueryDef("q_weighted_sample",
+      (s, d) => graft.pipeline.Sampling.weightedSample(
+          documents(s, d), "doc_id", "n_chars", rate = 0.002, seed = 11)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum")),
+      Some("""WITH s1 AS (SELECT doc_id, n_chars,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM documents),
+             s2 AS (SELECT doc_id, n_chars, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id, n_chars,
+               ((((x3 + 11) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM s3 WHERE k < least(1.0, n_chars * 0.002)""")),
+
+    // ---- fixed-size weighted sample without replacement (A-ES) ------------
+    // Efraimidis–Spirakis priorities u^(1/w) on the same deterministic
+    // hash; the oracle reproduces the full priority ordering in SQL
+    QueryDef("q_weighted_topk",
+      (s, d) => graft.pipeline.Sampling.weightedTopK(
+          documents(s, d), "doc_id", "n_chars", k = 50, seed = 5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH s1 AS (SELECT doc_id, n_chars,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x
+               FROM documents WHERE n_chars > 0),
+             s2 AS (SELECT doc_id, n_chars, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id, n_chars,
+               ((((x3 + 5) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2),
+             top AS (SELECT doc_id, n_chars
+               FROM s3 ORDER BY pow(k, 1.0 / n_chars) DESC, doc_id LIMIT 50)
+             SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
+
+    // ---- corpus composition report (mix rebalancing input) ----------------
+    QueryDef("q_corpus_mix",
+      (s, d) => graft.pipeline.TextAnalysis.corpusMix(
+          documents(s, d), "source", "n_chars")
+        .select(col("source"), col("n_docs"), col("weight_sum"),
+          round(col("doc_share"), 6).as("doc_share"),
+          round(col("weight_share"), 6).as("weight_share"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_chars)::DOUBLE AS weight_sum,
+             round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
+               AS doc_share,
+             round(sum(n_chars)::DOUBLE /
+               (SELECT sum(n_chars) FROM documents), 6) AS weight_share
+             FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- chunk-level exact dedup (sequence-level, Lee et al. 2021) --------
+    // every distinct 8-word chunk survives only at its first corpus-wide
+    // occurrence; documents are reassembled from their surviving chunks
+    QueryDef("q_chunk_dedup",
+      (s, d) => graft.pipeline.Dedup.chunkDedup(
+          documents(s, d), "doc_id", "text", chunkWords = 8)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             idx AS (SELECT doc_id, ws, (len(ws) + 7) // 8 AS nc,
+               unnest(generate_series(0, (len(ws)+7)//8 - 1)) AS chunk_idx
+               FROM toks),
+             chunks AS (SELECT doc_id, chunk_idx, nc,
+               array_to_string(ws[(chunk_idx*8+1):(chunk_idx*8+8)], ' ')
+                 AS chunk
+               FROM idx),
+             ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+               FROM chunks)
+             SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup,
+               count(*)::BIGINT AS chunks_kept,
+               min(nc)::BIGINT AS chunks_total
+             FROM ranked WHERE rn = 1
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- document fingerprinting (engine hash — rows-only) ----------------
     QueryDef("q_fingerprint",
       (s, d) => {

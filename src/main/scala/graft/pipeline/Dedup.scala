@@ -577,4 +577,60 @@ object Dedup {
     }.toDF("id_a", "id_b", "cos")
     if (tables == 1) pairs else pairs.distinct()
   }
+
+  // ---- chunk-level exact dedup ---------------------------------------------
+
+  /** Chunk-level exact dedup (sequence-level dedup in the style of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * split each document into consecutive `chunkWords`-word chunks, keep
+    * only the corpus-wide FIRST occurrence of each distinct chunk (ordered
+    * by (id, chunk position)), and reassemble each document from its
+    * surviving chunks in order. Unlike whole-document dedup this removes
+    * passages repeated ACROSS documents (boilerplate headers, license
+    * blocks, templated text) while keeping each document's unique
+    * remainder.
+    *
+    * Scale shape: chunking is pure projection (one HOF slice over the
+    * materialized token array — the exploded frame has #chunks rows, not
+    * #words). First-occurrence selection is ONE shuffle keyed on the chunk
+    * text — the payload IS the text, which reassembly needs, so no smaller
+    * sufficient key exists — and reassembly is one hash shuffle back on the
+    * id. No global sort, no driver state. Chunk frequency is Zipfian at
+    * corpus scale, but the window's per-key work is O(occurrences) with no
+    * buffering beyond the run of equal keys, and AQE's skew handling splits
+    * oversized partitions.
+    *
+    * Output: (id, text_dedup, chunks_kept, chunks_total); documents whose
+    * every chunk occurred earlier vanish entirely (the fully-duplicated
+    * case). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val n = chunkWords
+    val toks = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      // materialize the token array BEFORE the HOF slices (interpreted
+      // HOFs re-evaluate inline subexpressions per element)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        ((size(col("__toks")) + lit(n - 1)) / lit(n)).cast("int").as("__nc"))
+    val chunks = toks.select(
+      col(idCol), col("__nc"),
+      posexplode(transform(sequence(lit(0), col("__nc") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * n + 1, lit(n))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk"))).as("text_dedup"),
+        count(lit(1)).as("chunks_kept"),
+        first(col("__nc")).cast("long").as("chunks_total"))
+  }
 }

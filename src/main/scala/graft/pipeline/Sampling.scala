@@ -94,4 +94,43 @@ object Sampling {
         .when(k < lit(testFraction + valFraction), lit("val"))
         .otherwise(lit("train")))
   }
+
+  /** Weighted Bernoulli sampling: keep row i with probability
+    * min(1, rate · wᵢ), decided by the deterministic id hash — the
+    * quality-weighted downsampling step of a data-mixing pipeline (keep
+    * high-quality documents with proportionally higher probability).
+    * Expected output mass is `rate · Σ min-clamped wᵢ`; callers pick
+    * `rate` from the target corpus size. Pure projection arithmetic in
+    * whole-stage codegen — no shuffle, append-safe, reproducible in plain
+    * SQL for audit. Rows with a null/negative weight never match. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, seed: Long = 0L): DataFrame = {
+    require(rate >= 0, s"rate must be >= 0, got $rate")
+    Similarity.requireIntegralId(df, idCol, "weightedSample")
+    df.filter(hashKey(col(idCol), seed) <
+      least(lit(1.0), col(weightCol).cast("double") * lit(rate)))
+  }
+
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * "A-ES", Inf. Process. Lett. 97(5), 2006): each row gets priority
+    * u^(1/wᵢ) with u its deterministic (0,1) id-hash key; the k largest
+    * priorities form the sample, giving weight-proportional inclusion in
+    * the sequential-sampling sense. `orderBy.limit` plans as
+    * TakeOrderedAndProject — bounded per-partition heaps merged on the
+    * driver, never a global sort, so it holds at corpus scale for the
+    * k ≪ n regime this is for. Ties (astronomically unlikely with 31-bit
+    * keys) break on the id for determinism. Rows with null or
+    * non-positive weight are excluded (their priority is undefined). */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int, seed: Long = 0L,
+                   priorityCol: String = "priority"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Similarity.requireIntegralId(df, idCol, "weightedTopK")
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn(priorityCol,
+        pow(hashKey(col(idCol), seed),
+          lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col(priorityCol).desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -338,6 +338,27 @@ object TextAnalysis {
       .drop(toksC, linesC)
   }
 
+  /** Corpus composition report: per group (source / language / quality
+    * tier), document count, weight mass (e.g. chars or tokens — the unit a
+    * mixing recipe is written in), and each group's share of the corpus
+    * total. Shares attach via a broadcast crossJoin of the scalar totals
+    * (the group frame is #groups rows — never a windowed global sum), so
+    * the whole report is two partial/final hash aggregates over one scan.
+    * The report is the input to mixture rebalancing: compare `weight_share`
+    * against a target mix, derive per-group rates for
+    * [[Sampling.stratifiedSample]] / [[Sampling.weightedSample]]. */
+  def corpusMix(df: DataFrame, groupCol: String, weightCol: String): DataFrame = {
+    val grouped = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("double")).as("weight_sum"))
+    val totals = df.agg(count(lit(1)).as("__n_total"),
+      sum(col(weightCol).cast("double")).as("__w_total"))
+    grouped.crossJoin(broadcast(totals))
+      .withColumn("doc_share", col("n_docs") / col("__n_total"))
+      .withColumn("weight_share", col("weight_sum") / col("__w_total"))
+      .drop("__n_total", "__w_total")
+  }
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
