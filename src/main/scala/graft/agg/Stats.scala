@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   *    dataframe.py:748-756 semantics: accuracy = 1/precision); the 100-TB
   *    path — mergeable sketch, bounded memory.
   */
+/** Range partitioner over precomputed double boundaries (ascending).
+  * getPartition is the first slot whose upper bound is >= the key, so all
+  * equal keys land in one partition — the invariant rank passes rely on. */
+private[agg] final class DoubleBoundsPartitioner(bounds: Array[Double])
+    extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = bounds.length + 1
+  override def getPartition(key: Any): Int = {
+    val k = key.asInstanceOf[Double]
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < k) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 object Stats {
 
   private def grouped(df: DataFrame, strata: Seq[String]) =
@@ -336,94 +354,173 @@ object Stats {
           org.apache.spark.sql.types.DoubleType))))
   }
 
-  /** One distributed rank pass over a flat all-double DataFrame: Tungsten
-    * range-sort by column `keyIdx`, then REPLACE that slot with its exact
-    * average rank. Range partitioning routes EQUAL sort keys to one
-    * partition, so tie runs are always partition-local: global positions
-    * need only the per-partition counts. Two light row passes over the ONE
-    * sort shuffle — no join, no global window, no single partition. */
-  private def rankColumn(df: DataFrame, keyIdx: Int): DataFrame = {
-    val spark = df.sparkSession
-    val np = spark.sessionState.conf.numShufflePartitions
-    val c = df.columns(keyIdx)
-    val sorted = df.repartitionByRange(np, col(c)).sortWithinPartitions(c)
-    val rdd = sorted.rdd // ONE val: both jobs below reuse the sort shuffle
-    // -0.0 sorts equal to 0.0 (and must share one tie run), so normalize
-    // before taking bits; doubleToLongBits already canonicalizes NaN
-    def keyBits(d: Double): Long =
-      java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
-    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var n = 0L
-      while (it.hasNext) { it.next(); n += 1 }
-      Iterator.single((pi, n))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val k = df.columns.length
-    val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
-      val buf = it.buffered
-      var pos = offsets(pi) // 0-based global index of the next row
-      new Iterator[org.apache.spark.sql.Row] {
-        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
-        def hasNext: Boolean = pending.hasNext || buf.hasNext
-        def next(): org.apache.spark.sql.Row = {
-          if (!pending.hasNext) {
-            // consume one whole tie run, assign its average rank
-            val bits = keyBits(buf.head.getDouble(keyIdx))
-            val run = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-            while (buf.hasNext && keyBits(buf.head.getDouble(keyIdx)) == bits)
-              run += buf.next()
-            // 1-based positions p+1..p+len average to p + (len+1)/2
-            val rank = pos + (run.length + 1) / 2.0
-            pos += run.length
-            pending = run.iterator.map { r =>
-              org.apache.spark.sql.Row.fromSeq(
-                Seq.tabulate(k)(j => if (j == keyIdx) rank else r.getDouble(j)))
-            }
-          }
-          pending.next()
-        }
-      }
-    }
-    spark.createDataFrame(ranked, sorted.schema)
-  }
 
-  /** Spearman = Pearson over average ranks. Exact AND distributed: each
-    * column is rank-transformed in place by a positional Tungsten sort pass
-    * (`rankColumn`), carrying the other columns through the sort, then one
-    * codegen corr aggregation over the rank columns. No joins and no
-    * global window — the window formulation moved the entire input into
-    * a single partition per column. */
+  /** Spearman = Pearson over average ranks. Exact AND distributed: one
+    * decode of the cleaned projection into primitive double arrays, then
+    * one range-sort pass PER COLUMN that overwrites that column with its
+    * average rank (per-partition global offsets from a counts job that
+    * reuses the sort shuffle), and a final per-partition moment pass.
+    *
+    * The whole pipeline stays in RDD[Array[Double]] between passes — the
+    * earlier DataFrame formulation paid a full Row decode + re-encode per
+    * pass plus a Catalyst agg pass at the end, which dominated the
+    * runtime (ranking itself is per-partition streaming). The final
+    * Pearson reduces per partition to centered co-moments — centering at
+    * the EXACT global mean rank (n+1)/2 (ranks 1..n with tie averaging
+    * preserve the total), so no second pass to find means is needed —
+    * and the driver combines #partitions small vectors. No joins, no
+    * global window (the window formulation moved the entire input into a
+    * single partition per column), no full-frame aggregation job. */
   def corrSpearman(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrSpearman needs at least two columns")
     val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val k = cols.size
     val clean = df.na.drop(cols)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
-    // each pass's output is consumed ~3× (the next sort's range-bounds
-    // sample, its counts job, and execution proper) — persist intermediates
-    // and materialize the (tiny) matrix eagerly so they can be released.
-    // Only a sliding window of one cached pass is live: once pass i+1's
-    // eager counts job has run, downstream jobs reuse ITS sort shuffle and
-    // pass i's cache is dead — unpersist it immediately, not at the end.
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keyBits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val cached = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[Array[Double]]]
     try {
-      // pass 1 consumes the source projection TWICE (the range-bounds
-      // sample job + the sort shuffle write) — persist it like the
-      // intermediate passes so the parquet scan runs once
-      clean.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += clean
-      val ranked = cols.indices.foldLeft(clean) { (d, i) =>
-        val r = rankColumn(d, i) // runs the counts job on d eagerly
-        cached.lastOption.foreach(_.unpersist(false))
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached += r
-        r
+      // single decode out of Tungsten; canonicalize -0.0 → 0.0 here (SQL
+      // comparison treats them equal, but Ordering[Double] does not, and a
+      // RangePartitioner boundary between them would split a tie run)
+      var cur = clean.rdd.map { r =>
+        val a = new Array[Double](k)
+        var i = 0
+        while (i < k) {
+          val v = r.getDouble(i)
+          a(i) = if (v == 0.0) 0.0 else v
+          i += 1
+        }
+        a
       }
-      val pairs = for {
-        i <- cols.indices; j <- cols.indices if i < j
-      } yield corr(col(cols(i)), col(cols(j))).as(s"${cols(i)}__${cols(j)}")
-      val result = ranked.agg(pairs.head, pairs.tail: _*)
-      val rows = result.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      // each pass's input is consumed twice (the sort's range-bounds
+      // sample job + the shuffle write) — persist a sliding window of one
+      // pass and drop it as soon as the successor is materialized
+      cur.persist(lvl)
+      cached += cur
+      // range boundaries for ALL columns from ONE sampling job over the
+      // decoded cache — sortByKey would run a separate full-pass sampling
+      // job per column. Sampling error only skews partition SIZES
+      // (mildly); rank correctness needs keys routed by value order plus
+      // exact counts, and both are preserved. Ties sit on one partition:
+      // the partitioner's binary search sends every key equal to a
+      // boundary to the same side.
+      val perPart = 640 // reservoir size per partition (±few % boundary error)
+      val seed0 = 42
+      val sampled = cur.mapPartitionsWithIndex { (pi, it) =>
+        val rnd = new java.util.Random(seed0 + pi)
+        val res = Array.fill(k)(new Array[Double](perPart))
+        var seen = 0L
+        while (it.hasNext) {
+          val a = it.next()
+          val slot =
+            if (seen < perPart) seen.toInt
+            else {
+              val j = math.floorMod(rnd.nextLong(), seen + 1)
+              if (j < perPart) j.toInt else -1
+            }
+          if (slot >= 0) { var c = 0; while (c < k) { res(c)(slot) = a(c); c += 1 } }
+          seen += 1
+        }
+        val m = math.min(seen, perPart.toLong).toInt
+        Iterator.single((res.map(_.take(m)), seen))
+      }.collect()
+      val allBounds: Array[Array[Double]] = Array.tabulate(k) { c =>
+        val all = sampled.flatMap(_._1(c)).sorted
+        if (all.isEmpty) Array.empty[Double]
+        else Array.tabulate(np - 1) { b =>
+          all(math.min(all.length - 1, ((b + 1).toLong * all.length / np).toInt))
+        }
+      }
+      var n = 0L
+      for (i <- 0 until k) {
+        val sorted = cur.map(a => (a(i), a))
+          .repartitionAndSortWithinPartitions(
+            new DoubleBoundsPartitioner(allBounds(i)))
+        val counts = sorted.mapPartitionsWithIndex { (pi, it) =>
+          var c = 0L
+          while (it.hasNext) { it.next(); c += 1 }
+          Iterator.single((pi, c))
+        }.collect().sortBy(_._1).map(_._2)
+        val offsets = counts.scanLeft(0L)(_ + _)
+        n = offsets.last
+        // the counts job wrote this pass's sort shuffle, so every
+        // downstream recompute reads shuffle files — the previous pass's
+        // cache is dead from here; keep only a sliding window of one
+        cached.foreach(_.unpersist(false))
+        cached.clear()
+        // second read of `sorted` below re-reads the local shuffle files
+        // (re-sort on read, no re-shuffle); rank-replace streams tie runs
+        val ranked = sorted.mapPartitionsWithIndex { (pi, it) =>
+          val buf = it.buffered
+          var pos = offsets(pi)
+          new Iterator[Array[Double]] {
+            private var pending: Iterator[Array[Double]] = Iterator.empty
+            def hasNext: Boolean = pending.hasNext || buf.hasNext
+            def next(): Array[Double] = {
+              if (!pending.hasNext) {
+                val bits = keyBits(buf.head._1)
+                val run = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+                while (buf.hasNext && keyBits(buf.head._1) == bits)
+                  run += buf.next()._2
+                // 1-based positions p+1..p+len average to p + (len+1)/2
+                val rank = pos + (run.length + 1) / 2.0
+                pos += run.length
+                pending = run.iterator.map { a => a(i) = rank; a }
+              }
+              pending.next()
+            }
+          }
+        }
+        // intermediate passes are consumed twice more (next sort's sample
+        // job + shuffle write) — cache them; the last pass has a single
+        // consumer (the moment pass), so a cache would only add a write
+        if (i < k - 1) {
+          ranked.persist(lvl)
+          cached += ranked
+        }
+        cur = ranked
+      }
+      // fused finale: centered co-moments per partition (the counts job of
+      // the LAST sort already materialized `cur`'s shuffle, so this single
+      // action is the only full read of the final ranks)
+      val mu = (n + 1) / 2.0
+      val partials = cur.mapPartitions { it =>
+        val sq = new Array[Double](k)
+        val sxy = new Array[Double](k * k)
+        val d = new Array[Double](k)
+        while (it.hasNext) {
+          val a = it.next()
+          var i = 0
+          while (i < k) { d(i) = a(i) - mu; sq(i) += d(i) * d(i); i += 1 }
+          i = 0
+          while (i < k) {
+            var j = i + 1
+            while (j < k) { sxy(i * k + j) += d(i) * d(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((sq, sxy))
+      }.collect()
+      val sq = new Array[Double](k)
+      val sxy = new Array[Double](k * k)
+      partials.foreach { case (q, xy) =>
+        var i = 0
+        while (i < k) { sq(i) += q(i); i += 1 }
+        i = 0
+        while (i < k * k) { sxy(i) += xy(i); i += 1 }
+      }
+      val pairs = for { i <- 0 until k; j <- 0 until k if i < j }
+        yield s"${cols(i)}__${cols(j)}" ->
+          (sxy(i * k + j) / math.sqrt(sq(i) * sq(j)))
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row.fromSeq(pairs.map(_._2))),
+        org.apache.spark.sql.types.StructType(pairs.map(p =>
+          org.apache.spark.sql.types.StructField(p._1,
+            org.apache.spark.sql.types.DoubleType))))
     } finally cached.foreach(_.unpersist(false))
   }
 }
