@@ -303,6 +303,36 @@ object Queries {
                  round(covar_samp(t, t), 6) FROM clean)
              ORDER BY col_a, col_b""")),
 
+    // ---- Population Stability Index (drift between two slices) -----------
+    // reference slice defines the equal-width binning; current values clamp
+    // into the edge bins; eps-floored shares keep the log finite
+    QueryDef("q_psi",
+      (s, d) => {
+        val li = lineitem(s, d)
+        Stats.psi(li.filter(col("l_orderkey") % 2 === 0),
+            li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice",
+            bins = 10)
+          .select(round(col("psi"), 6).as("psi"))
+      },
+      Some("""WITH ref AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+               WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+             cur AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+               WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+             e AS (SELECT min(x) AS lo, max(x) AS hi FROM ref),
+             rb AS (SELECT least(greatest(floor((x - e.lo) / ((e.hi - e.lo) / 10)),
+                 0), 9)::BIGINT AS bin, count(*) AS n FROM ref, e GROUP BY 1),
+             cb AS (SELECT least(greatest(floor((x - e.lo) / ((e.hi - e.lo) / 10)),
+                 0), 9)::BIGINT AS bin, count(*) AS n FROM cur, e GROUP BY 1),
+             j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                 coalesce(rb.n, 0) AS n_ref, coalesce(cb.n, 0) AS n_cur
+               FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+             t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc
+               FROM j)
+             SELECT round(sum((greatest(n_cur/tc, 1e-6) - greatest(n_ref/tr, 1e-6))
+               * ln(greatest(n_cur/tc, 1e-6) / greatest(n_ref/tr, 1e-6))), 6)
+               AS psi
+             FROM j, t""")),
+
     // ---- stratify: Bucket (equal-width) grouped path ---------------------
     QueryDef("q_stratify_bucket",
       (s, d) => {
@@ -927,6 +957,36 @@ object Queries {
                x -> greatest(ceil(length(x) / 4.0), 1)))::BIGINT AS n_subwords
              FROM documents ORDER BY doc_id""")),
 
+    // ---- learned BPE subword vocabulary (Sennrich merges) -----------------
+    // rows-only: the merge loop is inherently iterative (not
+    // SQL-expressible); SubwordSpec pins the published worked example and
+    // the learn/apply invariants, and the merge table is deterministic
+    // (frequency ties break lexicographically)
+    QueryDef("q_bpe",
+      (s, d) => {
+        val merges = graft.pipeline.Subword.learnBpe(
+          documents(s, d), "text", numMerges = 200)
+        val spark = s
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case ((l, r), i) => (i, l, r) }.toSeq
+          .toDF("rank", "lhs", "rhs").orderBy("rank")
+      },
+      None),
+
+    // ---- BPE apply: distributed tokenization under the learned merges -----
+    // rows-only summary (doc count, total subword tokens) — exercises the
+    // broadcast + per-partition-memo apply path at bench scale
+    QueryDef("q_bpe_tokens",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = graft.pipeline.Subword.learnBpe(docs, "text",
+          numMerges = 200)
+        graft.pipeline.Subword.applyBpe(docs, "doc_id", "text", merges)
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      },
+      None),
+
     // ---- exact n-gram Jaccard near-dup pairs ------------------------------
     QueryDef("q_ngram_jaccard",
       (s, d) => {
@@ -1123,6 +1183,50 @@ object Queries {
     QueryDef("q_embedding_dedup_lsh",
       (s, d) => graft.pipeline.Dedup.embeddingDedup(embeddings(s, d),
           "vec_id", "embedding", dim = 64, threshold = 0.4, bits = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- distributed Lloyd k-means (cluster sizes after one update) -------
+    // init = the k lowest-id vectors (deterministic); the oracle replays
+    // init-assign → per-cluster centroid means → re-assign entirely in SQL;
+    // assignment margins are >= 1e-5 at every SF, far above fp-reorder noise
+    QueryDef("q_kmeans",
+      (s, d) => {
+        val (assigned, _) = graft.pipeline.Clustering.kmeans(
+          embeddings(s, d), "vec_id", "embedding", k = 8, iters = 1)
+        assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .select(col("cluster").cast("long").as("cid"), col("n"))
+          .orderBy("cid")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             d0 AS (SELECT e.vec_id, c0.cid, list_distance(e.v, c0.cv) AS dd
+               FROM e CROSS JOIN c0),
+             a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+               FROM d0) WHERE rn = 1),
+             c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+                 SELECT a0.cid, t.i, avg(e.v[t.i+1]) AS m
+                 FROM a0 JOIN e USING (vec_id), range(64) t(i)
+                 GROUP BY a0.cid, t.i) GROUP BY cid),
+             d1 AS (SELECT e.vec_id, c1.cid, list_distance(e.v, c1.cv) AS dd
+               FROM e CROSS JOIN c1),
+             a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+               FROM d1) WHERE rn = 1)
+             SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n
+             FROM a1 GROUP BY cid ORDER BY cid""")),
+
+    // ---- SemDeDup: semantic near-dup pairs within k-means clusters --------
+    // rows-only: cluster boundaries depend on iterated fp centroids — the
+    // within-cluster pairs are exact; RecallSpec measures coverage against
+    // the exact all-pairs baseline (q_embedding_pairs). probes=2 is the
+    // multi-probe recall tier (0.30 → 0.80 measured at sf0.001)
+    QueryDef("q_semdedup",
+      (s, d) => graft.pipeline.Clustering.semDedup(
+          embeddings(s, d), "vec_id", "embedding", k = 8,
+          threshold = 0.45, iters = 2, probes = 2)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
       None),
 
@@ -1629,6 +1733,36 @@ object Queries {
                n, avgdl
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- add-k bigram LM quality score (corpus self-scoring) --------------
+    // the KenLM-shaped curation signal: mean bigram log-likelihood of each
+    // doc under counts trained on the corpus itself; tokenization is
+    // lowercased alphabetic runs so both engines' regex semantics coincide,
+    // and the oracle replays counts, vocabulary, and smoothing verbatim
+    QueryDef("q_lm_score",
+      (s, d) => graft.pipeline.LanguageModel.lmScore(
+          documents(s, d), "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm_score"), 6).as("lm_score"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '') AS ts
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             bi AS (SELECT doc_id, unnest(list_transform(range(len(ts)-1),
+                 i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS bg
+               FROM toks WHERE len(ts) >= 2),
+             b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+             c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+             c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+             v AS (SELECT count(DISTINCT tok) AS v FROM
+               (SELECT unnest(ts) AS tok FROM toks)),
+             ll AS (SELECT b.doc_id,
+                 ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS ll
+               FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+             SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(ll), 6) AS lm_score
+             FROM ll GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- reproducible hash sampling (partitioning-independent) ------------
     // membership = Lehmer hash of the id, reproduced VERBATIM in the oracle
     // arithmetic — the decision is provably engine-independent
@@ -1771,6 +1905,24 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
              count(*) AS n, round(sum(value), 2) AS value_sum
              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- rolling trailing-hour window per user ----------------------------
+    // keyed RANGE window: every event scored against its own trailing
+    // interval; ties (same second) share one frame so the result is
+    // order-deterministic — no global window anywhere
+    QueryDef("q_events_rolling",
+      (s, d) => graft.events.Rolling.rollingAgg(events(s, d),
+          Seq("user_id"), "ts", "value", windowSec = 3600L)
+        .select(col("event_id"), col("n_win"),
+          round(col("sum_win"), 2).as("sum_win"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, count(*) OVER w AS n_win,
+             round(sum(value) OVER w, 2) AS sum_win
+             FROM (SELECT event_id, user_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+             WINDOW w AS (PARTITION BY user_id ORDER BY tss
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
 
     // ---- as-of join: latest click before each purchase, per user ----------
     // oracle = DuckDB's NATIVE ASOF JOIN — the engine's merge-scan

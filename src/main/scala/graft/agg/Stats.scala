@@ -311,6 +311,55 @@ object Stats {
     g.select(explode(array(rows: _*)).as("m")).select("m.*")
   }
 
+  /** Population Stability Index between a reference slice and a current
+    * slice of the same numeric column — the standard drift score for
+    * monitoring a feature (or a corpus quality signal) between two
+    * snapshots: `PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)` over
+    * `bins` equal-width bins spanning the REFERENCE min/max (industry
+    * convention: the reference defines the binning; current values
+    * outside the reference range clamp into the edge bins so mass is
+    * never dropped). Empty-bin shares are floored at `eps` before the
+    * log — the usual smoothing, keeps PSI finite when a bin empties.
+    * Rule-of-thumb reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Scale shape: one min/max pass over the reference, then ONE
+    * partial/final hash aggregate per slice keyed on the bin index
+    * (≤ `bins` rows out), a broadcast join of two ≤`bins`-row frames, and
+    * a scalar sum. Nothing here grows with the data beyond the two scans;
+    * both slices can be 100-TB tables. Degenerate reference (min = max)
+    * puts all mass in bin 0 via the same clamp. */
+  def psi(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 10,
+          eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"psi needs bins >= 2, got $bins")
+    val edges = ref.na.drop(Seq(c))
+      .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+      .head()
+    // empty reference → degenerate binning (everything clamps to bin 0)
+    val (lo, hi) =
+      if (edges.isNullAt(0)) (0.0, 0.0)
+      else (edges.getDouble(0), edges.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    def binned(df: DataFrame): DataFrame = df.na.drop(Seq(c))
+      .select(least(greatest(
+          floor((col(c).cast("double") - lo) / width), lit(0L)),
+        lit(bins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    // totals are counts: 0 or ≥ 1, so the floor only defuses the ANSI
+    // divide-by-zero of a fully-empty slice (shares all collapse to eps)
+    val share = (n: Column, tot: Column) =>
+      greatest(n.cast("double") / greatest(tot.cast("double"), lit(1.0)), lit(eps))
+    val r = binned(ref).withColumnRenamed("n", "n_ref")
+    val q = binned(cur).withColumnRenamed("n", "n_cur")
+    // full outer: a bin occupied on one side only still contributes
+    val joined = r.join(q, Seq("bin"), "full_outer").na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(((share(col("n_cur"), col("t_cur")) - share(col("n_ref"), col("t_ref"))) *
+        log(share(col("n_cur"), col("t_cur")) / share(col("n_ref"), col("t_ref"))))
+        .as("term"))
+      .agg(sum("term").as("psi"))
+  }
+
   /** Sample covariance matrix (upper triangle incl. diagonal) for the
     * given columns, fused into ONE aggregation pass — k(k+1)/2 codegen'd
     * `covar_samp` expressions, one shuffle of a single partial-agg row.

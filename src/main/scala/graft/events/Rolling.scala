@@ -1,0 +1,61 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sliding time-window aggregates over an event stream — the per-entity
+  * "activity in the trailing hour/day" feature family (rate limiting,
+  * burst detection, rolling engagement counters). Complements the
+  * tumbling windows of `q_events_windowed` and the gap-based sessions of
+  * [[Sessionize]]: a tumbling window assigns each event to ONE bucket; a
+  * rolling window scores EVERY event against its own trailing interval.
+  *
+  * Scale shape: one keyed window — Spark shuffles on the entity key and
+  * sorts within key, which is exactly the minimal work the semantics
+  * require (each entity's events must meet ordered). There is no global
+  * window and no self-join; a range-join formulation of the same feature
+  * would shuffle the event stream twice. Entity-keyed windows are safe at
+  * 100 TB as long as no single entity dominates a partition; for that
+  * degenerate case pre-aggregate to coarse time grains first (see
+  * `rollingAggCoarse`).
+  */
+object Rolling {
+
+  /** Trailing-interval aggregates per event: for each row, `n_win` and
+    * `sum_win` over all events of the same `keys` whose `tsCol` (epoch
+    * seconds, long) lies in `[ts - windowSec + 1, ts]` — a closed trailing
+    * window including the current row and its same-second peers (RANGE
+    * frame semantics: ties share one frame, so the result is
+    * order-deterministic even with duplicate timestamps). */
+  def rollingAgg(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"rollingAgg needs windowSec >= 1, got $windowSec")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-(windowSec - 1), Window.currentRow)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(col(valueCol)).over(w))
+  }
+
+  /** The skew-safe variant for entities with pathological event counts:
+    * pre-aggregate to `grainSec` buckets (partial/final hash aggregate —
+    * cuts the window input from events to occupied grains), then run the
+    * trailing window over the bucket stream. The result is the rolling
+    * aggregate at bucket granularity: exact whenever `grainSec` divides
+    * `windowSec` and events are bucketed to their grain start. */
+  def rollingAggCoarse(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valueCol: String, windowSec: Long,
+                       grainSec: Long): DataFrame = {
+    require(grainSec >= 1 && windowSec % grainSec == 0,
+      s"grainSec must divide windowSec ($grainSec / $windowSec)")
+    val kc = keys.map(col)
+    val grain = (col(tsCol).cast("long") / grainSec).cast("long") * grainSec
+    val bucketed = df.groupBy(kc :+ grain.as("grain_ts"): _*)
+      .agg(count(lit(1)).as("n_grain"), sum(col(valueCol)).as("sum_grain"))
+    val w = Window.partitionBy(kc: _*).orderBy(col("grain_ts"))
+      .rangeBetween(-(windowSec - grainSec), Window.currentRow)
+    bucketed
+      .withColumn("n_win", sum(col("n_grain")).over(w))
+      .withColumn("sum_win", sum(col("sum_grain")).over(w))
+  }
+}

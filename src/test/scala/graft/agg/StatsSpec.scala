@@ -237,6 +237,40 @@ class StatsSpec extends SparkSpec {
     assert(c.length == 3 && c.forall(_.isNullAt(2)))
   }
 
+  test("psi: identical slices score ~0, disjoint slices score large") {
+    import spark.implicits._
+    val a = (1 to 1000).map(_.toDouble / 100).toDF("x")
+    val same = Stats.psi(a, a, "x", bins = 10).head().getDouble(0)
+    // identical distributions: every bin share matches exactly → PSI = 0
+    assert(same == 0.0)
+    // all current mass lands in the reference's top bin: textbook "shifted"
+    val far = (1 to 1000).map(_ => 10.0).toDF("x")
+    val drifted = Stats.psi(a, far, "x", bins = 10).head().getDouble(0)
+    assert(drifted > 0.25, s"expected shifted-regime PSI, got $drifted")
+  }
+
+  test("psi matches the closed-form two-bin hand computation") {
+    import spark.implicits._
+    // ref: 3 low + 1 high over [0,1]; cur: 1 low + 3 high; 2 bins
+    val ref = Seq(0.1, 0.2, 0.3, 1.0).toDF("x")
+    val cur = Seq(0.1, 0.8, 0.9, 1.0).toDF("x")
+    val got = Stats.psi(ref, cur, "x", bins = 2).head().getDouble(0)
+    val expect = (0.25 - 0.75) * math.log(0.25 / 0.75) +
+      (0.75 - 0.25) * math.log(0.75 / 0.25)
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("psi: empty and degenerate references do not crash") {
+    import spark.implicits._
+    val cur = Seq(1.0, 2.0).toDF("x")
+    val empty = Seq.empty[Double].toDF("x")
+    // empty reference: all cur mass clamps to bin 0, ref shares are eps
+    assert(!Stats.psi(empty, cur, "x").head().isNullAt(0))
+    // constant reference (min = max): width guard keeps the binning finite
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    assert(!Stats.psi(const, cur, "x").head().isNullAt(0))
+  }
+
   test("covarianceMatrix matches closed-form sample covariance") {
     import spark.implicits._
     val d = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0)).toDF("x", "y")

@@ -1,0 +1,61 @@
+package graft.events
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RollingSpec extends SparkSpec {
+
+  test("rollingAgg matches the brute-force trailing-window definition") {
+    import spark.implicits._
+    val rows = Seq( // (id, user, tsSec, value)
+      (1L, 1L, 100L, 1.0), (2L, 1L, 200L, 2.0), (3L, 1L, 3699L, 4.0),
+      (4L, 1L, 3700L, 8.0), (5L, 2L, 150L, 16.0), (6L, 2L, 150L, 32.0))
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val got = Rolling.rollingAgg(df, Seq("user_id"), "ts", "value", 3600L)
+      .select("event_id", "n_win", "sum_win").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val brute = rows.map { case (id, u, t, _) =>
+      val in = rows.filter { case (_, u2, t2, _) =>
+        u2 == u && t2 <= t && t2 > t - 3600L }
+      id -> ((in.size.toLong, in.map(_._4).sum))
+    }.toMap
+    assert(got == brute)
+    // the 100-s event has aged out of event 4's frame; event 3 still holds it
+    assert(got(3L)._1 == 3L && got(4L)._1 == 3L)
+    // same-second peers share one frame (RANGE semantics): both count both
+    assert(got(5L) == ((2L, 48.0)) && got(6L) == ((2L, 48.0)))
+  }
+
+  test("rollingAggCoarse equals rollingAgg on grain-aligned timestamps") {
+    import spark.implicits._
+    // all timestamps are multiples of the grain → bucketing is lossless
+    val rows = Seq(
+      (1L, 60L, 1.0), (1L, 120L, 2.0), (1L, 3600L, 4.0), (1L, 3660L, 8.0),
+      (2L, 60L, 16.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val fine = Rolling.rollingAgg(df, Seq("user_id"), "ts", "value", 3600L)
+      .select("user_id", "ts", "n_win", "sum_win")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val coarse = Rolling.rollingAggCoarse(df, Seq("user_id"), "ts", "value",
+        3600L, grainSec = 60L)
+      .select(col("user_id"), col("grain_ts"), col("n_win"), col("sum_win"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(coarse == fine)
+  }
+
+  test("rollingAggCoarse rejects a grain that does not divide the window") {
+    import spark.implicits._
+    val df = Seq((1L, 60L, 1.0)).toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      Rolling.rollingAggCoarse(df, Seq("user_id"), "ts", "value", 3600L, 7L)
+    }
+  }
+
+  test("rolling on empty input yields an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "value")
+    assert(Rolling.rollingAgg(empty, Seq("user_id"), "ts", "value", 60L).count() == 0L)
+    assert(Rolling.rollingAggCoarse(empty, Seq("user_id"), "ts", "value", 60L, 60L)
+      .count() == 0L)
+  }
+}

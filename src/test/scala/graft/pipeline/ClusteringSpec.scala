@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("kmeans recovers well-separated clusters and ids are init-stable") {
+    import spark.implicits._
+    // two tight blobs around (0,0) and (10,10); ids 0/1 are one seed each
+    val d = Seq(
+      (0L, vec(0.1, 0.0)), (1L, vec(10.0, 10.1)), (2L, vec(0.0, 0.2)),
+      (3L, vec(9.9, 10.0)), (4L, vec(0.2, 0.1)), (5L, vec(10.1, 9.9)))
+      .toDF("vec_id", "embedding")
+    val (assigned, centers) = Clustering.kmeans(d, "vec_id", "embedding",
+      k = 2, iters = 5)
+    val byCluster = assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().groupBy(_._2).map { case (c, xs) =>
+        c -> xs.map(_._1).toSet }
+    assert(byCluster(0) == Set(0L, 2L, 4L)) // seed id 0 → cluster 0
+    assert(byCluster(1) == Set(1L, 3L, 5L))
+    // converged centers are the blob means
+    assert(math.abs(centers(0)(0) - 0.1) < 1e-6)
+    assert(math.abs(centers(1)(0) - 10.0) < 1e-6)
+  }
+
+  test("kmeansFit with zero iterations returns the seed vectors verbatim") {
+    import spark.implicits._
+    val d = Seq((5L, vec(1, 2)), (3L, vec(3, 4)), (9L, vec(5, 6)))
+      .toDF("vec_id", "embedding")
+    val c = Clustering.kmeansFit(d, "vec_id", "embedding", k = 2, iters = 0)
+    // the TWO lowest ids (3, 5), ordered by id
+    assert(c.length == 2)
+    assert(c(0).toSeq == Seq(3.0, 4.0) && c(1).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("kmeans leaves no persisted blocks behind") {
+    import spark.implicits._
+    val d = Seq((0L, vec(0, 0)), (1L, vec(1, 1)), (2L, vec(2, 2)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (assigned, _) = Clustering.kmeans(d, "vec_id", "embedding", 2, 3)
+    assigned.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
+  test("semDedup equals within-cluster brute force and respects maxCluster") {
+    import spark.implicits._
+    // blob A: three near-identical vectors; blob B: two; one cross-blob
+    // near-dup CANNOT be found (different clusters) — that's the contract
+    val d = Seq(
+      (0L, vec(1.0, 0.0)), (2L, vec(0.99, 0.01)), (4L, vec(0.98, 0.02)),
+      (1L, vec(0.0, 1.0)), (3L, vec(0.01, 0.99)))
+      .toDF("vec_id", "embedding")
+    val pairs = Clustering.semDedup(d, "vec_id", "embedding", k = 2,
+        threshold = 0.99, iters = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)))
+    // a 1-row cap skips every cluster (degenerate-mass guard), no crash
+    val capped = Clustering.semDedup(d, "vec_id", "embedding", k = 2,
+      threshold = 0.99, iters = 3, maxCluster = 1)
+    assert(capped.count() == 0L)
+  }
+
+  test("empty clusters keep their previous center (no NaN poisoning)") {
+    import spark.implicits._
+    // k = 3 over 3 points, two of them identical: one seed never wins rows
+    val d = Seq((0L, vec(0, 0)), (1L, vec(0, 0)), (2L, vec(5, 5)))
+      .toDF("vec_id", "embedding")
+    val c = Clustering.kmeansFit(d, "vec_id", "embedding", k = 3, iters = 4)
+    assert(c.forall(_.forall(x => !x.isNaN)))
+  }
+
+  test("kmeans on empty input fails fast with a clear message") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansFit(empty, "vec_id", "embedding", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+}

@@ -92,6 +92,38 @@ class RecallSpec extends SparkSpec {
     assert(recall8 > recall, "multi-table recall did not improve on single-table")
   }
 
+  test("semDedup: no false positives; recall = co-clustered exact pairs") {
+    val threshold = 0.4
+    val truth = Similarity.allPairsCosine(embs, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val got = Clustering.semDedup(embs, "vec_id", "embedding", k = 8,
+        threshold = threshold, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster comparison is EXACT cosine: false positives impossible
+    assert(got.subsetOf(truth),
+      "semDedup pair not in the exact all-pairs truth")
+    val recall = got.size.toDouble / truth.size
+    info(f"semDedup recall = $recall%.4f over ${truth.size} exact pairs " +
+      f"(missed pairs straddle cluster boundaries at this moderate " +
+      f"threshold — the multi-probe tier below is the recall knob)")
+    assert(recall > 0.0, "semDedup found nothing — clustering collapsed")
+
+    // multi-probe: each vector lands in its top-2 clusters, so boundary
+    // pairs meet in a shared probe — recall must improve materially
+    val got2 = Clustering.semDedup(embs, "vec_id", "embedding", k = 8,
+        threshold = threshold, iters = 2, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.subsetOf(truth))
+    assert(got.subsetOf(got2),
+      "probes=2 must be a superset of probes=1 (same clusters probed first)")
+    val recall2 = got2.size.toDouble / truth.size
+    info(f"semDedup 2-probe recall = $recall2%.4f")
+    assert(recall2 > recall, "multi-probe did not improve recall")
+    assert(recall2 >= 0.5,
+      f"semDedup 2-probe recall $recall2%.4f too low at k=8")
+  }
+
   test("percentileApprox honors the GK rank-error contract vs exact ranks") {
     val c = "l_extendedprice"
     val eps = 0.01 // precision 0.01 → accuracy 100 → rank error ≤ n/100
