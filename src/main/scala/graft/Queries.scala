@@ -1763,6 +1763,41 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Jensen–Shannon token-distribution divergence ---------------------
+    // distributional drift for TEXT (companion of q_psi's numeric PSI):
+    // JS between two corpus slices' token shares, 0·ln0 = 0 convention —
+    // no smoothing constant, bounded by ln 2
+    QueryDef("q_token_divergence",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.LanguageModel.tokenJsDivergence(
+            docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") === "de"), "text")
+          .select(round(col("js"), 6).as("js"), col("vocab_a"), col("vocab_b"))
+      },
+      Some("""WITH ta AS (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))
+                 AS tok FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+             tb AS (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))
+                 AS tok FROM documents WHERE text IS NOT NULL AND lang = 'de'),
+             ca AS (SELECT tok, count(*) AS n_a FROM ta GROUP BY 1),
+             cb AS (SELECT tok, count(*) AS n_b FROM tb GROUP BY 1),
+             j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+               FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+             t AS (SELECT greatest(sum(n_a)::DOUBLE, 1.0) AS t_a,
+                 greatest(sum(n_b)::DOUBLE, 1.0) AS t_b FROM j)
+             SELECT round(sum(
+                 CASE WHEN n_a > 0 THEN (n_a/t_a) *
+                   ln((n_a/t_a) / ((n_a/t_a + n_b/t_b)/2)) ELSE 0 END * 0.5
+               + CASE WHEN n_b > 0 THEN (n_b/t_b) *
+                   ln((n_b/t_b) / ((n_a/t_a + n_b/t_b)/2)) ELSE 0 END * 0.5
+               ), 6) AS js,
+               sum(CASE WHEN n_a > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+               sum(CASE WHEN n_b > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b
+             FROM j, t""")),
+
     // ---- reproducible hash sampling (partitioning-independent) ------------
     // membership = Lehmer hash of the id, reproduced VERBATIM in the oracle
     // arithmetic — the decision is provably engine-independent

@@ -32,15 +32,46 @@ object LanguageModel {
   private[pipeline] def alphaTokens(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), t => t =!= "")
 
-  /** (w1, w2) bigram structs of a token-array column; empty when the
-    * document has fewer than two tokens (sequence() would otherwise count
-    * DOWN from 0 and fabricate bigrams). */
-  private[pipeline] def bigrams(ts: Column): Column =
-    when(size(ts) >= 2,
-      transform(sequence(lit(0), size(ts) - 2),
-        i => struct(element_at(ts, i + 1).as("w1"),
-          element_at(ts, i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  /** JVM-side mirror of [[alphaTokens]] (same regex, ROOT-locale
+    * lowercase) for the typed hot paths: Catalyst HOFs are interpreted,
+    * and an `element_at(split(...), i)` bigram walk re-runs the split per
+    * element — O(len²) regex per document, measured 42 s vs 1 s at sf0.1. */
+  private[pipeline] def tokenize(t: String): Array[String] =
+    t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
+
+  /** Jensen–Shannon divergence between the token distributions of two
+    * corpus slices — the distributional drift score for TEXT (the
+    * companion of [[graft.agg.Stats.psi]] for numeric features): has one
+    * source's vocabulary usage shifted between snapshots, or do two
+    * sources speak measurably different languages?
+    * `JS(p‖q) = ½·KL(p‖m) + ½·KL(q‖m)`, `m = (p+q)/2`, natural log, so
+    * the score is bounded by ln 2 ≈ 0.693 (identical → 0, disjoint
+    * vocabularies → ln 2). Zero-share terms contribute 0 by the usual
+    * `0·ln 0 = 0` convention — no smoothing constant to pick.
+    *
+    * Scale shape: one explode → hash-aggregate per slice (vocab-bounded
+    * output), a full-outer join of the two vocab frames ON TOKEN, scalar
+    * totals by broadcast crossJoin, one final scalar sum. Both slices can
+    * be full-scale tables; nothing driver-side. Output: one row
+    * (js, vocab_a, vocab_b). */
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df.na.drop(Seq(textCol))
+      .select(explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(out))
+    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val p = col("n_a").cast("double") / greatest(col("t_a").cast("double"), lit(1.0))
+    val q = col("n_b").cast("double") / greatest(col("t_b").cast("double"), lit(1.0))
+    val m = (p + q) / 2
+    val term = when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+      when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0)) * 0.5
+    joined.crossJoin(broadcast(totals))
+      .select(term.as("term"),
+        when(col("n_a") > 0, 1L).otherwise(0L).as("va"),
+        when(col("n_b") > 0, 1L).otherwise(0L).as("vb"))
+      .agg(sum("term").as("js"), sum("va").as("vocab_a"), sum("vb").as("vocab_b"))
+  }
 
   /** Mean bigram log-likelihood per document of `df`, under an add-k
     * bigram model trained on `train` (defaults to `df` itself — the
@@ -49,27 +80,34 @@ object LanguageModel {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               addK: Double = 0.5, train: Option[DataFrame] = None): DataFrame = {
     require(addK > 0, s"lmScore needs addK > 0, got $addK")
-    def bigramStream(src: DataFrame, withId: Boolean): DataFrame = {
-      val clean = src.na.drop(if (withId) Seq(idCol, textCol) else Seq(textCol))
-      val base = if (withId) clean.select(col(idCol).as("__graft_id"),
-          bigrams(alphaTokens(col(textCol))).as("__bgs"))
-        else clean.select(bigrams(alphaTokens(col(textCol))).as("__bgs"))
-      base.select((if (withId) Seq(col("__graft_id")) else Nil) :+
-        explode(col("__bgs")).as("bg"): _*)
-        .select((if (withId) Seq(col("__graft_id")) else Nil) ++
-          Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed bigram walk: ONE tokenize per document (see tokenize scaladoc)
+    def bigramStream(src: DataFrame): DataFrame =
+      src.na.drop(Seq(idCol, textCol))
+        .select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ts = tokenize(text)
+          (1 until ts.length).iterator.map(i => (id, ts(i - 1), ts(i)))
+        }.toDF("__graft_id", "w1", "w2")
     // self-training uses exactly the rows being scored (id AND text
     // non-null) so the model statistics match the scored stream
     val trainDf = train.getOrElse(df.na.drop(Seq(idCol, textCol)))
-    val tb = bigramStream(trainDf, withId = false)
+    // the train side only needs text (an external reference corpus may
+    // carry no id column)
+    val tb = trainDf.na.drop(Seq(textCol)).select(col(textCol))
+      .as[String].flatMap { text =>
+        val ts = tokenize(text)
+        (1 until ts.length).iterator.map(i => (ts(i - 1), ts(i)))
+      }.toDF("w1", "w2")
     val c2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
     val c1 = tb.groupBy("w1").agg(count(lit(1)).as("__c1"))
     // vocabulary = distinct tokens of the training corpus (unigram stream)
     val v = trainDf.na.drop(Seq(textCol))
       .select(explode(alphaTokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok").as("__v"))
-    bigramStream(df, withId = true)
+    bigramStream(df)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .na.fill(0L, Seq("__c2", "__c1"))

@@ -51,6 +51,40 @@ class LanguageModelSpec extends SparkSpec {
     assert(n == 2L)
   }
 
+  test("tokenJsDivergence: 0 for identical, ln 2 for disjoint vocabularies") {
+    import spark.implicits._
+    val a = Seq("the quick brown fox", "jumps over").toDF("text")
+    val same = LanguageModel.tokenJsDivergence(a, a, "text").head()
+    assert(same.getDouble(0) == 0.0)
+    assert(same.getLong(1) == 6L && same.getLong(2) == 6L)
+    val b = Seq("voellig andere woerter hier").toDF("text")
+    val far = LanguageModel.tokenJsDivergence(a, b, "text").head().getDouble(0)
+    assert(math.abs(far - math.log(2.0)) < 1e-12)
+  }
+
+  test("tokenJsDivergence matches the closed-form two-token computation") {
+    import spark.implicits._
+    // p = (3/4, 1/4) over (a, b); q = (1/4, 3/4); m = (1/2, 1/2)
+    val x = Seq("a a a b").toDF("text")
+    val y = Seq("a b b b").toDF("text")
+    val got = LanguageModel.tokenJsDivergence(x, y, "text").head().getDouble(0)
+    def kl(p: Seq[Double], m: Seq[Double]) =
+      p.zip(m).map { case (pi, mi) => if (pi > 0) pi * math.log(pi / mi) else 0.0 }.sum
+    val expect = 0.5 * kl(Seq(0.75, 0.25), Seq(0.5, 0.5)) +
+      0.5 * kl(Seq(0.25, 0.75), Seq(0.5, 0.5))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("tokenJsDivergence tolerates an empty side (score = ln 2 regime)") {
+    import spark.implicits._
+    val a = Seq("some words here").toDF("text")
+    val empty = Seq.empty[String].toDF("text")
+    val r = LanguageModel.tokenJsDivergence(a, empty, "text").head()
+    // only the KL(p‖m) half carries mass: Σ 0.5·p·ln2 = ln(2)/2
+    assert(math.abs(r.getDouble(0) - math.log(2.0) / 2) < 1e-12)
+    assert(r.getLong(2) == 0L)
+  }
+
   test("lmScore on empty input yields an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
