@@ -1877,6 +1877,30 @@ object Queries {
                FROM s3 ORDER BY pow(k, 1.0 / n_chars) DESC, doc_id LIMIT 50)
              SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
 
+    // ---- balanced per-stratum weighted sample -----------------------------
+    // k quality-weighted docs from EVERY source: Efraimidis–Spirakis
+    // priorities ranked by a strata-keyed row_number window (one shuffle on
+    // the stratum key, no global sort); arithmetic replayed in the oracle
+    QueryDef("q_stratified_topk",
+      (s, d) => graft.pipeline.Sampling.stratifiedTopK(
+          documents(s, d), "doc_id", "n_chars", Seq("lang"), k = 5, seed = 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH s1 AS (SELECT doc_id, lang, n_chars,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x
+               FROM documents WHERE n_chars > 0),
+             s2 AS (SELECT doc_id, lang, n_chars, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id, lang, n_chars,
+               ((((x3 + 5) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2),
+             r AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY pow(k, 1.0 / n_chars) DESC, doc_id) AS rn FROM s3)
+             SELECT doc_id, lang, n_chars FROM r WHERE rn <= 5
+             ORDER BY doc_id""")),
+
     // ---- corpus composition report (mix rebalancing input) ----------------
     QueryDef("q_corpus_mix",
       (s, d) => graft.pipeline.TextAnalysis.corpusMix(

@@ -133,4 +133,28 @@ object Sampling {
       .orderBy(col(priorityCol).desc, col(idCol))
       .limit(k)
   }
+
+  /** Fixed-size weighted sample PER STRATUM — the balanced-subset builder
+    * (k docs from every source/language/domain, quality-weighted): the
+    * Efraimidis–Spirakis priorities of [[weightedTopK]] ranked by a
+    * row_number window KEYED on the strata columns, so the plan is one
+    * shuffle on the strata key and a per-group ordered scan — no global
+    * sort, no driver materialization, any number of strata. Same
+    * determinism contract: priorities derive from the Lehmer id hash,
+    * ties break on id, decisions are partitioning-independent and
+    * reproducible in plain SQL. */
+  def stratifiedTopK(df: DataFrame, idCol: String, weightCol: String,
+                     strata: Seq[String], k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(strata.nonEmpty, "stratifiedTopK needs at least one stratum column")
+    Similarity.requireIntegralId(df, idCol, "stratifiedTopK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(pow(hashKey(col(idCol), seed),
+        lit(1.0) / col(weightCol).cast("double")).desc, col(idCol))
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
 }

@@ -107,6 +107,26 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("stratifiedTopK: k per stratum, same priorities as the global form") {
+    val df = (1L to 600L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 7 + 1).toDouble)).toDF("doc_id", "src", "w")
+    val out = Sampling.stratifiedTopK(df, "doc_id", "w", Seq("src"), k = 10,
+      seed = 3).collect()
+    // exactly k from each stratum
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 10, "b" -> 10))
+    // within one stratum the selection equals weightedTopK run on that
+    // stratum alone (identical priorities, identical tie-break)
+    val aOnly = Sampling.weightedTopK(df.filter($"src" === "a"), "doc_id",
+      "w", k = 10, seed = 3).collect().map(_.getLong(0)).toSet
+    assert(out.filter(_.getString(1) == "a").map(_.getLong(0)).toSet == aOnly)
+    // short stratum: returns what exists, no padding
+    val tiny = Seq((1L, "x", 1.0), (2L, "x", 1.0), (3L, "y", 1.0))
+      .toDF("doc_id", "src", "w")
+    val t = Sampling.stratifiedTopK(tiny, "doc_id", "w", Seq("src"), k = 5)
+    assert(t.count() == 3)
+  }
+
   // ---- corpusMix -----------------------------------------------------------
 
   test("corpusMix computes counts, mass, and shares that sum to 1") {
