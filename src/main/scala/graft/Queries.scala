@@ -333,6 +333,43 @@ object Queries {
                AS psi
              FROM j, t""")),
 
+    // ---- PSI over reference-quantile bins (skew-robust variant) -----------
+    // edges = the reference's exact quartiles (ExactPercentile ≡
+    // quantile_cont), ROUNDED to 6 decimals on both engines so the
+    // bin-membership decision is bit-identical; bin = #edges below x
+    QueryDef("q_psi_quantile",
+      (s, d) => {
+        val li = lineitem(s, d)
+        Stats.psiQuantile(li.filter(col("l_orderkey") % 2 === 0),
+            li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice",
+            bins = 4)
+          .select(round(col("psi"), 6).as("psi"))
+      },
+      Some("""WITH ref AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+               WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+             cur AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+               WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+             e AS (SELECT round(quantile_cont(x, 0.25), 6) AS e1,
+               round(quantile_cont(x, 0.5), 6) AS e2,
+               round(quantile_cont(x, 0.75), 6) AS e3 FROM ref),
+             rb AS (SELECT (CASE WHEN x > e1 THEN 1 ELSE 0 END
+                 + CASE WHEN x > e2 THEN 1 ELSE 0 END
+                 + CASE WHEN x > e3 THEN 1 ELSE 0 END)::BIGINT AS bin,
+               count(*) AS n FROM ref, e GROUP BY 1),
+             cb AS (SELECT (CASE WHEN x > e1 THEN 1 ELSE 0 END
+                 + CASE WHEN x > e2 THEN 1 ELSE 0 END
+                 + CASE WHEN x > e3 THEN 1 ELSE 0 END)::BIGINT AS bin,
+               count(*) AS n FROM cur, e GROUP BY 1),
+             j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                 coalesce(rb.n, 0) AS n_ref, coalesce(cb.n, 0) AS n_cur
+               FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+             t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc
+               FROM j)
+             SELECT round(sum((greatest(n_cur/tc, 1e-6) - greatest(n_ref/tr, 1e-6))
+               * ln(greatest(n_cur/tc, 1e-6) / greatest(n_ref/tr, 1e-6))), 6)
+               AS psi
+             FROM j, t""")),
+
     // ---- stratify: Bucket (equal-width) grouped path ---------------------
     QueryDef("q_stratify_bucket",
       (s, d) => {

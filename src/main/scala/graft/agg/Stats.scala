@@ -339,10 +339,45 @@ object Stats {
       if (edges.isNullAt(0)) (0.0, 0.0)
       else (edges.getDouble(0), edges.getDouble(1))
     val width = if (hi > lo) (hi - lo) / bins else 1.0
+    psiOverBins(ref, cur, c, eps,
+      least(greatest(floor((col(c).cast("double") - lo) / width), lit(0L)),
+        lit(bins - 1L)))
+  }
+
+  /** PSI over REFERENCE-QUANTILE bins — the variant for skewed features,
+    * where equal-width bins would park most mass in one bin and blind the
+    * score: bin edges are the reference's exact i/bins percentiles
+    * (custom [[graft.expr.ExactPercentile]], quantile_cont semantics),
+    * rounded to 6 decimals so the binning decision is engine-exact, and
+    * each value's bin is the count of edges strictly below it. Duplicate
+    * edges (heavy ties) merge bins; eps smoothing absorbs the resulting
+    * empties. Same scale shape as [[psi]] plus one percentile pass over
+    * the reference. */
+  def psiQuantile(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 4,
+                  eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"psiQuantile needs 2..64 bins, got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val row = ref.na.drop(Seq(c))
+      .agg(graft.expr.ExactPercentile.of(col(c).cast("double"), probs).as("__e"))
+      .head()
+    val edges: Seq[Double] =
+      if (row.isNullAt(0)) Nil
+      else row.getSeq[Double](0).map(e =>
+        BigDecimal(e).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    val binExpr =
+      if (edges.isEmpty) lit(0L)
+      else edges.map(e => when(col(c).cast("double") > e, 1L).otherwise(0L))
+        .reduce(_ + _)
+    psiOverBins(ref, cur, c, eps, binExpr)
+  }
+
+  /** Shared PSI core: bin both slices with `binExpr`, join the ≤bins-row
+    * count frames, eps-floor the shares, sum the divergence terms. */
+  private def psiOverBins(ref: DataFrame, cur: DataFrame, c: String,
+                          eps: Double, binExpr: Column): DataFrame = {
     def binned(df: DataFrame): DataFrame = df.na.drop(Seq(c))
-      .select(least(greatest(
-          floor((col(c).cast("double") - lo) / width), lit(0L)),
-        lit(bins - 1L)).as("bin"))
+      .select(binExpr.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     // totals are counts: 0 or ≥ 1, so the floor only defuses the ANSI
     // divide-by-zero of a fully-empty slice (shares all collapse to eps)

@@ -36,13 +36,17 @@ object Dedup {
 
   // ---- shingles / n-grams --------------------------------------------------
 
-  /** word n-gram array via native HOFs: slide a window over the tokens. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(c)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** word n-gram array via native HOFs: slide a window over the tokens.
+    * The token array is bound ONCE through a lambda variable (transform
+    * over a 1-element array, then flatten): interpreted HOF evaluation
+    * re-runs inline subtrees per element access, so referencing the
+    * split from `size` AND every `slice` would otherwise re-tokenize
+    * O(len) times per row — the q_lm_score 42 s lesson. */
+  def wordNgrams(c: Column, n: Int): Column =
+    flatten(transform(array(TextAnalysis.tokens(c)), toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
 
   // ---- MinHash + LSH -------------------------------------------------------
 

@@ -88,6 +88,65 @@ object StreamingOps {
       }
   }
 
+  /** Sliding (overlapping) event-time windows — the streaming mirror of
+    * `events.Rolling.rollingAggCoarse`: every event lands in
+    * window/slide overlapping buckets, so each emitted row is the count/
+    * sum over one trailing `windowDur` interval at `slideDur` granularity.
+    * Native windowed aggregation: watermark-bounded state, partial/final
+    * aggregates, no custom state store. */
+  def slidingCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, windowDur: String = "1 hour",
+                    slideDur: String = "5 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("value_sum"))
+
+  /** Per-event trailing-window state for [[trailingCounts]]: the recent
+    * event timestamps still inside the horizon, ascending. */
+  final case class TrailState(times: List[Long])
+
+  /** One emitted update: the key's event at `ts` and the count of its
+    * events in `(ts − windowSec, ts]`. */
+  final case class TrailCount(key: String, ts: Long, nWin: Long)
+
+  /** EXACT per-event trailing-interval counts on a stream — the true
+    * streaming analog of `events.Rolling.rollingAgg` (the native sliding
+    * window above only gives bucket granularity): explicit per-key state
+    * holds the timestamps still inside the horizon; each event prunes the
+    * expired prefix and emits its own trailing count. State is bounded by
+    * `maxState` timestamps per key (rate cap — beyond it the oldest are
+    * dropped, degrading gracefully to a floor count). Within a
+    * micro-batch events are processed in timestamp order, so replays and
+    * batch boundaries produce identical counts. */
+  def trailingCounts(stream: Dataset[(String, Long)], windowSec: Long,
+                     maxState: Int = 10000): Dataset[TrailCount] = {
+    require(windowSec >= 1, s"trailingCounts needs windowSec >= 1")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[TrailState, TrailCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[TrailState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val out = rows.map(_._2).toArray.sorted.map { ts =>
+            // keep the state ascending even under cross-batch late data
+            val (older, newer) = times.partition(_ <= ts)
+            times = older ::: ts :: newer
+            // prune relative to the NEWEST timestamp (watermark-like: a
+            // late event is counted against surviving state only)
+            val horizon = times.last - windowSec
+            times = times.dropWhile(_ <= horizon)
+            if (times.length > maxState) times = times.takeRight(maxState)
+            TrailCount(key, ts, times.count(t => t > ts - windowSec && t <= ts))
+          }
+          state.update(TrailState(times))
+          out.iterator
+      }
+  }
+
   /** Sessionization with mapGroupsWithState-free session windows
     * (session_window is native since Spark 3.2). */
   def sessionCounts(stream: DataFrame, tsCol: String, userCol: String,

@@ -271,6 +271,26 @@ class StatsSpec extends SparkSpec {
     assert(!Stats.psi(const, cur, "x").head().isNullAt(0))
   }
 
+  test("psiQuantile: equal-mass reference bins; detects tail-shifted drift") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    // identical → 0 exactly (same shares bin-by-bin)
+    assert(Stats.psiQuantile(ref, ref, "x", bins = 4).head().getDouble(0) == 0.0)
+    // current concentrated above the reference's p75: strongly shifted
+    val cur = (900 to 1100).map(_.toDouble).toDF("x")
+    val drifted = Stats.psiQuantile(ref, cur, "x", bins = 4).head().getDouble(0)
+    assert(drifted > 0.25, s"expected shifted-regime PSI, got $drifted")
+  }
+
+  test("psiQuantile: heavy ties merge bins without crashing (eps floor)") {
+    import spark.implicits._
+    // 90% of the reference is one value → duplicate quartile edges
+    val ref = (Seq.fill(900)(5.0) ++ (1 to 100).map(_.toDouble)).toDF("x")
+    val cur = (1 to 100).map(_.toDouble).toDF("x")
+    val v = Stats.psiQuantile(ref, cur, "x", bins = 4).head().getDouble(0)
+    assert(!v.isNaN && !v.isInfinite)
+  }
+
   test("covarianceMatrix matches closed-form sample covariance") {
     import spark.implicits._
     val d = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0)).toDF("x", "y")

@@ -152,6 +152,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trailingCounts: exact per-event trailing window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = StreamingOps.trailingCounts(input.toDS(), windowSec = 3600L)
+    val q = counts.writeStream.format("memory")
+      .queryName("tc").outputMode("update").start()
+    try {
+      input.addData(("u1", 100L), ("u1", 200L), ("u2", 150L))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT ts, nWin FROM tc WHERE key = 'u1'")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r1 == Map(100L -> 1L, 200L -> 2L))
+      // second batch: state carries over; 100 ages out of 3701's window
+      input.addData(("u1", 3699L), ("u1", 3701L))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT ts, nWin FROM tc WHERE key = 'u1'")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r2(3699L) == 3L && r2(3701L) == 3L)
+    } finally q.stop()
+  }
+
+  test("slidingCounts emits overlapping window buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.slidingCounts(
+      input.toDF().toDF("ts", "user", "v"), "ts", "user", "v",
+      windowDur = "10 minutes", slideDur = "5 minutes",
+      watermark = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("sc").outputMode("update").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:07:00"), "u", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:12:00"), "u", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, n, value_sum FROM sc")
+        .collect().map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // 00:07 lands in [00:00,00:10) and [00:05,00:15); 00:12 in
+      // [00:05,00:15) and [00:10,00:20)
+      assert(rows("2024-01-01 00:00:00.0") == ((1L, 1.0)))
+      assert(rows("2024-01-01 00:05:00.0") == ((2L, 3.0)))
+      assert(rows("2024-01-01 00:10:00.0") == ((1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionCounts groups events into gap-based sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
