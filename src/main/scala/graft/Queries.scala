@@ -1435,6 +1435,27 @@ object Queries {
              WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh JOIN bg USING (s))
              ORDER BY doc_id""")),
 
+    // ---- SEMANTIC decontamination (embedding-space benchmark overlap) -----
+    // the paraphrase-level leak n-grams can't see: flag corpus vectors
+    // within cosine `threshold` of ANY benchmark vector — benchmark
+    // broadcast (small by nature), one map-side typed pass, no shuffle
+    QueryDef("q_decontaminate_semantic",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Decontaminate.semanticContaminated(
+            e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+            e.filter(col("vec_id") < 20), "embedding", threshold = 0.4)
+          .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             b AS (SELECT v FROM e WHERE vec_id < 20),
+             c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+             m AS (SELECT c.vec_id, max(list_cosine_similarity(c.v, b.v)) AS mc
+               FROM c CROSS JOIN b GROUP BY c.vec_id)
+             SELECT vec_id, round(mc, 6) AS max_cos FROM m
+             WHERE mc >= 0.4 ORDER BY vec_id""")),
+
     // ---- sequence packing (training context-window layout) -----------------
     // GPT-style concatenate-and-chunk: docs laid out in id order, cut every
     // 512 tokens; a doc may straddle a cut. Pure prefix sum — computed with

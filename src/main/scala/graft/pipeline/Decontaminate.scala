@@ -95,4 +95,73 @@ object Decontaminate {
     docs.join(broadcast(bad), col(idCol) === col("__contaminated_id"),
       "left_anti")
   }
+
+  /** SEMANTIC contamination: corpus rows whose embedding is within
+    * `threshold` cosine of ANY benchmark embedding — the paraphrase-level
+    * leak the n-gram pass can't see (a reworded eval question shares no
+    * 13-gram with the original but sits next to it in embedding space).
+    * Output: (idCol, max_cos) for flagged rows.
+    *
+    * Scale shape: benchmarks are small by nature (thousands of rows, not
+    * corpus-scale) — the benchmark vectors COLLECT (guarded by
+    * `maxBench`) and broadcast, and the corpus does one embarrassingly-
+    * parallel typed pass computing its max cosine against them: no
+    * shuffle, no join, cost = |corpus| × |bench| dot products map-side.
+    * For benchmark sets beyond the bound, pre-cluster the benchmark
+    * (Clustering.kmeans) and screen against centroids first. */
+  def semanticContaminated(corpus: DataFrame, idCol: String, vecCol: String,
+                           benchmark: DataFrame, benchVecCol: String,
+                           threshold: Double,
+                           maxBench: Int = 1 << 18): DataFrame = {
+    Similarity.requireIntegralId(corpus, idCol, "semanticContaminated")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bench = benchmark.na.drop(Seq(benchVecCol))
+      .select(transform(col(benchVecCol), x => x.cast("double")))
+      .limit(maxBench + 1).as[Array[Double]].collect()
+    require(bench.length <= maxBench,
+      s"semanticContaminated: benchmark exceeds maxBench=$maxBench rows — " +
+        "screen against Clustering.kmeans centroids instead")
+    // squared norms kept un-rooted: cos = dot / sqrt(na·nb) is the exact
+    // fp form the oracle-green cosine operators use (Dedup.cosinePre)
+    val normed = bench.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      (v, n)
+    }
+    val bc = spark.sparkContext.broadcast(normed)
+    corpus.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        var vn = 0.0
+        var i = 0
+        while (i < v.length) { vn += v(i) * v(i); i += 1 }
+        var best = Double.MinValue
+        val bs = bc.value
+        var b = 0
+        while (b < bs.length) {
+          val (w, wn) = bs(b)
+          var dot = 0.0
+          var j = 0
+          while (j < v.length) { dot += v(j) * w(j); j += 1 }
+          val cos = dot / math.sqrt(vn * wn)
+          if (cos > best) best = cos
+          b += 1
+        }
+        if (best >= threshold) Iterator.single((id, best)) else Iterator.empty
+      }.toDF(idCol, "max_cos")
+  }
+
+  /** Corpus with semantically-contaminated rows removed (broadcast
+    * anti-join on the flagged id set — same shape as [[decontaminate]]). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    val bad = semanticContaminated(corpus, idCol, vecCol, benchmark,
+      benchVecCol, threshold).select(col(idCol).as("__contaminated_id"))
+    corpus.join(broadcast(bad), col(idCol) === col("__contaminated_id"),
+      "left_anti")
+  }
 }

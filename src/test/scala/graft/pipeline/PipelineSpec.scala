@@ -417,6 +417,31 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("semantic decontamination flags embedding-space benchmark overlap") {
+    import spark.implicits._
+    def vf(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // corpus 10 ≈ bench direction; 11 orthogonal; 12 anti-parallel
+    val corpus = Seq(
+      (10L, vf(1.0, 0.05)), (11L, vf(0.0, 1.0)), (12L, vf(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((0L, vf(1.0, 0.0))).toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticContaminated(corpus, "vec_id",
+        "embedding", bench, "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet == Set(10L))
+    assert(flagged(10L) > 0.99)
+    val kept = Decontaminate.semanticDecontaminate(corpus, "vec_id",
+        "embedding", bench, "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // benchmark-size guard fires rather than collecting unbounded rows
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.semanticContaminated(corpus, "vec_id", "embedding",
+        corpus.unionAll(corpus), "embedding", 0.5, maxBench = 3)
+    }
+    assert(e.getMessage.contains("maxBench"))
+  }
+
   test("qualityFilters computes Gopher/C4 signals and keep flags") {
     import spark.implicits._
     val good = ("the data pipeline reads parquet files and filters rows. " +
