@@ -372,27 +372,32 @@ object Stats {
     psiOverBins(ref, cur, c, eps, binExpr)
   }
 
-  /** Shared PSI core: bin both slices with `binExpr`, join the ≤bins-row
-    * count frames, eps-floor the shares, sum the divergence terms. */
+  /** Shared PSI core: ONE binned-count aggregate per slice (the only
+    * passes over the data), then the ≤bins-row count frames COLLECT and
+    * the share/log arithmetic runs on the driver — a lazy totals
+    * aggregate would instead recompute both count pipelines (4 table
+    * scans, seen in the plan audit), and `bins ≤ 64` rows is exactly
+    * what driver-side finishing is for. */
   private def psiOverBins(ref: DataFrame, cur: DataFrame, c: String,
                           eps: Double, binExpr: Column): DataFrame = {
-    def binned(df: DataFrame): DataFrame = df.na.drop(Seq(c))
+    val spark = ref.sparkSession
+    def binned(df: DataFrame): Map[Long, Long] = df.na.drop(Seq(c))
       .select(binExpr.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    // totals are counts: 0 or ≥ 1, so the floor only defuses the ANSI
-    // divide-by-zero of a fully-empty slice (shares all collapse to eps)
-    val share = (n: Column, tot: Column) =>
-      greatest(n.cast("double") / greatest(tot.cast("double"), lit(1.0)), lit(eps))
-    val r = binned(ref).withColumnRenamed("n", "n_ref")
-    val q = binned(cur).withColumnRenamed("n", "n_cur")
-    // full outer: a bin occupied on one side only still contributes
-    val joined = r.join(q, Seq("bin"), "full_outer").na.fill(0L, Seq("n_ref", "n_cur"))
-    val totals = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
-    joined.crossJoin(broadcast(totals))
-      .select(((share(col("n_cur"), col("t_cur")) - share(col("n_ref"), col("t_ref"))) *
-        log(share(col("n_cur"), col("t_cur")) / share(col("n_ref"), col("t_ref"))))
-        .as("term"))
-      .agg(sum("term").as("psi"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = binned(ref)
+    val q = binned(cur)
+    // totals are counts: 0 or ≥ 1 — the floor only defuses the
+    // divide-by-zero of a fully-empty slice (shares collapse to eps)
+    val tr = math.max(r.values.sum.toDouble, 1.0)
+    val tc = math.max(q.values.sum.toDouble, 1.0)
+    val psiVal = (r.keySet ++ q.keySet).toSeq.sorted.map { bin =>
+      val p = math.max(r.getOrElse(bin, 0L) / tr, eps)
+      val s = math.max(q.getOrElse(bin, 0L) / tc, eps)
+      (s - p) * math.log(s / p)
+    }.sum
+    import spark.implicits._
+    Seq(psiVal).toDF("psi")
   }
 
   /** Sample covariance matrix (upper triangle incl. diagonal) for the

@@ -31,10 +31,16 @@ object Rolling {
   def rollingAgg(df: DataFrame, keys: Seq[String], tsCol: String,
                  valueCol: String, windowSec: Long): DataFrame = {
     require(windowSec >= 1, s"rollingAgg needs windowSec >= 1, got $windowSec")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).cast("long"))
+    // materialize the epoch cast ONCE: an inline cast in the orderBy gives
+    // each window function its own projected sort key, which blocks the
+    // CollapseWindow rule and doubles the Window+Sort passes (seen in the
+    // plan audit — two identical sorts per partition)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__graft_tss"))
       .rangeBetween(-(windowSec - 1), Window.currentRow)
-    df.withColumn("n_win", count(lit(1)).over(w))
-      .withColumn("sum_win", sum(col(valueCol)).over(w))
+    df.withColumn("__graft_tss", col(tsCol).cast("long"))
+      .select(col("*"), count(lit(1)).over(w).as("n_win"),
+        sum(col(valueCol)).over(w).as("sum_win"))
+      .drop("__graft_tss")
   }
 
   /** The skew-safe variant for entities with pathological event counts:

@@ -60,7 +60,12 @@ object LanguageModel {
       .groupBy("tok").agg(count(lit(1)).as(out))
     val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("tok"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
-    val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    // totals straight off the sources as scalar aggregates (Σ per-doc
+    // token counts ≡ Σ vocab counts): an agg over `joined` would instead
+    // re-run both vocab-count pipelines — 4 scans per slice, not 2
+    def total(df: DataFrame, out: String) = df.na.drop(Seq(textCol))
+      .agg(coalesce(sum(size(alphaTokens(col(textCol)))), lit(0L)).as(out))
+    val totals = total(a, "t_a").crossJoin(total(b, "t_b"))
     val p = col("n_a").cast("double") / greatest(col("t_a").cast("double"), lit(1.0))
     val q = col("n_b").cast("double") / greatest(col("t_b").cast("double"), lit(1.0))
     val m = (p + q) / 2
