@@ -147,6 +147,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming drift monitor: per-event-time-window Population Stability
+    * Index of `valueCol` against a FROZEN reference distribution (fit the
+    * reference once with `Stats.psi`'s conventions — `lo`, `width`,
+    * `refShares.length` bins — and pass its bin shares here). Each
+    * window's PSI answers "has this feature drifted from the training
+    * snapshot in the last N minutes?" — alert on the 0.1/0.25 rules.
+    *
+    * One stateful aggregation only (chained streaming aggs need append
+    * mode gymnastics): the per-bin counts are conditional sums inside a
+    * single windowed groupBy — bins are static (`refShares.length`), so
+    * the aggregate emits one count column per bin and a stateless
+    * projection folds them into the PSI sum against the literal
+    * reference shares. State is O(windows × 1 row); any volume. */
+  def streamingPsi(stream: DataFrame, tsCol: String, valueCol: String,
+                   lo: Double, width: Double, refShares: Array[Double],
+                   windowDur: String = "10 minutes",
+                   watermark: String = "1 hour",
+                   eps: Double = 1e-6): DataFrame = {
+    require(refShares.nonEmpty, "streamingPsi needs reference bin shares")
+    require(width > 0, s"streamingPsi needs width > 0, got $width")
+    val bins = refShares.length
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+      lit(bins - 1L))
+    val binCounts = (0 until bins).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"__b$b"))
+    val agg = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(binCounts.head, binCounts.tail :+ count(lit(1)).as("n"): _*)
+    val total = greatest(col("n").cast("double"), lit(1.0))
+    val psiTerms = (0 until bins).map { b =>
+      val p = lit(math.max(refShares(b), eps))
+      val s = greatest(col(s"__b$b").cast("double") / total, lit(eps))
+      (s - p) * log(s / p)
+    }
+    agg.select(col("window"), psiTerms.reduce(_ + _).as("psi"), col("n"))
+  }
+
   /** Sessionization with mapGroupsWithState-free session windows
     * (session_window is native since Spark 3.2). */
   def sessionCounts(stream: DataFrame, tsCol: String, userCol: String,

@@ -200,6 +200,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPsi scores each window against the frozen reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    // reference: uniform over [0, 10) in 2 bins → shares (0.5, 0.5)
+    val psi = StreamingOps.streamingPsi(
+      input.toDF().toDF("ts", "v"), "ts", "v",
+      lo = 0.0, width = 5.0, refShares = Array(0.5, 0.5),
+      windowDur = "10 minutes", watermark = "1 hour")
+    val q = psi.writeStream.format("memory")
+      .queryName("sp").outputMode("update").start()
+    try {
+      // window 1 mirrors the reference (2 low + 2 high); window 2 is all
+      // high-bin mass — drifted
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 2.0),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), 7.0),
+        (Timestamp.valueOf("2024-01-01 00:04:00"), 8.0),
+        (Timestamp.valueOf("2024-01-01 00:11:00"), 9.0),
+        (Timestamp.valueOf("2024-01-01 00:12:00"), 9.5))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, psi, n FROM sp")
+        .collect().map(r => r.getTimestamp(0).toString -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      val balanced = rows("2024-01-01 00:00:00.0")
+      assert(balanced._2 == 4L && math.abs(balanced._1) < 1e-9)
+      val drifted = rows("2024-01-01 00:10:00.0")
+      // all mass in bin 1 vs (0.5, 0.5): (eps-0.5)ln(eps/0.5)+(1-0.5)ln(2)
+      assert(drifted._2 == 2L && drifted._1 > 0.25)
+    } finally q.stop()
+  }
+
   test("sessionCounts groups events into gap-based sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
