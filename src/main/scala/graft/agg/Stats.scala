@@ -331,6 +331,7 @@ object Stats {
   def psi(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 10,
           eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"psi needs bins >= 2, got $bins")
+    graft.util.Errors.context("psi", Seq(c)) {
     val edges = ref.na.drop(Seq(c))
       .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
       .head()
@@ -342,7 +343,7 @@ object Stats {
     psiOverBins(ref, cur, c, eps,
       least(greatest(floor((col(c).cast("double") - lo) / width), lit(0L)),
         lit(bins - 1L)))
-  }
+  } }
 
   /** PSI over REFERENCE-QUANTILE bins — the variant for skewed features,
     * where equal-width bins would park most mass in one bin and blind the
@@ -356,6 +357,7 @@ object Stats {
   def psiQuantile(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 4,
                   eps: Double = 1e-6): DataFrame = {
     require(bins >= 2 && bins <= 64, s"psiQuantile needs 2..64 bins, got $bins")
+    graft.util.Errors.context("psiQuantile", Seq(c)) {
     val probs = (1 until bins).map(_.toDouble / bins)
     val row = ref.na.drop(Seq(c))
       .agg(graft.expr.ExactPercentile.of(col(c).cast("double"), probs).as("__e"))
@@ -370,7 +372,7 @@ object Stats {
       else edges.map(e => when(col(c).cast("double") > e, 1L).otherwise(0L))
         .reduce(_ + _)
     psiOverBins(ref, cur, c, eps, binExpr)
-  }
+  } }
 
   /** Shared PSI core: ONE binned-count aggregate per slice (the only
     * passes over the data), then the ≤bins-row count frames COLLECT and

@@ -31,6 +31,7 @@ object Rolling {
   def rollingAgg(df: DataFrame, keys: Seq[String], tsCol: String,
                  valueCol: String, windowSec: Long): DataFrame = {
     require(windowSec >= 1, s"rollingAgg needs windowSec >= 1, got $windowSec")
+    graft.util.Errors.context("rollingAgg", keys :+ tsCol :+ valueCol) {
     // materialize the epoch cast ONCE: an inline cast in the orderBy gives
     // each window function its own projected sort key, which blocks the
     // CollapseWindow rule and doubles the Window+Sort passes (seen in the
@@ -41,7 +42,7 @@ object Rolling {
       .select(col("*"), count(lit(1)).over(w).as("n_win"),
         sum(col(valueCol)).over(w).as("sum_win"))
       .drop("__graft_tss")
-  }
+  } }
 
   /** The skew-safe variant for entities with pathological event counts:
     * pre-aggregate to `grainSec` buckets (partial/final hash aggregate —

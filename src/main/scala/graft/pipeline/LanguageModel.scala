@@ -54,7 +54,8 @@ object LanguageModel {
     * totals by broadcast crossJoin, one final scalar sum. Both slices can
     * be full-scale tables; nothing driver-side. Output: one row
     * (js, vocab_a, vocab_b). */
-  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+      graft.util.Errors.context("tokenJsDivergence", Seq(textCol)) {
     def counts(df: DataFrame, out: String) = df.na.drop(Seq(textCol))
       .select(explode(alphaTokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as(out))
@@ -85,6 +86,7 @@ object LanguageModel {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               addK: Double = 0.5, train: Option[DataFrame] = None): DataFrame = {
     require(addK > 0, s"lmScore needs addK > 0, got $addK")
+    graft.util.Errors.context("lmScore", Seq(idCol, textCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     // typed bigram walk: ONE tokenize per document (see tokenize scaladoc)
@@ -123,5 +125,5 @@ object LanguageModel {
       .groupBy("__graft_id")
       .agg(count(lit(1)).as("n_bigrams"), avg("__ll").as("lm_score"))
       .select(col("__graft_id").as(idCol), col("n_bigrams"), col("lm_score"))
-  }
+  } }
 }

@@ -148,6 +148,7 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     require(strata.nonEmpty, "stratifiedTopK needs at least one stratum column")
     Similarity.requireIntegralId(df, idCol, "stratifiedTopK")
+    graft.util.Errors.context("stratifiedTopK", strata :+ weightCol) {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strata.map(col): _*)
       .orderBy(pow(hashKey(col(idCol), seed),
@@ -156,5 +157,5 @@ object Sampling {
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= k)
       .drop("__graft_rn")
-  }
+  } }
 }

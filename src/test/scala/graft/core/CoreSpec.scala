@@ -85,6 +85,12 @@ class CoreSpec extends SparkSpec {
     }
     assert(fe.summaryText.contains("Operator: fill(Mean)") &&
       fe.summaryText.contains("nope"))
+    // round-5 facades are wrapped too: psi names operator + column
+    val pe = intercept[graft.util.GraftException] {
+      graft.agg.Stats.psi(df, df, "no_such_col")
+    }
+    assert(pe.summaryText.contains("Operator: psi") &&
+      pe.summaryText.contains("no_such_col"))
   }
 
   test("printConfusionMatrix renders the Actual/Predicted table") {
