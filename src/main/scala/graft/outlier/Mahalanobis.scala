@@ -33,10 +33,18 @@ object Mahalanobis {
     }
   }
 
-  /** Learn moments + inverse correlation matrix in one pass. */
-  def fit(df: DataFrame, cols: Seq[String]): Model = {
+  /** Learn moments + inverse correlation matrix. Below `wideThreshold`
+    * columns this is ONE codegen'd hash-aggregate (k means + k stddevs +
+    * k(k−1)/2 `corr`s); beyond it the k² aggregate-expression fan-out
+    * stops being codegen-friendly (janino method-size limits, very wide
+    * agg buffers), so the fit switches to a two-pass typed path — means
+    * first, then one mapPartitions pass accumulating centered squares and
+    * upper-triangle cross products per partition, treeReduce'd. Two scans
+    * either way at most; both paths produce the same Model. */
+  def fit(df: DataFrame, cols: Seq[String], wideThreshold: Int = 20): Model = {
     val k = cols.length
     val clean = df.na.drop(cols)
+    if (k > wideThreshold) return fitWide(clean, cols)
     val aggs =
       cols.map(c => avg(col(c)).as(s"m_$c")) ++
       cols.map(c => stddev_samp(col(c)).as(s"s_$c")) ++
@@ -49,6 +57,56 @@ object Mahalanobis {
       if (i == j) 1.0
       else if (i < j) row.getAs[Double](s"r_${i}_$j")
       else row.getAs[Double](s"r_${j}_$i")
+    }
+    val inv = new LUDecomposition(new Array2DRowRealMatrix(corrM))
+      .getSolver.getInverse
+    Model(cols, means, stds, inv.getData)
+  }
+
+  /** The wide-column fit: centered accumulation (means from pass 1) so
+    * the cross products don't cancel catastrophically, upper-triangle
+    * flattened into one primitive array per partition. */
+  private def fitWide(clean: DataFrame, cols: Seq[String]): Model = {
+    val k = cols.length
+    val meanAggs = cols.map(c => avg(col(c)).as(c))
+    val meanRow = clean.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val means = Array.tabulate(k)(meanRow.getDouble)
+    val rdd = clean.select(cols.map(c => col(c).cast("double")): _*).rdd
+    val zero = (0L, new Array[Double](k * (k + 1) / 2))
+    val (n, tri) = rdd.mapPartitions { rows =>
+      val acc = new Array[Double](k * (k + 1) / 2)
+      var cnt = 0L
+      val u = new Array[Double](k)
+      rows.foreach { r =>
+        var i = 0
+        while (i < k) { u(i) = r.getDouble(i) - means(i); i += 1 }
+        var idx = 0
+        i = 0
+        while (i < k) {
+          var j = i
+          while (j < k) { acc(idx) += u(i) * u(j); idx += 1; j += 1 }
+          i += 1
+        }
+        cnt += 1L
+      }
+      Iterator.single((cnt, acc))
+    }.fold(zero) { (a, b) =>
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      (a._1 + b._1, a._2)
+    }
+    require(n > 1, s"Mahalanobis fit needs > 1 complete rows, got $n")
+    def triIdx(i: Int, j: Int): Int = { // i <= j
+      i * k - i * (i - 1) / 2 + (j - i)
+    }
+    val stds = Array.tabulate(k)(i => math.sqrt(tri(triIdx(i, i)) / (n - 1)))
+    val corrM = Array.tabulate(k, k) { (i, j) =>
+      if (i == j) 1.0
+      else {
+        val (lo, hi) = if (i < j) (i, j) else (j, i)
+        tri(triIdx(lo, hi)) /
+          math.sqrt(tri(triIdx(lo, lo)) * tri(triIdx(hi, hi)))
+      }
     }
     val inv = new LUDecomposition(new Array2DRowRealMatrix(corrM))
       .getSolver.getInverse

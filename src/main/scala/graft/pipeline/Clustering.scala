@@ -160,6 +160,12 @@ object Clustering {
     require(probes >= 1, s"semDedup needs probes >= 1, got $probes")
     val spark = df.sparkSession
     import spark.implicits._
+    // empty corpus: no clusters to fit and no pairs to emit — return the
+    // empty pair frame instead of tripping kmeansFit's empty-input guard
+    // (dedup passes compose into pipelines that may legitimately see
+    // zero-row slices)
+    if (df.na.drop(Seq(idCol, vecCol)).isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val centers = kmeansFit(df, idCol, vecCol, k, iters)
     val bc = spark.sparkContext.broadcast(centers)
     vecsOf(df, idCol, vecCol).flatMap { case (id, v) =>

@@ -80,5 +80,8 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kmeansFit(empty, "vec_id", "embedding", k = 2, iters = 1)
     }
     assert(e.getMessage.contains("empty input"))
+    // ...but the composable dedup pass returns an empty pair frame
+    assert(Clustering.semDedup(empty, "vec_id", "embedding", k = 2,
+      threshold = 0.9).count() == 0L)
   }
 }

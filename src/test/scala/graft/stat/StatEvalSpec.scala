@@ -20,6 +20,29 @@ class StatEvalSpec extends SparkSpec {
     assert(out.exists(r => r.getDouble(0) == 10.0 && r.getDouble(1) == -10.0))
   }
 
+  test("Mahalanobis wide-column fit equals the codegen aggregate fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cols = (0 until 5).map(i => s"c$i")
+    val rows = (1 to 400).map { _ =>
+      val base = rnd.nextGaussian()
+      (base + rnd.nextGaussian() * 0.5, base * 2 + rnd.nextGaussian(),
+        rnd.nextGaussian(), base - rnd.nextGaussian() * 0.3,
+        rnd.nextGaussian() * 3)
+    }
+    val df = rows.toDF(cols: _*)
+    val narrow = Mahalanobis.fit(df, cols)               // codegen agg path
+    val wide = Mahalanobis.fit(df, cols, wideThreshold = 2) // typed path
+    cols.indices.foreach { i =>
+      assert(math.abs(narrow.means(i) - wide.means(i)) < 1e-9)
+      assert(math.abs(narrow.stds(i) - wide.stds(i)) < 1e-9)
+      cols.indices.foreach { j =>
+        assert(math.abs(narrow.invCorr(i)(j) - wide.invCorr(i)(j)) < 1e-6,
+          s"invCorr($i)($j): ${narrow.invCorr(i)(j)} vs ${wide.invCorr(i)(j)}")
+      }
+    }
+  }
+
   test("chi2Threshold matches the closed form for k=2") {
     assert(math.abs(Mahalanobis.chi2Threshold(2, 0.999) -
       math.sqrt(-2 * math.log(0.001))) < 1e-9)
