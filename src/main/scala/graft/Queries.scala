@@ -53,6 +53,20 @@ object Queries {
       (s, d) => lineitem(s, d).agg(count(lit(1)).as("n_rows")),
       Some("SELECT count(*) AS n_rows FROM lineitem")),
 
+    // ---- key-skew report (the broadcast/salt/shuffle decision input) ------
+    QueryDef("q_skew_report",
+      (s, d) => graft.scale.ScaleOps.skewReport(lineitem(s, d), Seq("l_orderkey"))
+        .select(col("n_rows"), col("n_keys"), col("max_key_count"),
+          round(col("top1_share"), 6).as("top1_share"),
+          round(col("avg_key_count"), 6).as("avg_key_count")),
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+               WHERE l_orderkey IS NOT NULL GROUP BY 1)
+             SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+               max(n)::BIGINT AS max_key_count,
+               round(max(n)::DOUBLE / sum(n)::DOUBLE, 6) AS top1_share,
+               round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) AS avg_key_count
+             FROM c""")),
+
     // ---- classic grouped aggregation (TPC-H Q1 shape) --------------------
     QueryDef("q1_agg",
       (s, d) => lineitem(s, d)

@@ -9,6 +9,34 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Key-skew report for a prospective join/aggregation key: the
+    * diagnostics that decide BETWEEN the tools in this toolbox (broadcast
+    * vs salted vs plain shuffle). One row:
+    *   n_rows, n_keys, max_key_count (the heaviest key's rows),
+    *   top1_share (that key's fraction of all rows — the straggler-task
+    *   share under a hash shuffle), avg_key_count.
+    * Read: top1_share ≈ 1/partitions is balanced; top1_share ≫
+    * 1/partitions means the heaviest key dominates one task — salt it
+    * (`saltedJoin`) or broadcast the other side.
+    *
+    * Scale shape: one partial/final hash aggregate keyed on the key
+    * (vocab-of-keys rows), then a scalar aggregate over the counts —
+    * two shuffles of count rows, nothing driver-side. */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "skewReport needs at least one key column")
+    val counts = df.na.drop(keys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    counts.agg(
+      sum("__n").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max("__n").as("max_key_count"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_count"),
+        (col("max_key_count").cast("double") /
+          greatest(col("n_rows").cast("double"), lit(1.0))).as("top1_share"),
+        (col("n_rows").cast("double") /
+          greatest(col("n_keys").cast("double"), lit(1.0))).as("avg_key_count"))
+  }
+
   /** Persist a frame as a bucketed+sorted table so repeated joins and
     * aggregations on `keys` read pre-shuffled data (no Exchange at query
     * time). The write pays one shuffle; every subsequent co-located join

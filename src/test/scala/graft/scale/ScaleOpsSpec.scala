@@ -20,6 +20,24 @@ class ScaleOpsSpec extends SparkSpec {
     count(df.queryExecution.executedPlan)
   }
 
+  test("skewReport quantifies a planted hot key") {
+    import spark.implicits._
+    // 90 rows on key 1, one row each on keys 2..11: top1_share = 0.9
+    val df = (Seq.fill(90)(1L) ++ (2L to 11L)).map(k => (k, "x"))
+      .toDF("k", "v")
+    val r = ScaleOps.skewReport(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("max_key_count") == 90L)
+    assert(math.abs(r.getAs[Double]("top1_share") - 0.9) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_key_count") - 100.0 / 11) < 1e-12)
+    // null keys are excluded (they never co-locate in a join anyway)
+    val withNull = df.unionAll(Seq((null.asInstanceOf[java.lang.Long], "x"))
+      .map(t => (Option(t._1).map(Long.unbox), t._2)).toDF("k", "v"))
+    assert(ScaleOps.skewReport(withNull, Seq("k")).head()
+      .getAs[Long]("n_rows") == 100L)
+  }
+
   test("bucketed join on bucket keys plans no shuffle") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "v")
