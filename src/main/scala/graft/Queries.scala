@@ -1281,6 +1281,31 @@ object Queries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // ---- per-group embedding mean-pool (chunk→doc rollup) -----------------
+    // typed streaming per-group sum (one shuffle, array-of-state per
+    // group); the oracle rebuilds the element-wise means positionally;
+    // array columns don't survive check.py's string compare, so the
+    // result projects to (first component, L2 norm, n)
+    QueryDef("q_embed_pool",
+      (s, d) => graft.pipeline.Clustering.meanPool(
+          embeddings(s, d), "label", "embedding")
+        .select(col("label"),
+          round(element_at(col("vec"), 1), 6).as("v0"),
+          round(sqrt(aggregate(transform(col("vec"), x => x * x),
+            lit(0.0), _ + _)), 6).as("norm"),
+          col("n"))
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label IS NOT NULL AND embedding IS NOT NULL),
+             m AS (SELECT label, t.i, avg(v[t.i+1]) AS m
+               FROM e, range(64) t(i) GROUP BY 1, 2),
+             p AS (SELECT label, list(m ORDER BY i) AS vec FROM m GROUP BY 1),
+             n AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+             SELECT p.label::BIGINT AS label, round(vec[1], 6) AS v0,
+               round(sqrt(list_sum(list_transform(vec, x -> x*x))), 6) AS norm,
+               n.n::BIGINT AS n
+             FROM p JOIN n USING (label) ORDER BY label""")),
+
     // ---- similarity search: brute-force cosine top-k ----------------------
     QueryDef("q_sim_topk",
       (s, d) => {

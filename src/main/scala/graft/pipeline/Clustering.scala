@@ -120,6 +120,41 @@ object Clustering {
     (assign(df, idCol, vecCol, centers), centers)
   }
 
+  /** Element-wise MEAN of the vectors in each group — the chunk→document
+    * embedding rollup (documents are embedded chunk-by-chunk; retrieval
+    * and SemDeDup often want one vector per document), and equally the
+    * per-cluster centroid readout. Typed per-group streaming sum (one
+    * shuffle on the group key, one primitive array of state per group —
+    * never a materialized list of vectors), `(group, vec, n)` out.
+    * Groups with inconsistent dimensions fail fast rather than silently
+    * truncating. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.na.drop(Seq(groupCol, vecCol))
+      .select(col(groupCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        var sum: Array[Double] = null
+        var n = 0L
+        it.foreach { case (_, v) =>
+          if (sum == null) sum = v.clone()
+          else {
+            require(v.length == sum.length,
+              s"meanPool: group $g mixes dims ${sum.length} and ${v.length}")
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+          }
+          n += 1L
+        }
+        var i = 0
+        while (i < sum.length) { sum(i) /= n; i += 1 }
+        (g, sum, n)
+      }.toDF(groupCol, "vec", "n")
+  }
+
   /** The `probes` nearest center indices (ascending distance, ties to the
     * lower index) — the multi-probe analog of [[Similarity.nearestCenter]]. */
   private[pipeline] def nearestCenters(v: Array[Double],

@@ -73,6 +73,24 @@ class ClusteringSpec extends SparkSpec {
     assert(c.forall(_.forall(x => !x.isNaN)))
   }
 
+  test("meanPool averages vectors element-wise per group") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, vec(1.0, 3.0)), (1L, vec(3.0, 5.0)), (2L, vec(10.0, 20.0)))
+      .toDF("doc", "embedding")
+    val got = Clustering.meanPool(d, "doc", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == Seq(2.0, 4.0) && got(1L)._2 == 2L)
+    assert(got(2L)._1 == Seq(10.0, 20.0) && got(2L)._2 == 1L)
+    // inconsistent dims fail fast, not silently truncate
+    val bad = Seq((1L, vec(1.0)), (1L, vec(1.0, 2.0))).toDF("doc", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Clustering.meanPool(bad, "doc", "embedding").collect()
+    }
+    assert(graft.util.Errors.rootCause(e).getMessage.contains("mixes dims"))
+  }
+
   test("kmeans on empty input fails fast with a clear message") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
