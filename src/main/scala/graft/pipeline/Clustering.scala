@@ -123,35 +123,48 @@ object Clustering {
   /** Element-wise MEAN of the vectors in each group — the chunk→document
     * embedding rollup (documents are embedded chunk-by-chunk; retrieval
     * and SemDeDup often want one vector per document), and equally the
-    * per-cluster centroid readout. Typed per-group streaming sum (one
-    * shuffle on the group key, one primitive array of state per group —
-    * never a materialized list of vectors), `(group, vec, n)` out.
-    * Groups with inconsistent dimensions fail fast rather than silently
-    * truncating. */
+    * per-cluster centroid readout. `aggregateByKey` with MAP-SIDE partial
+    * sums: what crosses the wire is one (sum, n) partial per group per
+    * partition, not the vectors themselves — a typed
+    * groupByKey.mapGroups would shuffle the full dataset. Output
+    * `(group, vec, n)`; groups with inconsistent dimensions fail fast
+    * rather than silently truncating. */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // aggregateByKey's seqOp doesn't see the key — the message names the
+    // dims, which is enough to find the offending group
+    def mism(a: Int, b: Int) = require(a == b,
+      s"meanPool: a group mixes dims $a and $b")
     df.na.drop(Seq(groupCol, vecCol))
       .select(col(groupCol).cast("long"),
         transform(col(vecCol), x => x.cast("double")))
       .as[(Long, Array[Double])]
-      .groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        var sum: Array[Double] = null
-        var n = 0L
-        it.foreach { case (_, v) =>
-          if (sum == null) sum = v.clone()
+      .rdd
+      .aggregateByKey((null: Array[Double], 0L))(
+        { case ((s, n), v) =>
+          if (s == null) (v.clone(), 1L)
           else {
-            require(v.length == sum.length,
-              s"meanPool: group $g mixes dims ${sum.length} and ${v.length}")
+            mism(s.length, v.length)
             var i = 0
-            while (i < v.length) { sum(i) += v(i); i += 1 }
+            while (i < v.length) { s(i) += v(i); i += 1 }
+            (s, n + 1L)
           }
-          n += 1L
-        }
+        },
+        { case ((a, na), (b, nb)) =>
+          if (a == null) (b, nb)
+          else if (b == null) (a, na)
+          else {
+            mism(a.length, b.length)
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, na + nb)
+          }
+        })
+      .map { case (g, (s, n)) =>
         var i = 0
-        while (i < sum.length) { sum(i) /= n; i += 1 }
-        (g, sum, n)
+        while (i < s.length) { s(i) /= n; i += 1 }
+        (g, s, n)
       }.toDF(groupCol, "vec", "n")
   }
 
