@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 110 bench queries x whole-stage codegen in one JVM: the default
+  // 240 MB JIT code cache can fill late in the run, silently dropping
+  // hot loops back to the interpreter (3-4x per-query inflation)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -42,7 +42,15 @@ object Bench {
       // only released after a driver GC collects the references; 90
       // queries in one 8 GB JVM otherwise degrade the late queries
       System.gc()
-      name -> math.min(once(fn), once(fn))
+      val r1 = once(fn); val r2 = once(fn)
+      // Adaptive third run: when the two timed runs disagree badly, BOTH
+      // may have been contaminated (a GC pause or competing load hitting
+      // run 2 after a cold run 1) — the round-5 q_pack_greedy "4.2x
+      // regression" was exactly this, unreproducible at steady state. One
+      // more run only in that case keeps the common path at two runs.
+      val best = math.min(r1, r2)
+      name -> (if (math.abs(r1 - r2) > 0.5 * best) math.min(best, once(fn))
+               else best)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"

@@ -868,6 +868,33 @@ object Queries {
                round(tp / (tp + fp), 6) AS precision FROM c
              UNION ALL SELECT 0.0, 1.0, 1.0, 0.0""")),
 
+    // ---- per-curve threshold accessors (fMeasure exercises beta) ----------
+    QueryDef("q_fmeasure_by_threshold",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.fMeasureByThreshold(li, "l_discount", "label",
+            beta = 2.0)
+          .select(round(col("threshold"), 4).as("threshold"),
+            round(col("f_measure"), 6).as("f_measure"))
+      },
+      Some("""WITH sl AS (SELECT l_discount AS score,
+               (l_returnflag = 'R')::INT AS label FROM lineitem),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY score),
+             c AS (SELECT score,
+               sum(pos) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p FROM per),
+             prc AS (SELECT score, tp / (tp + fp) AS prec, tp / p AS rec
+               FROM c)
+             SELECT round(score, 4) AS threshold,
+               round(CASE WHEN prec + rec = 0 THEN 0.0
+                 ELSE 5.0 * prec * rec / (4.0 * prec + rec) END, 6)
+                 AS f_measure FROM prc""")),
+
     // ---- ROC / PR curve points --------------------------------------------
     QueryDef("q_roc",
       (s, d) => {

@@ -82,12 +82,17 @@ object BinaryMetrics {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("fp",
         org.apache.spark.sql.types.DoubleType)))
+    // p / n are driver-side constants; a zero class count would be an ANSI
+    // DIVIDE_BY_ZERO at runtime, so degrade to NaN here (mllib's curves are
+    // equally undefined there). precision is safe: every distinct score has
+    // >= 1 row, so tp + fp >= 1 at every curve point.
+    val fprE = if (n == 0) lit(Double.NaN) else col("fp") / lit(n)
+    val recE = if (p == 0) lit(Double.NaN) else col("tp") / lit(p)
     spark.createDataFrame(cum, schema)
       .select(col("threshold"), col("tp"), col("fp"),
         (lit(p) - col("tp")).as("fn"),
         (lit(n) - col("fp")).as("tn"),
-        (col("fp") / lit(n)).as("fpr"),
-        (col("tp") / lit(p)).as("recall"),
+        fprE.as("fpr"), recE.as("recall"),
         (col("tp") / (col("tp") + col("fp"))).as("precision"))
   }
 
@@ -116,6 +121,46 @@ object BinaryMetrics {
       .select(col("threshold"), col("fpr"), col("recall"), col("precision"))
       .unionAll(Seq((0.0, 1.0, 1.0, 0.0))
         .toDF("threshold", "fpr", "recall", "precision"))
+  }
+
+  /** Distinct thresholds, descending (reference `thresholds`,
+    * extensions/evaluation.py:8-12 → mllib's thresholds = the distinct
+    * scores). One column so callers can zip against the curve frames. */
+  def thresholds(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    scoreAndLabels(df, scoreCol, labelCol)
+      .select(col("score").as("threshold")).distinct()
+      .orderBy(col("threshold").desc)
+
+  /** (threshold, precision) curve (reference precisionByThreshold,
+    * extensions/evaluation.py:46-51). */
+  def precisionByThreshold(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    curveData(df, scoreCol, labelCol).select(col("threshold"), col("precision"))
+
+  /** (threshold, recall) curve (reference recallByThreshold,
+    * extensions/evaluation.py:53-58). */
+  def recallByThreshold(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    curveData(df, scoreCol, labelCol).select(col("threshold"), col("recall"))
+
+  /** (threshold, F-measure) curve (reference fMeasureByThreshold,
+    * extensions/evaluation.py:36-44). mllib's FMeasure: F_β =
+    * (1+β²)·P·R / (β²·P + R), and 0.0 when P+R == 0 (all-negative data —
+    * P is 0/0-free here because every distinct score has ≥1 row, so
+    * tp+fp ≥ 1 at every curve point, but R = tp/p is 0 when p > 0 and no
+    * positives scored above t, making P+R = 0 reachable only when P = 0
+    * too). */
+  def fMeasureByThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+                          beta: Double = 1.0): DataFrame = {
+    require(beta > 0, s"beta must be positive, got $beta")
+    val b2 = beta * beta
+    // p == 0 (no positives at all) makes curveData's recall 0/0 = NaN;
+    // mllib's Recall returns 0.0 there, so normalize before the F formula
+    val rec = nanvl(col("recall"), lit(0.0))
+    curveData(df, scoreCol, labelCol)
+      .select(col("threshold"),
+        when(col("precision") + rec === 0.0, 0.0)
+          .otherwise((lit(1.0 + b2) * col("precision") * rec) /
+            (lit(b2) * col("precision") + rec))
+          .as("f_measure"))
   }
 
   /** Confusion matrix at a threshold — ONE aggregation pass

@@ -127,6 +127,36 @@ class StatEvalSpec extends SparkSpec {
     assert(native == mllib)
   }
 
+  test("per-curve threshold accessors match mllib point sets") {
+    import spark.implicits._
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.8, 0.0), (0.7, 0.0), (0.6, 1.0),
+      (0.4, 1.0), (0.2, 0.0), (0.2, 1.0), (0.1, 0.0))
+      .toDF("score", "label").repartition(4)
+    val m = BinaryMetrics.mllibMetrics(df, "score", "label")
+    def pts(native: org.apache.spark.sql.DataFrame) =
+      native.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    def close(a: Set[(Double, Double)], b: Set[(Double, Double)]): Boolean = {
+      val bs = b.toSeq.sortBy(_._1); val as = a.toSeq.sortBy(_._1)
+      as.size == bs.size && as.zip(bs).forall { case ((t1, v1), (t2, v2)) =>
+        t1 == t2 && math.abs(v1 - v2) < 1e-12 }
+    }
+    assert(BinaryMetrics.thresholds(df, "score", "label")
+      .collect().map(_.getDouble(0)).toSeq ==
+      m.thresholds().collect().toSeq.sorted.reverse)
+    assert(close(pts(BinaryMetrics.precisionByThreshold(df, "score", "label")),
+      m.precisionByThreshold().collect().toSet))
+    assert(close(pts(BinaryMetrics.recallByThreshold(df, "score", "label")),
+      m.recallByThreshold().collect().toSet))
+    assert(close(pts(BinaryMetrics.fMeasureByThreshold(df, "score", "label")),
+      m.fMeasureByThreshold().collect().toSet))
+    assert(close(pts(BinaryMetrics.fMeasureByThreshold(df, "score", "label", 2.0)),
+      m.fMeasureByThreshold(2.0).collect().toSet))
+    // all-negative data: P + R = 0 at every threshold -> F = 0, not NaN
+    val neg = Seq((0.9, 0.0), (0.5, 0.0)).toDF("score", "label")
+    assert(BinaryMetrics.fMeasureByThreshold(neg, "score", "label")
+      .collect().forall(_.getDouble(1) == 0.0))
+  }
+
   test("auc via mllib adapter on perfect classifier is 1") {
     import spark.implicits._
     val df = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
