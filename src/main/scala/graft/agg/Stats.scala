@@ -470,28 +470,32 @@ object Stats {
     val clean = df.na.drop(cols)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
     def keyBits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val cached = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.rdd.RDD[Array[Double]]]
-    try {
-      // single decode out of Tungsten; canonicalize -0.0 → 0.0 here (SQL
-      // comparison treats them equal, but Ordering[Double] does not, and a
-      // RangePartitioner boundary between them would split a tie run)
-      var cur = clean.rdd.map { r =>
+    // no RDD caches anywhere in the pipeline: every intermediate is either
+    // a cheap recompute (parquet scan + decode) or checkpointed by its own
+    // sort's shuffle files, so nothing can leak past this call
+    locally {
+      // single decode out of Tungsten via the InternalRow path (.rdd would
+      // wrap every row in a GenericRow first — measured ~1.4x slower for a
+      // k-double projection); the unsafe row is copied into a fresh array
+      // before the iterator advances, so buffer reuse is safe. Canonicalize
+      // -0.0 → 0.0 here (SQL comparison treats them equal, but
+      // Ordering[Double] does not, and a RangePartitioner boundary between
+      // them would split a tie run)
+      var cur = clean.queryExecution.toRdd.mapPartitions(_.map { ir =>
         val a = new Array[Double](k)
         var i = 0
         while (i < k) {
-          val v = r.getDouble(i)
+          val v = ir.getDouble(i)
           a(i) = if (v == 0.0) 0.0 else v
           i += 1
         }
         a
-      }
-      // each pass's input is consumed twice (the sort's range-bounds
-      // sample job + the shuffle write) — persist a sliding window of one
-      // pass and drop it as soon as the successor is materialized
-      cur.persist(lvl)
-      cached += cur
+      })
+      // the decoded pass is consumed twice (the range-bounds sample job +
+      // the first sort's shuffle write), but NOT cached: a SER cache costs
+      // a serialize-write of every row plus a deserialize-read, while the
+      // recompute is a columnar parquet scan + decode that pipelines
+      // straight into the shuffle map stage (measured cheaper at every SF)
       // range boundaries for ALL columns from ONE sampling job over the
       // decoded cache — sortByKey would run a separate full-pass sampling
       // job per column. Sampling error only skews partition SIZES
@@ -527,7 +531,7 @@ object Stats {
         }
       }
       var n = 0L
-      for (i <- 0 until k) {
+      for (i <- 0 until k - 1) {
         val sorted = cur.map(a => (a(i), a))
           .repartitionAndSortWithinPartitions(
             new DoubleBoundsPartitioner(allBounds(i)))
@@ -538,11 +542,6 @@ object Stats {
         }.collect().sortBy(_._1).map(_._2)
         val offsets = counts.scanLeft(0L)(_ + _)
         n = offsets.last
-        // the counts job wrote this pass's sort shuffle, so every
-        // downstream recompute reads shuffle files — the previous pass's
-        // cache is dead from here; keep only a sliding window of one
-        cached.foreach(_.unpersist(false))
-        cached.clear()
         // second read of `sorted` below re-reads the local shuffle files
         // (re-sort on read, no re-shuffle); rank-replace streams tie runs
         val ranked = sorted.mapPartitionsWithIndex { (pi, it) =>
@@ -566,43 +565,79 @@ object Stats {
             }
           }
         }
-        // intermediate passes are consumed twice more (next sort's sample
-        // job + shuffle write) — cache them; the last pass has a single
-        // consumer (the moment pass), so a cache would only add a write
-        if (i < k - 1) {
-          ranked.persist(lvl)
-          cached += ranked
-        }
+        // no persist: ranked's single consumer is the next sort's shuffle
+        // write, and a recompute only re-reads this pass's local shuffle
+        // files (re-sort on read, no re-shuffle) — the shuffle itself is
+        // the checkpoint, so a SER cache write would be pure overhead
         cur = ranked
       }
-      // fused finale: centered co-moments per partition (the counts job of
-      // the LAST sort already materialized `cur`'s shuffle, so this single
-      // action is the only full read of the final ranks)
+      // Fused finale (the round-5 "Spearman sort-fusion" lever): the last
+      // column's counts job existed only to turn local sort positions into
+      // global ranks before a separate moment pass. Both collapse into ONE
+      // job over the last sort: each partition folds moments against its
+      // LOCAL tie-averaged ranks l (global rank r = l + o_p, with o_p the
+      // rows in earlier partitions — ties never straddle partitions), and
+      // the driver applies the offset shift exactly:
+      //   Σ(r−μ)(d_j)   = Σ l·d_j + (o_p−μ)·Σ d_j
+      //   Σ(r−μ)²       = Σ l² + 2(o_p−μ)·Σ l + (o_p−μ)²·n_p
+      // where d_j = rank_j − μ of the already-final columns. μ = (n+1)/2 is
+      // known from the first pass's counts (row count is invariant).
+      val last = k - 1
       val mu = (n + 1) / 2.0
-      val partials = cur.mapPartitions { it =>
-        val sq = new Array[Double](k)
-        val sxy = new Array[Double](k * k)
+      val sortedLast = cur.map(a => (a(last), a))
+        .repartitionAndSortWithinPartitions(
+          new DoubleBoundsPartitioner(allBounds(last)))
+      val partials = sortedLast.mapPartitionsWithIndex { (pi, it) =>
+        val buf = it.buffered
+        var np = 0L          // rows in this partition
+        var s1 = 0.0; var s2 = 0.0 // Σl, Σl² of the last column's local ranks
+        val u = new Array[Double](k)      // Σ d_j           (j < last)
+        val t = new Array[Double](k)      // Σ l·d_j         (j < last)
+        val sq = new Array[Double](k)     // Σ d_j²          (j < last)
+        val sxy = new Array[Double](k * k) // Σ d_j·d_j'     (j < j' < last)
         val d = new Array[Double](k)
-        while (it.hasNext) {
-          val a = it.next()
-          var i = 0
-          while (i < k) { d(i) = a(i) - mu; sq(i) += d(i) * d(i); i += 1 }
-          i = 0
-          while (i < k) {
-            var j = i + 1
-            while (j < k) { sxy(i * k + j) += d(i) * d(j); j += 1 }
-            i += 1
+        while (buf.hasNext) {
+          val bits = keyBits(buf.head._1)
+          var len = 0
+          val run = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          while (buf.hasNext && keyBits(buf.head._1) == bits) {
+            run += buf.next()._2; len += 1
+          }
+          val l = np + (len + 1) / 2.0 // 1-based local average rank
+          np += len
+          run.foreach { a =>
+            s1 += l; s2 += l * l
+            var j = 0
+            while (j < last) {
+              d(j) = a(j) - mu
+              u(j) += d(j); t(j) += l * d(j); sq(j) += d(j) * d(j)
+              j += 1
+            }
+            j = 0
+            while (j < last) {
+              var j2 = j + 1
+              while (j2 < last) { sxy(j * k + j2) += d(j) * d(j2); j2 += 1 }
+              j += 1
+            }
           }
         }
-        Iterator.single((sq, sxy))
-      }.collect()
+        Iterator.single((pi, np, s1, s2, u, t, sq, sxy))
+      }.collect().sortBy(_._1)
       val sq = new Array[Double](k)
       val sxy = new Array[Double](k * k)
-      partials.foreach { case (q, xy) =>
-        var i = 0
-        while (i < k) { sq(i) += q(i); i += 1 }
-        i = 0
-        while (i < k * k) { sxy(i) += xy(i); i += 1 }
+      var off = 0L
+      partials.foreach { case (_, np, s1, s2, u, t, q, xy) =>
+        val s = off - mu // (o_p − μ): shift of this partition's local ranks
+        sq(last) += s2 + 2 * s * s1 + s * s * np
+        var j = 0
+        while (j < last) {
+          sxy(j * k + last) += t(j) + s * u(j)
+          sq(j) += q(j)
+          j += 1
+        }
+        j = 0
+        while (j < k * k) { sxy(j) += xy(j); j += 1 }
+        off += np
       }
       val pairs = for { i <- 0 until k; j <- 0 until k if i < j }
         yield s"${cols(i)}__${cols(j)}" ->
@@ -612,6 +647,6 @@ object Stats {
         org.apache.spark.sql.types.StructType(pairs.map(p =>
           org.apache.spark.sql.types.StructField(p._1,
             org.apache.spark.sql.types.DoubleType))))
-    } finally cached.foreach(_.unpersist(false))
+    }
   }
 }
