@@ -1287,8 +1287,13 @@ object Queries {
                  SELECT a0.cid, t.i, avg(e.v[t.i+1]) AS m
                  FROM a0 JOIN e USING (vec_id), range(64) t(i)
                  GROUP BY a0.cid, t.i) GROUP BY cid),
-             d1 AS (SELECT e.vec_id, c1.cid, list_distance(e.v, c1.cv) AS dd
-               FROM e CROSS JOIN c1),
+             /* Lloyd degeneracy parity: a cluster that empties after the
+                first assignment keeps its PREVIOUS center (as kmeansFit
+                does) instead of vanishing from the re-assignment */
+             c1k AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+               FROM c0 LEFT JOIN c1 USING (cid)),
+             d1 AS (SELECT e.vec_id, c1k.cid, list_distance(e.v, c1k.cv) AS dd
+               FROM e CROSS JOIN c1k),
              a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
                FROM d1) WHERE rn = 1)

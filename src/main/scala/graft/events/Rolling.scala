@@ -56,7 +56,10 @@ object Rolling {
     require(grainSec >= 1 && windowSec % grainSec == 0,
       s"grainSec must divide windowSec ($grainSec / $windowSec)")
     val kc = keys.map(col)
-    val grain = (col(tsCol).cast("long") / grainSec).cast("long") * grainSec
+    // floor, not truncate-toward-zero: long/long division in Spark is true
+    // division, and cast("long") truncates — pre-1970 (negative) epochs
+    // would land in the wrong grain bucket
+    val grain = floor(col(tsCol).cast("long") / grainSec).cast("long") * grainSec
     val bucketed = df.groupBy(kc :+ grain.as("grain_ts"): _*)
       .agg(count(lit(1)).as("n_grain"), sum(col(valueCol)).as("sum_grain"))
     val w = Window.partitionBy(kc: _*).orderBy(col("grain_ts"))

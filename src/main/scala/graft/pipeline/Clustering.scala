@@ -27,6 +27,10 @@ object Clustering {
   private def vecsOf(df: DataFrame, idCol: String, vecCol: String) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // same id contract as the Similarity typed paths: a string id would
+    // null-cast AFTER na.drop already ran and fail later with an opaque
+    // Dataset decode error
+    Similarity.requireIntegralId(df, idCol, "Clustering")
     df.na.drop(Seq(idCol, vecCol))
       .select(col(idCol).cast("long").as("_1"),
         transform(col(vecCol), x => x.cast("double")).as("_2"))
@@ -136,6 +140,7 @@ object Clustering {
     // dims, which is enough to find the offending group
     def mism(a: Int, b: Int) = require(a == b,
       s"meanPool: a group mixes dims $a and $b")
+    Similarity.requireIntegralId(df, groupCol, "meanPool")
     df.na.drop(Seq(groupCol, vecCol))
       .select(col(groupCol).cast("long"),
         transform(col(vecCol), x => x.cast("double")))

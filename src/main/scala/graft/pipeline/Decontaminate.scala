@@ -92,8 +92,12 @@ object Decontaminate {
                     n: Int = 13): DataFrame = {
     val bad = contaminated(docs, idCol, textCol, benchmark, benchTextCol, n)
       .select(col(idCol).as("__contaminated_id"))
-    docs.join(broadcast(bad), col(idCol) === col("__contaminated_id"),
-      "left_anti")
+    // null-text rows can never be flagged by the anti-join, so drop them
+    // explicitly — keeps the batch and stream variants (decontaminateStream
+    // filters textCol.isNotNull) agreeing on null text
+    docs.filter(col(textCol).isNotNull)
+      .join(broadcast(bad), col(idCol) === col("__contaminated_id"),
+        "left_anti")
   }
 
   /** SEMANTIC contamination: corpus rows whose embedding is within

@@ -28,6 +28,25 @@ object Similarity {
       s"$op requires an integral id column; got $tn for '$idCol'")
   }
 
+  /** The batch query paths collect the QUERY side to the driver and
+    * broadcast it — correct only under the "bounded query set" contract.
+    * Same hard guard as [[allPairsCosine]]'s maxRows: a
+    * `limit(max+1).count()` probe (partial scan, short-circuits) BEFORE
+    * any collect, so pointing the query arg at a corpus-sized table
+    * refuses loudly instead of OOMing the driver. */
+  private def requireBoundedQueries(queries: DataFrame, maxQueries: Int,
+                                    op: String): Unit = {
+    require(maxQueries >= 1, s"$op requires maxQueries >= 1, got $maxQueries")
+    // saturate: max + 1 overflows when a caller passes Int.MaxValue to
+    // deliberately disable the guard
+    val probeLimit = if (maxQueries == Int.MaxValue) maxQueries else maxQueries + 1
+    val probe = queries.limit(probeLimit).count()
+    require(probe <= maxQueries,
+      s"$op collects and broadcasts the query side and refuses query sets " +
+        s"above maxQueries=$maxQueries rows; this input has more. Batch the " +
+        s"queries, or raise maxQueries deliberately.")
+  }
+
   /** Exact cosine top-k neighbors of one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Double], k: Int): DataFrame = {
@@ -48,9 +67,11 @@ object Similarity {
     * formulation shuffled every scored row). Dot products sum sequentially
     * ascending — bit-identical to the HOF/DuckDB formulation. */
   def topKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, k: Int, dim: Int = -1): DataFrame = {
+               vecCol: String, k: Int, dim: Int = -1,
+               maxQueries: Int = 100000): DataFrame = {
     require(k >= 1, s"topKJoin requires k >= 1, got $k")
     Similarity.requireIntegralId(corpus, idCol, "topKJoin")
+    requireBoundedQueries(queries, maxQueries, "topKJoin")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
@@ -255,9 +276,11 @@ object Similarity {
     * not Q × corpus. */
   def ivfTopKMulti(assigned: DataFrame, centers: Array[Array[Double]],
                    idCol: String, queries: DataFrame, vecCol: String,
-                   k: Int, nProbe: Int = 3): DataFrame = {
+                   k: Int, nProbe: Int = 3,
+                   maxQueries: Int = 100000): DataFrame = {
     require(k >= 1, s"ivfTopKMulti requires k >= 1, got $k")
     requireIntegralId(queries, idCol, "ivfTopKMulti")
+    requireBoundedQueries(queries, maxQueries, "ivfTopKMulti")
     val spark = assigned.sparkSession
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))

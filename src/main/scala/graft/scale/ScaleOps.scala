@@ -26,10 +26,13 @@ object ScaleOps {
     require(keys.nonEmpty, "skewReport needs at least one key column")
     val counts = df.na.drop(keys)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // coalesce: sum/max over zero rows are null — an empty (or all-null-key)
+    // frame must yield a well-defined all-zeros report, not NPE the caller
+    // making the broadcast/salt decision
     counts.agg(
-      sum("__n").as("n_rows"),
+      coalesce(sum("__n"), lit(0L)).as("n_rows"),
       count(lit(1)).as("n_keys"),
-      max("__n").as("max_key_count"))
+      coalesce(max("__n"), lit(0L)).as("max_key_count"))
       .select(col("n_rows"), col("n_keys"), col("max_key_count"),
         (col("max_key_count").cast("double") /
           greatest(col("n_rows").cast("double"), lit(1.0))).as("top1_share"),

@@ -46,10 +46,33 @@ object Scratch {
       println(f"$name%-28s benchmin=${pair.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    benchPair("bench_pack_greedy")(graft.pipeline.Packing.packingSummary(
-      graft.pipeline.Packing.packGreedy(docs, "doc_id", "n_tokens", 512), 512))
-    benchPair("bench_mahal3col")(graft.Queries.queries("q_mahalanobis_3col")(spark, sfDir))
-    benchPair("bench_roc")(graft.Queries.queries("q_roc")(spark, sfDir))
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def timeU(name: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def decoded = li.na.drop(cols)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .rdd.map { r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)) }
+    timeU("a_decode_count")(decoded.foreach(_ => ()))
+    def decodedInternal = li.na.drop(cols)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .queryExecution.toRdd.mapPartitions(_.map { ir =>
+        Array(ir.getDouble(0), ir.getDouble(1), ir.getDouble(2))
+      })
+    timeU("a2_decode_internal")(decodedInternal.foreach(_ => ()))
+    timeU("b2_sort_internal")(decodedInternal.map(a => (a(0), a))
+      .repartitionAndSortWithinPartitions(
+        new org.apache.spark.HashPartitioner(32))
+      .foreach(_ => ()))
+    timeU("b_one_sort_count")(decoded.map(a => (a(0), a))
+      .repartitionAndSortWithinPartitions(
+        new org.apache.spark.HashPartitioner(32))
+      .foreach(_ => ()))
+    time("spearman_k3")(graft.agg.Stats.corrSpearman(li, cols))
     spark.stop()
   }
 }

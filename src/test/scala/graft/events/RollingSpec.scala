@@ -51,6 +51,18 @@ class RollingSpec extends SparkSpec {
     }
   }
 
+  test("rollingAggCoarse floors negative (pre-1970) timestamps into their grain") {
+    import spark.implicits._
+    // ts = -30 belongs to grain [-60, 0), i.e. bucket start -60; the old
+    // truncate-toward-zero cast put it in bucket 0
+    val df = Seq((1L, -30L, 1.0), (1L, -90L, 2.0)).toDF("user_id", "ts", "value")
+    val got = Rolling.rollingAggCoarse(df, Seq("user_id"), "ts", "value",
+        windowSec = 60L, grainSec = 60L)
+      .select(col("grain_ts"), col("n_win"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(-60L -> 1L, -120L -> 1L))
+  }
+
   test("rolling on empty input yields an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "value")

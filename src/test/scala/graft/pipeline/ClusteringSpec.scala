@@ -91,6 +91,19 @@ class ClusteringSpec extends SparkSpec {
     assert(graft.util.Errors.rootCause(e).getMessage.contains("mixes dims"))
   }
 
+  test("string id / group columns are rejected up front, not null-cast") {
+    import spark.implicits._
+    val d = Seq(("a", vec(1.0, 2.0))).toDF("doc", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Clustering.kmeansFit(d, "doc", "embedding", k = 1, iters = 1)
+    }
+    assert(e1.getMessage.contains("integral id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.meanPool(d, "doc", "embedding")
+    }
+    assert(e2.getMessage.contains("integral id"))
+  }
+
   test("kmeans on empty input fails fast with a clear message") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

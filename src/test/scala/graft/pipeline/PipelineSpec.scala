@@ -125,6 +125,27 @@ class PipelineSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("topKJoin / ivfTopKMulti refuse over-limit query sets") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i => (i.toLong, Seq(1.0, i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.topKJoin(vecs, vecs, "vec_id", "embedding", k = 2,
+        maxQueries = 10)
+    }
+    assert(e1.getMessage.contains("maxQueries=10"))
+    val (assigned, centers) = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      nCells = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKMulti(assigned, centers, "vec_id", vecs, "embedding",
+        k = 2, maxQueries = 10)
+    }
+    assert(e2.getMessage.contains("maxQueries=10"))
+    // under the bound both still work
+    assert(Similarity.topKJoin(vecs, vecs.limit(3), "vec_id", "embedding",
+      k = 2, maxQueries = 10).count() > 0)
+  }
+
   test("bruteForceTopK returns self-similar neighbors first") {
     import spark.implicits._
     val vecs = Seq(
@@ -415,6 +436,12 @@ class PipelineSpec extends SparkSpec {
     val kept = Decontaminate.decontaminate(train, "doc_id", "text",
       bench, "btext", n = 5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L))
+    // null-text rows are dropped (uncheckable), matching decontaminateStream
+    val withNull = train.union(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val kept2 = Decontaminate.decontaminate(withNull, "doc_id", "text",
+      bench, "btext", n = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 4L))
   }
 
   test("semantic decontamination flags embedding-space benchmark overlap") {

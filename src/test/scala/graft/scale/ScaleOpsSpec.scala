@@ -66,4 +66,16 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b)
   }
+
+  test("skewReport on empty / all-null-key input is all zeros, not null") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    val r = ScaleOps.skewReport(empty, Seq("k")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0) // top1_share well-defined via the floor
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("k", "v")
+    val r2 = ScaleOps.skewReport(nulls, Seq("k")).head()
+    assert(r2.getLong(0) == 0L && r2.getLong(2) == 0L)
+  }
 }
