@@ -2314,10 +2314,19 @@ object Queries {
                sqrt(-2 * ln(1 - 0.999))""")),
 
     // ---- approximate distinct counts (HLL++ — engine sketch, rows-only) ---
+    // the HLL++ sketch itself is engine-specific, but its ERROR CONTRACT is
+    // not: emit exact counts + a within-4-rsd flag per column, which DuckDB
+    // reproduces — the approximation bound is now hash-checked
     QueryDef("q_nunique_approx",
-      (s, d) => Stats.nunique(lineitem(s, d),
+      (s, d) => Stats.nuniqueCheck(lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      None),
+      Some("""SELECT count(DISTINCT l_orderkey)::BIGINT AS l_orderkey,
+             true AS l_orderkey_ok,
+             count(DISTINCT l_partkey)::BIGINT AS l_partkey,
+             true AS l_partkey_ok,
+             count(DISTINCT l_suppkey)::BIGINT AS l_suppkey,
+             true AS l_suppkey_ok
+             FROM lineitem""")),
 
     // ---- stratify FILTERED path: per-stratum agg + clause recombination ----
     QueryDef("q_stratify_filtered",
@@ -2357,12 +2366,32 @@ object Queries {
              FROM orders GROUP BY o_orderstatus ORDER BY __stratum""")),
 
     // ---- approx percentiles (GK sketch — the 100-TB default; rows-only) ---
+    // GK sketch values are engine-specific, but the rank-error CONTRACT is
+    // not: emit exact percentiles + a within-envelope flag per (col, p) —
+    // the oracle reproduces both, so the GK bound is hash-checked
     QueryDef("q_median_approx",
-      (s, d) => Stats.percentileApprox(lineitem(s, d),
+      (s, d) => Stats.percentileApproxCheck(lineitem(s, d),
           Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75),
           precision = 1e-4, strata = Seq("l_returnflag"))
+        .select(col("l_returnflag") +:
+          (for { c <- Seq("l_extendedprice", "l_quantity"); p <- Seq(25, 50, 75) }
+            yield Seq(round(col(s"${c}_p$p"), 4).as(s"${c}_p$p"),
+              col(s"${c}_p${p}_ok"))).flatten: _*)
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS l_extendedprice_p25,
+             true AS l_extendedprice_p25_ok,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS l_extendedprice_p50,
+             true AS l_extendedprice_p50_ok,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS l_extendedprice_p75,
+             true AS l_extendedprice_p75_ok,
+             round(quantile_cont(l_quantity, 0.25), 4) AS l_quantity_p25,
+             true AS l_quantity_p25_ok,
+             round(quantile_cont(l_quantity, 0.50), 4) AS l_quantity_p50,
+             true AS l_quantity_p50_ok,
+             round(quantile_cont(l_quantity, 0.75), 4) AS l_quantity_p75,
+             true AS l_quantity_p75_ok
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Mahalanobis with a full 3x3 inverse ------------------------------
     // Oracle replays the same algebra with the 3x3 correlation inverse

@@ -92,6 +92,80 @@ object Stats {
              strata: Seq[String] = Nil): DataFrame =
     percentileApprox(df, cols, Seq(0.5), precision, strata)
 
+  /** Oracle-visible approximation contract for the GK sketch, checked in
+    * RANK space (value-envelope checks break when ε·n < 1 row — the
+    * continuous-interpolated envelope is then narrower than one rank step
+    * while GK returns a member value). Two passes:
+    *
+    *   1. grouped agg → per-stratum approx_percentile arrays + counts;
+    *   2. the (tiny, #strata-row) result broadcast-joins back and one more
+    *      grouped agg counts, per (column, p), how many values fall
+    *      strictly below / at-or-below the sketch value.
+    *
+    * The sketch value's rank set is [lt+1, le]; the GK guarantee says some
+    * rank within ε·n of p·n is achieved, so the flag is
+    * `lt+1 ≤ p·n + ε·n + 1  AND  le ≥ p·n − ε·n − 1` (±1 slack for the
+    * rank convention at the ends). Alongside each flag the EXACT
+    * percentile value is emitted — both are deterministic, so a SQL
+    * oracle reproduces them and the approximation bound itself becomes
+    * part of the correctness gate, not just a spec assertion. */
+  def percentileApproxCheck(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                            precision: Double = 0.01,
+                            strata: Seq[String] = Nil): DataFrame = {
+    val eps = precision
+    val acc = math.max(1, math.round(1.0 / precision)).toInt
+    val psSql = ps.mkString("array(", ", ", ")")
+    val pass1Aggs = cols.flatMap { c => Seq(
+      expr(s"approx_percentile($c, $psSql, $acc)").as(s"__pa_$c"),
+      count(col(c)).as(s"__n_$c")) // non-null count: the sketch's universe
+    }
+    val pass1 = grouped(df, strata).agg(pass1Aggs.head, pass1Aggs.tail: _*)
+    val joined =
+      if (strata.isEmpty) df.crossJoin(broadcast(pass1))
+      else df.join(broadcast(pass1), strata)
+    val pass2Aggs = (for { c <- cols; (p, i) <- ps.zipWithIndex } yield {
+      val v = element_at(col(s"__pa_$c"), i + 1)
+      Seq(
+        sum((col(c) < v).cast("long")).as(s"__lt_${c}_$i"),
+        sum((col(c) <= v).cast("long")).as(s"__le_${c}_$i"))
+    }).flatten ++ cols.flatMap { c => Seq(
+      first(col(s"__n_$c")).as(s"__n_$c"),
+      graft.expr.ExactPercentile.of(col(c), ps).as(s"__pe_$c"))
+    }
+    val out = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
+      yield {
+        val n = col(s"__n_$c").cast("double")
+        val target = lit(p) * n
+        val slack = lit(eps) * n + lit(1.0)
+        Seq(
+          element_at(col(s"__pe_$c"), i + 1).as(s"${c}_p${(p * 100).toInt}"),
+          ((col(s"__lt_${c}_$i").cast("double") + 1.0 <= target + slack) &&
+            (col(s"__le_${c}_$i").cast("double") >= target - slack))
+            .as(s"${c}_p${(p * 100).toInt}_ok"))
+      }).flatten
+    grouped(joined, strata).agg(pass2Aggs.head, pass2Aggs.tail: _*)
+      .select(out: _*)
+  }
+
+  /** Oracle-visible approximation contract for HLL++: exact distinct count
+    * per column plus `<col>_ok` — TRUE iff |approx − exact| ≤ 4·rsd·exact
+    * (four standard errors of the target relative standard deviation:
+    * essentially-always under a healthy sketch, violated under a broken
+    * one). Same shape rationale as [[percentileApproxCheck]]. */
+  def nuniqueCheck(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+                   strata: Seq[String] = Nil): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      approx_count_distinct(col(c), rsd).as(s"__a_$c"),
+      countDistinct(col(c)).as(s"__e_$c"))
+    }
+    val out = strata.map(col) ++ cols.flatMap { c => Seq(
+      col(s"__e_$c").as(c),
+      (abs(col(s"__a_$c") - col(s"__e_$c")).cast("double") <=
+        lit(4 * rsd) * col(s"__e_$c").cast("double")).as(s"${c}_ok"))
+    }
+    grouped(df, strata).agg(aggs.head, aggs.tail: _*).select(out: _*)
+  }
+
   /** Per-column null(+NaN for floating) counts and ratios
     * (reference dataframe.py:513-534). One pass over all columns. */
   def isNull(df: DataFrame, cols: Seq[String], ratio: Boolean = false,

