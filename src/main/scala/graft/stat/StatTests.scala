@@ -71,27 +71,7 @@ object StatTests {
     * column's RDD. */
   def ksTest(df: DataFrame, c: String, dist: String,
              params: Double*): KsResult = {
-    val rd: RealDistribution = (dist, params.toList) match {
-      case ("norm", m :: s :: Nil)    => new NormalDistribution(m, s)
-      case ("norm", Nil)              => new NormalDistribution(0, 1)
-      case ("uniform", a :: b :: Nil) => new UniformRealDistribution(a, b)
-      case ("exp", m :: Nil)          => new ExponentialDistribution(m)
-      case ("gamma", a :: b :: Nil)   => new GammaDistribution(a, b)
-      case ("beta", a :: b :: Nil)    => new BetaDistribution(a, b)
-      case ("cauchy", m :: s :: Nil)  => new CauchyDistribution(m, s)
-      case ("chi2", k :: Nil)         => new ChiSquaredDistribution(k)
-      case ("f", a :: b :: Nil)       => new FDistribution(a, b)
-      case ("t", k :: Nil)            => new TDistribution(k)
-      case ("lognorm", m :: s :: Nil) => new LogNormalDistribution(m, s)
-      case ("weibull", a :: b :: Nil) => new WeibullDistribution(a, b)
-      case ("laplace", m :: b :: Nil) => new LaplaceDistribution(m, b)
-      case ("levy", m :: s :: Nil)    => new LevyDistribution(m, s)
-      case ("logistic", m :: s :: Nil) => new LogisticDistribution(m, s)
-      case ("pareto", s :: a :: Nil)  => new ParetoDistribution(s, a)
-      case ("triangular", a :: b :: cc :: Nil) => new TriangularDistribution(a, b, cc)
-      case ("gumbel", m :: b :: Nil)  => new GumbelDistribution(m, b)
-      case _                          => new NormalDistribution(0, 1)
-    }
+    val rd = distributionFor(dist, params)
     val rdd = df.select(col(c).cast("double")).na.drop()
       .rdd.map(_.getDouble(0))
     val r = org.apache.spark.mllib.stat.Statistics
@@ -209,6 +189,9 @@ object StatTests {
     }
   }
 
+  /** The ONE name→distribution table (reference stats.py:36-64 family;
+    * unknown names fall back to Normal(0,1)) — shared by ksTest,
+    * ksTestMulti and ksTestApprox. */
   private[stat] def distributionFor(dist: String, params: Seq[Double]): RealDistribution =
     (dist, params.toList) match {
       case ("norm", m :: s :: Nil)    => new NormalDistribution(m, s)
@@ -219,9 +202,16 @@ object StatTests {
       case ("beta", a :: b :: Nil)    => new BetaDistribution(a, b)
       case ("cauchy", m :: s :: Nil)  => new CauchyDistribution(m, s)
       case ("chi2", k :: Nil)         => new ChiSquaredDistribution(k)
+      case ("f", a :: b :: Nil)       => new FDistribution(a, b)
       case ("t", k :: Nil)            => new TDistribution(k)
       case ("lognorm", m :: s :: Nil) => new LogNormalDistribution(m, s)
       case ("weibull", a :: b :: Nil) => new WeibullDistribution(a, b)
+      case ("laplace", m :: b :: Nil) => new LaplaceDistribution(m, b)
+      case ("levy", m :: s :: Nil)    => new LevyDistribution(m, s)
+      case ("logistic", m :: s :: Nil) => new LogisticDistribution(m, s)
+      case ("pareto", s :: a :: Nil)  => new ParetoDistribution(s, a)
+      case ("triangular", a :: b :: cc :: Nil) => new TriangularDistribution(a, b, cc)
+      case ("gumbel", m :: b :: Nil)  => new GumbelDistribution(m, b)
       case _                          => new NormalDistribution(0, 1)
     }
 }
