@@ -1264,6 +1264,17 @@ object Queries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // the RECOMMENDED production configuration (tables=4: recall 0.15 → ~0.5
+    // at cos >= 0.4 per RecallSpec's collision model) — benched so the cost
+    // of the config callers should actually run is tracked, not just the
+    // single-table floor
+    QueryDef("q_embedding_dedup_lsh_mt",
+      (s, d) => graft.pipeline.Dedup.embeddingDedup(embeddings(s, d),
+          "vec_id", "embedding", dim = 64, threshold = 0.4, bits = 4,
+          tables = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // ---- distributed Lloyd k-means (cluster sizes after one update) -------
     // init = the k lowest-id vectors (deterministic); the oracle replays
     // init-assign → per-cluster centroid means → re-assign entirely in SQL;

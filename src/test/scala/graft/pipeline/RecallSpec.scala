@@ -73,6 +73,24 @@ class RecallSpec extends SparkSpec {
     assert(recall >= floor,
       f"recall $recall%.4f below collision-model floor $floor%.4f")
 
+    // tables=4 — the BENCHED configuration (q_embedding_dedup_lsh_mt):
+    // per-pair catch probability 1 − (1 − p^4)^4
+    val got4 = Dedup.embeddingDedup(embs, "vec_id", "embedding", dim = 64,
+      threshold = threshold, bits = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got4.subsetOf(truth.keySet))
+    val recall4 = got4.size.toDouble / truth.size
+    val ps4 = truth.values.map { c =>
+      val p1 = math.pow(1.0 - math.acos(c) / math.Pi, 4)
+      1.0 - math.pow(1.0 - p1, 4)
+    }
+    val mean4 = ps4.sum / ps4.size
+    val floor4 = math.max(0.0, mean4 - 3 * math.sqrt(ps4.map(p => p * (1 - p)).sum) / ps4.size)
+    info(f"embeddingDedup 4-table recall = $recall4%.4f (prediction " +
+      f"$mean4%.4f, floor $floor4%.4f)")
+    assert(recall4 >= floor4)
+    assert(recall4 > recall, "4-table recall did not improve on single-table")
+
     // multi-table tier: 8 independent 4-bit tables → per-pair catch
     // probability 1 − (1 − p^4)^8; recall must rise accordingly
     val got8 = Dedup.embeddingDedup(embs, "vec_id", "embedding", dim = 64,
