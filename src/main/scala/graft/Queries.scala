@@ -1805,6 +1805,32 @@ object Queries {
                 regexp_matches(s, '10\.0\.0\.'))::INT AS has_pii_left
              FROM scrubbed ORDER BY doc_id""")),
 
+    // ---- per-document n-gram novelty (contribution scoring) ---------------
+    // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
+    // ownership); oracle rebuilds the shingle stream + first-occurrence
+    // join in SQL (same shingle CASE as the jaccard oracles)
+    QueryDef("q_ngram_novelty",
+      (s, d) => graft.pipeline.TextAnalysis.ngramNovelty(
+          documents(s, d), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             fo AS (SELECT s, min(doc_id) AS f FROM sh GROUP BY s)
+             SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
+               sum((sh.doc_id = fo.f)::INT)::BIGINT AS n_novel,
+               round(sum((sh.doc_id = fo.f)::INT)::DOUBLE / count(*), 6)
+                 AS novelty
+             FROM sh JOIN fo ON sh.s = fo.s
+             GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
     // ---- corpus vocabulary (tokenizer-training feed) ----------------------
     QueryDef("q_vocab",
       (s, d) => graft.pipeline.TextAnalysis.vocabulary(
@@ -1955,6 +1981,36 @@ object Queries {
                  * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
              SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
              FROM s3 WHERE k < 0.2""")),
+
+    // ---- temperature rebalancing (multilingual exponent smoothing) --------
+    // per-group keep prob min(1, scale * share^(alpha-1)); oracle replays
+    // the share computation + the Lehmer hash verbatim
+    QueryDef("q_temperature_sample",
+      (s, d) => graft.pipeline.Sampling.temperatureSample(
+          documents(s, d), "doc_id", "source", alpha = 0.5, scale = 0.05,
+          seed = 13)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source"),
+      Some("""WITH cnt AS (SELECT source, count(*)::DOUBLE AS n
+               FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+               GROUP BY source),
+             tot AS (SELECT sum(n) AS nn FROM cnt),
+             q AS (SELECT source, least(1.0, 0.05 * pow(n / nn, -0.5)) AS q
+               FROM cnt, tot),
+             s1 AS (SELECT doc_id, source,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM documents
+               WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+             s2 AS (SELECT doc_id, source, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id, source,
+               ((((x3 + 13) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT s3.source, count(*)::BIGINT AS n,
+               sum(doc_id)::BIGINT AS id_sum
+             FROM s3 JOIN q ON s3.source = q.source WHERE k < q.q
+             GROUP BY s3.source ORDER BY s3.source""")),
 
     QueryDef("q_train_test_split",
       (s, d) => graft.pipeline.Sampling.trainTestSplit(

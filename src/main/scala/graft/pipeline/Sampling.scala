@@ -158,4 +158,40 @@ object Sampling {
       .filter(col("__graft_rn") <= k)
       .drop("__graft_rn")
   } }
+
+  /** Temperature-based mixture rebalancing (the multilingual-corpus
+    * exponent-smoothing sampler: keep probability per group g with share
+    * p_g = n_g/N is `min(1, scale · p_g^(alpha−1))`). alpha < 1 upweights
+    * tail groups (alpha → 0 approaches uniform-over-groups), alpha = 1 is
+    * plain uniform sampling at `scale`. Membership uses the deterministic
+    * Lehmer id hash — append-safe and SQL-reproducible like every sampler
+    * here.
+    *
+    * Scale shape: ONE map-side-combined count aggregate (vocab-of-groups
+    * rows), a scalar total folded in by crossJoin(broadcast(·)) — the
+    * whole plan stays lazy, no driver action — and a broadcast join of the
+    * per-group keep probability back onto the corpus: no corpus shuffle.
+    * Rows with null id/group are dropped (no stable membership). */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, scale: Double,
+                        seed: Long = 0L): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(scale > 0, s"scale must be > 0, got $scale")
+    Similarity.requireIntegralId(df, idCol, "temperatureSample")
+    val clean = df.na.drop(Seq(idCol, groupCol))
+    val counts = clean.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    // toDF re-aliases the self-referenced side: counts appears both as the
+    // per-group frame and inside its own total, and the shared attribute
+    // ids would otherwise be ambiguous after the crossJoin
+    val probs = counts.toDF("__g", "__ng")
+      .crossJoin(broadcast(counts.agg(sum(col("__n")).as("__N"))))
+      .select(col("__g"),
+        least(lit(1.0), lit(scale) *
+          pow(col("__ng").cast("double") / col("__N").cast("double"),
+            lit(alpha - 1.0))).as("__q"))
+    clean.join(broadcast(probs), clean(groupCol) === col("__g"))
+      .filter(hashKey(col(idCol), seed) < col("__q"))
+      .drop("__g", "__q")
+  }
 }

@@ -359,6 +359,32 @@ object TextAnalysis {
       .drop("__n_total", "__w_total")
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * n-grams whose first corpus-wide occurrence (minimum id) is this
+    * document — the contribution-scoring signal that ranks documents by
+    * how much genuinely new text they add to the corpus (near-zero novelty
+    * = boilerplate/template; use as a dedup-adjacent quality filter or a
+    * curriculum ordering key). Returns (idCol, n_grams, n_novel, novelty).
+    *
+    * Scale shape: the shingle stream ([[Dedup.shingled]] — 8-byte hash
+    * keys, per-doc deduped) is aggregated to first-occurrence owners with
+    * a map-side-combined min, then joined back on the gram key (posting-
+    * list shape, no row ever fans out beyond its own gram count) and
+    * folded per document. Two key shuffles + one id shuffle, nothing
+    * driver-side, no windows. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 1, s"ngramNovelty needs n >= 1, got $n")
+    val sh = Dedup.shingled(df, idCol, textCol, n)
+    val first = sh.groupBy("sh").agg(min("__id").as("__first"))
+    sh.join(first, "sh")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__id") === col("__first")).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

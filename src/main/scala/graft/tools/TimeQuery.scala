@@ -21,13 +21,20 @@ object TimeQuery {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.Queries.queries(name)
-    val times = (1 to runs).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // comma-separated names probe several queries in one JVM (bench-style
+    // isolation between them); a JIT warm-up precedes the first
+    name.split(',').filter(_.nonEmpty).foreach { q =>
+      val fn = graft.Queries.queries(q)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"query":"$q","best":${times.min}%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     }
-    println(f"""{"query":"$name","best":${times.min}%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -144,4 +144,53 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12)
   }
+
+  test("temperatureSample: per-group keep prob follows min(1, scale*share^(alpha-1))") {
+    // 900 "big" rows vs 100 "small": alpha=0.5 upweights the tail group
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+      .toDF("doc_id", "source")
+    val alpha = 0.5; val scale = 0.1
+    val kept = Sampling.temperatureSample(df, "doc_id", "source", alpha, scale,
+      seed = 3).collect().map(_.getLong(0)).toSet
+    // membership must equal the directly-computed filter per group
+    def q(share: Double) = math.min(1.0, scale * math.pow(share, alpha - 1.0))
+    val expected = (1L to 1000L).filter { i =>
+      val share = if (i <= 900) 0.9 else 0.1
+      keyOf(i, 3) < q(share)
+    }.toSet
+    assert(kept == expected)
+    // determinism under repartition
+    val kept2 = Sampling.temperatureSample(df.repartition(7), "doc_id",
+      "source", alpha, scale, seed = 3).collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // tail group kept at ~3x the head group's rate (q ratio = 9^0.5 = 3)
+    val keptBig = kept.count(_ <= 900) / 900.0
+    val keptSmall = kept.count(_ > 900) / 100.0
+    assert(keptSmall > keptBig, "alpha < 1 must upweight the tail group")
+  }
+
+  private def keyOf(id: Long, seed: Long): Double = {
+    val M = 2147483647L; val A = 48271L
+    val x0 = (id % 2147483648L + (id >>> 31) * A) % (M - 1) + 1
+    val x3 = (1 to 3).foldLeft(x0)((x, _) => x * A % M)
+    val y0 = (x3 + math.floorMod(seed, M - 1)) % (M - 1) + 1
+    val y2 = (1 to 2).foldLeft(y0)((x, _) => x * A % M)
+    y2.toDouble / M.toDouble
+  }
+
+  test("ngramNovelty: first-occurrence ownership, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c d"),          // grams: "a b c","b c d" — both first here
+      (2L, "a b c d"),          // exact dup: novelty 0
+      (3L, "b c d e f"),        // "b c d" seen; "c d e","d e f" novel
+      (4L, "x y")               // < n tokens: whole text is the one gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+  }
 }
