@@ -151,19 +151,31 @@ object Stats {
     * per column plus `<col>_ok` — TRUE iff |approx − exact| ≤ 4·rsd·exact
     * (four standard errors of the target relative standard deviation:
     * essentially-always under a healthy sketch, violated under a broken
-    * one). Same shape rationale as [[percentileApproxCheck]]. */
+    * one). Same shape rationale as [[percentileApproxCheck]].
+    *
+    * Plan shape: one pipeline PER COLUMN — groupBy the column (map-side
+    * combine shuffles only the distinct values) then count + HLL over the
+    * distinct stream (identical HLL result: the sketch dedups anyway) —
+    * joined at the end. Mixing countDistinct with approx_count_distinct in
+    * ONE agg plans an Expand (#distinct-aggs × rows) with the HLL update
+    * running per expanded row: measured 3.4× slower at sf0.1. */
   def nuniqueCheck(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
                    strata: Seq[String] = Nil): DataFrame = {
-    val aggs = cols.flatMap { c => Seq(
-      approx_count_distinct(col(c), rsd).as(s"__a_$c"),
-      countDistinct(col(c)).as(s"__e_$c"))
+    val perCol = cols.map { c =>
+      val flag = (abs(col(s"__a_$c") - col(c)).cast("double") <=
+        lit(4 * rsd) * col(c).cast("double")).as(s"${c}_ok")
+      grouped(df.select((strata :+ c).map(col): _*), strata :+ c)
+        .agg(count(lit(1)).as("__one")) // distinct (strata, c) stream
+        .groupBy(strata.map(col): _*)
+        .agg(count(col(c)).as(c), // non-null distinct values
+          approx_count_distinct(col(c), rsd).as(s"__a_$c"))
+        .select((strata.map(col) :+ col(c) :+ flag): _*)
     }
-    val out = strata.map(col) ++ cols.flatMap { c => Seq(
-      col(s"__e_$c").as(c),
-      (abs(col(s"__a_$c") - col(s"__e_$c")).cast("double") <=
-        lit(4 * rsd) * col(s"__e_$c").cast("double")).as(s"${c}_ok"))
-    }
-    grouped(df, strata).agg(aggs.head, aggs.tail: _*).select(out: _*)
+    val joined =
+      if (strata.isEmpty) perCol.reduce(_ crossJoin _)
+      else perCol.reduce(_.join(_, strata))
+    joined.select((strata.map(col) ++
+      cols.flatMap(c => Seq(col(c), col(s"${c}_ok")))): _*)
   }
 
   /** Per-column null(+NaN for floating) counts and ratios

@@ -47,32 +47,14 @@ object Scratch {
     }
 
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    def timeU(name: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
-    }
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    def decoded = li.na.drop(cols)
-      .select(cols.map(c => col(c).cast("double").as(c)): _*)
-      .rdd.map { r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)) }
-    timeU("a_decode_count")(decoded.foreach(_ => ()))
-    def decodedInternal = li.na.drop(cols)
-      .select(cols.map(c => col(c).cast("double").as(c)): _*)
-      .queryExecution.toRdd.mapPartitions(_.map { ir =>
-        Array(ir.getDouble(0), ir.getDouble(1), ir.getDouble(2))
-      })
-    timeU("a2_decode_internal")(decodedInternal.foreach(_ => ()))
-    timeU("b2_sort_internal")(decodedInternal.map(a => (a(0), a))
-      .repartitionAndSortWithinPartitions(
-        new org.apache.spark.HashPartitioner(32))
-      .foreach(_ => ()))
-    timeU("b_one_sort_count")(decoded.map(a => (a(0), a))
-      .repartitionAndSortWithinPartitions(
-        new org.apache.spark.HashPartitioner(32))
-      .foreach(_ => ()))
-    time("spearman_k3")(graft.agg.Stats.corrSpearman(li, cols))
+    val ncols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    time("a_nunique_check_now")(graft.agg.Stats.nuniqueCheck(li, ncols))
+    time("b_percol_pipeline")(ncols.map { c =>
+      li.select(col(c)).distinct()
+        .agg(count(col(c)).as(c),
+          approx_count_distinct(col(c), 0.05).as(s"${c}_a"))
+    }.reduce(_ crossJoin _))
+    time("c_nunique_exact_now")(graft.agg.Stats.nuniqueExact(li, ncols))
     spark.stop()
   }
 }
