@@ -989,6 +989,46 @@ object Queries {
     // Extension tier: training-data pipeline operators
     // ======================================================================
 
+    // ---- incremental dedup: Bloom-screen a new batch against a corpus -----
+    // the bloom bits are engine-specific, but the CONTRACT is not: no
+    // false survivals (guaranteed), wrongly-dropped new rows within the
+    // 4-sigma fpp envelope — oracle emits the exact counts + true flags
+    QueryDef("q_bloom_dedup",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("text").isNotNull)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        def keyed(f: DataFrame) = f.withColumn("__k", xxhash64(col("text")))
+        val bloomNew = graft.pipeline.Dedup.bloomNewRows(
+          keyed(batch), keyed(corpus), "__k",
+          expectedItems = 1000000L, fpp = 0.01)
+        val exactNew = batch.join(
+          corpus.select(col("text").as("__ct")).distinct(),
+          col("text") === col("__ct"), "left_anti")
+        val fpBound = lit(0.01) * col("n_new_exact").cast("double") +
+          lit(4.0) * sqrt(lit(0.01) * col("n_new_exact").cast("double")) +
+          lit(1.0)
+        batch.agg(count(lit(1)).as("n_batch"))
+          .crossJoin(exactNew.agg(count(lit(1)).as("n_new_exact")))
+          .crossJoin(bloomNew.agg(count(lit(1)).as("__n_bloom")))
+          .crossJoin(bloomNew.select("doc_id")
+            .join(exactNew.select(col("doc_id").as("__e")),
+              col("doc_id") === col("__e"), "left_anti")
+            .agg(count(lit(1)).as("__bad")))
+          .select(col("n_batch"), col("n_new_exact"),
+            (col("__bad") === 0).as("no_false_survivals"),
+            ((col("n_new_exact") - col("__n_bloom")).cast("double") <= fpBound)
+              .as("fp_dropped_ok"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT text FROM documents
+               WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             b AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 5 = 0 AND text IS NOT NULL)
+             SELECT (SELECT count(*) FROM b)::BIGINT AS n_batch,
+               (SELECT count(*) FROM b
+                 WHERE text NOT IN (SELECT text FROM c))::BIGINT AS n_new_exact,
+               true AS no_false_survivals, true AS fp_dropped_ok""")),
+
     // ---- exact dedup (duplicates synthesized deterministically) -----------
     QueryDef("q_dedup_exact",
       (s, d) => {

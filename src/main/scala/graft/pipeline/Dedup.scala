@@ -637,4 +637,46 @@ object Dedup {
         count(lit(1)).as("chunks_kept"),
         first(col("__nc")).cast("long").as("chunks_total"))
   }
+
+  // ---- incremental (cross-batch) dedup via Bloom filter --------------------
+
+  /** Bloom filter over a key column (id, content hash, fingerprint…) —
+    * the incremental-crawl dedup primitive: build ONCE over the standing
+    * corpus, then screen every new batch against it WITHOUT touching the
+    * corpus again. The build is one aggregation (mergeable per-partition
+    * sketches; bit-OR union is order-independent, so the filter is
+    * deterministic); the result is `bits ≈ -n·ln(fpp)/ln²2` — e.g. 1.2 GB
+    * for 10⁹ keys at 1% — which broadcasts to executors once. */
+  def bloomFilterOf(corpus: DataFrame, keyCol: String, expectedItems: Long,
+                    fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0, s"expectedItems must be > 0")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    corpus.na.drop(Seq(keyCol)).stat.bloomFilter(keyCol, expectedItems, fpp)
+  }
+
+  /** Rows of `batch` whose key is (probably) NOT in `corpus`: the
+    * new-content filter of an incremental ingestion pipeline. Guarantees:
+    * NO false survivals (a key present in the corpus never passes — Bloom
+    * filters have no false negatives), while ~fpp of genuinely-new rows
+    * are wrongly dropped (tune `fpp` to taste; the dropped mass is new
+    * content lost, not duplicates admitted). The corpus is read once to
+    * build the filter; the batch pass is map-side only — no join, no
+    * shuffle of either side. */
+  def bloomNewRows(batch: DataFrame, corpus: DataFrame, keyCol: String,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // integral keys only (ids, xxhash64 content hashes, fingerprints): the
+    // membership probe below uses the long hash path, and a string key
+    // would silently null-cast
+    Similarity.requireIntegralId(batch, keyCol, "bloomNewRows")
+    Similarity.requireIntegralId(corpus, keyCol, "bloomNewRows")
+    val bloom = bloomFilterOf(corpus, keyCol, expectedItems, fpp)
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    // scala UDF: sketch membership has no Catalyst surface; per-row cost is
+    // a few hashes over a broadcast bitset, and the predicate composes with
+    // pushed filters on every other column
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    batch.na.drop(Seq(keyCol))
+      .filter(!mightContain(col(keyCol).cast("long")))
+  }
 }

@@ -125,6 +125,24 @@ class PipelineSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("bloomNewRows: no false survivals, new keys pass, string keys refused") {
+    import spark.implicits._
+    val corpus = (1L to 2000L).map(i => (i, i * 7L)).toDF("id", "key")
+    val batch = (1500L to 2500L).map(i => (i, i * 7L)).toDF("id", "key")
+    val kept = Dedup.bloomNewRows(batch, corpus, "key",
+      expectedItems = 5000L, fpp = 1e-6).collect().map(_.getLong(0)).toSet
+    // keys 1500..2000 are in the corpus: none may survive (no false
+    // negatives in a Bloom filter)
+    assert(kept.forall(_ > 2000L), s"corpus key survived: ${kept.filter(_ <= 2000L)}")
+    // at fpp 1e-6 over 500 new keys, essentially all genuinely-new rows pass
+    assert(kept.size >= 498, s"too many new rows dropped: ${501 - kept.size}")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomNewRows(batch.withColumn("key", col("key").cast("string")),
+        corpus, "key", 100L)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("topKJoin / ivfTopKMulti refuse over-limit query sets") {
     import spark.implicits._
     val vecs = (0 until 20).map(i => (i.toLong, Seq(1.0, i.toDouble)))
