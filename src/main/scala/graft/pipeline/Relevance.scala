@@ -64,8 +64,18 @@ object Relevance {
     val toks = clean.select(col(idCol).as("__graft_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    // per-doc length BEFORE pruning (BM25 normalizes by full doc length)
-    val lens = toks.groupBy("__graft_id").agg(count(lit(1)).as("__graft_len"))
+    // per-doc length BEFORE pruning (BM25 normalizes by full doc length) —
+    // as a size() PROJECTION, not an explode+groupBy: counting tokens does
+    // not need to materialize them (a \s+ split of trimmed text yields no
+    // empty interior tokens, so non-empty count = size, with the all-
+    // whitespace case guarded to 0 and zero-token docs excluded like the
+    // aggregate form's empty groups)
+    val trimmed = trim(col(textCol))
+    val lens = clean.select(col(idCol).as("__graft_id"),
+        when(trimmed === "", lit(0L))
+          .otherwise(size(split(trimmed, "\\s+")).cast("long"))
+          .as("__graft_len"))
+      .filter(col("__graft_len") > 0)
     val scalars = clean.agg(count(lit(1)).as("__graft_n"))
       .crossJoin(broadcast(
         lens.agg(avg(col("__graft_len")).as("__graft_avgdl"))))
