@@ -48,13 +48,12 @@ object Scratch {
 
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val ncols = Seq("l_orderkey", "l_partkey", "l_suppkey")
-    time("a_nunique_check_now")(graft.agg.Stats.nuniqueCheck(li, ncols))
-    time("b_percol_pipeline")(ncols.map { c =>
-      li.select(col(c)).distinct()
-        .agg(count(col(c)).as(c),
-          approx_count_distinct(col(c), 0.05).as(s"${c}_a"))
-    }.reduce(_ crossJoin _))
-    time("c_nunique_exact_now")(graft.agg.Stats.nuniqueExact(li, ncols))
+    val strata = Seq("l_returnflag")
+    time("a_strat_expand_now")(graft.agg.Stats.nuniqueExact(li, ncols, strata))
+    time("b_strat_percol")(ncols.map { c =>
+      li.groupBy((strata :+ c).map(col): _*).agg(count(lit(1)).as("__o"))
+        .groupBy(strata.map(col): _*).agg(count(col(c)).as(c))
+    }.reduce(_.join(_, strata)))
     spark.stop()
   }
 }
