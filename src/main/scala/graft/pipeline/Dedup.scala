@@ -462,9 +462,13 @@ object Dedup {
 
   // ---- embedding cosine near-dup -------------------------------------------
 
+  private def asDoubleArray(c: Column): Column = c.cast("array<double>")
+
   /** Squared L2 norm of an array column. */
-  def sqNorm(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+  def sqNorm(a: Column): Column = {
+    val ad = asDoubleArray(a)
+    graft.expr.DotProduct.of(ad, ad)
+  }
 
   /** Exact cosine similarity between two double-array columns, matching
     * DuckDB list_cosine_similarity: dot / sqrt(na*nb). */
@@ -476,15 +480,20 @@ object Dedup {
 
   /** Cosine with PRE-COMPUTED squared norms — use in pairwise joins so the
     * per-vector norms are evaluated once per row, not once per pair.
-    * The dot is a zip_with+aggregate fold: measured fastest of the HOF
-    * variants (an unrolled 64-term element_at expression tree is 2.5×
-    * SLOWER — codegen depth, per-element null checks). Sequential
-    * summation order matches DuckDB list_cosine_similarity bit-for-bit. */
+    * Sequential summation order matches DuckDB list_cosine_similarity
+    * bit-for-bit. */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dotProduct(a, b) / sqrt(na * nb)
 
+  /** Dot product via the native codegen'd [[graft.expr.DotProduct]]
+    * expression — one fused loop in whole-stage codegen. The earlier
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF form evaluated
+    * interpreted lambdas per element and materialized the zipped array
+    * per row (and an unrolled 64-term element_at tree was 2.5× slower
+    * still — codegen depth, per-element null checks). Same fold order and
+    * null semantics, so oracle results are bit-identical. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    graft.expr.DotProduct.of(asDoubleArray(a), asDoubleArray(b))
 
   /** Deterministic pseudo-random hyperplanes (components uniform in
     * [-0.5, 0.5), seeded from (table, bit, index) — no stored model, any
@@ -669,6 +678,7 @@ object Dedup {
     // would silently null-cast
     Similarity.requireIntegralId(batch, keyCol, "bloomNewRows")
     Similarity.requireIntegralId(corpus, keyCol, "bloomNewRows")
+    graft.util.Errors.context("bloomNewRows", Seq(keyCol)) {
     val bloom = bloomFilterOf(corpus, keyCol, expectedItems, fpp)
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
@@ -678,5 +688,5 @@ object Dedup {
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     batch.na.drop(Seq(keyCol))
       .filter(!mightContain(col(keyCol).cast("long")))
-  }
+  } }
 }

@@ -178,6 +178,7 @@ object Sampling {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     require(scale > 0, s"scale must be > 0, got $scale")
     Similarity.requireIntegralId(df, idCol, "temperatureSample")
+    graft.util.Errors.context("temperatureSample", Seq(idCol, groupCol)) {
     val clean = df.na.drop(Seq(idCol, groupCol))
     val counts = clean.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
@@ -193,5 +194,5 @@ object Sampling {
     clean.join(broadcast(probs), clean(groupCol) === col("__g"))
       .filter(hashKey(col(idCol), seed) < col("__q"))
       .drop("__g", "__q")
-  }
+  } }
 }

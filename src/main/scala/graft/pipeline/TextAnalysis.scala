@@ -375,6 +375,7 @@ object TextAnalysis {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
     require(n >= 1, s"ngramNovelty needs n >= 1, got $n")
+    graft.util.Errors.context("ngramNovelty", Seq(idCol, textCol)) {
     val sh = Dedup.shingled(df, idCol, textCol, n)
     val first = sh.groupBy("sh").agg(min("__id").as("__first"))
     sh.join(first, "sh")
@@ -383,7 +384,7 @@ object TextAnalysis {
         sum((col("__id") === col("__first")).cast("long")).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
-  }
+  } }
 
   /** Convenience: append all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {

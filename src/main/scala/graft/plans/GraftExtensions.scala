@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
     ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
     GraftExtensions.columnFunctionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
@@ -98,4 +99,17 @@ object GraftExtensions {
         c => graft.pipeline.TextAnalysis.tokenCount(c).cast("int")),
       oneArg("graft_lang_id", graft.pipeline.TextAnalysis.languageId))
   }
+
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[graft.expr.DotProduct].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: graft_dot(array_col, array_col)")
+      graft.expr.DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.ArrayType(DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.ArrayType(DoubleType)))
+    })
 }

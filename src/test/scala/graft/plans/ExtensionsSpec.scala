@@ -55,6 +55,42 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("cafe0", "cafe1", "cafe2"))
   }
 
+  test("graft_dot matches the HOF fold bit-for-bit and stays in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1.5, -2.0, 3.25), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1))).toDF("a", "b")
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), _ + _)).collect().map(_.getDouble(0))
+    val native = df.select(graft.expr.DotProduct.of(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == hof.toSeq) // identical sequential fp fold
+    // null semantics mirror the HOF form: length mismatch / null element /
+    // null array are all NULL
+    val edge = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (Some(Seq(1.0)), None),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    assert(edge.select(graft.expr.DotProduct.of(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // float arrays pass through Dedup.dotProduct's cast
+    val f = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(f.select(graft.pipeline.Dedup.dotProduct(col("a"), col("b")))
+      .head().getDouble(0) == 11.0)
+    // SQL registration + whole-stage codegen
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head()
+    assert(viaSql.getDouble(0) == 11.0)
+    // a Seq-backed frame folds to LocalTableScan; range keeps the Project
+    val codegen = spark.range(3).select(graft.expr.DotProduct.of(
+      array(col("id").cast("double"), lit(2.0)),
+      array(lit(3.0), col("id").cast("double"))))
+    val plan = codegen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+    assert(codegen.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 5.0, 10.0))
+  }
+
   test("text-analysis tier is callable from SQL") {
     import spark.implicits._
     Seq(("the cat and the dog sat on the mat together", "x"))
