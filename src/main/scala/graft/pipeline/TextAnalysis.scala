@@ -367,23 +367,25 @@ object TextAnalysis {
     * curriculum ordering key). Returns (idCol, n_grams, n_novel, novelty).
     *
     * Scale shape: the shingle stream ([[Dedup.shingled]] — 8-byte hash
-    * keys, per-doc deduped) is aggregated to first-occurrence owners with
-    * a map-side-combined min, then joined back on the gram key (posting-
-    * list shape, no row ever fans out beyond its own gram count) and
-    * folded per document. Two key shuffles + one id shuffle, nothing
-    * driver-side, no windows. */
+    * keys, per-doc deduped) feeds two map-side-combined aggregates —
+    * grams per doc, and min-id per gram folded straight into a novel-gram
+    * count per OWNER doc — joined at document granularity. The posting
+    * stream is never re-shuffled through a gram-keyed join (the naive
+    * sh ⋈ first-occurrence formulation pays a second full-stream
+    * shuffle); everything after the two aggregates is #docs-sized. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
     require(n >= 1, s"ngramNovelty needs n >= 1, got $n")
     graft.util.Errors.context("ngramNovelty", Seq(idCol, textCol)) {
     val sh = Dedup.shingled(df, idCol, textCol, n)
-    val first = sh.groupBy("sh").agg(min("__id").as("__first"))
-    sh.join(first, "sh")
-      .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("__id") === col("__first")).cast("long")).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    val perDoc = sh.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val novelPerOwner = sh.groupBy("sh").agg(min("__id").as("__first"))
+      .groupBy("__first").agg(count(lit(1)).as("n_novel"))
+    val novel = coalesce(col("n_novel"), lit(0L))
+    perDoc.join(novelPerOwner, col("__id") === col("__first"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        novel.as("n_novel"),
+        (novel.cast("double") / col("n_grams").cast("double")).as("novelty"))
   } }
 
   /** Convenience: append all analysis columns. */
