@@ -1029,6 +1029,20 @@ object Queries {
                  WHERE text NOT IN (SELECT text FROM c))::BIGINT AS n_new_exact,
                true AS no_false_survivals, true AS fp_dropped_ok""")),
 
+    // ---- per-group duplication report (dedup-budget prioritization) -------
+    QueryDef("q_dedup_report",
+      (s, d) => graft.pipeline.Dedup.dedupReport(
+          documents(s, d), "text", "source")
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(col("dup_rate"), 6).as("dup_rate"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT text)::BIGINT AS n_distinct,
+             round((count(*) - count(DISTINCT text))::DOUBLE / count(*), 6)
+               AS dup_rate
+             FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+             GROUP BY source ORDER BY source""")),
+
     // ---- exact dedup (duplicates synthesized deterministically) -----------
     QueryDef("q_dedup_exact",
       (s, d) => {
@@ -1885,6 +1899,27 @@ object Queries {
              WHERE token != ''
              GROUP BY token HAVING count(*) >= 5
              ORDER BY count DESC, token LIMIT 100""")),
+
+    // ---- Zipf-law vocabulary fit (corpus health check) --------------------
+    // rank assignment via range-sort + partition offsets (no global
+    // window); oracle replays the fit with DuckDB's regr_* aggregates
+    QueryDef("q_zipf_fit",
+      (s, d) => graft.pipeline.TextAnalysis.zipfFit(
+          documents(s, d), "doc_id", "text", minCount = 2)
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n_types")),
+      Some("""WITH v AS (SELECT token, count(*)::BIGINT AS c
+               FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS token FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token != '' GROUP BY token HAVING count(*) >= 2),
+             r AS (SELECT c,
+               row_number() OVER (ORDER BY c DESC, token) AS rk FROM v)
+             SELECT round(regr_slope(ln(c), ln(rk)), 6) AS slope,
+               round(regr_intercept(ln(c), ln(rk)), 6) AS intercept,
+               round(regr_r2(ln(c), ln(rk)), 6) AS r2,
+               count(*)::BIGINT AS n_types FROM r""")),
 
     // ---- TF-IDF weights (smoothed, scikit convention) ---------------------
     // one explode + two hash aggregates; the df join is vocab-sized and

@@ -647,6 +647,24 @@ object Dedup {
         first(col("__nc")).cast("long").as("chunks_total"))
   }
 
+  /** Per-group duplication report: documents, distinct contents, and the
+    * duplicate share per group (source/language/domain) — the signal that
+    * ranks groups by boilerplate-heaviness and decides where dedup budget
+    * goes first. One partial/final aggregate over (group, content) then a
+    * per-group rollup — distinct contents shuffle once, nothing else. */
+  def dedupReport(df: DataFrame, contentCol: String,
+                  groupCol: String): DataFrame = {
+    df.na.drop(Seq(groupCol, contentCol))
+      .groupBy(col(groupCol), col(contentCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum("__n").as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"))
+  }
+
   // ---- incremental (cross-batch) dedup via Bloom filter --------------------
 
   /** Bloom filter over a key column (id, content hash, fingerprint…) —

@@ -146,6 +146,63 @@ object TextAnalysis {
       .filter(col("count") >= minCount)
       .withColumnRenamed("__graft_token", "token")
 
+  /** Zipf-law diagnostic over the corpus vocabulary: least-squares fit of
+    * ln(count) against ln(rank) (rank = count-descending position, ties
+    * broken by token so the order is total and engine-independent).
+    * Healthy natural-language corpora sit near slope −1; a much flatter
+    * or steeper slope flags template/boilerplate or truncated corpora —
+    * a one-row corpus health check for curation pipelines. Returns
+    * (slope, intercept, r2, n_types).
+    *
+    * Scale shape: vocabulary aggregate (token-keyed, map-side combined),
+    * then the engine's standard range-sort + partition-offset scaffold
+    * assigns ranks WITHOUT a global window, and each partition folds its
+    * regression co-moments locally — #partitions small vectors reach the
+    * driver. */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              minCount: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val vocab = vocabulary(df, idCol, textCol, minCount)
+      .select(col("count").cast("long").as("c"), col("token"))
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = vocab
+      .repartitionByRange(np, col("c").desc, col("token"))
+      .sortWithinPartitions(col("c").desc, col("token"))
+    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((pi, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val partials = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var rk = offsets(pi)
+      var n = 0L; var sx = 0.0; var sy = 0.0
+      var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      it.foreach { r =>
+        rk += 1
+        val x = math.log(rk.toDouble)
+        val y = math.log(r.getLong(0).toDouble)
+        n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+      }
+      Iterator.single((pi, n, sx, sy, sxy, sxx, syy))
+    }.collect().sortBy(_._1)
+    var n = 0L; var sx = 0.0; var sy = 0.0
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    partials.foreach { case (_, pn, px, py, pxy, pxx, pyy) =>
+      n += pn; sx += px; sy += py; sxy += pxy; sxx += pxx; syy += pyy
+    }
+    val nd = n.toDouble
+    val covN = nd * sxy - sx * sy
+    val varXN = nd * sxx - sx * sx
+    val varYN = nd * syy - sy * sy
+    val slope = covN / varXN // NaN when n < 2 or all ranks equal
+    val intercept = (sy - slope * sx) / nd
+    val r2 = covN * covN / (varXN * varYN)
+    import spark.implicits._
+    Seq((slope, intercept, r2, n)).toDF("slope", "intercept", "r2", "n_types")
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, and
     * long digit runs (phone/account numbers) replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace chain — no UDF, no

@@ -178,6 +178,27 @@ class CurationSpec extends SparkSpec {
     y2.toDouble / M.toDouble
   }
 
+  test("zipfFit: exact power law gives slope -1, r2 1; dedupReport rates") {
+    // counts 12/6/4/3 at ranks 1/2/3/4: ln(c) = ln(12) - ln(rank) exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "doc_id", "text").head()
+    assert(math.abs(r.getDouble(0) + 1.0) < 1e-12, s"slope ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - math.log(12.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getLong(3) == 4L)
+
+    val docs = Seq(
+      (1L, "same", "web"), (2L, "same", "web"), (3L, "other", "web"),
+      (4L, "unique", "lab")).toDF("doc_id", "text", "source")
+    val rep = Dedup.dedupReport(docs, "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(rep("web") == ((3L, 2L, 1.0 / 3.0)))
+    assert(rep("lab") == ((1L, 1L, 0.0)))
+  }
+
   test("ngramNovelty: first-occurrence ownership, hand-checked") {
     val docs = Seq(
       (1L, "a b c d"),          // grams: "a b c","b c d" — both first here
