@@ -697,6 +697,11 @@ object Dedup {
     Similarity.requireIntegralId(batch, keyCol, "bloomNewRows")
     Similarity.requireIntegralId(corpus, keyCol, "bloomNewRows")
     graft.util.Errors.context("bloomNewRows", Seq(keyCol)) {
+    // an EMPTY corpus produces a BloomFilter with null bits that NPEs on
+    // first use (Spark stat.bloomFilter degenerate case) — and means every
+    // batch row is new anyway; the limit(1) probe short-circuits
+    if (corpus.na.drop(Seq(keyCol)).limit(1).count() == 0)
+      return batch.na.drop(Seq(keyCol))
     val bloom = bloomFilterOf(corpus, keyCol, expectedItems, fpp)
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)

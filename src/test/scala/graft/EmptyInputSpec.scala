@@ -74,4 +74,39 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.eval.BinaryMetrics.confusionMatrix(
       scored, "score", "label", 0.5).count() == 1)
   }
+
+  test("round-6 additions tolerate empty input") {
+    // corpus diagnostics
+    val z = graft.pipeline.TextAnalysis.zipfFit(emptyDocs, "doc_id", "text").head()
+    assert(z.getLong(3) == 0L && z.getDouble(0).isNaN) // no vocab → NaN fit
+    val docsWithSource = spark.emptyDataset[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.pipeline.Dedup.dedupReport(
+      docsWithSource, "text", "source").count() == 0)
+    assert(graft.pipeline.TextAnalysis.ngramNovelty(
+      emptyDocs, "doc_id", "text", 3).count() == 0)
+    // sampling / sketch contracts
+    assert(graft.pipeline.Sampling.temperatureSample(
+      docsWithSource, "doc_id", "source", alpha = 0.5, scale = 0.1)
+      .count() == 0)
+    assert(graft.agg.Stats.nuniqueCheck(emptyNum, Seq("g", "x"))
+      .head().getLong(0) == 0)
+    val pc = graft.agg.Stats.percentileApproxCheck(
+      emptyNum, Seq("x"), Seq(0.5)).head()
+    assert(pc.isNullAt(0)) // no data → null exact percentile
+    // incremental dedup: empty corpus keeps every batch row; empty batch
+    // stays empty
+    val batch = Seq((1L, 10L), (2L, 20L)).toDF("id", "key")
+    val emptyKeys = spark.emptyDataset[(Long, Long)].toDF("id", "key")
+    assert(graft.pipeline.Dedup.bloomNewRows(
+      batch, emptyKeys, "key", expectedItems = 10L).count() == 2)
+    assert(graft.pipeline.Dedup.bloomNewRows(
+      emptyKeys, batch, "key", expectedItems = 10L).count() == 0)
+    // eval curve accessors
+    val scored = spark.emptyDataset[(Double, Double)].toDF("score", "label")
+    assert(graft.eval.BinaryMetrics.thresholds(
+      scored, "score", "label").count() == 0)
+    assert(graft.eval.BinaryMetrics.fMeasureByThreshold(
+      scored, "score", "label").count() == 0)
+  }
 }
