@@ -1312,11 +1312,34 @@ object Queries {
              ORDER BY id_a, id_b""")),
 
     // ---- LSH-bucketed embedding near-dup (scale path — rows-only) ---------
+    // LSH buckets are hyperplane-specific, but the tier's guarantees are
+    // not: every emitted pair is exact-verified (no false positives = the
+    // LSH output is a SUBSET of the exact all-pairs set, whose size DuckDB
+    // reproduces) — same contract-check pattern as the GK/HLL/bloom rows;
+    // recall itself is measured in RecallSpec against the collision model
     QueryDef("q_embedding_dedup_lsh",
-      (s, d) => graft.pipeline.Dedup.embeddingDedup(embeddings(s, d),
+      (s, d) => {
+        val e = embeddings(s, d)
+        val lsh = graft.pipeline.Dedup.embeddingDedup(e,
           "vec_id", "embedding", dim = 64, threshold = 0.4, bits = 4)
-        .orderBy("id_a", "id_b"),
-      None),
+        val exact = graft.pipeline.Similarity.allPairsCosine(e,
+          "vec_id", "embedding", 0.4)
+          .select(col("id_a").as("__ea"), col("id_b").as("__eb"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(lsh.join(exact,
+              col("id_a") === col("__ea") && col("id_b") === col("__eb"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_pairs"), (col("__fp") === 0)
+            .as("no_false_positives"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+             p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+             SELECT count(*)::BIGINT AS n_exact_pairs,
+               true AS no_false_positives FROM p""")),
 
     // the RECOMMENDED production configuration (tables=4: recall 0.15 → ~0.5
     // at cos >= 0.4 per RecallSpec's collision model) — benched so the cost
@@ -1622,15 +1645,40 @@ object Queries {
     // SQL-expressible, so the driver records the one-row invariant summary
     // (rows-only); PackingSpec pins the invariants (no bin over budget,
     // no doc lost, deterministic reruns, oversize isolation).
+    // bin ASSIGNMENT stays partition-local / engine-specific, but the
+    // summary's conservation laws are not: doc count, token mass and
+    // overfull count are SQL-reproducible VALUES, and the bin bounds
+    // (lower bound on n_bins; max bin = max oversize doc when overfull,
+    // else <= budget) become flags the oracle asserts true — same
+    // contract-check pattern as the GK/HLL rows
     QueryDef("q_pack_greedy",
       (s, d) => {
         val docs = documents(s, d).select(col("doc_id"),
           graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         val packed = graft.pipeline.Packing.packGreedy(docs, "doc_id",
           "n_tokens", budget = 512)
-        graft.pipeline.Packing.packingSummary(packed, 512)
+        val summary = graft.pipeline.Packing.packingSummary(packed, 512)
+        val docStats = docs.agg(
+          max(col("n_tokens").cast("long")).as("__max_doc"),
+          sum(when(col("n_tokens") > 512, col("n_tokens").cast("long"))
+            .otherwise(0L)).as("__oversize_mass"))
+        summary.crossJoin(broadcast(docStats))
+          .select(col("n_docs"), col("total_tokens"), col("n_overfull"),
+            when(col("n_overfull") > 0,
+                col("max_bin_tokens") === col("__max_doc"))
+              .otherwise(col("max_bin_tokens") <= 512L).as("max_bin_ok"),
+            (col("n_bins") >=
+              ceil((col("total_tokens") - col("__oversize_mass"))
+                .cast("double") / 512.0) + col("n_overfull"))
+              .as("bins_lower_ok"))
       },
-      None),
+      Some("""WITH tok AS (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tokens
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+             SELECT count(*)::BIGINT AS n_docs,
+               sum(tokens)::BIGINT AS total_tokens,
+               sum((tokens > 512)::INT)::BIGINT AS n_overfull,
+               true AS max_bin_ok, true AS bins_lower_ok FROM tok""")),
 
     // ---- Gopher-style repetition quality signals ---------------------------
     // The synthetic corpus has no newlines and no repeated >=5-grams, so the
@@ -2215,16 +2263,29 @@ object Queries {
              FROM ranked WHERE rn = 1
              GROUP BY doc_id ORDER BY doc_id""")),
 
-    // ---- document fingerprinting (engine hash — rows-only) ----------------
+    // ---- document fingerprinting ------------------------------------------
+    // the hash VALUES are engine-specific, but the fingerprint function's
+    // contract is not: deterministic (one fp per distinct text) and
+    // collision-free on this corpus (#fp == #texts) — emitted as exact
+    // counts + a functional-dependence flag the oracle asserts true
     QueryDef("q_fingerprint",
       (s, d) => {
         import graft.pipeline.TextAnalysis._
-        documents(s, d)
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-          .groupBy().agg(countDistinct(col("fp")).as("n_distinct_fp"),
-            count(lit(1)).as("n_docs"))
+        documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_distinct_text"),
+            countDistinct(col("fp")).as("__n_fp"),
+            countDistinct(col("text"), col("fp")).as("__n_pairs"))
+          .select(col("n_docs"), col("n_distinct_text"),
+            (col("__n_fp") === col("n_distinct_text") &&
+              col("__n_pairs") === col("n_distinct_text"))
+              .as("fp_bijective_ok"))
       },
-      None),
+      Some("""SELECT count(*)::BIGINT AS n_docs,
+             count(DISTINCT text)::BIGINT AS n_distinct_text,
+             true AS fp_bijective_ok
+             FROM documents WHERE text IS NOT NULL""")),
 
     // ---- events: windowed aggregation (batch mirror of streaming path) ----
     QueryDef("q_events_windowed",
