@@ -1389,17 +1389,35 @@ object Queries {
              FROM a1 GROUP BY cid ORDER BY cid""")),
 
     // ---- SemDeDup: semantic near-dup pairs within k-means clusters --------
-    // rows-only: cluster boundaries depend on iterated fp centroids — the
-    // within-cluster pairs are exact; RecallSpec measures coverage against
-    // the exact all-pairs baseline (q_embedding_pairs). probes=2 is the
-    // multi-probe recall tier (0.30 → 0.80 measured at sf0.001)
+    // cluster boundaries depend on iterated fp centroids, but the tier's
+    // guarantee does not: within-cluster comparison is EXACT cosine, so
+    // the emitted pairs are a subset of the exact all-pairs set — the
+    // same contract-check pattern as q_embedding_dedup_lsh; recall is
+    // RecallSpec-measured (0.30 → 0.80 at probes=2)
     QueryDef("q_semdedup",
-      (s, d) => graft.pipeline.Clustering.semDedup(
-          embeddings(s, d), "vec_id", "embedding", k = 8,
+      (s, d) => {
+        val e = embeddings(s, d)
+        val sd = graft.pipeline.Clustering.semDedup(
+          e, "vec_id", "embedding", k = 8,
           threshold = 0.45, iters = 2, probes = 2)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b"),
-      None),
+        val exact = graft.pipeline.Similarity.allPairsCosine(e,
+          "vec_id", "embedding", 0.45)
+          .select(col("id_a").as("__ea"), col("id_b").as("__eb"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(sd.join(exact,
+              col("id_a") === col("__ea") && col("id_b") === col("__eb"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_pairs"),
+            (col("__fp") === 0).as("no_false_positives"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+             p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+             SELECT count(*)::BIGINT AS n_exact_pairs,
+               true AS no_false_positives FROM p""")),
 
     // ---- per-group embedding mean-pool (chunk→doc rollup) -----------------
     // typed streaming per-group sum (one shuffle, array-of-state per
@@ -1812,13 +1830,17 @@ object Queries {
              FROM documents d CROSS JOIN generate_series(0, 31) AS t(p)
              GROUP BY 1, 2, 3, 4 ORDER BY doc_id, bucket""")),
 
-    // frame-sampling / resize plumbing retained as a rows-only query (the
-    // stub feature path — audio/video codecs aren't in this container)
+    // frame-sampling / resize plumbing: the stub feature VALUES are a
+    // byte-fold hash (engine-specific; the real-codec feature math is
+    // hash-checked in q_multimodal), but the frame-explode arithmetic,
+    // media counts, resize metadata and feature presence ARE
+    // SQL-reproducible — oracle-checked like the other contract rows
     QueryDef("q_multimodal_frames",
       (s, d) => {
         import graft.pipeline.Multimodal._
         val media = asMediaFrame(
-          documents(s, d).withColumn("payload", encode(col("text"), "utf-8")),
+          documents(s, d).filter(col("text").isNotNull)
+            .withColumn("payload", encode(col("text"), "utf-8")),
           "doc_id", "payload", "txt")
         val feats = extractFeatures(resize(media, 32, 32), dim = 8)
         sampleFrames(feats.withColumn("meta", struct(
@@ -1827,10 +1849,13 @@ object Queries {
             everyNth = 2)
           .agg(count(lit(1)).as("n_frame_rows"),
             countDistinct(col("media_id")).as("n_media"),
-            round(avg(element_at(col("features"), 1)), 6).as("mean_f0"),
-            max(col("meta.width")).as("width"))
+            max(col("meta.width")).as("width"),
+            (count(lit(1)) === sum((size(col("features")) === 8).cast("long")))
+              .as("features_ok"))
       },
-      None),
+      Some("""SELECT (3 * count(*))::BIGINT AS n_frame_rows,
+             count(*)::BIGINT AS n_media, 32 AS width, true AS features_ok
+             FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""")),
 
     // ---- language ID (marker-word heuristic) ------------------------------
     QueryDef("q_lang_id",
