@@ -1029,6 +1029,41 @@ object Queries {
                  WHERE text NOT IN (SELECT text FROM c))::BIGINT AS n_new_exact,
                true AS no_false_survivals, true AS fp_dropped_ok""")),
 
+    // ---- cross-source n-gram overlap matrix -------------------------------
+    // which sources re-host each other's content; oracle rebuilds the
+    // per-source distinct gram sets and the pair join in SQL (same
+    // shingle CASE as the jaccard oracles). Top-20 by jaccard keeps the
+    // result stable and presentation-sized.
+    QueryDef("q_source_overlap",
+      (s, d) => graft.pipeline.Dedup.groupOverlap(
+          documents(s, d), "source", "text", n = 3)
+        .select(col("group_a"), col("group_b"), col("n_common"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(desc("jaccard"), col("group_a"), col("group_b"))
+        .limit(20),
+      Some("""WITH tok AS (SELECT source,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+               WHERE source IS NOT NULL AND text IS NOT NULL),
+             sh AS (SELECT DISTINCT source, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT source, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.source AS group_a, b.source AS group_b,
+               count(*)::BIGINT AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+               GROUP BY 1, 2)
+             SELECT group_a, group_b, n_common,
+               round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6)
+                 AS jaccard,
+               round(n_common::DOUBLE / least(sa.sz, sb.sz), 6)
+                 AS containment
+             FROM com JOIN sz sa ON sa.source = group_a
+               JOIN sz sb ON sb.source = group_b
+             ORDER BY jaccard DESC, group_a, group_b LIMIT 20""")),
+
     // ---- per-group duplication report (dedup-budget prioritization) -------
     QueryDef("q_dedup_report",
       (s, d) => graft.pipeline.Dedup.dedupReport(

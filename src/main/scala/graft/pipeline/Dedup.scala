@@ -647,6 +647,46 @@ object Dedup {
         first(col("__nc")).cast("long").as("chunks_total"))
   }
 
+  /** Cross-group n-gram overlap matrix: for every pair of groups
+    * (sources/domains/language slices), the size of the shared distinct
+    * n-gram set plus Jaccard and containment — which sources are
+    * re-hosting each other's content, and which small source is entirely
+    * contained in a big one (the cross-SOURCE companion of the per-pair
+    * document dedup tier). Returns (group_a, group_b, n_common, jaccard,
+    * containment) with group_a < group_b.
+    *
+    * Scale shape: one typed shingle pass keyed by GROUP (grams deduped per
+    * group — the stream is vocab-of-(group, gram)-sized, not corpus-
+    * sized), a self-join on the 8-byte gram key where each gram carries at
+    * most #groups rows, and a broadcast of the #groups-row size frame. */
+  def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"groupOverlap needs n >= 1, got $n")
+    graft.util.Errors.context("groupOverlap", Seq(groupCol, textCol)) {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df.na.drop(Seq(groupCol, textCol))
+      .select(col(groupCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .flatMap { case (g, t) => shinglesOf(t, n).map(s => (g, hash64(s))) }
+      .toDF("__g", "sh").distinct()
+    val sizes = grams.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+    val common = grams.join(grams.toDF("__g2", "sh"), "sh")
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("group_a"), col("__g2").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.toDF("group_a", "__sza")), "group_a")
+      .join(broadcast(sizes.toDF("group_b", "__szb")), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__sza") + col("__szb") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") /
+          least(col("__sza"), col("__szb")).cast("double"))
+          .as("containment"))
+  } }
+
   /** Per-group duplication report: documents, distinct contents, and the
     * duplicate share per group (source/language/domain) — the signal that
     * ranks groups by boilerplate-heaviness and decides where dedup budget

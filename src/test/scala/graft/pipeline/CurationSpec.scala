@@ -199,6 +199,23 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("groupOverlap: pair gram-set algebra, hand-checked") {
+    val docs = Seq(
+      ("web", "a b c d"),     // grams: {abc, bcd}
+      ("web", "a b c e"),     // + {abc, bce} → web = {abc, bcd, bce}
+      ("lab", "a b c d"),     // lab = {abc, bcd}
+      ("enc", "x y z w")      // enc = {xyz, yzw} — disjoint
+    ).toDF("source", "text")
+    val got = Dedup.groupOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // lab ∩ web = {abc, bcd}: jaccard 2/3, containment 2/2
+    assert(got(("lab", "web")) == ((2L, 2.0 / 3.0, 1.0)))
+    // disjoint pairs emit no row (inner join on shared grams)
+    assert(!got.contains(("enc", "web")) && !got.contains(("enc", "lab")))
+    assert(got.size == 1)
+  }
+
   test("ngramNovelty: first-occurrence ownership, hand-checked") {
     val docs = Seq(
       (1L, "a b c d"),          // grams: "a b c","b c d" — both first here
