@@ -741,15 +741,17 @@ object Dedup {
     // first use (Spark stat.bloomFilter degenerate case) — and means every
     // batch row is new anyway; the limit(1) probe short-circuits
     if (corpus.na.drop(Seq(keyCol)).limit(1).count() == 0)
-      return batch.na.drop(Seq(keyCol))
-    val bloom = bloomFilterOf(corpus, keyCol, expectedItems, fpp)
-    val spark = batch.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    // scala UDF: sketch membership has no Catalyst surface; per-row cost is
-    // a few hashes over a broadcast bitset, and the predicate composes with
-    // pushed filters on every other column
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    batch.na.drop(Seq(keyCol))
-      .filter(!mightContain(col(keyCol).cast("long")))
+      batch.na.drop(Seq(keyCol))
+    else {
+      val bloom = bloomFilterOf(corpus, keyCol, expectedItems, fpp)
+      val spark = batch.sparkSession
+      val bc = spark.sparkContext.broadcast(bloom)
+      // scala UDF: sketch membership has no Catalyst surface; per-row cost
+      // is a few hashes over a broadcast bitset, and the predicate composes
+      // with pushed filters on every other column
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      batch.na.drop(Seq(keyCol))
+        .filter(!mightContain(col(keyCol).cast("long")))
+    }
   } }
 }
