@@ -989,6 +989,41 @@ object Queries {
     // Extension tier: training-data pipeline operators
     // ======================================================================
 
+    // ---- incremental NEAR-dup screen (semantic companion of the bloom) ----
+    // cross-side LSH candidates are exact-verified, so the match set is a
+    // subset of the exact batch×corpus pair set, whose size DuckDB
+    // reproduces — same contract pattern as q_embedding_dedup_lsh
+    QueryDef("q_near_new",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val batchE = e.filter(col("vec_id") % 5 === 0)
+        val corpusE = e.filter(col("vec_id") % 5 =!= 0)
+        val hits = graft.pipeline.Dedup.embeddingDedupAgainst(
+          batchE, corpusE, "vec_id", "embedding", dim = 64,
+          threshold = 0.4, bits = 4, tables = 4)
+        val exact = batchE.select(col("vec_id").as("__b"),
+            transform(col("embedding"), _.cast("double")).as("__bv"))
+          .crossJoin(corpusE.select(col("vec_id").as("__c"),
+            transform(col("embedding"), _.cast("double")).as("__cv")))
+          .filter(graft.pipeline.Dedup.cosine(col("__bv"), col("__cv")) >= 0.4)
+          .select(col("__b"), col("__c"))
+        exact.agg(count(lit(1)).as("n_exact_matches"))
+          .crossJoin(hits.join(exact,
+              col("batch_id") === col("__b") && col("corpus_id") === col("__c"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_matches"),
+            (col("__fp") === 0).as("no_false_positives"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+             p AS (SELECT b.vec_id AS ib, c.vec_id AS ic
+               FROM e b JOIN e c
+               ON b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+               WHERE list_cosine_similarity(b.v, c.v) >= 0.4)
+             SELECT count(*)::BIGINT AS n_exact_matches,
+               true AS no_false_positives FROM p""")),
+
     // ---- incremental dedup: Bloom-screen a new batch against a corpus -----
     // the bloom bits are engine-specific, but the CONTRACT is not: no
     // false survivals (guaranteed), wrongly-dropped new rows within the

@@ -591,6 +591,95 @@ object Dedup {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  /** Incremental NEAR-dup screen: batch vectors within `threshold` cosine
+    * of ANY standing-corpus vector, caught through the same deterministic
+    * hyperplane LSH tables as [[embeddingDedup]] (the planes are seeded,
+    * so both sides bucket identically with no stored model). Returns
+    * (batch_id, corpus_id, cos) candidate matches — exact-verified, so no
+    * false positives; recall follows the same multi-table S-curve as
+    * embeddingDedup (RecallSpec). The semantic companion of
+    * [[bloomNewRows]]: bloom kills exact re-crawls, this kills
+    * near-paraphrases of the standing corpus.
+    *
+    * Scale shape: one typed bucket-assignment pass per side, ONE shuffle
+    * on the bucket key, per-bucket batch×corpus verify loops (never
+    * batch×batch or corpus×corpus — cross-side only, so a huge standing
+    * corpus adds linear bucket mass, not quadratic pair work). */
+  def embeddingDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            threshold: Double = 0.95, bits: Int = 8,
+                            maxBucket: Int = 1 << 20,
+                            tables: Int = 1): DataFrame = {
+    Similarity.requireIntegralId(batch, idCol, "embeddingDedupAgainst")
+    Similarity.requireIntegralId(corpus, idCol, "embeddingDedupAgainst")
+    val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, tables - 1).toLong)
+    require(bits + tableBits <= 63,
+      s"table index + signature must fit a long key (bits=$bits tables=$tables)")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(tables)(t => hyperplanes(bits, dim, t)))
+    def assign(df: DataFrame, isBatch: Boolean) = df
+      .na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val tabs = planes.value
+        it.flatMap { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          tabs.iterator.zipWithIndex.map { case (ps, t) =>
+            var bucket = 0L
+            var b = 0
+            while (b < ps.length) {
+              val p = ps(b)
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j) * p(j); j += 1 }
+              if (dot > 0) bucket |= (1L << b)
+              b += 1
+            }
+            ((t.toLong << bits) | bucket, isBatch, id, v, n2)
+          }
+        }
+      }
+    val pairs = assign(batch, isBatch = true)
+      .union(assign(corpus, isBatch = false))
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
+        val rows = it.take(limit).toArray
+        if (rows.length > maxBucket) Iterator.empty
+        else {
+          val (bs, cs) = rows.partition(_._2)
+          val out = Array.newBuilder[(Long, Long, Double)]
+          bs.sortBy(_._3).foreach { case (_, _, bid, bv, bn) =>
+            cs.foreach { case (_, _, cid, cv, cn) =>
+              var dot = 0.0
+              var k = 0
+              while (k < bv.length) { dot += bv(k) * cv(k); k += 1 }
+              val cos = dot / math.sqrt(bn * cn)
+              if (cos >= threshold) out += ((bid, cid, cos))
+            }
+          }
+          out.result().iterator
+        }
+      }.toDF("batch_id", "corpus_id", "cos")
+    if (tables == 1) pairs else pairs.distinct()
+  }
+
+  /** Batch rows with NO near-dup in the standing corpus — the incremental
+    * ingestion filter built on [[embeddingDedupAgainst]]. */
+  def nearNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, threshold: Double = 0.95,
+                  bits: Int = 8, tables: Int = 1): DataFrame = {
+    val flagged = embeddingDedupAgainst(batch, corpus, idCol, vecCol, dim,
+        threshold, bits, tables = tables)
+      .select(col("batch_id").as("__dup_id")).distinct()
+    batch.join(flagged, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   // ---- chunk-level exact dedup ---------------------------------------------
 
   /** Chunk-level exact dedup (sequence-level dedup in the style of Lee et

@@ -172,27 +172,41 @@ object Sampling {
     * whole plan stays lazy, no driver action — and a broadcast join of the
     * per-group keep probability back onto the corpus: no corpus shuffle.
     * Rows with null id/group are dropped (no stable membership). */
-  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
-                        alpha: Double, scale: Double,
-                        seed: Long = 0L): DataFrame = {
+  /** [[temperatureSample]] with the group shares taken from a STATIC
+    * `profile` frame instead of `df` itself — the streaming/incremental
+    * form: a stream can't be re-aggregated per micro-batch for its own
+    * shares, and an incremental pipeline wants each batch sampled against
+    * the STANDING corpus mix, not its own. `df` may be a streaming frame
+    * (the probs join is stream-static broadcast, the hash filter is
+    * stateless); groups absent from the profile are DROPPED (no share →
+    * no stable keep probability). */
+  def temperatureSampleWith(df: DataFrame, profile: DataFrame,
+                            idCol: String, groupCol: String,
+                            alpha: Double, scale: Double,
+                            seed: Long = 0L): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     require(scale > 0, s"scale must be > 0, got $scale")
-    Similarity.requireIntegralId(df, idCol, "temperatureSample")
-    graft.util.Errors.context("temperatureSample", Seq(idCol, groupCol)) {
-    val clean = df.na.drop(Seq(idCol, groupCol))
-    val counts = clean.groupBy(col(groupCol).as("__g"))
+    Similarity.requireIntegralId(df, idCol, "temperatureSampleWith")
+    graft.util.Errors.context("temperatureSampleWith", Seq(idCol, groupCol)) {
+    val counts = profile.na.drop(Seq(groupCol))
+      .groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
-    // toDF re-aliases the self-referenced side: counts appears both as the
-    // per-group frame and inside its own total, and the shared attribute
-    // ids would otherwise be ambiguous after the crossJoin
     val probs = counts.toDF("__g", "__ng")
       .crossJoin(broadcast(counts.agg(sum(col("__n")).as("__N"))))
       .select(col("__g"),
         least(lit(1.0), lit(scale) *
           pow(col("__ng").cast("double") / col("__N").cast("double"),
             lit(alpha - 1.0))).as("__q"))
+    val clean = df.na.drop(Seq(idCol, groupCol))
     clean.join(broadcast(probs), clean(groupCol) === col("__g"))
       .filter(hashKey(col(idCol), seed) < col("__q"))
       .drop("__g", "__q")
   } }
+
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, scale: Double,
+                        seed: Long = 0L): DataFrame =
+    // self-profiled form: shares come from the same (cleaned) frame
+    temperatureSampleWith(df, df.na.drop(Seq(idCol, groupCol)),
+      idCol, groupCol, alpha, scale, seed)
 }

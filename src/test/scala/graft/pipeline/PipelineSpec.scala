@@ -125,6 +125,30 @@ class PipelineSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("embeddingDedupAgainst / nearNewRows: cross-side near-dups only") {
+    import spark.implicits._
+    // corpus directions: e0 and e1; batch: dup of e0, near-e1, orthogonal
+    def v(xs: Double*): Seq[Double] = xs.toSeq
+    val corpus = Seq(
+      (100L, v(1.0, 0.0, 0.0, 0.0)), (101L, v(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, v(1.0, 0.0, 0.0, 0.0)),    // exact dup of corpus 100
+      (2L, v(0.05, 1.0, 0.0, 0.0)),   // near corpus 101
+      (3L, v(0.0, 0.0, 1.0, 0.0)),    // orthogonal to everything
+      (4L, v(0.0, 0.0, 1.0, 0.0)))    // batch-internal dup of 3: NOT flagged
+      .toDF("vec_id", "embedding")
+    val hits = Dedup.embeddingDedupAgainst(batch, corpus, "vec_id",
+      "embedding", dim = 4, threshold = 0.9, bits = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L), (2L, 101L)), s"got $hits")
+    val kept = Dedup.nearNewRows(batch, corpus, "vec_id", "embedding",
+      dim = 4, threshold = 0.9, bits = 2, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    // batch-internal dups are a job for embeddingDedup, not the screen
+    assert(kept == Set(3L, 4L))
+  }
+
   test("bloomNewRows: no false survivals, new keys pass, string keys refused") {
     import spark.implicits._
     val corpus = (1L to 2000L).map(i => (i, i * 7L)).toDF("id", "key")

@@ -305,33 +305,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("temperatureSample composes with a stream (stream-static broadcast join)") {
+  test("temperatureSampleWith streams against a static profile, row-parity with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // group shares come from a STATIC profile frame (a stream can't be
-    // re-aggregated per row); the per-row decision is the deterministic
-    // hash, so stream and batch agree row-for-row
+    // shares come from the STATIC profile; the per-row decision is the
+    // deterministic hash, so stream and batch agree row-for-row
     val profile = ((1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
     val input = MemoryStream[(Long, String)]
-    val sampled = graft.pipeline.Sampling.temperatureSample(
-      input.toDF().toDF("doc_id", "source"), "doc_id", "source",
+    val sampled = graft.pipeline.Sampling.temperatureSampleWith(
+      input.toDF().toDF("doc_id", "source"), profile, "doc_id", "source",
       alpha = 0.5, scale = 0.1, seed = 3)
-    // temperatureSample aggregates its input for shares — not streamable.
-    // The STREAMING composition: compute probs on the static profile, then
-    // apply the same hash filter to the stream.
-    val batchKept = graft.pipeline.Sampling.temperatureSample(
-      profile, "doc_id", "source", alpha = 0.5, scale = 0.1, seed = 3)
-      .collect().map(_.getLong(0)).toSet
-    assert(batchKept.nonEmpty)
-    // sanity only: the streaming variant of the aggregate path is expected
-    // to be rejected by Spark (streaming groupBy without output-mode
-    // complete inside a filter pipeline) — pin that the batch path stays
-    // the supported contract
-    intercept[Exception] {
-      val qq = sampled.writeStream.format("memory")
-        .queryName("ts_reject").outputMode("append").start()
-      try qq.processAllAvailable() finally qq.stop()
-    }
+    val q = sampled.writeStream.format("memory")
+      .queryName("ts_stream").outputMode("append").start()
+    try {
+      val batchRows = (1L to 1000L)
+        .map(i => (i, if (i <= 900) "big" else "small"))
+      input.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM ts_stream")
+        .collect().map(_.getLong(0)).toSet
+      val batchKept = graft.pipeline.Sampling.temperatureSample(
+        batchRows.toDF("doc_id", "source"), "doc_id", "source",
+        alpha = 0.5, scale = 0.1, seed = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept && streamed.nonEmpty)
+      // self-aggregation on a stream is still (correctly) rejected
+      intercept[Exception] {
+        val bad = graft.pipeline.Sampling.temperatureSample(
+          input.toDF().toDF("doc_id", "source"), "doc_id", "source",
+          alpha = 0.5, scale = 0.1, seed = 3)
+        val qq = bad.writeStream.format("memory")
+          .queryName("ts_reject").outputMode("append").start()
+        try qq.processAllAvailable() finally qq.stop()
+      }
+    } finally q.stop()
   }
 }
