@@ -1566,6 +1566,34 @@ object Queries {
       },
       None),
 
+    // full-probe IVF (nProbe = nCells): probing every cell scans the whole
+    // corpus, so the two-stage machinery (quantizer assignment, cell
+    // inversion, per-query heaps, rank window) must reproduce brute force
+    // EXACTLY — hash-checked against the same SQL oracle as
+    // q_sim_topk_multi. The approximate tiers (nProbe < nCells) stay
+    // RecallSpec-measured.
+    QueryDef("q_sim_ivf_full",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val queries = e.filter(col("vec_id") < 5)
+        val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(
+          e, "vec_id", "embedding", nCells = 8)
+        graft.pipeline.Similarity.ivfTopKMulti(assigned, centers, "vec_id",
+          queries, "embedding", k = 5, nProbe = 8)
+          .select(col("query_id"), col("rn"), col("corpus_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             scored AS (SELECT query_id, e.vec_id AS corpus_id,
+               list_cosine_similarity(e.v, qv) AS cos
+               FROM e, q WHERE e.vec_id != query_id),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rn FROM scored)
+             SELECT query_id, rn, corpus_id, round(cos, 6) AS cos
+             FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
+
     // ---- IVF two-stage ANN (approximate — rows-only) ----------------------
     QueryDef("q_sim_ivf",
       (s, d) => {
