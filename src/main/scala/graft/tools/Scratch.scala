@@ -46,14 +46,65 @@ object Scratch {
       println(f"$name%-28s benchmin=${pair.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val ncols = Seq("l_orderkey", "l_partkey", "l_suppkey")
-    val strata = Seq("l_returnflag")
-    time("a_strat_expand_now")(graft.agg.Stats.nuniqueExact(li, ncols, strata))
-    time("b_strat_percol")(ncols.map { c =>
-      li.groupBy((strata :+ c).map(col): _*).agg(count(lit(1)).as("__o"))
-        .groupBy(strata.map(col): _*).agg(count(col(c)).as(c))
-    }.reduce(_.join(_, strata)))
+    def timeU(name: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    import spark.implicits._
+    def typedDocs = docsDf.na.drop(Seq("doc_id", "text"))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    def h64(t: String): Long = {
+      val hi = scala.util.hashing.MurmurHash3.stringHash(t, 41)
+      val lo = scala.util.hashing.MurmurHash3.stringHash(t, 97)
+      (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+    }
+    // current shape: build shingle strings, murmur-hash each
+    timeU("a_shingled_strings")(typedDocs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val out = if (toks.length < 3) Array(toks.mkString(" "))
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + 3 <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          sb.append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+          seen += sb.toString
+          i += 1
+        }
+        seen.toArray
+      }
+      out.map(sh => (id, h64(sh)))
+    }.toDF("i", "s").rdd.foreach(_ => ()))
+    // candidate: hash tokens once, combine polynomially, dedup longs
+    timeU("b_token_hash_combine")(typedDocs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { th(i) = h64(toks(i)); i += 1 }
+      val n = 3
+      if (toks.length < n) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < th.length) { h = h * 1000003L + th(j); j += 1 }
+        Iterator.single((id, h))
+      } else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = Array.newBuilder[(Long, Long)]
+        var s = 0
+        while (s + n <= toks.length) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < n) { h = h * 1000003L + th(s + j); j += 1 }
+          if (seen.add(h)) out += ((id, h))
+          s += 1
+        }
+        out.result().iterator
+      }
+    }.toDF("i", "s").rdd.foreach(_ => ()))
     spark.stop()
   }
 }

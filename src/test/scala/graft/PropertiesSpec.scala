@@ -196,6 +196,69 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: ngramNovelty conserves the distinct-gram universe") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(12).mkString(" "))
+    samples(Gen.nonEmptyListOf(docGen).map(_.take(8)), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nov = graft.pipeline.TextAnalysis.ngramNovelty(df, "doc_id", "text", 2)
+        .collect()
+      // every novelty in [0, 1]; novel grams across docs partition the
+      // corpus-wide distinct gram set exactly (each gram has ONE owner)
+      nov.foreach { r =>
+        val v = r.getDouble(3)
+        assert(v >= 0.0 && v <= 1.0 + 1e-12, s"novelty $v out of range")
+        assert(r.getLong(2) <= r.getLong(1))
+      }
+      val totalNovel = nov.map(_.getLong(2)).sum
+      val universe = texts.flatMap { t =>
+        val toks = t.trim.split("\\s+").toSeq
+        if (toks.length < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      }.distinct.size
+      assert(totalNovel == universe.toLong,
+        s"novel-gram owners ($totalNovel) != distinct grams ($universe)")
+    }
+  }
+
+  test("property: temperatureSample membership, monotonicity, alpha=1 degeneracy") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "rare" else "base"))
+      .toDF("doc_id", "source")
+    def kept(alpha: Double, scale: Double) =
+      graft.pipeline.Sampling.temperatureSample(df, "doc_id", "source",
+        alpha, scale, seed = 5).collect().map(_.getLong(0)).toSet
+    val base = kept(0.5, 0.1)
+    // membership is a subset of input ids and grows with scale
+    assert(base.subsetOf((1L to 400L).toSet))
+    assert(base.subsetOf(kept(0.5, 0.3)), "raising scale must only add rows")
+    // alpha = 1: group-independent — exactly hashSample at fraction=scale
+    val uni = kept(1.0, 0.2)
+    val hs = graft.pipeline.Sampling.hashSample(df, "doc_id", 0.2, seed = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(uni == hs, "alpha=1 must degenerate to plain hash sampling")
+  }
+
+  test("property: groupOverlap bounds (jaccard <= containment <= 1, symmetric universe)") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("p", "q", "r", "s")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(8).mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), docGen)).map(_.take(10))
+    samples(corpusGen, 5).foreach { rows =>
+      val df = rows.toDF("source", "text")
+      graft.pipeline.Dedup.groupOverlap(df, "source", "text", n = 2)
+        .collect().foreach { r =>
+          val (j, c) = (r.getDouble(3), r.getDouble(4))
+          assert(r.getString(0) < r.getString(1), "pair not ordered")
+          assert(j > 0 && j <= c + 1e-12 && c <= 1.0 + 1e-12,
+            s"bounds violated: jaccard $j containment $c")
+        }
+    }
+  }
+
   test("property: mutual information is symmetric and non-negative") {
     import spark.implicits._
     val pairGen = Gen.nonEmptyListOf(
