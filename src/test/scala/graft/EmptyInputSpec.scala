@@ -108,5 +108,24 @@ class EmptyInputSpec extends SparkSpec {
       scored, "score", "label").count() == 0)
     assert(graft.eval.BinaryMetrics.fMeasureByThreshold(
       scored, "score", "label").count() == 0)
+    // cross-source overlap on empty input
+    assert(graft.pipeline.Dedup.groupOverlap(
+      docsWithSource, "source", "text").count() == 0)
+    // incremental semantic screen: empty corpus flags nothing, keeps all
+    val b = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val emptyV = spark.emptyDataset[(Long, Seq[Double])]
+      .toDF("vec_id", "embedding")
+    assert(graft.pipeline.Dedup.embeddingDedupAgainst(
+      b, emptyV, "vec_id", "embedding", dim = 2).count() == 0)
+    assert(graft.pipeline.Dedup.nearNewRows(
+      b, emptyV, "vec_id", "embedding", dim = 2).count() == 2)
+    assert(graft.pipeline.Dedup.nearNewRows(
+      emptyV, b, "vec_id", "embedding", dim = 2).count() == 0)
+    // profile-driven sampler: empty profile -> no share -> all dropped
+    val stream = Seq((1L, "web")).toDF("doc_id", "source")
+    assert(graft.pipeline.Sampling.temperatureSampleWith(
+      stream, docsWithSource, "doc_id", "source",
+      alpha = 0.5, scale = 0.5).count() == 0)
   }
 }
