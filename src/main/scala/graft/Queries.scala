@@ -2386,6 +2386,37 @@ object Queries {
              FROM ranked WHERE rn = 1
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- line-level dedup (C4/RefinedWeb boilerplate-line removal) --------
+    // the corpus has no newlines, so the query synthesizes them like
+    // q_repetition (' a ' -> chr(10)) on BOTH sides; every distinct line
+    // survives only at its first corpus-wide (id, position) occurrence
+    QueryDef("q_line_dedup",
+      (s, d) => {
+        val prepared = documents(s, d)
+          .withColumn("text", expr("replace(text, ' a ', chr(10))"))
+        graft.pipeline.Dedup.lineDedup(prepared, "doc_id", "text")
+          .select(col("doc_id"), sha2(col("text_dedup"), 256).as("text_sha"),
+            col("lines_kept"), col("lines_total"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             l AS (SELECT doc_id, line_idx, line FROM (
+                 SELECT doc_id, unnest(ls) AS line,
+                   unnest(generate_series(0, len(ls) - 1)) AS line_idx
+                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM d2))
+               WHERE trim(line) != ''),
+             cnt AS (SELECT doc_id, count(*)::BIGINT AS lines_total
+               FROM l GROUP BY doc_id),
+             ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY line ORDER BY doc_id, line_idx) AS rn FROM l)
+             SELECT r.doc_id,
+               sha256(string_agg(line, chr(10) ORDER BY line_idx)) AS text_sha,
+               count(*)::BIGINT AS lines_kept, min(cnt.lines_total) AS lines_total
+             FROM ranked r JOIN cnt ON cnt.doc_id = r.doc_id
+             WHERE rn = 1 GROUP BY r.doc_id ORDER BY r.doc_id""")),
+
     // ---- document fingerprinting ------------------------------------------
     // the hash VALUES are engine-specific, but the fingerprint function's
     // contract is not: deterministic (one fp per distinct text) and

@@ -736,6 +736,43 @@ object Dedup {
         first(col("__nc")).cast("long").as("chunks_total"))
   }
 
+  /** Corpus-wide LINE-level dedup (the C4/RefinedWeb boilerplate-line
+    * step): split each document on newlines, keep only the corpus-wide
+    * FIRST occurrence of each distinct non-blank line (ordered by
+    * (id, line position)), and reassemble documents from their surviving
+    * lines. The natural-boundary sibling of [[chunkDedup]]: same
+    * first-occurrence window over an exploded unit stream, with lines —
+    * nav bars, cookie banners, repeated headers — as the unit.
+    *
+    * Output: (id, text_dedup, lines_kept, lines_total); documents whose
+    * every line occurred earlier vanish entirely. Blank/whitespace lines
+    * are dropped (they carry no content and would all collapse onto one
+    * global "first blank"). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+      .filter(trim(col("line")) =!= "")
+    val counts = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nl"))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col(idCol), col("line_idx"))
+    lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s.getField("line"))).as("text_dedup"),
+        count(lit(1)).as("lines_kept"))
+      .join(counts, idCol)
+      .withColumnRenamed("__nl", "lines_total")
+  }
+
   /** Cross-group n-gram overlap matrix: for every pair of groups
     * (sources/domains/language slices), the size of the shared distinct
     * n-gram set plus Jaccard and containment — which sources are

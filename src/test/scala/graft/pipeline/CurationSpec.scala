@@ -178,6 +178,20 @@ class CurationSpec extends SparkSpec {
     y2.toDouble / M.toDouble
   }
 
+  test("lineDedup: first-occurrence lines survive, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "keep me\nshared banner\nalso mine"),
+      (2L, "shared banner\nunique two\n  \nmore two"), // blank line dropped
+      (3L, "shared banner")                            // fully duplicated
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("keep me\nshared banner\nalso mine", 3L, 3L)))
+    assert(got(2L) == (("unique two\nmore two", 2L, 3L)))
+    assert(!got.contains(3L), "fully-duplicated doc must vanish")
+  }
+
   test("zipfFit: exact power law gives slope -1, r2 1; dedupReport rates") {
     // counts 12/6/4/3 at ranks 1/2/3/4: ln(c) = ln(12) - ln(rank) exactly
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
