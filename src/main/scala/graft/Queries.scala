@@ -1064,6 +1064,33 @@ object Queries {
                  WHERE text NOT IN (SELECT text FROM c))::BIGINT AS n_new_exact,
                true AS no_false_survivals, true AS fp_dropped_ok""")),
 
+    // ---- mixture plan: target composition -> per-source sampling rates ----
+    QueryDef("q_mix_plan",
+      (s, d) => graft.pipeline.TextAnalysis.mixPlan(
+          documents(s, d), "source", "n_chars",
+          targetShares = Map("src0" -> 0.4, "src1" -> 0.4,
+            "src2" -> 0.2),
+          targetTotal = 100000.0)
+        .select(col("source"), col("current_mass"),
+          round(col("target_mass"), 6).as("target_mass"),
+          round(col("rate"), 6).as("rate"), col("achievable"))
+        .orderBy("source"),
+      Some("""WITH m AS (SELECT source,
+               sum(n_chars)::DOUBLE AS current_mass FROM documents
+               WHERE source IS NOT NULL AND n_chars IS NOT NULL
+               GROUP BY source),
+             t AS (SELECT source, current_mass,
+               CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.4
+                 WHEN 'src2' THEN 0.2 ELSE 0.0 END * 100000.0
+                 AS target_mass FROM m)
+             SELECT source, current_mass,
+               round(target_mass, 6) AS target_mass,
+               round(CASE WHEN current_mass > 0
+                 THEN least(1.0, target_mass / current_mass) ELSE 0.0 END, 6)
+                 AS rate,
+               target_mass <= current_mass AS achievable
+             FROM t ORDER BY source""")),
+
     // ---- cross-source n-gram overlap matrix -------------------------------
     // which sources re-host each other's content; oracle rebuilds the
     // per-source distinct gram sets and the pair join in SQL (same

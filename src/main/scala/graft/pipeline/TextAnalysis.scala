@@ -416,6 +416,43 @@ object TextAnalysis {
       .drop("__n_total", "__w_total")
   }
 
+  /** Mixture plan: given a target composition (`targetShares`, by group,
+    * summing to ≤ 1; groups absent from the map get share 0) and a total
+    * weight budget (`targetTotal`, e.g. tokens), derive the per-group
+    * Bernoulli sampling RATE that realizes the closest achievable mix:
+    * `rate_g = min(1, target_share_g · targetTotal / current_mass_g)`.
+    * The `achievable` flag is false where a group's corpus mass cannot
+    * cover its target (rate clamps at 1 — sampling can only downweight;
+    * re-balance the remaining budget or upsample externally).
+    *
+    * The output feeds [[Sampling.stratifiedSample]] (rates by group) or
+    * per-group [[Sampling.weightedSample]] directly; the whole plan is
+    * one grouped aggregate + broadcast literals. */
+  def mixPlan(df: DataFrame, groupCol: String, weightCol: String,
+              targetShares: Map[String, Double],
+              targetTotal: Double): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
+    targetShares.foreach { case (g, s) =>
+      require(s >= 0 && s <= 1, s"target share for '$g' must be in [0,1]")
+    }
+    require(targetShares.values.sum <= 1.0 + 1e-9,
+      "target shares must sum to <= 1")
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (g, sh)) =>
+      when(col(groupCol) === lit(g), lit(sh)).otherwise(acc)
+    }
+    df.na.drop(Seq(groupCol, weightCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("double")).as("current_mass"))
+      .withColumn("target_mass", share * lit(targetTotal))
+      // zero-mass group: nothing to sample (rate 0) — and guard the ANSI
+      // divide-by-zero a plain ratio would throw
+      .withColumn("rate",
+        when(col("current_mass") > 0,
+          least(lit(1.0), col("target_mass") / col("current_mass")))
+          .otherwise(lit(0.0)))
+      .withColumn("achievable", col("target_mass") <= col("current_mass"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * n-grams whose first corpus-wide occurrence (minimum id) is this
     * document — the contribution-scoring signal that ranks documents by

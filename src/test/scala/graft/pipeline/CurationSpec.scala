@@ -178,6 +178,23 @@ class CurationSpec extends SparkSpec {
     y2.toDouble / M.toDouble
   }
 
+  test("mixPlan: rates realize the target mix, clamp flagged, zero-mass safe") {
+    val docs = Seq(
+      ("web", 800.0), ("web", 200.0),   // mass 1000
+      ("lab", 100.0),                   // mass 100
+      ("enc", 0.0)                      // zero-mass group
+    ).toDF("source", "w")
+    val plan = TextAnalysis.mixPlan(docs, "source", "w",
+        Map("web" -> 0.5, "lab" -> 0.5, "enc" -> 0.0), targetTotal = 400.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // web: 200/1000 = 0.2, achievable; lab: 200/100 clamps to 1, flagged
+    assert(plan("web") == ((1000.0, 200.0, 0.2, true)))
+    assert(plan("lab") == ((100.0, 200.0, 1.0, false)))
+    assert(plan("enc") == ((0.0, 0.0, 0.0, true)))
+  }
+
   test("lineDedup: first-occurrence lines survive, docs reassemble in order") {
     val docs = Seq(
       (1L, "keep me\nshared banner\nalso mine"),
