@@ -105,6 +105,53 @@ object Scratch {
         out.result().iterator
       }
     }.toDF("i", "s").rdd.foreach(_ => ()))
+
+    time("c_overlap_selfjoin")(graft.pipeline.Dedup.groupOverlap(
+      docsDf, "source", "text", 3))
+    time("d_overlap_postings") {
+      val grams = docsDf.na.drop(Seq("source", "text"))
+        .select(col("source").cast("string"), col("text"))
+        .as[(String, String)]
+        .flatMap { case (g, t) =>
+          val toks = t.trim.split("\\s+")
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { th(i) = h64(toks(i)); i += 1 }
+          val out = Array.newBuilder[(String, Long)]
+          if (toks.length < 3) {
+            var h = 1125899906842597L; var j = 0
+            while (j < th.length) { h = h * 1000003L + th(j); j += 1 }
+            out += ((g, h))
+          } else {
+            val seen = new java.util.HashSet[java.lang.Long]()
+            var s0 = 0
+            while (s0 + 3 <= toks.length) {
+              var h = 1125899906842597L; var j = 0
+              while (j < 3) { h = h * 1000003L + th(s0 + j); j += 1 }
+              if (seen.add(h)) out += ((g, h))
+              s0 += 1
+            }
+          }
+          out.result().iterator
+        }.toDF("__g", "sh")
+      val postings = grams.groupBy(col("sh"))
+        .agg(collect_set(col("__g")).as("gs"))
+      val sizes = postings.select(explode(col("gs")).as("__g"))
+        .groupBy("__g").agg(count(lit(1)).as("__sz"))
+      val pairs = postings.select(col("gs"))
+        .as[Seq[String]]
+        .flatMap { gs =>
+          val a = gs.sorted.toArray
+          for { i <- a.indices.iterator; j <- (i + 1) until a.length }
+            yield (a(i), a(j))
+        }.toDF("group_a", "group_b")
+        .groupBy("group_a", "group_b").agg(count(lit(1)).as("n_common"))
+      pairs.join(broadcast(sizes.toDF("group_a", "__sza")), "group_a")
+        .join(broadcast(sizes.toDF("group_b", "__szb")), "group_b")
+        .select(col("group_a"), col("group_b"), col("n_common"),
+          (col("n_common") / (col("__sza") + col("__szb") - col("n_common")))
+            .as("jaccard"))
+    }
     spark.stop()
   }
 }
