@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
     ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
     GraftExtensions.columnFunctionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
@@ -111,5 +112,19 @@ object GraftExtensions {
           org.apache.spark.sql.types.ArrayType(DoubleType)),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
           org.apache.spark.sql.types.ArrayType(DoubleType)))
+    })
+
+  /** graft_cosine(a, b): composed from the native graft_dot kernels —
+    * dot(a,b) / sqrt(dot(a,a)·dot(b,b)), matching DuckDB's
+    * list_cosine_similarity fold order. */
+  val cosineDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[graft.expr.DotProduct].getName, "graft_cosine"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: graft_cosine(array_col, array_col)")
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.resolvedExpression(graft.pipeline.Dedup.cosine(
+        Bridge.column(exprs.head), Bridge.column(exprs(1))))
     })
 }

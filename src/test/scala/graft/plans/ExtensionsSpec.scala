@@ -82,6 +82,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaSql = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head()
     assert(viaSql.getDouble(0) == 11.0)
+    val cosSql = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), " +
+        "graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D))").head()
+    assert(cosSql.getDouble(0) == 1.0 && cosSql.getDouble(1) == 0.0)
     // a Seq-backed frame folds to LocalTableScan; range keeps the Project
     val codegen = spark.range(3).select(graft.expr.DotProduct.of(
       array(col("id").cast("double"), lit(2.0)),
