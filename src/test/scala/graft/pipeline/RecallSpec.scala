@@ -110,6 +110,42 @@ class RecallSpec extends SparkSpec {
     assert(recall8 > recall, "multi-table recall did not improve on single-table")
   }
 
+  test("embeddingDedupAgainst recall meets the 4-table collision prediction") {
+    val threshold = 0.4
+    // cross-side truth: exact batch x corpus pairs at the q_near_new split
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+    val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+    val bv = batch.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cv = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for { (bi, bvec) <- bv.toSeq; (ci, cvec) <- cv.toSeq
+      c = cos(bvec, cvec) if c >= threshold } yield (bi, ci) -> c).toMap
+    assert(truth.nonEmpty)
+    val got = Dedup.embeddingDedupAgainst(batch, corpus, "vec_id",
+      "embedding", dim = 64, threshold = threshold, bits = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth.keySet), "screen pair not in exact truth")
+    val recall = got.size.toDouble / truth.size
+    val ps = truth.values.map { c =>
+      val p1 = math.pow(1.0 - math.acos(c) / math.Pi, 4)
+      1.0 - math.pow(1.0 - p1, 4)
+    }
+    val mean = ps.sum / ps.size
+    val floor = math.max(0.0,
+      mean - 3 * math.sqrt(ps.map(p => p * (1 - p)).sum) / ps.size)
+    info(f"embeddingDedupAgainst 4-table recall = $recall%.4f over " +
+      f"${truth.size} exact cross pairs (prediction $mean%.4f, floor $floor%.4f)")
+    assert(recall >= floor)
+  }
+
   test("semDedup: no false positives; recall = co-clustered exact pairs") {
     val threshold = 0.4
     val truth = Similarity.allPairsCosine(embs, "vec_id", "embedding", threshold)
