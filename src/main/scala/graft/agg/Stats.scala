@@ -43,6 +43,21 @@ object Stats {
   private def grouped(df: DataFrame, strata: Seq[String]) =
     df.groupBy(strata.map(col): _*)
 
+  /** Null-SAFE recombination join on the strata columns (`<=>` per key):
+    * a stratum group whose key value is NULL must survive the join — the
+    * plain `join(right, strata)` equi-join would silently drop it. Used by
+    * every per-column pipeline that splits an aggregation and joins the
+    * partial frames back on the strata. */
+  private[graft] def joinOnStrata(left: DataFrame, right: DataFrame,
+                                  strata: Seq[String],
+                                  bcastRight: Boolean = false): DataFrame = {
+    val renamed = strata.foldLeft(right)((d, s) =>
+      d.withColumnRenamed(s, s"__graft_r_$s"))
+    val r = if (bcastRight) broadcast(renamed) else renamed
+    val cond = strata.map(s => left(s) <=> r(s"__graft_r_$s")).reduce(_ && _)
+    left.join(r, cond).drop(strata.map(s => s"__graft_r_$s"): _*)
+  }
+
   /** mean/min/max/stddev(sample)/var(sample) for the given columns. */
   def describe(df: DataFrame, cols: Seq[String], strata: Seq[String] = Nil): DataFrame =
     grouped(df, strata).agg(
@@ -122,7 +137,7 @@ object Stats {
     val pass1 = grouped(df, strata).agg(pass1Aggs.head, pass1Aggs.tail: _*)
     val joined =
       if (strata.isEmpty) df.crossJoin(broadcast(pass1))
-      else df.join(broadcast(pass1), strata)
+      else joinOnStrata(df, pass1, strata, bcastRight = true)
     val pass2Aggs = (for { c <- cols; (p, i) <- ps.zipWithIndex } yield {
       val v = element_at(col(s"__pa_$c"), i + 1)
       Seq(
@@ -173,7 +188,7 @@ object Stats {
     }
     val joined =
       if (strata.isEmpty) perCol.reduce(_ crossJoin _)
-      else perCol.reduce(_.join(_, strata))
+      else perCol.reduce(joinOnStrata(_, _, strata))
     joined.select((strata.map(col) ++
       cols.flatMap(c => Seq(col(c), col(s"${c}_ok")))): _*)
   }
@@ -215,7 +230,7 @@ object Stats {
         .agg(count(col(c)).as(c)) // non-null distinct values
     }
     if (strata.isEmpty) perCol.reduce(_ crossJoin _)
-    else perCol.reduce(_.join(_, strata))
+    else perCol.reduce(joinOnStrata(_, _, strata))
   }
 
   /** groupBy(col).count — `value_counts` (reference dataframe.py:225-244);

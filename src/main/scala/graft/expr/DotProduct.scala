@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * The HOF formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
   * evaluates interpreted lambdas per element AND materializes the zipped
   * intermediate array per row; this expression is one fused loop inside
-  * whole-stage codegen. Semantics match the HOF form exactly, so oracle
-  * results are bit-identical:
+  * whole-stage codegen. For array<double> inputs (the only type this
+  * expression accepts — callers pre-cast) semantics match the HOF form
+  * exactly, so oracle results are bit-identical:
   *
   *  - summation is sequential ascending (same fp rounding order as
   *    DuckDB's list_* kernels);

@@ -490,8 +490,12 @@ object Dedup {
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF form evaluated
     * interpreted lambdas per element and materialized the zipped array
     * per row (and an unrolled 64-term element_at tree was 2.5× slower
-    * still — codegen depth, per-element null checks). Same fold order and
-    * null semantics, so oracle results are bit-identical. */
+    * still — codegen depth, per-element null checks). For array<double>
+    * inputs the fold order and null semantics match the HOF form, so
+    * oracle results are bit-identical. NB narrower inputs are cast to
+    * array<double> FIRST, so e.g. array<float> products multiply in
+    * double precision — the HOF form multiplied in float then widened,
+    * so results on float arrays can differ in the last ulp. */
   def dotProduct(a: Column, b: Column): Column =
     graft.expr.DotProduct.of(asDoubleArray(a), asDoubleArray(b))
 

@@ -159,19 +159,6 @@ object Sampling {
       .drop("__graft_rn")
   } }
 
-  /** Temperature-based mixture rebalancing (the multilingual-corpus
-    * exponent-smoothing sampler: keep probability per group g with share
-    * p_g = n_g/N is `min(1, scale · p_g^(alpha−1))`). alpha < 1 upweights
-    * tail groups (alpha → 0 approaches uniform-over-groups), alpha = 1 is
-    * plain uniform sampling at `scale`. Membership uses the deterministic
-    * Lehmer id hash — append-safe and SQL-reproducible like every sampler
-    * here.
-    *
-    * Scale shape: ONE map-side-combined count aggregate (vocab-of-groups
-    * rows), a scalar total folded in by crossJoin(broadcast(·)) — the
-    * whole plan stays lazy, no driver action — and a broadcast join of the
-    * per-group keep probability back onto the corpus: no corpus shuffle.
-    * Rows with null id/group are dropped (no stable membership). */
   /** [[temperatureSample]] with the group shares taken from a STATIC
     * `profile` frame instead of `df` itself — the streaming/incremental
     * form: a stream can't be re-aggregated per micro-batch for its own
@@ -203,6 +190,19 @@ object Sampling {
       .drop("__g", "__q")
   } }
 
+  /** Temperature-based mixture rebalancing (the multilingual-corpus
+    * exponent-smoothing sampler: keep probability per group g with share
+    * p_g = n_g/N is `min(1, scale · p_g^(alpha−1))`). alpha < 1 upweights
+    * tail groups (alpha → 0 approaches uniform-over-groups), alpha = 1 is
+    * plain uniform sampling at `scale`. Membership uses the deterministic
+    * Lehmer id hash — append-safe and SQL-reproducible like every sampler
+    * here.
+    *
+    * Scale shape: ONE map-side-combined count aggregate (vocab-of-groups
+    * rows), a scalar total folded in by crossJoin(broadcast(·)) — the
+    * whole plan stays lazy, no driver action — and a broadcast join of the
+    * per-group keep probability back onto the corpus: no corpus shuffle.
+    * Rows with null id/group are dropped (no stable membership). */
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
                         alpha: Double, scale: Double,
                         seed: Long = 0L): DataFrame =

@@ -440,9 +440,18 @@ object TextAnalysis {
     val share = targetShares.foldLeft(lit(0.0)) { case (acc, (g, sh)) =>
       when(col(groupCol) === lit(g), lit(sh)).otherwise(acc)
     }
-    df.na.drop(Seq(groupCol, weightCol))
+    val grouped = df.na.drop(Seq(groupCol, weightCol))
       .groupBy(col(groupCol))
       .agg(sum(col(weightCol).cast("double")).as("current_mass"))
+    // A target group with ZERO corpus rows (or all-null weights) must still
+    // surface — rate 0, achievable=false — rather than vanish: the plan's
+    // whole point is flagging exactly the shares the corpus cannot cover.
+    // Outer-join a literal #targets-row frame of the map's keys into the
+    // grouped frame (both sides are #groups-sized — this never touches df).
+    import df.sparkSession.implicits._
+    val targetKeys = targetShares.keys.toSeq.toDF(groupCol)
+    grouped.join(targetKeys, Seq(groupCol), "full_outer")
+      .withColumn("current_mass", coalesce(col("current_mass"), lit(0.0)))
       .withColumn("target_mass", share * lit(targetTotal))
       // zero-mass group: nothing to sample (rate 0) — and guard the ANSI
       // divide-by-zero a plain ratio would throw

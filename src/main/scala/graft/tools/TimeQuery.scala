@@ -22,12 +22,14 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names probe several queries in one JVM (bench-style
-    // isolation between them); a JIT warm-up precedes the first
+    // isolation between them); an untimed warm-up run precedes each
+    // query's timed runs so run 1 isn't measuring JIT/classload
     name.split(',').filter(_.nonEmpty).foreach { q =>
       val fn = graft.Queries.queries(q)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm-up
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

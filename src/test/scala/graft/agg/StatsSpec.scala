@@ -165,6 +165,29 @@ class StatsSpec extends SparkSpec {
     assert(n.getAs[Long]("x") == 1000L && n.getAs[Boolean]("x_ok"))
   }
 
+  test("per-column strata recombination keeps NULL-keyed stratum groups") {
+    import spark.implicits._
+    // g = null for a third of the rows: the per-column pipelines must
+    // recombine with null-SAFE equality or the null stratum silently
+    // vanishes (a plain equi-join drops it — regression for the round-6
+    // per-column rewrite)
+    val df = (1 to 300).map { i =>
+      (if (i % 3 == 0) None else Some(i % 2), i.toDouble, (i % 50).toLong)
+    }.toDF("g", "x", "k")
+    val ne = Stats.nuniqueExact(df, Seq("k", "x"), strata = Seq("g"))
+      .collect()
+    assert(ne.length == 3, s"expected 3 strata (0, 1, null), got ${ne.toSeq}")
+    val nullRow = ne.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("k") == 50L)
+    assert(nullRow.getAs[Long]("x") == 100L)
+    val nc = Stats.nuniqueCheck(df, Seq("k"), strata = Seq("g")).collect()
+    assert(nc.length == 3 && nc.exists(_.isNullAt(0)))
+    val pc = Stats.percentileApproxCheck(df, Seq("x"), Seq(0.5),
+      strata = Seq("g")).collect()
+    assert(pc.length == 3 && pc.exists(_.isNullAt(0)))
+    pc.foreach(r => assert(r.getAs[Boolean]("x_p50_ok")))
+  }
+
   test("corrSpearman is 1 for any monotone relation") {
     import spark.implicits._
     val mono = (1 to 10).map(i => (i.toDouble, math.exp(i.toDouble)))

@@ -195,6 +195,22 @@ class CurationSpec extends SparkSpec {
     assert(plan("enc") == ((0.0, 0.0, 0.0, true)))
   }
 
+  test("mixPlan: target group absent from the corpus surfaces achievable=false") {
+    // "books" has a 0.3 target share but ZERO corpus rows: it must appear
+    // with current_mass 0, rate 0, achievable=false — not vanish (the
+    // groupBy-only formulation silently dropped it)
+    val docs = Seq(("web", 1000.0), ("lab", 100.0)).toDF("source", "w")
+    val plan = TextAnalysis.mixPlan(docs, "source", "w",
+        Map("web" -> 0.5, "books" -> 0.3), targetTotal = 400.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(plan.keySet == Set("web", "lab", "books"))
+    assert(plan("books") == ((0.0, 120.0, 0.0, false)))
+    assert(plan("web") == ((1000.0, 200.0, 0.2, true)))
+    assert(plan("lab") == ((100.0, 0.0, 0.0, true))) // no target: share 0
+  }
+
   test("lineDedup: first-occurrence lines survive, docs reassemble in order") {
     val docs = Seq(
       (1L, "keep me\nshared banner\nalso mine"),
