@@ -22,7 +22,13 @@ import graft.strata.{Bucket, ColStratum, Quantile, StratifiedFrame}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Gate-only rows carry an exact-verification HARNESS (e.g. a guarded
+      * all-pairs baseline) alongside the operator: they run in Verify —
+      * hash-checked — but are excluded from Bench, whose numbers should
+      * measure operator cost, not the harness. Each gate-only row has a
+      * cheap operator-cost twin that IS benched. */
+    gateOnly: Boolean = false)
 
 object Queries {
 
@@ -1022,7 +1028,25 @@ object Queries {
                ON b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
                WHERE list_cosine_similarity(b.v, c.v) >= 0.4)
              SELECT count(*)::BIGINT AS n_exact_matches,
-               true AS no_false_positives FROM p""")),
+               true AS no_false_positives FROM p"""),
+      gateOnly = true),
+
+    // operator-cost twin of q_near_new: the incremental semantic screen
+    // alone (LSH bucket join + cross-side verify), no exact batch×corpus
+    // harness — the bench row that should stay sf-linear
+    QueryDef("q_near_new_op",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Dedup.embeddingDedupAgainst(
+            e.filter(col("vec_id") % 5 === 0),
+            e.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", dim = 64,
+            threshold = 0.4, bits = 4, tables = 4)
+          .select(col("batch_id"), col("corpus_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("batch_id", "corpus_id")
+      },
+      None),
 
     // ---- incremental dedup: Bloom-screen a new batch against a corpus -----
     // the bloom bits are engine-specific, but the CONTRACT is not: no
@@ -1204,17 +1228,40 @@ object Queries {
       None),
 
     // ---- BPE apply: distributed tokenization under the learned merges -----
-    // rows-only summary (doc count, total subword tokens) — exercises the
-    // broadcast + per-partition-memo apply path at bench scale
+    // the merge TABLE is iterative (rows-only, q_bpe; SubwordSpec pins the
+    // published worked corpus), but the APPLY step admits deterministic
+    // per-doc invariants DuckDB can verify: concatenating a document's
+    // subword tokens (end-of-word markers removed) reproduces the document
+    // minus its whitespace; the token count is bounded by [n_words,
+    // n_chars + n_words]; and n_words itself is SQL-reproducible. Exercises
+    // the broadcast + per-partition-memo apply path at bench scale.
     QueryDef("q_bpe_tokens",
       (s, d) => {
         val docs = documents(s, d)
         val merges = graft.pipeline.Subword.learnBpe(docs, "text",
           numMerges = 200)
-        graft.pipeline.Subword.applyBpe(docs, "doc_id", "text", merges)
-          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        val applied = graft.pipeline.Subword.applyBpe(
+          docs, "doc_id", "text", merges)
+        // unfiltered trim-split (q_text_stats parity with DuckDB len());
+        // the flag bounds use the nonempty-word count applyBpe tokenizes
+        val allToks = split(trim(col("text")), "\\s+")
+        val realWords = size(filter(allToks, w => w =!= ""))
+        val stripped = regexp_replace(col("text"), "\\s+", "")
+        applied.join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), size(allToks).as("n_words"),
+            (regexp_replace(array_join(col("tokens"), ""),
+              graft.pipeline.Subword.EndOfWord, "") === stripped)
+              .as("reassembled_ok"),
+            (col("n_tokens") >= realWords &&
+              col("n_tokens") <= length(stripped) + realWords)
+              .as("token_count_ok"))
+          .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             true AS reassembled_ok, true AS token_count_ok
+             FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             ORDER BY doc_id""")),
 
     // ---- exact n-gram Jaccard near-dup pairs ------------------------------
     QueryDef("q_ngram_jaccard",
@@ -1436,7 +1483,8 @@ object Queries {
                FROM e a JOIN e b ON a.vec_id < b.vec_id
                WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
              SELECT count(*)::BIGINT AS n_exact_pairs,
-               true AS no_false_positives FROM p""")),
+               true AS no_false_positives FROM p"""),
+      gateOnly = true),
 
     // the RECOMMENDED production configuration (tables=4: recall 0.15 → ~0.5
     // at cos >= 0.4 per RecallSpec's collision model) — benched so the cost
@@ -1514,7 +1562,18 @@ object Queries {
                FROM e a JOIN e b ON a.vec_id < b.vec_id
                WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
              SELECT count(*)::BIGINT AS n_exact_pairs,
-               true AS no_false_positives FROM p""")),
+               true AS no_false_positives FROM p"""),
+      gateOnly = true),
+
+    // operator-cost twin of q_semdedup: cluster + within-cluster exact
+    // cosine alone, no all-pairs harness
+    QueryDef("q_semdedup_op",
+      (s, d) => graft.pipeline.Clustering.semDedup(
+          embeddings(s, d), "vec_id", "embedding", k = 8,
+          threshold = 0.45, iters = 2, probes = 2)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b"),
+      None),
 
     // ---- per-group embedding mean-pool (chunk→doc rollup) -----------------
     // typed streaming per-group sum (one shuffle, array-of-state per
@@ -1580,18 +1639,50 @@ object Queries {
              SELECT query_id, rn, corpus_id, round(cos, 6) AS cos
              FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
 
-    // batch IVF: many queries, one corpus pass, per-query probe cells
+    // batch IVF: many queries, one corpus pass, per-query probe cells.
+    // The probe-SUBSET result is engine-specific (which cells get probed
+    // depends on the quantizer), but its CONTRACT is not: the IVF top-k of
+    // a corpus subset is rank-wise dominated by the brute-force top-k of
+    // the full corpus, and wherever both agree on a neighbor the cosine
+    // must reproduce exactly. Per (query, rank) the row carries the
+    // brute-force cosine (DuckDB reproduces it) plus the two dominance/
+    // reproduction flags — hash-green like the GK/HLL/bloom contract rows;
+    // recall itself is RecallSpec-measured, and the full-probe tier
+    // (q_sim_ivf_full) pins exact equality end to end.
     QueryDef("q_sim_ivf_multi",
       (s, d) => {
         val e = embeddings(s, d)
         val queries = e.filter(col("vec_id") < 5)
         val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(
           e, "vec_id", "embedding", nCells = 8)
-        graft.pipeline.Similarity.ivfTopKMulti(assigned, centers, "vec_id",
-          queries, "embedding", k = 5, nProbe = 3)
+        val ivf = graft.pipeline.Similarity.ivfTopKMulti(assigned, centers,
+            "vec_id", queries, "embedding", k = 5, nProbe = 3)
+          .select(col("query_id").as("__iq"), col("rn").as("__ir"),
+            col("corpus_id").as("__icid"), col("cos").as("__icos"))
+        val brute = graft.pipeline.Similarity.topKJoin(e, queries,
+          "vec_id", "embedding", k = 5, dim = 64)
+        brute.join(ivf,
+            col("query_id") === col("__iq") && col("rn") === col("__ir"),
+            "left")
+          .select(col("query_id"), col("rn"),
+            round(col("cos"), 6).as("brute_cos"),
+            (col("__icos").isNull || col("__icos") <= col("cos") + lit(1e-9))
+              .as("ivf_le_brute"),
+            (col("__icid").isNull || col("__icid") =!= col("corpus_id") ||
+              round(col("__icos"), 6) === round(col("cos"), 6))
+              .as("cos_match_on_same_id"))
           .orderBy("query_id", "rn")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             scored AS (SELECT query_id, e.vec_id AS corpus_id,
+               list_cosine_similarity(e.v, qv) AS cos
+               FROM e, q WHERE e.vec_id != query_id),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rn FROM scored)
+             SELECT query_id, rn, round(cos, 6) AS brute_cos,
+               true AS ivf_le_brute, true AS cos_match_on_same_id
+             FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
 
     // full-probe IVF (nProbe = nCells): probing every cell scans the whole
     // corpus, so the two-stage machinery (quantizer assignment, cell
@@ -1621,19 +1712,56 @@ object Queries {
              SELECT query_id, rn, corpus_id, round(cos, 6) AS cos
              FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""")),
 
-    // ---- IVF two-stage ANN (approximate — rows-only) ----------------------
+    // ---- IVF two-stage ANN (single query, probe subset) -------------------
+    // same contract conversion as q_sim_ivf_multi, rank-free because
+    // ivfTopK emits no rank column: the oracle reproduces the brute-force
+    // top-k's best and kth cosines, and the flags pin (a) |result| <= k,
+    // (b) cosine reproduction on every neighbor shared with the brute
+    // top-k, (c) every neighbor OUTSIDE the brute top-k scoring at most
+    // the brute kth cosine (subset dominance)
     QueryDef("q_sim_ivf",
       (s, d) => {
         val e = embeddings(s, d)
         val qvec = e.filter(col("vec_id") === 0)
           .select(expr("transform(embedding, x -> cast(x as double))"))
           .head().getSeq[Double](0).toArray
+        val corpus = e.filter(col("vec_id") =!= 0)
         val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(
-          e.filter(col("vec_id") =!= 0), "vec_id", "embedding", nCells = 8)
-        graft.pipeline.Similarity.ivfTopK(assigned, centers, "vec_id",
-          qvec, 10, nProbe = 3)
+          corpus, "vec_id", "embedding", nCells = 8)
+        val ivf = graft.pipeline.Similarity.ivfTopK(assigned, centers,
+            "vec_id", qvec, 10, nProbe = 3)
+          .select(col("vec_id").as("__iid"), col("cos").as("__icos"))
+        val brute = graft.pipeline.Similarity.bruteForceTopK(corpus,
+            "vec_id", "embedding", qvec, 10)
+          .select(col("vec_id").as("__bid"), col("cos").as("__bcos"))
+        val bAgg = broadcast(brute.agg(
+          round(max(col("__bcos")), 6).as("top_brute_cos"),
+          round(min(col("__bcos")), 6).as("kth_brute_cos"),
+          min(col("__bcos")).as("__kth_raw")))
+        // flags aggregate separately (agg over an empty IVF result still
+        // yields one row — count 0, violation sums coalesced to 0)
+        val flags = ivf.join(brute, col("__iid") === col("__bid"), "left")
+          .crossJoin(bAgg)
+          .agg(
+            (count(lit(1)) <= 10).as("k_bound_ok"),
+            (coalesce(sum(when(col("__bid").isNotNull &&
+                round(col("__icos"), 6) =!= round(col("__bcos"), 6), 1)
+              .otherwise(0)), lit(0L)) === 0).as("topk_cos_match"),
+            (coalesce(sum(when(col("__bid").isNull &&
+                col("__icos") > col("__kth_raw") + lit(1e-9), 1)
+              .otherwise(0)), lit(0L)) === 0).as("outside_le_kth"))
+        bAgg.select(col("top_brute_cos"), col("kth_brute_cos"))
+          .crossJoin(flags)
       },
-      None),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+             s AS (SELECT vec_id,
+               list_cosine_similarity(embedding::DOUBLE[], qv) AS cos
+               FROM embeddings, q WHERE vec_id != 0),
+             b AS (SELECT cos FROM s ORDER BY cos DESC, vec_id LIMIT 10)
+             SELECT round(max(cos), 6) AS top_brute_cos,
+               round(min(cos), 6) AS kth_brute_cos, true AS k_bound_ok,
+               true AS topk_cos_match, true AS outside_le_kth FROM b""")),
 
     // ---- text analysis: token counts / quality ----------------------------
     QueryDef("q_text_stats",
@@ -2625,17 +2753,37 @@ object Queries {
       },
       None),
 
+    // the full t-test matrix machinery runs (summaries → driver pairs →
+    // commons-math p-values) but the driver row emits the SQL-expressible
+    // Welch t statistic + degrees of freedom per pair — hash-green; the
+    // p-value itself is pinned by StatEvalSpec against 2·(1 − T_df.cdf|t|).
+    // Distinct column from q_welch (l_quantity vs l_extendedprice) so the
+    // two rows don't collapse into one check.
     QueryDef("q_ttest_matrix",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        graft.stat.StatTests.tTestMatrix(lineitem(s, d), "l_extendedprice",
+        graft.stat.StatTests.tTestMatrixFull(lineitem(s, d), "l_quantity",
             Seq("l_returnflag"))
-          .map { case (k1, k2, p) =>
-            (k1.head.toString, k2.head.toString, p) }
-          .toDF("g1", "g2", "p_value").orderBy("g1", "g2")
+          .map { case (k1, k2, r) =>
+            (k1.head.toString, k2.head.toString, r.tStat, r.df) }
+          .toDF("g1", "g2", "t_stat", "welch_df")
+          // round through functions.round — same half-up semantics as the
+          // DuckDB oracle (and as q_welch)
+          .select(col("g1"), col("g2"), round(col("t_stat"), 6).as("t_stat"),
+            round(col("welch_df"), 4).as("welch_df"))
+          .orderBy("g1", "g2")
       },
-      None),
+      Some("""WITH g AS (SELECT l_returnflag, avg(l_quantity) AS m,
+               var_samp(l_quantity) AS v, count(*)::DOUBLE AS n
+               FROM lineitem GROUP BY 1)
+             SELECT a.l_returnflag AS g1, b.l_returnflag AS g2,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+               round(pow(a.v / a.n + b.v / b.n, 2) /
+                 (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 4)
+                 AS welch_df
+             FROM g a, g b WHERE a.l_returnflag < b.l_returnflag
+             ORDER BY g1, g2""")),
 
     // ---- stratify API round-trip: grouped-path median per stratum ---------
     QueryDef("q_stratify_api",
@@ -2921,6 +3069,9 @@ object Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.fn).toMap
+  /** Bench subset: everything except the gate-only verification rows. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.filterNot(_.gateOnly).map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
       .map(_.trim).mkString(" "))).toMap

@@ -34,13 +34,33 @@ object StatTests {
   /** Pairwise Welch t-test p-value matrix between strata of one column
     * (reference stats.py:22-34). The heavy lifting is ONE grouped agg; the
     * #strata² t-tests run on driver-local SSVs. */
-  def tTestMatrix(df: DataFrame, c: String, strata: Seq[String]): Seq[(Seq[Any], Seq[Any], Double)] = {
+  def tTestMatrix(df: DataFrame, c: String, strata: Seq[String]): Seq[(Seq[Any], Seq[Any], Double)] =
+    tTestMatrixFull(df, c, strata).map { case (k1, k2, r) => (k1, k2, r.pValue) }
+
+  /** Welch t-test result: statistic, Welch–Satterthwaite degrees of
+    * freedom, and the two-sided p-value. t and df are plain arithmetic on
+    * the per-group summaries (SQL-expressible — the driver oracle checks
+    * them); the p-value needs the t CDF (commons-math) and is pinned by
+    * StatEvalSpec against `2·(1 − T_df.cdf(|t|))`. */
+  final case class TTestResult(tStat: Double, df: Double, pValue: Double)
+
+  /** [[tTestMatrix]] with the full per-pair result (t, df, p) instead of
+    * the p-value alone. Same plan: one grouped agg, driver-local pairs. */
+  def tTestMatrixFull(df: DataFrame, c: String,
+                      strata: Seq[String]): Seq[(Seq[Any], Seq[Any], TTestResult)] = {
     val ssvs = summaryValues(df, c, strata).toSeq.sortBy(_._1.mkString("|"))
     val tt = new TTest()
     for {
       (k1, s1) <- ssvs
       (k2, s2) <- ssvs if k1.mkString("|") < k2.mkString("|")
-    } yield (k1, k2, tt.tTest(s1, s2))
+    } yield {
+      val se1 = s1.getVariance / s1.getN
+      val se2 = s2.getVariance / s2.getN
+      val t = (s1.getMean - s2.getMean) / math.sqrt(se1 + se2)
+      val welchDf = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (s1.getN - 1) + se2 * se2 / (s2.getN - 1))
+      (k1, k2, TTestResult(t, welchDf, tt.tTest(s1, s2)))
+    }
   }
 
   /** Welch t statistic + degrees of freedom as a DataFrame (the

@@ -53,6 +53,22 @@ class SubwordSpec extends SparkSpec {
     assert(got(2L).containsSlice(Seq("low", "est</w>")))
   }
 
+  test("applyBpe: emitted vocabulary is a subset of the learned vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower newest"), (2L, "widest lowest wildest"))
+      .toDF("doc_id", "text")
+    val merges = Subword.learnFromHistogram(hist, 8)
+    // learned vocab = single characters + end-of-word + each merge's join
+    val vocab = docs.as[(Long, String)].collect()
+      .flatMap(_._2.replaceAll("\\s", "").map(_.toString)).toSet ++
+      Set(Subword.EndOfWord) ++
+      merges.map { case (l, r) => l + r }.toSet
+    val emitted = Subword.applyBpe(docs, "doc_id", "text", merges)
+      .select(explode(col("tokens")).as("t")).as[String].collect().toSet
+    val stray = emitted -- vocab
+    assert(stray.isEmpty, s"tokens outside the learned vocab: $stray")
+  }
+
   test("learnBpe stops early when no pairs remain and rejects bad args") {
     import spark.implicits._
     val tiny = Seq("ab").toDF("text")

@@ -68,6 +68,27 @@ class StatEvalSpec extends SparkSpec {
     assert(StatTests.tTestMatrix(df, "v", Seq("g")).head._3 < 1e-10)
   }
 
+  test("tTestMatrixFull: p-value is 2·(1 − T_df.cdf|t|) of the emitted t/df") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map { i =>
+      val g = i % 3
+      (s"g$g", rnd.nextGaussian() + g * 0.5)
+    }.toDF("g", "v")
+    val full = StatTests.tTestMatrixFull(df, "v", Seq("g"))
+    assert(full.size == 3)
+    full.foreach { case (_, _, r) =>
+      val expected = 2.0 * (1.0 -
+        new org.apache.commons.math3.distribution.TDistribution(r.df)
+          .cumulativeProbability(math.abs(r.tStat)))
+      assert(math.abs(r.pValue - expected) < 1e-12,
+        s"p=${r.pValue} vs 2(1-cdf)=$expected at t=${r.tStat}, df=${r.df}")
+    }
+    // the p-value-only facade is the same matrix
+    val ps = StatTests.tTestMatrix(df, "v", Seq("g"))
+    assert(ps.map(_._3) == full.map(_._3.pValue))
+  }
+
   test("KS test accepts the true distribution, rejects a wrong one") {
     val df = spark.range(2000).select(randn(42).as("v"))
     val ok = StatTests.ksTest(df, "v", "norm", 0, 1)
