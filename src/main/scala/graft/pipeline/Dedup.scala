@@ -61,9 +61,13 @@ object Dedup {
     }: _*)
 
   /** JVM-side shingling: distinct word n-grams of a text (same semantics
-    * as wordNgrams: whitespace tokens, whole text when shorter than n). */
+    * as wordNgrams: whitespace tokens, whole text when shorter than n).
+    * Tokenizes via [[TextAnalysis.fastTokens]] (hand-rolled scan — the
+    * regex split was the measured residual of the whole dedup tier);
+    * note `[]` vs split's `[""]` on whitespace-only text folds to the
+    * same `Array("")` through the short-text branch below. */
   private[pipeline] def shinglesOf(text: String, n: Int): Array[String] = {
-    val toks = text.trim.split("\\s+")
+    val toks = TextAnalysis.fastTokens(text)
     if (toks.length < n) Array(toks.mkString(" "))
     else {
       val seen = new scala.collection.mutable.LinkedHashSet[String]

@@ -169,9 +169,8 @@ object Subword {
         val memo = mutable.HashMap.empty[String, Array[String]]
         rows.map { case (id, text) =>
           val out = Array.newBuilder[String]
-          text.split("\\s+").foreach { w =>
-            if (w.nonEmpty)
-              out ++= memo.getOrElseUpdate(w, encodeWord(w, r))
+          TextAnalysis.fastTokens(text).foreach { w =>
+            out ++= memo.getOrElseUpdate(w, encodeWord(w, r))
           }
           val toks = out.result()
           (id, toks, toks.length)

@@ -14,6 +14,35 @@ object TextAnalysis {
   /** whitespace tokenization (trimmed, collapsed whitespace) */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Hand-rolled whitespace scan for the typed JVM hot paths — the same
+    * nonempty-token stream as `trim.split("\\s+").filter(_.nonEmpty)`
+    * (Java `\s` = space + 0x09–0x0D, matched exactly) without the regex
+    * engine: one char pass, no Pattern/Matcher allocation, no transient
+    * split array. The regex split dominated the dedup-tier shingling
+    * residual (NOTES round 6); every per-row tokenizer below the Column
+    * layer (shingling, repetition signals, BPE apply) goes through here.
+    * Whitespace-only input yields an EMPTY array (callers that need the
+    * `split` artifact `[""]` don't exist below the Column layer). */
+  @inline private[graft] def isAsciiSpace(ch: Char): Boolean =
+    ch == ' ' || (ch >= '\t' && ch <= '\r')
+
+  private[graft] def fastTokens(text: String): Array[String] = {
+    val len = text.length
+    // pre-size from a quick space count estimate? a growable builder is
+    // simpler and the copy cost is dwarfed by substring allocation
+    val out = scala.collection.mutable.ArrayBuilder.make[String]
+    var i = 0
+    while (i < len) {
+      while (i < len && isAsciiSpace(text.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isAsciiSpace(text.charAt(i))) i += 1
+        out += text.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** A BPE-ish subword count: word count + one extra per 4 chars of long
@@ -266,7 +295,7 @@ object TextAnalysis {
         val dupLineCharFrac =
           if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
         // ---- n-gram signals ------------------------------------------------
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = fastTokens(text)
         val total = text.length.toDouble
         def counts(n: Int): java.util.HashMap[String, Int] = {
           val m = new java.util.HashMap[String, Int]()

@@ -27,6 +27,22 @@ class PropertiesSpec extends SparkSpec {
   // value, so re-fencing the capped data tightens the fences again (this
   // property-test discovery is inherent to quantile_cont semantics, shared
   // by the reference). The guaranteed invariants are the ones below.
+  test("property: fastTokens equals the regex split token stream") {
+    // includes every Java-\s char, empty/whitespace-only strings, and
+    // leading/trailing/multi-space runs
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.oneOf(wsChars).map(_.toString),
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(""))
+    val strings: Gen[String] = Gen.listOfN(24, piece).map(_.mkString)
+    for (text <- samples(strings, 40) ++ Seq("", " ", "\t\n", "a", " a b ")) {
+      val expected = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val got = graft.pipeline.TextAnalysis.fastTokens(text).toSeq
+      assert(got == expected, s"mismatch on ${text.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("property: posting-list pair generation equals the self-join pairs") {
     import spark.implicits._
     val gen = Gen.listOfN(120,
