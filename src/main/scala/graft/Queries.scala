@@ -1048,6 +1048,64 @@ object Queries {
       },
       None),
 
+    // ---- incremental TEXT near-dup screen (minhash companion) -------------
+    // same contract pattern as q_near_new: the screen's matches are
+    // exact-verified (candidate-driven jaccard), so they are a subset of
+    // the exact cross-side jaccard match set, whose size DuckDB reproduces
+    QueryDef("q_text_near_new",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val hits = graft.pipeline.Dedup.minhashDedupAgainst(
+          batch, corpus, "doc_id", "text", shingleSize = 3,
+          threshold = 0.5)
+        val isBatchA = col("id_a") % 5 === 0
+        val exact = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.5)
+          .filter(isBatchA =!= (col("id_b") % 5 === 0)) // cross-side only
+          .select(when(isBatchA, col("id_a")).otherwise(col("id_b")).as("__b"),
+            when(isBatchA, col("id_b")).otherwise(col("id_a")).as("__c"))
+        exact.agg(count(lit(1)).as("n_exact_matches"))
+          .crossJoin(hits.join(exact,
+              col("id_a") === col("__b") && col("id_b") === col("__c"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_matches"),
+            (col("__fp") === 0).as("no_false_positives"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS ib, b.doc_id AS ic, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+                 AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+               GROUP BY 1, 2)
+             SELECT count(*)::BIGINT AS n_exact_matches,
+               true AS no_false_positives
+             FROM com JOIN sz sa ON sa.doc_id = ib
+               JOIN sz sb ON sb.doc_id = ic
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5"""),
+      gateOnly = true),
+
+    // operator-cost twin of q_text_near_new (the row Bench measures)
+    QueryDef("q_text_near_new_op",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.minhashDedupAgainst(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleSize = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ---- incremental dedup: Bloom-screen a new batch against a corpus -----
     // the bloom bits are engine-specific, but the CONTRACT is not: no
     // false survivals (guaranteed), wrongly-dropped new rows within the

@@ -341,6 +341,112 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-side banded-LSH candidates: a new BATCH against a STANDING
+    * corpus — the text companion of [[embeddingDedupAgainst]]. The minhash
+    * signature derivation is identical to [[minhashCandidates]] (seeded
+    * affine mixers — no stored model, both sides band identically on any
+    * cluster), so candidate recall follows the same S-curve. ONE shuffle
+    * on the band bucket key; per-bucket loops pair BATCH × CORPUS only —
+    * the corpus never pairs with itself, so a huge standing corpus adds
+    * linear bucket mass, not quadratic pair work. Ids must be unique
+    * across batch ∪ corpus (they key the downstream verify).
+    * Returns (id_a = batch id, id_b = corpus id). */
+  def minhashCandidatesAgainst(batch: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 63,
+                               bands: Int = 21,
+                               maxBucket: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    Similarity.requireIntegralId(batch, idCol, "minhashCandidatesAgainst")
+    Similarity.requireIntegralId(corpus, idCol, "minhashCandidatesAgainst")
+    val rowsPerBand = numHashes / bands
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (ma, mb) = mixers(numHashes)
+    def banded(df: DataFrame, isBatch: Boolean) = df
+      .na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val shs = shinglesOf(text, shingleSize)
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var s = 0
+        while (s < shs.length) {
+          val h = hash64(shs(s))
+          var i = 0
+          while (i < numHashes) {
+            val v = h * ma(i) + mb(i)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          s += 1
+        }
+        (0 until bands).iterator.map { b =>
+          var key = 1125899906842597L + b
+          var i = b * rowsPerBand
+          while (i < (b + 1) * rowsPerBand) {
+            key = key * 31 + sig(i)
+            i += 1
+          }
+          (key, isBatch, id)
+        }
+      }
+    banded(batch, isBatch = true)
+      .union(banded(corpus, isBatch = false))
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
+        val rows = it.take(limit).toArray
+        if (rows.length > maxBucket) Iterator.empty
+        else {
+          val (bs, cs) = rows.partition(_._2)
+          val out = Array.newBuilder[(Long, Long)]
+          bs.foreach { case (_, _, bid) =>
+            cs.foreach { case (_, _, cid) => out += ((bid, cid)) }
+          }
+          out.result().iterator
+        }
+      }.toDF("id_a", "id_b").distinct()
+  }
+
+  /** Incremental TEXT near-dup screen: batch documents whose n-gram
+    * Jaccard against some standing-corpus document reaches `threshold` —
+    * [[minhashCandidatesAgainst]] cross-side candidates, exact-verified
+    * through the candidate-driven [[ngramJaccard]] path (so, like
+    * [[minhashDedup]], the output has NO false positives; recall is the
+    * banding S-curve). Completes the incremental-ingestion tier:
+    * [[bloomNewRows]] kills exact re-crawls, this kills near-duplicate
+    * re-texts, [[nearNewRows]] kills semantic re-embeds.
+    * Returns (id_a = batch id, id_b = corpus id, jaccard). */
+  def minhashDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleSize: Int = 3, numHashes: Int = 63,
+                          bands: Int = 21,
+                          threshold: Double = 0.7): DataFrame = {
+    val cands = minhashCandidatesAgainst(batch, corpus, idCol, textCol,
+      shingleSize, numHashes, bands)
+    // the verify only shingles docs appearing in a candidate pair; the
+    // union frame exists so one attach pass serves both sides (ids are
+    // unique across batch ∪ corpus per the candidates contract)
+    val union = batch.select(col(idCol), col(textCol))
+      .unionAll(corpus.select(col(idCol), col(textCol)))
+    ngramJaccard(union, idCol, textCol, shingleSize, Some(cands))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Batch rows with NO text near-dup in the standing corpus — the
+    * ingestion filter built on [[minhashDedupAgainst]] (mirror of
+    * [[nearNewRows]]). */
+  def textNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, shingleSize: Int = 3,
+                  numHashes: Int = 63, bands: Int = 21,
+                  threshold: Double = 0.7): DataFrame = {
+    val flagged = minhashDedupAgainst(batch, corpus, idCol, textCol,
+        shingleSize, numHashes, bands, threshold)
+      .select(col("id_a").as("__dup_id")).distinct()
+    batch.join(flagged, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Transitive near-dedup: resolve a near-dup PAIR graph into connected
     * components and keep ONE representative (the min id) per component;
     * documents in no pair are untouched. This is the correct "drop the

@@ -45,6 +45,48 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhashCandidatesAgainst equals the union candidates restricted to cross pairs") {
+    // ids 0,1,2 = standing corpus; 10,11 = batch (11 near-dups doc 0)
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines"),
+      (2L, "unrelated words entirely qwerty asdf zxcv")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "totally novel text that matches nothing at all")
+    ).toDF("doc_id", "text")
+    val cross = Dedup.minhashCandidatesAgainst(batch, corpus, "doc_id", "text")
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    // same banding over the union, restricted to one-id-per-side pairs
+    val unionCands = Dedup.minhashCandidates(
+        batch.unionAll(corpus), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 10L) != (b >= 10L) }
+      .map { case (a, b) => Set(a, b) }.toSet
+    assert(cross == unionCands, s"cross=$cross union=$unionCands")
+    assert(cross.contains(Set(10L, 0L))) // the planted near-dup collides
+  }
+
+  test("textNewRows screens near-dup batch docs, passes novel ones") {
+    import spark.implicits._
+    val corpus = docs // ids 0-4
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (11L, "fresh previously unseen sentence with new words")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashDedupAgainst(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.forall(_._1 >= 10L), "id_a must be the batch side")
+    assert(hits.exists(_._1 == 10L) && !hits.exists(_._1 == 11L))
+    val kept = Dedup.textNewRows(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
   test("ngramJaccard computes exact jaccard for exact dup") {
     import spark.implicits._
     val cand = Seq((0L, 3L)).toDF("id_a", "id_b")
