@@ -1033,15 +1033,19 @@ object Queries {
 
     // operator-cost twin of q_near_new: the incremental semantic screen
     // alone (LSH bucket join + cross-side verify), no exact batch×corpus
-    // harness — the bench row that should stay sf-linear
+    // harness — the bench row that should stay sf-linear. Signature width
+    // tracks corpus size (lshBitsFor: fixed bits=4 OOMed the sf10 probe —
+    // 16 cells over 400k vectors is a quadratic bucket, not an index);
+    // at sf0.1 and below this resolves to the same bits=4 as the gate row.
     QueryDef("q_near_new_op",
       (s, d) => {
         val e = embeddings(s, d)
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        val bits = graft.pipeline.Dedup.lshBitsFor(corpus.count())
         graft.pipeline.Dedup.embeddingDedupAgainst(
-            e.filter(col("vec_id") % 5 === 0),
-            e.filter(col("vec_id") % 5 =!= 0),
+            e.filter(col("vec_id") % 5 === 0), corpus,
             "vec_id", "embedding", dim = 64,
-            threshold = 0.4, bits = 4, tables = 4)
+            threshold = 0.4, bits = bits, tables = 4)
           .select(col("batch_id"), col("corpus_id"),
             round(col("cos"), 6).as("cos"))
           .orderBy("batch_id", "corpus_id")

@@ -609,10 +609,28 @@ object Dedup {
   def dotProduct(a: Column, b: Column): Column =
     graft.expr.DotProduct.of(asDoubleArray(a), asDoubleArray(b))
 
+  /** Signature-width selector for the hyperplane-LSH tiers: enough bits
+    * that the EXPECTED bucket holds ~`targetBucket` vectors
+    * (`bits = ceil(log2(n / targetBucket))`, floored at `minBits`,
+    * capped so table+signature still fit the long key). The sf10 scale
+    * probe is why this must track corpus size: a fixed bits=4 (16
+    * cells/table) at 400k vectors concentrates O(100k) rows in single
+    * cells — quadratic per-bucket verify work and multi-GB group
+    * materialization (OOMed a 48 GB JVM). Each extra bit halves a
+    * random pair's per-table collision probability — compensate recall
+    * with `tables` (RecallSpec's model: 1−(1−p^bits)^tables). */
+  def lshBitsFor(n: Long, targetBucket: Int = 1024, minBits: Int = 4): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    require(minBits >= 1 && minBits <= 32, s"minBits out of range: $minBits")
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.min(32, math.max(minBits,
+      math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   /** Deterministic pseudo-random hyperplanes (components uniform in
     * [-0.5, 0.5), seeded from (table, bit, index) — no stored model, any
     * executor can regenerate them). */
-  private[pipeline] def hyperplanes(bits: Int, dim: Int,
+  private[graft] def hyperplanes(bits: Int, dim: Int,
                                     table: Int = 0): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (b, i) =>
       (splitmix((table.toLong * 10007L + b) * 1000003L + i) >>> 11) /

@@ -66,10 +66,20 @@ object ScaleUp {
     }
     rep("embeddings") { (d, r) =>
       val shifted = shiftKeys("vec_id")(d, r)
+      // BOUNDED nudge on a per-replica ROTATING component: the original
+      // `component 0 += r * 0.01` grew with the replica index — at
+      // factor 100 the +0.99 shift dominated every vector's geometry, so
+      // all high-replica vectors pointed near e0 and the corpus
+      // manufactured ~10^8 above-threshold "near-dup" pairs (measured:
+      // q_near_new_op emitted 106M rows at sf10). Rotating the nudged
+      // component (r mod 64) and keeping the magnitude at 0.01·(1+r/64)
+      // ≤ ~0.03 keeps every replica distinct while preserving the
+      // original similarity structure.
       if (r == 0) shifted
       else shifted.withColumn("embedding",
         transform(col("embedding"),
-          (x, i) => when(i === 0, x + lit(r * 0.01f)).otherwise(x)))
+          (x, i) => when(i === r % 64, x + lit(((r / 64) + 1) * 0.01f))
+            .otherwise(x)))
     }
     spark.stop()
   }

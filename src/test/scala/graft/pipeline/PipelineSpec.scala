@@ -69,6 +69,16 @@ class PipelineSpec extends SparkSpec {
     assert(cross.contains(Set(10L, 0L))) // the planted near-dup collides
   }
 
+  test("lshBitsFor tracks corpus size with floor and cap") {
+    assert(Dedup.lshBitsFor(0L) == 4)        // floor at minBits
+    assert(Dedup.lshBitsFor(4000L) == 4)     // sf0.1 shape: unchanged
+    assert(Dedup.lshBitsFor(40000L) == 6)    // ceil(log2(39.06))
+    assert(Dedup.lshBitsFor(400000L) == 9)   // sf10 shape: 512 cells
+    assert(Dedup.lshBitsFor(1L << 60) == 32) // cap
+    assert(Dedup.lshBitsFor(1 << 20, targetBucket = 1 << 20) == 4)
+    intercept[IllegalArgumentException](Dedup.lshBitsFor(10, targetBucket = 0))
+  }
+
   test("textNewRows screens near-dup batch docs, passes novel ones") {
     import spark.implicits._
     val corpus = docs // ids 0-4
