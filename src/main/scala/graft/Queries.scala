@@ -1551,12 +1551,18 @@ object Queries {
     // the RECOMMENDED production configuration (tables=4: recall 0.15 → ~0.5
     // at cos >= 0.4 per RecallSpec's collision model) — benched so the cost
     // of the config callers should actually run is tracked, not just the
-    // single-table floor
+    // single-table floor. Signature width from lshBitsFor (resolves to the
+    // spec'd bits=4 at sf0.1 and below; scales the cell count past that —
+    // the sf10 lesson).
     QueryDef("q_embedding_dedup_lsh_mt",
-      (s, d) => graft.pipeline.Dedup.embeddingDedup(embeddings(s, d),
-          "vec_id", "embedding", dim = 64, threshold = 0.4, bits = 4,
-          tables = 4)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Dedup.embeddingDedup(e,
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            bits = graft.pipeline.Dedup.lshBitsFor(e.count()),
+            tables = 4)
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // ---- distributed Lloyd k-means (cluster sizes after one update) -------
