@@ -128,4 +128,24 @@ class EmptyInputSpec extends SparkSpec {
       stream, docsWithSource, "doc_id", "source",
       alpha = 0.5, scale = 0.5).count() == 0)
   }
+
+  test("round-7 additions tolerate empty input") {
+    import spark.implicits._
+    // incremental text screen: empty corpus flags nothing, keeps all;
+    // empty batch stays empty
+    val batchDocs = Seq((1L, "alpha beta gamma"), (2L, "delta eps zeta"))
+      .toDF("doc_id", "text")
+    assert(graft.pipeline.Dedup.minhashDedupAgainst(
+      batchDocs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Dedup.textNewRows(
+      batchDocs, emptyDocs, "doc_id", "text").count() == 2)
+    assert(graft.pipeline.Dedup.textNewRows(
+      emptyDocs, batchDocs, "doc_id", "text").count() == 0)
+    // full t-test result on a single group: no pairs, empty matrix
+    val oneGroup = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(graft.stat.StatTests.tTestMatrixFull(oneGroup, "v", Seq("g")).isEmpty)
+    // tokenizer edge inputs
+    assert(graft.pipeline.TextAnalysis.fastTokens("").isEmpty)
+    assert(graft.pipeline.TextAnalysis.fastTokens(" \t\n ").isEmpty)
+  }
 }
