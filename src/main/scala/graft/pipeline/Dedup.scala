@@ -447,6 +447,170 @@ object Dedup {
     batch.join(flagged, col(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Broadcastable standing-corpus index for [[textScreenStream]]: the
+    * banded minhash keys inverted to per-document sorted shingle-hash
+    * sets, so a row can be candidate-screened AND exact-verified with no
+    * shuffle and no state. Built once on the driver; carries its own
+    * banding config so the stream side derives identical signatures. */
+  final class TextScreenIndex private[Dedup] (
+      private[pipeline] val shingleSize: Int,
+      private[pipeline] val numHashes: Int,
+      private[pipeline] val bands: Int,
+      /** doc index → sorted distinct shingle hashes */
+      private[pipeline] val docs: Array[Array[Long]],
+      /** band key → indexes of docs holding that band signature */
+      private[pipeline] val byBand: java.util.HashMap[java.lang.Long, Array[Int]])
+    extends Serializable {
+    def nDocs: Int = docs.length
+  }
+
+  /** Per-text (band keys, sorted distinct shingle hashes) under the
+    * index's banding config — shared by the index build and the screen. */
+  private def bandsAndHashes(text: String, shingleSize: Int,
+                             numHashes: Int, bands: Int,
+                             ma: Array[Long], mb: Array[Long]): (Array[Long], Array[Long]) = {
+    val rowsPerBand = numHashes / bands
+    val shs = shinglesOf(text, shingleSize)
+    val hashes = new Array[Long](shs.length)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shs.length) {
+      val h = hash64(shs(s))
+      hashes(s) = h
+      var i = 0
+      while (i < numHashes) {
+        val v = h * ma(i) + mb(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    java.util.Arrays.sort(hashes)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 1125899906842597L + b
+      var i = b * rowsPerBand
+      while (i < (b + 1) * rowsPerBand) { key = key * 31 + sig(i); i += 1 }
+      keys(b) = key
+      b += 1
+    }
+    // shinglesOf dedups as strings; 64-bit hash collisions within one doc
+    // are ~1e-8-probable — dedup defensively so set sizes stay exact
+    var n = 0
+    var last = 0L
+    var i = 0
+    val dedup = new Array[Long](hashes.length)
+    while (i < hashes.length) {
+      if (n == 0 || hashes(i) != last) { dedup(n) = hashes(i); n += 1 }
+      last = hashes(i)
+      i += 1
+    }
+    (keys, java.util.Arrays.copyOf(dedup, n))
+  }
+
+  /** Build a [[TextScreenIndex]] from the standing corpus. The index is
+    * collected to the driver and broadcast — the same contract as
+    * [[Decontaminate.decontaminateStream]]'s gram set, with the same hard
+    * guard: it refuses corpora above `maxDocs` rows (a probe, before any
+    * collect). Size ≈ corpus shingle mass × 8 bytes; beyond the bound,
+    * screen per micro-batch with `foreachBatch` + [[textNewRows]] instead
+    * (the shuffle-based form has no corpus-size ceiling). */
+  def buildTextScreenIndex(corpus: DataFrame, textCol: String,
+                           shingleSize: Int = 3, numHashes: Int = 63,
+                           bands: Int = 21,
+                           maxDocs: Int = 1 << 21): TextScreenIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeLimit = if (maxDocs == Int.MaxValue) maxDocs else maxDocs + 1
+    val probe = corpus.limit(probeLimit).count()
+    require(probe <= maxDocs,
+      s"buildTextScreenIndex collects the corpus shingle sets to the " +
+        s"driver and refuses corpora above maxDocs=$maxDocs rows; this " +
+        s"input has more. Screen per micro-batch with foreachBatch + " +
+        s"textNewRows, or raise maxDocs deliberately.")
+    val (ma, mb) = mixers(numHashes)
+    val rows = corpus.na.drop(Seq(textCol))
+      .select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        it.map(t => bandsAndHashes(t, shingleSize, numHashes, bands, ma, mb))
+      }.collect()
+    val byBand = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    rows.zipWithIndex.foreach { case ((keys, _), di) =>
+      var b = 0
+      while (b < keys.length) {
+        var l = byBand.get(keys(b))
+        if (l == null) {
+          l = scala.collection.mutable.ArrayBuffer.empty[Int]
+          byBand.put(keys(b), l)
+        }
+        // the same (band, doc) can repeat only across equal keys from
+        // different bands — rare; dedup on insert keeps arrays minimal
+        if (l.isEmpty || l.last != di) l += di
+        b += 1
+      }
+    }
+    val packed = new java.util.HashMap[java.lang.Long, Array[Int]](byBand.size())
+    byBand.forEach((k, v) => packed.put(k, v.toArray))
+    new TextScreenIndex(shingleSize, numHashes, bands,
+      rows.map(_._2), packed)
+  }
+
+  /** STREAMING text near-dup screen — the stateless streaming face of
+    * [[textNewRows]]: rows whose n-gram Jaccard against some
+    * standing-corpus document reaches `threshold` are dropped; everything
+    * else (including null-text rows, which cannot be checked — batch
+    * parity) passes. Candidates come from the broadcast index's band
+    * buckets and are EXACT-verified by sorted-set intersection on the
+    * 64-bit shingle hashes, so false-positive behavior matches the batch
+    * screen (hash collisions ~1e-8); recall is the same banding S-curve.
+    * One stateless filter: no watermark, no state store — composes with
+    * any streaming (or batch) query. */
+  def textScreenStream(stream: DataFrame, textCol: String,
+                       index: TextScreenIndex,
+                       threshold: Double = 0.7): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(index)
+    val (ma, mb) = mixers(index.numHashes)
+    val clean = udf { text: String =>
+      text == null || {
+        val idx = bc.value
+        val (keys, hs) = bandsAndHashes(text, idx.shingleSize,
+          idx.numHashes, idx.bands, ma, mb)
+        val seen = new java.util.HashSet[Integer]()
+        var dup = false
+        var b = 0
+        while (!dup && b < keys.length) {
+          val cands = idx.byBand.get(keys(b))
+          if (cands != null) {
+            var c = 0
+            while (!dup && c < cands.length) {
+              val di = cands(c)
+              if (seen.add(di)) {
+                val ds = idx.docs(di)
+                // sorted-array intersection (both sides distinct)
+                var i = 0; var j = 0; var common = 0
+                while (i < hs.length && j < ds.length) {
+                  if (hs(i) == ds(j)) { common += 1; i += 1; j += 1 }
+                  else if (hs(i) < ds(j)) i += 1
+                  else j += 1
+                }
+                val unionSz = hs.length + ds.length - common
+                if (unionSz > 0 &&
+                    common.toDouble / unionSz >= threshold) dup = true
+              }
+              c += 1
+            }
+          }
+          b += 1
+        }
+        !dup
+      }
+    }
+    stream.filter(col(textCol).isNull || clean(col(textCol)))
+  }
+
   /** Transitive near-dedup: resolve a near-dup PAIR graph into connected
     * components and keep ONE representative (the min id) per component;
     * documents in no pair are untouched. This is the correct "drop the

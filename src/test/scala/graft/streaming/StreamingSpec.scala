@@ -57,6 +57,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("textScreenStream drops corpus near-dups from a stream, passes novel text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.buildTextScreenIndex(corpus, "text")
+    assert(index.nDocs == 2)
+    val input = MemoryStream[(Timestamp, String)]
+    val screened = graft.pipeline.Dedup.textScreenStream(
+      input.toDF().toDF("ts", "text"), "text", index, threshold = 0.5)
+    val q = screened.writeStream.format("memory")
+      .queryName("tss").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), "the quick brown fox jumps over the lazy cat"),
+        (ts("2026-01-01 10:01:00"), "entirely novel sentence with fresh words"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT text FROM tss").collect()
+        .map(_.getString(0)).toSet
+      assert(kept == Set("entirely novel sentence with fresh words"))
+    } finally q.stop()
+  }
+
+  test("textScreenStream on a batch frame equals textNewRows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc() = (0 until 8).map(_ => words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val corpus = (0L until 30L).map(i => (i, doc())).toDF("doc_id", "text")
+    val batch = (100L until 130L).map(i => (i, doc())).toDF("doc_id", "text")
+    val viaShuffle = graft.pipeline.Dedup.textNewRows(
+        batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val index = graft.pipeline.Dedup.buildTextScreenIndex(corpus, "text")
+    val viaIndex = graft.pipeline.Dedup.textScreenStream(
+        batch, "text", index, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaShuffle,
+      s"index-screen kept $viaIndex, shuffle-screen kept $viaShuffle")
+  }
+
   test("runningStats keeps Welford state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
