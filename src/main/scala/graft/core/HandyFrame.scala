@@ -138,7 +138,7 @@ final case class HandyFrame(df: DataFrame, state: HandyState = HandyState()) {
     * ids are NOT stable across re-optimization; same caveat applies and is
     * why the reference marks it experimental. */
   def genRowIds(idCol: String = "__row_id"): HandyFrame = {
-    val withId = df.rdd.zipWithIndex.map { case (r, i) =>
+    val withId = df.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     val schema2 = StructType(df.schema.fields :+

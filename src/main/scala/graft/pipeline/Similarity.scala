@@ -50,7 +50,7 @@ object Similarity {
   /** Exact cosine top-k neighbors of one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     val v = asDouble(col(vecCol))
     df.select(col(idCol),
         Dedup.cosinePre(v, q, Dedup.sqNorm(v),
@@ -364,7 +364,7 @@ object Similarity {
     val probeCells = centers.zipWithIndex
       .map { case (c, i) => (i, cosLocal(c, query)) }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     assigned.filter(col("cell").isin(probeCells.toSeq: _*))
       .select(col(idCol), Dedup.cosinePre(col("v"), q,
         Dedup.sqNorm(col("v")), lit(query.map(x => x * x).sum)).as("cos"))
