@@ -331,12 +331,24 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verify →
-    * pairs above threshold. */
+    * pairs above threshold.
+    *
+    * The candidate-driven verify costs |candidates| × shingles-per-doc
+    * attach rows — the right plan when the banding filters hard. On a
+    * DUP-HEAVY corpus (every doc in a large near-dup clique) candidates
+    * approach all clique pairs and the verify dominates (measured 325 s
+    * at the sf10 replica corpus, where every doc sits in a 100-clique ⇒
+    * ~25M candidate pairs). Two levers for that regime: `maxDf`
+    * stop-lists ultra-frequent shingles out of the verify (jaccard over
+    * the informative shingles — see [[ngramJaccard]]'s semantics note),
+    * and/or run [[exact]]/[[lineDedup]] FIRST so trivial replicas never
+    * reach the pair generator. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 63,
-                   bands: Int = 21, threshold: Double = 0.7): DataFrame = {
+                   bands: Int = 21, threshold: Double = 0.7,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    ngramJaccard(df, idCol, textCol, shingleSize, Some(cands))
+    ngramJaccard(df, idCol, textCol, shingleSize, Some(cands), maxDf)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

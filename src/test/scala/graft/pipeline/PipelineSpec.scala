@@ -45,6 +45,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhashDedup maxDf: unbinding value is a no-op, tight value only removes pairs") {
+    val base = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noop = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5,
+        maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noop == base)
+    val tight = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5,
+        maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(base))
+  }
+
   test("minhashCandidatesAgainst equals the union candidates restricted to cross pairs") {
     // ids 0,1,2 = standing corpus; 10,11 = batch (11 near-dups doc 0)
     import spark.implicits._
