@@ -338,11 +338,17 @@ object Dedup {
     * DUP-HEAVY corpus (every doc in a large near-dup clique) candidates
     * approach all clique pairs and the verify dominates (measured 325 s
     * at the sf10 replica corpus, where every doc sits in a 100-clique ⇒
-    * ~25M candidate pairs). Two levers for that regime: `maxDf`
-    * stop-lists ultra-frequent shingles out of the verify (jaccard over
-    * the informative shingles — see [[ngramJaccard]]'s semantics note),
-    * and/or run [[exact]]/[[lineDedup]] FIRST so trivial replicas never
-    * reach the pair generator. */
+    * ~25M true pairs — the output itself is quadratic in clique size).
+    * `maxDf` stop-lists ultra-frequent shingles out of the verify
+    * (jaccard over the informative shingles — [[ngramJaccard]]'s
+    * semantics note) — the right lever when the pair explosion is
+    * BOILERPLATE-driven. It is NOT a fix for genuine near-dup cliques:
+    * the df cut is absolute, so on a replica-inflated corpus it mostly
+    * shrinks the effective problem instead of the cost (measured: 195 s
+    * and a 909-pair remnant at sf10 with maxDf=100). When the cliques
+    * are real, collapse them first (near-dedup at a lower SF /
+    * [[exact]] / [[lineDedup]]) or go straight to the component
+    * workflow — the pair set, not the plan, is the cost. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 63,
                    bands: Int = 21, threshold: Double = 0.7,
