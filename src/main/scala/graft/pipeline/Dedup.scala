@@ -283,9 +283,21 @@ object Dedup {
     * no sound place to unpersist inside this method); long-lived sessions
     * doing many dedup calls can `spark.catalog.clearCache()` between
     * batches. */
+  /** `maxDfFraction` is the SCALE-STABLE form of the df cut: shingles in
+    * more than `maxDfFraction` of the documents being shingled (the whole
+    * corpus, or the candidate-pair docs when `candidates` is given) are
+    * stop-listed. An absolute `maxDf` changes meaning with corpus size —
+    * the sf10 study's own finding: maxDf=100 that trims boilerplate at
+    * sf0.1 stop-lists nearly everything at 100× replication — while a
+    * fraction tracks the corpus. The effective cut is
+    * `max(1, floor(maxDfFraction · nDocs))`, combined with `maxDf` by
+    * minimum; 1.0 (the default) is a no-op and skips the doc count. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Option[DataFrame] = None,
-                   maxDf: Int = Int.MaxValue): DataFrame = {
+                   maxDf: Int = Int.MaxValue,
+                   maxDfFraction: Double = 1.0): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     // the candidate frame is consumed TWICE below (the id semi-join and the
     // pair join) — cache it, or its generator (an LSH banding pass) runs
     // once per consumer
@@ -303,8 +315,17 @@ object Dedup {
     // cache so the shingling pass runs once
     val shAll = shingled(source, idCol, textCol, n)
       .withColumnRenamed("__id", idCol).cache()
-    val sh = if (maxDf == Int.MaxValue) shAll
-             else stopListed(shAll, maxDf).cache()
+    // resolve the fractional cut against the docs actually being shingled
+    // (one count on the cached posting frame — only when the knob is set)
+    val effectiveMaxDf =
+      if (maxDfFraction >= 1.0) maxDf
+      else {
+        val nDocs = shAll.select(idCol).distinct().count()
+        math.min(maxDf.toLong,
+          math.max(1L, math.floor(maxDfFraction * nDocs).toLong)).toInt
+      }
+    val sh = if (effectiveMaxDf == Int.MaxValue) shAll
+             else stopListed(shAll, effectiveMaxDf).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = candCached match {
       case Some(cands) =>
@@ -348,13 +369,19 @@ object Dedup {
     * and a 909-pair remnant at sf10 with maxDf=100). When the cliques
     * are real, collapse them first (near-dedup at a lower SF /
     * [[exact]] / [[lineDedup]]) or go straight to the component
-    * workflow — the pair set, not the plan, is the cost. */
+    * workflow — the pair set, not the plan, is the cost.
+    *
+    * Prefer `maxDfFraction` over `maxDf` when the corpus size isn't
+    * fixed: the fractional cut keeps its meaning across scale (see
+    * [[ngramJaccard]] for the resolution rule). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 63,
                    bands: Int = 21, threshold: Double = 0.7,
-                   maxDf: Int = Int.MaxValue): DataFrame = {
+                   maxDf: Int = Int.MaxValue,
+                   maxDfFraction: Double = 1.0): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    ngramJaccard(df, idCol, textCol, shingleSize, Some(cands), maxDf)
+    ngramJaccard(df, idCol, textCol, shingleSize, Some(cands), maxDf,
+        maxDfFraction)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -368,7 +395,17 @@ object Dedup {
     * the corpus never pairs with itself, so a huge standing corpus adds
     * linear bucket mass, not quadratic pair work. Ids must be unique
     * across batch ∪ corpus (they key the downstream verify).
-    * Returns (id_a = batch id, id_b = corpus id). */
+    * Returns (id_a = batch id, id_b = corpus id).
+    *
+    * Band buckets above `maxBucket` rows are SKIPPED (same policy as
+    * [[pairsByKey]]'s note): an over-cap bucket is a degenerate
+    * boilerplate band signature whose pairs would be quadratic —
+    * acceptable for CANDIDATE generation, but it is silent recall loss on
+    * boilerplate-heavy corpora. Skips are counted in the Spark
+    * accumulator `graft.minhashCandidatesAgainst.skippedBuckets` (visible
+    * in the UI / status store for the job that materializes the result);
+    * a non-zero count means docs whose only overlap is boilerplate were
+    * never candidates. */
   def minhashCandidatesAgainst(batch: DataFrame, corpus: DataFrame,
                                idCol: String, textCol: String,
                                shingleSize: Int = 3, numHashes: Int = 63,
@@ -380,6 +417,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val spark = batch.sparkSession
     import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator(
+      "graft.minhashCandidatesAgainst.skippedBuckets")
     val (ma, mb) = mixers(numHashes)
     def banded(df: DataFrame, isBatch: Boolean) = df
       .na.drop(Seq(idCol, textCol))
@@ -414,7 +453,7 @@ object Dedup {
       .groupByKey(_._1).flatMapGroups { (_, it) =>
         val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
         val rows = it.take(limit).toArray
-        if (rows.length > maxBucket) Iterator.empty
+        if (rows.length > maxBucket) { skipped.add(1L); Iterator.empty }
         else {
           val (bs, cs) = rows.partition(_._2)
           val out = Array.newBuilder[(Long, Long)]
@@ -434,7 +473,14 @@ object Dedup {
     * banding S-curve). Completes the incremental-ingestion tier:
     * [[bloomNewRows]] kills exact re-crawls, this kills near-duplicate
     * re-texts, [[nearNewRows]] kills semantic re-embeds.
-    * Returns (id_a = batch id, id_b = corpus id, jaccard). */
+    * Returns (id_a = batch id, id_b = corpus id, jaccard).
+    *
+    * CONTRACT — ids must be unique across batch ∪ corpus: the verify
+    * unions both sides and keys shingles by id, so an id present on BOTH
+    * sides silently doubles that doc's shingle rows (inflated set sizes
+    * and intersections → WRONG jaccard values, not an error). Re-key one
+    * side (e.g. negate or offset batch ids) before calling when the id
+    * spaces can overlap. */
   def minhashDedupAgainst(batch: DataFrame, corpus: DataFrame,
                           idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 63,
@@ -454,7 +500,9 @@ object Dedup {
 
   /** Batch rows with NO text near-dup in the standing corpus — the
     * ingestion filter built on [[minhashDedupAgainst]] (mirror of
-    * [[nearNewRows]]). */
+    * [[nearNewRows]]); inherits its id-uniqueness contract — an id on
+    * both sides corrupts that doc's jaccard (see there), which here can
+    * silently pass or drop the wrong batch rows. */
   def textNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, shingleSize: Int = 3,
                   numHashes: Int = 63, bands: Int = 21,
@@ -530,10 +578,19 @@ object Dedup {
   /** Build a [[TextScreenIndex]] from the standing corpus. The index is
     * collected to the driver and broadcast — the same contract as
     * [[Decontaminate.decontaminateStream]]'s gram set, with the same hard
-    * guard: it refuses corpora above `maxDocs` rows (a probe, before any
-    * collect). Size ≈ corpus shingle mass × 8 bytes; beyond the bound,
-    * screen per micro-batch with `foreachBatch` + [[textNewRows]] instead
-    * (the shuffle-based form has no corpus-size ceiling). */
+    * guard: it refuses corpora above `maxDocs` INDEXABLE rows (null-text
+    * rows can't shingle and are not counted — the probe runs after the
+    * na.drop, so a null-heavy corpus isn't refused for rows that would
+    * never reach the index). Beyond the bound, screen per micro-batch
+    * with `foreachBatch` + [[textNewRows]] instead (the shuffle-based
+    * form has no corpus-size ceiling).
+    *
+    * SIZING: the row count is a proxy — the real broadcast cost is the
+    * SHINGLE MASS, ≈ Σ distinct shingles per doc × 8 bytes (plus the band
+    * map: docs × bands × ~8 bytes). The default maxDocs = 2M at a typical
+    * ~200 shingles/doc is ~3 GB of broadcast — near the practical
+    * ceiling; lower `maxDocs` accordingly when documents run long, since
+    * a row bound alone cannot see per-doc length. */
   def buildTextScreenIndex(corpus: DataFrame, textCol: String,
                            shingleSize: Int = 3, numHashes: Int = 63,
                            bands: Int = 21,
@@ -541,15 +598,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val indexable = corpus.na.drop(Seq(textCol))
     val probeLimit = if (maxDocs == Int.MaxValue) maxDocs else maxDocs + 1
-    val probe = corpus.limit(probeLimit).count()
+    val probe = indexable.limit(probeLimit).count()
     require(probe <= maxDocs,
       s"buildTextScreenIndex collects the corpus shingle sets to the " +
-        s"driver and refuses corpora above maxDocs=$maxDocs rows; this " +
-        s"input has more. Screen per micro-batch with foreachBatch + " +
-        s"textNewRows, or raise maxDocs deliberately.")
+        s"driver and refuses corpora above maxDocs=$maxDocs indexable " +
+        s"rows; this input has more. Screen per micro-batch with " +
+        s"foreachBatch + textNewRows, or raise maxDocs deliberately.")
     val (ma, mb) = mixers(numHashes)
-    val rows = corpus.na.drop(Seq(textCol))
+    val rows = indexable
       .select(col(textCol)).as[String]
       .mapPartitions { it =>
         it.map(t => bandsAndHashes(t, shingleSize, numHashes, bands, ma, mb))
@@ -704,25 +762,61 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by 16-bit chunks (a pair within
-    * Hamming distance ≤3 of 64 bits shares at least one of 4 chunks by
-    * pigeonhole), verify with Long.bitCount inside the per-bucket loop —
-    * posting-list shaped like the other LSH ops: one shuffle of the
-    * (chunkKey, id, signature) rows, pairs emitted filtered, deduped
-    * across chunks. */
+  /** SimHash near-dup pairs: bucket the 64-bit signature into `chunks`
+    * contiguous bit ranges (a pair within Hamming distance ≤ chunks−1
+    * shares at least one untouched chunk by pigeonhole), verify with
+    * Long.bitCount inside the per-bucket loop — posting-list shaped like
+    * the other LSH ops: one shuffle of the (chunkKey, id, signature)
+    * rows, pairs emitted filtered, deduped across chunks.
+    *
+    * COMPLETENESS: with `maxHamming <= chunks - 1` the candidate set is
+    * complete, so the output is EXACTLY the Hamming ball — what the
+    * q_simhash oracle contract checks. A `maxHamming` beyond that bound
+    * trades recall for chunk width: pick `chunks >= maxHamming + 1` for
+    * exactness (e.g. 9 chunks for maxHamming=8 — ~7-bit chunk buckets,
+    * so only viable after exact-dedup collapses identical mass), or keep
+    * wide chunks and accept pigeonhole recall. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1 << 20): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1 << 20,
+                   chunks: Int = 4): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "simhashDedup")
-    val spark = df.sparkSession
+    val sigs = df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long").as("__id"),
+        simhash(col(textCol)).as("__sig"))
+    simhashPairsFromSig(sigs, maxHamming, maxBucket, chunks)
+  }
+
+  /** The chunk-bucket + verify machinery of [[simhashDedup]] over
+    * PRE-COMPUTED (id, signature) rows — the first two columns of `sigs`
+    * are taken as (long id, long signature). Exposed so a caller can plug
+    * any 64-bit signature basis (e.g. the q_simhash oracle contract, which
+    * derives signatures from md5 token hashes both Spark and DuckDB can
+    * reproduce) into the same distributed pair generation. */
+  def simhashPairsFromSig(sigs: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = 1 << 20,
+                          chunks: Int = 4): DataFrame = {
+    require(chunks >= 1 && chunks <= 64, s"chunks out of range: $chunks")
+    val spark = sigs.sparkSession
     import spark.implicits._
-    val chunked = df.na.drop(Seq(idCol, textCol))
-      .select(col(idCol).cast("long"), simhash(col(textCol)))
+    val nChunks = chunks
+    val chunked = sigs
+      .select(sigs.columns(0), sigs.columns(1))
       .as[(Long, Long)]
       .flatMap { case (id, sh) =>
-        (0 until 4).iterator.map { i =>
-          // chunk index folded above the 16 chunk-value bits → buckets from
-          // different chunk positions can never collide
-          val key = (i.toLong << 16) | ((sh >>> (i * 16)) & 0xFFFFL)
+        (0 until nChunks).iterator.map { i =>
+          // chunk i covers bits [i*64/chunks, (i+1)*64/chunks); the chunk
+          // index is folded above the value bits (width <= 32 whenever
+          // chunks >= 2) so buckets from different chunk positions can
+          // never collide; chunks == 1 keys on the whole signature
+          val lo = i * 64 / nChunks
+          val hi = (i + 1) * 64 / nChunks
+          val key =
+            if (nChunks == 1) sh
+            else {
+              val width = hi - lo
+              val mask = if (width == 64) -1L else (1L << width) - 1L
+              (i.toLong << 32) | ((sh >>> lo) & mask)
+            }
           (key, id, sh)
         }
       }
@@ -833,25 +927,36 @@ object Dedup {
     * `tables` multiplies the shuffled row count — the exact-verify work
     * stays deduped because a pair found in several tables is distinct'd.
     * With tables=1 each pair lives in exactly one bucket and the distinct
-    * is skipped. The per-bucket group is materialized: pick `bits` so the
-    * expected bucket size stays bounded (≈ n / 2^bits) — more bits =
+    * is skipped. The per-bucket group is materialized: the signature width
+    * must bound the expected bucket size (≈ n / 2^bits) — more bits =
     * faster + lower per-table recall (compensate with more tables).
-    * Interpreted HOF cosines per candidate pair cost ~50× this loop. */
+    * Interpreted HOF cosines per candidate pair cost ~50× this loop.
+    *
+    * `bits = 0` (the DEFAULT) sizes the signature adaptively from the
+    * corpus count via [[lshBitsFor]] — the sf10 lesson: a fixed width
+    * cannot scale (bits=4 at 400k vectors concentrated O(100k) rows per
+    * cell and OOMed a 48 GB JVM). The one count job it costs is trivial
+    * next to the bucketed verify; pass an explicit `bits >= 1` to pin the
+    * width (reproducing a spec'd config, or when the caller already
+    * knows n). */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     threshold: Double = 0.95, bits: Int = 8,
+                     threshold: Double = 0.95, bits: Int = 0,
                      maxBucket: Int = 1 << 20, tables: Int = 1): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "embeddingDedup")
+    require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
+    val clean = df.na.drop(Seq(idCol, vecCol))
+    val sigBits = if (bits == 0) lshBitsFor(clean.count()) else bits
     // key = (table << bits) | signature: table index bits + signature bits
     // must fit a non-negative long
     val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, tables - 1).toLong)
-    require(bits + tableBits <= 63,
-      s"table index + signature must fit a long key (bits=$bits tables=$tables)")
+    require(sigBits + tableBits <= 63,
+      s"table index + signature must fit a long key (bits=$sigBits tables=$tables)")
     val spark = df.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(
-      Array.tabulate(tables)(t => hyperplanes(bits, dim, t)))
-    val assigned = df.na.drop(Seq(idCol, vecCol))
+      Array.tabulate(tables)(t => hyperplanes(sigBits, dim, t)))
+    val assigned = clean
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -873,7 +978,7 @@ object Dedup {
             }
             // table index folded above the signature bits: buckets from
             // different tables can never collide
-            ((t.toLong << bits) | bucket, id, v, n2)
+            ((t.toLong << sigBits) | bucket, id, v, n2)
           }
         }
       }
@@ -918,22 +1023,33 @@ object Dedup {
     * Scale shape: one typed bucket-assignment pass per side, ONE shuffle
     * on the bucket key, per-bucket batch×corpus verify loops (never
     * batch×batch or corpus×corpus — cross-side only, so a huge standing
-    * corpus adds linear bucket mass, not quadratic pair work). */
+    * corpus adds linear bucket mass, not quadratic pair work).
+    *
+    * `bits = 0` (the DEFAULT) sizes the signature adaptively via
+    * [[lshBitsFor]] over the STANDING-CORPUS count — the corpus dominates
+    * bucket mass in the incremental-screen shape (batch ≪ corpus), and
+    * both sides must band with the SAME width to collide. Explicit
+    * `bits >= 1` pins the width. */
   def embeddingDedupAgainst(batch: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, dim: Int,
-                            threshold: Double = 0.95, bits: Int = 8,
+                            threshold: Double = 0.95, bits: Int = 0,
                             maxBucket: Int = 1 << 20,
                             tables: Int = 1): DataFrame = {
     Similarity.requireIntegralId(batch, idCol, "embeddingDedupAgainst")
     Similarity.requireIntegralId(corpus, idCol, "embeddingDedupAgainst")
+    require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
+    val sigBits =
+      if (bits == 0)
+        lshBitsFor(corpus.na.drop(Seq(idCol, vecCol)).count())
+      else bits
     val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, tables - 1).toLong)
-    require(bits + tableBits <= 63,
-      s"table index + signature must fit a long key (bits=$bits tables=$tables)")
+    require(sigBits + tableBits <= 63,
+      s"table index + signature must fit a long key (bits=$sigBits tables=$tables)")
     val spark = batch.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(
-      Array.tabulate(tables)(t => hyperplanes(bits, dim, t)))
+      Array.tabulate(tables)(t => hyperplanes(sigBits, dim, t)))
     def assign(df: DataFrame, isBatch: Boolean) = df
       .na.drop(Seq(idCol, vecCol))
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
@@ -955,7 +1071,7 @@ object Dedup {
               if (dot > 0) bucket |= (1L << b)
               b += 1
             }
-            ((t.toLong << bits) | bucket, isBatch, id, v, n2)
+            ((t.toLong << sigBits) | bucket, isBatch, id, v, n2)
           }
         }
       }
@@ -987,7 +1103,7 @@ object Dedup {
     * ingestion filter built on [[embeddingDedupAgainst]]. */
   def nearNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, dim: Int, threshold: Double = 0.95,
-                  bits: Int = 8, tables: Int = 1): DataFrame = {
+                  bits: Int = 0, tables: Int = 1): DataFrame = {
     val flagged = embeddingDedupAgainst(batch, corpus, idCol, vecCol, dim,
         threshold, bits, tables = tables)
       .select(col("batch_id").as("__dup_id")).distinct()

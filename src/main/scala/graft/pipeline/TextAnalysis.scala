@@ -15,28 +15,38 @@ object TextAnalysis {
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Hand-rolled whitespace scan for the typed JVM hot paths — the same
-    * nonempty-token stream as `trim.split("\\s+").filter(_.nonEmpty)`
-    * (Java `\s` = space + 0x09–0x0D, matched exactly) without the regex
-    * engine: one char pass, no Pattern/Matcher allocation, no transient
-    * split array. The regex split dominated the dedup-tier shingling
-    * residual (NOTES round 6); every per-row tokenizer below the Column
-    * layer (shingling, repetition signals, BPE apply) goes through here.
-    * Whitespace-only input yields an EMPTY array (callers that need the
-    * `split` artifact `[""]` don't exist below the Column layer). */
+    * nonempty-token stream as `trim.split("\\s+").filter(_.nonEmpty)`,
+    * INCLUDING `String.trim`'s end behavior: trim strips every char
+    * <= U+0020 from both ends (controls like U+0000-U+0008 and
+    * U+000E-U+001F too, not just
+    * Java `\s` = space + 0x09–0x0D), so the scan first clips the ends at
+    * <= ' ' and then splits the interior on `\s` chars only — interior
+    * control chars stay token chars, exactly as the regex form leaves
+    * them. No regex engine: one char pass, no Pattern/Matcher allocation,
+    * no transient split array. The regex split dominated the dedup-tier
+    * shingling residual (NOTES round 6); every per-row tokenizer below
+    * the Column layer (shingling, repetition signals, BPE apply) goes
+    * through here. Whitespace-only input yields an EMPTY array (callers
+    * that need the `split` artifact `[""]` don't exist below the Column
+    * layer). */
   @inline private[graft] def isAsciiSpace(ch: Char): Boolean =
     ch == ' ' || (ch >= '\t' && ch <= '\r')
 
   private[graft] def fastTokens(text: String): Array[String] = {
-    val len = text.length
+    // String.trim parity: clip chars <= U+0020 (not just \s) at the ends
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) <= ' ') hi -= 1
     // pre-size from a quick space count estimate? a growable builder is
     // simpler and the copy cost is dwarfed by substring allocation
     val out = scala.collection.mutable.ArrayBuilder.make[String]
-    var i = 0
-    while (i < len) {
-      while (i < len && isAsciiSpace(text.charAt(i))) i += 1
-      if (i < len) {
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isAsciiSpace(text.charAt(i))) i += 1
+      if (i < hi) {
         val start = i
-        while (i < len && !isAsciiSpace(text.charAt(i))) i += 1
+        while (i < hi && !isAsciiSpace(text.charAt(i))) i += 1
         out += text.substring(start, i)
       }
     }
