@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Steady-state bands (seconds at sf0.1, local[32]) for the rows whose
+    * bench numbers have historically swung ±2× with no code change (the
+    * round 6-8 drift inventory, VERDICT r7/r8). lo/hi span every recorded
+    * steady-state observation (bench rounds 6-8 + TimeQuery probes — see
+    * NOTES "Steady-state bands") with ~25% margin; a row OUTSIDE its band
+    * is flagged in the output so a real regression is distinguishable
+    * from run-to-run variance. Update the table when a code change moves
+    * a banded query's steady state on purpose. */
+  val bands: Map[String, (Double, Double)] = Map(
+    "q_bm25"               -> (0.40, 1.40),
+    "q_moments"            -> (0.18, 0.60),
+    "q_dedup_dups"         -> (0.16, 0.58),
+    "q_stratify_rewritten" -> (0.42, 0.95),
+    "q_fence_cap"          -> (0.30, 0.70),
+    "q_mahalanobis"        -> (0.90, 2.15),
+    "q_multimodal"         -> (0.50, 1.50),
+    "q_mode_stratified"    -> (0.35, 0.95),
+    "q_repetition"         -> (0.55, 1.35),
+    "q_minhash_dedup"      -> (0.90, 2.15),
+    "q_skew_report"        -> (0.33, 0.90),
+    "q_pack_greedy"        -> (0.40, 1.00))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,6 +79,16 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
+    // band check: flag rows outside their recorded steady-state band so a
+    // real regression is separable from the documented ±2x per-row noise
+    val outOfBand = results.flatMap { case (k, v) =>
+      bands.get(k).collect { case (lo, hi) if v < lo || v > hi =>
+        k -> s"""{"sec":${fmt(v)},"band":[$lo,$hi]}""" }
+    }
+    val bandJson = outOfBand
+      .map { case (k, j) => "\"" + k + "\":" + j }
+      .mkString(""","out_of_band":{""", ",", "}") +
+      s""","banded_rows":${bands.size}"""
     // Full per-query detail goes to a file: with 90+ queries the one-line
     // map exceeds the harness's 2000-char output tail, which truncated the
     // line mid-JSON and left it unparseable in rounds 1-4. The printed line
@@ -65,7 +97,7 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
-        ",", s"""},"sf":"$sfDir"}""")
+        ",", s"""}$bandJson,"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullJson) finally w.close()
@@ -73,7 +105,7 @@ object Bench {
     val budget = 1700 // line must survive inside a ~2000-char stdout tail
     val sorted = results.toSeq.sortBy(-_._2)
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val tail = s"""},"n_queries":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val tail = s"""}$bandJson,"n_queries":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     val sb = new StringBuilder(head)
     var first = true
     sorted.foreach { case (k, v) =>

@@ -1289,6 +1289,51 @@ object Queries {
       },
       None),
 
+    // ---- BPE learn-side contract (hash-green) -----------------------------
+    // the merge TABLE is iterative, but three learn-side invariants are
+    // checkable: merge #1 is the argmax adjacent symbol pair of the
+    // INITIAL char+</w> histogram (one DuckDB aggregate, ties by
+    // freq desc / lhs / rhs — the learner's own tie-break); selection-time
+    // frequencies are non-increasing (step k's argmax is bounded by step
+    // k−1's: surviving pairs only lost count, and a pair created by a
+    // merge inherits at most the merged count); every merge operand is a
+    // base symbol (corpus char or </w>) or the output of an EARLIER merge
+    QueryDef("q_bpe_merges",
+      (s, d) => {
+        import graft.pipeline.Subword
+        val docs = documents(s, d)
+        val detailed = Subword.learnBpeDetailed(docs, "text", numMerges = 200)
+        val freqs = detailed.map(_._3)
+        val nonIncreasing = freqs.zip(freqs.drop(1)).forall { case (a, b) => a >= b }
+        // base symbols: every distinct char of the corpus' words + </w>
+        val spark = s
+        import spark.implicits._
+        val chars = Subword.wordHistogram(docs, "text")
+          .select(explode(split(col("word"), "")).as("c"))
+          .filter(col("c") =!= "").distinct().as[String].collect().toSet
+        var vocab = chars + Subword.EndOfWord
+        var inVocab = true
+        detailed.foreach { case (l, r, _) =>
+          if (!vocab.contains(l) || !vocab.contains(r)) inVocab = false
+          vocab += (l + r)
+        }
+        val (l0, r0, f0) = detailed.head
+        Seq((l0, r0, f0, nonIncreasing, inVocab))
+          .toDF("first_lhs", "first_rhs", "first_freq",
+            "freq_non_increasing", "pairs_in_vocab")
+      },
+      Some("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents WHERE text IS NOT NULL),
+             wc AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+             sy AS (SELECT n, list_append(regexp_split_to_array(word, ''), '</w>') AS s
+               FROM wc),
+             pr AS (SELECT s[i] AS lhs, s[i+1] AS rhs, sum(n) AS freq
+               FROM sy, unnest(generate_series(1, len(s) - 1)) AS t(i)
+               GROUP BY 1, 2)
+             SELECT lhs AS first_lhs, rhs AS first_rhs, freq::BIGINT AS first_freq,
+               true AS freq_non_increasing, true AS pairs_in_vocab
+             FROM pr ORDER BY freq DESC, lhs, rhs LIMIT 1""")),
+
     // ---- BPE apply: distributed tokenization under the learned merges -----
     // the merge TABLE is iterative (rows-only, q_bpe; SubwordSpec pins the
     // published worked corpus), but the APPLY step admits deterministic
@@ -1375,6 +1420,44 @@ object Queries {
              dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
              sh AS (SELECT doc_id, s FROM shall
                WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 20)),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
+             ORDER BY id_a, id_b""")),
+
+    // ---- fractional df cut (the scale-stable form of the stop-list) -------
+    // same operator through maxDfFraction: the cut resolves against the
+    // shingled-doc count (max(1, floor(frac·nDocs)), the ngramJaccard
+    // contract), so THIS oracle stays green at every SF — at sf0.01
+    // (500 docs) the 0.04 fraction is the q_ngram_stoplist maxDf=20; at
+    // sf0.1 it is 200. The oracle recomputes the same resolution in SQL.
+    QueryDef("q_ngram_fraction",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3,
+            maxDfFraction = 0.04)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             shall AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             cut AS (SELECT greatest(1, floor(0.04 *
+                 count(DISTINCT doc_id))::BIGINT) AS max_df FROM shall),
+             dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
+             sh AS (SELECT doc_id, s FROM shall
+               WHERE s NOT IN (SELECT s FROM dfreq, cut WHERE c > max_df)),
              sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
              com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1503,6 +1586,40 @@ object Queries {
           "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b"),
       None),
+
+    // ---- SimHash EXACT Hamming-ball contract (hash-green) -----------------
+    // signatures from md5 token hashes (simhashMd5 — first 16 hex chars of
+    // md5(token), big-endian, a basis DuckDB reproduces bit-for-bit) fed
+    // through the SAME distributed chunk-bucket machinery as
+    // q_simhash_dedup; chunks = maxHamming + 1 makes the pigeonhole
+    // candidate set complete, so the output is EXACTLY the Hamming ball
+    // the oracle brute-forces with xor + bit_count over all pairs
+    QueryDef("q_simhash",
+      (s, d) => {
+        val sigs = documents(s, d).na.drop(Seq("doc_id", "text"))
+          .select(col("doc_id").cast("long").as("__id"),
+            graft.pipeline.Dedup.simhashMd5(col("text")).as("__sig"))
+          .na.drop(Seq("__sig"))
+        graft.pipeline.Dedup.simhashPairsFromSig(sigs,
+            maxHamming = 8, chunks = 9)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+               FROM tok WHERE w <> ''),
+             bits AS (SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM th, unnest(generate_series(0, 63)) AS t(b) GROUP BY 1, 2),
+             sig AS (SELECT doc_id, bit_or(CASE WHEN s > 0
+                 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sig
+               FROM bits GROUP BY 1)
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.sig, b.sig)) <= 8
+             ORDER BY id_a, id_b""")),
 
     // ---- embedding cosine near-dup: exact pairs ---------------------------
     QueryDef("q_embedding_pairs",

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
   // ---- exact ---------------------------------------------------------------
 
   /** Keep the min-id row per distinct content value. */
@@ -403,14 +405,31 @@ object Dedup {
     * acceptable for CANDIDATE generation, but it is silent recall loss on
     * boilerplate-heavy corpora. Skips are counted in the Spark
     * accumulator `graft.minhashCandidatesAgainst.skippedBuckets` (visible
-    * in the UI / status store for the job that materializes the result);
-    * a non-zero count means docs whose only overlap is boilerplate were
-    * never candidates. */
+    * in the UI / status store for the job that materializes the result,
+    * or returned by [[minhashCandidatesAgainstCounted]]); a non-zero
+    * count means docs whose only overlap is boilerplate were never
+    * candidates. ACCUMULATOR SEMANTICS: the count is updated inside a
+    * transformation, so it is an AT-LEAST-ONCE upper bound — task retries
+    * and speculative execution can over-count (exact on retry-free runs),
+    * and it stays 0 until the result DataFrame is materialized. The
+    * zero/non-zero diagnostic signal is reliable either way. */
   def minhashCandidatesAgainst(batch: DataFrame, corpus: DataFrame,
                                idCol: String, textCol: String,
                                shingleSize: Int = 3, numHashes: Int = 63,
                                bands: Int = 21,
-                               maxBucket: Int = 1 << 20): DataFrame = {
+                               maxBucket: Int = 1 << 20): DataFrame =
+    minhashCandidatesAgainstCounted(batch, corpus, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucket)._1
+
+  /** [[minhashCandidatesAgainst]] plus its skipped-bucket accumulator, so
+    * a pipeline can assert `acc.value == 0` programmatically after
+    * materializing the result (see the accumulator-semantics note there:
+    * at-least-once, populated only after an action). */
+  def minhashCandidatesAgainstCounted(batch: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 63,
+                               bands: Int = 21,
+                               maxBucket: Int = 1 << 20): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     Similarity.requireIntegralId(batch, idCol, "minhashCandidatesAgainst")
     Similarity.requireIntegralId(corpus, idCol, "minhashCandidatesAgainst")
@@ -448,7 +467,7 @@ object Dedup {
           (key, isBatch, id)
         }
       }
-    banded(batch, isBatch = true)
+    val result = banded(batch, isBatch = true)
       .union(banded(corpus, isBatch = false))
       .groupByKey(_._1).flatMapGroups { (_, it) =>
         val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
@@ -463,6 +482,7 @@ object Dedup {
           out.result().iterator
         }
       }.toDF("id_a", "id_b").distinct()
+    (result, skipped)
   }
 
   /** Incremental TEXT near-dup screen: batch documents whose n-gram
@@ -485,17 +505,30 @@ object Dedup {
                           idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 63,
                           bands: Int = 21,
-                          threshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidatesAgainst(batch, corpus, idCol, textCol,
-      shingleSize, numHashes, bands)
+                          threshold: Double = 0.7): DataFrame =
+    minhashDedupAgainstCounted(batch, corpus, idCol, textCol,
+      shingleSize, numHashes, bands, threshold)._1
+
+  /** [[minhashDedupAgainst]] plus the candidate stage's skipped-bucket
+    * accumulator ([[minhashCandidatesAgainstCounted]]'s semantics note) —
+    * materialize the result, then assert `acc.value == 0` to prove no
+    * over-cap band bucket silently dropped candidates. */
+  def minhashDedupAgainstCounted(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleSize: Int = 3, numHashes: Int = 63,
+                          bands: Int = 21, threshold: Double = 0.7,
+                          maxBucket: Int = 1 << 20): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val (cands, skipped) = minhashCandidatesAgainstCounted(batch, corpus,
+      idCol, textCol, shingleSize, numHashes, bands, maxBucket)
     // the verify only shingles docs appearing in a candidate pair; the
     // union frame exists so one attach pass serves both sides (ids are
     // unique across batch ∪ corpus per the candidates contract)
     val union = batch.select(col(idCol), col(textCol))
       .unionAll(corpus.select(col(idCol), col(textCol)))
-    ngramJaccard(union, idCol, textCol, shingleSize, Some(cands))
+    val verified = ngramJaccard(union, idCol, textCol, shingleSize, Some(cands))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (verified, skipped)
   }
 
   /** Batch rows with NO text near-dup in the standing corpus — the
@@ -759,6 +792,48 @@ object Dedup {
     c => f(TextAnalysis.tokens(c))
   }
 
+  /** 64-bit SimHash over MD5 token hashes — the ORACLE-REPRODUCIBLE
+    * signature basis for [[simhashPairsFromSig]]: both Spark and DuckDB
+    * derive each token's 64-bit hash as the first 16 hex chars of
+    * md5(token) read big-endian (`('0x' || substr(md5(w),1,16))::UBIGINT`
+    * on the DuckDB side — bit b of the signed long here equals bit b of
+    * that UBIGINT), so an oracle can rebuild the exact signatures and
+    * check emitted pairs against the brute-force Hamming ball. Null text
+    * or a token-less (all-whitespace) text → null signature
+    * (`na.drop`-able), matching an oracle that derives signatures from
+    * exploded tokens (token-less docs never appear there). The
+    * xxhash-based [[simhash]] stays the production basis (no MessageDigest
+    * per token; same distributional properties). */
+  val simhashMd5: Column => Column = {
+    val f = udf { raw: Seq[String] =>
+      // drop empty tokens (split of a whitespace-only string yields [""])
+      // — the oracle's exploded-token stream filters w <> '' identically
+      val tokens = if (raw == null) null else raw.filter(_.nonEmpty)
+      if (tokens == null || tokens.isEmpty) null.asInstanceOf[java.lang.Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          md.reset()
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    c => f(TextAnalysis.tokens(c))
+  }
+
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -796,11 +871,20 @@ object Dedup {
                           maxBucket: Int = 1 << 20,
                           chunks: Int = 4): DataFrame = {
     require(chunks >= 1 && chunks <= 64, s"chunks out of range: $chunks")
+    if (maxHamming > chunks - 1)
+      log.warn(s"simhash: maxHamming=$maxHamming exceeds the pigeonhole " +
+        s"bound of chunks-1=${chunks - 1}; the candidate set is NOT the " +
+        "full Hamming ball (recall mode). Pass chunks >= maxHamming + 1 " +
+        "for exact-ball output.")
     val spark = sigs.sparkSession
     import spark.implicits._
     val nChunks = chunks
+    // POSITIONAL first-two-column take (rename-then-select): name-based
+    // resolution would throw on duplicate column names (common after
+    // joins) or mis-parse dotted names
     val chunked = sigs
-      .select(sigs.columns(0), sigs.columns(1))
+      .toDF(sigs.columns.indices.map(i => s"__c$i"): _*)
+      .select("__c0", "__c1")
       .as[(Long, Long)]
       .flatMap { case (id, sh) =>
         (0 until nChunks).iterator.map { i =>
@@ -935,16 +1019,29 @@ object Dedup {
     * `bits = 0` (the DEFAULT) sizes the signature adaptively from the
     * corpus count via [[lshBitsFor]] — the sf10 lesson: a fixed width
     * cannot scale (bits=4 at 400k vectors concentrated O(100k) rows per
-    * cell and OOMed a 48 GB JVM). The one count job it costs is trivial
-    * next to the bucketed verify; pass an explicit `bits >= 1` to pin the
+    * cell and OOMed a 48 GB JVM). Pass an explicit `bits >= 1` to pin the
     * width (reproducing a spec'd config, or when the caller already
-    * knows n). */
+    * knows n). On the bits=0 path `df` is consumed TWICE (the count, then
+    * bucket assignment), so the cleaned input is `.cache()`d — same cache
+    * lifetime caveat as [[ngramJaccard]]: the result is lazy, so there is
+    * no sound unpersist point inside this method; long-lived sessions can
+    * `spark.catalog.clearCache()` between batches, or pass explicit bits
+    * to skip the cache entirely.
+    *
+    * DEFAULT CHANGE (round 8): `bits` default moved from a fixed 8 to
+    * adaptive 0. Default callers on large corpora now get MORE signature
+    * bits (lower per-table recall, no OOM) — raise `tables` to recover
+    * recall per the 1−(1−p^bits)^tables model (RecallSpec); results are
+    * no longer identical across corpus sizes unless bits is pinned. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.95, bits: Int = 0,
                      maxBucket: Int = 1 << 20, tables: Int = 1): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "embeddingDedup")
     require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
-    val clean = df.na.drop(Seq(idCol, vecCol))
+    val clean0 = df.na.drop(Seq(idCol, vecCol))
+    // bits=0 consumes clean twice (count + assignment) — cache so an
+    // expensive upstream pipeline isn't recomputed for the count
+    val clean = if (bits == 0) clean0.cache() else clean0
     val sigBits = if (bits == 0) lshBitsFor(clean.count()) else bits
     // key = (table << bits) | signature: table index bits + signature bits
     // must fit a non-negative long
@@ -1029,7 +1126,11 @@ object Dedup {
     * [[lshBitsFor]] over the STANDING-CORPUS count — the corpus dominates
     * bucket mass in the incremental-screen shape (batch ≪ corpus), and
     * both sides must band with the SAME width to collide. Explicit
-    * `bits >= 1` pins the width. */
+    * `bits >= 1` pins the width. On the bits=0 path the cleaned corpus is
+    * consumed twice (count + assignment) and is `.cache()`d — the
+    * [[embeddingDedup]] cache-lifetime caveat applies. DEFAULT CHANGE
+    * (round 8): bits moved from fixed 8 to adaptive 0; see
+    * [[embeddingDedup]]'s note (tables knob, RecallSpec model). */
   def embeddingDedupAgainst(batch: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, dim: Int,
                             threshold: Double = 0.95, bits: Int = 0,
@@ -1038,9 +1139,10 @@ object Dedup {
     Similarity.requireIntegralId(batch, idCol, "embeddingDedupAgainst")
     Similarity.requireIntegralId(corpus, idCol, "embeddingDedupAgainst")
     require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
+    val corpusClean0 = corpus.na.drop(Seq(idCol, vecCol))
+    val corpusClean = if (bits == 0) corpusClean0.cache() else corpusClean0
     val sigBits =
-      if (bits == 0)
-        lshBitsFor(corpus.na.drop(Seq(idCol, vecCol)).count())
+      if (bits == 0) lshBitsFor(corpusClean.count())
       else bits
     val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, tables - 1).toLong)
@@ -1100,7 +1202,8 @@ object Dedup {
   }
 
   /** Batch rows with NO near-dup in the standing corpus — the incremental
-    * ingestion filter built on [[embeddingDedupAgainst]]. */
+    * ingestion filter built on [[embeddingDedupAgainst]] (inherits its
+    * round-8 adaptive-bits default change; see [[embeddingDedup]]). */
   def nearNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, dim: Int, threshold: Double = 0.95,
                   bits: Int = 0, tables: Int = 1): DataFrame = {

@@ -43,7 +43,19 @@ object Subword {
     * (ties by pair, lexicographically) — same corpus, same merges, on
     * any cluster. Returns merges in rank order. */
   def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
-               maxWordTypes: Int = 1 << 18): Array[(String, String)] = {
+               maxWordTypes: Int = 1 << 18): Array[(String, String)] =
+    learnBpeDetailed(df, textCol, numMerges, maxWordTypes)
+      .map { case (l, r, _) => (l, r) }
+
+  /** [[learnBpe]] with each merge's pair frequency AT SELECTION TIME —
+    * the learn-side contract surface (q_bpe_merges): merge #1's pair and
+    * frequency are one SQL aggregate over the initial symbol histogram,
+    * and the frequency sequence is non-increasing (the argmax at step k
+    * picks from pairs whose counts are bounded by step k−1's maximum:
+    * surviving pairs only lost count, and a pair created by merging has
+    * at most the merged pair's count). */
+  def learnBpeDetailed(df: DataFrame, textCol: String, numMerges: Int,
+                       maxWordTypes: Int = 1 << 18): Array[(String, String, Long)] = {
     require(numMerges >= 1, s"learnBpe needs numMerges >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
@@ -51,13 +63,17 @@ object Subword {
       // TakeOrdered — bounded driver materialization, no full sort
       .orderBy(col("n").desc, col("word")).limit(maxWordTypes)
       .collect()
-    learnFromHistogram(hist, numMerges)
+    learnFromHistogramDetailed(hist, numMerges)
   }
 
   /** The driver-local merge loop, exposed for testing against the
     * published worked examples. */
   private[pipeline] def learnFromHistogram(hist: Array[(String, Long)],
-                                           numMerges: Int): Array[(String, String)] = {
+                                           numMerges: Int): Array[(String, String)] =
+    learnFromHistogramDetailed(hist, numMerges).map { case (l, r, _) => (l, r) }
+
+  private[pipeline] def learnFromHistogramDetailed(hist: Array[(String, Long)],
+                                           numMerges: Int): Array[(String, String, Long)] = {
     // words as mutable symbol arrays; parallel count array
     val words = hist.map { case (w, _) =>
       val cs = w.map(_.toString).toBuffer
@@ -81,7 +97,7 @@ object Subword {
       }
     }
     words.indices.foreach(addPairs(_, 1L))
-    val merges = Array.newBuilder[(String, String)]
+    val merges = Array.newBuilder[(String, String, Long)]
     var m = 0
     while (m < numMerges && pairCount.nonEmpty) {
       // most frequent pair; ties broken lexicographically for determinism
@@ -93,7 +109,7 @@ object Subword {
           best = p; bestN = n
         }
       }
-      merges += best
+      merges += ((best._1, best._2, bestN))
       val joined = best._1 + best._2
       val affected = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
       affected.foreach { wi =>

@@ -18,15 +18,29 @@ import org.apache.spark.sql.functions._
   *    window key space);
   *  - dimension tables (region, nation) are copied once.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [dupPct]
+  *
+  * `dupPct` (optional, e.g. 0.05) switches documents to the DUP-RATE-
+  * CONTROLLED corpus: the legacy suffix treatment makes EVERY replica a
+  * near-dup of its base (100% dup rate, clique = factor — the adversarial
+  * shape, kept as the default for stress runs), whereas real corpus
+  * growth carries a small near-dup fraction. With dupPct set:
+  *  - a deterministic `dupPct` slice of base docs (by xxhash64(doc_id))
+  *    gets near-copies (suffix treatment) in replicas 1..4 only —
+  *    clique size <= 5 regardless of factor;
+  *  - every other replica doc gets its TOKENS DETERMINISTICALLY
+  *    PERMUTED (sorted by xxhash64(token, replica)) — same vocabulary,
+  *    length and token-frequency profile, but near-zero shingle overlap,
+  *    so it is NOT a near-dup of its base at jaccard >= 0.3.
   */
 object ScaleUp {
 
   private val Shift = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, factorStr) = args
+    val (srcDir, dstDir, factorStr) = (args(0), args(1), args(2))
     val factor = factorStr.toInt
+    val dupPct = if (args.length > 3) args(3).toDouble else -1.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,9 +74,29 @@ object ScaleUp {
         .withColumn("ts", col("ts") + lit(r * 86400L * 1000000000L))
     }
     rep("documents") { (d, r) =>
-      val shifted = shiftKeys("doc_id")(d, r)
-      if (r == 0) shifted
-      else shifted.withColumn("text", concat(col("text"), lit(s" r$r")))
+      if (r == 0) shiftKeys("doc_id")(d, r)
+      else if (dupPct < 0)
+        shiftKeys("doc_id")(d, r)
+          .withColumn("text", concat(col("text"), lit(s" r$r")))
+      else {
+        // dup-rate-controlled: isDup selected on the ORIGINAL doc_id so
+        // the same base docs are duplicated in every replica (cliques,
+        // not chains), capped at replicas 1..4 => clique <= 5
+        val isDup = pmod(xxhash64(col("doc_id")), lit(10000L))
+          .lt(lit((dupPct * 10000).toLong)).and(lit(r <= 4))
+        val toks = split(trim(col("text")), "\\s+")
+        val shuffled = array_join(
+          transform(
+            array_sort(transform(toks,
+              t => struct(xxhash64(t, lit(r)).as("h"), t.as("t")))),
+            s => s.getField("t")),
+          " ")
+        shiftKeys("doc_id")(
+          d.withColumn("text",
+            when(isDup, concat(col("text"), lit(s" r$r")))
+              .otherwise(shuffled)),
+          r)
+      }
     }
     rep("embeddings") { (d, r) =>
       val shifted = shiftKeys("vec_id")(d, r)

@@ -134,6 +134,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: simhashDedup with chunks=maxHamming+1 is exactly the Hamming ball") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = Gen.listOfN(25, Gen.listOfN(6, word).map(_.mkString(" ")))
+    for (texts <- samples(gen, 2)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val sigs = df.select(col("id"),
+          graft.pipeline.Dedup.simhash(col("t")).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // pigeonhole-complete configs: candidate set == full Hamming ball,
+      // including the variable-width chunks (chunks=9 -> 7/7/.../8 bits)
+      for ((chunks, maxH) <- Seq((2, 1), (9, 8))) {
+        val fast = graft.pipeline.Dedup.simhashDedup(df, "id", "t",
+            maxHamming = maxH, chunks = chunks)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .sorted.toSeq
+        val slow = (for {
+          i <- sigs.indices; j <- (i + 1) until sigs.length
+          h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+          if h <= maxH
+        } yield (sigs(i)._1, sigs(j)._1, h)).sorted.toSeq
+        assert(fast == slow, s"chunks=$chunks maxHamming=$maxH")
+      }
+    }
+  }
+
   test("property: stop-listed jaccard pairs are a subset over kept shingles") {
     import spark.implicits._
     val words = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))

@@ -608,4 +608,180 @@ class PipelineSpec extends SparkSpec {
     assert(d(0, "terminal_punct_line_frac") == 1.0)
     assert(r(0).getAs[Long]("sentence_count") >= 6L)
   }
+
+  // ---- round-8 surface: maxDfFraction --------------------------------------
+
+  lazy val fracCorpus = {
+    import spark.implicits._
+    // 8 shingled docs; the "shared boiler plate" trigram has df=4, so a
+    // fractional cut of 0.3 (-> floor(0.3*8)=2) stop-lists it while the
+    // df=2 shingles survive
+    Seq(
+      (0L, "shared boiler plate alpha beta gamma"),
+      (1L, "shared boiler plate alpha beta delta"),
+      (2L, "shared boiler plate epsilon zeta eta"),
+      (3L, "shared boiler plate epsilon zeta theta"),
+      (4L, "totally different words one two three"),
+      (5L, "totally different words one two four"),
+      (6L, "lone content nothing in common here"),
+      (7L, "other isolated body nothing common across")
+    ).toDF("doc_id", "text")
+  }
+
+  private def jacSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("maxDfFraction 1.0 is a no-op (ngramJaccard and minhashDedup)") {
+    val base = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3))
+    val noop = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3,
+      maxDfFraction = 1.0))
+    assert(noop == base)
+    val mBase = jacSet(Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5))
+    val mNoop = jacSet(Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5,
+      maxDfFraction = 1.0))
+    assert(mNoop == mBase)
+  }
+
+  test("maxDfFraction f equals absolute maxDf floor(f*n); bad fractions rejected") {
+    // n = 8 shingled docs, f = 0.3 -> effective cut floor(2.4) = 2
+    val frac = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3,
+      maxDfFraction = 0.3))
+    val abs = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3,
+      maxDf = 2))
+    assert(frac == abs)
+    // the cut actually engaged: the df=4 boilerplate shingle is gone, so
+    // the fractional result differs from the uncut one
+    val base = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3))
+    assert(frac != base)
+    // combined by min: a LOOSER absolute cap alongside the fraction
+    // leaves the fractional cut in charge
+    val both = jacSet(Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3,
+      maxDf = 100, maxDfFraction = 0.3))
+    assert(both == frac)
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3, maxDfFraction = 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccard(fracCorpus, "doc_id", "text", 3, maxDfFraction = 1.5))
+  }
+
+  // ---- round-8 surface: simhash chunk generalization -----------------------
+
+  test("simhashPairsFromSig: exact Hamming ball for chunks in {1,2,4,9}; positional columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).map(i => (i.toLong, rnd.nextLong()))
+    // near-dups flipping bits that straddle the variable-width chunk
+    // boundaries (chunks=9 -> bounds at 7,14,...,56; chunks=2 -> 32)
+    val flips = Seq(Seq(6, 7), Seq(31, 32), Seq(55, 56, 63), Seq(0),
+      Seq(7, 8, 13, 21, 28), Seq(62, 63))
+    val dups = flips.zipWithIndex.map { case (bits, i) =>
+      (100L + i, bits.foldLeft(base(i)._2)((acc, b) => acc ^ (1L << b)))
+    }
+    val exactDup = Seq((200L, base(0)._2)) // the chunks=1 (hamming 0) case
+    val sigs = base ++ dups ++ exactDup
+    val df = sigs.toDF("id", "sig")
+    def ball(maxH: Int): Set[(Long, Long, Int)] = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= maxH
+    } yield (math.min(sigs(i)._1, sigs(j)._1),
+             math.max(sigs(i)._1, sigs(j)._1), h)).toSet
+    for ((chunks, maxH) <- Seq((1, 0), (2, 1), (4, 3), (9, 8))) {
+      val fast = Dedup.simhashPairsFromSig(df, maxHamming = maxH, chunks = chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fast == ball(maxH), s"chunks=$chunks maxHamming=$maxH")
+      assert(fast.nonEmpty, s"engineered corpus must collide at chunks=$chunks")
+    }
+    // positional first-two-column contract: duplicate names and extra
+    // columns must not break resolution
+    val dupNames = df.toDF("x", "x")
+    val extra = df.withColumn("sig2", col("sig").cast("string"))
+    val want = ball(8)
+    for (in <- Seq(dupNames, extra)) {
+      val got = Dedup.simhashPairsFromSig(in, maxHamming = 8, chunks = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+    }
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsFromSig(df, chunks = 0))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsFromSig(df, chunks = 65))
+  }
+
+  test("simhashMd5: deterministic, order-sensitive, null/token-less -> null") {
+    import spark.implicits._
+    val r = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+        (2L, "gamma beta alpha"), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.simhashMd5(col("t")).as("sig"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == r(1).getLong(1))
+    assert(r(3).isNullAt(1) && r(4).isNullAt(1))
+  }
+
+  // ---- round-8 surface: adaptive-bits default ------------------------------
+
+  test("adaptive bits: bits=0 engages lshBitsFor; explicit bits pins the width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    val base = (0 until 150).map(i => (i.toLong, vec()))
+    // planted near-dups: noise at ~0.4 rad so extra planes split some pairs
+    val dups = base.take(30).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.42 * rnd.nextGaussian()))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def pairs(bits: Int): Set[(Long, Long)] =
+      Dedup.embeddingDedup(df, "vec_id", "embedding", dim = 8,
+          threshold = 0.9, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 180 vectors -> lshBitsFor = minBits = 4: the adaptive default must
+    // reproduce the pinned-width result exactly (same seeded planes)
+    val adaptive = pairs(0)
+    val pinned4 = pairs(4)
+    assert(adaptive == pinned4)
+    assert(adaptive.nonEmpty)
+    // explicit override honored: planes are prefix-stable, so an 8-bit
+    // signature REFINES the 4-bit buckets — a strict subset on this corpus
+    val pinned8 = pairs(8)
+    assert(pinned8.subsetOf(pinned4))
+    assert(pinned8 != pinned4, "wider signature must split some bucket")
+    // cross-side facade sizes from the CORPUS count
+    val corpus = base.toDF("vec_id", "embedding")
+    val batch = dups.toDF("vec_id", "embedding")
+    def crossPairs(bits: Int): Set[(Long, Long)] =
+      Dedup.embeddingDedupAgainst(batch, corpus, "vec_id", "embedding",
+          dim = 8, threshold = 0.9, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossPairs(0) == crossPairs(4)) // 150 corpus vectors -> 4 bits
+    val keptAdaptive = Dedup.nearNewRows(batch, corpus, "vec_id", "embedding",
+      dim = 8, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    val keptPinned = Dedup.nearNewRows(batch, corpus, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, bits = 4).collect().map(_.getLong(0)).toSet
+    assert(keptAdaptive == keptPinned)
+  }
+
+  // ---- round-8 surface: skipped-bucket accumulator -------------------------
+
+  test("skipped-bucket accumulator counts over-cap band buckets exactly") {
+    import spark.implicits._
+    val text = "all these docs carry the very same boilerplate text body"
+    val corpus = (0L until 3L).map(i => (i, text)).toDF("doc_id", "text")
+    val batch = (100L until 103L).map(i => (i, text)).toDF("doc_id", "text")
+    // identical texts -> identical signatures: every one of the 21 band
+    // buckets holds 6 rows > maxBucket=4, so each skips exactly once on a
+    // retry-free local run (at-least-once contract)
+    val (cands, skipped) = Dedup.minhashCandidatesAgainstCounted(
+      batch, corpus, "doc_id", "text", maxBucket = 4)
+    assert(skipped.value == 0L) // transformation: nothing until an action
+    assert(cands.count() == 0L)
+    assert(skipped.value == 21L)
+    // default cap: nothing skipped, all 3x3 cross pairs surface through
+    // the verified screen
+    val (res, skipped2) = Dedup.minhashDedupAgainstCounted(
+      batch, corpus, "doc_id", "text")
+    assert(res.count() == 9L)
+    assert(skipped2.value == 0L)
+  }
 }
