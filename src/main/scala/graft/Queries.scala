@@ -2515,6 +2515,100 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- DSIR importance weights (Xie et al. 2023) ------------------------
+    // hashed-n-gram importance log-ratio of every doc: target = the 'en'
+    // slice, raw = the whole corpus. Feature hashing on the md5 basis
+    // DuckDB replays bit-for-bit; logw rounded at 1e-6 (sums of O(1)
+    // doubles; cross-engine error ~1e-12)
+    QueryDef("q_dsir",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dsir.dsirScores(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text")
+          .select(col("doc_id"), col("n_grams"),
+            round(col("dsir_logw"), 6).as("dsir_logw"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '') AS ts, lang
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             grams AS (
+               SELECT doc_id, lang, unnest(ts) AS g FROM toks
+               UNION ALL
+               SELECT doc_id, lang, unnest(list_transform(range(len(ts)-1),
+                   i -> ts[i+1] || ' ' || ts[i+2])) AS g
+                 FROM toks WHERE len(ts) >= 2),
+             gb AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::UBIGINT % 10000 AS b
+               FROM grams),
+             db AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY 1, 2),
+             qc AS (SELECT b, sum(c)::BIGINT AS cq FROM db GROUP BY 1),
+             pc AS (SELECT b, count(*)::BIGINT AS cp FROM gb
+               WHERE lang = 'en' GROUP BY 1),
+             tot AS (SELECT (SELECT sum(cq) FROM qc)::DOUBLE AS tq,
+               (SELECT coalesce(sum(cp), 0) FROM pc)::DOUBLE AS tp),
+             w AS (SELECT qc.b,
+                 ln((coalesce(pc.cp, 0) + 0.5) / (tot.tp + 0.5 * 10000)) -
+                 ln((qc.cq + 0.5) / (tot.tq + 0.5 * 10000)) AS w
+               FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot)
+             SELECT db.doc_id, sum(c)::BIGINT AS n_grams,
+               round(sum(c * w), 6) AS dsir_logw
+             FROM db JOIN w USING (b) GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- DSIR Gumbel-top-k resample (deterministic) -----------------------
+    // the selection step: top-k by logw + Gumbel noise derived from
+    // md5(id:seed) — sampling without replacement with P ∝ exp(logw),
+    // reproducible across runs AND engines, so the SELECTED SET itself is
+    // the oracle contract (both sides break gumbel_key ties on doc_id)
+    QueryDef("q_dsir_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dsir.dsirResample(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+          .select(col("doc_id"), col("n_grams"),
+            round(col("dsir_logw"), 6).as("dsir_logw"),
+            round(col("gumbel_key"), 6).as("gumbel_key"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '') AS ts, lang
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             grams AS (
+               SELECT doc_id, lang, unnest(ts) AS g FROM toks
+               UNION ALL
+               SELECT doc_id, lang, unnest(list_transform(range(len(ts)-1),
+                   i -> ts[i+1] || ' ' || ts[i+2])) AS g
+                 FROM toks WHERE len(ts) >= 2),
+             gb AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::UBIGINT % 10000 AS b
+               FROM grams),
+             db AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY 1, 2),
+             qc AS (SELECT b, sum(c)::BIGINT AS cq FROM db GROUP BY 1),
+             pc AS (SELECT b, count(*)::BIGINT AS cp FROM gb
+               WHERE lang = 'en' GROUP BY 1),
+             tot AS (SELECT (SELECT sum(cq) FROM qc)::DOUBLE AS tq,
+               (SELECT coalesce(sum(cp), 0) FROM pc)::DOUBLE AS tp),
+             w AS (SELECT qc.b,
+                 ln((coalesce(pc.cp, 0) + 0.5) / (tot.tp + 0.5 * 10000)) -
+                 ln((qc.cq + 0.5) / (tot.tq + 0.5 * 10000)) AS w
+               FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot),
+             s AS (SELECT db.doc_id, sum(c)::BIGINT AS n_grams,
+                 sum(c * w) AS logw
+               FROM db JOIN w USING (b) GROUP BY 1),
+             g AS (SELECT doc_id, n_grams, logw,
+                 logw - ln(-ln(least(
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+                      ::UBIGINT + 1) / 1152921504606846976.0,
+                   1 - 1e-12))) AS gumbel_key
+               FROM s),
+             sel AS (SELECT * FROM g
+               ORDER BY gumbel_key DESC, doc_id LIMIT 50)
+             SELECT doc_id, n_grams, round(logw, 6) AS dsir_logw,
+               round(gumbel_key, 6) AS gumbel_key
+             FROM sel ORDER BY doc_id""")),
+
     // ---- Jensen–Shannon token-distribution divergence ---------------------
     // distributional drift for TEXT (companion of q_psi's numeric PSI):
     // JS between two corpus slices' token shares, 0·ln0 = 0 convention —

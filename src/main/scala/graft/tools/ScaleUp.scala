@@ -85,10 +85,19 @@ object ScaleUp {
         val isDup = pmod(xxhash64(col("doc_id")), lit(10000L))
           .lt(lit((dupPct * 10000).toLong)).and(lit(r <= 4))
         val toks = split(trim(col("text")), "\\s+")
+        // sort key hashes (token, POSITION, replica, doc_id): position makes
+        // repeated tokens sort independently (keying on the token alone
+        // groups every repeat into a run, so any doc with token X thrice
+        // contains the shingle "X X X" — measured df 13k/50k docs, which
+        // collapses the minhash signature space into quadratic band
+        // buckets), and doc_id decorrelates the permutations of docs that
+        // share vocabulary (a shared key ordering lines their common tokens
+        // up into identical subsequences — manufactured similarity)
         val shuffled = array_join(
           transform(
             array_sort(transform(toks,
-              t => struct(xxhash64(t, lit(r)).as("h"), t.as("t")))),
+              (t, i) => struct(xxhash64(t, i, lit(r), col("doc_id")).as("h"),
+                t.as("t")))),
             s => s.getField("t")),
           " ")
         shiftKeys("doc_id")(
