@@ -2411,6 +2411,26 @@ object Queries {
              GROUP BY token HAVING count(*) >= 5
              ORDER BY count DESC, token LIMIT 100""")),
 
+    // ---- Exact heavy tokens via bounded-state Misra-Gries -----------------
+    // one O(k)-state sketch pass for candidates + exact recount of the
+    // <= k survivors: output is EXACTLY "tokens in >= 0.3% of the token
+    // stream" (MG guarantees candidates cover everything above n/(k+1)),
+    // so the full vocabulary-cardinality shuffle the oracle pays never
+    // happens on the Spark side
+    QueryDef("q_heavy_tokens",
+      (s, d) => graft.pipeline.TextAnalysis.heavyTokens(
+          documents(s, d), "text", support = 0.003)
+        .orderBy("token"),
+      Some("""WITH tt AS (SELECT token
+               FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS token FROM documents WHERE text IS NOT NULL)
+               WHERE token != ''),
+             n AS (SELECT count(*)::DOUBLE AS nn FROM tt)
+             SELECT token, count(*)::BIGINT AS cnt
+             FROM tt CROSS JOIN n GROUP BY token, n.nn
+             HAVING count(*) >= ceil(0.003 * n.nn)
+             ORDER BY token""")),
+
     // ---- Zipf-law vocabulary fit (corpus health check) --------------------
     // rank assignment via range-sort + partition offsets (no global
     // window); oracle replays the fit with DuckDB's regr_* aggregates
@@ -2691,6 +2711,24 @@ object Queries {
                sum(doc_id)::BIGINT AS id_sum
              FROM s3 JOIN q ON s3.source = q.source WHERE k < q.q
              GROUP BY s3.source ORDER BY s3.source""")),
+
+    // ---- Deterministic epoch shuffle (training order) ---------------------
+    // (shard, pos) is a reproducible pseudorandom permutation keyed on
+    // md5(id:epoch:seed) — one projection + one shard-keyed window; the
+    // oracle replays the permutation bit-for-bit
+    QueryDef("q_epoch_shuffle",
+      (s, d) => graft.pipeline.Sampling.epochShuffle(
+          documents(s, d), "doc_id", epoch = 1, numShards = 8, seed = 7)
+        .select(col("doc_id"), col("shard"), col("order_key"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':1:7'), 1, 15))
+                 ::UBIGINT AS h
+               FROM documents WHERE doc_id IS NOT NULL)
+             SELECT doc_id, (h % 8)::BIGINT AS shard, h::BIGINT AS order_key,
+               (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                 - 1)::BIGINT AS pos
+             FROM h ORDER BY doc_id""")),
 
     QueryDef("q_train_test_split",
       (s, d) => graft.pipeline.Sampling.trainTestSplit(

@@ -209,4 +209,48 @@ object Sampling {
     // self-profiled form: shares come from the same (cleaned) frame
     temperatureSampleWith(df, df.na.drop(Seq(idCol, groupCol)),
       idCol, groupCol, alpha, scale, seed)
+
+  /** Deterministic epoch shuffle for reproducible training order: every
+    * row gets a shard in [0, numShards) and a position within its shard,
+    * both pure functions of (id, epoch, seed) — so the global order
+    * (shard, pos) is a reproducible pseudorandom permutation that a
+    * training job can replay byte-for-byte on any engine, any
+    * partitioning, any run. Changing `epoch` re-deals the whole
+    * permutation (the standard per-epoch reshuffle) without rewriting
+    * data.
+    *
+    * Plan shape: one md5 projection (shard = low bits, order key = the
+    * remaining 52 bits) + ONE shuffle on the shard key for the
+    * per-shard row_number window. Shards sort independently — size
+    * numShards so a shard fits an executor (rows/numShards ≈ 10-100M at
+    * 100 TB) and the global sort never materializes; a training loader
+    * reads shards in index order, rows in pos order. Ties on the order
+    * key break on id, so duplicate-free ids give a total order.
+    *
+    * The hash basis is md5(id:epoch:seed) — the same cross-engine basis
+    * as [[graft.pipeline.Dsir]] — not [[hashKey]]'s 31-bit Lehmer field:
+    * a permutation wants 52-bit keys so collisions (and hence id-order
+    * tie runs) are negligible at any corpus size.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int, seed: Long = 0L): DataFrame = {
+    require(numShards > 0, s"epochShuffle needs numShards > 0, got $numShards")
+    graft.util.Errors.context("epochShuffle", Seq(idCol)) {
+    // 60-bit md5 prefix: mod picks the shard, the FULL value orders
+    // within it (rows of one shard agree mod numShards, so ordering by h
+    // is ordering by h div numShards — no long division, which Spark
+    // would route through double and lose bits past 2^52)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      lit(epoch.toString), lit(":"), lit(seed.toString)).cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_shard")
+      .orderBy(col("__graft_key"), col(idCol))
+    df.na.drop(Seq(idCol))
+      .withColumn("__graft_shard", pmod(h, lit(numShards.toLong)))
+      .withColumn("__graft_key", h)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumnRenamed("__graft_shard", "shard")
+      .withColumnRenamed("__graft_key", "order_key")
+  } }
 }

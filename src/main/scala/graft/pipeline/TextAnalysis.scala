@@ -185,6 +185,24 @@ object TextAnalysis {
       .filter(col("count") >= minCount)
       .withColumnRenamed("__graft_token", "token")
 
+  /** Exact heavy tokens WITHOUT a vocabulary-wide shuffle: every token
+    * appearing in at least `support` fraction of the corpus token
+    * stream, with exact counts — [[graft.agg.Frequency.heavyHitters]]
+    * over the exploded token stream. Where [[vocabulary]] shuffles the
+    * full Zipf tail to answer any frequency question, this pass keeps
+    * O(slack/support) state per partition and recounts only the
+    * candidates, so the stop-word / boilerplate-token report stays
+    * cheap when the corpus (and its long vocabulary tail) is 100 TB.
+    * Output: (token, cnt), cnt ≥ ⌈support · total-token-count⌉. */
+  def heavyTokens(df: DataFrame, textCol: String, support: Double,
+                  slack: Double = 2.0): DataFrame =
+    graft.agg.Frequency.heavyHitters(
+      df.na.drop(Seq(textCol))
+        .select(explode(tokens(col(textCol))).as("__graft_token"))
+        .filter(col("__graft_token") =!= ""),
+      "__graft_token", support, slack)
+      .withColumnRenamed("value", "token")
+
   /** Zipf-law diagnostic over the corpus vocabulary: least-squares fit of
     * ln(count) against ln(rank) (rank = count-descending position, ties
     * broken by token so the order is total and engine-independent).

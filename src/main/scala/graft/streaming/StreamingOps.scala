@@ -34,6 +34,25 @@ object StreamingOps {
         min(col(valCol)).as("min"), max(col(valCol)).as("max"),
         stddev(col(valCol)).as("stddev"))
 
+  /** Per-window heavy-hitter CANDIDATES on a stream: the windowed face of
+    * [[graft.expr.MisraGries]]. State per window is the O(k) sketch (the
+    * aggregation buffer lives in the state store and merges across
+    * micro-batches — MG is a mergeable summary, so the bound holds no
+    * matter how arrivals split into batches). Emits
+    * (window, candidates: array<struct<item,cnt>>); counts are lower
+    * bounds within n_window/(k+1), and candidates cover every item above
+    * that bound. For exact counts, recount the emitted candidates against
+    * the archived window — the batch [[graft.agg.Frequency.heavyHitters]]
+    * recipe; a stream cannot replay its own past, so exactness needs the
+    * second (batch) pass by construction. */
+  def windowedHeavyHitters(stream: DataFrame, tsCol: String, valueCol: String,
+                           k: Int, windowDur: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.expr.MisraGries.of(col(valueCol), k).as("candidates"))
+
   /** Streaming exact dedup on a key with watermarked state retention —
     * the streaming face of Dedup.exact. */
   def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],

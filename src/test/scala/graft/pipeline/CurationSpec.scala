@@ -278,4 +278,33 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 2.0 / 3.0)))
     assert(got(4L) == ((1L, 1L, 1.0)))
   }
+
+  test("epochShuffle: a reproducible permutation that re-deals per epoch") {
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Sampling.epochShuffle(d, "doc_id", epoch, numShards = 8, seed = 7)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val e0 = run(df, 0).toMap
+    // partitioning-independent and re-runnable
+    assert(run(df.repartition(13), 0).toMap == e0)
+    // (shard, pos) is a bijection onto contiguous per-shard prefixes
+    assert(e0.size == 500 && e0.values.toSet.size == 500)
+    e0.values.groupBy(_._1).foreach { case (shard, sp) =>
+      val ps = sp.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.size).toSeq, s"shard $shard positions not contiguous")
+    }
+    // within a shard, pos follows the md5-derived order key
+    val rows = Sampling.epochShuffle(df, "doc_id", 0, 8, 7)
+      .select("shard", "pos", "order_key", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, sh) =>
+      val byPos = sh.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(byPos == byPos.sortBy(identity), "pos must follow (order_key, id)")
+    }
+    // a different epoch re-deals the permutation
+    val e1 = run(df, 1).toMap
+    assert(e1 != e0)
+    assert(e1.size == 500 && e1.values.toSet.size == 500)
+  }
 }

@@ -39,6 +39,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters: sketch merges across micro-batches, covers heavy items") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val hh = StreamingOps.windowedHeavyHitters(
+      input.toDF().toDF("ts", "v"), "ts", "v", k = 3,
+      windowDur = "1 hour", watermark = "2 hours")
+    val q = hh.writeStream.format("memory")
+      .queryName("hh").outputMode("complete").start()
+    try {
+      // 40 items in one window across TWO batches: a x20, b x12, c x5,
+      // d..f singletons — n/(k+1) = 10, so a (20) and b (12) must survive
+      def at(min: Int) = ts(f"2026-01-01 10:${min}%02d:00")
+      input.addData((0 until 10).map(i => (at(i), "a")) ++
+        (0 until 6).map(i => (at(20 + i), "b")) ++ Seq((at(40), "c")): _*)
+      q.processAllAvailable()
+      input.addData((0 until 10).map(i => (at(i), "a")) ++
+        (0 until 6).map(i => (at(20 + i), "b")) ++
+        (0 until 4).map(i => (at(41 + i), "c")) ++
+        Seq((at(50), "d"), (at(51), "e"), (at(52), "f")): _*)
+      q.processAllAvailable()
+      val cands = spark.sql(
+        "SELECT explode(candidates) AS c FROM hh " +
+          "WHERE window.start = '2026-01-01 10:00:00'")
+        .select("c.item", "c.cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cands.size <= 3)
+      assert(cands.contains("a") && cands.contains("b"),
+        s"items above n/(k+1)=10 must survive the cross-batch merge: $cands")
+      assert(cands("a") <= 20 && cands("b") <= 12, "counts are lower bounds")
+      assert(20 - cands("a") <= 10 && 12 - cands("b") <= 10,
+        "undercount bounded by n/(k+1)")
+    } finally q.stop()
+  }
+
   test("streamingNearDedup drops same-signature near-duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
