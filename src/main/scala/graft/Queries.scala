@@ -2730,6 +2730,163 @@ object Queries {
                  - 1)::BIGINT AS pos
              FROM h ORDER BY doc_id""")),
 
+    // ---- Snapshot diff (incremental re-crawl delta) -----------------------
+    // old = even ids, new = ids not div by 3 with text edited on ids div
+    // by 5: ids hit every status class; both sides reduce to (id, md5)
+    // before the one full-outer join
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val base = documents(s, d)
+        val old = base.filter(col("doc_id") % 2 === 0)
+        val neu = base.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.pipeline.Snapshot.diff(old, neu, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, coalesce(md5(text), '') AS fp
+               FROM documents WHERE doc_id % 2 = 0),
+             n AS (SELECT doc_id, coalesce(md5(CASE WHEN doc_id % 5 = 0
+                 THEN text || ' v2' ELSE text END), '') AS fp
+               FROM documents WHERE doc_id % 3 != 0)
+             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             ORDER BY doc_id""")),
+
+    QueryDef("q_snapshot_report",
+      (s, d) => {
+        val base = documents(s, d)
+        val old = base.filter(col("doc_id") % 2 === 0)
+        val neu = base.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.pipeline.Snapshot.diffReport(old, neu, "doc_id", "text")
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT doc_id, coalesce(md5(text), '') AS fp
+               FROM documents WHERE doc_id % 2 = 0),
+             n AS (SELECT doc_id, coalesce(md5(CASE WHEN doc_id % 5 = 0
+                 THEN text || ' v2' ELSE text END), '') AS fp
+               FROM documents WHERE doc_id % 3 != 0)
+             SELECT status, count(*)::BIGINT AS n FROM (
+               SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+             GROUP BY status ORDER BY status""")),
+
+    // ---- int8 embedding quantization --------------------------------------
+    // per-dim (lo, hi) via one treeAggregate fold (2*dim doubles to the
+    // driver, no dimension shuffle), then a pure-projection transform;
+    // q = round((v-lo)/span*255) in double is a fixed IEEE expression
+    // tree DuckDB reproduces bit-for-bit
+    QueryDef("q_embed_quantize",
+      (s, d) => graft.pipeline.Quantize.quantizeInt8(
+          embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("pos", "q")))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH e AS (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+             s AS (SELECT pos, min(v) AS lo, max(v) AS hi
+               FROM e GROUP BY pos)
+             SELECT e.vec_id, e.pos,
+               round((e.v - s.lo) /
+                 (CASE WHEN s.hi = s.lo THEN 1 ELSE s.hi - s.lo END)
+                 * 255)::INT AS q
+             FROM e JOIN s USING (pos) ORDER BY vec_id, pos""")),
+
+    // ---- Token-budget selection (fill a training budget) ------------------
+    // maximal score-descending prefix under a cumulative token budget;
+    // Spark side = one range-sort + partition-offset running sums (no
+    // global window), oracle = the equivalent window-sum filter
+    QueryDef("q_token_budget",
+      (s, d) => graft.pipeline.Sampling.tokenBudgetSelect(
+          documents(s, d).withColumn("n_toks",
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "n_chars", "n_toks", budget = 12000L)
+        .select(col("doc_id"), col("cum_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks
+               FROM documents WHERE text IS NOT NULL)
+             SELECT doc_id, cum_tokens FROM (
+               SELECT doc_id, sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum_tokens FROM t)
+             WHERE cum_tokens <= 12000 ORDER BY doc_id""")),
+
+    QueryDef("q_token_budget_grouped",
+      (s, d) => graft.pipeline.Sampling.tokenBudgetPerGroup(
+          documents(s, d).withColumn("n_toks",
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "source", "n_chars", "n_toks", budget = 600L)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL)
+             SELECT doc_id, source, cum_tokens FROM (
+               SELECT doc_id, source, sum(toks) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum_tokens FROM t)
+             WHERE cum_tokens <= 600 ORDER BY doc_id""")),
+
+    // per-group budgets from a plan table (the mixture-plan -> selection
+    // composition); plan budgets vary by source (300 + 40*(src# % 7)) so
+    // distinct budgets are actually exercised
+    QueryDef("q_token_budget_plan",
+      (s, d) => {
+        val plan = documents(s, d).select(col("source")).distinct()
+          .withColumn("token_budget",
+            lit(300L) + lit(40L) * pmod(substring(col("source"), 4, 10)
+              .cast("long"), lit(7L)))
+        graft.pipeline.Sampling.tokenBudgetFromPlan(
+            documents(s, d).withColumn("n_toks",
+              graft.pipeline.TextAnalysis.tokenCount(col("text"))),
+            "doc_id", "source", "n_chars", "n_toks", plan)
+          .select(col("doc_id"), col("source"), col("cum_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+             p AS (SELECT source, 300 + 40 * (substr(source, 4)::BIGINT % 7)
+               AS token_budget FROM (SELECT DISTINCT source FROM documents))
+             SELECT doc_id, source, cum_tokens FROM (
+               SELECT t.doc_id, t.source, p.token_budget,
+                 sum(t.toks) OVER (PARTITION BY t.source
+                   ORDER BY t.n_chars DESC, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS cum_tokens
+               FROM t JOIN p ON t.source = p.source)
+             WHERE cum_tokens <= token_budget ORDER BY doc_id""")),
+
+    // ---- Percent-rank score normalization ---------------------------------
+    // per-group percent_rank over (score, id) makes scores comparable
+    // across sources; (n_chars, doc_id) is a total order so the value is
+    // (rn-1)/(n-1), engine-exact
+    QueryDef("q_rank_normalize",
+      (s, d) => graft.pipeline.Sampling.rankNormalize(
+          documents(s, d), "doc_id", "source", "n_chars")
+        .select(col("doc_id"), col("source"),
+          round(col("score_pct"), 6).as("score_pct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+               round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id), 6) AS score_pct
+             FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             ORDER BY doc_id""")),
+
     QueryDef("q_train_test_split",
       (s, d) => graft.pipeline.Sampling.trainTestSplit(
           documents(s, d), "doc_id", valFraction = 0.1, testFraction = 0.1,

@@ -232,6 +232,130 @@ object Sampling {
     * a permutation wants 52-bit keys so collisions (and hence id-order
     * tie runs) are negligible at any corpus size.
     */
+  /** Token-budget selection: the maximal score-descending prefix of the
+    * corpus whose cumulative token count stays within `budget` — "fill a
+    * 1T-token training budget with the best documents". Output = input
+    * rows (minus nulls in the three key columns) plus `cum_tokens`, the
+    * running token total in (score desc, id) order; exactly the rows
+    * with `cum_tokens <= budget`.
+    *
+    * Scale shape: ONE range-sort shuffle on (score desc, id), then the
+    * engine's partition-offset scaffold — per-partition token sums
+    * (#partitions longs to the driver), prefix offsets broadcast back,
+    * and each partition emits its rows with exact global cumulative
+    * counts. No global window, no single-partition sort: partitions
+    * whose entire range clears the budget stream straight through, and
+    * the sort shuffle is reused by both passes (skipped-stage replay),
+    * so 100 TB costs one sort plus two linear scans. Token counts are
+    * expected non-negative (counts); `cum_tokens` is then non-decreasing
+    * and the filter is a true prefix. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"tokenBudgetSelect needs budget >= 0, got $budget")
+    graft.util.Errors.context("tokenBudgetSelect",
+        Seq(idCol, scoreCol, tokenCol)) {
+    val spark = df.sparkSession
+    val src = df.na.drop(Seq(idCol, scoreCol, tokenCol))
+      .withColumn("__graft_tok", col(tokenCol).cast("long"))
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = src.repartitionByRange(np, col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+    val schema = sorted.schema
+    val tokIdx = schema.fieldIndex("__graft_tok")
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(tokIdx))
+      Iterator.single((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cum = offsets(pi)
+      // filter (not takeWhile): keeps the output the exact window-sum
+      // predicate `cum <= budget` for ANY input, matching the SQL oracle
+      // even if a caller feeds a pathological negative token count
+      it.flatMap { r =>
+        cum += r.getLong(tokIdx)
+        if (cum <= budget)
+          Iterator.single(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum))
+        else Iterator.empty
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          "cum_tokens", org.apache.spark.sql.types.LongType, nullable = false)))
+      .drop("__graft_tok")
+  } }
+
+  /** Per-group token budgets: within every `groupCol` value, keep the
+    * maximal (score desc, id) prefix whose cumulative token count stays
+    * within `budget` — per-source caps for mixture construction ("at
+    * most N tokens from any one crawl"). One shuffle on the group key;
+    * the window sorts within each group only, so parallelism is the
+    * group cardinality and no global order ever materializes. A skewed
+    * giant group bounds the worst task — split such a group upstream
+    * (or sub-key it) if one source dominates the corpus. */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                          scoreCol: String, tokenCol: String,
+                          budget: Long): DataFrame = {
+    require(budget >= 0, s"tokenBudgetPerGroup needs budget >= 0, got $budget")
+    graft.util.Errors.context("tokenBudgetPerGroup",
+        Seq(idCol, groupCol, scoreCol, tokenCol)) {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.na.drop(Seq(idCol, groupCol, scoreCol, tokenCol))
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  } }
+
+  /** [[tokenBudgetPerGroup]] with a DIFFERENT budget per group, read
+    * from a plan table (groupCol, `token_budget`) — the composition that
+    * turns a mixture plan (TextAnalysis.mixPlan / corpusMix shares ×
+    * total budget) into an executed selection. The plan is
+    * group-cardinality rows, so it broadcasts; the corpus pays the same
+    * single group-keyed window shuffle as the fixed-budget form. Groups
+    * absent from the plan are dropped (no budget = not in the mixture). */
+  def tokenBudgetFromPlan(df: DataFrame, idCol: String, groupCol: String,
+                          scoreCol: String, tokenCol: String,
+                          plan: DataFrame): DataFrame = {
+    require(plan.columns.contains("token_budget"),
+      s"plan needs a token_budget column, has ${plan.columns.mkString(",")}")
+    graft.util.Errors.context("tokenBudgetFromPlan",
+        Seq(idCol, groupCol, scoreCol, tokenCol)) {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.na.drop(Seq(idCol, groupCol, scoreCol, tokenCol))
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .join(broadcast(plan.na.drop(Seq(groupCol, "token_budget"))
+        .select(col(groupCol), col("token_budget").cast("long"))),
+        Seq(groupCol))
+      .filter(col("cum_tokens") <= col("token_budget"))
+      .drop("token_budget")
+  } }
+
+  /** Percent-rank normalization of a score within each group: quality
+    * scores from different sources/classifiers are not on a comparable
+    * scale — their PER-GROUP ranks are. Adds `score_pct` ∈ [0, 1]
+    * (percent_rank over (score, id) — the id tie-break makes the order
+    * total, so the output is deterministic and engine-reproducible),
+    * after which a single global [[tokenBudgetSelect]] on `score_pct`
+    * selects cross-source fairly. One group-keyed window shuffle. */
+  def rankNormalize(df: DataFrame, idCol: String, groupCol: String,
+                    scoreCol: String): DataFrame = {
+    graft.util.Errors.context("rankNormalize", Seq(idCol, groupCol, scoreCol)) {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    df.na.drop(Seq(idCol, groupCol, scoreCol))
+      .withColumn("score_pct", percent_rank().over(w))
+  } }
+
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
                    numShards: Int, seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"epochShuffle needs numShards > 0, got $numShards")

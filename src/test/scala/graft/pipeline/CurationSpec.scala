@@ -279,6 +279,90 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, 1.0)))
   }
 
+  test("tokenBudgetSelect: maximal prefix, brute-force equal, partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(1000).toLong, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("id", "score", "toks")
+    val budget = 3000L
+    // brute force: sort by (score desc, id), accumulate, keep cum <= budget
+    val want = rows.sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, s, t)) =>
+        (id, s, t, cum + t) }
+      .drop(1).takeWhile(_._4 <= budget)
+      .map { case (id, _, _, cum) => id -> cum }.toMap
+    assert(want.nonEmpty && want.size < 400, "budget must bite mid-corpus")
+    Seq(df, df.repartition(17)).foreach { d =>
+      val got = Sampling.tokenBudgetSelect(d, "id", "score", "toks", budget)
+        .select("id", "cum_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+    // degenerate budgets
+    assert(Sampling.tokenBudgetSelect(df, "id", "score", "toks", 0L).count() == 0)
+    val all = Sampling.tokenBudgetSelect(df, "id", "score", "toks", Long.MaxValue)
+    assert(all.count() == 400)
+    assert(all.agg(max(col("cum_tokens"))).head.getLong(0) ==
+      rows.map(_._3).sum)
+  }
+
+  test("tokenBudgetPerGroup: independent per-group prefixes under one budget") {
+    val rnd = new scala.util.Random(12)
+    val rows = (1L to 300L).map(i =>
+      (i, s"s${i % 3}", rnd.nextInt(1000).toLong, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("id", "src", "score", "toks")
+    val budget = 1200L
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy { case (id, _, s, _) => (-s, id) }
+        .scanLeft((0L, 0L)) { case ((_, cum), (id, _, _, t)) => (id, cum + t) }
+        .drop(1).takeWhile(_._2 <= budget)
+    }.toMap
+    assert(want.nonEmpty && want.size < 300)
+    val got = Sampling.tokenBudgetPerGroup(
+        df.repartition(9), "id", "src", "score", "toks", budget)
+      .select("id", "cum_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // every group is present (no group starves under a per-group budget)
+    val srcs = Sampling.tokenBudgetPerGroup(df, "id", "src", "score", "toks", budget)
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs == Set("s0", "s1", "s2"))
+  }
+
+  test("tokenBudgetFromPlan: per-group budgets from the plan; unplanned groups dropped") {
+    val rows = (1L to 90L).map(i => (i, s"s${i % 3}", i % 7, 10L))
+    val df = rows.toDF("id", "src", "score", "toks")
+    val plan = Seq(("s0", 100L), ("s1", 50L)).toDF("src", "token_budget")
+    val got = Sampling.tokenBudgetFromPlan(df, "id", "src", "score", "toks", plan)
+      .select("id", "src", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // s2 has no plan row -> dropped entirely
+    assert(got.forall(_._2 != "s2"))
+    // 10 tokens/row: s0 keeps 10 rows (<=100), s1 keeps 5 (<=50)
+    assert(got.count(_._2 == "s0") == 10)
+    assert(got.count(_._2 == "s1") == 5)
+    // kept rows are the score-descending prefix of their group
+    val brute = rows.filter(_._2 == "s1").sortBy { case (id, _, s, _) => (-s, id) }
+      .take(5).map(_._1).toSet
+    assert(got.filter(_._2 == "s1").map(_._1).toSet == brute)
+  }
+
+  test("rankNormalize: per-group percent ranks in [0,1], order-faithful, deterministic") {
+    val rows = (1L to 60L).map(i => (i, s"s${i % 2}", (i * 37 % 50).toDouble))
+    val df = rows.toDF("id", "src", "score")
+    val got = Sampling.rankNormalize(df.repartition(7), "id", "src", "score")
+      .select("id", "score_pct")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val ordered = g.sortBy { case (id, _, s) => (s, id) }.map(_._1)
+      val n = ordered.size
+      ordered.zipWithIndex.foreach { case (id, rn) =>
+        assert(math.abs(got(id) - rn.toDouble / (n - 1)) < 1e-12,
+          s"id $id: expected rank ${rn.toDouble / (n - 1)}, got ${got(id)}")
+      }
+    }
+    assert(got.values.min == 0.0 && got.values.max == 1.0)
+  }
+
   test("epochShuffle: a reproducible permutation that re-deals per epoch") {
     val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame, epoch: Int) =

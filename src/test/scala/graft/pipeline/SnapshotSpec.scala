@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def frame(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("diff: every status class, by content not row identity") {
+    val old = frame(Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    val neu = frame(Seq(2L -> "b", 3L -> "c CHANGED", 5L -> "e"))
+    val got = Snapshot.diff(old, neu, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("diff: null text compares as empty fingerprint, not SQL null") {
+    val old = frame(Seq(1L -> null, 2L -> null, 3L -> "x"))
+    val neu = frame(Seq(1L -> null, 2L -> "y", 3L -> null))
+    val got = Snapshot.diff(old, neu, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null == null must be unchanged (a full-null row is still the same
+    // row); null vs text must be changed, never silently dropped
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
+  }
+
+  test("diffReport counts match diff statuses; identical snapshots all unchanged") {
+    val old = frame((1L to 50L).map(i => i -> s"t$i"))
+    val neu = frame((11L to 60L).map(i => i -> (if (i <= 20) s"t$i!" else s"t$i")))
+    val rep = Snapshot.diffReport(old, neu, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("removed" -> 10L, "changed" -> 10L,
+      "unchanged" -> 30L, "added" -> 10L))
+    val same = Snapshot.diffReport(old, old, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same == Map("unchanged" -> 50L))
+  }
+}
