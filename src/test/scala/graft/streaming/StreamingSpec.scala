@@ -167,15 +167,26 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
-    val stream = spark.readStream
+    // ts may arrive as epoch-nanos LONG (TIMESTAMP(NANOS) under
+    // nanosAsLong=true), as TIMESTAMP_NTZ (TIMESTAMP(MICROS) files,
+    // no timezone annotation), or as a session-tz TIMESTAMP — the
+    // watermark below requires TimestampType, so normalize all three
+    // (same defensive pattern as Queries.events, plus the NTZ cast)
+    def tsNormalized(df: org.apache.spark.sql.DataFrame) =
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions
+            .expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions
+            .col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    val batch = tsNormalized(spark.read.parquet(s"$dir/events.parquet"))
+    val stream = tsNormalized(spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
+      .parquet(staged.toString))
     val counts = StreamingOps.windowedValueCounts(stream, "ts", "event_type",
       windowDur = "1 day", watermark = "2 days")
     val q = counts.writeStream.format("memory")
