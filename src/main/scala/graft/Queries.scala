@@ -42,14 +42,24 @@ object Queries {
     spark.read.parquet(s"$dir/part.parquet")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS which (with
-    * spark.sql.legacy.parquet.nanosAsLong=true) arrives as an epoch-nanos
-    * long; re-derive a proper timestamp column at microsecond precision. */
+  /** events.parquet's `ts` encoding varies with how the driver wrote the
+    * file: TIMESTAMP(NANOS) arrives (with
+    * spark.sql.legacy.parquet.nanosAsLong=true) as an epoch-nanos long,
+    * TIMESTAMP(MICROS) without a timezone annotation as TIMESTAMP_NTZ,
+    * and annotated micros as a session-tz TIMESTAMP. Normalize all three
+    * to TimestampType: the session timezone is pinned to UTC
+    * (Verify/Bench/Explain), so the NTZ wall-clock cast is epoch-exact
+    * against DuckDB's naive-timestamp epoch_us. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1110,6 +1120,64 @@ object Queries {
       },
       None),
 
+    // ---- PERSISTED minhash index: screen against files, not a corpus scan --
+    // same exactness contract as q_text_near_new (exact-path match count +
+    // FP-freedom), plus matches_direct: the files-based screen must equal
+    // the in-memory minhashDedupAgainst pair-for-pair (lazy full-outer
+    // mismatch count), proving the parquet round-trip changes nothing
+    QueryDef("q_text_index",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-textindex").toString
+        graft.pipeline.TextIndex.write(corpus, "doc_id", "text", path)
+        val indexed = graft.pipeline.TextIndex.dedupAgainst(
+          batch, "doc_id", "text", path, threshold = 0.5)
+        val direct = graft.pipeline.Dedup.minhashDedupAgainst(
+          batch, corpus, "doc_id", "text", threshold = 0.5)
+        val mism = indexed.select(col("id_a"), col("id_b"))
+          .join(direct.select(col("id_a").as("__da"), col("id_b").as("__db")),
+            col("id_a") === col("__da") && col("id_b") === col("__db"),
+            "full_outer")
+          .filter(col("id_a").isNull || col("__da").isNull)
+          .agg(count(lit(1)).as("__mism"))
+        val isBatchA = col("id_a") % 5 === 0
+        val exact = graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.5)
+          .filter(isBatchA =!= (col("id_b") % 5 === 0))
+          .select(when(isBatchA, col("id_a")).otherwise(col("id_b")).as("__b"),
+            when(isBatchA, col("id_b")).otherwise(col("id_a")).as("__c"))
+        exact.agg(count(lit(1)).as("n_exact_matches"))
+          .crossJoin(indexed.join(exact,
+              col("id_a") === col("__b") && col("id_b") === col("__c"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .crossJoin(mism)
+          .select(col("n_exact_matches"),
+            (col("__fp") === 0).as("no_false_positives"),
+            (col("__mism") === 0).as("matches_direct"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS ib, b.doc_id AS ic, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+                 AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+               GROUP BY 1, 2)
+             SELECT count(*)::BIGINT AS n_exact_matches,
+               true AS no_false_positives, true AS matches_direct
+             FROM com JOIN sz sa ON sa.doc_id = ib
+               JOIN sz sb ON sb.doc_id = ic
+             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5"""),
+      gateOnly = true),
+
     // ---- incremental dedup: Bloom-screen a new batch against a corpus -----
     // the bloom bits are engine-specific, but the CONTRACT is not: no
     // false survivals (guaranteed), wrongly-dropped new rows within the
@@ -1258,6 +1326,30 @@ object Queries {
              r AS (SELECT doc_id, row_number() OVER (PARTITION BY text
                ORDER BY doc_id) AS rn FROM t)
              SELECT doc_id FROM r WHERE rn > 1 ORDER BY doc_id""")),
+
+    // ---- normalized ("fuzzy-exact") dedup ---------------------------------
+    // re-render churn: uppercased + punctuation-appended copies must fold
+    // onto their originals through the canonical key; min-id survivor and
+    // dup_count come out of the same one-shuffle aggregate
+    QueryDef("q_norm_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val mutated = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(upper(col("text")), lit("  !!")).as("text"))
+        val withDups = docs.select(col("doc_id"), col("text"))
+          .unionAll(mutated)
+        graft.pipeline.Dedup.normalizedDedup(withDups, "doc_id", "text")
+          .select(col("doc_id"), col("dup_count")).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, upper(text) || '  !!'
+               FROM documents WHERE doc_id % 7 = 0),
+             n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+               AS norm FROM t)
+             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+             FROM n GROUP BY norm ORDER BY doc_id""")),
 
     // ---- subword-count proxy (tokenizer load estimation) ------------------
     QueryDef("q_subwords",

@@ -36,6 +36,31 @@ object Dedup {
       .filter(col("__rn") > 1).drop("__rn")
   }
 
+  /** Canonical text form for normalized exact dedup (the CCNet/Gopher
+    * "fuzzy-exact" key): lowercase, every non-[a-z0-9-whitespace] char →
+    * space, whitespace runs collapsed, ends trimmed. Catches the
+    * re-crawl/re-render duplicates exact dedup misses (case, punctuation,
+    * spacing churn) while staying a pure column expression — codegen'd,
+    * pushes through the same one-shuffle plan as [[exact]]. Deliberately
+    * drops accents/non-ASCII letters to spaces; pipe through
+    * `graft.expr.RemoveAccents` first when accented text must survive. */
+  val normalizeText: Column => Column = c =>
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** [[exact]] over the normalized form: keep the min-id row per
+    * canonical text, with the surviving row's ORIGINAL text and the
+    * normalized key. Same one-shuffle shape as [[exact]] — the min
+    * aggregate carries (id, original) as a struct so no second join or
+    * window pass is needed. */
+  def normalizedDedup(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.groupBy(normalizeText(col(textCol)).as("norm_text"))
+      .agg(min(struct(col(idCol), col(textCol))).as("__keep"),
+        count(lit(1)).as("dup_count"))
+      .select(col(s"__keep.$idCol"), col(s"__keep.$textCol"),
+        col("norm_text"), col("dup_count"))
+
   // ---- shingles / n-grams --------------------------------------------------
 
   /** word n-gram array via native HOFs: slide a window over the tokens.
@@ -136,7 +161,7 @@ object Dedup {
   }
 
   // deterministic affine mixers for single-hash minhash derivation
-  private def mixers(numHashes: Int): (Array[Long], Array[Long]) = {
+  private[pipeline] def mixers(numHashes: Int): (Array[Long], Array[Long]) = {
     val a = Array.tabulate(numHashes)(i => splitmix(i * 2L + 1) | 1L)
     val b = Array.tabulate(numHashes)(i => splitmix(i * 2L + 2))
     (a, b)
@@ -565,7 +590,7 @@ object Dedup {
 
   /** Per-text (band keys, sorted distinct shingle hashes) under the
     * index's banding config — shared by the index build and the screen. */
-  private def bandsAndHashes(text: String, shingleSize: Int,
+  private[pipeline] def bandsAndHashes(text: String, shingleSize: Int,
                              numHashes: Int, bands: Int,
                              ma: Array[Long], mb: Array[Long]): (Array[Long], Array[Long]) = {
     val rowsPerBand = numHashes / bands

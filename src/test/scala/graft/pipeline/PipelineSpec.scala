@@ -25,6 +25,26 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").head().getLong(0) == 3L)
   }
 
+  test("normalized dedup folds case/punctuation/spacing churn") {
+    import spark.implicits._
+    val churn = Seq(
+      (0L, "The quick brown fox!"),
+      (1L, "the  QUICK brown fox"),     // spacing + case → dup of 0
+      (2L, "the quick... brown, fox"),  // punctuation → dup of 0
+      (3L, "the quick brown foxes"),    // different token: NOT a dup
+      (4L, null.asInstanceOf[String])   // null text → the null key group
+    ).toDF("doc_id", "text")
+    val r = Dedup.normalizedDedup(churn, "doc_id", "text")
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("dup_count"))).toMap
+    assert(r == Map(0L -> 3L, 3L -> 1L, 4L -> 1L))
+    // survivor keeps its ORIGINAL text, and the key is the canonical form
+    val keep = Dedup.normalizedDedup(churn, "doc_id", "text")
+      .filter(col("doc_id") === 0L).head()
+    assert(keep.getAs[String]("text") == "The quick brown fox!")
+    assert(keep.getAs[String]("norm_text") == "the quick brown fox")
+  }
+
   test("wordNgrams slides over tokens") {
     import spark.implicits._
     val r = Seq("a b c d").toDF("t")
