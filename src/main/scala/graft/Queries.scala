@@ -1062,6 +1062,60 @@ object Queries {
       },
       None),
 
+    // ---- PERSISTED embedding index: screen against files ------------------
+    // q_near_new's contract (exact match count + FP-freedom) plus
+    // matches_direct: the files-based screen must equal the in-memory
+    // embeddingDedupAgainst pair-for-pair at the same pinned config,
+    // proving the parquet round-trip (vectors, norms, bucket keys)
+    // changes nothing
+    QueryDef("q_vec_index",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val batchE = e.filter(col("vec_id") % 5 === 0)
+        val corpusE = e.filter(col("vec_id") % 5 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-vecindex").toString
+        graft.pipeline.VecIndex.write(corpusE, "vec_id", "embedding",
+          dim = 64, path, bits = 4, tables = 4)
+        val indexed = graft.pipeline.VecIndex.dedupAgainst(
+          batchE, "vec_id", "embedding", path, threshold = 0.4)
+        val direct = graft.pipeline.Dedup.embeddingDedupAgainst(
+          batchE, corpusE, "vec_id", "embedding", dim = 64,
+          threshold = 0.4, bits = 4, tables = 4)
+        val mism = indexed.select(col("batch_id"), col("corpus_id"))
+          .join(direct.select(col("batch_id").as("__db"),
+              col("corpus_id").as("__dc")),
+            col("batch_id") === col("__db") &&
+              col("corpus_id") === col("__dc"),
+            "full_outer")
+          .filter(col("batch_id").isNull || col("__db").isNull)
+          .agg(count(lit(1)).as("__mism"))
+        val exact = batchE.select(col("vec_id").as("__b"),
+            transform(col("embedding"), _.cast("double")).as("__bv"))
+          .crossJoin(corpusE.select(col("vec_id").as("__c"),
+            transform(col("embedding"), _.cast("double")).as("__cv")))
+          .filter(graft.pipeline.Dedup.cosine(col("__bv"), col("__cv")) >= 0.4)
+          .select(col("__b"), col("__c"))
+        exact.agg(count(lit(1)).as("n_exact_matches"))
+          .crossJoin(indexed.join(exact,
+              col("batch_id") === col("__b") && col("corpus_id") === col("__c"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .crossJoin(mism)
+          .select(col("n_exact_matches"),
+            (col("__fp") === 0).as("no_false_positives"),
+            (col("__mism") === 0).as("matches_direct"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+             p AS (SELECT b.vec_id AS ib, c.vec_id AS ic
+               FROM e b JOIN e c
+               ON b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+               WHERE list_cosine_similarity(b.v, c.v) >= 0.4)
+             SELECT count(*)::BIGINT AS n_exact_matches,
+               true AS no_false_positives, true AS matches_direct FROM p"""),
+      gateOnly = true),
+
     // ---- incremental TEXT near-dup screen (minhash companion) -------------
     // same contract pattern as q_near_new: the screen's matches are
     // exact-verified (candidate-driven jaccard), so they are a subset of
