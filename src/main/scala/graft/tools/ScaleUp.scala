@@ -70,8 +70,16 @@ object ScaleUp {
     rep("orders")(shiftKeys("o_orderkey", "o_custkey"))
     rep("lineitem")(shiftKeys("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events") { (d, r) =>
-      shiftKeys("event_id", "user_id")(d, r)
-        .withColumn("ts", col("ts") + lit(r * 86400L * 1000000000L))
+      // ts arrives as epoch-nanos LONG under nanosAsLong, or as
+      // TIMESTAMP(_NTZ) when the source was written at micros precision
+      // (see Queries.events) — shift a day per replica either way
+      val shifted = shiftKeys("event_id", "user_id")(d, r)
+      d.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          shifted.withColumn("ts", col("ts") + lit(r * 86400L * 1000000000L))
+        case _ =>
+          shifted.withColumn("ts", expr(s"ts + INTERVAL '$r' DAY"))
+      }
     }
     rep("documents") { (d, r) =>
       if (r == 0) shiftKeys("doc_id")(d, r)
