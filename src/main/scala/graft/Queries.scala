@@ -1405,6 +1405,88 @@ object Queries {
              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
              FROM n GROUP BY norm ORDER BY doc_id""")),
 
+    // ---- quality survivor: keep the BEST copy, not the first ---------------
+    // exact dups injected with ids shifted by 1e6; score (doc_id*37)%1001
+    // makes some copies beat their originals and (37*1e6 ≡ 963 mod 1001)
+    // never ties, while %-7 originals vs their own text exercise the
+    // one-group-per-text path; survivor = max score, ties broken min-id
+    QueryDef("q_keep_best",
+      (s, d) => {
+        val docs = documents(s, d)
+        val withDups = docs.select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .withColumn("score", (col("doc_id") * 37 % 1001).cast("double"))
+        graft.pipeline.Dedup.exactKeepBest(withDups, "doc_id", "text",
+            "score")
+          .select(col("doc_id"), col("score"), col("dup_count"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents
+               WHERE doc_id % 7 = 0),
+             sc AS (SELECT doc_id, text,
+               ((doc_id * 37) % 1001)::DOUBLE AS score FROM t),
+             r AS (SELECT doc_id, score,
+               row_number() OVER (PARTITION BY text
+                 ORDER BY score DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY text) AS dup_count FROM sc)
+             SELECT doc_id, score, dup_count FROM r WHERE rn = 1
+             ORDER BY doc_id""")),
+
+    // transitive near-dedup, quality survivor: same component closure as
+    // q_dedup_cc, but each component keeps its max-score member (ties →
+    // min id) instead of the min-id one; untouched docs are singleton
+    // components and pass through with dup_count 1
+    QueryDef("q_keep_best_cc",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .withColumn("score", (col("doc_id") * 37 % 1001).cast("double"))
+        val pairs = graft.pipeline.Dedup
+          .ngramJaccard(docs, "doc_id", "text", 3, maxDf = 20)
+          .filter(col("jaccard") >= 0.3)
+        graft.pipeline.Dedup.nearDedupKeepBest(docs, "doc_id", pairs,
+            "score")
+          .select(col("doc_id"), col("score"), col("dup_count"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             shall AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
+             sh AS (SELECT doc_id, s FROM shall
+               WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 20)),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (SELECT id_a, id_b
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+               WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3),
+             edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+             comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             lab AS (SELECT d.doc_id,
+               ((d.doc_id * 37) % 1001)::DOUBLE AS score,
+               coalesce(c.component, d.doc_id) AS grp
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+             r2 AS (SELECT doc_id, score,
+               row_number() OVER (PARTITION BY grp
+                 ORDER BY score DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY grp) AS dup_count FROM lab)
+             SELECT doc_id, score, dup_count FROM r2 WHERE rn = 1
+             ORDER BY doc_id""")),
+
     // ---- subword-count proxy (tokenizer load estimation) ------------------
     QueryDef("q_subwords",
       (s, d) => {

@@ -61,6 +61,80 @@ object Dedup {
       .select(col(s"__keep.$idCol"), col(s"__keep.$textCol"),
         col("norm_text"), col("dup_count"))
 
+  // ---- score-based survivors -----------------------------------------------
+
+  /** Per dedup group keyed by `key`: the FULL row of the highest-score
+    * member (ties → min id; null scores rank below every non-null score,
+    * so an all-null group falls back to the min-id survivor) plus
+    * `dup_count`. One shuffle — `max_by` over a (score, −id) ordering
+    * struct partial-aggregates map-side, so a boilerplate key with 10⁶
+    * duplicates combines before it moves (the window-function
+    * formulation would sort the whole group on one reducer instead).
+    * `payloadCols` names the columns carried through (callers pass the
+    * pre-labeling column set so internal join keys don't leak). */
+  private def keepBestBy(df: DataFrame, key: Column,
+                         payloadCols: Seq[String], idCol: String,
+                         scoreCol: String): DataFrame = {
+    val ord = struct(
+      coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__s"),
+      (-col(idCol)).as("__t"))
+    df.groupBy(key.as("__key"))
+      .agg(max_by(struct(payloadCols.map(col): _*), ord).as("__best"),
+        count(lit(1)).as("dup_count"))
+      .select(payloadCols.map(c =>
+        col("__best").getField(c).as(c)) :+ col("dup_count"): _*)
+  }
+
+  /** [[exact]] with a QUALITY survivor: keep the highest-`scoreCol` row
+    * per identical content (ties → min id), not the min-id row. The
+    * curation shape real pipelines want — when a re-crawl carries better
+    * metadata or a cleaner render of the same text, the best copy
+    * survives. Output = the surviving rows (all input columns) +
+    * `dup_count`. */
+  def exactKeepBest(df: DataFrame, idCol: String, contentCol: String,
+                    scoreCol: String): DataFrame =
+    keepBestBy(df, col(contentCol), df.columns.toSeq, idCol, scoreCol)
+
+  /** [[normalizedDedup]] with the quality survivor — best row per
+    * CANONICAL text ([[normalizeText]]). */
+  def normalizedKeepBest(df: DataFrame, idCol: String, textCol: String,
+                         scoreCol: String): DataFrame =
+    keepBestBy(df, normalizeText(col(textCol)), df.columns.toSeq, idCol,
+      scoreCol)
+
+  /** [[nearDedupByComponent]] with the quality survivor: given near-dup
+    * `pairs` (id_a, id_b, …), keep the highest-score member of each
+    * connected component (ties → min id); rows in no pair survive
+    * untouched (they are their own singleton component). Unlike the
+    * min-id variant this must JOIN the component labels onto the corpus
+    * (the survivor identity depends on scores, not labels alone): the
+    * label table is collected and broadcast when it holds at most
+    * `maxBroadcastRows` ids — its size is the number of PAIR-INVOLVED
+    * docs, not the corpus — else it ships as a shuffle join for AQE to
+    * plan. Output = surviving rows + `dup_count` (component size among
+    * corpus rows). */
+  def nearDedupKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                        scoreCol: String,
+                        maxBroadcastRows: Long = 1L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val comp = Components.connectedComponents(pairs)
+    val labels =
+      if (comp.count() <= maxBroadcastRows) {
+        val rows = comp.select(col("id"), col("component"))
+          .as[(Long, Long)].collect().toSeq
+        comp.unpersist(blocking = false)
+        broadcast(spark.createDataset(rows).toDF("__cid", "__comp0"))
+      } else comp.select(col("id").as("__cid"),
+        col("component").as("__comp0"))
+    val labeled = df
+      .join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("__grp",
+        coalesce(col("__comp0"), col(idCol).cast("long")))
+    keepBestBy(labeled, col("__grp"), df.columns.toSeq, idCol, scoreCol)
+  }
+
   // ---- shingles / n-grams --------------------------------------------------
 
   /** word n-gram array via native HOFs: slide a window over the tokens.

@@ -45,6 +45,48 @@ class PipelineSpec extends SparkSpec {
     assert(keep.getAs[String]("norm_text") == "the quick brown fox")
   }
 
+  test("exactKeepBest keeps max score, ties to min id, nulls lose") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aaa", Some(2.0)),  // loses to 2 on score
+      (2L, "aaa", Some(5.0)),  // survivor
+      (3L, "aaa", None),       // null score never wins
+      (4L, "bbb", Some(1.0)),  // ties with 5 -> min id survives
+      (5L, "bbb", Some(1.0)),
+      (6L, "ccc", None),       // all-null group -> min id
+      (7L, "ccc", None)
+    ).toDF("id", "text", "score")
+    val r = Dedup.exactKeepBest(rows, "id", "text", "score")
+      .collect().map(x => (x.getAs[Long]("id"),
+        x.getAs[Long]("dup_count"))).toMap
+    assert(r == Map(2L -> 3L, 4L -> 2L, 6L -> 2L))
+    // survivor carries its FULL original row
+    val best = Dedup.exactKeepBest(rows, "id", "text", "score")
+      .filter(col("id") === 2L).head()
+    assert(best.getAs[Double]("score") == 5.0 &&
+      best.getAs[String]("text") == "aaa")
+  }
+
+  test("nearDedupKeepBest keeps best per component; untouched pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0), // component {1,2,3} -> 2 wins
+      (4L, 1.0), (5L, 2.0),               // component {4,5}   -> 5 wins
+      (9L, 0.0)                           // in no pair -> survives
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = Dedup.nearDedupKeepBest(docs, "id", pairs, "score")
+      .collect().map(x => (x.getAs[Long]("id"),
+        x.getAs[Long]("dup_count"))).toMap
+    assert(r == Map(2L -> 3L, 5L -> 2L, 9L -> 1L))
+    // shuffle-join tier (labels above the broadcast cap) agrees
+    val r2 = Dedup.nearDedupKeepBest(docs, "id", pairs, "score",
+        maxBroadcastRows = 1)
+      .collect().map(x => (x.getAs[Long]("id"),
+        x.getAs[Long]("dup_count"))).toMap
+    assert(r2 == r)
+  }
+
   test("wordNgrams slides over tokens") {
     import spark.implicits._
     val r = Seq("a b c d").toDF("t")
