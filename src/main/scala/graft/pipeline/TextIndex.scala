@@ -199,6 +199,62 @@ object TextIndex {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** STREAMING near-dup match stream against the persisted index: for a
+    * streaming `stream` (readStream source), emits (id_a = stream id,
+    * id_b = indexed corpus id, jaccard) for every stream row whose TRUE
+    * n-gram jaccard with an indexed doc reaches `threshold`.
+    *
+    * This is the third streaming-screen tier: [[Dedup.textScreenStream]]
+    * broadcasts a driver-collected index (fast stateless filter, ~2M-doc
+    * ceiling); this one is two STREAM-STATIC inner joins (bands, then
+    * hashes) against the parquet index — no driver ceiling, no state
+    * store, no watermark, and the static side is re-planned per
+    * micro-batch so index [[append]]s between batches are picked up.
+    *
+    * Delivery contract: a pair colliding in k bands is emitted k times
+    * (deduplicating inside the stream would need a stateful distinct;
+    * at-least-once per shared band is the stateless trade). Run the
+    * sink-side `dropDuplicates` in `foreachBatch` — or use the batch
+    * [[dedupAgainst]] there instead — when exactly-once pairs matter.
+    * Unlike the batch screen there is no over-cap bucket drop (the
+    * per-bucket count is an aggregation); screen a corpus with
+    * degenerate boilerplate bands through [[Dedup.exact]] first. */
+  def matchesStream(stream: DataFrame, idCol: String, textCol: String,
+                    path: String, threshold: Double = 0.7): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val (shingleSize, numHashes, bands) = cfgOf(spark, path)
+    val (ma, mb) = Dedup.mixers(numHashes)
+    val sigs = stream.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val (keys, hs) = Dedup.bandsAndHashes(text, shingleSize,
+            numHashes, bands, ma, mb)
+          keys.iterator.map(k => (k, id, hs))
+        }
+      }
+      .toDF("band", "id_a", "__hs_a")
+    val jac = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var common = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { common += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - common
+      if (union == 0) 1.0 else common.toDouble / union
+    }
+    sigs
+      .join(spark.read.parquet(s"$path/bands"), "band")
+      .join(spark.read.parquet(s"$path/hashes")
+        .select(col("id"), col("hs").as("__hs_b")), "id")
+      .withColumn("jaccard", jac(col("__hs_a"), col("__hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id").as("id_b"), col("jaccard"))
+  }
+
   /** Batch rows with NO near-dup in the indexed corpus — the ingestion
     * filter ([[Dedup.textNewRows]] against files). Survivors are exactly
     * the rows safe to [[append]]. */

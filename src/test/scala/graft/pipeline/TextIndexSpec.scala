@@ -92,6 +92,37 @@ class TextIndexSpec extends SparkSpec {
       maxBucket = 100).count() == 0L)
   }
 
+  test("matchesStream over file source ≡ batch screen (distinct pairs)") {
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val path = tmp()
+    TextIndex.write(corpus, "doc_id", "text", path)
+    // stage the batch as a file-source stream, one file per trigger
+    val staged = java.nio.file.Files.createTempDirectory("graft-tis-stream")
+    batch.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream
+      .schema(batch.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = TextIndex.matchesStream(stream, "doc_id", "text", path,
+        threshold = 0.5)
+      .writeStream.format("memory").queryName("tis_matches")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // at-least-once per shared band -> compare DISTINCT pairs
+    val streamed = spark.table("tis_matches")
+      .select("id_a", "id_b", "jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    val direct = TextIndex.dedupAgainst(batch, "doc_id", "text", path,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == direct)
+  }
+
   test("index is self-describing: screen uses stored banding config") {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
