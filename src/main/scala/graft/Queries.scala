@@ -3243,6 +3243,35 @@ object Queries {
              FROM ranked WHERE rn = 1
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- exact-substring dedup (Lee et al. ExactSubstr, stride 1) ---------
+    // every token covered by an 8-token window occurring >1 time in the
+    // corpus is removed (symmetric across occurrences); kept text is
+    // canonically single-space-joined on BOTH sides. A doc vanishes into
+    // empty text only if every position is covered
+    QueryDef("q_substring_dedup",
+      (s, d) => graft.pipeline.Dedup.substringDedup(
+          documents(s, d), "doc_id", "text", minTokens = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             tokp AS (SELECT doc_id, t, unnest(generate_series(1, len(t)))
+               AS i FROM tok),
+             g AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+               FROM tokp WHERE i + 7 <= len(t)),
+             dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1),
+             ds AS (SELECT g.doc_id, g.i FROM g
+               JOIN dup ON g.gram = dup.gram),
+             keptp AS (SELECT p.doc_id, p.i, p.t[p.i] AS tk,
+               EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = p.doc_id
+                 AND ds.i BETWEEN p.i - 7 AND p.i) AS cov
+               FROM tokp p)
+             SELECT doc_id,
+               coalesce(string_agg(tk, ' ' ORDER BY i)
+                 FILTER (WHERE NOT cov), '') AS text,
+               count(*) FILTER (WHERE cov)::BIGINT AS n_removed
+             FROM keptp GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- line-level dedup (C4/RefinedWeb boilerplate-line removal) --------
     // the corpus has no newlines, so the query synthesizes them like
     // q_repetition (' a ' -> chr(10)) on BOTH sides; every distinct line

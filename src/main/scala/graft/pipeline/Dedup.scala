@@ -1312,6 +1312,93 @@ object Dedup {
     batch.join(flagged, col(idCol) === col("__dup_id"), "left_anti")
   }
 
+  // ---- exact-substring dedup (sliding window) ------------------------------
+
+  /** Exact-substring dedup in the style of Lee et al. 2021's ExactSubstr:
+    * remove every token covered by a `minTokens`-token window whose exact
+    * token sequence occurs MORE THAN ONCE in the corpus (cross-doc or
+    * within-doc — the corpus-frequency criterion, symmetric across
+    * occurrences like the released suffix-array implementation, so the
+    * result is order-free and deterministic with no global tie-break).
+    * [[chunkDedup]] is the cheap stride-`chunkWords` approximation that
+    * keeps first occurrences; this is the surgical stride-1 pass — every
+    * window position is checked, so shifted duplicates that straddle
+    * chunk boundaries are caught.
+    *
+    * Scale shape: the posting frame has one row per token position (the
+    * honest cost of stride-1 exactness — run the minhash tier first and
+    * reserve this for the survivors). Two shuffles over it (window-hash
+    * frequency with map-side combine, then the semi-join back) plus one
+    * id-keyed aggregate of ONLY the duplicated positions, which joins
+    * back to the token frame for the rebuild. The token frame is cached
+    * (consumed by postings and rebuild); the result is lazy so there is
+    * no sound unpersist point inside — the [[ngramJaccard]] cache-
+    * lifetime caveat applies. Window identity is the 64-bit text hash
+    * (~1e-8 collision, same contract as the rest of the dedup tier).
+    *
+    * Output: (id, text, n_removed) with text rebuilt from the kept
+    * tokens single-space-joined — CANONICAL whitespace for all rows,
+    * also when nothing was removed. Null id/text rows are dropped; docs
+    * shorter than `minTokens` tokens pass through canonicalized; a doc
+    * that is entirely duplicated windows comes back with empty text and
+    * n_removed = its token count. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val w = minTokens
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextAnalysis.fastTokens(text)) }
+      .toDF("id", "__toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = toks.as[(Long, Array[String])]
+      .flatMap { case (id, t) =>
+        if (t.length < w) Iterator.empty
+        else (0 to t.length - w).iterator.map { i =>
+          val sb = new StringBuilder(t(i))
+          var j = 1
+          while (j < w) { sb.append(' ').append(t(i + j)); j += 1 }
+          (hash64(sb.toString), id, i)
+        }
+      }
+      .toDF("__h", "id", "__pos")
+    val dupH = postings.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val dupStarts = postings.join(dupH, "__h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .as[(Long, Array[String], Array[Int])]
+      .map { case (id, t, starts) =>
+        if (starts == null || starts.isEmpty) (id, t.mkString(" "), 0L)
+        else {
+          val covered = new Array[Boolean](t.length)
+          starts.foreach { s =>
+            var k = s; val end = s + w
+            while (k < end) { covered(k) = true; k += 1 }
+          }
+          val kept = new StringBuilder
+          var removed = 0L
+          var first = true
+          var i = 0
+          while (i < t.length) {
+            if (covered(i)) removed += 1
+            else {
+              if (!first) kept.append(' ')
+              kept.append(t(i))
+              first = false
+            }
+            i += 1
+          }
+          (id, kept.toString, removed)
+        }
+      }
+      .toDF(idCol, textCol, "n_removed")
+  }
+
   // ---- chunk-level exact dedup ---------------------------------------------
 
   /** Chunk-level exact dedup (sequence-level dedup in the style of Lee et

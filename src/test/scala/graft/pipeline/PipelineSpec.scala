@@ -87,6 +87,27 @@ class PipelineSpec extends SparkSpec {
     assert(r2 == r)
   }
 
+  test("substringDedup removes all copies of repeated windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shares "c d e" with 2
+      (2L, "x y c d e z"),
+      (3L, "p q r p q r"),      // within-doc repeat: every pos covered
+      (4L, "unique words only"),
+      (5L, "hi"),               // shorter than the window
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[String]("text"), x.getAs[Long]("n_removed")))).toMap
+    assert(r == Map(
+      1L -> (("a b f"), 3L),
+      2L -> (("x y z"), 3L),
+      3L -> (("", 6L)),         // "p q r" occurs twice -> all covered
+      4L -> (("unique words only", 0L)),
+      5L -> (("hi", 0L))))      // null-text row dropped
+  }
+
   test("wordNgrams slides over tokens") {
     import spark.implicits._
     val r = Seq("a b c d").toDF("t")
