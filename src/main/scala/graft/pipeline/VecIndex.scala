@@ -240,6 +240,36 @@ object VecIndex {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  /** STREAMING near-dup match stream against the persisted index: for a
+    * streaming `stream`, emits (batch_id = stream id, corpus_id, cos) for
+    * every stream vector within `threshold` cosine of an indexed one —
+    * the semantic companion of [[TextIndex.matchesStream]]. One stateless
+    * stream-static inner join (stream signatures ⋈ buckets) with the
+    * codegen'd cosine filter in the same stage: no driver ceiling, no
+    * state store, and the static side is re-planned per micro-batch so
+    * [[append]]s between batches are picked up.
+    *
+    * Delivery contract: a pair within threshold in k tables is emitted k
+    * times (a stateless stream cannot distinct; at-least-once per
+    * colliding table). `dropDuplicates` sink-side in `foreachBatch` — or
+    * the batch [[dedupAgainst]] there — when exactly-once pairs matter.
+    * No over-cap bucket drop (that count is an aggregation); exact-dedup
+    * degenerate mass out of the corpus before indexing it. */
+  def matchesStream(stream: DataFrame, idCol: String, vecCol: String,
+                    path: String, threshold: Double = 0.95): DataFrame = {
+    val spark = stream.sparkSession
+    val (dim, bits, tables) = cfgOf(spark, path)
+    signatures(stream, idCol, vecCol, dim, bits, tables)
+      .select(col("bucket"), col("id").as("id_a"),
+        col("v").as("__va"), col("n2").as("__na"))
+      .join(spark.read.parquet(s"$path/buckets"), "bucket")
+      .withColumn("cos",
+        Dedup.cosinePre(col("__va"), col("v"), col("__na"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("batch_id"), col("id").as("corpus_id"),
+        col("cos"))
+  }
+
   /** Batch rows with NO near-dup in the indexed corpus — the semantic
     * ingestion filter ([[Dedup.nearNewRows]] against files). Survivors
     * are exactly the rows safe to [[append]]. */

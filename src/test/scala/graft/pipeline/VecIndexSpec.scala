@@ -112,6 +112,36 @@ class VecIndexSpec extends SparkSpec {
       maxBucket = 100).count() == 0L)
   }
 
+  test("matchesStream over file source ≡ batch screen (distinct pairs)") {
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+    val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+    val path = tmp()
+    VecIndex.write(corpus, "vec_id", "embedding", dim = 64, path,
+      bits = 4, tables = 4)
+    val staged = java.nio.file.Files.createTempDirectory("graft-vis-stream")
+    batch.select("vec_id", "embedding").repartition(3)
+      .write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream
+      .schema(batch.select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = VecIndex.matchesStream(stream, "vec_id", "embedding", path,
+        threshold = 0.4)
+      .writeStream.format("memory").queryName("vis_matches")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("vis_matches")
+      .select("batch_id", "corpus_id", "cos").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    val direct = VecIndex.dedupAgainst(batch, "vec_id", "embedding", path,
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == direct)
+  }
+
   test("index is self-describing; write refuses to clobber") {
     val corpus = embs.filter(col("vec_id") % 5 =!= 0)
     val batch = embs.filter(col("vec_id") % 5 === 0)
