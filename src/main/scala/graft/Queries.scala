@@ -2013,6 +2013,39 @@ object Queries {
                n.n::BIGINT AS n
              FROM p JOIN n USING (label) ORDER BY label""")),
 
+    // ---- kNN graph (exact tier) -------------------------------------------
+    // 5 nearest neighbors per vector under cosine, rank ordered
+    // (cos desc, nid asc) — ties must break identically to the oracle's
+    // row_number, which the TopK insertion order guarantees
+    QueryDef("q_knn_graph",
+      (s, d) => graft.pipeline.Similarity.knnGraphExact(
+          embeddings(s, d), "vec_id", "embedding", k = 5)
+        .select(col("vec_id"), col("nid"), round(col("cos"), 6).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("vec_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+               list_cosine_similarity(a.v, b.v) AS cos
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             r AS (SELECT vec_id, nid, cos, row_number() OVER
+               (PARTITION BY vec_id ORDER BY cos DESC, nid) AS rank FROM p)
+             SELECT vec_id, nid, round(cos, 6) AS cos, rank
+             FROM r WHERE rank <= 5 ORDER BY vec_id, rank""")),
+
+    // LSH-bucketed kNN graph: the scale path (rows-only — bucket-local
+    // neighborhoods are engine-specific; SimilaritySpec pins per-bucket
+    // exactness and measured recall vs the exact tier)
+    QueryDef("q_knn_graph_lsh",
+      (s, d) => graft.pipeline.Similarity.knnGraph(
+          embeddings(s, d), "vec_id", "embedding", dim = 64, k = 5,
+          bits = 4, tables = 4)
+        .select(col("vec_id"), col("nid"), round(col("cos"), 6).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("vec_id", "rank"),
+      None),
+
     // ---- similarity search: brute-force cosine top-k ----------------------
     QueryDef("q_sim_topk",
       (s, d) => {

@@ -371,4 +371,159 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  // ---- k-nearest-neighbor graph --------------------------------------------
+
+  /** Per-candidate top-k insertion shared by both kNN tiers: a fixed
+    * (nid, cos) array ordered best-first under the total order
+    * (cos desc, nid asc) — k is small, so insertion beats a heap and the
+    * DETERMINISTIC tie-break matches a SQL
+    * `row_number() OVER (ORDER BY cos DESC, nid)` exactly. */
+  private final class TopK(k: Int) {
+    val nids = new Array[Long](k)
+    val coss = new Array[Double](k)
+    var filled = 0
+    @inline private def better(c: Double, n: Long, i: Int): Boolean =
+      c > coss(i) || (c == coss(i) && n < nids(i))
+    def offer(n: Long, c: Double): Unit = {
+      if (filled < k || better(c, n, filled - 1)) {
+        var i = math.min(filled, k - 1)
+        while (i > 0 && better(c, n, i - 1)) {
+          nids(i) = nids(i - 1); coss(i) = coss(i - 1); i -= 1
+        }
+        nids(i) = n; coss(i) = c
+        if (filled < k) filled += 1
+      }
+    }
+    def emit(id: Long): Iterator[(Long, Long, Double, Int)] =
+      (0 until filled).iterator.map(r => (id, nids(r), coss(r), r + 1))
+  }
+
+  /** EXACT k-nearest-neighbor graph under cosine: (id, nid, cos, rank)
+    * with rank 1..k ordered (cos desc, nid asc) — the curation primitive
+    * behind duplicate clustering, diversity sampling, and SemDeDup-style
+    * neighborhoods. O(n²) compute against a driver-collected broadcast,
+    * so it carries [[allPairsCosine]]'s maxRows guard and exists as the
+    * small-corpus baseline and oracle anchor; [[knnGraph]] is the
+    * LSH-bucketed scale path. */
+  def knnGraphExact(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    maxRows: Int = 200000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, idCol, "knnGraphExact")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        asDouble(col(vecCol))).as[(Long, Array[Double])]
+    val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+    require(df.limit(probeLimit).count() <= maxRows,
+      s"knnGraphExact is the exact O(n^2) baseline and refuses corpora " +
+        s"above maxRows=$maxRows rows; use knnGraph (LSH) for large corpora.")
+    val withNorm = vecs.collect().map { case (id, v) =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      (id, v, n2)
+    }
+    val bc = spark.sparkContext.broadcast(withNorm)
+    val kk = k
+    vecs.mapPartitions { rows =>
+      val all = bc.value
+      rows.flatMap { case (idA, va) =>
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { na += va(i) * va(i); i += 1 }
+        val top = new TopK(kk)
+        all.foreach { case (idB, vb, nb) =>
+          if (idB != idA) {
+            var dot = 0.0
+            var j = 0
+            while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+            top.offer(idB, dot / math.sqrt(na * nb))
+          }
+        }
+        top.emit(idA)
+      }
+    }.toDF(idCol, "nid", "cos", "rank")
+  }
+
+  /** APPROXIMATE k-nearest-neighbor graph via the dedup tier's
+    * deterministic hyperplane LSH: per-bucket exact top-k with the same
+    * (cos desc, nid asc) order, then a per-id merge across buckets and
+    * tables. Within any shared bucket the neighbor list is exact; recall
+    * of the true top-k follows the multi-table S-curve
+    * (1−(1−p^bits)^tables — RecallSpec's model), so raise `tables` (or
+    * lower `bits`) for closer graphs. `bits = 0` sizes the signature
+    * adaptively ([[Dedup.lshBitsFor]]); the [[Dedup.embeddingDedup]]
+    * bits=0 cache caveat applies.
+    *
+    * Scale shape: one typed assignment pass per table, one shuffle on the
+    * bucket key, O(bucket²) per-bucket work bounded by `maxBucket` (the
+    * same skip-don't-OOM policy as the dedup tier), then ONE keyed window
+    * over ≤ tables·k candidate rows per id — never over the corpus. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               k: Int, bits: Int = 0, tables: Int = 4,
+               maxBucket: Int = 1 << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, idCol, "knnGraph")
+    require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean0 = df.na.drop(Seq(idCol, vecCol))
+    val clean = if (bits == 0) clean0.cache() else clean0
+    val sigBits = if (bits == 0) Dedup.lshBitsFor(clean.count()) else bits
+    val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, tables - 1).toLong)
+    require(sigBits + tableBits <= 63,
+      s"table index + signature must fit a long key (bits=$sigBits tables=$tables)")
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(tables)(t => Dedup.hyperplanes(sigBits, dim, t)))
+    val kk = k
+    val bucketTopK = clean
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val tabs = planes.value
+        it.flatMap { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          tabs.iterator.zipWithIndex.map { case (ps, t) =>
+            var bucket = 0L
+            var b = 0
+            while (b < ps.length) {
+              val p = ps(b)
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j) * p(j); j += 1 }
+              if (dot > 0) bucket |= (1L << b)
+              b += 1
+            }
+            ((t.toLong << sigBits) | bucket, id, v, n2)
+          }
+        }
+      }
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
+        val rows = it.take(limit).toArray
+        if (rows.length > maxBucket) Iterator.empty
+        else rows.iterator.flatMap { case (_, id, v, n2) =>
+          val top = new TopK(kk)
+          rows.foreach { case (_, nid, nv, nn2) =>
+            if (nid != id) {
+              var dot = 0.0
+              var j = 0
+              while (j < v.length) { dot += v(j) * nv(j); j += 1 }
+              top.offer(nid, dot / math.sqrt(n2 * nn2))
+            }
+          }
+          top.emit(id).map { case (i2, n2id, c, _) => (i2, n2id, c) }
+        }
+      }
+      .toDF(idCol, "nid", "cos")
+      .distinct() // same pair from several tables carries an identical cos
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("cos"), col("nid"))
+    bucketTopK.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -87,6 +87,45 @@ class PipelineSpec extends SparkSpec {
     assert(r2 == r)
   }
 
+  test("knnGraphExact: ranks, ties, guard; knnGraph recall vs exact") {
+    import spark.implicits._
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.knnGraphExact(embs, "vec_id", "embedding", k = 5)
+    val byId = exact.collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    val n = embs.count()
+    assert(byId.size == n && byId.values.forall(_.length == 5))
+    // ranks are 1..5 ordered by (cos desc, nid asc)
+    byId.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (ca, cb) = (a.getAs[Double]("cos"), b.getAs[Double]("cos"))
+        assert(ca > cb ||
+          (ca == cb && a.getAs[Long]("nid") < b.getAs[Long]("nid")))
+      }
+    }
+    // guard refuses oversized corpora
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphExact(embs, "vec_id", "embedding", k = 5,
+        maxRows = 3).collect()
+    }
+    // LSH tier: per-id neighbor sets are a subset of the corpus and the
+    // measured recall of the exact top-5 at a permissive config is high
+    // (deterministic planes -> this number is stable, not flaky)
+    val approx = Similarity.knnGraph(embs, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 2, tables = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactSets = byId.view
+      .mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val recall = exactSets.map { case (id, s) =>
+      approx.getOrElse(id, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / exactSets.size
+    assert(recall >= 0.8, s"knnGraph recall $recall below 0.8")
+  }
+
   test("substringDedup removes all copies of repeated windows") {
     import spark.implicits._
     val docs = Seq(
