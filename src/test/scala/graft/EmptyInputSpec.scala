@@ -148,4 +148,52 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.pipeline.TextAnalysis.fastTokens("").isEmpty)
     assert(graft.pipeline.TextAnalysis.fastTokens(" \t\n ").isEmpty)
   }
+
+  test("round-9 additions tolerate empty input") {
+    import spark.implicits._
+    assert(graft.pipeline.Dedup.normalizedDedup(
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.pipeline.Dedup.substringDedup(
+      emptyDocs, "doc_id", "text", minTokens = 3).count() == 0)
+    val scored = spark.emptyDataset[(Long, String, Double)]
+      .toDF("doc_id", "text", "score")
+    assert(graft.pipeline.Dedup.exactKeepBest(
+      scored, "doc_id", "text", "score").count() == 0)
+    assert(graft.pipeline.Dedup.normalizedKeepBest(
+      scored, "doc_id", "text", "score").count() == 0)
+    // keepBest with an empty PAIR graph: every row is its own component
+    val docs3 = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score")
+    val emptyPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.pipeline.Dedup.nearDedupKeepBest(
+      docs3, "id", emptyPairs, "score").count() == 2)
+    // kNN graph: empty corpus (both tiers), k larger than the corpus
+    assert(graft.pipeline.Similarity.knnGraphExact(
+      emptyVecs, "vec_id", "embedding", k = 3).count() == 0)
+    assert(graft.pipeline.Similarity.knnGraph(
+      emptyVecs, "vec_id", "embedding", dim = 4, k = 3).count() == 0)
+    val twoVecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    assert(graft.pipeline.Similarity.knnGraphExact(
+      twoVecs, "vec_id", "embedding", k = 5).count() == 2) // 1 neighbor each
+    // persisted indexes: empty corpus round-trips through parquet (the
+    // empty write still carries the schema), and an empty batch screens
+    // to an empty result against a real index
+    val tPath = java.nio.file.Files
+      .createTempDirectory("graft-empty-tidx").toString
+    graft.pipeline.TextIndex.write(emptyDocs, "doc_id", "text", tPath)
+    val batch2 = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(graft.pipeline.TextIndex.dedupAgainst(
+      batch2, "doc_id", "text", tPath).count() == 0)
+    assert(graft.pipeline.TextIndex.newRows(
+      batch2, "doc_id", "text", tPath).count() == 1)
+    val vPath = java.nio.file.Files
+      .createTempDirectory("graft-empty-vidx").toString
+    graft.pipeline.VecIndex.write(
+      twoVecs, "vec_id", "embedding", dim = 2, vPath, bits = 2)
+    assert(graft.pipeline.VecIndex.dedupAgainst(
+      emptyVecs.select(col("vec_id"), col("embedding")), "vec_id",
+      "embedding", vPath).count() == 0)
+    assert(graft.pipeline.VecIndex.newRows(
+      emptyVecs, "vec_id", "embedding", vPath).count() == 0)
+  }
 }
