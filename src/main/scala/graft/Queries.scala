@@ -2692,6 +2692,38 @@ object Queries {
              HAVING count(*) >= ceil(0.003 * n.nn)
              ORDER BY token""")),
 
+    // ---- Count-Min sketch token frequencies (hash-green contract) ---------
+    // one mapPartitions + treeReduce pass builds the depth x width counter
+    // matrix with md5-basis cells DuckDB reproduces bit-for-bit:
+    // cell(r, t) = ('0x' || substr(md5(r || ':' || t), 1, 16))::UBIGINT
+    // % width. Estimates therefore hash-match EXACTLY (not just bounded).
+    // Cell sums run over the FULL token stream (text non-null — the
+    // sketch never sees doc_id); the reported token list follows
+    // vocabulary() semantics (doc_id AND text non-null, cnt >= 20)
+    QueryDef("q_cms",
+      (s, d) => graft.agg.CountMin.cmsEstimates(documents(s, d),
+          "doc_id", "text", depth = 3, width = 512, minCount = 20)
+        .orderBy("token"),
+      Some("""WITH tokAll AS (SELECT unnest(regexp_split_to_array(trim(text),
+                 '\s+')) AS token FROM documents WHERE text IS NOT NULL),
+             vAll AS (SELECT token, count(*)::BIGINT AS n FROM tokAll
+               WHERE token <> '' GROUP BY 1),
+             h AS (SELECT token, n, r,
+                 ('0x' || substr(md5(r::VARCHAR || ':' || token), 1, 16))
+                   ::UBIGINT % 512 AS cell
+               FROM vAll, unnest(generate_series(0, 2)) AS t(r)),
+             cells AS (SELECT r, cell, sum(n)::BIGINT AS c FROM h
+               GROUP BY 1, 2),
+             est AS (SELECT token, min(c)::BIGINT AS est
+               FROM h JOIN cells USING (r, cell) GROUP BY 1),
+             v AS (SELECT token, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS token FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token <> '' GROUP BY 1 HAVING count(*) >= 20)
+             SELECT v.token, v.cnt, est.est FROM v JOIN est USING (token)
+             ORDER BY token""")),
+
     // ---- Zipf-law vocabulary fit (corpus health check) --------------------
     // rank assignment via range-sort + partition offsets (no global
     // window); oracle replays the fit with DuckDB's regr_* aggregates
