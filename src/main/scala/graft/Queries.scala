@@ -2692,6 +2692,60 @@ object Queries {
              HAVING count(*) >= ceil(0.003 * n.nn)
              ORDER BY token""")),
 
+    // ---- Vocabulary growth curve (Heaps'-law empirics) --------------------
+    // types attributed to their first document by a min(doc_id) aggregate
+    // (no per-token ordering), running sums via range-sort + partition
+    // offsets in one pass — the oracle pays a global window instead
+    QueryDef("q_vocab_growth",
+      (s, d) => graft.pipeline.TextAnalysis.vocabGrowth(
+          documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t2 AS (SELECT doc_id, token
+               FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token <> ''),
+             perdoc AS (SELECT doc_id, count(*)::BIGINT AS doc_tokens
+               FROM t2 GROUP BY 1),
+             fd AS (SELECT token, min(doc_id) AS first_doc FROM t2 GROUP BY 1),
+             nt AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS new_types
+               FROM fd GROUP BY 1)
+             SELECT p.doc_id, p.doc_tokens,
+               (sum(p.doc_tokens) OVER (ORDER BY p.doc_id))::BIGINT
+                 AS cum_tokens,
+               coalesce(nt.new_types, 0)::BIGINT AS new_types,
+               (sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.doc_id))
+                 ::BIGINT AS cum_types
+             FROM perdoc p LEFT JOIN nt USING (doc_id)
+             ORDER BY doc_id""")),
+
+    // ---- Heaps'-law fit (vocabulary-growth health check) ------------------
+    QueryDef("q_heaps_fit",
+      (s, d) => graft.pipeline.TextAnalysis.heapsFit(
+          documents(s, d), "doc_id", "text")
+        .select(round(col("beta"), 6).as("beta"), round(col("k"), 6).as("k"),
+          round(col("r2"), 6).as("r2"), col("n_docs")),
+      Some("""WITH t2 AS (SELECT doc_id, token
+               FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token <> ''),
+             perdoc AS (SELECT doc_id, count(*)::BIGINT AS doc_tokens
+               FROM t2 GROUP BY 1),
+             fd AS (SELECT token, min(doc_id) AS first_doc FROM t2 GROUP BY 1),
+             nt AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS new_types
+               FROM fd GROUP BY 1),
+             g AS (SELECT
+                 ln((sum(p.doc_tokens) OVER (ORDER BY p.doc_id))::DOUBLE)
+                   AS x,
+                 ln((sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.doc_id))
+                   ::DOUBLE) AS y
+               FROM perdoc p LEFT JOIN nt USING (doc_id))
+             SELECT round(regr_slope(y, x), 6) AS beta,
+               round(exp(regr_intercept(y, x)), 6) AS k,
+               round(regr_r2(y, x), 6) AS r2,
+               count(*)::BIGINT AS n_docs FROM g""")),
+
     // ---- Count-Min sketch token frequencies (hash-green contract) ---------
     // one mapPartitions + treeReduce pass builds the depth x width counter
     // matrix with md5-basis cells DuckDB reproduces bit-for-bit:

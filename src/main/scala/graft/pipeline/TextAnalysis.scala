@@ -260,6 +260,86 @@ object TextAnalysis {
     Seq((slope, intercept, r2, n)).toDF("slope", "intercept", "r2", "n_types")
   }
 
+  /** Vocabulary growth curve: for each document (in `idCol` order) the
+    * cumulative token count and cumulative distinct-type count after
+    * ingesting that document — the empirical curve behind Heaps' law,
+    * and the practical "is this crawl still contributing new vocabulary
+    * or just repeating itself" signal for corpus curation. Output:
+    * (doc_id, doc_tokens, cum_tokens, new_types, cum_types), one row per
+    * document with ≥ 1 token.
+    *
+    * Scale shape: NO global window and NO per-token ordering — types are
+    * attributed to their first document with a min(doc_id) aggregate
+    * (token-keyed, map-side combined), collapsed to per-doc new-type
+    * counts, and both running sums ride the engine's standard range-sort
+    * + partition-offset scaffold in ONE pass (two counters per
+    * partition). The sort is doc-cardinality, not token-cardinality. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val tok = df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long").as("__graft_id"),
+        explode(tokens(col(textCol))).as("__graft_token"))
+      .filter(col("__graft_token") =!= "")
+    // two token-keyed aggregates share one exploded stream: cache would
+    // buy nothing here (explode is cheap next to the shuffles), but the
+    // aggregates themselves are both map-side combined
+    val perDoc = tok.groupBy("__graft_id")
+      .agg(count(lit(1)).as("doc_tokens"))
+    val newTypes = tok.groupBy("__graft_token")
+      .agg(min(col("__graft_id")).as("__graft_first"))
+      .groupBy(col("__graft_first").as("__graft_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val joined = perDoc.join(newTypes, Seq("__graft_id"), "left")
+      .select(col("__graft_id"), col("doc_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = joined.repartitionByRange(np, col("__graft_id"))
+      .sortWithinPartitions(col("__graft_id"))
+    val rdd = sorted.rdd
+    val partials = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var t = 0L; var y = 0L
+      it.foreach { r => t += r.getLong(1); y += r.getLong(2) }
+      Iterator.single((pi, t, y))
+    }.collect().sortBy(_._1)
+    val tokOff = partials.map(_._2).scanLeft(0L)(_ + _)
+    val typOff = partials.map(_._3).scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var ct = tokOff(pi); var cy = typOff(pi)
+      it.map { r =>
+        ct += r.getLong(1); cy += r.getLong(2)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), ct,
+          r.getLong(2), cy)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("new_types",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_types",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Heaps'-law fit over the [[vocabGrowth]] curve: least squares of
+    * ln(cum_types) against ln(cum_tokens) across documents, so
+    * V(n) ≈ k·n^beta. Natural corpora sit at beta ≈ 0.4-0.6; beta
+    * near 0 means the crawl stopped contributing vocabulary (template /
+    * duplicated mass), beta near 1 means near-random token soup. One
+    * aggregate over the growth frame (regr_* co-moments); returns
+    * (beta, k, r2, n_docs). */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    vocabGrowth(df, idCol, textCol)
+      .select(log(col("cum_tokens").cast("double")).as("__x"),
+        log(col("cum_types").cast("double")).as("__y"))
+      .agg(expr("regr_slope(__y, __x)").as("beta"),
+        exp(expr("regr_intercept(__y, __x)")).as("k"),
+        expr("regr_r2(__y, __x)").as("r2"),
+        count(lit(1)).as("n_docs"))
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, and
     * long digit runs (phone/account numbers) replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace chain — no UDF, no

@@ -246,6 +246,37 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("vocabGrowth: hand-checked curve; heapsFit recovers an exact power law") {
+    // doc 1: 3 tokens, 2 new types; doc 2: 2 tokens (one type already
+    // seen), 1 new type; doc 3: all repeats; doc 4 (null text) dropped
+    val df = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "a c"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 2L, 2L),
+      (2L, 2L, 5L, 1L, 3L),
+      (3L, 2L, 7L, 0L, 3L)))
+
+    // exact Heaps: cum_types = cum_tokens^(1/2) at every checkpoint.
+    // doc i contributes (2i-1) NEW types and enough repeat tokens that
+    // cum_tokens = i^4: then V(n) = n^0.5 exactly (k=1, beta=0.5)
+    val docs = (1 to 6).map { i =>
+      val newTypes = (0 until 2 * i - 1).map(j => s"t${i}_$j")
+      val pad = math.pow(i, 4).toLong - math.pow(i - 1, 4).toLong -
+        newTypes.size
+      (i.toLong, (newTypes ++ Seq.fill(pad.toInt)("t1_0")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fit = TextAnalysis.heapsFit(docs, "doc_id", "text").head()
+    assert(math.abs(fit.getDouble(0) - 0.5) < 1e-9, s"beta ${fit.getDouble(0)}")
+    assert(math.abs(fit.getDouble(1) - 1.0) < 1e-9, s"k ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - 1.0) < 1e-9)
+    assert(fit.getLong(3) == 6L)
+  }
+
   test("groupOverlap: pair gram-set algebra, hand-checked") {
     val docs = Seq(
       ("web", "a b c d"),     // grams: {abc, bcd}
