@@ -83,6 +83,55 @@ object Queries {
                round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) AS avg_key_count
              FROM c""")),
 
+    // ---- skew-salted join == plain join (semantics contract) --------------
+    // the salt is physical-plan shaping only: a deterministic row-hash
+    // spreads each hot key over 8 reducers, the dim side is exploded 8x,
+    // and the result must be EXACTLY the plain join's — which is what the
+    // oracle runs. sum(l_quantity) is integer-valued, so the double sum is
+    // order-independent and the hash compare is exact
+    QueryDef("q_salted_join",
+      (s, d) => {
+        val fact = lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val dim = orders(s, d)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.scale.ScaleOps.saltedJoin(fact, dim, "okey", buckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+             sum(l_quantity)::BIGINT AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Z-order layout key (multi-dim clustering for scan pruning) -------
+    // min-max quantize each dimension to 8 bits, interleave (dim i at bit
+    // b*ndims+i) — pure codegen'd column arithmetic whose integer ops the
+    // oracle replays term-for-term; IEEE doubles make the quantization
+    // floor bit-identical across engines
+    QueryDef("q_zorder",
+      (s, d) => graft.scale.ScaleOps.withZorder(spark_part(s, d),
+          Seq("p_retailprice", "p_size"), bits = 8)
+        .select(col("p_partkey"), col("zorder"))
+        .orderBy("p_partkey"),
+      Some("""WITH s AS (SELECT
+               min(p_retailprice::DOUBLE) AS mn1, max(p_retailprice::DOUBLE) AS mx1,
+               min(p_size::DOUBLE) AS mn2, max(p_size::DOUBLE) AS mx2 FROM part),
+             q AS (SELECT p_partkey,
+               least(255, greatest(0, floor(((p_retailprice::DOUBLE - mn1)
+                 / (mx1 - mn1)) * 256.0)))::BIGINT AS q1,
+               least(255, greatest(0, floor(((p_size::DOUBLE - mn2)
+                 / (mx2 - mn2)) * 256.0)))::BIGINT AS q2
+               FROM part, s)
+             SELECT p_partkey,
+               sum(((q1 >> b) & 1) * (1::BIGINT << (2 * b))
+                 + ((q2 >> b) & 1) * (1::BIGINT << (2 * b + 1)))::BIGINT
+                 AS zorder
+             FROM q, unnest(generate_series(0, 7)) AS t(b)
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- classic grouped aggregation (TPC-H Q1 shape) --------------------
     QueryDef("q1_agg",
       (s, d) => lineitem(s, d)

@@ -58,6 +58,72 @@ object ScaleOps {
                    left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
 
+  /** Morton/Z-order interleave of pre-quantized coordinates: bit b of
+    * dimension i lands at output bit b·ndims + i. Pure Column arithmetic
+    * (shiftleft/and/or, fully unrolled at plan-build time — bits·ndims
+    * terms), so it stays inside whole-stage codegen and an external
+    * engine can replay it with the same integer ops. */
+  def zorderValue(qs: Seq[Column], bits: Int): Column = {
+    require(qs.nonEmpty && bits >= 1 && bits * qs.size <= 63,
+      s"zorderValue: need 1..63 output bits, got ${qs.size} dims x $bits")
+    val n = qs.size
+    val terms = for {
+      b <- 0 until bits
+      i <- 0 until n
+    } yield shiftleft(shiftright(qs(i), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
+  /** Min-max quantization of `c` onto [0, 2^bits): floor of the scaled
+    * position, clipped so x == max lands in the top cell. Double
+    * arithmetic written to match an external replay term-for-term
+    * (((x − min) / (max − min)) · 2^bits — IEEE doubles are
+    * deterministic, so floor agrees bit-for-bit across engines). A
+    * degenerate dimension (max == min) quantizes to 0. */
+  def zorderQuantize(c: Column, mn: Double, mx: Double, bits: Int): Column =
+    if (mx == mn) lit(0L)
+    else least(lit((1L << bits) - 1), greatest(lit(0L),
+      floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) *
+        lit((1L << bits).toDouble)).cast("long")))
+
+  /** Attach a Z-order key over `cols` (min-max quantized to `bits` bits
+    * per dimension, then interleaved). One tiny min/max aggregate reaches
+    * the driver (2 doubles per column — bounded by construction); the key
+    * itself is codegen'd column arithmetic, no shuffle. Null coordinates
+    * quantize through greatest/least to cell 0. */
+  def withZorder(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                 out: String = "zorder"): DataFrame = {
+    require(cols.nonEmpty, "withZorder needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      // an all-null / empty column yields null min-max -> degenerate dim
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      zorderQuantize(col(c), mn, mx, bits)
+    }
+    df.withColumn(out, zorderValue(qs, bits))
+  }
+
+  /** Cluster a frame along the Z-curve of `cols` for write-time data
+    * layout: range-repartition on the Z-key + in-partition sort, so every
+    * output file covers a compact hyper-rectangle of the key space and
+    * parquet min/max stats prune scans filtered on ANY prefix/subset of
+    * the clustered columns — the multi-dimensional generalization of
+    * sorting by one column. The Z-key is dropped before write; it only
+    * shapes the layout. */
+  def clusterByZorder(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                      partitions: Int = 0): DataFrame = {
+    val keyed = withZorder(df, cols, bits, "__graft_zorder")
+    val np = if (partitions > 0) partitions
+             else df.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(np, col("__graft_zorder"))
+      .sortWithinPartitions("__graft_zorder")
+      .drop("__graft_zorder")
+  }
+
   /** Skew-resistant join of a skewed fact table against a dimension:
     * the fact side gets a deterministic per-row salt in [0, buckets),
     * the dimension is exploded `buckets`× (dims are small — that's the

@@ -67,6 +67,67 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zorderValue matches a reference interleave; dominance is monotone") {
+    import spark.implicits._
+    def refZ(q1: Long, q2: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((q1 >> b) & 1L) << (2 * b)) | (((q2 >> b) & 1L) << (2 * b + 1))).sum
+    val pts = for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", ScaleOps.zorderValue(Seq(col("x"), col("y")), 4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == refZ(x, y, 4), s"($x,$y)")
+    }
+    // componentwise dominance implies z-order dominance
+    for ((x1, y1) <- pts; (x2, y2) <- Seq((x1 + 1, y1), (x1, y1 + 1), (x1 + 2, y1 + 3)))
+      if (x2 <= 15 && y2 <= 15)
+        assert(got((x1, y1)) < got((x2, y2)))
+  }
+
+  test("withZorder: quantization endpoints, degenerate and null dims; cluster preserves rows") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0, 10.0), (2L, 100.0, 10.0), (3L, 50.0, 10.0))
+      .toDF("id", "x", "c")
+    // x: min->cell 0, max->clipped top cell; c degenerate -> 0 bits set
+    val z = ScaleOps.withZorder(df, Seq("x", "c"), bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def refZ(q1: Long): Long = // dim 1 contributes nothing (degenerate)
+      (0 until 4).map(b => ((q1 >> b) & 1L) << (2 * b)).sum
+    assert(z(1L) == refZ(0))
+    assert(z(2L) == refZ(15))
+    assert(z(3L) == refZ(8)) // (50/100)*16 = 8.0 exactly
+    val clustered = ScaleOps.clusterByZorder(df, Seq("x", "c"), bits = 4,
+      partitions = 2)
+    assert(clustered.columns.toSeq == df.columns.toSeq)
+    assert(clustered.count() == 3L)
+  }
+
+  test("clusterByZorder tightens per-partition bounding boxes vs arrival order") {
+    import spark.implicits._
+    // a shuffled grid: arrival order is adversarial to locality
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toDouble, y.toDouble)).toVector)
+    val df = pts.toDF("x", "y").repartition(1)
+    def maxBoxArea(frame: org.apache.spark.sql.DataFrame): Double = {
+      frame.rdd.mapPartitions { it =>
+        val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+        it.foreach { r => xs += r.getDouble(0); ys += r.getDouble(1) }
+        if (xs.isEmpty) Iterator.empty
+        else Iterator.single((xs.max - xs.min) * (ys.max - ys.min))
+      }.collect().maxOption.getOrElse(0.0)
+    }
+    val naive = df.repartition(16) // round-robin: every partition spans ~everything
+    val zed = ScaleOps.clusterByZorder(df, Seq("x", "y"), bits = 5,
+      partitions = 16)
+    val naiveArea = maxBoxArea(naive)
+    val zedArea = maxBoxArea(zed)
+    assert(zedArea < naiveArea / 2,
+      s"z-clustering should shrink the worst bounding box: $zedArea vs $naiveArea")
+  }
+
   test("skewReport on empty / all-null-key input is all zeros, not null") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
