@@ -3198,6 +3198,64 @@ object Queries {
                  * 255)::INT AS q
              FROM e JOIN s USING (pos) ORDER BY vec_id, pos""")),
 
+    // ---- Product-quantization ANN (memory tier under IVF) -----------------
+    // 8 codes/vector instead of 64 floats; ADC scoring (per-query lookup
+    // tables, m adds per corpus row). Output is deterministic (seeded
+    // Lloyd on a hashed-id-ordered sample) but codebook-specific, so the
+    // exactness contract lives in the gate twin below + QuantizeSpec
+    QueryDef("q_pq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .head().getSeq[Double](0).toArray
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val cb = graft.pipeline.Quantize.pqTrain(corpus, "vec_id",
+          "embedding", m = 16, ksub = 256)
+        val enc = graft.pipeline.Quantize.pqEncode(corpus, "vec_id",
+          "embedding", cb)
+        graft.pipeline.Quantize.pqTopK(enc, cb, "vec_id", qvec, k = 10)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      None),
+
+    // gate: PQ top-10 must overlap the EXACT brute-force top-10 by >= 0.5
+    // on average over 8 queries (same subset-style contract as the LSH
+    // gates — the oracle reproduces the query count; the floor is a Spark-
+    // side assertion). The synthetic embeddings are near-random (top-10
+    // cosines ~0.27-0.33, barely separated — PQ's adversarial case), so
+    // dsub=4 resolution is needed: PqProbe measures mean recall@10
+    // 0.85 / 0.85 / 0.725 at sf0.001 / 0.01 / 0.1 with m=16, ksub=256
+    QueryDef("q_pq_recall",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val e = embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long"),
+            expr("transform(embedding, x -> cast(x as double))"))
+          .as[(Long, Seq[Double])].collect().sortBy(_._1)
+        val corpus = e.filter(col("vec_id") >= 8)
+        val cb = graft.pipeline.Quantize.pqTrain(corpus, "vec_id",
+          "embedding", m = 16, ksub = 256)
+        val enc = graft.pipeline.Quantize.pqEncode(corpus, "vec_id",
+          "embedding", cb)
+        val recalls = qs.map { case (_, qv) =>
+          val q = qv.toArray
+          val approx = graft.pipeline.Quantize.pqTopK(enc, cb, "vec_id",
+            q, k = 10).collect().map(_.getLong(0)).toSet
+          val exact = graft.pipeline.Similarity.bruteForceTopK(corpus,
+            "vec_id", "embedding", q, 10).collect().map(_.getLong(0)).toSet
+          (approx & exact).size / 10.0
+        }
+        val mean = recalls.sum / recalls.length
+        Seq((qs.length.toLong, mean >= 0.5))
+          .toDF("n_queries", "recall_floor_ok")
+      },
+      Some("""SELECT count(*)::BIGINT AS n_queries,
+             true AS recall_floor_ok FROM embeddings WHERE vec_id < 8"""),
+      gateOnly = true),
+
     // ---- Token-budget selection (fill a training budget) ------------------
     // maximal score-descending prefix under a cumulative token budget;
     // Spark side = one range-sort + partition-offset running sums (no
@@ -3470,6 +3528,37 @@ object Queries {
                count(*)::BIGINT AS lines_kept, min(cnt.lines_total) AS lines_total
              FROM ranked r JOIN cnt ON cnt.doc_id = r.doc_id
              WHERE rn = 1 GROUP BY r.doc_id ORDER BY r.doc_id""")),
+
+    // ---- INTRA-doc repeated-line removal (zero-shuffle cleaning step) -----
+    // same synthetic-newline preparation as q_line_dedup; first occurrence
+    // per line WITHIN each doc only — pure per-row HOFs, no shuffle
+    QueryDef("q_line_dedup_doc",
+      (s, d) => {
+        val prepared = documents(s, d)
+          .withColumn("text", expr("replace(text, ' a ', chr(10))"))
+        graft.pipeline.Dedup.lineDedupInDoc(prepared, "doc_id", "text")
+          .select(col("doc_id"), sha2(col("text_dedup"), 256).as("text_sha"),
+            col("lines_kept"), col("lines_total"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             l AS (SELECT doc_id, line_idx, line FROM (
+                 SELECT doc_id, unnest(ls) AS line,
+                   unnest(generate_series(0, len(ls) - 1)) AS line_idx
+                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM d2))
+               WHERE trim(line) != ''),
+             cnt AS (SELECT doc_id, count(*)::BIGINT AS lines_total
+               FROM l GROUP BY doc_id),
+             firsts AS (SELECT doc_id, line, min(line_idx) AS line_idx
+               FROM l GROUP BY 1, 2)
+             SELECT f.doc_id,
+               sha256(string_agg(line, chr(10) ORDER BY line_idx)) AS text_sha,
+               count(*)::BIGINT AS lines_kept,
+               min(cnt.lines_total) AS lines_total
+             FROM firsts f JOIN cnt ON cnt.doc_id = f.doc_id
+             GROUP BY f.doc_id ORDER BY f.doc_id""")),
 
     // ---- document fingerprinting ------------------------------------------
     // the hash VALUES are engine-specific, but the fingerprint function's

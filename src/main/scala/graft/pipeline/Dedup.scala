@@ -1455,6 +1455,36 @@ object Dedup {
         first(col("__nc")).cast("long").as("chunks_total"))
   }
 
+  /** INTRA-document repeated-line removal: within each document keep
+    * only the FIRST occurrence of each distinct non-blank line,
+    * preserving order — the self-contained cleaning step (listings,
+    * chat logs, scraped tables repeat their own boilerplate) that runs
+    * BEFORE corpus-wide [[lineDedup]] and needs no cross-document state.
+    *
+    * Scale shape: pure per-row column expressions — split, blank-filter,
+    * first-occurrence filter (array_position == own index), reassemble.
+    * ZERO shuffles, embarrassingly parallel at any corpus size; the
+    * per-row cost is O(lines²) in the document's own line count, which
+    * natural documents keep tiny. Output mirrors [[lineDedup]]:
+    * (id, text_dedup, lines_kept, lines_total), rows with no non-blank
+    * lines dropped. "Blank" follows SQL trim (spaces only) — the same
+    * convention as [[lineDedup]], so the two stages compose without
+    * disagreeing about which lines exist. */
+  def lineDedupInDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    // first-occurrence filter: array_position is 1-based, the lambda
+    // index 0-based. `arr` appears twice (outer + inside the lambda) —
+    // interpreted-HOF double compute, bounded by per-doc line count
+    val kept = filter(arr, (l, i) =>
+      array_position(arr, l) === (i + lit(1)).cast("long"))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        concat_ws("\n", kept).as("text_dedup"),
+        size(kept).cast("long").as("lines_kept"),
+        size(arr).cast("long").as("lines_total"))
+      .filter(col("lines_total") > 0)
+  }
+
   /** Corpus-wide LINE-level dedup (the C4/RefinedWeb boilerplate-line
     * step): split each document on newlines, keep only the corpus-wide
     * FIRST occurrence of each distinct non-blank line (ordered by

@@ -97,4 +97,144 @@ object Quantize {
         q.cast("double") / lit((levels - 1).toDouble) *
           element_at(lit(span), (i + 1).cast("int")))
   }
+
+  // ---- product quantization (PQ) -----------------------------------------
+  //
+  // Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+  // Search": split each vector into m subvectors, vector-quantize each
+  // subspace against its own ksub-centroid codebook, store m small codes
+  // per vector (m bytes at ksub=256 — 32x smaller than 64 float dims).
+  // Search uses Asymmetric Distance Computation: per query, an m x ksub
+  // lookup table of subspace dot products; scoring a corpus vector is m
+  // table adds, no float-vector access at all. This is the memory tier
+  // UNDER the IVF index: at 100 TB the full float corpus doesn't fit the
+  // cluster's RAM, the PQ codes do.
+
+  /** PQ codebook: `centers(sub)(code)` is the dsub-dim centroid. Trained
+    * once (bounded sample), broadcast everywhere; a few MB at most. */
+  final class PQCodebook(val dim: Int, val m: Int,
+                         val centers: Array[Array[Array[Double]]])
+      extends Serializable {
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
+    val dsub: Int = dim / m
+    def ksub: Int = centers(0).length
+  }
+
+  /** Train a PQ codebook on a BOUNDED deterministic sample (hashed-id
+    * order, like the IVF quantizer): slice each sample vector into m
+    * subvectors, run the local seeded Lloyd loop per subspace. Corpus
+    * scans: one (the sample take). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int = 256, seed: Long = 42L): PQCodebook = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
+      .as[(Long, Array[Double])]
+    val sampleN = math.max(ksub * 16, 1024)
+    val sample = vecs
+      .map { case (id, v) =>
+        (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L), v)
+      }
+      .orderBy(col("_1")).limit(sampleN) // TakeOrdered: no full-sort shuffle
+      .collect().map(_._2)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centers = Array.tabulate(m) { sub =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(
+        v, sub * dsub, (sub + 1) * dsub))
+      Similarity.localKMeans(slices, ksub, iters = 10, seed + sub)
+    }
+    new PQCodebook(dim, m, centers)
+  }
+
+  /** Encode the corpus: (id, codes array<int>) — one typed map against
+    * the broadcast codebook, no shuffle. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cb: PQCodebook): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    df.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val c = bc.value
+        require(v.length == c.dim,
+          s"pqEncode: vector dim ${v.length} != codebook dim ${c.dim}")
+        val codes = new Array[Int](c.m)
+        var sub = 0
+        while (sub < c.m) {
+          val slice = java.util.Arrays.copyOfRange(
+            v, sub * c.dsub, (sub + 1) * c.dsub)
+          codes(sub) = Similarity.nearestCenter(slice, c.centers(sub))
+          sub += 1
+        }
+        (id, codes)
+      }
+      .toDF(idCol, "codes")
+  }
+
+  /** Reconstruction (the decoder side of [[pqEncode]]). */
+  def pqReconstruct(codes: Array[Int], cb: PQCodebook): Array[Double] = {
+    val out = new Array[Double](cb.dim)
+    var sub = 0
+    while (sub < cb.m) {
+      System.arraycopy(cb.centers(sub)(codes(sub)), 0, out, sub * cb.dsub,
+        cb.dsub)
+      sub += 1
+    }
+    out
+  }
+
+  /** ADC top-k by approximate cosine: per-query m x ksub tables of
+    * subspace dot products and centroid squared norms, broadcast; each
+    * corpus row costs m table adds. cos ≈ Σ_sub dot(q_sub, c_sub(code))
+    * / sqrt(‖q‖² · Σ_sub ‖c_sub(code)‖²) — exact cosine of query vs the
+    * RECONSTRUCTION. TakeOrdered (cos desc, id) — no full-sort shuffle.
+    * Restrict `encoded` upstream (e.g. to IVF probe cells) to compose
+    * with the coarse index. */
+  def pqTopK(encoded: DataFrame, cb: PQCodebook, idCol: String,
+             query: Array[Double], k: Int): DataFrame = {
+    require(k >= 1, s"pqTopK requires k >= 1, got $k")
+    require(query.length == cb.dim,
+      s"pqTopK: query dim ${query.length} != codebook dim ${cb.dim}")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val dots = Array.tabulate(cb.m, cb.ksub) { (sub, code) =>
+      val c = cb.centers(sub)(code)
+      var d = 0.0
+      var i = 0
+      while (i < cb.dsub) { d += c(i) * query(sub * cb.dsub + i); i += 1 }
+      d
+    }
+    val norms2 = Array.tabulate(cb.m, cb.ksub) { (sub, code) =>
+      val c = cb.centers(sub)(code)
+      var n = 0.0
+      var i = 0
+      while (i < cb.dsub) { n += c(i) * c(i); i += 1 }
+      n
+    }
+    val qn = query.map(x => x * x).sum
+    val bcD = spark.sparkContext.broadcast(dots)
+    val bcN = spark.sparkContext.broadcast(norms2)
+    encoded.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .map { case (id, codes) =>
+        val d = bcD.value; val n2 = bcN.value
+        var dot = 0.0; var nn = 0.0
+        var sub = 0
+        while (sub < codes.length) {
+          dot += d(sub)(codes(sub)); nn += n2(sub)(codes(sub)); sub += 1
+        }
+        (id, dot / math.sqrt(qn * nn))
+      }
+      .toDF(idCol, "cos")
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
 }

@@ -246,6 +246,26 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("lineDedupInDoc: first occurrence kept per doc, no cross-doc state, zero shuffles") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\n  \nbody two\nbody one"),
+      (2L, "nav\nnav"),        // collapses to one line — doc 1 unaffected
+      (3L, "   \n "),          // all space-blank: row vanishes (SQL trim
+                               // strips spaces only — a tab line survives,
+                               // same convention as corpus lineDedup)
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.lineDedupInDoc(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "nav\nbody one\nbody two", 3L, 5L),
+      (2L, "nav", 1L, 2L)))
+    // zero-shuffle contract: the plan must contain no Exchange
+    val plan = Dedup.lineDedupInDoc(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("vocabGrowth: hand-checked curve; heapsFit recovers an exact power law") {
     // doc 1: 3 tokens, 2 new types; doc 2: 2 tokens (one type already
     // seen), 1 new type; doc 3: all repeats; doc 4 (null text) dropped

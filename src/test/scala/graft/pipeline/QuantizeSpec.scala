@@ -66,4 +66,96 @@ class QuantizeSpec extends SparkSpec {
       .agg(min("q"), max("q")).head
     assert(mm.getInt(0) == 0 && mm.getInt(1) == 15)
   }
+
+  // ---- product quantization -----------------------------------------------
+
+  test("PQ: codebook shape; codes in range; dim mismatch / indivisible dim refused") {
+    import spark.implicits._
+    val df = vecs(80, 8, seed = 11).toDF("id", "v")
+    val cb = Quantize.pqTrain(df, "id", "v", m = 4, ksub = 16)
+    assert(cb.m == 4 && cb.dsub == 2 && cb.ksub == 16 &&
+      cb.centers.length == 4 && cb.centers.forall(_.length == 16))
+    val codes = Quantize.pqEncode(df, "id", "v", cb)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.length == 80)
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+    intercept[IllegalArgumentException] {
+      Quantize.pqTrain(df, "id", "v", m = 3) // 8 % 3 != 0
+    }
+    intercept[Exception] { // dim mismatch vs codebook surfaces from the map
+      Quantize.pqEncode(vecs(5, 6, seed = 2).toDF("id", "v"), "id", "v", cb)
+        .collect()
+    }
+  }
+
+  test("PQ: ksub >= sample size makes encode/reconstruct exact, and ADC cosine exact") {
+    import spark.implicits._
+    // 40 vectors, ksub 64 > 40: Lloyd keeps every sample point as its own
+    // centroid, so reconstruction is EXACT and ADC == true cosine
+    val rows = vecs(40, 8, seed = 12)
+    val df = rows.toDF("id", "v")
+    val cb = Quantize.pqTrain(df, "id", "v", m = 4, ksub = 64)
+    val enc = Quantize.pqEncode(df, "id", "v", cb)
+    val decoded = enc.collect().map(r => r.getLong(0) ->
+      Quantize.pqReconstruct(r.getSeq[Int](1).toArray, cb)).toMap
+    rows.foreach { case (id, v) =>
+      assert(decoded(id).zip(v.map(_.toDouble)).forall {
+        case (a, b) => math.abs(a - b) < 1e-12
+      }, s"vector $id not exactly reconstructed")
+    }
+    val q = rows.head._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val got = Quantize.pqTopK(enc, cb, "id", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = rows.map { case (id, v) => (id, cos(q, v.map(_.toDouble))) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    got.zip(want).foreach { case ((gi, gc), (wi, wc)) =>
+      assert(gi == wi && math.abs(gc - wc) < 1e-12)
+    }
+  }
+
+  test("PQ: lossy codebook still ranks a clustered corpus usefully (recall@10 >= 0.7)") {
+    import spark.implicits._
+    // 5 well-separated cluster centers, 60 points each, dim 16
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextDouble() * 10 - 5))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("id", "v").repartition(4)
+    val cb = Quantize.pqTrain(df, "id", "v", m = 8, ksub = 32)
+    val enc = Quantize.pqEncode(df, "id", "v", cb)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val recalls = (0 until 5).map { qi =>
+      val q = rows(qi)._2.map(_.toDouble)
+      val approx = Quantize.pqTopK(enc, cb, "id", q, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val exact = rows.map { case (id, v) => (id, cos(q, v.map(_.toDouble))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      (approx & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 $mean, per-query $recalls")
+  }
+
+  test("PQ: encode and topk are partitioning-independent") {
+    import spark.implicits._
+    val rows = vecs(120, 8, seed = 14)
+    val q = rows(3)._2.map(_.toDouble)
+    val out = Seq(1, 11).map { parts =>
+      val df = rows.toDF("id", "v").repartition(parts)
+      val cb = Quantize.pqTrain(df, "id", "v", m = 4, ksub = 16)
+      val enc = Quantize.pqEncode(df, "id", "v", cb)
+      Quantize.pqTopK(enc, cb, "id", q, k = 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(out(0) == out(1))
+  }
 }
