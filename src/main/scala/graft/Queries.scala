@@ -3363,6 +3363,68 @@ object Queries {
              count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
              FROM s3 GROUP BY 1 ORDER BY 1""")),
 
+    // ---- contamination-safe split (near-dup groups move as one unit) ------
+    // hash key = the connected-component representative (min id) of the
+    // near-dup graph, so a clique can never straddle train/val; oracle
+    // replays the q_dedup_cc recursive-CTE closure, the left join, and
+    // the Lehmer hash on the representative verbatim
+    QueryDef("q_cc_split",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.pipeline.Dedup
+          .ngramJaccard(docs, "doc_id", "text", 3, maxDf = 20)
+          .filter(col("jaccard") >= 0.3)
+        val comps = graft.pipeline.Components.connectedComponents(pairs)
+        graft.pipeline.Sampling.componentSafeSplit(docs, comps, "doc_id",
+            valFraction = 0.15, testFraction = 0.1, seed = 7)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+          .orderBy("split")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             shall AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
+             sh AS (SELECT doc_id, s FROM shall
+               WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 20)),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (SELECT id_a, id_b
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+               WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3),
+             edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+             comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+             j AS (SELECT d.doc_id,
+                 coalesce(comp.rep, d.doc_id) AS rep
+               FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+               WHERE d.doc_id IS NOT NULL),
+             s1 AS (SELECT doc_id,
+               (rep % 2147483648 + (rep // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM j),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 7) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT CASE
+               WHEN k < 0.1 THEN 'test'
+               WHEN k < 0.25 THEN 'val'
+               ELSE 'train' END AS split,
+             count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM s3 GROUP BY 1 ORDER BY 1""")),
+
     // ---- weighted Bernoulli sampling (quality-weighted downsampling) ------
     // oracle replays the Lehmer hash verbatim (see q_hash_sample) with the
     // keep-probability min(1, rate·weight) clamp

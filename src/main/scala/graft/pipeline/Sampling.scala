@@ -95,6 +95,43 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Contamination-safe train/val/test split: near-duplicate GROUPS never
+    * straddle a split boundary. [[trainTestSplit]] hashed on the row id
+    * leaks: two near-identical documents can land one in train and one in
+    * val, and the val metric silently measures memorization. Here the
+    * hash key is the duplicate-component REPRESENTATIVE (the `component`
+    * label from [[Components.connectedComponents]] over a near-dup pair
+    * stream), so a whole clique moves as one unit; rows absent from
+    * `components` (no near-dup) are their own representative — identical
+    * to the plain split for them (same hash, same seed).
+    *
+    * Scale shape: one left join against the components frame, which only
+    * holds ids that appear in dup pairs — tiny next to the corpus at
+    * realistic dup rates, so AQE broadcasts it; everything else is the
+    * same pure projection as [[trainTestSplit]]. */
+  def componentSafeSplit(df: DataFrame, components: DataFrame, idCol: String,
+                         valFraction: Double, testFraction: Double,
+                         seed: Long = 0L,
+                         splitCol: String = "split"): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      s"valFraction must be in [0,1], got $valFraction")
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
+    require(valFraction + testFraction < 1.0, "val + test must leave train mass")
+    Similarity.requireIntegralId(df, idCol, "componentSafeSplit")
+    val comp = components.select(col("id").cast("long").as("__graft_cid"),
+      col("component").cast("long").as("__graft_rep"))
+    val k = hashKey(coalesce(col("__graft_rep"), col(idCol).cast("long")),
+      seed)
+    df.na.drop(Seq(idCol))
+      .join(comp, col(idCol).cast("long") === col("__graft_cid"), "left")
+      .withColumn(splitCol,
+        when(k < lit(testFraction), lit("test"))
+          .when(k < lit(testFraction + valFraction), lit("val"))
+          .otherwise(lit("train")))
+      .drop("__graft_cid", "__graft_rep")
+  }
+
   /** Weighted Bernoulli sampling: keep row i with probability
     * min(1, rate · wᵢ), decided by the deterministic id hash — the
     * quality-weighted downsampling step of a data-mixing pipeline (keep

@@ -473,6 +473,35 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(byClass("val") / 3000.0 - 0.2) < 0.05)
   }
 
+  test("componentSafeSplit: cliques move as one unit; singletons match the plain split") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // dup graph: {0..9} one clique (rep 0), {100,101} a pair (rep 100)
+    val comps = (
+      (0L until 10L).map(i => (i, 0L)) ++ Seq((100L, 100L), (101L, 100L))
+    ).toDF("id", "component")
+    val split = Sampling.componentSafeSplit(df, comps, "doc_id",
+      valFraction = 0.2, testFraction = 0.1, seed = 5)
+    assert(split.count() == 2000)
+    val byId = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // co-membership invariant: a component is entirely on one side
+    assert((0L until 10L).map(byId).toSet.size == 1, "clique straddles splits")
+    assert(byId(100L) == byId(101L))
+    // singletons decide exactly as the plain id-hash split (same seed)
+    val plain = Sampling.trainTestSplit(df, "doc_id", 0.2, 0.1, seed = 5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (200L until 2000L).foreach(i => assert(byId(i) == plain(i)))
+    // and the clique's side is its representative's plain side
+    assert(byId(0L) == plain(0L) && byId(100L) == plain(100L))
+    // fractions still roughly hold (components only perturb 12 rows)
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(frac("test") / 2000.0 - 0.1) < 0.05)
+    assert(math.abs(frac("val") / 2000.0 - 0.2) < 0.05)
+  }
+
   test("vocabulary counts tokens and doc frequencies") {
     import spark.implicits._
     val docs = Seq((1L, "the cat the dog"), (2L, "the bird"), (3L, "a bird"))
