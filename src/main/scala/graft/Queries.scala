@@ -132,6 +132,25 @@ object Queries {
              FROM q, unnest(generate_series(0, 7)) AS t(b)
              GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Bloom-pruned join == plain join (semantics contract) -------------
+    // the Bloom prune is shuffle-volume shaping only: false positives die
+    // in the real join, false negatives don't exist, so the result must
+    // hash-match the plain filtered join the oracle runs
+    QueryDef("q_bloom_join",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val small = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("okey"))
+        graft.scale.ScaleOps.bloomPrunedJoin(big, small, "okey")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT'""")),
+
     // ---- classic grouped aggregation (TPC-H Q1 shape) --------------------
     QueryDef("q1_agg",
       (s, d) => lineitem(s, d)
@@ -3215,6 +3234,24 @@ object Queries {
         val enc = graft.pipeline.Quantize.pqEncode(corpus, "vec_id",
           "embedding", cb)
         graft.pipeline.Quantize.pqTopK(enc, cb, "vec_id", qvec, k = 10)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      None),
+
+    // IVF-routed ADC search (the composed production shape): coarse cells
+    // prune the scan to nProbe/nCells, PQ codes price each survivor at m
+    // adds. Full-probe == pqTopK is spec-pinned; recall via q_pq_recall
+    QueryDef("q_pq_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .head().getSeq[Double](0).toArray
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (index, ivfC, cb) = graft.pipeline.Quantize.ivfPqIndex(corpus,
+          "vec_id", "embedding", nCells = 16, m = 16, ksub = 256)
+        graft.pipeline.Quantize.ivfPqTopK(index, ivfC, cb, "vec_id", qvec,
+            k = 10, nProbe = 4)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
       None),

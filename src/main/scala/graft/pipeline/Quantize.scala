@@ -191,6 +191,63 @@ object Quantize {
     out
   }
 
+  /** IVF-PQ index: the coarse IVF cell assignment AND the PQ codes in one
+    * frame (id, cell, codes) — the standard composition (Jégou et al. §V):
+    * IVF routes a query to `nProbe` cells, PQ scores only those cells'
+    * rows from codes, so the float corpus is touched by NEITHER stage.
+    * Returns (index, ivf centers, pq codebook). Two corpus passes (IVF
+    * assign reads vectors, encode reads the assigned frame); cache `df`
+    * upstream if its lineage is expensive. */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, m: Int, ksub: Int = 256, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]], PQCodebook) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (assigned, centers) = Similarity.ivfAssign(df, idCol, vecCol,
+      nCells, seed)
+    val cb = pqTrain(df, idCol, vecCol, m, ksub, seed)
+    val bc = spark.sparkContext.broadcast(cb)
+    val index = assigned
+      .select(col(idCol).cast("long"), col("v"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .map { case (id, v, cell) =>
+        val c = bc.value
+        val codes = new Array[Int](c.m)
+        var sub = 0
+        while (sub < c.m) {
+          val slice = java.util.Arrays.copyOfRange(
+            v, sub * c.dsub, (sub + 1) * c.dsub)
+          codes(sub) = Similarity.nearestCenter(slice, c.centers(sub))
+          sub += 1
+        }
+        (id, cell, codes)
+      }
+      .toDF(idCol, "cell", "codes")
+    (index, centers, cb)
+  }
+
+  /** IVF-routed ADC search: rank cells by centroid cosine, ADC-score the
+    * top `nProbe` cells' codes. Scan cost ≈ nProbe/nCells of [[pqTopK]]'s,
+    * and the cell filter prunes at the source. `nProbe = nCells` degrades
+    * exactly to [[pqTopK]] over the whole index (spec-pinned). */
+  def ivfPqTopK(index: DataFrame, centers: Array[Array[Double]],
+                cb: PQCodebook, idCol: String, query: Array[Double],
+                k: Int, nProbe: Int = 3): DataFrame = {
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (i, cosLocal(c, query)) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    pqTopK(index.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      cb, idCol, query, k)
+  }
+
   /** ADC top-k by approximate cosine: per-query m x ksub tables of
     * subspace dot products and centroid squared norms, broadcast; each
     * corpus row costs m table adds. cos ≈ Σ_sub dot(q_sub, c_sub(code))

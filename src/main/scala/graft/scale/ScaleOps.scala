@@ -58,6 +58,46 @@ object ScaleOps {
                    left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
 
+  /** Bloom-pruned join: build a Bloom filter over the SMALL side's join
+    * keys (one pass, sketch collected to the driver and broadcast), prune
+    * the BIG side map-side BEFORE its shuffle, then run the real join.
+    * The result is EXACTLY the plain inner join — Bloom false positives
+    * escape the prune and die in the join; false negatives don't exist —
+    * only the shuffled volume changes. This is the tool for "join a huge
+    * fact stream against a dim too big to broadcast but far smaller than
+    * the facts": with a selective key set, most fact rows never leave
+    * their input partition.
+    *
+    * Integral keys only (the probe uses the long hash path). `fpp` trades
+    * filter size against the fraction of non-matching rows that still
+    * shuffle (they remain CORRECT, just not pruned). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+                      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def requireIntegral(df: DataFrame): Unit = {
+      val dt = df.schema(key).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloomPrunedJoin needs an integral key, $key is ${dt.typeName}")
+    }
+    requireIntegral(big); requireIntegral(small)
+    val smallClean = small.na.drop(Seq(key))
+    // an EMPTY small side NPEs stat.bloomFilter (null bits) — and the join
+    // is empty anyway; the limit(1) probe short-circuits
+    if (smallClean.limit(1).count() == 0)
+      return big.na.drop(Seq(key)).filter(lit(false)).join(smallClean, key)
+    // expectedItems=0 -> count the small side (one extra action on the
+    // SMALL side only; pass the count when you know it)
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(1L, smallClean.count())
+    val bloom = smallClean.stat.bloomFilter(key, n, fpp)
+    val spark = big.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    big.na.drop(Seq(key))
+      .filter(mightContain(col(key).cast("long")))
+      .join(smallClean, key)
+  }
+
   /** Morton/Z-order interleave of pre-quantized coordinates: bit b of
     * dimension i lands at output bit b·ndims + i. Pure Column arithmetic
     * (shiftleft/and/or, fully unrolled at plan-build time — bits·ndims

@@ -145,6 +145,37 @@ class QuantizeSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall@10 $mean, per-query $recalls")
   }
 
+  test("IVF-PQ: full probe degrades to plain pqTopK; narrow probe keeps cluster recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 10 - 5))
+    val rows = (0 until 360).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("id", "v").repartition(5)
+    val (index, ivfC, cb) = Quantize.ivfPqIndex(df, "id", "v",
+      nCells = 6, m = 8, ksub = 32)
+    val q = rows(2)._2.map(_.toDouble)
+    // full probe == pqTopK over everything (same codebook, same order)
+    val full = Quantize.ivfPqTopK(index, ivfC, cb, "id", q, k = 10,
+      nProbe = 6).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Quantize.pqTopK(index, cb, "id", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == plain)
+    // narrow probe still finds the query's own cluster members
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val narrow = Quantize.ivfPqTopK(index, ivfC, cb, "id", q, k = 10,
+      nProbe = 1).collect().map(_.getLong(0)).toSet
+    val exact = rows.map { case (id, v) => (id, cos(q, v.map(_.toDouble))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert((narrow & exact).size >= 7,
+      s"nProbe=1 recall ${(narrow & exact).size}/10")
+  }
+
   test("PQ: encode and topk are partitioning-independent") {
     import spark.implicits._
     val rows = vecs(120, 8, seed = 14)

@@ -67,6 +67,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bloomPrunedJoin: exact plain-join results; prune actually drops non-matching rows") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i % 500, i)).toDF("k", "v")
+    val small = (0L until 50L).map(i => (i, s"d_$i")).toDF("k", "d")
+    val plain = big.join(small, "k")
+    val pruned = ScaleOps.bloomPrunedJoin(big, small, "k")
+    val a = plain.groupBy("k").count().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = pruned.groupBy("k").count().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    // the prune itself: at fpp=0.01 the 450 non-matching keys' rows are
+    // ~99% filtered before any join — count the filter's survivors
+    val bloom = small.stat.bloomFilter("k", 50, 0.01)
+    val survivors = big.filter(udf((k: Long) => bloom.mightContainLong(k))
+      .apply(col("k"))).count()
+    val matching = big.filter(col("k") < 50).count()
+    assert(survivors < matching + (5000 - matching) / 10,
+      s"prune too weak: $survivors survivors for $matching true matches")
+    // null keys never join, never NPE
+    val withNull = big.unionAll(Seq((null.asInstanceOf[java.lang.Long], 0L))
+      .map(t => (Option(t._1).map(Long.unbox), t._2)).toDF("k", "v"))
+    assert(ScaleOps.bloomPrunedJoin(withNull, small, "k").count() ==
+      plain.count())
+    // empty small side: empty result, no NPE
+    assert(ScaleOps.bloomPrunedJoin(big, small.filter(lit(false)), "k")
+      .count() == 0L)
+    // string key refused
+    intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrunedJoin(big.withColumn("k", col("k").cast("string")),
+        small.withColumn("k", col("k").cast("string")), "k")
+    }
+  }
+
   test("zorderValue matches a reference interleave; dominance is monotone") {
     import spark.implicits._
     def refZ(q1: Long, q2: Long, bits: Int): Long =
