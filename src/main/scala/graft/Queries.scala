@@ -2846,6 +2846,27 @@ object Queries {
              SELECT v.token, v.cnt, est.est FROM v JOIN est USING (token)
              ORDER BY token""")),
 
+    // ---- Per-source heavy tokens (grouped bounded-state sketch) -----------
+    // one grouped MG aggregate + exact candidate recount: no group's full
+    // token distribution ever shuffles; the oracle pays the full
+    // (source, token) aggregate instead
+    QueryDef("q_heavy_by_source",
+      (s, d) => graft.pipeline.TextAnalysis.heavyTokensByGroup(
+          documents(s, d), "source", "text", support = 0.004)
+        .orderBy("source", "token"),
+      Some("""WITH tt AS (SELECT source, token
+               FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents
+                 WHERE text IS NOT NULL AND source IS NOT NULL)
+               WHERE token != ''),
+             n AS (SELECT source, count(*)::DOUBLE AS nn FROM tt GROUP BY 1)
+             SELECT tt.source, token, count(*)::BIGINT AS cnt
+             FROM tt JOIN n USING (source)
+             GROUP BY tt.source, token, n.nn
+             HAVING count(*) >= greatest(ceil(0.004 * n.nn), 1)
+             ORDER BY source, token""")),
+
     // ---- Zipf-law vocabulary fit (corpus health check) --------------------
     // rank assignment via range-sort + partition offsets (no global
     // window); oracle replays the fit with DuckDB's regr_* aggregates
@@ -3461,6 +3482,68 @@ object Queries {
                ELSE 'train' END AS split,
              count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
              FROM s3 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- composed curation funnel (end-to-end attrition report) -----------
+    // length filter -> exact dedup -> 4-gram decontamination -> split,
+    // each stage the engine's own operator; the oracle replays the WHOLE
+    // chain (dedup survivor ids feed the shingle join feed the split
+    // hash), so the funnel counts are verified as a pipeline, not just
+    // as independent stages
+    QueryDef("q_curation_funnel",
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.pipeline.Curate.funnel(docs, "doc_id", "text", bench,
+            minWords = 30, valFraction = 0.15, testFraction = 0.1, seed = 7)
+          .orderBy("stage")
+      },
+      Some("""WITH input AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             minw AS (SELECT doc_id, text FROM input
+               WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 30),
+             ded AS (SELECT min(doc_id) AS doc_id, text FROM minw
+               GROUP BY text),
+             tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM ded),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM tok),
+             btok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+             bg AS (SELECT DISTINCT unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM btok),
+             bad AS (SELECT DISTINCT doc_id FROM sh JOIN bg USING (s)),
+             clean AS (SELECT doc_id FROM ded
+               WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+             s1 AS (SELECT doc_id,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM clean),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 7) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT stage, n FROM (
+               SELECT '1_input' AS stage, count(*)::BIGINT AS n FROM input
+               UNION ALL
+               SELECT '2_min_words', count(*)::BIGINT FROM minw
+               UNION ALL
+               SELECT '3_exact_dedup', count(*)::BIGINT FROM ded
+               UNION ALL
+               SELECT '4_decontaminated', count(*)::BIGINT FROM clean
+               UNION ALL
+               SELECT '5_train', count(*)::BIGINT FROM s3 WHERE k >= 0.25
+               UNION ALL
+               SELECT '6_val', count(*)::BIGINT FROM s3
+                 WHERE k >= 0.1 AND k < 0.25
+               UNION ALL
+               SELECT '7_test', count(*)::BIGINT FROM s3 WHERE k < 0.1)
+             ORDER BY stage""")),
 
     // ---- weighted Bernoulli sampling (quality-weighted downsampling) ------
     // oracle replays the Lehmer hash verbatim (see q_hash_sample) with the

@@ -65,4 +65,44 @@ object Frequency {
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   } }
+
+  /** Per-GROUP heavy hitters: within every `groupCol` value, the
+    * `valueCol` values occurring in ≥ `support` fraction of that group's
+    * non-null rows, with EXACT counts — (group, value, cnt). The
+    * per-source stop-word / boilerplate-token report ("which tokens
+    * dominate THIS crawl") without shuffling any group's full value
+    * distribution.
+    *
+    * Scale shape: one grouped sketch aggregate (state O(groups · k),
+    * map-side combined — the same [[graft.expr.MisraGries]] buffer per
+    * group), candidates exploded to a (group, value) frame of ≤ groups·k
+    * rows (broadcast into the recount join), then an exact recount
+    * keyed (group, value) that shuffles only candidate matches. The MG
+    * guarantee is per group: capacity ⌈slack/support⌉ keeps every value
+    * above its own group's threshold in the candidate set. */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                          support: Double, slack: Double = 2.0): DataFrame = {
+    require(support > 0 && support <= 1,
+      s"heavyHittersByGroup needs support in (0,1], got $support")
+    require(slack > 1, s"heavyHittersByGroup needs slack > 1, got $slack")
+    graft.util.Errors.context("heavyHittersByGroup", Seq(groupCol, valueCol)) {
+    val k = math.min(math.ceil(slack / support).toLong, 10000000L).toInt
+    val clean = df.na.drop(Seq(groupCol))
+    val sk = clean.groupBy(col(groupCol).as("__graft_g"))
+      .agg(MisraGries.of(col(valueCol), k).as("__graft_mg"),
+        count(col(valueCol)).as("__graft_n"))
+    val cands = sk.select(col("__graft_g"),
+        ceil(col("__graft_n") * lit(support)).cast("long").as("__graft_thr"),
+        explode(col("__graft_mg")).as("__graft_c"))
+      .select(col("__graft_g"), col("__graft_thr"),
+        col("__graft_c.item").as("__graft_v"))
+    clean.select(col(groupCol).as("__graft_g"),
+        col(valueCol).cast("string").as("__graft_v"))
+      .join(broadcast(cands), Seq("__graft_g", "__graft_v"))
+      .groupBy("__graft_g", "__graft_v")
+      .agg(count(lit(1)).as("cnt"), first(col("__graft_thr")).as("__graft_thr"))
+      .filter(col("cnt") >= greatest(col("__graft_thr"), lit(1L)))
+      .select(col("__graft_g").as(groupCol), col("__graft_v").as("value"),
+        col("cnt"))
+  } }
 }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed end-to-end curation: the standard training-data funnel
+  * (length filter → exact dedup → benchmark decontamination → split)
+  * built FROM the engine's own operators, with a stage-count report so a
+  * pipeline run documents its own attrition. Each stage is the operator
+  * a 100-TB run would use; the funnel report's counts are SQL-replayable
+  * end to end (q_curation_funnel).
+  */
+object Curate {
+
+  /** The curated corpus: rows of `df` that survive
+    *  1. non-null id/text,
+    *  2. tokenCount >= minWords,
+    *  3. exact dedup (min-id survivor per distinct text),
+    *  4. n-gram decontamination against `benchmark` (n=4) — benchmark
+    *     members themselves are dropped (self-overlap),
+    * with a `split` column (train/val/test by the id hash, so the
+    * assignment is append-stable). Columns: (textCol, idCol, dup_count,
+    * split). Chain the contamination-safe variant by re-splitting with
+    * [[Sampling.componentSafeSplit]] when a near-dup pair stream exists.
+    */
+  def curated(df: DataFrame, idCol: String, textCol: String,
+              benchmark: DataFrame, minWords: Int = 30,
+              valFraction: Double = 0.15, testFraction: Double = 0.1,
+              seed: Long = 7L): DataFrame = {
+    val input = df.na.drop(Seq(idCol, textCol))
+    val minw = input.filter(
+      TextAnalysis.tokenCount(col(textCol)) >= minWords)
+    val deduped = Dedup.exact(minw, idCol, textCol)
+    val clean = Decontaminate.decontaminate(deduped, idCol, textCol,
+      benchmark, textCol, n = 4)
+    Sampling.trainTestSplit(clean, idCol, valFraction, testFraction, seed)
+  }
+
+  /** Stage-count funnel report for [[curated]]: one row per stage,
+    * (stage, n) — input, after min-words, after exact dedup, after
+    * decontamination, then the three split sizes. Stages prefix-numbered
+    * so the natural sort is the pipeline order.
+    *
+    * Scale note: the report unions per-stage count aggregates into ONE
+    * lazy plan, so each stage's subtree recomputes its prefix of the
+    * chain — fine for a run-once report; cache the input upstream if its
+    * lineage is expensive. */
+  def funnel(df: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, minWords: Int = 30,
+             valFraction: Double = 0.15, testFraction: Double = 0.1,
+             seed: Long = 7L): DataFrame = {
+    val input = df.na.drop(Seq(idCol, textCol))
+    val minw = input.filter(
+      TextAnalysis.tokenCount(col(textCol)) >= minWords)
+    val deduped = Dedup.exact(minw, idCol, textCol)
+    val clean = Decontaminate.decontaminate(deduped, idCol, textCol,
+      benchmark, textCol, n = 4)
+    val split = Sampling.trainTestSplit(clean, idCol, valFraction,
+      testFraction, seed)
+    def stage(name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n"))
+        .select(lit(name).as("stage"), col("n"))
+    stage("1_input", input)
+      .unionAll(stage("2_min_words", minw))
+      .unionAll(stage("3_exact_dedup", deduped))
+      .unionAll(stage("4_decontaminated", clean))
+      .unionAll(split.groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(
+          when(col("split") === "train", lit("5_train"))
+            .when(col("split") === "val", lit("6_val"))
+            .otherwise(lit("7_test"))).as("stage"), col("n")))
+  }
+}

@@ -203,6 +203,21 @@ object TextAnalysis {
       "__graft_token", support, slack)
       .withColumnRenamed("value", "token")
 
+  /** Per-SOURCE heavy tokens: [[heavyTokens]] stratified by `groupCol` —
+    * each source's boilerplate/stop-token report from one grouped
+    * bounded-state sketch pass + an exact candidate recount
+    * ([[graft.agg.Frequency.heavyHittersByGroup]]). Output:
+    * (group, token, cnt), cnt ≥ ⌈support · group-token-count⌉. */
+  def heavyTokensByGroup(df: DataFrame, groupCol: String, textCol: String,
+                         support: Double, slack: Double = 2.0): DataFrame =
+    graft.agg.Frequency.heavyHittersByGroup(
+      df.na.drop(Seq(textCol))
+        .select(col(groupCol),
+          explode(tokens(col(textCol))).as("__graft_token"))
+        .filter(col("__graft_token") =!= ""),
+      groupCol, "__graft_token", support, slack)
+      .withColumnRenamed("value", "token")
+
   /** Zipf-law diagnostic over the corpus vocabulary: least-squares fit of
     * ln(count) against ln(rank) (rank = count-descending position, ties
     * broken by token so the order is total and engine-independent).

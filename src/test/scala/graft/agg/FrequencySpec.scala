@@ -8,6 +8,34 @@ import org.apache.spark.sql.functions._
 
 class FrequencySpec extends SparkSpec {
 
+  test("heavyHittersByGroup: per-group exact counts with the per-group MG guarantee") {
+    import spark.implicits._
+    // group A: 1000 rows, "hot" 400x (0.4), "warm" 20x (0.02), tail 1x each
+    // group B: 100 rows, "hot" 2x (0.02), "b_hot" 50x (0.5), tail 1x each
+    val a = Seq.fill(400)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 580).map(i => s"a_$i")
+    val b = Seq.fill(2)("hot") ++ Seq.fill(50)("b_hot") ++
+      (0 until 48).map(i => s"b_$i")
+    val df = (a.map(("A", _)) ++ b.map(("B", _)))
+      .toDF("g", "v").repartition(7)
+    val got = Frequency.heavyHittersByGroup(df, "g", "v", support = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // thresholds: A needs >= 100, B needs >= 10
+    assert(got == Map(("A", "hot") -> 400L, ("B", "b_hot") -> 50L),
+      s"got $got")
+    // "hot" is heavy in A only — per-group thresholds, not global
+    // lower support keeps warm in A and hot out of B (2 < ceil(0.02*100)=2?
+    // no: 2 >= 2 — hot IS heavy in B at support 0.02)
+    val fine = Frequency.heavyHittersByGroup(df, "g", "v", support = 0.02)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(fine(("A", "warm")) == 20L && fine(("B", "hot")) == 2L)
+    // null group rows are dropped; empty frame yields empty output
+    assert(Frequency.heavyHittersByGroup(
+      Seq.empty[(String, String)].toDF("g", "v"), "g", "v", 0.1).count() == 0)
+  }
+
   // Zipf-ish random stream: item i drawn with weight 1/(i+1)
   private def zipfStream(n: Int, types: Int, seed: Long): Seq[String] = {
     val rnd = new Random(seed)

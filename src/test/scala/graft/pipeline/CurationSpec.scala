@@ -246,6 +246,36 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("Curate.funnel: hand-built corpus attrition, stage by stage") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")       // 40 words
+    val df = Seq(
+      (1L, long),                       // survives everything
+      (2L, long),                       // exact dup of 1 -> dropped at dedup
+      (3L, "short text"),               // dropped at min_words
+      (4L, long + " extra tail here"),  // contains benchmark 4-gram? no
+      (97L, (1 to 35).map(i => s"b$i").mkString(" ")), // benchmark member
+      (5L, "b1 b2 b3 b4 " + (1 to 30).map(i => s"x$i").mkString(" ")),
+                                        // shares 4-gram with benchmark
+      (6L, null.asInstanceOf[String])). // dropped at input
+      toDF("doc_id", "text")
+    val bench = df.filter(col("doc_id") % 97 === 0)
+    val got = graft.pipeline.Curate.funnel(df, "doc_id", "text", bench,
+        minWords = 30, valFraction = 0.15, testFraction = 0.1, seed = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_input") == 6L)
+    assert(got("2_min_words") == 5L)       // drops 3
+    assert(got("3_exact_dedup") == 4L)     // collapses 1/2
+    // drops 97 (self-overlap) and 5 (shared "b1 b2 b3 b4"); 4 survives
+    // because doc 1's dedup survivor doesn't share any 4-gram with bench
+    assert(got("4_decontaminated") == 2L)
+    val splits = Seq("5_train", "6_val", "7_test").map(s => got.getOrElse(s, 0L))
+    assert(splits.sum == 2L)
+    // curated() returns the same survivors with their split labels
+    val rows = graft.pipeline.Curate.curated(df, "doc_id", "text", bench,
+        minWords = 30).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 4L))
+  }
+
   test("lineDedupInDoc: first occurrence kept per doc, no cross-doc state, zero shuffles") {
     val df = Seq(
       (1L, "nav\nbody one\nnav\n  \nbody two\nbody one"),
