@@ -2846,6 +2846,36 @@ object Queries {
              SELECT v.token, v.cnt, est.est FROM v JOIN est USING (token)
              ORDER BY token""")),
 
+    // ---- Hashed-TF document embedding (model-free text->vector) -----------
+    // only built-in hash/string functions, so the oracle replays index,
+    // sign and normalization bit-for-bit; output flattened to the
+    // NON-ZERO (doc, pos, val) entries
+    QueryDef("q_hash_embed",
+      (s, d) => graft.pipeline.TextAnalysis.hashEmbed(
+          documents(s, d), "doc_id", "text", dim = 64)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("pos", "val")))
+        .filter(col("val") =!= 0.0)
+        .select(col("doc_id"), col("pos"), round(col("val"), 6).as("val"))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH tok AS (SELECT doc_id, token
+               FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token <> ''),
+             e AS (SELECT doc_id,
+                 (('0x' || substr(md5(token), 1, 15))::UBIGINT % 64)::INT
+                   AS pos,
+                 CASE WHEN ('0x' || substr(md5(token), 16, 1))::UBIGINT % 2
+                   = 0 THEN 1.0 ELSE -1.0 END AS sgn
+               FROM tok),
+             sums AS (SELECT doc_id, pos, sum(sgn) AS v FROM e GROUP BY 1, 2),
+             nm AS (SELECT doc_id, sqrt(sum(v * v)) AS nm FROM sums
+               GROUP BY 1)
+             SELECT s.doc_id, s.pos, round(s.v / nm.nm, 6) AS val
+             FROM sums s JOIN nm ON nm.doc_id = s.doc_id
+             WHERE s.v <> 0 AND nm.nm > 0
+             ORDER BY s.doc_id, s.pos""")),
+
     // ---- Per-source heavy tokens (grouped bounded-state sketch) -----------
     // one grouped MG aggregate + exact candidate recount: no group's full
     // token distribution ever shuffles; the oracle pays the full

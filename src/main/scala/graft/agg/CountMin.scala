@@ -150,6 +150,52 @@ object CountMin {
     tokens.map(t => (t, sk.estimate(t))).toDF("token", "est")
   }
 
+  /** Persist a sketch as parquet: one row per counter row, (r, counters
+    * array). Self-describing (depth/width from the data), mergeable —
+    * the frequency analog of the TextIndex/VecIndex persisted screens:
+    * token-frequency questions over a GROWING corpus without ever
+    * rescanning old batches. */
+  def write(sk: Sketch, path: String)
+           (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    (0 until sk.depth).map { r =>
+      (r, java.util.Arrays.copyOfRange(sk.counters, r * sk.width,
+        (r + 1) * sk.width).toSeq)
+    }.toDF("r", "counters").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted sketch back. */
+  def read(path: String)
+          (implicit spark: org.apache.spark.sql.SparkSession): Sketch = {
+    val rows = spark.read.parquet(path)
+      .select("r", "counters").collect()
+      .map(row => row.getInt(0) -> row.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"CountMin.read: empty sketch at $path")
+    val depth = rows.length
+    val width = rows(0)._2.length
+    val sk = new Sketch(depth, width)
+    rows.foreach { case (r, cs) =>
+      require(cs.length == width,
+        s"CountMin.read: ragged counter rows at $path")
+      System.arraycopy(cs, 0, sk.counters, r * width, width)
+    }
+    sk
+  }
+
+  /** Merge a new batch's token stream into the persisted sketch at
+    * `path` (read + sketch the batch + add + overwrite). Counters only
+    * ever grow, so estimates stay valid upper bounds across any number
+    * of appends; the rewrite is depth·width longs, independent of
+    * corpus size. */
+  def append(df: DataFrame, textCol: String, path: String): Unit = {
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    val old = read(path)
+    val batch = sketchText(df, textCol, old.depth, old.width)
+    write(old.merge(batch), path)
+  }
+
   /** Diagnostic contract table: exact count vs sketch estimate for every
     * token with exact count ≥ minCount. Runs the exact vocabulary
     * aggregate ALONGSIDE the sketch, so this is the verification /

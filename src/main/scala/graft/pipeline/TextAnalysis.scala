@@ -355,6 +355,55 @@ object TextAnalysis {
         expr("regr_r2(__y, __x)").as("r2"),
         count(lit(1)).as("n_docs"))
 
+  /** Deterministic hashed-TF document embedding (the feature-hashing
+    * trick, Weinberger et al. 2009): token t adds sign(t) ∈ {+1,−1} at
+    * index(t) = first 15 md5 hex chars mod `dim`, sign from the 16th hex
+    * char's parity; the document vector is L2-normalized. A MODEL-FREE
+    * text→vector bridge: it lets the whole embedding tier (IVF/PQ,
+    * SemDeDup, cosine screens, kNN graphs) run on corpora that carry no
+    * embedding column — bag-of-words cosine in disguise, cheap and
+    * reproducible anywhere (only built-in hash/string functions, no UDF,
+    * fully codegen'd; the q_hash_embed oracle replays it bit-for-bit).
+    *
+    * Scale shape: explode → two integer-keyed hash aggregates
+    * ((doc, idx) sums, then per-doc assembly) — the same shuffle shape
+    * as tf-idf. Output: (idCol, vec array<double>), unit-norm; documents
+    * with no non-empty tokens are DROPPED (a zero vector has no cosine —
+    * same convention as the vocabulary/relevance tier). */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"hashEmbed dim out of range: $dim")
+    val tok = df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).as("__graft_id"),
+        explode(tokens(col(textCol))).as("__graft_token"))
+      .filter(col("__graft_token") =!= "")
+    val md5c = md5(col("__graft_token"))
+    // 15 hex chars = 60 bits — fits a signed long, and DuckDB's
+    // ('0x' || ...)::UBIGINT reads the same value
+    val idx = pmod(conv(substring(md5c, 1, 15), 16, 10).cast("long"),
+      lit(dim.toLong)).cast("int")
+    val sgn = when(
+      conv(substring(md5c, 16, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+    val sums = tok.select(col("__graft_id"), idx.as("__graft_idx"),
+        sgn.as("__graft_sgn"))
+      .groupBy("__graft_id", "__graft_idx")
+      .agg(sum("__graft_sgn").as("__graft_v"))
+    sums.groupBy("__graft_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("__graft_idx"), col("__graft_v")))).as("__graft_m"))
+      .select(col("__graft_id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__graft_m"), i), lit(0.0)))
+          .as("__graft_raw"))
+      .withColumn("__graft_norm",
+        sqrt(aggregate(col("__graft_raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol),
+        when(col("__graft_norm") > 0,
+          transform(col("__graft_raw"), x => x / col("__graft_norm")))
+          .otherwise(col("__graft_raw")).as("vec"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, and
     * long digit runs (phone/account numbers) replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace chain — no UDF, no

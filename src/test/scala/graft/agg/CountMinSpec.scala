@@ -106,6 +106,25 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("persisted sketch: write/read roundtrip; append == sketch of the union") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString + "/sk"
+    val s1 = zipfStream(2000, 150, seed = 21)
+    val s2 = zipfStream(1500, 150, seed = 22)
+    val sk1 = CountMin.sketchTokens(spark.createDataset(s1), 3, 128)
+    CountMin.write(sk1, dir)
+    val back = CountMin.read(dir)
+    assert(back.depth == 3 && back.width == 128 &&
+      back.counters.sameElements(sk1.counters))
+    CountMin.append(spark.createDataset(s2).toDF("t"), "t", dir)
+    val merged = CountMin.read(dir)
+    val whole = new CountMin.Sketch(3, 128)
+    (s1 ++ s2).foreach(whole.add(_, 1L))
+    assert(merged.counters.sameElements(whole.counters))
+  }
+
   test("sketchTokens: empty input yields the zero sketch") {
     val spark0 = spark
     import spark0.implicits._

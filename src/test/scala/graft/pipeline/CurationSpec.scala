@@ -296,6 +296,34 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hashEmbed: unit norm, determinism, and cosine behaves like bag-of-words") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical
+      (3L, "the quick brown fox jumps over the lazy cat"), // one word off
+      (4L, "zebra yak xylophone walrus vulture"),          // disjoint vocab
+      (5L, "   ")).toDF("doc_id", "text")                  // no tokens
+    val vecs = TextAnalysis.hashEmbed(df, "doc_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // unit norm (vectors already normalized — cos is just the dot)
+    Seq(1L, 3L, 4L).foreach { id =>
+      assert(math.abs(cos(vecs(id), vecs(id)) - 1.0) < 1e-12, s"doc $id")
+    }
+    assert(vecs(1L).toSeq == vecs(2L).toSeq, "identical text, same vector")
+    assert(cos(vecs(1L), vecs(3L)) > 0.7, "one-word edit stays close")
+    assert(math.abs(cos(vecs(1L), vecs(4L))) < 0.5, "disjoint vocab far")
+    assert(!vecs.contains(5L), "token-less doc dropped (no cosine exists)")
+    // bridges into the embedding tier: brute-force top-1 of doc 1's
+    // vector over the others is its exact duplicate
+    val corpus = TextAnalysis.hashEmbed(df.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", dim = 64)
+    val top = Similarity.bruteForceTopK(corpus, "doc_id", "vec",
+      vecs(1L), 1).collect()(0)
+    assert(top.getLong(0) == 2L && math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("vocabGrowth: hand-checked curve; heapsFit recovers an exact power law") {
     // doc 1: 3 tokens, 2 new types; doc 2: 2 tokens (one type already
     // seen), 1 new type; doc 3: all repeats; doc 4 (null text) dropped
