@@ -2876,6 +2876,64 @@ object Queries {
              WHERE s.v <> 0 AND nm.nm > 0
              ORDER BY s.doc_id, s.pos""")),
 
+    // ---- Text SemDeDup over hashed-TF vectors (gate) ----------------------
+    // the COMPOSITION contract: semDedupText pairs must be a subset of the
+    // exact all-pairs cosine set over the same hashed vectors — and since
+    // hashEmbed is SQL-replayable, the oracle reproduces that exact set's
+    // size independently (stronger than the learned-embedding LSH gates,
+    // whose vectors the oracle must take as given)
+    QueryDef("q_semdedup_text",
+      (s, d) => {
+        val docs = documents(s, d)
+        val vecs = graft.pipeline.TextAnalysis.hashEmbed(docs, "doc_id",
+          "text", dim = 64)
+        val pairs = graft.pipeline.Curate.semDedupText(docs, "doc_id",
+          "text", k = 8, threshold = 0.85, dim = 64, probes = 2)
+          .select(col("id_a").as("__pa"), col("id_b").as("__pb"))
+        // integer-valued raw sums make cos == 0.85 an EXACT rational event
+        // (dot^2*400 == 289*na*nb) that both engines evaluate one ulp
+        // either side of 0.85 — threshold on round(cos, 6) so the ulp
+        // can't flip membership (measured: 5 of ~180k sf0.1 pairs sit on
+        // the exact boundary)
+        val exact = graft.pipeline.Similarity.allPairsCosine(vecs,
+            "doc_id", "vec", 0.8499)
+          .filter(round(col("cos"), 6) >= 0.85)
+          .select(col("id_a").as("__ea"), col("id_b").as("__eb"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(pairs.join(exact,
+              col("__pa") === col("__ea") && col("__pb") === col("__eb"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_pairs"),
+            (col("__fp") === 0).as("no_false_positives"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, token
+               FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+               WHERE token <> ''),
+             e AS (SELECT doc_id,
+                 (('0x' || substr(md5(token), 1, 15))::UBIGINT % 64)::INT
+                   AS pos,
+                 CASE WHEN ('0x' || substr(md5(token), 16, 1))::UBIGINT % 2
+                   = 0 THEN 1.0 ELSE -1.0 END AS sgn
+               FROM tok),
+             sums AS (SELECT doc_id, pos, sum(sgn) AS v FROM e
+               WHERE 1 = 1 GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+             dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 sum(a.v * b.v) AS dot
+               FROM sums a JOIN sums b
+                 ON a.pos = b.pos AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nm FROM sums
+               GROUP BY 1)
+             SELECT count(*)::BIGINT AS n_exact_pairs,
+               true AS no_false_positives
+             FROM dots JOIN nrm na ON na.doc_id = ia
+             JOIN nrm nb ON nb.doc_id = ib
+             WHERE round(dot / (na.nm * nb.nm), 6) >= 0.85"""),
+      gateOnly = true),
+
     // ---- Per-source heavy tokens (grouped bounded-state sketch) -----------
     // one grouped MG aggregate + exact candidate recount: no group's full
     // token distribution ever shuffles; the oracle pays the full

@@ -36,6 +36,25 @@ object Curate {
     Sampling.trainTestSplit(clean, idCol, valFraction, testFraction, seed)
   }
 
+  /** Text SEMANTIC near-dup pairs with NO embedding column: hashed-TF
+    * vectors ([[TextAnalysis.hashEmbed]]) fed into SemDeDup's
+    * cluster-then-verify ([[Clustering.semDedup]]) — bag-of-words cosine
+    * near-dups at the embedding tier's cost profile. Catches the
+    * reworded-boilerplate band BETWEEN minhash's shingle overlap and a
+    * learned embedding's paraphrase recall, deterministically and on any
+    * text corpus. `dim` trades hash-collision noise for vector width.
+    * The hashEmbed frame is persisted (SemDeDup's kmeans fit is
+    * multi-pass and the returned pair frame reads it once more) and left
+    * cached for the result's lifetime — clear it once the pairs are
+    * consumed (`spark.catalog.clearCache()` or unpersist upstream). */
+  def semDedupText(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double, dim: Int = 256,
+                   iters: Int = 2, probes: Int = 1): DataFrame = {
+    val vecs = TextAnalysis.hashEmbed(df, idCol, textCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Clustering.semDedup(vecs, idCol, "vec", k, threshold, iters, probes)
+  }
+
   /** Stage-count funnel report for [[curated]]: one row per stage,
     * (stage, n) — input, after min-words, after exact dedup, after
     * decontamination, then the three split sizes. Stages prefix-numbered

@@ -373,11 +373,26 @@ object TextAnalysis {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
                 dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"hashEmbed dim out of range: $dim")
-    val tok = df.na.drop(Seq(idCol, textCol))
+    val clean = df.na.drop(Seq(idCol, textCol))
+    // the per-token digest inherits the SCAN's parallelism — a corpus in
+    // one parquet split would hash on one core. Spread doc rows first
+    // when the input is under-partitioned (cheap: doc-count rows move
+    // once); a no-op at scale, where the scan already has >=
+    // shuffle-partition splits. (Stage costs at sf0.1: tools/
+    // HashEmbedProbe — explode 0.2 s, +md5 0.35 s, +conv 0.43 s, +agg
+    // 0.63 s, full 1.1 s; the q_hash_embed bench row pays ~2x that for
+    // its output orderBy's range-sampling pass.)
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (clean.rdd.getNumPartitions < math.max(2, np / 2))
+      clean.repartition(np) else clean
+    // md5 materialized in its own projection: idx and sign both read it,
+    // and an inlined tree would run the digest twice per token
+    val tok = spread
       .select(col(idCol).as("__graft_id"),
         explode(tokens(col(textCol))).as("__graft_token"))
       .filter(col("__graft_token") =!= "")
-    val md5c = md5(col("__graft_token"))
+      .select(col("__graft_id"), md5(col("__graft_token")).as("__graft_md5"))
+    val md5c = col("__graft_md5")
     // 15 hex chars = 60 bits — fits a signed long, and DuckDB's
     // ('0x' || ...)::UBIGINT reads the same value
     val idx = pmod(conv(substring(md5c, 1, 15), 16, 10).cast("long"),

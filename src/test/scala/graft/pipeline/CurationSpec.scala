@@ -246,6 +246,22 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("semDedupText: reworded near-dups pair up from text alone") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val reword = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z"))
+      .mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = (Seq((1L, base), (2L, reword), (3L, other)) ++
+      (10L until 40L).map(i => (i, (0 to 50).map(j => s"f${i}_$j")
+        .mkString(" ")))).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Curate.semDedupText(df, "doc_id", "text",
+        k = 4, threshold = 0.8, dim = 128, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"reworded pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint-vocab doc must not pair")
+  }
+
   test("Curate.funnel: hand-built corpus attrition, stage by stage") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")       // 40 words
     val df = Seq(
