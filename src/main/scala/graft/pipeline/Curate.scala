@@ -55,6 +55,37 @@ object Curate {
     Clustering.semDedup(vecs, idCol, "vec", k, threshold, iters, probes)
   }
 
+  /** Build a persisted SEMANTIC text index: hashed-TF vectors of the
+    * corpus written through [[VecIndex.write]] — the standing-corpus
+    * side of [[semanticTextMatchesStream]]. `dim` must match at screen
+    * time (the index stores it). */
+  def writeSemanticTextIndex(corpus: DataFrame, idCol: String,
+                             textCol: String, path: String, dim: Int = 256,
+                             bits: Int = 0, tables: Int = 4,
+                             overwrite: Boolean = false): Unit = {
+    val vecs = TextAnalysis.hashEmbed(corpus, idCol, textCol, dim)
+    VecIndex.write(vecs, idCol, "vec", dim, path, bits, tables, overwrite)
+  }
+
+  /** Streaming SEMANTIC text screen with no model: each micro-batch's
+    * documents are hash-embedded PER ROW ([[TextAnalysis.hashEmbedCol]]
+    * — a projection, no aggregate, so it is legal in a stream) and
+    * screened against the persisted index via [[VecIndex.matchesStream]]
+    * (stream-static joins only). Emits (batch_id, corpus_id, cos) for
+    * every near-paraphrase hit; the bag-of-words-cosine companion to
+    * [[Dedup.textScreenStream]]'s shingle-overlap screen. */
+  def semanticTextMatchesStream(stream: DataFrame, idCol: String,
+                                textCol: String, path: String,
+                                threshold: Double = 0.9): DataFrame = {
+    val (dim, _, _) = VecIndex.cfgOf(stream.sparkSession, path)
+    val withVec = stream
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__graft_vec",
+        TextAnalysis.hashEmbedCol(col(textCol), dim))
+      .filter(col("__graft_vec").isNotNull)
+    VecIndex.matchesStream(withVec, idCol, "__graft_vec", path, threshold)
+  }
+
   /** Stage-count funnel report for [[curated]]: one row per stage,
     * (stage, n) — input, after min-words, after exact dedup, after
     * decontamination, then the three split sizes. Stages prefix-numbered

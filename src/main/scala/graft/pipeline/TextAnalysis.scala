@@ -419,6 +419,48 @@ object TextAnalysis {
           .otherwise(col("__graft_raw")).as("vec"))
   }
 
+  /** Per-ROW [[hashEmbed]]: the identical hashed-TF vector as a single
+    * column expression — no groupBy, so it runs where aggregates can't
+    * (streaming micro-batches, stream-static join probes). Output is
+    * BIT-IDENTICAL to the aggregate path (integer ±1 sums; same
+    * division-by-norm expression; spec-pinned), null for null/token-less
+    * text (the aggregate path DROPS those rows — filter nulls after).
+    * One JVM pass per row; a Scala UDF, so it sits outside codegen —
+    * the digest dominates either way. */
+  def hashEmbedCol(c: Column, dim: Int): Column = {
+    require(dim >= 2 && dim <= 4096, s"hashEmbedCol dim out of range: $dim")
+    val f = udf { raw: Seq[String] =>
+      val toks = if (raw == null) null else raw.filter(_.nonEmpty)
+      if (toks == null || toks.isEmpty) null
+      else {
+        val acc = new Array[Double](dim)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        toks.foreach { t =>
+          md.reset()
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars = high 60 bits of the first 8 bytes
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          val idx = java.lang.Long.remainderUnsigned(h >>> 4, dim.toLong).toInt
+          // 16th hex char = low nibble of byte 7; sign from its parity
+          val sgn = if ((d(7) & 1) == 0) 1.0 else -1.0
+          acc(idx) += sgn
+        }
+        var n2 = 0.0
+        var i = 0
+        while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+        if (n2 > 0) {
+          val nm = math.sqrt(n2)
+          var j = 0
+          while (j < dim) { acc(j) = acc(j) / nm; j += 1 }
+        }
+        acc.toSeq
+      }
+    }
+    f(tokens(c))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, and
     * long digit runs (phone/account numbers) replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace chain — no UDF, no

@@ -55,7 +55,7 @@ object VecIndex {
 
   private val Version = 1
 
-  private def cfgOf(spark: SparkSession, path: String): (Int, Int, Int) = {
+  private[pipeline] def cfgOf(spark: SparkSession, path: String): (Int, Int, Int) = {
     val row = spark.read.parquet(s"$path/config").head()
     require(row.getAs[Int]("version") == Version,
       s"VecIndex at $path has version ${row.getAs[Int]("version")}; " +

@@ -246,6 +246,61 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("hashEmbedCol: per-row path is BIT-identical to the aggregate path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val agg = TextAnalysis.hashEmbed(docs, "doc_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val row = docs.na.drop(Seq("doc_id", "text"))
+      .select(col("doc_id"),
+        TextAnalysis.hashEmbedCol(col("text"), 64).as("vec"))
+      .filter(col("vec").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(row.keySet == agg.keySet)
+    agg.foreach { case (id, v) =>
+      assert(row(id) == v, s"doc $id diverges between paths")
+    }
+    // null and token-less text -> null vector from the row path
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "  "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.hashEmbedCol(col("text"), 64).as("v"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
+  test("semanticTextMatchesStream ≡ batch hashEmbed screen (distinct pairs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-sem-idx")
+      .toString + "/idx"
+    Curate.writeSemanticTextIndex(corpus, "doc_id", "text", path,
+      dim = 64, bits = 4, tables = 4)
+    val staged = java.nio.file.Files.createTempDirectory("graft-sem-stream")
+    batch.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream
+      .schema(batch.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = Curate.semanticTextMatchesStream(stream, "doc_id", "text", path,
+        threshold = 0.8)
+      .writeStream.format("memory").queryName("sem_matches")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sem_matches")
+      .select("batch_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = VecIndex.dedupAgainst(
+        TextAnalysis.hashEmbed(batch, "doc_id", "text", 64),
+        "doc_id", "vec", path, threshold = 0.8)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == direct)
+    assert(streamed.nonEmpty,
+      "sf0.001 documents carry near-dups; an empty screen means a broken bridge")
+  }
+
   test("semDedupText: reworded near-dups pair up from text alone") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val reword = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z"))
