@@ -2425,6 +2425,30 @@ object Queries {
                (start_token + greatest(tokens, 1) - 1) // 512 AS last_bin
              FROM c ORDER BY doc_id""")),
 
+    // ---- shard-export manifest (no-split token-budget shards) -------------
+    // shard = the stream cut where the doc STARTS; the manifest is the
+    // per-shard rollup of the same prefix-sum layout as q_pack_chunked
+    QueryDef("q_shard_plan",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        graft.pipeline.Packing.shardPlan(docs, "doc_id", "n_tokens",
+            shardTokens = 4096)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+          .orderBy("shard")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tokens
+               FROM documents),
+             c AS (SELECT doc_id, tokens,
+               coalesce(sum(tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start_token FROM tok)
+             SELECT start_token // 4096 AS shard,
+               count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS tokens
+             FROM c GROUP BY 1 ORDER BY 1""")),
+
     // first-fit packing WITHOUT splitting docs (BERT/T5-style): greedy
     // per-partition first-fit — bin ASSIGNMENT is partition-local and not
     // SQL-expressible, so the driver records the one-row invariant summary

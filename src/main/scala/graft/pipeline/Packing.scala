@@ -136,4 +136,36 @@ object Packing {
       round(sum("bin_tokens") / (count(lit(1)) * lit(budget.toDouble)), 6)
         .as("utilization"))
   }
+
+  // ---- shard export --------------------------------------------------------
+
+  /** Deterministic shard assignment for corpus EXPORT: documents in id
+    * order, shard = the ~`shardTokens`-sized stream cut where the doc
+    * STARTS (docs never split — the no-split reading of [[chunkedPack]]'s
+    * layout, so a shard overruns by at most one document). Returns
+    * (idCol, tokens, shard). Deterministic given the corpus — a changed
+    * corpus reshuffles assignments; this is an export layout, not an
+    * append-stable key. */
+  def shardPlan(df: DataFrame, idCol: String, tokensCol: String,
+                shardTokens: Long): DataFrame =
+    chunkedPack(df, idCol, tokensCol, shardTokens)
+      .select(col(idCol), col("tokens"), col("first_bin").as("shard"))
+
+  /** Write the corpus as token-budgeted training shards:
+    * `path/shard=N/...parquet` via a partitioned write (one directory per
+    * shard — the layout loaders shard-shuffle from), plus a manifest at
+    * `path/_graft_manifest` (shard, n_docs, tokens). Returns the
+    * manifest. Cost: the [[shardPlan]] prefix sums + one id-keyed join
+    * to carry the full rows + the partitioned write. */
+  def writeShards(df: DataFrame, idCol: String, tokensCol: String,
+                  path: String, shardTokens: Long): DataFrame = {
+    val plan = shardPlan(df, idCol, tokensCol, shardTokens)
+    val assigned = df.join(plan.select(col(idCol), col("shard")), idCol)
+    assigned.write.partitionBy("shard").mode("overwrite").parquet(path)
+    val manifest = plan.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_graft_manifest")
+    manifest
+  }
 }

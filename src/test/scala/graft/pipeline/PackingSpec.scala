@@ -67,4 +67,30 @@ class PackingSpec extends SparkSpec {
     assert(s.getAs[Long]("n_docs") == 3L)
     assert(s.getAs[Long]("total_tokens") == 2020L)
   }
+
+  test("writeShards: partitioned layout, manifest matches files, round-trip intact") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc $i", i * 10)).toDF("doc_id", "text", "n_toks")
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val manifest = graft.pipeline.Packing.writeShards(docs, "doc_id", "n_toks",
+      path, shardTokens = 2000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // total mass conserved: 10 * 50*51/2 = 12750 tokens, 50 docs
+    assert(manifest.values.map(_._1).sum == 50L)
+    assert(manifest.values.map(_._2).sum == 12750L)
+    // shard directories exist and each file's rows match its manifest row
+    val back = spark.read.parquet(path)
+    assert(back.count() == 50L)
+    // partition-column inference reads shard= dirs back as INT — cast
+    val perDir = back.groupBy(col("shard").cast("long").as("shard"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDir == manifest.map { case (k, v) => k -> v._1 })
+    // persisted manifest agrees with the returned one
+    val stored = spark.read.parquet(s"$path/_graft_manifest")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stored == manifest)
+    // no-split invariant: every doc whole, ids unique
+    assert(back.select("doc_id").distinct().count() == 50L)
+  }
 }

@@ -162,6 +162,46 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-clustering should shrink the worst bounding box: $zedArea vs $naiveArea")
   }
 
+  test("z-ordered parquet prunes row groups under a 2-D box filter; round-robin doesn't") {
+    import spark.implicits._
+    // 64k points on a 256x256 grid, shuffled arrival order
+    val rnd = new scala.util.Random(11)
+    val pts = rnd.shuffle((for (x <- 0 until 256; y <- 0 until 256)
+      yield (x.toDouble, y.toDouble)).toVector)
+    val df = pts.toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // one row group per file (small files): file-level min/max stats are
+    // the pruning unit either way
+    ScaleOps.clusterByZorder(df, Seq("x", "y"), bits = 8, partitions = 16)
+      .write.mode("overwrite").parquet(s"$base/zed")
+    df.repartition(16).write.mode("overwrite").parquet(s"$base/naive")
+    // a 32x32 box = 1/64 of the space; measure rows MATERIALIZED from
+    // parquet (scan output before the residual filter) — row-group
+    // statistics skip whole files only when the layout is clustered.
+    // The box is curve-ALIGNED ([64,96) in both dims): a box straddling
+    // a high-order quadrant boundary (e.g. 128) touches z-ranges in all
+    // four top quadrants and prunes far less — the documented z-order
+    // worst case, not a layout defect
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") >= 64 && col("x") < 96 &&
+          col("y") >= 64 && col("y") < 96)
+      // collect() on THIS Dataset so the metrics belong to the executed
+      // plan instance (count() would execute a different QueryExecution)
+      assert(q.collect().length == 32 * 32) // answer identical in both layouts
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zed = scanRows(s"$base/zed")
+    val naive = scanRows(s"$base/naive")
+    assert(naive > 60000, s"round-robin layout should scan ~everything: $naive")
+    // repartitionByRange boundaries are SAMPLED, so the box's contiguous
+    // z-block straddles a couple of files rather than exactly one —
+    // measured ~17k of 65k rows materialized (vs all 65k naive)
+    assert(zed < naive / 3,
+      s"z-order should prune most row groups: scanned $zed vs $naive")
+  }
+
   test("skewReport on empty / all-null-key input is all zeros, not null") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
