@@ -2870,6 +2870,65 @@ object Queries {
              SELECT v.token, v.cnt, est.est FROM v JOIN est USING (token)
              ORDER BY token""")),
 
+    // ---- Ranking metrics (recall@k / MRR / nDCG for the retrieval tier) ---
+    // deterministic SQL-able fixture: ranked list = each source's top-20
+    // docs by (n_chars desc, id); truth = that source's doc_id % 7 == 0
+    // docs. The METRIC math is the contract under test — join, first-hit
+    // rank, DCG against the per-query ideal — all replayed by the oracle
+    QueryDef("q_ranking_metrics",
+      (s, d) => {
+        val docs = documents(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+        val results = docs.na.drop(Seq("doc_id", "source", "n_chars"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select("source", "doc_id", "rank")
+        val truth = docs.na.drop(Seq("doc_id", "source"))
+          .filter(col("doc_id") % 7 === 0)
+          .select("source", "doc_id")
+        graft.eval.RankingMetrics.perQuery(results, truth, "source",
+            "doc_id", "rank", k = 20)
+          .select(col("source"), col("n_truth"), col("n_hits"),
+            round(col("recall_at_k"), 6).as("recall_at_k"),
+            round(col("precision_at_k"), 6).as("precision_at_k"),
+            round(col("mrr"), 6).as("mrr"),
+            round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+          .orderBy("source")
+      },
+      Some("""WITH res AS (SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rank
+               FROM documents
+               WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                 AND n_chars IS NOT NULL
+               QUALIFY rank <= 20),
+             tr AS (SELECT source, doc_id FROM documents
+               WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                 AND doc_id % 7 = 0),
+             ta AS (SELECT source, count(*)::BIGINT AS n_truth,
+                 sum(CASE WHEN irank <= 20
+                   THEN 1.0 / log2(irank + 1) ELSE 0 END) AS idcg
+               FROM (SELECT source, row_number() OVER (PARTITION BY source
+                   ORDER BY doc_id) AS irank FROM tr)
+               GROUP BY 1),
+             h AS (SELECT res.source, count(*)::BIGINT AS n_hits,
+                 min(rank) AS first_rank,
+                 sum(1.0 / log2(rank + 1)) AS dcg
+               FROM res JOIN tr ON res.source = tr.source
+                 AND res.doc_id = tr.doc_id
+               GROUP BY 1)
+             SELECT ta.source, ta.n_truth,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               round(coalesce(h.n_hits, 0)::DOUBLE / ta.n_truth, 6)
+                 AS recall_at_k,
+               round(coalesce(h.n_hits, 0)::DOUBLE / 20.0, 6)
+                 AS precision_at_k,
+               round(coalesce(1.0 / h.first_rank, 0), 6) AS mrr,
+               round(coalesce(h.dcg, 0) / ta.idcg, 6) AS ndcg_at_k
+             FROM ta LEFT JOIN h ON ta.source = h.source
+             ORDER BY ta.source""")),
+
     // ---- Hashed-TF document embedding (model-free text->vector) -----------
     // only built-in hash/string functions, so the oracle replays index,
     // sign and normalization bit-for-bit; output flattened to the

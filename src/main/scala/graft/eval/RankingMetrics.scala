@@ -1,0 +1,85 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality metrics for the retrieval tier (BM25, IVF/PQ ANN,
+  * kNN graphs): per-query recall@k, precision@k, MRR, and nDCG@k of a
+  * ranked result set against a relevance truth set. The evaluation side
+  * of the similarity-search tier, the way [[BinaryMetrics]] is the
+  * evaluation side of the classifier tier.
+  *
+  * Scale shape: one (query, doc) equi-join of the rank-≤-k results
+  * against the truth set, then two query-keyed aggregates and one
+  * query-keyed window (ideal-DCG ranks within each query's truth list) —
+  * everything keyed on the query, so parallelism is query cardinality
+  * and nothing global ever sorts. Works unchanged whether `results`
+  * holds 10 queries or 10 million.
+  */
+object RankingMetrics {
+
+  /** Per-query metrics. `results`: (queryCol, docCol, rankCol) with
+    * 1-based ranks (ties must already be broken — ranks unique per
+    * query). `truth`: (queryCol, docCol [, gradeCol]) — relevant docs;
+    * without `gradeCol` every truth row has grade 1 (binary relevance).
+    * Non-positive grades are dropped. Queries with NO truth rows are
+    * dropped (their metrics are undefined); queries with truth but no
+    * hits score 0. Output: (queryCol, n_truth, n_hits, recall_at_k,
+    * precision_at_k, mrr, ndcg_at_k).
+    *
+    *  - recall@k   = |relevant ∩ top-k| / |relevant|
+    *  - precision@k = |relevant ∩ top-k| / k
+    *  - MRR        = 1 / rank of the first relevant result (0 if none)
+    *  - nDCG@k     = Σ grade/log2(rank+1) over relevant top-k hits,
+    *                 normalized by the ideal DCG of the query's own
+    *                 truth list truncated at k. */
+  def perQuery(results: DataFrame, truth: DataFrame, queryCol: String,
+               docCol: String, rankCol: String, k: Int,
+               gradeCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"RankingMetrics needs k >= 1, got $k")
+    graft.util.Errors.context("rankingMetrics",
+        Seq(queryCol, docCol, rankCol)) {
+    val res = results.na.drop(Seq(queryCol, docCol, rankCol))
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__graft_q"), col(docCol).as("__graft_d"),
+        col(rankCol).cast("long").as("__graft_rank"))
+    val tr0 = gradeCol match {
+      case Some(g) => truth.na.drop(Seq(queryCol, docCol, g))
+        .select(col(queryCol).as("__graft_q"), col(docCol).as("__graft_d"),
+          col(g).cast("double").as("__graft_grade"))
+      case None => truth.na.drop(Seq(queryCol, docCol))
+        .select(col(queryCol).as("__graft_q"), col(docCol).as("__graft_d"),
+          lit(1.0).as("__graft_grade"))
+    }
+    val tr = tr0.filter(col("__graft_grade") > 0)
+    // ideal DCG: each query's own truth grades, best-first, cut at k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_q")
+      .orderBy(col("__graft_grade").desc, col("__graft_d"))
+    val truthAgg = tr
+      .withColumn("__graft_irank", row_number().over(w))
+      .groupBy("__graft_q")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("__graft_irank") <= k,
+          col("__graft_grade") /
+            log(2.0, col("__graft_irank") + 1)).otherwise(0.0))
+          .as("__graft_idcg"))
+    val hits = res.join(tr, Seq("__graft_q", "__graft_d"))
+      .groupBy("__graft_q")
+      .agg(count(lit(1)).as("n_hits"),
+        min("__graft_rank").as("__graft_first"),
+        sum(col("__graft_grade") / log(2.0, col("__graft_rank") + 1))
+          .as("__graft_dcg"))
+    truthAgg.join(hits, Seq("__graft_q"), "left")
+      .select(col("__graft_q").as(queryCol),
+        col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth")).as("recall_at_k"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("precision_at_k"),
+        coalesce(lit(1.0) / col("__graft_first"), lit(0.0)).as("mrr"),
+        (coalesce(col("__graft_dcg"), lit(0.0)) / col("__graft_idcg"))
+          .as("ndcg_at_k"))
+  } }
+}

@@ -1,0 +1,82 @@
+package graft.eval
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RankingMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("perQuery: hand-computed binary-relevance case, k=3") {
+    val results = Seq(
+      ("A", 5L, 1), ("A", 2L, 2), ("A", 9L, 3), ("A", 1L, 4), // rank 4 cut
+      ("C", 7L, 1)                                            // no truth
+    ).toDF("q", "doc", "rank")
+    val truth = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 10L))
+      .toDF("q", "doc")
+    val got = RankingMetrics.perQuery(results, truth, "q", "doc", "rank",
+        k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // query C has no truth -> dropped; B has truth but no results -> zeros
+    assert(got.keySet == Set("A", "B"))
+    val a = got("A")
+    assert(a.getAs[Long]("n_truth") == 3L && a.getAs[Long]("n_hits") == 1L)
+    assert(math.abs(a.getAs[Double]("recall_at_k") - 1.0 / 3) < 1e-12)
+    assert(math.abs(a.getAs[Double]("precision_at_k") - 1.0 / 3) < 1e-12)
+    assert(math.abs(a.getAs[Double]("mrr") - 0.5) < 1e-12) // first hit rank 2
+    val idcg = 1 / log2(2) + 1 / log2(3) + 1 / log2(4)
+    assert(math.abs(a.getAs[Double]("ndcg_at_k") - (1 / log2(3)) / idcg)
+      < 1e-12)
+    val b = got("B")
+    assert(b.getAs[Long]("n_hits") == 0L)
+    assert(b.getAs[Double]("recall_at_k") == 0.0 &&
+      b.getAs[Double]("mrr") == 0.0 && b.getAs[Double]("ndcg_at_k") == 0.0)
+  }
+
+  test("perQuery: graded relevance orders the ideal list by grade") {
+    // truth grades 3,2,1 for docs 1,2,3; results retrieve them REVERSED
+    val results = Seq(("q", 3L, 1), ("q", 2L, 2), ("q", 1L, 3))
+      .toDF("q", "doc", "rank")
+    val truth = Seq(("q", 1L, 3.0), ("q", 2L, 2.0), ("q", 3L, 1.0))
+      .toDF("q", "doc", "grade")
+    val r = RankingMetrics.perQuery(results, truth, "q", "doc", "rank",
+      k = 3, gradeCol = Some("grade")).head()
+    val dcg = 1.0 / log2(2) + 2.0 / log2(3) + 3.0 / log2(4)
+    val idcg = 3.0 / log2(2) + 2.0 / log2(3) + 1.0 / log2(4)
+    assert(math.abs(r.getAs[Double]("ndcg_at_k") - dcg / idcg) < 1e-12)
+    assert(r.getAs[Double]("recall_at_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // perfect ordering scores ndcg exactly 1
+    val perfect = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+      .toDF("q", "doc", "rank")
+    val p = RankingMetrics.perQuery(perfect, truth, "q", "doc", "rank",
+      k = 3, gradeCol = Some("grade")).head()
+    assert(math.abs(p.getAs[Double]("ndcg_at_k") - 1.0) < 1e-12)
+  }
+
+  test("perQuery evaluates the ANN tier: full-probe IVF scores ndcg 1 vs brute truth") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .head().getSeq[Double](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val truth = graft.pipeline.Similarity.bruteForceTopK(corpus, "vec_id",
+        "embedding", q0, 10)
+      .select(lit(0L).as("q"), col("vec_id").as("doc"))
+    val (assigned, centers) = graft.pipeline.Similarity.ivfAssign(corpus,
+      "vec_id", "embedding", nCells = 8)
+    val results = graft.pipeline.Similarity.ivfTopK(assigned, centers,
+        "vec_id", q0, k = 10, nProbe = 8) // full probe == exact
+      .withColumn("q", lit(0L))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q")
+          .orderBy(desc("cos"), col("vec_id"))))
+      .select(col("q"), col("vec_id").as("doc"), col("rank"))
+    val m = RankingMetrics.perQuery(results, truth, "q", "doc", "rank",
+      k = 10).head()
+    assert(m.getAs[Double]("recall_at_k") == 1.0)
+    assert(math.abs(m.getAs[Double]("ndcg_at_k") - 1.0) < 1e-12)
+  }
+}
