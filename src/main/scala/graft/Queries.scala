@@ -151,6 +151,40 @@ object Queries {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              WHERE o_orderpriority = '1-URGENT'""")),
 
+    // ---- schema-wide table profile (exact mode = the oracle contract) -----
+    // min/max compare in native type, string-cast only for the uniform
+    // output; doubles print identically in both engines at these values
+    QueryDef("q_table_profile",
+      (s, d) => graft.agg.Stats.tableProfile(
+          s.read.parquet(s"$d/customer.parquet"),
+          Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+          exact = true)
+        .orderBy("column"),
+      Some("""WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM customer)
+             SELECT * FROM (
+               SELECT 'c_custkey' AS "column", n.n_rows,
+                 count(c_custkey)::BIGINT AS n_nonnull,
+                 count(DISTINCT c_custkey)::BIGINT AS n_distinct,
+                 min(c_custkey)::VARCHAR AS min_str,
+                 max(c_custkey)::VARCHAR AS max_str FROM customer, n
+                 GROUP BY n.n_rows
+               UNION ALL
+               SELECT 'c_nationkey', n.n_rows, count(c_nationkey)::BIGINT,
+                 count(DISTINCT c_nationkey)::BIGINT,
+                 min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
+                 FROM customer, n GROUP BY n.n_rows
+               UNION ALL
+               SELECT 'c_acctbal', n.n_rows, count(c_acctbal)::BIGINT,
+                 count(DISTINCT c_acctbal)::BIGINT,
+                 min(c_acctbal)::VARCHAR, max(c_acctbal)::VARCHAR
+                 FROM customer, n GROUP BY n.n_rows
+               UNION ALL
+               SELECT 'c_mktsegment', n.n_rows, count(c_mktsegment)::BIGINT,
+                 count(DISTINCT c_mktsegment)::BIGINT,
+                 min(c_mktsegment)::VARCHAR, max(c_mktsegment)::VARCHAR
+                 FROM customer, n GROUP BY n.n_rows)
+             ORDER BY "column"""")),
+
     // ---- classic grouped aggregation (TPC-H Q1 shape) --------------------
     QueryDef("q1_agg",
       (s, d) => lineitem(s, d)

@@ -760,4 +760,39 @@ object Stats {
             org.apache.spark.sql.types.DoubleType))))
     }
   }
+
+  /** One-pass schema-wide table profile: for every column (or the given
+    * subset), (column, n_rows, n_nonnull, n_distinct, min_str, max_str)
+    * in one aggregate — the data-engineering "what is actually in this
+    * table" report. min/max compare in the column's native type and cast
+    * to string only for the uniform output row.
+    *
+    * `exact = false` (default) counts distincts with HLL
+    * (approx_count_distinct) — ONE pass, no expand, the 100-TB shape.
+    * `exact = true` uses count(DISTINCT ...), which Spark plans via an
+    * Expand of k× the input rows for k profiled columns — precise, and
+    * priced accordingly; the oracle contract runs this mode. */
+  def tableProfile(df: DataFrame, cols: Seq[String] = Nil,
+                   exact: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "tableProfile: no columns")
+    val aggs = count(lit(1)).as("__n") +: names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    import spark.implicits._
+    names.zipWithIndex.map { case (c, i) =>
+      val b = 1 + i * 4
+      (c, n, row.getLong(b), row.getLong(b + 1),
+        Option(row.getString(b + 2)), Option(row.getString(b + 3)))
+    }.toDF("column", "n_rows", "n_nonnull", "n_distinct", "min_str",
+      "max_str")
+  }
 }

@@ -58,6 +58,39 @@ object ScaleOps {
                    left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
 
+  /** Compact a small-files parquet dataset: read `src`, coalesce to
+    * ⌈bytes / targetBytes⌉ output files, write to `dst` (a DIFFERENT
+    * path — Spark cannot overwrite its own input; swap directories
+    * upstream once the write commits). The small-files problem is the
+    * classic ingestion pathology: a crawl loop appending 1000 tiny
+    * batches leaves 100k files whose open/footer costs dominate every
+    * later scan. Returns one row (files_before, files_after, bytes,
+    * n_rows).
+    *
+    * Uses coalesce (not repartition): no shuffle — existing partitions
+    * concatenate map-side. Fine for compaction; use
+    * [[clusterByZorder]]/repartitionByRange first when the rewrite
+    * should ALSO fix the sort order. */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dst: String, targetBytes: Long = 128L << 20): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(new org.apache.hadoop.fs.Path(src).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(dst).toUri.getPath,
+      "compact: dst must differ from src (Spark cannot overwrite its input)")
+    val df = spark.read.parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = df.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val filesBefore = df.inputFiles.length.toLong
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    df.coalesce(nOut).write.mode("overwrite").parquet(dst)
+    val out = spark.read.parquet(dst)
+    import spark.implicits._
+    Seq((filesBefore, out.inputFiles.length.toLong, bytes, out.count()))
+      .toDF("files_before", "files_after", "bytes", "n_rows")
+  }
+
   /** Bloom-pruned join: build a Bloom filter over the SMALL side's join
     * keys (one pass, sketch collected to the driver and broadcast), prune
     * the BIG side map-side BEFORE its shuffle, then run the real join.

@@ -354,4 +354,24 @@ class StatsSpec extends SparkSpec {
     // upper triangle of the SORTED columns only: (x,x), (x,y), (y,y)
     assert(r.keySet == Set(("x", "x"), ("x", "y"), ("y", "y")))
   }
+
+  test("tableProfile: exact counts, null handling, approx mode within HLL rsd") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Some("a"), Some(2.5)), (2L, Some("b"), None),
+      (3L, None, Some(2.5)), (4L, Some("a"), Some(7.0))
+    ).toDF("id", "s", "x")
+    val prof = Stats.tableProfile(t, exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[String]("min_str"), r.getAs[String]("max_str")))).toMap
+    assert(prof("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(prof("s") == ((4L, 3L, 2L, "a", "b")))
+    assert(prof("x") == ((4L, 3L, 2L, "2.5", "7.0")))
+    // column subset + approx mode: HLL distinct within 4*rsd of exact
+    val sub = Stats.tableProfile(t, Seq("s"))
+      .head()
+    assert(sub.getString(0) == "s")
+    assert(math.abs(sub.getLong(3) - 2L) <= math.max(1, (2 * 4 * 0.05).toLong))
+  }
 }

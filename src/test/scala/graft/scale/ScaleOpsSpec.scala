@@ -202,6 +202,29 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-order should prune most row groups: scanned $zed vs $naive")
   }
 
+  test("compact: many tiny files collapse; rows intact; same-path refused") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "v")
+      .repartition(64) // the small-files pathology
+      .write.mode("overwrite").parquet(s"$base/src")
+    val r = ScaleOps.compact(spark, s"$base/src", s"$base/dst",
+      targetBytes = 1L << 30).head()
+    assert(r.getAs[Long]("files_before") == 64L)
+    assert(r.getAs[Long]("files_after") == 1L)
+    assert(r.getAs[Long]("n_rows") == 5000L)
+    val back = spark.read.parquet(s"$base/dst")
+    assert(back.count() == 5000L &&
+      back.agg(sum("id")).head.getLong(0) == 5000L * 5001 / 2)
+    intercept[IllegalArgumentException] {
+      ScaleOps.compact(spark, s"$base/src", s"$base/src")
+    }
+    // tiny target -> several output files
+    val r2 = ScaleOps.compact(spark, s"$base/src", s"$base/dst2",
+      targetBytes = r.getAs[Long]("bytes") / 4).head()
+    assert(r2.getAs[Long]("files_after") >= 3L)
+  }
+
   test("skewReport on empty / all-null-key input is all zeros, not null") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
