@@ -185,6 +185,28 @@ object Queries {
                  FROM customer, n GROUP BY n.n_rows)
              ORDER BY "column"""")),
 
+    // ---- measured auto-join == plain join (semantics contract) ------------
+    // whatever physical branch the measurements pick (broadcast here:
+    // orders is small at these SFs), the RESULT must hash-match the plain
+    // join — same contract family as q_salted_join / q_bloom_join
+    QueryDef("q_auto_join",
+      (s, d) => {
+        val fact = lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val dim = orders(s, d)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.scale.ScaleOps.autoJoin(fact, dim, "okey",
+            broadcastRows = 100000L, skewThreshold = 0.2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+             sum(l_quantity)::BIGINT AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- classic grouped aggregation (TPC-H Q1 shape) --------------------
     QueryDef("q1_agg",
       (s, d) => lineitem(s, d)
@@ -1506,6 +1528,58 @@ object Queries {
                AS norm FROM t)
              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
              FROM n GROUP BY norm ORDER BY doc_id""")),
+
+    // ---- near-dup pair triage panel (why are these two docs similar?) -----
+    // shingle overlap, bag-of-words cosine, and literal/normalized
+    // equality for one (id, id) pair — two pushed-down point lookups,
+    // never a corpus scan; every signal replayed by the oracle
+    QueryDef("q_explain_pair",
+      (s, d) => graft.pipeline.Dedup.explainPair(documents(s, d),
+          "doc_id", "text", idA = 0L, idB = 1L, n = 3, dim = 256)
+        .select(col("id_a"), col("id_b"), col("grams_a"), col("grams_b"),
+          col("shared_grams"), round(col("jaccard"), 6).as("jaccard"),
+          round(col("cos"), 6).as("cos"), col("exact_equal"),
+          col("norm_equal")),
+      Some("""WITH two AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IN (0, 1) AND text IS NOT NULL),
+             tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM two),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> array_to_string(t[i:i+2], ' ')) END)) AS s FROM tok),
+             g AS (SELECT doc_id, count(*)::BIGINT AS g FROM sh GROUP BY 1),
+             shared AS (SELECT count(*)::BIGINT AS sg FROM sh a
+               JOIN sh b ON a.s = b.s AND a.doc_id = 0 AND b.doc_id = 1),
+             tok2 AS (SELECT doc_id, token FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM two) WHERE token <> ''),
+             e AS (SELECT doc_id,
+                 (('0x' || substr(md5(token), 1, 15))::UBIGINT % 256)::INT
+                   AS pos,
+                 CASE WHEN ('0x' || substr(md5(token), 16, 1))::UBIGINT % 2
+                   = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM tok2),
+             sums AS (SELECT doc_id, pos, sum(sgn) AS v FROM e GROUP BY 1, 2),
+             nm AS (SELECT doc_id, sqrt(sum(v * v)) AS nm FROM sums
+               GROUP BY 1),
+             dt AS (SELECT coalesce(sum(a.v * b.v), 0) AS dot FROM sums a
+               JOIN sums b ON a.pos = b.pos
+               AND a.doc_id = 0 AND b.doc_id = 1),
+             nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+               AS norm FROM two)
+             SELECT 0::BIGINT AS id_a, 1::BIGINT AS id_b,
+               ga.g AS grams_a, gb.g AS grams_b, shared.sg AS shared_grams,
+               round(shared.sg::DOUBLE
+                 / (ga.g + gb.g - shared.sg), 6) AS jaccard,
+               round(dt.dot / (na.nm * nb.nm), 6) AS cos,
+               (SELECT text FROM two WHERE doc_id = 0)
+                 = (SELECT text FROM two WHERE doc_id = 1) AS exact_equal,
+               (SELECT norm FROM nrm WHERE doc_id = 0)
+                 = (SELECT norm FROM nrm WHERE doc_id = 1) AS norm_equal
+             FROM shared, dt, g ga, g gb, nm na, nm nb
+             WHERE ga.doc_id = 0 AND gb.doc_id = 1
+               AND na.doc_id = 0 AND nb.doc_id = 1""")),
 
     // ---- quality survivor: keep the BEST copy, not the first ---------------
     // exact dups injected with ids shifted by 1e6; score (doc_id*37)%1001

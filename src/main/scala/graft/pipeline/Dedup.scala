@@ -1455,6 +1455,53 @@ object Dedup {
         first(col("__nc")).cast("long").as("chunks_total"))
   }
 
+  /** WHY are these two documents near-dups? One diagnostic row for a
+    * (idA, idB) pair: distinct n-gram counts per side, shared grams,
+    * Jaccard, hashed-TF cosine, and exact / normalized-text equality —
+    * the triage panel for a flagged pair ("is this shingle overlap,
+    * bag-of-words similarity, or literal re-crawl?").
+    *
+    * Scale shape: two pushed-down id filters, per-row HOF shingling, a
+    * 1×1 crossJoin — the corpus is never scanned beyond the two point
+    * lookups (parquet min/max prunes on the id predicate). Shingle
+    * semantics mirror [[ngramJaccard]]'s oracle (len < n → whole text,
+    * distinct); cosine is the [[TextAnalysis.hashEmbedCol]] dot. */
+  def explainPair(df: DataFrame, idCol: String, textCol: String,
+                  idA: Long, idB: Long, n: Int = 3,
+                  dim: Int = 256): DataFrame = {
+    require(idA != idB, "explainPair needs two distinct ids")
+    def side(id: Long, tag: String): DataFrame = {
+      val t = split(trim(col(textCol)), "\\s+")
+      val grams = array_distinct(
+        when(size(t) < n, array(concat_ws(" ", t)))
+          .otherwise(transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + lit(1), lit(n)), " "))))
+      df.filter(col(idCol) === id && col(textCol).isNotNull)
+        .select(lit(id).as(s"id_$tag"), grams.as(s"__g_$tag"),
+          TextAnalysis.hashEmbedCol(col(textCol), dim).as(s"__v_$tag"),
+          col(textCol).as(s"__t_$tag"))
+        .limit(1)
+    }
+    side(idA, "a").crossJoin(side(idB, "b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("__g_a")).cast("long").as("grams_a"),
+        size(col("__g_b")).cast("long").as("grams_b"),
+        size(array_intersect(col("__g_a"), col("__g_b"))).cast("long")
+          .as("shared_grams"),
+        col("__v_a"), col("__v_b"), col("__t_a"), col("__t_b"))
+      .select(col("id_a"), col("id_b"), col("grams_a"), col("grams_b"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")))
+          .as("jaccard"),
+        coalesce(aggregate(zip_with(col("__v_a"), col("__v_b"),
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x), lit(0.0))
+          .as("cos"),
+        (col("__t_a") === col("__t_b")).as("exact_equal"),
+        (normalizeText(col("__t_a")) === normalizeText(col("__t_b")))
+          .as("norm_equal"))
+  }
+
   /** INTRA-document repeated-line removal: within each document keep
     * only the FIRST occurrence of each distinct non-blank line,
     * preserving order — the self-contained cleaning step (listings,

@@ -58,6 +58,40 @@ object ScaleOps {
                    left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
 
+  /** The broadcast-vs-salt-vs-shuffle DECISION, from measurements:
+    * "broadcast" when the dim side is small enough to ship
+    * (≤ broadcastRows), else "salted" when [[skewReport]] shows the
+    * fact side's heaviest key above `skewThreshold` of all rows, else
+    * "plain". Two bounded actions (a dim count, a key-count aggregate)
+    * — the price of deciding from evidence instead of folklore. */
+  def autoJoinDecision(fact: DataFrame, dim: DataFrame, key: String,
+                       broadcastRows: Long = 1000000L,
+                       skewThreshold: Double = 0.2): String = {
+    require(broadcastRows > 0 && skewThreshold > 0 && skewThreshold <= 1)
+    val dimRows = dim.limit(
+      if (broadcastRows >= Int.MaxValue) Int.MaxValue
+      else (broadcastRows + 1).toInt).count()
+    if (dimRows <= broadcastRows) "broadcast"
+    else {
+      val top1 = skewReport(fact, Seq(key)).head().getAs[Double]("top1_share")
+      if (top1 > skewThreshold) "salted" else "plain"
+    }
+  }
+
+  /** Measured join: run [[autoJoinDecision]] and execute the matching
+    * physical shape — `broadcast(dim)` hint, [[saltedJoin]], or the
+    * plain equi-join. SEMANTICS are identical in all three branches
+    * (inner join on `key`; the q_auto_join gate pins that); only the
+    * plan changes. */
+  def autoJoin(fact: DataFrame, dim: DataFrame, key: String,
+               broadcastRows: Long = 1000000L, skewThreshold: Double = 0.2,
+               buckets: Int = 16): DataFrame =
+    autoJoinDecision(fact, dim, key, broadcastRows, skewThreshold) match {
+      case "broadcast" => fact.join(broadcast(dim), key)
+      case "salted"    => saltedJoin(fact, dim, key, buckets)
+      case _           => fact.join(dim, key)
+    }
+
   /** Compact a small-files parquet dataset: read `src`, coalesce to
     * ⌈bytes / targetBytes⌉ output files, write to `dst` (a DIFFERENT
     * path — Spark cannot overwrite its own input; swap directories

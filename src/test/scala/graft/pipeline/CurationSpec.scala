@@ -246,6 +246,26 @@ class CurationSpec extends SparkSpec {
     assert(rep("lab") == ((1L, 1L, 0.0)))
   }
 
+  test("explainPair: hand-checked triage panel") {
+    val df = Seq(
+      (1L, "a b c d e"),        // 3-grams: abc bcd cde
+      (2L, "a b c x y"),        // 3-grams: abc bcx cxy -> shared: abc
+      (3L, "A  b,c d e!")       // normalizes to doc 1's text
+    ).toDF("doc_id", "text")
+    val r = Dedup.explainPair(df, "doc_id", "text", 1L, 2L).head()
+    assert(r.getAs[Long]("grams_a") == 3L && r.getAs[Long]("grams_b") == 3L)
+    assert(r.getAs[Long]("shared_grams") == 1L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 5) < 1e-12)
+    assert(!r.getAs[Boolean]("exact_equal") && !r.getAs[Boolean]("norm_equal"))
+    // 3 of 5 tokens shared, unit vectors: cos = 3/5 (distinct hash cells)
+    assert(r.getAs[Double]("cos") > 0.4 && r.getAs[Double]("cos") < 0.8)
+    val n = Dedup.explainPair(df, "doc_id", "text", 1L, 3L).head()
+    assert(!n.getAs[Boolean]("exact_equal") && n.getAs[Boolean]("norm_equal"))
+    intercept[IllegalArgumentException] {
+      Dedup.explainPair(df, "doc_id", "text", 1L, 1L)
+    }
+  }
+
   test("hashEmbedCol: per-row path is BIT-identical to the aggregate path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)

@@ -202,6 +202,31 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-order should prune most row groups: scanned $zed vs $naive")
   }
 
+  test("autoJoin: decision follows the measurements; every branch matches the plain join") {
+    import spark.implicits._
+    val hotFact = ((1 to 900).map(_ => (1L, "hot")) ++
+      (1 to 100).map(i => (i.toLong % 50 + 2, "cold"))).toDF("k", "tag")
+    val flatFact = (1 to 1000).map(i => (i.toLong % 200, "x")).toDF("k", "tag")
+    val dim = (1 to 60).map(i => (i.toLong, s"d_$i")).toDF("k", "d")
+    // small dim -> broadcast regardless of skew
+    assert(ScaleOps.autoJoinDecision(hotFact, dim, "k") == "broadcast")
+    // dim over the broadcast bound + hot key -> salted
+    assert(ScaleOps.autoJoinDecision(hotFact, dim, "k",
+      broadcastRows = 10) == "salted")
+    // dim over the bound, balanced keys -> plain
+    assert(ScaleOps.autoJoinDecision(flatFact, dim, "k",
+      broadcastRows = 10) == "plain")
+    // all three execute to the identical result
+    val want = hotFact.join(dim, "k").groupBy("k").count().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Seq(1000000L, 10L).foreach { br =>
+      val got = ScaleOps.autoJoin(hotFact, dim, "k", broadcastRows = br)
+        .groupBy("k").count().orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"broadcastRows=$br")
+    }
+  }
+
   test("compact: many tiny files collapse; rows intact; same-path refused") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
