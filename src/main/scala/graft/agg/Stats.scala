@@ -777,6 +777,7 @@ object Stats {
     val spark = df.sparkSession
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "tableProfile: no columns")
+    graft.util.Errors.context("tableProfile", names) {
     val aggs = count(lit(1)).as("__n") +: names.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
@@ -794,5 +795,5 @@ object Stats {
         Option(row.getString(b + 2)), Option(row.getString(b + 3)))
     }.toDF("column", "n_rows", "n_nonnull", "n_distinct", "min_str",
       "max_str")
-  }
+  } }
 }

@@ -125,7 +125,8 @@ object Quantize {
     * subvectors, run the local seeded Lloyd loop per subspace. Corpus
     * scans: one (the sample take). */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
-              m: Int, ksub: Int = 256, seed: Long = 42L): PQCodebook = {
+              m: Int, ksub: Int = 256, seed: Long = 42L): PQCodebook =
+    graft.util.Errors.context("pqTrain", Seq(idCol, vecCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.na.drop(Seq(idCol, vecCol))

@@ -119,6 +119,7 @@ object Sampling {
       s"testFraction must be in [0,1], got $testFraction")
     require(valFraction + testFraction < 1.0, "val + test must leave train mass")
     Similarity.requireIntegralId(df, idCol, "componentSafeSplit")
+    graft.util.Errors.context("componentSafeSplit", Seq(idCol)) {
     val comp = components.select(col("id").cast("long").as("__graft_cid"),
       col("component").cast("long").as("__graft_rep"))
     val k = hashKey(coalesce(col("__graft_rep"), col(idCol).cast("long")),
@@ -130,7 +131,7 @@ object Sampling {
           .when(k < lit(testFraction + valFraction), lit("val"))
           .otherwise(lit("train")))
       .drop("__graft_cid", "__graft_rep")
-  }
+  } }
 
   /** Weighted Bernoulli sampling: keep row i with probability
     * min(1, rate · wᵢ), decided by the deterministic id hash — the

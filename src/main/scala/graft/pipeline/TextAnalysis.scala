@@ -290,6 +290,7 @@ object TextAnalysis {
     * + partition-offset scaffold in ONE pass (two counters per
     * partition). The sort is doc-cardinality, not token-cardinality. */
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.util.Errors.context("vocabGrowth", Seq(idCol, textCol)) {
     val spark = df.sparkSession
     val tok = df.na.drop(Seq(idCol, textCol))
       .select(col(idCol).cast("long").as("__graft_id"),
@@ -337,7 +338,7 @@ object TextAnalysis {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cum_types",
         org.apache.spark.sql.types.LongType, nullable = false))))
-  }
+  } }
 
   /** Heaps'-law fit over the [[vocabGrowth]] curve: least squares of
     * ln(cum_types) against ln(cum_tokens) across documents, so
@@ -373,6 +374,7 @@ object TextAnalysis {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
                 dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"hashEmbed dim out of range: $dim")
+    graft.util.Errors.context("hashEmbed", Seq(idCol, textCol)) {
     val clean = df.na.drop(Seq(idCol, textCol))
     // the per-token digest inherits the SCAN's parallelism — a corpus in
     // one parquet split would hash on one core. Spread doc rows first
@@ -417,7 +419,7 @@ object TextAnalysis {
         when(col("__graft_norm") > 0,
           transform(col("__graft_raw"), x => x / col("__graft_norm")))
           .otherwise(col("__graft_raw")).as("vec"))
-  }
+  } }
 
   /** Per-ROW [[hashEmbed]]: the identical hashed-TF vector as a single
     * column expression — no groupBy, so it runs where aggregates can't

@@ -79,9 +79,11 @@ class QuantizeSpec extends SparkSpec {
       .select("codes").collect().map(_.getSeq[Int](0))
     assert(codes.length == 80)
     assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
-    intercept[IllegalArgumentException] {
+    // wrapped by the error prettifier: the summary names the operator
+    val ex = intercept[graft.util.GraftException] {
       Quantize.pqTrain(df, "id", "v", m = 3) // 8 % 3 != 0
     }
+    assert(ex.getMessage.contains("pqTrain"))
     intercept[Exception] { // dim mismatch vs codebook surfaces from the map
       Quantize.pqEncode(vecs(5, 6, seed = 2).toDF("id", "v"), "id", "v", cb)
         .collect()
