@@ -1873,6 +1873,83 @@ object Queries {
              WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3
              ORDER BY id_a, id_b""")),
 
+    // ---- asymmetric n-gram containment (subset/quote detection) -----------
+    // containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| —
+    // the signal jaccard misses: a doc fully quoted inside a longer one has
+    // jaccard ≈ |A|/|B| but cont_a = 1. Pure projection on the exact
+    // jaccard plan; oracle replays both quotients from the same CTEs.
+    QueryDef("q_containment",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.ngramContainment(docs, "doc_id", "text", 3)
+          .filter(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("common"),
+            col("sz_a"), col("sz_b"),
+            round(col("cont_a"), 6).as("cont_a"),
+            round(col("cont_b"), 6).as("cont_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b, c::BIGINT AS common,
+               sa.sz::BIGINT AS sz_a, sb.sz::BIGINT AS sz_b,
+               round(c::DOUBLE / sa.sz, 6) AS cont_a,
+               round(c::DOUBLE / sb.sz, 6) AS cont_b
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / sa.sz >= 0.8 OR c::DOUBLE / sb.sz >= 0.8
+             ORDER BY id_a, id_b""")),
+
+    // ---- containment victims (keep the superset doc) ----------------------
+    // doc B beats doc A iff cont(A in B) >= t and (sz_b > sz_a or equal
+    // size and id_b < id_a) — a STRICT order, so no removal cycles and one
+    // member of every mutual-containment clique survives. kept_in = the
+    // beating partner of highest containment (ties -> min partner id); the
+    // oracle replays the orientation + row_number choice verbatim.
+    QueryDef("q_contained_docs",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.containedDocs(docs, "doc_id", "text", 3, 0.9)
+          .select(col("id"), col("kept_in"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             p AS (SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+               c::DOUBLE / sa.sz AS ca, c::DOUBLE / sb.sz AS cb
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b),
+             o AS (
+               SELECT id_a AS id, id_b AS kept_in, ca AS containment FROM p
+               WHERE ca >= 0.9 AND (sz_b > sz_a OR (sz_b = sz_a AND id_b < id_a))
+               UNION ALL
+               SELECT id_b, id_a, cb FROM p
+               WHERE cb >= 0.9 AND (sz_a > sz_b OR (sz_a = sz_b AND id_a < id_b))),
+             r AS (SELECT id, kept_in, containment, row_number() OVER
+               (PARTITION BY id ORDER BY containment DESC, kept_in ASC) AS rn
+               FROM o)
+             SELECT id, kept_in, round(containment, 6) AS containment
+             FROM r WHERE rn = 1 ORDER BY id""")),
+
     // ---- connected components over the near-dup pair graph ----------------
     // alternating large-star/small-star (SoCC'14) resolves PAIRS into
     // transitive clusters: the canonical label is the min doc id reachable

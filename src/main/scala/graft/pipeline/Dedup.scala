@@ -452,6 +452,81 @@ object Dedup {
         col("common") / (col("sz_a") + col("sz_b") - col("common")))
   }
 
+  /** Exact asymmetric n-gram CONTAINMENT — the subset/quote detector
+    * symmetric Jaccard misses: a short doc fully quoted inside a long one
+    * has jaccard ≈ |A|/|B| (tiny) but containment(A in B) = 1.
+    * Returns [[ngramJaccard]]'s pair frame extended with
+    * `cont_a` = common/sz_a (fraction of A's distinct shingles present in
+    * B) and `cont_b` = common/sz_b — a pure projection on the jaccard
+    * plan, so the cost and caching behavior are exactly ngramJaccard's.
+    *
+    * SCALE NOTE: banded-minhash candidates are tuned to the SYMMETRIC
+    * S-curve and under-recall high-containment/low-jaccard pairs (the
+    * interesting ones here), so don't feed [[minhashCandidates]] in as
+    * `candidates` for containment work. The scale lever for this operator
+    * is the df stop-list (`maxDfFraction`): containment pairs share the
+    * contained doc's shingles verbatim, which a fractional cut preserves
+    * while it removes the boilerplate-driven pair blowup. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, candidates: Option[DataFrame] = None,
+                       maxDf: Int = Int.MaxValue,
+                       maxDfFraction: Double = 1.0): DataFrame =
+    ngramJaccard(df, idCol, textCol, n, candidates, maxDf, maxDfFraction)
+      .withColumn("cont_a", col("common") / col("sz_a"))
+      .withColumn("cont_b", col("common") / col("sz_b"))
+
+  /** Containment victims: docs whose distinct-shingle set is ≥ `threshold`
+    * contained in a BIGGER doc. "Bigger" is the strict order
+    * (sz, −id): doc B beats doc A iff containment(A in B) ≥ threshold and
+    * (sz_b > sz_a, or sz_b = sz_a and id_b < id_a) — a strict partial
+    * order, so no removal cycles: survivors are exactly the docs no other
+    * doc beats, and at least one member of every mutual-containment clique
+    * survives (the min id among the largest). One row per victim:
+    * (id, kept_in, containment) with `kept_in` the beating partner of
+    * highest containment (ties → smallest partner id) — deterministic for
+    * the oracle replay. */
+  def containedDocs(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.9,
+                    maxDf: Int = Int.MaxValue,
+                    maxDfFraction: Double = 1.0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pairs = ngramContainment(df, idCol, textCol, n, None, maxDf,
+      maxDfFraction)
+    // orient each ordered pair into (victim, keeper) rows under the strict
+    // (sz, -id) order; both orientations can fire on mutual containment of
+    // unequal sizes — the window below picks one keeper per victim
+    val aLoses = pairs
+      .filter(col("cont_a") >= threshold &&
+        (col("sz_b") > col("sz_a") ||
+          (col("sz_b") === col("sz_a") && col("id_b") < col("id_a"))))
+      .select(col("id_a").as("id"), col("id_b").as("kept_in"),
+        col("cont_a").as("containment"))
+    val bLoses = pairs
+      .filter(col("cont_b") >= threshold &&
+        (col("sz_a") > col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))))
+      .select(col("id_b").as("id"), col("id_a").as("kept_in"),
+        col("cont_b").as("containment"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("containment").desc, col("kept_in").asc)
+    aLoses.unionAll(bLoses)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Corpus with containment victims removed — [[containedDocs]]'s
+    * complement via one broadcast anti-join (the victim list is bounded by
+    * the pair set, tiny next to the corpus). */
+  def containmentDedup(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDf: Int = Int.MaxValue,
+                       maxDfFraction: Double = 1.0): DataFrame = {
+    val victims = containedDocs(df, idCol, textCol, n, threshold, maxDf,
+      maxDfFraction).select(col("id").as("__victim"))
+    df.join(broadcast(victims), col(idCol) === col("__victim"), "left_anti")
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verify →
     * pairs above threshold.
     *

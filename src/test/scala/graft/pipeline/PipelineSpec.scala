@@ -264,6 +264,37 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(stopped.head.getAs[Double]("jaccard") - 4.0 / 6.0) < 1e-12)
   }
 
+  test("ngramContainment flags a quoted subset jaccard misses; containedDocs keeps the superset") {
+    import spark.implicits._
+    // doc 1 = doc 0's text fully quoted inside a longer doc: containment
+    // of 0 in 1 is 1.0 while jaccard is small; doc 2 unrelated; docs 3/4
+    // identical (mutual containment clique — min id survives)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "intro words first alpha beta gamma delta epsilon and then a " +
+        "long tail of extra content follows here with many more tokens"),
+      (2L, "totally different text with other words"),
+      (3L, "same twin text here exactly"),
+      (4L, "same twin text here exactly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainment(corpus, "doc_id", "text", 3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"),
+          r.getAs[Double]("jaccard")))).toMap
+    val (ca, cb, j) = pairs((0L, 1L))
+    assert(ca == 1.0 && cb < 0.2 && j < 0.2) // subset: containment 1, jaccard tiny
+    val (ta, tb, tj) = pairs((3L, 4L))
+    assert(ta == 1.0 && tb == 1.0 && tj == 1.0)
+    val victims = Dedup.containedDocs(corpus, "doc_id", "text", 3, 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("kept_in")).toMap
+    // 0 is absorbed by the bigger 1; 4 loses the equal-size tie to 3;
+    // nothing beats 1, 2, 3 — strict order means no cycle can drop both twins
+    assert(victims == Map(0L -> 1L, 4L -> 3L))
+    val kept = Dedup.containmentDedup(corpus, "doc_id", "text", 3, 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("simhash: identical texts share signature; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
