@@ -3594,6 +3594,63 @@ object Queries {
                  * 255)::INT AS q
              FROM e JOIN s USING (pos) ORDER BY vec_id, pos""")),
 
+    // ---- distributed PCA: covariance pass (the oracle-facing half) --------
+    // one treeAggregate folds (n, d sums, upper-tri product sums) per
+    // partition; cov = (Sxy - n*mu_i*mu_j)/(n-1). DuckDB recomputes every
+    // cell with covar_samp over the exploded embeddings — 2080 cells at
+    // dim 64, exact to the 6th decimal
+    QueryDef("q_pca_cov",
+      (s, d) => graft.pipeline.Pca.covFrame(
+          embeddings(s, d), "vec_id", "embedding")
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS v
+               FROM embeddings WHERE embedding IS NOT NULL)
+             SELECT a.pos AS i, b.pos AS j,
+               round(covar_samp(a.v, b.v), 6) AS cov
+             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- PCA eigensolve integrity contract --------------------------------
+    // the driver-side Jacobi solve can't be replayed in SQL, but its
+    // invariants can: the eigenvalue sum must reproduce the covariance
+    // trace (rotation invariance — drifts iff the solve lost mass; the
+    // oracle recomputes the trace as sum of per-dim var_samp and expects
+    // eig_sum to match it), eigenvalues sorted desc, components
+    // orthonormal to 1e-9. Projection exactness lives in PcaSpec
+    // (projected variance == eigenvalue, reconstruction, whitening)
+    QueryDef("q_pca_check",
+      (s, d) => graft.pipeline.Pca.fitCheck(
+          embeddings(s, d), "vec_id", "embedding")
+        .select(col("dim").cast("long").as("dim"),
+          round(col("trace_cov"), 6).as("trace_cov"),
+          round(col("eig_sum"), 6).as("eig_sum"),
+          col("monotone"), col("orthonormal")),
+      Some("""WITH e AS (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+             t AS (SELECT pos, var_samp(v) AS vs FROM e GROUP BY pos)
+             SELECT (SELECT max(len(embedding)) FROM embeddings)::BIGINT AS dim,
+               round(sum(vs), 6) AS trace_cov,
+               round(sum(vs), 6) AS eig_sum,
+               true AS monotone, true AS orthonormal
+             FROM t""")),
+
+    // rows-only bench twin: fit + project to the top-8 components (the
+    // OPQ-lite rotation ahead of PQ subspace splits). Values depend on the
+    // eigenvectors, which SQL can't derive — exactness is pinned by
+    // q_pca_cov + q_pca_check + PcaSpec
+    QueryDef("q_pca_project",
+      (s, d) => graft.pipeline.Pca.fitTransform(
+          embeddings(s, d), "vec_id", "embedding", k = 8)
+        .select(col("vec_id"), posexplode(col("projection")).as(Seq("pos", "y")))
+        .select(col("vec_id"), col("pos"), round(col("y"), 6).as("y"))
+        .orderBy("vec_id", "pos"),
+      None),
+
     // ---- Product-quantization ANN (memory tier under IVF) -----------------
     // 8 codes/vector instead of 64 floats; ADC scoring (per-query lookup
     // tables, m adds per corpus row). Output is deterministic (seeded

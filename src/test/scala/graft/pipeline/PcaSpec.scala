@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  // deterministic pseudo-random vectors (no RNG — SplitMix-ish mixing)
+  private def synth(n: Int, d: Int) = {
+    import spark.implicits._
+    (0 until n).map { r =>
+      (r.toLong, Array.tabulate(d) { c =>
+        val x = (r * 2654435761L + c * 40503L + 12345L) * 0x9E3779B97F4A7C15L
+        ((x >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 2.0
+      }.map(_.toFloat))
+    }.toDF("id", "vec")
+  }
+
+  test("fit recovers the hand-computed eigensystem of a 2-D cloud") {
+    import spark.implicits._
+    // points (2,1),(-2,-1),(1,2),(-1,-2): mean 0, sample cov
+    // [[10/3, 8/3], [8/3, 10/3]] -> eigenvalues 6 and 2/3, axes (1,1)/√2
+    // and (1,-1)/√2 (sign-normalized: largest entry positive)
+    val pts = Seq(
+      (0L, Array(2f, 1f)), (1L, Array(-2f, -1f)),
+      (2L, Array(1f, 2f)), (3L, Array(-1f, -2f))
+    ).toDF("id", "vec")
+    val m = Pca.fit(pts, "id", "vec")
+    assert(math.abs(m.eigenvalues(0) - 6.0) < 1e-12)
+    assert(math.abs(m.eigenvalues(1) - 2.0 / 3.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(m.components(0)(0) - r2) < 1e-12 &&
+      math.abs(m.components(0)(1) - r2) < 1e-12)
+    assert(math.abs(m.components(1)(0) + r2) < 1e-12 !=
+      math.abs(m.components(1)(0) - r2) < 1e-12) // (1,-1) or (-1,1) pre-sign
+    assert(m.components(1)(0) * m.components(1)(1) < 0)
+    assert(math.abs(m.totalVariance - (6.0 + 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(m.explainedVarianceRatio.sum - 1.0) < 1e-12)
+  }
+
+  test("components are orthonormal; eigenvalues desc; trace preserved") {
+    val df = synth(200, 7)
+    val m = Pca.fit(df, "id", "vec")
+    for (a <- 0 until m.k; b <- a until m.k) {
+      val dot = (0 until m.dim).map(i => m.components(a)(i) * m.components(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"components $a,$b dot $dot")
+    }
+    assert(m.eigenvalues.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12))
+    assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
+  }
+
+  test("projected sample variance equals the eigenvalue; whiten gives unit variance") {
+    val df = synth(150, 5)
+    val m = Pca.fit(df, "id", "vec", k = 3)
+    val proj = Pca.transform(df, "id", "vec", m).collect()
+      .map(r => r.getAs[Seq[Double]]("projection").toArray)
+    for (c <- 0 until 3) {
+      val xs = proj.map(_(c))
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(v - m.eigenvalues(c)) < 1e-9, s"component $c var $v")
+      // components of a centered projection have mean ~0
+      assert(math.abs(mu) < 1e-9)
+    }
+    val white = Pca.transform(df, "id", "vec", m, whiten = true).collect()
+      .map(r => r.getAs[Seq[Double]]("projection").toArray)
+    for (c <- 0 until 3) {
+      val xs = white.map(_(c))
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(v - 1.0) < 1e-9, s"whitened component $c var $v")
+    }
+  }
+
+  test("reconstruction error shrinks with k and hits ~0 at full rank") {
+    val df = synth(120, 6)
+    val rows = df.collect().map(r =>
+      r.getAs[Seq[Float]]("vec").map(_.toDouble).toArray)
+    def reconErr(k: Int): Double = {
+      val m = Pca.fit(df, "id", "vec", k)
+      rows.map { x =>
+        // x̂ = mean + Σ_c (w_c · (x − mean)) w_c
+        val xhat = m.mean.clone()
+        for (c <- 0 until m.k) {
+          val w = m.components(c)
+          val y = (0 until m.dim).map(i => w(i) * (x(i) - m.mean(i))).sum
+          for (i <- 0 until m.dim) xhat(i) += y * w(i)
+        }
+        (0 until m.dim).map(i => (x(i) - xhat(i)) * (x(i) - xhat(i))).sum
+      }.sum
+    }
+    val errs = (1 to 6).map(reconErr)
+    assert(errs.sliding(2).forall(w => w(0) >= w(1) - 1e-9), errs.toString)
+    assert(errs.last < 1e-9)
+  }
+
+  test("fitCheck flags hold; guards fire on bad input") {
+    val df = synth(60, 4)
+    val row = Pca.fitCheck(df, "id", "vec").head()
+    assert(row.getAs[Boolean]("monotone") && row.getAs[Boolean]("orthonormal"))
+    assert(math.abs(row.getAs[Double]("trace_cov") - row.getAs[Double]("eig_sum")) < 1e-9)
+    import spark.implicits._
+    val one = Seq((0L, Array(1f, 2f))).toDF("id", "vec")
+    intercept[IllegalArgumentException](Pca.fit(one, "id", "vec"))
+    intercept[IllegalArgumentException](Pca.fit(df, "id", "vec", k = 99))
+    val ragged = Seq((0L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f))).toDF("id", "vec")
+    intercept[Exception](Pca.fit(ragged, "id", "vec"))
+  }
+}
