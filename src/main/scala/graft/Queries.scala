@@ -2637,6 +2637,33 @@ object Queries {
     // first-fit packing WITHOUT splitting docs (BERT/T5-style): greedy
     // per-partition first-fit — bin ASSIGNMENT is partition-local and not
     // SQL-expressible, so the driver records the one-row invariant summary
+    // ---- per-doc sliding-window chunking (overlap, right-aligned tail) ----
+    // chunks of 32 tokens advancing by 24; the last chunk right-aligns to
+    // the final 32 tokens (full width, no sub-overlap tail) — chunk count
+    // 1 + ceil((n-32)/24) is closed-form, so the oracle replays every
+    // chunk string verbatim. ZERO shuffles: one typed flatMap per row.
+    QueryDef("q_chunk_split",
+      (s, d) => graft.pipeline.Packing.chunkSplit(documents(s, d),
+          "doc_id", "text", window = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             par AS (SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= 32 THEN 1
+                 ELSE 1 + CAST(ceil((len(t) - 32) / 24.0) AS INT) END AS m
+               FROM tok),
+             ks AS (SELECT doc_id, t, n, m,
+               unnest(generate_series(0, m - 1)) AS k FROM par),
+             c AS (SELECT doc_id, t, n, m, k,
+               CASE WHEN n <= 32 THEN 0
+                 WHEN k = m - 1 THEN n - 32 ELSE k * 24 END AS s,
+               CASE WHEN n <= 32 THEN n ELSE 32 END AS w
+               FROM ks)
+             SELECT doc_id, k::INT AS chunk_id, s::INT AS start_token,
+               w::INT AS n_tokens,
+               array_to_string(list_slice(t, s + 1, s + w), ' ') AS chunk
+             FROM c ORDER BY doc_id, chunk_id""")),
+
     // (rows-only); PackingSpec pins the invariants (no bin over budget,
     // no doc lost, deterministic reruns, oversize isolation).
     // bin ASSIGNMENT stays partition-local / engine-specific, but the

@@ -151,6 +151,51 @@ object Packing {
     chunkedPack(df, idCol, tokensCol, shardTokens)
       .select(col(idCol), col("tokens"), col("first_bin").as("shard"))
 
+  /** Per-document sliding-window chunking with overlap — the RAG/context-
+    * window splitter ([[chunkedPack]] cuts the CONCATENATED stream across
+    * documents; this cuts WITHIN each document and never mixes two docs in
+    * one chunk). Chunks are `window` tokens advancing by
+    * `window − overlap`; when the tail would fall short, the LAST chunk is
+    * right-aligned to the final `window` tokens (full width, possibly
+    * deeper overlap with its predecessor) — no sub-overlap tail fragments,
+    * every token covered, chunk count = 1 + ceil((n−window)/stride) —
+    * deterministic and closed-form, so SQL replays it exactly. A doc with
+    * n ≤ window yields itself as its single chunk.
+    *
+    * Scale shape: one typed flatMap over (id, text) — ZERO shuffles, no
+    * per-doc state beyond the token array; chunk ids are (doc, position)
+    * so downstream group-bys key on the doc id prefix. Tokenization is
+    * [[TextAnalysis.fastTokens]] (whitespace semantics shared with the
+    * rest of the text tier). Output: (idCol, chunk_id, start_token,
+    * n_tokens, chunk). */
+  def chunkSplit(df: DataFrame, idCol: String, textCol: String,
+                 window: Int, overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap")
+    Similarity.requireIntegralId(df, idCol, "chunkSplit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stride = window - overlap
+    df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = TextAnalysis.fastTokens(text)
+        val n = toks.length
+        if (n <= window)
+          Iterator.single((id, 0, 0, n, toks.mkString(" ")))
+        else {
+          val m = 1 + ((n - window + stride - 1) / stride)
+          (0 until m).iterator.map { k =>
+            val s = if (k == m - 1) n - window else k * stride
+            (id, k, s, window, toks.slice(s, s + window).mkString(" "))
+          }
+        }
+      }
+      .toDF(idCol, "chunk_id", "start_token", "n_tokens", "chunk")
+  }
+
   /** Write the corpus as token-budgeted training shards:
     * `path/shard=N/...parquet` via a partitioned write (one directory per
     * shard — the layout loaders shard-shuffle from), plus a manifest at

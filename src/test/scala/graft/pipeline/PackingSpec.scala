@@ -68,6 +68,33 @@ class PackingSpec extends SparkSpec {
     assert(s.getAs[Long]("total_tokens") == 2020L)
   }
 
+  test("chunkSplit: overlap carry, right-aligned tail, full coverage, short docs intact") {
+    import spark.implicits._
+    // 10 tokens, window 4, overlap 1 (stride 3): m = 1 + ceil(6/3) = 3,
+    // starts 0, 3, 6 (tail right-aligns to n-window = 6, here == 2*stride)
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (1L, "a b c"),                       // n <= window: single chunk
+      (2L, "x0 x1 x2 x3 x4 x5 x6 x7")      // n=8: starts 0, 3, 4 (tail aligns)
+    ).toDF("doc_id", "text")
+    val r = Packing.chunkSplit(docs, "doc_id", "text", window = 4, overlap = 1)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("chunk_id")) ->
+        (x.getAs[Int]("start_token"), x.getAs[Int]("n_tokens"), x.getAs[String]("chunk"))).toMap
+    assert(r((0L, 0)) == ((0, 4, "t0 t1 t2 t3")))
+    assert(r((0L, 1)) == ((3, 4, "t3 t4 t5 t6"))) // first token repeats the previous chunk's last
+    assert(r((0L, 2)) == ((6, 4, "t6 t7 t8 t9")))
+    assert(r((1L, 0)) == ((0, 3, "a b c")))
+    assert(r((2L, 2)) == ((4, 4, "x4 x5 x6 x7"))) // right-aligned, deeper overlap
+    // coverage: every token index of doc 0 falls in some chunk
+    val covered = r.keys.filter(_._1 == 0L).map(r).flatMap {
+      case (s, w, _) => s until s + w }.toSet
+    assert(covered == (0 until 10).toSet)
+    intercept[IllegalArgumentException](
+      Packing.chunkSplit(docs, "doc_id", "text", window = 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      Packing.chunkSplit(docs, "doc_id", "text", window = 0, overlap = 0))
+  }
+
   test("writeShards: partitioned layout, manifest matches files, round-trip intact") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc $i", i * 10)).toDF("doc_id", "text", "n_toks")
