@@ -3082,6 +3082,80 @@ object Queries {
              SELECT v.token, v.cnt, est.est FROM v JOIN est USING (token)
              ORDER BY token""")),
 
+    // ---- mergeable histogram sketch (cross-batch quantiles) ---------------
+    // equal-width cells over a pinned range; the cell index is ONE fixed
+    // IEEE double expression (floor((v-lo)/(hi-lo)*bins), clamped) so
+    // DuckDB replays the whole counter table bit-for-bit — the quantile
+    // analog of the q_cms cell contract. Cells merge by addition across
+    // partitions AND persisted batches (q_hist_merge).
+    QueryDef("q_hist_sketch",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        graft.agg.CountHist.histFrame(graft.agg.CountHist.sketchCol(
+            lineitem(s, d), "l_extendedprice", 900.0, 105000.0, 64))
+          .select(col("bin"), col("n")).orderBy("bin")
+      },
+      Some("""WITH v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+             b AS (SELECT CASE WHEN v < 900.0 THEN -1
+               WHEN v > 105000.0 THEN 64
+               ELSE least(CAST(floor((v - 900.0) / (105000.0 - 900.0) * 64)
+                 AS INT), 63) END AS bin FROM v),
+             c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+             g AS (SELECT unnest(generate_series(-1, 64)) AS bin)
+             SELECT g.bin::INT AS bin, coalesce(c.n, 0)::BIGINT AS n
+             FROM g LEFT JOIN c USING (bin) ORDER BY bin""")),
+
+    // cross-batch persistence contract: sketch half the corpus, append
+    // the other half into the parquet sketch, read back — the merged
+    // cells must equal the whole-corpus single-pass cells, which is what
+    // the oracle computes (addition is exact, so this is hash-green, not
+    // bounded)
+    QueryDef("q_hist_merge",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val li = lineitem(s, d)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-histsketch").toString
+        graft.agg.CountHist.write(graft.agg.CountHist.sketchCol(
+          li.filter(col("l_orderkey") % 2 === 0),
+          "l_extendedprice", 900.0, 105000.0, 64), path)
+        graft.agg.CountHist.append(
+          li.filter(col("l_orderkey") % 2 =!= 0), "l_extendedprice", path)
+        graft.agg.CountHist.histFrame(graft.agg.CountHist.read(path))
+          .select(col("bin"), col("n")).orderBy("bin")
+      },
+      Some("""WITH v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+             b AS (SELECT CASE WHEN v < 900.0 THEN -1
+               WHEN v > 105000.0 THEN 64
+               ELSE least(CAST(floor((v - 900.0) / (105000.0 - 900.0) * 64)
+                 AS INT), 63) END AS bin FROM v),
+             c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+             g AS (SELECT unnest(generate_series(-1, 64)) AS bin)
+             SELECT g.bin::INT AS bin, coalesce(c.n, 0)::BIGINT AS n
+             FROM g LEFT JOIN c USING (bin) ORDER BY bin""")),
+
+    // sketch-quantile contract in the percentileApproxCheck style: the
+    // deterministic column is the EXACT type-7 quantile (DuckDB
+    // quantile_cont); the flag asserts the sketch estimate landed within
+    // 2 cell widths of it (crossing cell or its neighbor)
+    QueryDef("q_hist_quantile",
+      (s, d) => graft.agg.CountHist.quantileCheck(lineitem(s, d),
+          "l_extendedprice", 900.0, 105000.0, bins = 512,
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("p"), round(col("exact"), 6).as("exact"), col("ok"))
+        .orderBy("p"),
+      Some("""SELECT p, round(ex, 6) AS exact, true AS ok FROM (
+               SELECT 0.25 AS p, quantile_cont(l_extendedprice, 0.25) AS ex
+                 FROM lineitem
+               UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5)
+                 FROM lineitem
+               UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9)
+                 FROM lineitem
+               UNION ALL SELECT 0.99, quantile_cont(l_extendedprice, 0.99)
+                 FROM lineitem) ORDER BY p""")),
+
     // ---- Ranking metrics (recall@k / MRR / nDCG for the retrieval tier) ---
     // deterministic SQL-able fixture: ranked list = each source's top-20
     // docs by (n_chars desc, id); truth = that source's doc_id % 7 == 0
