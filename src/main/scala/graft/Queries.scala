@@ -1994,6 +1994,53 @@ object Queries {
              SELECT id, min(r) AS component FROM reach
              GROUP BY id ORDER BY id""")),
 
+    // ---- incremental CC: fold a batch of pairs into a standing labeling ---
+    // the same near-dup graph split deterministically in two: labels from
+    // the even-parity edges, then updateComponents folds the odd-parity
+    // batch in — only AFFECTED components recompute (the standing labels
+    // frame is touched by broadcast joins only). The result must be
+    // hash-identical to the full-graph closure, which is exactly what the
+    // oracle computes (same SQL as q_dedup_cc).
+    QueryDef("q_cc_update",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.pipeline.Dedup
+          .ngramJaccard(docs, "doc_id", "text", 3, maxDf = 20)
+          .filter(col("jaccard") >= 0.3)
+          .select("id_a", "id_b").cache()
+        val base = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+        val batch = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+        val labels = graft.pipeline.Components.connectedComponents(base)
+        graft.pipeline.Components.updateComponents(labels, batch)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             shall AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             dfreq AS (SELECT s, count(*) AS c FROM shall GROUP BY 1),
+             sh AS (SELECT doc_id, s FROM shall
+               WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 20)),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (SELECT id_a, id_b
+               FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+               WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.3),
+             edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+             SELECT id, min(r) AS component FROM reach
+             GROUP BY id ORDER BY id""")),
+
     // transitive near-dedup end-to-end: ONE representative (min id) kept
     // per component, untouched docs pass through; victims removed by a
     // broadcast anti-join (the corpus never shuffles).

@@ -206,6 +206,59 @@ object Components {
     }
   }
 
+  /** Incremental connected components: fold a BATCH of new pairs into an
+    * existing labeling without recomputing the standing corpus — the CC
+    * companion of the incremental dedup screens (bloomNewRows /
+    * minhashDedupAgainst feed pairs here as batches arrive).
+    *
+    * `labels` must be a [[connectedComponents]]-shaped frame (one row per
+    * node, `component` = min reachable id — which is exactly what this
+    * method returns, so outputs chain). The result equals
+    * `connectedComponents(labels-as-star-edges ∪ newPairs)` — hash-
+    * identical to a full recompute (q_cc_update) — but only the AFFECTED
+    * components pay: components none of whose members touch a new pair
+    * pass through untouched.
+    *
+    * Scale shape: the three passes over the corpus-sized `labels` frame
+    * are all BROADCAST joins against batch-bounded sets (touched ids →
+    * affected component ids → the anti-join pass-through), so the
+    * standing labeling never shuffles; the star-edge reconstruction
+    * (member → old component) is exact old connectivity, and the CC
+    * rerun sees only affected-member + batch edges. A batch of b pairs
+    * touching components of total size m costs O(m + b) CC work
+    * regardless of corpus size. */
+  def updateComponents(labels: DataFrame, newPairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       maxIter: Int = 50,
+                       localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = labels.sparkSession
+    // batch pairs feed three consumers (touched ids + sub-edge union) —
+    // tiny by contract, cache so the generator runs once
+    val pairs = newPairs.select(col(aCol).cast("long").as("id_a"),
+      col(bCol).cast("long").as("id_b")).cache()
+    val touched = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    // components with at least one member touching a new pair
+    val affected = labels.join(broadcast(touched), Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    // old connectivity of the affected components as star edges
+    // (member -> old min id); reps contribute self-loops, keeping
+    // pair-less members present in the rerun
+    val affectedRows = labels.join(broadcast(affected), Seq("component"),
+      "left_semi")
+    val subEdges = affectedRows
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+      .unionAll(pairs)
+    val relabeled = connectedComponents(subEdges, maxIter = maxIter,
+      localThreshold = localThreshold)
+    val untouched = labels.join(broadcast(affected), Seq("component"),
+      "left_anti")
+    // the batch cache stays resident until LRU eviction (the result is
+    // lazy, so there is no sound unpersist point here) — same lifetime
+    // note as the ngramJaccard posting cache
+    untouched.select(col("id"), col("component")).unionAll(relabeled)
+  }
+
   /** Wrap a persisted edge RDD as a fresh DataFrame: the logical plan
     * becomes an opaque scan of the cached blocks, cutting the iterative
     * lineage (plans would otherwise double in size every round). */

@@ -114,6 +114,46 @@ class ComponentsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("updateComponents: merge, bridge, new clique, untouched pass-through") {
+    import spark.implicits._
+    // standing: {1,2,3} comp 1, {10,11} comp 10, {40,41} comp 40, 20 alone
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (40L, 41L), (20L, 20L))
+    val labels = Components.connectedComponents(base.toDF("id_a", "id_b"))
+    // batch: bridge 3-10 (merges comps 1 and 10), brand-new clique 30-31
+    val batch = Seq((3L, 10L), (30L, 31L)).toDF("id_a", "id_b")
+    val r = Components.updateComponents(labels, batch)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val full = cc(base ++ Seq((3L, 10L), (30L, 31L)))
+    assert(r == full)
+    assert(r(11L) == 1L && r(30L) == 30L && r(40L) == 40L && r(20L) == 20L)
+    // untouched components must arrive via pass-through, not recompute:
+    // drop {40,41} from the batch's reach and check they appear verbatim
+    assert(r.filter(_._2 == 40L).keySet == Set(40L, 41L))
+  }
+
+  test("updateComponents equals full recompute on random splits; chains compose") {
+    import spark.implicits._
+    // deterministic pseudo-random graph, split into base + two batches
+    val edges = (0 until 120).map { i =>
+      val a = (i * 2654435761L) % 60
+      val b = (i * 40503L + 7) % 60
+      (math.abs(a), math.abs(b))
+    }
+    val (base, rest) = edges.splitAt(60)
+    val (b1, b2) = rest.splitAt(30)
+    val l0 = Components.connectedComponents(base.toDF("id_a", "id_b"))
+    val l1 = Components.updateComponents(l0, b1.toDF("id_a", "id_b"))
+    val l2 = Components.updateComponents(l1, b2.toDF("id_a", "id_b"))
+    val got = l2.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == cc(edges))
+    // empty standing labeling degrades to plain CC
+    val fromEmpty = Components.updateComponents(
+      Seq.empty[(Long, Long)].toDF("id", "component"),
+      base.toDF("id_a", "id_b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fromEmpty == cc(base))
+  }
+
   test("empty pair frame yields empty components and a no-op dedup") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
