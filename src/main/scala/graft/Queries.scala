@@ -3475,6 +3475,40 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- PMI collocations (phrase detection) ------------------------------
+    // adjacent pairs co-occurring beyond their unigram expectation:
+    // pmi = ln((c12/N2) / ((c1/N1)(c2/N1))), bigram counts min-count
+    // pruned BEFORE the joins. The only float is the final ln-ratio
+    // (rounded); every count and both totals are integers the oracle
+    // reproduces exactly
+    QueryDef("q_collocations",
+      (s, d) => graft.pipeline.LanguageModel.collocations(
+          documents(s, d), "text", minCount = 10)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("w1", "w2"),
+      Some("""WITH toks AS (SELECT list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '') AS ts
+               FROM documents WHERE text IS NOT NULL),
+             b AS (SELECT unnest(list_transform(range(len(ts)-1),
+                 i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS bg
+               FROM toks WHERE len(ts) >= 2),
+             bb AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+             c12 AS (SELECT w1, w2, count(*) AS n_pair FROM bb
+               GROUP BY 1, 2 HAVING count(*) >= 10),
+             uni AS (SELECT tok, count(*) AS n_w FROM
+               (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+             t AS (SELECT sum(len(ts))::BIGINT AS n1,
+               sum(greatest(len(ts) - 1, 0))::BIGINT AS n2 FROM toks)
+             SELECT w1, w2, n_pair::BIGINT AS n_pair,
+               round(ln((n_pair::DOUBLE / n2::DOUBLE) /
+                 ((u1.n_w::DOUBLE / n1::DOUBLE) *
+                  (u2.n_w::DOUBLE / n1::DOUBLE))), 6) AS pmi
+             FROM c12 JOIN uni u1 ON u1.tok = w1
+               JOIN uni u2 ON u2.tok = w2 CROSS JOIN t
+             ORDER BY w1, w2""")),
+
     // ---- DSIR importance weights (Xie et al. 2023) ------------------------
     // hashed-n-gram importance log-ratio of every doc: target = the 'en'
     // slice, raw = the whole corpus. Feature hashing on the md5 basis

@@ -126,4 +126,52 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), avg("__ll").as("lm_score"))
       .select(col("__graft_id").as(idCol), col("n_bigrams"), col("lm_score"))
   } }
+
+  /** Collocation extraction via pointwise mutual information — the
+    * word2vec/Gensim-style phrase detector ("new york", "machine
+    * learning"): adjacent token pairs that co-occur far more than their
+    * unigram frequencies predict.
+    * `pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) )` with c12 from the
+    * bigram stream (N2 = total bigrams) and c1/c2 from the unigram stream
+    * (N1 = total tokens). `minCount` prunes rare pairs BEFORE the count
+    * joins — rare-pair PMI is noise (a hapax pair of two hapax tokens
+    * maxes the score) and the cut keeps the joined frame vocab-bounded.
+    *
+    * Scale shape: one typed bigram flatMap → hash aggregate (bigram-
+    * vocabulary-bounded, minCount-pruned), one unigram explode → hash
+    * aggregate (vocab-bounded), two token-keyed joins (AQE broadcasts the
+    * unigram side when it fits), scalar totals as a broadcast crossJoin.
+    * No windows, no driver state; the ln-ratio is one fixed expression
+    * the oracle replays. Output: (w1, w2, n_pair, pmi). */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"collocations needs minCount >= 1, got $minCount")
+    graft.util.Errors.context("collocations", Seq(textCol)) {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.na.drop(Seq(textCol))
+    val bi = src.select(col(textCol)).as[String].flatMap { text =>
+      val ts = tokenize(text)
+      (1 until ts.length).iterator.map(i => (ts(i - 1), ts(i)))
+    }.toDF("w1", "w2")
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uni = src.select(explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_w"))
+    // scalar totals straight off the source (same shape as
+    // tokenJsDivergence): N1 = token mass, N2 = bigram mass
+    val totals = src.agg(
+      coalesce(sum(size(alphaTokens(col(textCol)))), lit(0L)).as("n1"),
+      coalesce(sum(greatest(size(alphaTokens(col(textCol))) - 1, lit(0))),
+        lit(0L)).as("n2"))
+    c12
+      .join(uni.select(col("tok").as("w1"), col("n_w").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_w").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        log((col("n_pair").cast("double") / col("n2").cast("double")) /
+          ((col("c1").cast("double") / col("n1").cast("double")) *
+            (col("c2").cast("double") / col("n1").cast("double"))))
+          .as("pmi"))
+  } }
 }

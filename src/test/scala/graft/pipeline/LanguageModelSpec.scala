@@ -85,6 +85,31 @@ class LanguageModelSpec extends SparkSpec {
     assert(r.getLong(2) == 0L)
   }
 
+  test("collocations: closed-form PMI, minCount prune, phrase beats chance pair") {
+    import spark.implicits._
+    // "new york" always adjacent (a phrase); "the x" pairs are chance
+    val docs = Seq(
+      (1L, "new york is big and the city of new york is old"),
+      (2L, "the people of new york like the parks"),
+      (3L, "of the parks of the city") // extra 'of' mass, no 'of new' pair
+    ).toDF("doc_id", "text")
+    val r = LanguageModel.collocations(docs, "text", minCount = 2)
+      .collect().map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        (x.getAs[Long]("n_pair"), x.getAs[Double]("pmi"))).toMap
+    // token mass: 12 + 8 + 6 -> N1 = 26; bigrams 11 + 7 + 5 -> N2 = 23
+    // "new york": c12 = 3, c(new) = 3, c(york) = 3
+    val (nPair, pmi) = r(("new", "york"))
+    assert(nPair == 3L)
+    val want = math.log((3.0 / 23.0) / ((3.0 / 26.0) * (3.0 / 26.0)))
+    assert(math.abs(pmi - want) < 1e-12)
+    // pairs occurring once are pruned by minCount = 2
+    assert(!r.contains(("is", "big")))
+    // "of new" (2 occurrences, of=2 new=3) scores below the phrase
+    assert(r(("of", "new"))._2 < pmi)
+    intercept[IllegalArgumentException](
+      LanguageModel.collocations(docs, "text", minCount = 0))
+  }
+
   test("lmScore on empty input yields an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
