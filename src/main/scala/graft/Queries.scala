@@ -3475,6 +3475,36 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- deterministic upsampling (fractional replication) ----------------
+    // per-group epochs: en 2.5x (2 copies + Bernoulli(0.5) third), fr 0.5x
+    // (degrades to hashSample), other langs pass through once. The copy
+    // decision reuses the Lehmer key the oracle replays in integer
+    // arithmetic, and the fractional-part compare is IEEE-exact — the
+    // full (doc_id, replica) set hash-matches
+    QueryDef("q_upsample",
+      (s, d) => graft.pipeline.Sampling.upsampleBy(documents(s, d),
+          "doc_id", "lang", Map("en" -> 2.5, "fr" -> 0.5), seed = 11)
+        .select(col("doc_id"), col("lang"), col("replica"))
+        .orderBy("doc_id", "replica"),
+      Some("""WITH f AS (SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 0.5
+                 ELSE 1.0 END AS fac
+               FROM documents WHERE doc_id IS NOT NULL),
+             s1 AS (SELECT doc_id, lang, fac,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM f),
+             s2 AS (SELECT doc_id, lang, fac, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id, lang, fac,
+               ((((x3 + 11) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2),
+             n AS (SELECT doc_id, lang, (floor(fac) +
+                 CASE WHEN k < fac - floor(fac) THEN 1 ELSE 0 END)::INT AS c
+               FROM s3)
+             SELECT doc_id, lang,
+               unnest(generate_series(0, c - 1))::INT AS replica
+             FROM n WHERE c > 0 ORDER BY doc_id, replica""")),
+
     // ---- PMI collocations (phrase detection) ------------------------------
     // adjacent pairs co-occurring beyond their unigram expectation:
     // pmi = ln((c12/N2) / ((c1/N1)(c2/N1))), bigram counts min-count

@@ -73,6 +73,56 @@ object Sampling {
     df.filter(hashKey(col(idCol), seed) < frac)
   }
 
+  /** Deterministic fractional REPLICATION — the upsampling half of
+    * mixture control ("2.5 epochs of wikipedia per training pass")
+    * downsampling alone can't express. Every row gets `floor(factor)`
+    * copies plus one more iff its Lehmer key falls under the fractional
+    * part, so factor < 1 degrades exactly to [[hashSample]], factor = 1
+    * is the identity (one replica), and expected mass is factor·n with
+    * per-id decisions reproducible across runs, partitionings, and
+    * engines. Output adds `replica` (0-based) so (id, replica) stays a
+    * key for downstream shuffles/splits.
+    *
+    * Pure column arithmetic + one explode of a ≤ ⌈factor⌉-element
+    * sequence — no join, no shuffle, no RNG state; rows with zero copies
+    * vanish through the explode. */
+  def upsample(df: DataFrame, idCol: String, factor: Double,
+               seed: Long = 0L): DataFrame = {
+    require(factor >= 0, s"factor must be >= 0, got $factor")
+    Similarity.requireIntegralId(df, idCol, "upsample")
+    upsampled(df.na.drop(Seq(idCol)), idCol, lit(factor), seed)
+  }
+
+  /** Per-group replication factors as a literal CASE (no join, no
+    * shuffle): the mixture-plan apply step when some groups need MORE
+    * than one epoch. Groups absent from `factors` keep one replica
+    * (factor 1.0) — upsampling is additive, unlike [[stratifiedSample]]'s
+    * drop-absent contract. */
+  def upsampleBy(df: DataFrame, idCol: String, groupCol: String,
+                 factors: Map[String, Double],
+                 seed: Long = 0L): DataFrame = {
+    factors.foreach { case (k, f) =>
+      require(f >= 0, s"factor for '$k' must be >= 0, got $f")
+    }
+    Similarity.requireIntegralId(df, idCol, "upsampleBy")
+    val fac = factors.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
+      when(col(groupCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    upsampled(df.na.drop(Seq(idCol)), idCol, fac, seed)
+  }
+
+  private def upsampled(df: DataFrame, idCol: String, fac: Column,
+                        seed: Long): DataFrame = {
+    val copies = (floor(fac) +
+      when(hashKey(col(idCol), seed) < fac - floor(fac), 1L).otherwise(0L))
+      .cast("int")
+    df.withColumn("__graft_copies", copies)
+      .filter(col("__graft_copies") > 0)
+      .withColumn("replica",
+        explode(sequence(lit(0), col("__graft_copies") - 1)))
+      .drop("__graft_copies")
+  }
+
   /** Deterministic train/validation/test assignment: adds `splitCol` with
     * values "train"/"val"/"test" by hash range — membership survives
     * appends and re-partitioning, the property random splits lack. Rows

@@ -465,6 +465,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("upsample: copy counts, hashSample degradation, determinism, replica key") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("id", "grp")
+    // factor 2.5: every id gets 2 or 3 replicas; mass ~2.5x
+    val up = Sampling.upsample(rows, "id", 2.5, seed = 3)
+    val perId = up.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId.size == 1000 && perId.values.forall(c => c == 2L || c == 3L))
+    val mass = perId.values.sum
+    assert(mass > 2300 && mass < 2700, s"mass $mass")
+    // replica indices are 0..c-1 per id (composite key intact)
+    val reps = up.filter(col("id") === perId.find(_._2 == 3L).get._1)
+      .select("replica").as[Int].collect().sorted
+    assert(reps.sameElements(Array(0, 1, 2)))
+    // factor < 1 degrades to hashSample's exact row set (replica 0)
+    val down = Sampling.upsample(rows, "id", 0.3, seed = 9)
+    val sampled = Sampling.hashSample(rows, "id", 0.3, seed = 9)
+    assert(down.select("id").as[Long].collect().sorted
+      .sameElements(sampled.select("id").as[Long].collect().sorted))
+    assert(down.select("replica").distinct().as[Int].collect().sameElements(Array(0)))
+    // reruns are bit-identical; factor 1 is the identity
+    assert(Sampling.upsample(rows, "id", 2.5, seed = 3).count() == mass)
+    assert(Sampling.upsample(rows, "id", 1.0).count() == 1000)
+    // per-group: absent groups keep one replica
+    val byGrp = Sampling.upsampleBy(rows, "id", "grp", Map("en" -> 3.0))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("en") == 750 && byGrp("de") == 750)
+    intercept[IllegalArgumentException](Sampling.upsample(rows, "id", -0.1))
+  }
+
   test("hash sampling is partitioning-independent and fraction-accurate") {
     import spark.implicits._
     val ids = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
