@@ -3902,6 +3902,59 @@ object Queries {
       },
       None),
 
+    // ---- IVF-PQ persistence contract --------------------------------------
+    // write the trained index + both model halves to parquet, reload, and
+    // require the routed ADC search to reproduce the in-memory results
+    // EXACTLY (ids and cos, full-precision join); also append one known
+    // vector under the persisted models and require it findable. The
+    // deterministic columns (corpus size, parity flags) are what the
+    // oracle reproduces — same triple-contract style as q_text_index
+    QueryDef("q_pq_persist",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val e = embeddings(s, d)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .head().getSeq[Double](0).toArray
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (index, ivfC, cb) = graft.pipeline.Quantize.ivfPqIndex(corpus,
+          "vec_id", "embedding", nCells = 16, m = 16, ksub = 256)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-pqpersist").toString
+        graft.pipeline.Quantize.writeIvfPq(index, ivfC, cb, "vec_id", path)
+        val (index2, ivfC2, cb2) = graft.pipeline.Quantize.readIvfPq(path, "vec_id")
+        def top(ix: DataFrame, cs: Array[Array[Double]],
+                book: graft.pipeline.Quantize.PQCodebook) =
+          graft.pipeline.Quantize.ivfPqTopK(ix, cs, book, "vec_id", qvec,
+            k = 10, nProbe = 4)
+        val mism = top(index, ivfC, cb)
+          .select(col("vec_id"), col("cos"))
+          .join(top(index2, ivfC2, cb2)
+              .select(col("vec_id").as("__i2"), col("cos").as("__c2")),
+            col("vec_id") === col("__i2") && col("cos") === col("__c2"),
+            "full_outer")
+          .filter(col("vec_id").isNull || col("__i2").isNull)
+          .agg(count(lit(1)).as("__mism"))
+        // append the query vector itself under the persisted models — the
+        // reloaded index must serve it back as its own nearest neighbor
+        graft.pipeline.Quantize.appendIvfPq(
+          e.filter(col("vec_id") === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", path)
+        val (index3, ivfC3, cb3) = graft.pipeline.Quantize.readIvfPq(path, "vec_id")
+        val served = graft.pipeline.Quantize.ivfPqTopK(index3, ivfC3, cb3,
+            "vec_id", qvec, k = 1, nProbe = 4)
+          .agg(max((col("vec_id") === 1000000L).cast("int")).as("__hit"))
+        corpus.agg(count(lit(1)).as("n_corpus"))
+          .crossJoin(mism).crossJoin(served)
+          .select(col("n_corpus"),
+            (col("__mism") === 0).as("roundtrip_identical"),
+            (col("__hit") === 1).as("appended_served"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_corpus,
+             true AS roundtrip_identical, true AS appended_served
+             FROM embeddings WHERE vec_id <> 0""")),
+
     // gate: PQ top-10 must overlap the EXACT brute-force top-10 by >= 0.5
     // on average over 8 queries (same subset-style contract as the LSH
     // gates — the oracle reproduces the query count; the floor is a Spark-

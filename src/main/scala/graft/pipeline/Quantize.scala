@@ -227,6 +227,91 @@ object Quantize {
     (index, centers, cb)
   }
 
+  /** Persist an IVF-PQ index: the encoded rows at `path/index` and both
+    * model halves (IVF centroids + PQ codebook) at `path/meta` as
+    * (kind, i, j, vec) rows — self-describing (dim/m/ksub/nCells all
+    * derive from the meta rows), so [[readIvfPq]] needs no side channel.
+    * The persisted-screen pattern of TextIndex/VecIndex applied to ANN
+    * serving: train/encode once, search and APPEND forever after without
+    * touching float vectors or refitting. */
+  def writeIvfPq(index: DataFrame, centers: Array[Array[Double]],
+                 cb: PQCodebook, idCol: String, path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.select(col(idCol).cast("long").as("id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/index")
+    val ivfRows = centers.zipWithIndex.map { case (c, i) =>
+      ("ivf", i, 0, c.toSeq)
+    }
+    val pqRows = for {
+      sub <- 0 until cb.m
+      code <- 0 until cb.ksub
+    } yield ("pq", sub, code, cb.centers(sub)(code).toSeq)
+    (ivfRows.toSeq ++ pqRows).toDF("kind", "i", "j", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted IVF-PQ index back: (index frame over the parquet
+    * files — appends picked up on re-read — IVF centers, PQ codebook). */
+  def readIvfPq(path: String, idCol: String)
+               (implicit spark: org.apache.spark.sql.SparkSession)
+      : (DataFrame, Array[Array[Double]], PQCodebook) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("kind", "i", "j", "vec").collect()
+    val ivf = meta.filter(_.getString(0) == "ivf")
+      .map(r => r.getInt(1) -> r.getSeq[Double](3).toArray)
+      .sortBy(_._1).map(_._2)
+    require(ivf.nonEmpty, s"readIvfPq: no IVF centroids at $path/meta")
+    val pq = meta.filter(_.getString(0) == "pq")
+    require(pq.nonEmpty, s"readIvfPq: no PQ codebook at $path/meta")
+    val m = pq.map(_.getInt(1)).max + 1
+    val ksub = pq.map(_.getInt(2)).max + 1
+    val centers = Array.ofDim[Array[Double]](m, ksub)
+    pq.foreach { r =>
+      centers(r.getInt(1))(r.getInt(2)) = r.getSeq[Double](3).toArray
+    }
+    val dsub = centers(0)(0).length
+    val cb = new PQCodebook(m * dsub, m, centers)
+    val index = spark.read.parquet(s"$path/index")
+      .select(col("id").as(idCol), col("cell"), col("codes"))
+    (index, ivf, cb)
+  }
+
+  /** Encode a new batch under the PERSISTED models and append its rows to
+    * `path/index` — continuous ANN ingestion with zero refit and zero
+    * old-row rewrites (cell assignment + codes are one typed map against
+    * the broadcast meta; the append is batch-sized). Readers pick the new
+    * rows up on their next [[readIvfPq]]. */
+  def appendIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    import spark.implicits._
+    val (_, ivf, cb) = readIvfPq(path, idCol)
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    df.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val c = bcCb.value
+        require(v.length == c.dim,
+          s"appendIvfPq: vector dim ${v.length} != codebook dim ${c.dim}")
+        val cell = Similarity.nearestCenter(v, bcIvf.value)
+        val codes = new Array[Int](c.m)
+        var sub = 0
+        while (sub < c.m) {
+          val slice = java.util.Arrays.copyOfRange(
+            v, sub * c.dsub, (sub + 1) * c.dsub)
+          codes(sub) = Similarity.nearestCenter(slice, c.centers(sub))
+          sub += 1
+        }
+        (id, cell, codes)
+      }
+      .toDF("id", "cell", "codes")
+      .write.mode("append").parquet(s"$path/index")
+  }
+
   /** IVF-routed ADC search: rank cells by centroid cosine, ADC-score the
     * top `nProbe` cells' codes. Scan cost ≈ nProbe/nCells of [[pqTopK]]'s,
     * and the cell filter prunes at the source. `nProbe = nCells` degrades

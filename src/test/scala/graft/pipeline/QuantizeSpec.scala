@@ -178,6 +178,42 @@ class QuantizeSpec extends SparkSpec {
       s"nProbe=1 recall ${(narrow & exact).size}/10")
   }
 
+  test("IVF-PQ persistence: round-trip search identical; append serves new vectors") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(12)(rnd.nextDouble() * 8 - 4))
+    def near(c: Array[Double]) = c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat)
+    val rows = (0 until 200).map(i => (i.toLong, near(centers(i % 4))))
+    val df = rows.toDF("id", "v").repartition(3)
+    val (index, ivfC, cb) = Quantize.ivfPqIndex(df, "id", "v",
+      nCells = 4, m = 4, ksub = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Quantize.writeIvfPq(index, ivfC, cb, "id", path)
+    val (index2, ivfC2, cb2) = Quantize.readIvfPq(path, "id")
+    // models survive byte-for-byte
+    assert(ivfC2.map(_.toSeq).toSeq == ivfC.map(_.toSeq).toSeq)
+    assert(cb2.dim == cb.dim && cb2.m == cb.m && cb2.ksub == cb.ksub)
+    assert((0 until cb.m).forall(s => (0 until cb.ksub).forall(c =>
+      cb2.centers(s)(c).sameElements(cb.centers(s)(c)))))
+    // search over the reloaded index is identical (full probe: order too)
+    val q = rows(7)._2.map(_.toDouble)
+    def top(ix: org.apache.spark.sql.DataFrame,
+            cs: Array[Array[Double]], book: Quantize.PQCodebook) =
+      Quantize.ivfPqTopK(ix, cs, book, "id", q, k = 8, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(index2, ivfC2, cb2) == top(index, ivfC, cb))
+    // append a batch: its vectors become findable without refit; a vector
+    // placed ON a centroid must dominate the ranking
+    val batch = Seq((1000L, centers(1).map(_.toFloat))).toDF("id", "v")
+    Quantize.appendIvfPq(batch, "id", "v", path)
+    val (index3, ivfC3, cb3) = Quantize.readIvfPq(path, "id")
+    assert(index3.count() == 201)
+    val hits = Quantize.ivfPqTopK(index3, ivfC3, cb3, "id",
+      centers(1), k = 3, nProbe = 4).collect().map(_.getLong(0))
+    assert(hits.contains(1000L))
+  }
+
   test("PQ: encode and topk are partitioning-independent") {
     import spark.implicits._
     val rows = vecs(120, 8, seed = 14)
