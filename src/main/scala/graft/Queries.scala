@@ -3183,6 +3183,42 @@ object Queries {
              SELECT g.bin::INT AS bin, coalesce(c.n, 0)::BIGINT AS n
              FROM g LEFT JOIN c USING (bin) ORDER BY bin""")),
 
+    // ---- cross-batch cardinality sketch (HLL union over parquet) ----------
+    // the distinct-count member of the persisted-sketch trio: write the
+    // even-orderkey batch, append the odd one, read back the running
+    // union — BOTH the merged and the single-pass estimate must land
+    // within the 4·rsd envelope of the whole-corpus exact count. (The two
+    // estimates agree exactly only in the pre-promotion coupon regime —
+    // DistinctSketchSpec pins that; once promoted to dense HLL the union
+    // can differ from single-pass by mode/precision, so the cross-batch
+    // contract is the envelope, not bit-equality.) Oracle reproduces the
+    // exact count + flags
+    QueryDef("q_distinct_sketch",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val li = lineitem(s, d)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-hllsketch").toString
+        graft.agg.DistinctSketch.write(graft.agg.DistinctSketch.sketchCol(
+          li.filter(col("l_orderkey") % 2 === 0), "l_partkey"), path)
+        graft.agg.DistinctSketch.append(
+          li.filter(col("l_orderkey") % 2 =!= 0), "l_partkey", path)
+        val merged = graft.agg.DistinctSketch.estimate(
+          graft.agg.DistinctSketch.read(path))
+        val single = graft.agg.DistinctSketch.estimate(
+          graft.agg.DistinctSketch.sketchCol(li, "l_partkey"))
+        val exact = li.na.drop(Seq("l_partkey"))
+          .agg(countDistinct(col("l_partkey"))).head().getLong(0)
+        val bound = 4.0 * graft.agg.DistinctSketch.rsd(12) * exact
+        import s.implicits._
+        Seq((exact, math.abs(merged - exact).toDouble <= bound,
+            math.abs(single - exact).toDouble <= bound))
+          .toDF("n_exact", "merged_within_envelope", "single_within_envelope")
+      },
+      Some("""SELECT count(DISTINCT l_partkey)::BIGINT AS n_exact,
+             true AS merged_within_envelope, true AS single_within_envelope
+             FROM lineitem""")),
+
     // sketch-quantile contract in the percentileApproxCheck style: the
     // deterministic column is the EXACT type-7 quantile (DuckDB
     // quantile_cont); the flag asserts the sketch estimate landed within
