@@ -2334,6 +2334,31 @@ object Queries {
              SELECT vec_id, nid, round(cos, 6) AS cos, rank
              FROM r WHERE rank <= 5 ORDER BY vec_id, rank""")),
 
+    // ---- hard-negative mining (contrastive/retrieval training) ------------
+    // per row: top-5 highest-cosine neighbors with a DIFFERENT label —
+    // the near-misses a metric-learning objective trains against. Exact
+    // guarded baseline; oracle = the kNN replay plus the label-mismatch
+    // predicate. hardNegatives (LSH + oversample) is the scale path,
+    // spec-pinned against this tier
+    QueryDef("q_hard_negatives",
+      (s, d) => graft.pipeline.Similarity.hardNegativesExact(
+          embeddings(s, d), "vec_id", "embedding", "label", k = 5)
+        .select(col("vec_id"), col("nid"), round(col("cos"), 6).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("vec_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                 AND label IS NOT NULL),
+             p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+               list_cosine_similarity(a.v, b.v) AS cos
+               FROM e a JOIN e b
+               ON a.vec_id <> b.vec_id AND a.label <> b.label),
+             r AS (SELECT vec_id, nid, cos, row_number() OVER
+               (PARTITION BY vec_id ORDER BY cos DESC, nid) AS rank FROM p)
+             SELECT vec_id, nid, round(cos, 6) AS cos, rank
+             FROM r WHERE rank <= 5 ORDER BY vec_id, rank""")),
+
     // LSH-bucketed kNN graph: the scale path (rows-only — bucket-local
     // neighborhoods are engine-specific; SimilaritySpec pins per-bucket
     // exactness and measured recall vs the exact tier)

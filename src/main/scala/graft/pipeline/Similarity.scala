@@ -446,6 +446,87 @@ object Similarity {
     }.toDF(idCol, "nid", "cos", "rank")
   }
 
+  /** EXACT hard-negative mining for contrastive/retrieval training: each
+    * row's top-`k` highest-cosine neighbors whose `labelCol` DIFFERS —
+    * the near-misses a metric-learning objective needs (same-label
+    * neighbors are positives; far negatives are uninformative). Output
+    * (idCol, nid, cos, rank), rank 1..k over the different-label
+    * population ordered (cos desc, nid asc); join labels back by id when
+    * needed. Rows with a null label are dropped ("different from null"
+    * is undefined). Same O(n²) broadcast shape and maxRows guard as
+    * [[knnGraphExact]] — the small-corpus baseline and oracle anchor;
+    * [[hardNegatives]] is the LSH scale path. */
+  def hardNegativesExact(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, k: Int,
+                         maxRows: Int = 200000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, idCol, "hardNegativesExact")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.na.drop(Seq(idCol, vecCol, labelCol))
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)),
+        col(labelCol).cast("string"))
+      .as[(Long, Array[Double], String)]
+    val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+    require(df.limit(probeLimit).count() <= maxRows,
+      s"hardNegativesExact is the exact O(n^2) baseline and refuses " +
+        s"corpora above maxRows=$maxRows rows; use hardNegatives (LSH).")
+    val withNorm = vecs.collect().map { case (id, v, lbl) =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      (id, v, n2, lbl)
+    }
+    val bc = spark.sparkContext.broadcast(withNorm)
+    val kk = k
+    vecs.mapPartitions { rows =>
+      val all = bc.value
+      rows.flatMap { case (idA, va, lblA) =>
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { na += va(i) * va(i); i += 1 }
+        val top = new TopK(kk)
+        all.foreach { case (idB, vb, nb, lblB) =>
+          if (idB != idA && lblB != lblA) {
+            var dot = 0.0
+            var j = 0
+            while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+            top.offer(idB, dot / math.sqrt(na * nb))
+          }
+        }
+        top.emit(idA).map { case (id2, nid, c, r) => (id2, nid, c, r) }
+      }
+    }.toDF(idCol, "nid", "cos", "rank")
+  }
+
+  /** LSH-bucketed hard negatives — the scale path: [[knnGraph]] searched
+    * at `k·oversample` depth, neighbors with the SAME label dropped, the
+    * survivors re-ranked to the top `k` per row. Recall caveat beyond the
+    * bucket recall: a row whose k·oversample nearest are ALL same-label
+    * returns fewer than k negatives — raise `oversample` on corpora with
+    * large same-label near-dup cliques. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, dim: Int, k: Int, oversample: Int = 4,
+                    bits: Int = 0, tables: Int = 4,
+                    maxBucket: Int = 1 << 20): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val clean = df.na.drop(Seq(idCol, vecCol, labelCol))
+    val labels = clean.select(col(idCol).cast("long").as("__hid"),
+      col(labelCol).cast("string").as("__hlbl"))
+    val base = knnGraph(clean, idCol, vecCol, dim, k * oversample, bits,
+      tables, maxBucket)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("cos"), col("nid"))
+    base
+      .join(labels.withColumnRenamed("__hid", "__ha")
+        .withColumnRenamed("__hlbl", "__la"), col(idCol) === col("__ha"))
+      .join(labels.withColumnRenamed("__hid", "__hb")
+        .withColumnRenamed("__hlbl", "__lb"), col("nid") === col("__hb"))
+      .filter(col("__la") =!= col("__lb"))
+      .select(col(idCol), col("nid"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** APPROXIMATE k-nearest-neighbor graph via the dedup tier's
     * deterministic hyperplane LSH: per-bucket exact top-k with the same
     * (cos desc, nid asc) order, then a per-id merge across buckets and

@@ -126,6 +126,53 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"knnGraph recall $recall below 0.8")
   }
 
+  test("hardNegatives: labels excluded exactly; LSH tier recalls the exact sets") {
+    import spark.implicits._
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.hardNegativesExact(embs, "vec_id", "embedding",
+      "label", k = 5).collect()
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // no neighbor shares its query's label; ranks ordered (cos desc, nid)
+    val byId = exact.groupBy(_.getAs[Long]("vec_id"))
+    byId.foreach { case (id, rows) =>
+      rows.foreach(r => assert(labels(r.getAs[Long]("nid")) != labels(id)))
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Double]("cos"), b.getAs[Double]("cos"))
+          assert(ca > cb ||
+            (ca == cb && a.getAs[Long]("nid") < b.getAs[Long]("nid")))
+        case _ => ()
+      }
+    }
+    // the exact hard negative set = knnGraph over different-label pairs
+    // only, so each row's top-1 hard negative must have cos <= its
+    // unrestricted top-1 (equality iff that one already differs in label)
+    val knn1 = Similarity.knnGraphExact(embs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    byId.foreach { case (id, rows) =>
+      val hn1 = rows.find(_.getAs[Int]("rank") == 1).get.getAs[Double]("cos")
+      assert(hn1 <= knn1(id) + 1e-12)
+    }
+    // LSH tier: neighbor labels still differ, and recall of the exact
+    // top-5 stays high at a permissive config (deterministic planes)
+    val approx = Similarity.hardNegatives(embs, "vec_id", "embedding",
+        "label", dim = 64, k = 5, oversample = 4, bits = 2, tables = 8)
+      .collect()
+    approx.foreach(r => assert(
+      labels(r.getAs[Long]("nid")) != labels(r.getAs[Long]("vec_id"))))
+    val approxSets = approx.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactSets = byId.view
+      .mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val recall = exactSets.map { case (id, s) =>
+      approxSets.getOrElse(id, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / exactSets.size
+    assert(recall >= 0.75, s"hardNegatives recall $recall below 0.75")
+  }
+
   test("substringDedup removes all copies of repeated windows") {
     import spark.implicits._
     val docs = Seq(
