@@ -34,8 +34,10 @@ object DistinctSketch {
     * Returns the serialized sketch bytes. */
   def sketchCol(df: DataFrame, valueCol: String, lgK: Int = 12): Array[Byte] = {
     require(lgK >= 4 && lgK <= 21, s"DistinctSketch: lgK must be in [4,21], got $lgK")
-    df.agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sk"))
-      .head().getAs[Array[Byte]]("sk")
+    graft.util.Errors.context("DistinctSketch.sketchCol", Seq(valueCol)) {
+      df.agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    }
   }
 
   /** Estimated distinct count of a serialized sketch. */

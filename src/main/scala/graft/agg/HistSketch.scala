@@ -104,7 +104,8 @@ object CountHist {
 
   /** One-pass sketch of a numeric column (nulls/NaN skipped). */
   def sketchCol(df: DataFrame, valueCol: String,
-                lo: Double, hi: Double, bins: Int): Sketch = {
+                lo: Double, hi: Double, bins: Int): Sketch =
+      graft.util.Errors.context("CountHist.sketchCol", Seq(valueCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     df.na.drop(Seq(valueCol))
@@ -182,7 +183,8 @@ object CountHist {
     * so this is the verification facade, not the scale path. */
   def quantileCheck(df: DataFrame, valueCol: String,
                     lo: Double, hi: Double, bins: Int,
-                    ps: Seq[Double]): DataFrame = {
+                    ps: Seq[Double]): DataFrame =
+      graft.util.Errors.context("CountHist.quantileCheck", Seq(valueCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     val sk = sketchCol(df, valueCol, lo, hi, bins)

@@ -230,7 +230,8 @@ object Components {
   def updateComponents(labels: DataFrame, newPairs: DataFrame,
                        aCol: String = "id_a", bCol: String = "id_b",
                        maxIter: Int = 50,
-                       localThreshold: Long = 1L << 20): DataFrame = {
+                       localThreshold: Long = 1L << 20): DataFrame =
+      graft.util.Errors.context("updateComponents", Seq(aCol, bCol)) {
     val spark = labels.sparkSession
     // batch pairs feed three consumers (touched ids + sub-edge union) —
     // tiny by contract, cache so the generator runs once

@@ -491,6 +491,7 @@ object Dedup {
                     maxDfFraction: Double = 1.0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    graft.util.Errors.context("containedDocs", Seq(idCol, textCol)) {
     val pairs = ngramContainment(df, idCol, textCol, n, None, maxDf,
       maxDfFraction)
     // orient each ordered pair into (victim, keeper) rows under the strict
@@ -513,7 +514,7 @@ object Dedup {
     aLoses.unionAll(bLoses)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-  }
+  } }
 
   /** Corpus with containment victims removed — [[containedDocs]]'s
     * complement via one broadcast anti-join (the victim list is bounded by

@@ -174,6 +174,7 @@ object Packing {
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window), got $overlap")
     Similarity.requireIntegralId(df, idCol, "chunkSplit")
+    graft.util.Errors.context("chunkSplit", Seq(idCol, textCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     val stride = window - overlap
@@ -194,7 +195,7 @@ object Packing {
         }
       }
       .toDF(idCol, "chunk_id", "start_token", "n_tokens", "chunk")
-  }
+  } }
 
   /** Write the corpus as token-budgeted training shards:
     * `path/shard=N/...parquet` via a partitioned write (one directory per

@@ -212,7 +212,8 @@ object Pca {
 
   /** Fit the top-`k` principal components (k = 0 ⇒ keep all d). */
   def fit(df: DataFrame, idCol: String, vecCol: String,
-          k: Int = 0): PcaModel = {
+          k: Int = 0): PcaModel =
+      graft.util.Errors.context("Pca.fit", Seq(idCol, vecCol)) {
     val (_, mean, cov) = covMatrix(df, idCol, vecCol)
     val d = mean.length
     require(k >= 0 && k <= d, s"Pca.fit: k must be in [0, $d], got $k")
@@ -230,7 +231,8 @@ object Pca {
     * components with eigenvalue < 1e-12 pass through unscaled rather
     * than exploding). Lazy broadcast map — no shuffle. */
   def transform(df: DataFrame, idCol: String, vecCol: String,
-                model: PcaModel, whiten: Boolean = false): DataFrame = {
+                model: PcaModel, whiten: Boolean = false): DataFrame =
+      graft.util.Errors.context("Pca.transform", Seq(idCol, vecCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     Similarity.requireIntegralId(df, idCol, "Pca.transform")

@@ -255,7 +255,8 @@ object Quantize {
     * files — appends picked up on re-read — IVF centers, PQ codebook). */
   def readIvfPq(path: String, idCol: String)
                (implicit spark: org.apache.spark.sql.SparkSession)
-      : (DataFrame, Array[Array[Double]], PQCodebook) = {
+      : (DataFrame, Array[Array[Double]], PQCodebook) =
+      graft.util.Errors.context("readIvfPq", Seq(idCol)) {
     val meta = spark.read.parquet(s"$path/meta")
       .select("kind", "i", "j", "vec").collect()
     val ivf = meta.filter(_.getString(0) == "ivf")

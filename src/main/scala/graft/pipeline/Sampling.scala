@@ -90,7 +90,9 @@ object Sampling {
                seed: Long = 0L): DataFrame = {
     require(factor >= 0, s"factor must be >= 0, got $factor")
     Similarity.requireIntegralId(df, idCol, "upsample")
-    upsampled(df.na.drop(Seq(idCol)), idCol, lit(factor), seed)
+    graft.util.Errors.context("upsample", Seq(idCol)) {
+      upsampled(df.na.drop(Seq(idCol)), idCol, lit(factor), seed)
+    }
   }
 
   /** Per-group replication factors as a literal CASE (no join, no
@@ -108,7 +110,9 @@ object Sampling {
     val fac = factors.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
       when(col(groupCol) === lit(k), lit(f)).otherwise(acc)
     }
-    upsampled(df.na.drop(Seq(idCol)), idCol, fac, seed)
+    graft.util.Errors.context("upsampleBy", Seq(idCol, groupCol)) {
+      upsampled(df.na.drop(Seq(idCol)), idCol, fac, seed)
+    }
   }
 
   private def upsampled(df: DataFrame, idCol: String, fac: Column,

@@ -461,6 +461,8 @@ object Similarity {
                          maxRows: Int = 200000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     requireIntegralId(df, idCol, "hardNegativesExact")
+    graft.util.Errors.context("hardNegativesExact",
+        Seq(idCol, vecCol, labelCol)) {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.na.drop(Seq(idCol, vecCol, labelCol))
@@ -496,7 +498,7 @@ object Similarity {
         top.emit(idA).map { case (id2, nid, c, r) => (id2, nid, c, r) }
       }
     }.toDF(idCol, "nid", "cos", "rank")
-  }
+  } }
 
   /** LSH-bucketed hard negatives — the scale path: [[knnGraph]] searched
     * at `k·oversample` depth, neighbors with the SAME label dropped, the
@@ -509,6 +511,7 @@ object Similarity {
                     bits: Int = 0, tables: Int = 4,
                     maxBucket: Int = 1 << 20): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    graft.util.Errors.context("hardNegatives", Seq(idCol, vecCol, labelCol)) {
     val clean = df.na.drop(Seq(idCol, vecCol, labelCol))
     val labels = clean.select(col(idCol).cast("long").as("__hid"),
       col(labelCol).cast("string").as("__hlbl"))
@@ -525,7 +528,7 @@ object Similarity {
       .select(col(idCol), col("nid"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-  }
+  } }
 
   /** APPROXIMATE k-nearest-neighbor graph via the dedup tier's
     * deterministic hyperplane LSH: per-bucket exact top-k with the same

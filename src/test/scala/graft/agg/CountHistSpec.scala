@@ -70,8 +70,10 @@ class CountHistSpec extends SparkSpec {
   test("quantileCheck refuses out-of-range mass; empty and bad params guarded") {
     import spark.implicits._
     val df = values(Seq(1.0, 5.0, 20.0))
-    intercept[IllegalArgumentException](
+    // wrapped by the error prettifier: the framed summary names the operator
+    val e = intercept[graft.util.GraftException](
       CountHist.quantileCheck(df, "v", 0.0, 10.0, 10, Seq(0.5)))
+    assert(e.getMessage.contains("quantileCheck"))
     intercept[IllegalArgumentException](new CountHist.Sketch(5.0, 5.0, 10))
     intercept[IllegalArgumentException](new CountHist.Sketch(0.0, 1.0, 0))
     val empty = CountHist.sketchCol(Seq.empty[Double].toDF("v"), "v", 0.0, 1.0, 4)

@@ -101,9 +101,11 @@ class PcaSpec extends SparkSpec {
     assert(row.getAs[Boolean]("monotone") && row.getAs[Boolean]("orthonormal"))
     assert(math.abs(row.getAs[Double]("trace_cov") - row.getAs[Double]("eig_sum")) < 1e-9)
     import spark.implicits._
+    // wrapped by the error prettifier: the framed summary names the operator
     val one = Seq((0L, Array(1f, 2f))).toDF("id", "vec")
-    intercept[IllegalArgumentException](Pca.fit(one, "id", "vec"))
-    intercept[IllegalArgumentException](Pca.fit(df, "id", "vec", k = 99))
+    val e1 = intercept[graft.util.GraftException](Pca.fit(one, "id", "vec"))
+    assert(e1.getMessage.contains("Pca.fit"))
+    intercept[graft.util.GraftException](Pca.fit(df, "id", "vec", k = 99))
     val ragged = Seq((0L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f))).toDF("id", "vec")
     intercept[Exception](Pca.fit(ragged, "id", "vec"))
   }
