@@ -663,6 +663,52 @@ object Queries {
                q3 + 1.5 * (q3 - q1)) AS v FROM lineitem, f)
              SELECT round(sum(v), 2) AS capped_sum, count(*) AS n FROM c""")),
 
+    // ---- median/MAD robust fences (heavy-tail companion of Tukey) ---------
+    // bounds = median ± k·1.4826·MAD; 50% breakdown where extreme mass
+    // drags q1/q3 themselves. Two exact-percentile aggs (MAD needs the
+    // median first); DuckDB replays both medians and the fence arithmetic
+    QueryDef("q_mad_fences",
+      (s, d) => graft.clean.Clean.calcMadFences(lineitem(s, d),
+          Seq("l_extendedprice", "l_quantity"), k = 3.0)
+        .select(col("col_name"), round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"),
+          round(col("lfence"), 6).as("lfence"),
+          round(col("ufence"), 6).as("ufence"))
+        .orderBy("col_name"),
+      Some("""WITH m AS (SELECT median(l_extendedprice::DOUBLE) AS m1,
+               median(l_quantity::DOUBLE) AS m2 FROM lineitem),
+             d AS (SELECT
+               median(abs(l_extendedprice::DOUBLE - m1)) AS d1,
+               median(abs(l_quantity::DOUBLE - m2)) AS d2
+               FROM lineitem, m)
+             SELECT 'l_extendedprice' AS col_name, round(m1, 6) AS median,
+               round(d1, 6) AS mad,
+               round(m1 - 3.0 * 1.4826 * d1, 6) AS lfence,
+               round(m1 + 3.0 * 1.4826 * d1, 6) AS ufence FROM m, d
+             UNION ALL
+             SELECT 'l_quantity', round(m2, 6), round(d2, 6),
+               round(m2 - 3.0 * 1.4826 * d2, 6),
+               round(m2 + 3.0 * 1.4826 * d2, 6) FROM m, d
+             ORDER BY col_name""")),
+
+    QueryDef("q_mad_outliers",
+      (s, d) => graft.clean.Clean.madOutlierCounts(lineitem(s, d),
+          Seq("l_extendedprice", "l_quantity"), k = 3.0),
+      Some("""WITH m AS (SELECT median(l_extendedprice::DOUBLE) AS m1,
+               median(l_quantity::DOUBLE) AS m2 FROM lineitem),
+             d AS (SELECT
+               median(abs(l_extendedprice::DOUBLE - m1)) AS d1,
+               median(abs(l_quantity::DOUBLE - m2)) AS d2
+               FROM lineitem, m)
+             SELECT
+               sum((l_extendedprice < m1 - 3.0 * 1.4826 * d1 OR
+                    l_extendedprice > m1 + 3.0 * 1.4826 * d1)::INT)::BIGINT
+                 AS l_extendedprice,
+               sum((l_quantity < m2 - 3.0 * 1.4826 * d2 OR
+                    l_quantity > m2 + 3.0 * 1.4826 * d2)::INT)::BIGINT
+                 AS l_quantity
+             FROM lineitem, m, d""")),
+
     // ---- Tukey outlier counts, stratified --------------------------------
     QueryDef("q_outlier_counts",
       (s, d) => Clean.outlierCounts(lineitem(s, d),

@@ -173,4 +173,50 @@ object Clean {
       joined.groupBy(strata.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
   }
+
+  /** Median/MAD robust fences — the heavy-tail companion of the Tukey
+    * tier: bounds = median ± k·1.4826·MAD, where
+    * MAD = median(|x − median|) and 1.4826 scales MAD to σ under
+    * normality, so k has the familiar "k sigmas" reading while a 50%
+    * contamination breakdown keeps the bounds sane where extreme
+    * outliers drag q1/q3 themselves. Two exact-percentile aggregations
+    * (the MAD needs the median first — irreducibly two passes); output
+    * one row per column: (column, median, mad, lfence, ufence). */
+  def calcMadFences(df: DataFrame, cols: Seq[String],
+                    k: Double = 3.0): DataFrame = {
+    require(cols.nonEmpty, "calcMadFences needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.util.Errors.context("calcMadFences", cols) {
+      val medAggs = cols.map(c =>
+        graft.expr.ExactPercentile.of(col(c), Seq(0.5)).as(s"__m_$c"))
+      val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
+      val med = cols.zipWithIndex.map { case (c, i) =>
+        c -> medRow.getSeq[Double](i)(0)
+      }.toMap
+      val madAggs = cols.map(c => graft.expr.ExactPercentile
+        .of(abs(col(c) - lit(med(c))), Seq(0.5)).as(s"__d_$c"))
+      val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        val m = med(c)
+        val mad = madRow.getSeq[Double](i)(0)
+        val spread = k * 1.4826 * mad
+        (c, m, mad, m - spread, m + spread)
+      }.toDF("col_name", "median", "mad", "lfence", "ufence")
+    }
+  }
+
+  /** Count of median/MAD outliers per column — [[outlierCounts]]'s robust
+    * sibling: fences learned in the two tiny-result aggs above, counting
+    * is ONE scan with the bounds inlined as literals. */
+  def madOutlierCounts(df: DataFrame, cols: Seq[String],
+                       k: Double = 3.0): DataFrame = {
+    val fences = calcMadFences(df, cols, k).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val aggs = cols.map { c =>
+      val (lo, hi) = fences(c)
+      sum((col(c) < lit(lo) || col(c) > lit(hi)).cast("long")).as(c)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

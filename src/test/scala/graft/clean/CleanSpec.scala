@@ -92,4 +92,28 @@ class CleanSpec extends SparkSpec {
     assert(r(0).getLong(1) == 1L) // the planted 1000.0
     assert(r(1).getLong(1) == 0L)
   }
+
+  test("MAD fences: closed form, 50% breakdown robustness, planted outlier counted") {
+    import spark.implicits._
+    // 1..9 plus one extreme: median 5.5? n=10 values 1..9 + 1000 ->
+    // sorted: 1..9,1000; median = (5+6)/2 = 5.5; |x-5.5| = 4.5,3.5,...,
+    // 0.5,0.5,...,994.5 -> MAD = median(0.5..4.5,994.5 sorted) = 2.5
+    val data = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val f = Clean.calcMadFences(data, Seq("v"), k = 3.0).head()
+    assert(f.getString(0) == "v")
+    assert(math.abs(f.getDouble(1) - 5.5) < 1e-12)
+    assert(math.abs(f.getDouble(2) - 2.5) < 1e-12)
+    val spread = 3.0 * 1.4826 * 2.5
+    assert(math.abs(f.getDouble(3) - (5.5 - spread)) < 1e-12)
+    assert(math.abs(f.getDouble(4) - (5.5 + spread)) < 1e-12)
+    // the extreme value does NOT blow the fences up (Tukey's do move):
+    // only the planted 1000.0 is outside
+    val n = Clean.madOutlierCounts(data, Seq("v"), k = 3.0).head()
+    assert(n.getLong(0) == 1L)
+    // constant column: mad 0, fences collapse to the median, no outliers
+    val const = Seq.fill(8)(7.0).toDF("v")
+    val cf = Clean.calcMadFences(const, Seq("v")).head()
+    assert(cf.getDouble(2) == 0.0 && cf.getDouble(3) == 7.0 && cf.getDouble(4) == 7.0)
+    assert(Clean.madOutlierCounts(const, Seq("v")).head().getLong(0) == 0L)
+  }
 }
