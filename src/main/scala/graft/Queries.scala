@@ -2260,6 +2260,35 @@ object Queries {
     // init = the k lowest-id vectors (deterministic); the oracle replays
     // init-assign → per-cluster centroid means → re-assign entirely in SQL;
     // assignment margins are >= 1e-5 at every SF, far above fp-reorder noise
+    // ---- coverage sampling (one representative per k-means cell) ----------
+    // k docs that SPAN the embedding space: nearest-to-centroid per cell,
+    // ties -> lowest id, selection via one min(struct) hash aggregate (no
+    // per-cluster window). iters=0 pins the deterministic lowest-id init
+    // so the oracle replays assignment + selection with list_distance
+    QueryDef("q_coverage_sample",
+      (s, d) => graft.pipeline.Clustering.coverageSample(
+          embeddings(s, d), "vec_id", "embedding", k = 16, iters = 0)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("cluster"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             c AS (SELECT vec_id AS cid, v AS cv FROM e
+               ORDER BY vec_id LIMIT 16),
+             cc AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1
+               AS cluster FROM c),
+             a AS (SELECT e.vec_id, cc.cluster,
+               list_distance(e.v, cc.cv) AS d FROM e CROSS JOIN cc),
+             best AS (SELECT vec_id, cluster, d, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM a),
+             asg AS (SELECT vec_id, cluster, d FROM best WHERE rn = 1),
+             sel AS (SELECT cluster, vec_id, d, row_number() OVER
+               (PARTITION BY cluster ORDER BY d, vec_id) AS rn FROM asg)
+             SELECT vec_id, cluster::BIGINT AS cluster,
+               round(d, 6) AS dist
+             FROM sel WHERE rn = 1 ORDER BY cluster""")),
+
     QueryDef("q_kmeans",
       (s, d) => {
         val (assigned, _) = graft.pipeline.Clustering.kmeans(

@@ -124,6 +124,35 @@ object Clustering {
     (assign(df, idCol, vecCol, centers), centers)
   }
 
+  /** Coverage sampling: ONE representative per k-means cell — the
+    * medoid-style pick (row nearest its centroid, ties → lowest id) that
+    * turns clustering into a diversity-preserving subset: k docs that
+    * SPAN the embedding space instead of k random docs that oversample
+    * its dense core. The eval-set / seed-set construction primitive
+    * (cluster-then-pick is the scalable stand-in for greedy k-center,
+    * whose sequential argmax doesn't distribute).
+    *
+    * Selection is one hash aggregate — `min(struct(dist, id))` per
+    * cluster with map-side combine — not a per-cluster window, so a
+    * popular cell never concentrates on one task. Output:
+    * (idCol, cluster, dist), one row per non-empty cell. `iters = 0`
+    * keeps the deterministic lowest-id init as the centers, which is the
+    * SQL-replayable configuration the oracle uses; production callers
+    * run a few Lloyd rounds for tighter cells. */
+  def coverageSample(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int = 5,
+                     initCenters: Option[Array[Array[Double]]] = None)
+      : DataFrame =
+      graft.util.Errors.context("coverageSample", Seq(idCol, vecCol)) {
+    val centers = kmeansFit(df, idCol, vecCol, k, iters, initCenters)
+    val assigned = assign(df, idCol, vecCol, centers)
+    assigned
+      .groupBy("cluster")
+      .agg(min(struct(col("dist"), col(idCol).as("__id"))).as("__m"))
+      .select(col("__m.__id").as(idCol), col("cluster"),
+        col("__m.dist").as("dist"))
+  }
+
   /** Element-wise MEAN of the vectors in each group — the chunk→document
     * embedding rollup (documents are embedded chunk-by-chunk; retrieval
     * and SemDeDup often want one vector per document), and equally the

@@ -73,6 +73,32 @@ class ClusteringSpec extends SparkSpec {
     assert(c.forall(_.forall(x => !x.isNaN)))
   }
 
+  test("coverageSample picks the nearest-to-centroid row per cell, ties to min id") {
+    import spark.implicits._
+    // blobs around (0,0) and (10,10); id 2 sits exactly on the first
+    // blob's mean, id 3 on the second's
+    val d = Seq(
+      (0L, vec(0.2, 0.0)), (1L, vec(10.0, 10.2)), (2L, vec(0.1, 0.1)),
+      (3L, vec(10.0, 10.0)), (4L, vec(0.0, 0.2)), (5L, vec(10.0, 9.8)))
+      .toDF("vec_id", "embedding")
+    // converged centers: blob means (0.1, 0.1) and (10.0, 10.0)
+    val picked = Clustering.coverageSample(d, "vec_id", "embedding",
+        k = 2, iters = 5)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toMap
+    assert(picked(0)._1 == 2L && picked(0)._2 < 1e-9)
+    assert(picked(1)._1 == 3L && picked(1)._2 < 1e-9)
+    // one row per non-empty cell, spanning both blobs
+    assert(picked.size == 2)
+    // equidistant tie resolves to the LOWEST id: two symmetric points
+    val tie = Seq((7L, vec(1.0, 0.0)), (8L, vec(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val t = Clustering.coverageSample(tie, "vec_id", "embedding",
+        k = 1, iters = 1) // one center at the mean (0,0): both dist 1
+      .head()
+    assert(t.getAs[Long]("vec_id") == 7L)
+  }
+
   test("meanPool averages vectors element-wise per group") {
     import spark.implicits._
     val d = Seq(
