@@ -315,6 +315,67 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunkSplit covers every token, respects window/overlap, count closed-form") {
+    import spark.implicits._
+    val cfg = Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(2, 12))
+      .flatMap { case (n, w) => Gen.chooseNum(0, w - 1).map(o => (n, w, o)) }
+    samples(cfg, 12).foreach { case (n, w, o) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val rows = graft.pipeline.Packing.chunkSplit(
+          Seq((1L, text)).toDF("id", "text"), "id", "text", w, o)
+        .collect().map(r => (r.getAs[Int]("chunk_id"),
+          r.getAs[Int]("start_token"), r.getAs[Int]("n_tokens"),
+          r.getAs[String]("chunk"))).sortBy(_._1)
+      val stride = w - o
+      val wantM = if (n <= w) 1 else 1 + ((n - w + stride - 1) / stride)
+      assert(rows.length == wantM, s"n=$n w=$w o=$o")
+      // every token index covered; every chunk full-width (or whole doc)
+      val covered = rows.flatMap { case (_, s, nt, _) => s until s + nt }.toSet
+      assert(covered == (0 until n).toSet, s"n=$n w=$w o=$o")
+      rows.foreach { case (_, s, nt, chunk) =>
+        assert(nt == (if (n <= w) n else w))
+        assert(chunk == (s until s + nt).map(i => s"t$i").mkString(" "))
+      }
+    }
+  }
+
+  test("property: upsample mass = sum of per-row copies; partitioning-independent") {
+    import spark.implicits._
+    val facs = Gen.chooseNum(0.0, 3.5)
+    samples(facs, 6).foreach { f =>
+      val rows = (0L until 300L).map(i => (i, i % 7)).toDF("id", "g")
+      val up = graft.pipeline.Sampling.upsample(rows, "id", f, seed = 5)
+      val perId = up.groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every id's copy count is floor(f) or ceil(f)
+      val lo = math.floor(f).toLong
+      assert(perId.values.forall(c => c == lo || c == lo + 1))
+      // repartitioning never changes the decision set
+      val up2 = graft.pipeline.Sampling.upsample(rows.repartition(7), "id",
+          f, seed = 5)
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(up2 == perId, s"factor $f")
+    }
+  }
+
+  test("property: CountHist merge is associative and order-insensitive") {
+    import spark.implicits._
+    val gen = Gen.listOfN(90, Gen.chooseNum(-5.0, 15.0))
+    samples(gen, 4).foreach { vs =>
+      val parts = vs.grouped(30).toSeq
+      def sk(xs: Seq[Double]) = graft.agg.CountHist.sketchCol(
+        xs.toDF("v"), "v", 0.0, 10.0, 8)
+      val whole = sk(vs)
+      val abc = sk(parts(0)).merge(sk(parts(1))).merge(sk(parts(2)))
+      val cba = sk(parts(2)).merge(sk(parts(0))).merge(sk(parts(1)))
+      for (m <- Seq(abc, cba)) {
+        assert(m.counts.sameElements(whole.counts))
+        assert(m.below == whole.below && m.above == whole.above)
+      }
+    }
+  }
+
   test("property: exact percentile matches sort-based quantile_cont") {
     import spark.implicits._
     samples(doubles, 6).filter(_.size >= 2).foreach { vs =>
