@@ -1955,6 +1955,46 @@ object Queries {
              WHERE c::DOUBLE / sa.sz >= 0.8 OR c::DOUBLE / sb.sz >= 0.8
              ORDER BY id_a, id_b""")),
 
+    // ---- prefix-filtered containment (exact-recall candidate path) --------
+    // AllPairs/PPJoin prefix principle: a pair at containment >= t must
+    // share one of the contained doc's |A|-ceil(t|A|)+1 RAREST shingles.
+    // Recall is a theorem, and the oracle is the SAME all-pairs SQL as
+    // q_containment — hash-green means the fast path reproduces the
+    // brute path pair-for-pair. GATE-ONLY: on THIS corpus the filter is
+    // weak (rare-shingle df ~7 -> 180k candidates / 256 pairs, measured
+    // slower than all-pairs — see the containmentCandidates scaladoc),
+    // so it is an exactness gate with q_containment as the benched twin
+    QueryDef("q_containment_prefix",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b"), col("common"),
+            col("sz_a"), col("sz_b"),
+            round(col("cont_a"), 6).as("cont_a"),
+            round(col("cont_b"), 6).as("cont_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b, c::BIGINT AS common,
+               sa.sz::BIGINT AS sz_a, sb.sz::BIGINT AS sz_b,
+               round(c::DOUBLE / sa.sz, 6) AS cont_a,
+               round(c::DOUBLE / sb.sz, 6) AS cont_b
+             FROM com JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c::DOUBLE / sa.sz >= 0.8 OR c::DOUBLE / sb.sz >= 0.8
+             ORDER BY id_a, id_b"""),
+      gateOnly = true),
+
     // ---- containment victims (keep the superset doc) ----------------------
     // doc B beats doc A iff cont(A in B) >= t and (sz_b > sz_a or equal
     // size and id_b < id_a) — a STRICT order, so no removal cycles and one

@@ -342,6 +342,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("containmentPairs (prefix filter) equals the all-pairs containment exactly") {
+    import spark.implicits._
+    // real corpus slice: every pair relationship the all-pairs path finds
+    // must survive the prefix filter (exact-recall theorem, not recall)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      def canon(f: org.apache.spark.sql.DataFrame) = f
+        .select("id_a", "id_b", "common", "sz_a", "sz_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val brute = canon(Dedup.ngramContainment(docs, "doc_id", "text", 3)
+        .filter(col("cont_a") >= t || col("cont_b") >= t))
+      val fast = canon(Dedup.containmentPairs(docs, "doc_id", "text", 3, t))
+      assert(fast == brute, s"threshold $t")
+    }
+    // planted subset at a threshold the fixture pairs can't reach
+    val planted = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "x0 x1 alpha beta gamma delta epsilon y0 y1 y2 y3 y4 y5 y6"),
+      (2L, "unrelated words in some other corner entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(planted, "doc_id", "text", 3, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
   test("simhash: identical texts share signature; near-dups are close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
