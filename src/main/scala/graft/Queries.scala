@@ -4719,6 +4719,46 @@ object Queries {
                AND p.tsu BETWEEN sess.lo AND sess.hi
              ORDER BY event_id""")),
 
+    // ---- interval-interval overlap join -----------------------------------
+    // two derived per-user interval sets (event -> [epoch_s, epoch_s +
+    // id-keyed span]); both sides bin-exploded, pairs meet on (user, bin)
+    // with the exact overlap post-filter, emitted EXACTLY once at the
+    // later interval's first bin — no dedup pass. Oracle = the plain
+    // inequality join
+    QueryDef("q_interval_join",
+      (s, d) => {
+        // microsecond-exact epochs: a seconds cast truncates in Spark but
+        // ROUNDS through DuckDB's double epoch() — off-by-one overlaps
+        val ev = events(s, d).withColumn("us", expr("unix_micros(ts)"))
+        val l = ev.filter(col("event_id") % 5 === 0)
+          .select(col("user_id").as("k"), col("event_id").as("id_a"),
+            col("us").as("lo_a"),
+            (col("us") + col("event_id") % 600 * 1000000L).as("hi_a"))
+        val r = ev.filter(col("event_id") % 5 === 1)
+          .select(col("user_id").as("k"), col("event_id").as("id_b"),
+            col("us").as("lo_b"),
+            (col("us") + col("event_id") % 900 * 1000000L).as("hi_b"))
+        graft.joins.RangeJoin.intervalOverlap(l, r, Seq("k"),
+            "lo_a", "hi_a", "lo_b", "hi_b", binWidth = 512L * 1000000L)
+          .select(col("id_a"), col("id_b"),
+            (least(col("hi_a"), col("hi_b")) -
+              greatest(col("lo_a"), col("lo_b"))).as("overlap_us"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH l AS (SELECT user_id k, event_id id_a,
+               epoch_us(ts) lo_a,
+               epoch_us(ts) + event_id % 600 * 1000000 hi_a
+               FROM events WHERE event_id % 5 = 0),
+             r AS (SELECT user_id k, event_id id_b,
+               epoch_us(ts) lo_b,
+               epoch_us(ts) + event_id % 900 * 1000000 hi_b
+               FROM events WHERE event_id % 5 = 1)
+             SELECT id_a, id_b,
+               (least(hi_a, hi_b) - greatest(lo_a, lo_b))::BIGINT
+                 AS overlap_us
+             FROM l JOIN r ON l.k = r.k AND lo_a <= hi_b AND lo_b <= hi_a
+             ORDER BY id_a, id_b""")),
+
     // ---- events: sessionization via window gaps ---------------------------
     QueryDef("q_events_sessions",
       (s, d) => {

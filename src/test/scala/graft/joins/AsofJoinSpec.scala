@@ -87,6 +87,50 @@ class AsofJoinSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("raise binWidth")))
   }
 
+  test("interval overlap join: exactly-once pairs, boundaries, brute-force parity") {
+    // hand fixture: touching endpoints count as overlap; disjoint don't;
+    // keys never leak
+    val l = Seq(("a", 0L, 10L, 1), ("a", 20L, 30L, 2), ("b", 0L, 100L, 3))
+      .toDF("k", "lo_a", "hi_a", "lid")
+    val r = Seq(("a", 10L, 15L, 100), ("a", 31L, 40L, 200),
+      ("a", 5L, 25L, 300), ("b", 99L, 99L, 400))
+      .toDF("k", "lo_b", "hi_b", "rid")
+    val got = RangeJoin.intervalOverlap(l, r, Seq("k"),
+        "lo_a", "hi_a", "lo_b", "hi_b", binWidth = 7L)
+      .collect().map(x => (x.getAs[Int]("lid"), x.getAs[Int]("rid"))).toSeq
+    // (1,100) touch at 10; (1,300) and (2,300) overlap; (2,200) disjoint
+    // (gap of 1); (3,400) same key b; nothing crosses keys
+    assert(got.sorted == Seq((1, 100), (1, 300), (2, 300), (3, 400)))
+    // exactly once even when the shared span covers many bins
+    assert(got.size == got.distinct.size)
+
+    // brute-force parity on a pseudo-random corpus across bin widths
+    val xs = (0 until 80).map { i =>
+      val k = if (i % 3 == 0) "a" else "b"
+      val lo = (i * 2654435761L) % 200
+      (k, lo, lo + (i * 40503L) % 37, i)
+    }
+    val ys = (0 until 80).map { i =>
+      val k = if (i % 4 == 0) "a" else "b"
+      val lo = (i * 48271L) % 200
+      (k, lo, lo + (i * 16807L) % 53, i + 1000)
+    }
+    val lf = xs.toDF("k", "lo_a", "hi_a", "lid")
+    val rf = ys.toDF("k", "lo_b", "hi_b", "rid")
+    val want = (for {
+      (k1, lo1, hi1, i1) <- xs
+      (k2, lo2, hi2, i2) <- ys
+      if k1 == k2 && lo1 <= hi2 && lo2 <= hi1
+    } yield (i1, i2)).toSet
+    for (w <- Seq(1L, 8L, 64L, 1024L)) {
+      val fast = RangeJoin.intervalOverlap(lf, rf, Seq("k"),
+          "lo_a", "hi_a", "lo_b", "hi_b", binWidth = w)
+        .collect().map(x => (x.getAs[Int]("lid"), x.getAs[Int]("rid")))
+      assert(fast.length == fast.distinct.length, s"dup pairs at width $w")
+      assert(fast.toSet == want, s"width $w")
+    }
+  }
+
   test("matches a window-function reference on many keys and partitions") {
     val rnd = new scala.util.Random(13)
     val left = (0 until 400).map(i =>
