@@ -4677,6 +4677,40 @@ object Queries {
                ON p.user_id = c.user_id AND p.tsu >= c.click_tsu
              ORDER BY event_id""")),
 
+    // ---- forward as-of: next click at or after each purchase --------------
+    // same merge-scan plan as the backward tier, ts DESCENDING: scanning
+    // from the future backward, the carried right row at each left row is
+    // the smallest right ts still >= it. DuckDB has no forward ASOF, so
+    // the oracle replays it as an inequality join + min-rank pick
+    QueryDef("q_asof_forward",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            round(col("value"), 2).as("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"),
+            col("tsu").as("click_tsu"), round(col("value"), 2).as("click_value"))
+        graft.joins.AsofJoin.asofJoinForward(purchases, clicks,
+            keys = Seq("user_id"), tsCol = "tsu",
+            valueCols = Seq("click_tsu", "click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               round(value, 2) AS value, event_type FROM events),
+             p AS (SELECT event_id, user_id, tsu, value FROM e
+               WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, tsu AS click_tsu, value AS click_value
+               FROM e WHERE event_type = 'click'),
+             j AS (SELECT p.user_id, p.tsu, p.event_id, p.value,
+               c.click_tsu, c.click_value,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.click_tsu) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.click_tsu >= p.tsu)
+             SELECT user_id, tsu, event_id, value, click_tsu, click_value
+             FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // ---- range join: purchases inside click-session windows ---------------
     // intervals = per-user click sessions (4-day gap — the synthetic
     // events put median per-user click spacing at ~35 h, so a web-style

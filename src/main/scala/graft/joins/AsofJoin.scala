@@ -33,7 +33,26 @@ object AsofJoin {
     * @param tsCol     ordering column, present in BOTH frames (numeric or
     *                  timestamp) */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, valueCols: Seq[String]): DataFrame = {
+               tsCol: String, valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, tsCol, valueCols, forward = false)
+
+  /** FORWARD as-of: for every left row, attach the EARLIEST right row
+    * with `right.ts >= left.ts` within the key — the "next reading after
+    * the event" direction (label-at-horizon joins, next-heartbeat
+    * attribution) that backward as-of can't express. Same plan as
+    * [[asofJoin]] — one repartition, one in-partition sort, one merge
+    * scan — just DESCENDING in ts: scanning from the future backward,
+    * the carried right row at each left row is the last one seen, i.e.
+    * the smallest right ts still ≥ the left ts. Ties at the exact
+    * timestamp match (inclusive, mirroring the backward tier); null
+    * key/ts semantics identical. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, tsCol, valueCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String],
+               forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(valueCols.nonEmpty, "asofJoin needs right-side value columns")
     val clash = valueCols.filter(left.columns.contains)
@@ -58,9 +77,13 @@ object AsofJoin {
 
     val spark = left.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
+    // forward = the same scan from the future backward: ts DESC puts
+    // later rows first, and __tag ASC still lets an equal-ts right row
+    // land before its left row (inclusive ties in both directions)
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val sorted = l2.unionAll(r2)
       .repartition(np, keys.map(col): _*)
-      .sortWithinPartitions((keys.map(col) :+ col(tsCol) :+ col("__tag")): _*)
+      .sortWithinPartitions((keys.map(col) :+ tsOrder :+ col("__tag")): _*)
 
     val k = keys.length
     val tagIdx = k + 1

@@ -46,6 +46,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.find(!_.isNullAt(1)).get.getDouble(3) == 100.0)
   }
 
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val left = Seq(("a", 10L, 1.0), ("a", 25L, 2.0), ("a", 35L, 3.0),
+      ("b", 1L, 4.0)).toDF("k", "ts", "v")
+    val right = Seq(("a", 10L, 100.0), ("a", 20L, 200.0), ("a", 30L, 300.0))
+      .toDF("k", "ts", "q")
+    val m = AsofJoin.asofJoinForward(left, right, Seq("k"), "ts", Seq("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(m(("a", 10L)) == 100.0) // exact-timestamp tie matches (inclusive)
+    assert(m(("a", 25L)) == 300.0) // earliest at-or-after 25
+    assert(m(("a", 35L)) == null)  // nothing after 35 → null
+    assert(m(("b", 1L)) == null)   // keys never leak
+
+    // brute-force parity on a pseudo-random many-key corpus
+    val ls = (0 until 150).map(i =>
+      (s"k${i % 7}", (i * 2654435761L) % 500, i.toDouble))
+    val rs = (0 until 150).map(i =>
+      (s"k${i % 5}", (i * 48271L) % 500, i + 1000.0))
+    val got = AsofJoin.asofJoinForward(ls.toDF("k", "ts", "v"),
+        rs.toDF("k", "ts", "q"), Seq("k"), "ts", Seq("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    ls.foreach { case (k, ts, v) =>
+      val want: Any = rs.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(_._2).headOption.map(_._3).getOrElse(null)
+      assert(got((k, ts, v)) == want, s"key $k ts $ts")
+    }
+  }
+
   test("binary join keys compare by content, not reference") {
     val left = Seq((Array[Byte](1, 2), 10L, 1.0), (Array[Byte](3), 10L, 2.0))
       .toDF("k", "ts", "v")
