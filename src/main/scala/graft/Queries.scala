@@ -4711,6 +4711,41 @@ object Queries {
              SELECT user_id, tsu, event_id, value, click_tsu, click_value
              FROM j WHERE rn = 1 ORDER BY event_id""")),
 
+    // ---- nearest as-of: closest click either side of each purchase --------
+    // pandas merge_asof(direction='nearest') parity: two one-pass scans
+    // (backward + forward) composed by one id-keyed join; ties go
+    // backward. Oracle ranks each purchase's clicks by absolute distance
+    // with the backward-preferring tiebreak
+    QueryDef("q_asof_nearest",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            round(col("value"), 2).as("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"),
+            col("tsu").as("click_tsu"), round(col("value"), 2).as("click_value"))
+        graft.joins.AsofJoin.asofJoinNearest(purchases, clicks,
+            keys = Seq("user_id"), tsCol = "tsu",
+            valueCols = Seq("click_tsu", "click_value"),
+            idCol = "event_id", rightTsValueCol = "click_tsu")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               round(value, 2) AS value, event_type FROM events),
+             p AS (SELECT event_id, user_id, tsu, value FROM e
+               WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, tsu AS click_tsu, value AS click_value
+               FROM e WHERE event_type = 'click'),
+             j AS (SELECT p.user_id, p.tsu, p.event_id, p.value,
+               c.click_tsu, c.click_value,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY abs(c.click_tsu - p.tsu),
+                   (c.click_tsu > p.tsu)::INT, c.click_tsu) AS rn
+               FROM p LEFT JOIN c ON p.user_id = c.user_id)
+             SELECT user_id, tsu, event_id, value, click_tsu, click_value
+             FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // ---- range join: purchases inside click-session windows ---------------
     // intervals = per-user click sessions (4-day gap — the synthetic
     // events put median per-user click spacing at ~35 h, so a web-style

@@ -50,6 +50,33 @@ object AsofJoin {
                       tsCol: String, valueCols: Seq[String]): DataFrame =
     asofImpl(left, right, keys, tsCol, valueCols, forward = true)
 
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`): attach
+    * whichever of the backward / forward matches lies closer in ts; ties
+    * go BACKWARD (pandas convention). Composition of the two one-pass
+    * scans plus one id-keyed join of their (slim) outputs — `idCol` must
+    * uniquely identify left rows, and `rightTsValueCol` names the
+    * valueCols entry carrying the matched right row's ts (the distance
+    * the pick compares). One side missing ⇒ the other wins; both
+    * missing ⇒ nulls (ASOF LEFT semantics). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, valueCols: Seq[String], idCol: String,
+                      rightTsValueCol: String): DataFrame = {
+    require(valueCols.contains(rightTsValueCol),
+      s"rightTsValueCol '$rightTsValueCol' must be one of valueCols")
+    val back = asofImpl(left, right, keys, tsCol, valueCols, forward = false)
+    val fwd = asofImpl(left, right, keys, tsCol, valueCols, forward = true)
+      .select((col(idCol).as("__nid") +:
+        valueCols.map(c => col(c).as(s"__f_$c"))): _*)
+    val bDist = col(tsCol) - col(rightTsValueCol)
+    val fDist = col(s"__f_$rightTsValueCol") - col(tsCol)
+    val pickBack = col(rightTsValueCol).isNotNull &&
+      (col(s"__f_$rightTsValueCol").isNull || bDist <= fDist)
+    back.join(fwd, col(idCol) === col("__nid"))
+      .select(back.columns.filterNot(valueCols.contains).map(col) ++
+        valueCols.map(c =>
+          when(pickBack, col(c)).otherwise(col(s"__f_$c")).as(c)): _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String],
                forward: Boolean): DataFrame = {

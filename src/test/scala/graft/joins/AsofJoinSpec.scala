@@ -77,6 +77,26 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of picks the closer side, ties backward, one-sided fallbacks") {
+    val left = Seq((1L, "a", 10L, 1.0), (2L, "a", 24L, 2.0),
+      (3L, "a", 26L, 3.0), (4L, "a", 25L, 4.0), (5L, "a", 2L, 5.0),
+      (6L, "a", 99L, 6.0)).toDF("id", "k", "ts", "v")
+    val right = Seq(("a", 20L, 200.0), ("a", 30L, 300.0))
+      .toDF("k", "ts", "q")
+      .select(col("k"), col("ts"), col("ts").as("rts"), col("q"))
+    val m = AsofJoin.asofJoinNearest(left, right, Seq("k"), "ts",
+        Seq("rts", "q"), "id", "rts")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("q"))) null
+         else r.getAs[Double]("q"))).toMap
+    assert(m(1L) == 200.0) // 10: nothing before -> forward match at 20
+    assert(m(2L) == 200.0) // 24: back 20 (4) vs fwd 30 (6) -> back
+    assert(m(3L) == 300.0) // 26: back 20 (6) vs fwd 30 (4) -> fwd
+    assert(m(4L) == 200.0) // 25: tie (5 vs 5) -> backward (pandas)
+    assert(m(5L) == 200.0) // 2: nothing before -> forward fallback
+    assert(m(6L) == 300.0) // 99: nothing after -> backward fallback
+  }
+
   test("binary join keys compare by content, not reference") {
     val left = Seq((Array[Byte](1, 2), 10L, 1.0), (Array[Byte](3), 10L, 2.0))
       .toDF("k", "ts", "v")
