@@ -4828,6 +4828,65 @@ object Queries {
              FROM l JOIN r ON l.k = r.k AND lo_a <= hi_b AND lo_b <= hi_a
              ORDER BY id_a, id_b""")),
 
+    // ---- LOCF fill (sensor-dropout densification) -------------------------
+    // nulls planted deterministically (event_id % 3 = 0), filled with the
+    // key's last non-null value at-or-before; ties resolve by event id.
+    // One keyed window — the oracle replays last_value IGNORE NULLS
+    QueryDef("q_locf",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+          .withColumn("v", when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(round(col("value"), 2)))
+          .select("event_id", "user_id", "tsu", "v")
+        graft.events.Rolling.locfFill(ev, Seq("user_id"), "tsu", "v",
+            tieCol = "event_id")
+          .select(col("event_id"), col("user_id"), col("v"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                 ELSE round(value, 2) END AS v FROM events)
+             SELECT event_id, user_id,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS v
+             FROM e ORDER BY event_id""")),
+
+    // ---- fixed-grid resampling with gap carry-forward ---------------------
+    // per-user 4-day cells: observed cells carry (n_obs, mean); empty
+    // cells between a key's first and last observation are materialized
+    // from the key's own span (never a global calendar) and filled with
+    // the previous cell's mean. The feature-regularization step models
+    // need; oracle replays cells + generate_series + IGNORE NULLS window
+    QueryDef("q_resample",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), round(col("value"), 2).as("v"))
+        graft.events.Rolling.resample(ev, Seq("user_id"), "ts", "v",
+            stepSec = 345600L)
+          .select(col("user_id"), col("grid_ts"), col("n_obs"),
+            round(col("value"), 6).as("value"))
+          .orderBy("user_id", "grid_ts")
+      },
+      Some("""WITH e AS (SELECT user_id,
+               epoch_us(ts) // 1000000 AS sec, round(value, 2) AS v
+               FROM events WHERE ts IS NOT NULL),
+             cells AS (SELECT user_id,
+               (sec // 345600) * 345600 AS grid_ts,
+               count(v) AS n_obs, avg(v) AS m
+               FROM e GROUP BY 1, 2),
+             spans AS (SELECT user_id, min(grid_ts) AS lo, max(grid_ts) AS hi
+               FROM cells GROUP BY 1),
+             grid AS (SELECT user_id,
+               unnest(generate_series(lo, hi, 345600)) AS grid_ts FROM spans),
+             j AS (SELECT g.user_id, g.grid_ts,
+               coalesce(c.n_obs, 0) AS n_obs, c.m
+               FROM grid g LEFT JOIN cells c
+               ON g.user_id = c.user_id AND g.grid_ts = c.grid_ts)
+             SELECT user_id, grid_ts, n_obs::BIGINT AS n_obs,
+               round(last_value(m IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY grid_ts ROWS UNBOUNDED PRECEDING), 6) AS value
+             FROM j ORDER BY user_id, grid_ts""")),
+
     // ---- events: sessionization via window gaps ---------------------------
     QueryDef("q_events_sessions",
       (s, d) => {

@@ -68,4 +68,64 @@ object Rolling {
       .withColumn("n_win", sum(col("n_grain")).over(w))
       .withColumn("sum_win", sum(col("sum_grain")).over(w))
   }
+
+  /** Last-observation-carried-forward fill: nulls in `valueCol` take the
+    * most recent non-null value of the same key at-or-before their
+    * timestamp (sensor dropout / sparse-feature densification). One keyed
+    * window with `last(ignoreNulls)` — the same single shuffle + in-key
+    * sort the semantics require; rows before a key's first observation
+    * stay null. Ties at one timestamp resolve by `tieCol` order (pass the
+    * event id) so the fill is deterministic under duplicate timestamps. */
+  def locfFill(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Resample per-key event streams onto a fixed `stepSec` grid:
+    * per (keys, grid cell) the mean/count of that cell's values, then
+    * EMPTY cells between a key's first and last observation are
+    * materialized (sequence explode of the key's span — never a global
+    * calendar) and gap-filled with the previous cell's mean
+    * (carry-forward). The ML-feature regularization step: models want
+    * equally spaced series, event logs aren't. Output: (keys...,
+    * grid_ts, n_obs, value) with n_obs = 0 marking filled gaps.
+    *
+    * Scale shape: one grouped aggregate (cells), one per-key min/max
+    * aggregate + sequence explode (span/stepSec rows per key — bounded
+    * by the grid, not the event count), one left join on (keys, cell),
+    * one keyed LOCF window. A key spanning more than `maxCells` cells
+    * fails loudly (degenerate span ⇒ the grid itself explodes). */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, stepSec: Long,
+               maxCells: Int = 1 << 20): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    val kc = keys.map(col)
+    val cell = floor(col(tsCol).cast("long") / stepSec).cast("long") * stepSec
+    val cells = df.na.drop(keys :+ tsCol)
+      .groupBy(kc :+ cell.as("grid_ts"): _*)
+      .agg(count(col(valueCol)).as("n_obs"),
+        avg(col(valueCol)).as("__cell_mean"))
+    val spans = cells.groupBy(kc: _*)
+      .agg(min("grid_ts").as("__lo"), max("grid_ts").as("__hi"))
+    val grid = spans.withColumn("grid_ts",
+      explode(sequence(col("__lo"),
+        when((col("__hi") - col("__lo")) / stepSec < maxCells, col("__hi"))
+          .otherwise(raise_error(concat(
+            lit(s"resample span exceeds $maxCells cells of $stepSec s — " +
+              "raise stepSec or split the key: lo="),
+            col("__lo"), lit(" hi="), col("__hi")))),
+        lit(stepSec))))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy(kc: _*).orderBy(col("grid_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cells, keys :+ "grid_ts", "left")
+      .na.fill(0L, Seq("n_obs"))
+      .withColumn("value",
+        last(col("__cell_mean"), ignoreNulls = true).over(w))
+      .drop("__cell_mean")
+  }
 }

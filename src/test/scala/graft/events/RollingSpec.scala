@@ -70,4 +70,45 @@ class RollingSpec extends SparkSpec {
     assert(Rolling.rollingAggCoarse(empty, Seq("user_id"), "ts", "value", 60L, 60L)
       .count() == 0L)
   }
+
+  test("locfFill carries the last non-null forward per key; leading nulls stay") {
+    import spark.implicits._
+    val rows = Seq[(Long, String, Long, java.lang.Double)](
+      (1L, "a", 10L, null), (2L, "a", 20L, 5.0), (3L, "a", 30L, null),
+      (4L, "a", 40L, 7.0), (5L, "a", 50L, null),
+      (6L, "b", 10L, 9.0), (7L, "b", 20L, null),
+      // duplicate ts: tie resolves by id, so 9's null sees 8's value
+      (8L, "c", 10L, 1.0), (9L, "c", 10L, null)
+    ).toDF("id", "k", "ts", "v")
+    val got = Rolling.locfFill(rows, Seq("k"), "ts", "v", "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got(1L) == null) // before the key's first observation
+    assert(got(3L) == 5.0 && got(5L) == 7.0)
+    assert(got(7L) == 9.0) // keys never leak: b fills from b
+    assert(got(9L) == 1.0)
+  }
+
+  test("resample: grid coverage, cell means, gap carry-forward, span guard") {
+    import spark.implicits._
+    val rows = Seq( // key a: cells 0 and 30 observed, 10/20 are gaps
+      ("a", 1L, 2.0), ("a", 4L, 4.0), ("a", 31L, 10.0),
+      ("b", 100L, 1.0)
+    ).toDF("k", "ts", "v")
+    val got = Rolling.resample(rows, Seq("k"), "ts", "v", stepSec = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", 0L)) == ((2L, 3.0)))   // mean of 2 and 4
+    assert(got(("a", 10L)) == ((0L, 3.0)))  // gap, carried forward
+    assert(got(("a", 20L)) == ((0L, 3.0)))
+    assert(got(("a", 30L)) == ((1L, 10.0)))
+    assert(got(("b", 100L)) == ((1L, 1.0))) // single-cell key
+    assert(got.size == 5)
+    // degenerate span fails loudly
+    val wide = Seq(("a", 0L, 1.0), ("a", 1000000L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception](
+      Rolling.resample(wide, Seq("k"), "ts", "v", 1L, maxCells = 100).collect())
+    assert(e.getMessage.contains("raise stepSec") ||
+      Option(e.getCause).exists(_.getMessage.contains("raise stepSec")))
+  }
 }
