@@ -214,4 +214,41 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"))
+
+  final case class LocfCarry(value: Double, has: Boolean)
+  final case class LocfRow(key: String, ts: Long, tie: Long,
+                           value: Option[Double])
+
+  /** Streaming LOCF — the continuous mirror of
+    * [[graft.events.Rolling.locfFill]]: per key, null values take the
+    * last non-null value seen, with the carry PERSISTING across
+    * micro-batches (one Double + flag per key — bounded state). Rows
+    * within a batch are processed in (ts, tie) order, so intra-batch
+    * fills match the batch operator exactly; ACROSS batches arrival
+    * order stands in for event time (a late row older than the carry
+    * still takes the current carry) — the standard streaming
+    * approximation, spec-pinned, exact whenever the source delivers
+    * per-key ordered data. */
+  def streamingLocf(stream: Dataset[LocfRow]): Dataset[LocfRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[LocfCarry, LocfRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[LocfRow],
+         state: GroupState[LocfCarry]) =>
+          var carry = state.getOption.getOrElse(LocfCarry(0.0, has = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            r.value match {
+              case Some(v) =>
+                carry = LocfCarry(v, has = true)
+                r
+              case None =>
+                if (carry.has) r.copy(value = Some(carry.value)) else r
+            }
+          }
+          state.update(carry)
+          out.iterator
+      }
+  }
 }

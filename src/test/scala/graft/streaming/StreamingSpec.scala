@@ -432,4 +432,44 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingLocf fills within a batch like the batch op and carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.LocfRow]
+    val filled = StreamingOps.streamingLocf(input.toDS())
+    val q = filled.writeStream.format("memory")
+      .queryName("locf").outputMode("update").start()
+    try {
+      // batch 1: out-of-order arrival within the batch is sorted by
+      // (ts, tie) before filling — 'a' ts=30 null fills from ts=20
+      input.addData(
+        StreamingOps.LocfRow("a", 30L, 3L, None),
+        StreamingOps.LocfRow("a", 20L, 2L, Some(5.0)),
+        StreamingOps.LocfRow("a", 10L, 1L, None),
+        StreamingOps.LocfRow("b", 10L, 4L, Some(9.0)))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT key, ts, value FROM locf").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      assert(b1(("a", 10L)) == null) // before the key's first observation
+      assert(b1(("a", 30L)) == 5.0)
+      // batch parity: same rows through the batch operator
+      val batchGot = graft.events.Rolling.locfFill(
+          Seq(("a", 30L, 3L, Option.empty[Double]),
+            ("a", 20L, 2L, Some(5.0)), ("a", 10L, 1L, None),
+            ("b", 10L, 4L, Some(9.0))).toDF("key", "ts", "tie", "value"),
+          Seq("key"), "ts", "value", "tie")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(b1 == batchGot)
+      // batch 2: the carry survives the batch boundary
+      input.addData(StreamingOps.LocfRow("a", 40L, 5L, None),
+        StreamingOps.LocfRow("b", 20L, 6L, None))
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT key, ts, value FROM locf WHERE ts >= 40 OR key = 'b' AND ts = 20")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(b2(("a", 40L)) == 5.0 && b2(("b", 20L)) == 9.0)
+    } finally q.stop()
+  }
 }
