@@ -4275,6 +4275,25 @@ object Queries {
              count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
              FROM s3 GROUP BY 1 ORDER BY 1""")),
 
+    // ---- k-fold assignment (equal-width cut of the same Lehmer key) -------
+    QueryDef("q_kfold",
+      (s, d) => graft.pipeline.Sampling.kFold(
+          documents(s, d), "doc_id", k = 5, seed = 3)
+        .groupBy("fold").agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("fold"),
+      Some("""WITH s1 AS (SELECT doc_id,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x
+               FROM documents WHERE doc_id IS NOT NULL),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 3) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT least(floor(k * 5), 4)::INT AS fold,
+             count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
+             FROM s3 GROUP BY 1 ORDER BY 1""")),
+
     // ---- contamination-safe split (near-dup groups move as one unit) ------
     // hash key = the connected-component representative (min id) of the
     // near-dup graph, so a clique can never straddle train/val; oracle

@@ -187,6 +187,47 @@ object Sampling {
       .drop("__graft_cid", "__graft_rep")
   } }
 
+  /** Deterministic k-fold assignment: fold = ⌊k · hashKey(id)⌋ (clamped
+    * to k−1 at the key's open upper bound), so folds are an equal-width
+    * cut of the same Lehmer key [[trainTestSplit]] uses — fold f under
+    * k folds is EXACTLY the id set with key in [f/k, (f+1)/k), making
+    * cross-validation splits consistent with the holdout split (fold 0
+    * under k=10 ⊂ the 0.1-fraction test split at the same seed).
+    * Append-safe and reproducible in plain SQL: a pure projection, no
+    * shuffle, same id → same fold regardless of what else is in the
+    * frame. Null ids are dropped. */
+  def kFold(df: DataFrame, idCol: String, k: Int, seed: Long = 0L,
+            foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"kFold needs k >= 2, got $k")
+    Similarity.requireIntegralId(df, idCol, "kFold")
+    graft.util.Errors.context("kFold", Seq(idCol)) {
+    df.na.drop(Seq(idCol)).withColumn(foldCol,
+      least(floor(hashKey(col(idCol), seed) * k), lit(k - 1L)).cast("int"))
+  } }
+
+  /** Contamination-safe [[kFold]]: the fold key is the near-dup
+    * component representative (see [[componentSafeSplit]] — same join
+    * shape, same leakage argument), so a duplicate clique lands in ONE
+    * fold and k-fold cross-validation never validates on a near-copy of
+    * a training document. Rows absent from `components` hash on their
+    * own id, identical to plain [[kFold]] for them. */
+  def componentSafeKFold(df: DataFrame, components: DataFrame,
+                         idCol: String, k: Int, seed: Long = 0L,
+                         foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"componentSafeKFold needs k >= 2, got $k")
+    Similarity.requireIntegralId(df, idCol, "componentSafeKFold")
+    graft.util.Errors.context("componentSafeKFold", Seq(idCol)) {
+    val comp = components.select(col("id").cast("long").as("__graft_cid"),
+      col("component").cast("long").as("__graft_rep"))
+    val key = hashKey(coalesce(col("__graft_rep"), col(idCol).cast("long")),
+      seed)
+    df.na.drop(Seq(idCol))
+      .join(comp, col(idCol).cast("long") === col("__graft_cid"), "left")
+      .withColumn(foldCol,
+        least(floor(key * k), lit(k - 1L)).cast("int"))
+      .drop("__graft_cid", "__graft_rep")
+  } }
+
   /** Weighted Bernoulli sampling: keep row i with probability
     * min(1, rate · wᵢ), decided by the deterministic id hash — the
     * quality-weighted downsampling step of a data-mixing pipeline (keep

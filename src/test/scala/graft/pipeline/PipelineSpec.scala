@@ -637,6 +637,54 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(frac("val") / 2000.0 - 0.2) < 0.05)
   }
 
+  test("kFold: exhaustive partition, holdout-consistent, append-safe") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val folds = Sampling.kFold(df, "doc_id", k = 10, seed = 5)
+    assert(folds.count() == 3000) // every row gets exactly one fold
+    val byFold = folds.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet == (0 until 10).toSet)
+    byFold.values.foreach(n => assert(math.abs(n / 3000.0 - 0.1) < 0.05))
+    // fold 0 under k=10 is EXACTLY the 0.1-fraction test split at the
+    // same seed (both are key < 0.1 of the same Lehmer key)
+    val fold0 = folds.filter(col("fold") === 0).select("doc_id")
+      .as[Long].collect().toSet
+    val test0 = Sampling.trainTestSplit(df, "doc_id", 0.0, 0.1, seed = 5)
+      .filter(col("split") === "test").select("doc_id")
+      .as[Long].collect().toSet
+    assert(fold0 == test0)
+    // append-safe: the same id keeps its fold in a larger frame
+    val more = (0L until 6000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val before = folds.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Sampling.kFold(more, "doc_id", k = 10, seed = 5)
+      .select("doc_id", "fold").collect()
+      .foreach(r => before.get(r.getLong(0))
+        .foreach(f => assert(f == r.getInt(1))))
+    intercept[IllegalArgumentException](Sampling.kFold(df, "doc_id", 1))
+  }
+
+  test("componentSafeKFold: cliques in one fold; singletons match plain kFold") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val comps = (
+      (0L until 10L).map(i => (i, 0L)) ++ Seq((100L, 100L), (101L, 100L))
+    ).toDF("id", "component")
+    val folds = Sampling.componentSafeKFold(df, comps, "doc_id", k = 5,
+      seed = 5)
+    assert(folds.count() == 2000)
+    val byId = folds.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 10L).map(byId).toSet.size == 1, "clique straddles folds")
+    assert(byId(100L) == byId(101L))
+    val plain = Sampling.kFold(df, "doc_id", k = 5, seed = 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (200L until 2000L).foreach(i => assert(byId(i) == plain(i)))
+    assert(byId(0L) == plain(0L) && byId(100L) == plain(100L))
+  }
+
   test("vocabulary counts tokens and doc frequencies") {
     import spark.implicits._
     val docs = Seq((1L, "the cat the dog"), (2L, "the bird"), (3L, "a bird"))
