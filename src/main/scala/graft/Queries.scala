@@ -3293,6 +3293,39 @@ object Queries {
              SELECT g.bin::INT AS bin, coalesce(c.n, 0)::BIGINT AS n
              FROM g LEFT JOIN c USING (bin) ORDER BY bin""")),
 
+    // per-group sketches via the HistCounts aggregate expression: the
+    // full counter table of every group (dense, incl. the -1/bins
+    // out-of-range rows) replayed cell-for-cell — same arithmetic
+    // contract as q_hist_sketch, but through groupBy partial aggregation
+    QueryDef("q_hist_group",
+      (s, d) => {
+        val g = graft.agg.CountHist.byGroup(
+          lineitem(s, d).na.drop(Seq("l_returnflag", "l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice", 900.0, 105000.0, 64)
+        val cells = g.select(col("l_returnflag"),
+          posexplode(col("counts")).as(Seq("bin", "n")))
+        cells
+          .unionAll(g.select(col("l_returnflag"), lit(-1).as("bin"),
+            col("below").as("n")))
+          .unionAll(g.select(col("l_returnflag"), lit(64).as("bin"),
+            col("above").as("n")))
+          .orderBy("l_returnflag", "bin")
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS flag,
+               l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+             b AS (SELECT flag, CASE WHEN v < 900.0 THEN -1
+               WHEN v > 105000.0 THEN 64
+               ELSE least(CAST(floor((v - 900.0) / (105000.0 - 900.0) * 64)
+                 AS INT), 63) END AS bin FROM v),
+             c AS (SELECT flag, bin, count(*) AS n FROM b GROUP BY 1, 2),
+             g AS (SELECT flag, unnest(generate_series(-1, 64)) AS bin
+               FROM (SELECT DISTINCT flag FROM v))
+             SELECT g.flag AS l_returnflag, g.bin::INT AS bin,
+               coalesce(c.n, 0)::BIGINT AS n
+             FROM g LEFT JOIN c USING (flag, bin)
+             ORDER BY 1, 2""")),
+
     // cross-batch persistence contract: sketch half the corpus, append
     // the other half into the parquet sketch, read back — the merged
     // cells must equal the whole-corpus single-pass cells, which is what

@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable equal-width histogram sketch over a numeric column: the
@@ -173,6 +173,63 @@ object CountHist {
     implicit val spark: SparkSession = df.sparkSession
     val old = read(path)
     write(old.merge(sketchCol(df, valueCol, old.lo, old.hi, old.bins)), path)
+  }
+
+  /** Per-GROUP sketches in ONE hash aggregate, via the
+    * [[graft.expr.HistCounts]] aggregate expression (same Sketch state,
+    * same cell arithmetic — the counter tables replay bit-for-bit like
+    * [[sketchCol]]'s). Partial aggregation combines each group's rows to
+    * a bins-sized array map-side, so the shuffle carries
+    * groups×partitions sketch rows, never the data — the per-group
+    * quantile path that needs neither a sort nor one GK state per group.
+    * Output: group columns + (below, counts: array<long>, above). */
+  def byGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              lo: Double, hi: Double, bins: Int): DataFrame =
+      graft.util.Errors.context("CountHist.byGroup", groupCols :+ valueCol) {
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expr.HistCounts.of(col(valueCol), lo, hi, bins).as("__h"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__h.below").as("below"), col("__h.counts").as("counts"),
+        col("__h.above").as("above")): _*)
+  }
+
+  /** Interpolated quantiles from a [[graft.expr.HistCounts]] `counts`
+    * array — [[Sketch.quantile]] applied per row (null when the in-range
+    * mass is empty). A UDF, but over ONE bins-sized array per GROUP row,
+    * never per data row — interpolation needs the sequential cumulative
+    * scan, which has no codegen'd column form. */
+  def quantilesOf(counts: Column, lo: Double, hi: Double, bins: Int,
+                  ps: Seq[Double]): Column = {
+    require(ps.nonEmpty, "quantilesOf needs at least one percentile")
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"bad percentile $p"))
+    val f = udf { cs: Seq[Long] =>
+      if (cs == null) null
+      else {
+        val sk = new Sketch(lo, hi, bins)
+        require(cs.length == bins,
+          s"quantilesOf: ${cs.length} cells, expected $bins")
+        var i = 0
+        while (i < bins) { sk.counts(i) = cs(i); i += 1 }
+        if (sk.n == 0L) null else ps.map(sk.quantile)
+      }
+    }
+    f(counts)
+  }
+
+  /** Per-group approximate quantiles in one pass: [[byGroup]] +
+    * [[quantilesOf]]. Output: group columns + n (in-range rows) +
+    * below/above tallies + `quantiles` aligned with `ps` (null for an
+    * empty-in-range group). Estimates carry the sketch's 2·cell-width
+    * bound vs the exact type-7 quantile ([[quantileCheck]]'s
+    * contract). */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lo: Double, hi: Double, bins: Int,
+                     ps: Seq[Double]): DataFrame = {
+    val g = byGroup(df, groupCols, valueCol, lo, hi, bins)
+    g.select(groupCols.map(col) ++ Seq(
+      aggregate(col("counts"), lit(0L), _ + _).as("n"),
+      col("below"), col("above"),
+      quantilesOf(col("counts"), lo, hi, bins, ps).as("quantiles")): _*)
   }
 
   /** Quantile contract table, DuckDB-replayable in the

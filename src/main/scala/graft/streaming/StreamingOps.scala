@@ -53,6 +53,32 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDur))
       .agg(graft.expr.MisraGries.of(col(valueCol), k).as("candidates"))
 
+  /** Per-window approximate quantiles on a stream, via the mergeable
+    * [[graft.expr.HistCounts]] histogram sketch: the aggregation buffer
+    * (bins+2 longs) lives in the state store and merges exactly across
+    * micro-batches — the streaming quantile path GK cannot provide (GK
+    * summaries are not mergeable, so Spark refuses approx_percentile in
+    * an incremental aggregation). Emits per window: n (in-range rows),
+    * below/above out-of-range tallies, and `quantiles` aligned with
+    * `ps`, each within 2·cell-width of the window's exact type-7
+    * quantile ([[graft.agg.CountHist]]'s bound — widen [lo, hi] or
+    * raise `bins` to tighten). State per open window is bins+2 longs,
+    * independent of arrival count. */
+  def windowedQuantiles(stream: DataFrame, tsCol: String, valueCol: String,
+                        lo: Double, hi: Double, bins: Int,
+                        ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                        windowDur: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.expr.HistCounts.of(col(valueCol), lo, hi, bins).as("__h"))
+      .select(col("window"),
+        aggregate(col("__h.counts"), lit(0L), _ + _).as("n"),
+        col("__h.below").as("below"), col("__h.above").as("above"),
+        graft.agg.CountHist.quantilesOf(col("__h.counts"), lo, hi, bins, ps)
+          .as("quantiles"))
+
   /** Streaming exact dedup on a key with watermarked state retention —
     * the streaming face of Dedup.exact. */
   def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],

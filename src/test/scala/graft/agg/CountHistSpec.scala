@@ -67,6 +67,65 @@ class CountHistSpec extends SparkSpec {
     assert(back.lo == 0.0 && back.hi == 64.0 && back.bins == 16)
   }
 
+  test("HistCounts aggregate: byGroup cells equal sketchCol per group; partition-independent") {
+    import spark.implicits._
+    val rows = (0 until 900).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        (i * 37 % 120) / 10.0 - 0.5) // spills below 0 and above 10
+    }
+    val df = rows.toDF("g", "v")
+    val g = CountHist.byGroup(df, Seq("g"), "v", 0.0, 10.0, 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getLong(3))).toMap
+    Seq("a", "b", "c").foreach { k =>
+      val sk = CountHist.sketchCol(
+        rows.filter(_._1 == k).map(_._2).toDF("v"), "v", 0.0, 10.0, 20)
+      val (below, counts, above) = g(k)
+      assert(below == sk.below && above == sk.above, s"group $k tallies")
+      assert(counts == sk.counts.toSeq, s"group $k cells")
+    }
+    // merge-order independence: a different partitioning gives the same
+    // counter tables (addition is exact)
+    val g12 = CountHist.byGroup(df.repartition(12), Seq("g"), "v",
+        0.0, 10.0, 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getLong(3))).toMap
+    assert(g12 == g)
+    // nulls and NaN are skipped, not binned
+    val dirty = Seq(("a", Some(1.0)), ("a", None),
+      ("a", Some(Double.NaN))).toDF("g", "v")
+    val d = CountHist.byGroup(dirty, Seq("g"), "v", 0.0, 10.0, 10)
+      .head()
+    assert(d.getLong(1) == 0L && d.getLong(3) == 0L)
+    assert(d.getSeq[Long](2).sum == 1L)
+  }
+
+  test("groupQuantiles: estimates within 2 cell widths of each group's exact quantile") {
+    import spark.implicits._
+    val rows = (0 until 1200).map { i =>
+      (if (i % 2 == 0) "x" else "y", (i * 53 % 1000) / 10.0)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val width = 100.0 / 40
+    val got = CountHist.groupQuantiles(df, Seq("g"), "v", 0.0, 100.0, 40, ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](4))).toMap
+    Seq("x", "y").foreach { k =>
+      val vs = rows.filter(_._1 == k).map(_._2).sorted
+      val (n, qs) = got(k)
+      assert(n == vs.length)
+      ps.zip(qs).foreach { case (p, q) =>
+        val r = p * (vs.length - 1) // exact type-7 quantile
+        val lo = vs(r.toInt)
+        val exact = lo + (r - r.toInt) * (vs(math.min(r.toInt + 1,
+          vs.length - 1)) - lo)
+        assert(math.abs(q - exact) <= 2 * width + 1e-9,
+          s"group $k p=$p: $q vs exact $exact")
+      }
+    }
+  }
+
   test("quantileCheck refuses out-of-range mass; empty and bad params guarded") {
     import spark.implicits._
     val df = values(Seq(1.0, 5.0, 20.0))

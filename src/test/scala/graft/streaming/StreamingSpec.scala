@@ -472,4 +472,37 @@ class StreamingSpec extends SparkSpec {
       assert(b2(("a", 40L)) == 5.0 && b2(("b", 20L)) == 9.0)
     } finally q.stop()
   }
+
+  test("windowedQuantiles: sketch merges across micro-batches, equals batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val wq = StreamingOps.windowedQuantiles(
+      input.toDF().toDF("ts", "v"), "ts", "v",
+      lo = 0.0, hi = 100.0, bins = 50, ps = Seq(0.5, 0.9),
+      windowDur = "1 hour", watermark = "2 hours")
+    val q = wq.writeStream.format("memory")
+      .queryName("wq").outputMode("complete").start()
+    try {
+      def at(min: Int) = ts(f"2026-01-01 10:${min % 60}%02d:00")
+      // one window, TWO batches (forces a state-store merge), plus
+      // out-of-range spill on both sides
+      val batch1 = (0 until 300).map(i => (at(i % 60), (i * 53 % 1000) / 10.0))
+      val batch2 = (300 until 600).map(i => (at(i % 60), (i * 53 % 1000) / 10.0)) ++
+        Seq((at(5), -3.0), (at(6), 250.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n, below, above, quantiles FROM wq " +
+        "WHERE window.start = '2026-01-01 10:00:00'").head()
+      assert(r.getLong(0) == 600L)
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+      // parity: the streamed window equals the batch sketch on its rows
+      val sk = new graft.agg.CountHist.Sketch(0.0, 100.0, 50)
+      (batch1 ++ batch2).foreach { case (_, v) => sk.add(v) }
+      val qs = r.getSeq[Double](3)
+      assert(qs == Seq(sk.quantile(0.5), sk.quantile(0.9)))
+    } finally q.stop()
+  }
 }
