@@ -5308,7 +5308,120 @@ object Queries {
                  AND hits >= 2 THEN 1 ELSE 0 END AS keep_gopher,
                CASE WHEN sc >= 3 AND wc >= 5 AND NOT lorem AND NOT brace
                  THEN 1 ELSE 0 END AS keep_c4
-             FROM m ORDER BY doc_id"""))
+             FROM m ORDER BY doc_id""")),
+
+    // ---- logistic quality classifier (Classify) ---------------------------
+    // two full-batch GD steps from zero init are exactly SQL-replayable:
+    // step 1's sigmoid is the constant 0.5, step 2's runs through exp() —
+    // both engines' IEEE doubles agree well inside the 1e-6 rounding.
+    // Convergence/accuracy of longer trainings is spec-pinned
+    // (ClassifySpec); this row pins the distributed gradient arithmetic.
+    QueryDef("q_logreg_step",
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .withColumn("y", (col("lang") === "en").cast("double"))
+          .withColumn("x",
+            array(lit(1.0), col("n_chars").cast("double") / 1000.0))
+        val m = graft.pipeline.Classify.trainLogistic(
+          docs, "x", "y", steps = 2, lr = 0.5)
+        m.weights.zipWithIndex
+          .map { case (w, j) =>
+            (j, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble) }
+          .toSeq.toDF("dim", "weight").orderBy("dim")
+      },
+      Some("""WITH f AS (SELECT (lang = 'en')::INT::DOUBLE AS y, 1.0 AS x0,
+               n_chars::DOUBLE / 1000.0 AS x1 FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             s1 AS (SELECT count(*)::DOUBLE AS n, sum((0.5 - y) * x0) AS g0,
+               sum((0.5 - y) * x1) AS g1 FROM f),
+             w1 AS (SELECT -0.5 * g0 / n AS w0, -0.5 * g1 / n AS w1 FROM s1),
+             p AS (SELECT y, x0, x1,
+               1.0 / (1.0 + exp(-(w1.w0 * x0 + w1.w1 * x1))) AS p
+               FROM f, w1),
+             s2 AS (SELECT count(*)::DOUBLE AS n, sum((p - y) * x0) AS g0,
+               sum((p - y) * x1) AS g1 FROM p),
+             w2 AS (SELECT w1.w0 - 0.5 * s2.g0 / s2.n AS w0,
+               w1.w1 - 0.5 * s2.g1 / s2.n AS w1 FROM w1, s2)
+             SELECT 0::INT AS dim, round(w0, 6) AS weight FROM w2
+             UNION ALL SELECT 1::INT, round(w1, 6) FROM w2 ORDER BY dim""")),
+
+    // ---- calibration curve + Brier score ----------------------------------
+    QueryDef("q_calibration",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10.0)
+        graft.eval.BinaryMetrics.calibrationCurve(li, "p", "label", bins = 10)
+          .select(col("bin"), col("n"),
+            round(col("mean_pred"), 6).as("mean_pred"),
+            round(col("frac_pos"), 6).as("frac_pos"))
+          .orderBy("bin")
+      },
+      Some("""WITH sl AS (SELECT l_discount * 10.0 AS p,
+               (l_returnflag = 'R')::INT::DOUBLE AS y FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL)
+             SELECT least(floor(p * 10), 9)::INT AS bin,
+               count(*)::BIGINT AS n,
+               round(avg(p), 6) AS mean_pred,
+               round(avg(y), 6) AS frac_pos
+             FROM sl GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_brier",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10.0)
+        graft.eval.BinaryMetrics.brierScore(li, "p", "label")
+          .select(round(col("brier"), 6).as("brier"), col("n"))
+      },
+      Some("""SELECT round(avg(pow(l_discount * 10.0 -
+               (l_returnflag = 'R')::INT::DOUBLE, 2)), 6) AS brier,
+             count(*)::BIGINT AS n FROM lineitem
+             WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL""")),
+
+    // ---- JL random sign projection ----------------------------------------
+    // the md5 sign basis makes the whole projection replayable in DuckDB
+    // (the q_cms contract pattern); the JL distortion bound is spec-pinned.
+    QueryDef("q_jl_project",
+      (s, d) => graft.pipeline.Pca.jlProject(
+          embeddings(s, d), "vec_id", "embedding", outDim = 16, seed = 7)
+        .select(col("vec_id"), posexplode(col("projection")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j"), round(col("v"), 6).as("v"))
+        .orderBy("vec_id", "j"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             s AS (SELECT vec_id, j.j, sum(CASE WHEN
+                 substr(md5('7:' || j.j || ':' || t.i), 1, 1)
+                   BETWEEN '0' AND '7'
+                 THEN v[t.i + 1] ELSE -v[t.i + 1] END) AS acc
+               FROM e, range(16) j(j), range(64) t(i) GROUP BY 1, 2)
+             SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
+             FROM s ORDER BY vec_id, j""")),
+
+    // ---- effective sample size (weighted-tier health) ---------------------
+    QueryDef("q_ess",
+      (s, d) => graft.pipeline.Sampling.effectiveSampleSize(
+          documents(s, d), "n_chars", "source")
+        .select(col("source"), col("n"),
+          round(col("sum_w"), 6).as("sum_w"),
+          round(col("ess"), 6).as("ess"),
+          round(col("ess_ratio"), 6).as("ess_ratio"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*)::BIGINT AS n,
+               round(sum(n_chars::DOUBLE), 6) AS sum_w,
+               round(sum(n_chars::DOUBLE) * sum(n_chars::DOUBLE) /
+                 sum(n_chars::DOUBLE * n_chars::DOUBLE), 6) AS ess,
+               round(sum(n_chars::DOUBLE) * sum(n_chars::DOUBLE) /
+                 sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*), 6)
+                 AS ess_ratio
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+               AND n_chars >= 0
+             GROUP BY 1 ORDER BY source"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -234,6 +234,34 @@ object BinaryMetrics {
     Seq(header1, header2, row0, row1).mkString("\n")
   }
 
+  /** Reliability (calibration) curve: scores in [0, 1] bucketed into
+    * `bins` equal-width bins (score 1.0 clamps into the last bin), each
+    * bin reporting its row count, mean predicted probability, and
+    * empirical positive rate — the "is 0.9 really 90%?" diagnostic for
+    * any trained scorer ([[graft.pipeline.Classify]]'s quality
+    * classifier being the in-repo producer). ONE aggregation pass,
+    * output bounded by `bins`; scale-free. */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"calibrationCurve: bins must be >= 1, got $bins")
+    val sl = scoreAndLabels(df, scoreCol, labelCol)
+    sl.groupBy(least(floor(col("score") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("score")).as("mean_pred"),
+        avg(col("label")).as("frac_pos"))
+  }
+
+  /** Brier score: mean squared error of the predicted probability,
+    * (1/n)·Σ(p − y)² — the proper scoring rule companion of the
+    * calibration curve (lower is better; 0.25 = uninformed 0.5
+    * scorer on balanced labels). One aggregation pass. */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val sl = scoreAndLabels(df, scoreCol, labelCol)
+    sl.agg(avg(pow(col("score") - col("label"), 2)).as("brier"),
+      count(lit(1)).as("n"))
+  }
+
   /** mllib adapter for AUC metrics (areaUnderROC/areaUnderPR). */
   def mllibMetrics(df: DataFrame, scoreCol: String, labelCol: String,
                    numBins: Int = 0): BinaryClassificationMetrics = {

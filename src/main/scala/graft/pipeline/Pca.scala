@@ -269,6 +269,65 @@ object Pca {
                    k: Int = 0, whiten: Boolean = false): DataFrame =
     transform(df, idCol, vecCol, fit(df, idCol, vecCol, k), whiten)
 
+  /** Sign of JL cell (seed, j, i): +1 iff the first hex digit of
+    * md5("seed:j:i") is 0-7 — md5-based SPECIFICALLY so an external
+    * engine replays the projection bit-for-bit (DuckDB:
+    * `substr(md5(seed || ':' || j || ':' || i), 1, 1) BETWEEN '0' AND
+    * '7'`), the same replayability contract as [[graft.agg.CountMin]]. */
+  private[pipeline] def jlSign(seed: Int, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((seed.toString + ":" + j + ":" + i)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) & 0xf0) >>> 4) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random sign projection: out(j) =
+    * (1/√outDim)·Σᵢ s(j,i)·x(i) with s ∈ {±1} derived deterministically
+    * from md5(seed:j:i) (Achlioptas 2003's database-friendly ±1 variant).
+    * The data-independent sibling of [[transform]]: no fit pass, no
+    * driver model — the sign matrix is rebuilt per partition from the
+    * seed (outDim·d md5 calls per task, microseconds), so projecting a
+    * 100-TB corpus is ONE stateless map pass with nothing broadcast.
+    * Distance preservation follows the JL bound in outDim alone; use it
+    * to cut d before k-means/kNN when PCA's fit scan isn't worth it. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDim: Int, seed: Int = 7): DataFrame =
+      graft.util.Errors.context("Pca.jlProject", Seq(idCol, vecCol)) {
+    require(outDim >= 1, s"Pca.jlProject: outDim must be >= 1, got $outDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Similarity.requireIntegralId(df, idCol, "Pca.jlProject")
+    val k = outDim
+    val sd = seed
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    df.na.drop(Seq(idCol, vecCol))
+      .select(col(idCol).cast("long"),
+        org.apache.spark.sql.functions.transform(col(vecCol),
+          x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        var signs: Array[Array[Double]] = null
+        it.map { case (id, x) =>
+          if (signs == null)
+            signs = Array.tabulate(k, x.length)((j, i) => jlSign(sd, j, i))
+          require(x.length == signs(0).length,
+            s"Pca.jlProject: vector width ${x.length} != ${signs(0).length}")
+          val out = new Array[Double](k)
+          var j = 0
+          while (j < k) {
+            val row = signs(j)
+            var acc = 0.0
+            var i = 0
+            while (i < x.length) { acc += row(i) * x(i); i += 1 }
+            out(j) = acc * scale
+            j += 1
+          }
+          (id, out)
+        }
+      }
+      .toDF(idCol, "projection")
+  }
+
   /** Eigensolve integrity contract, DuckDB-replayable: the eigenvalue sum
     * must reproduce the covariance trace (rotation invariant — drifts iff
     * the Jacobi solve lost mass), eigenvalues must be sorted desc, and the

@@ -510,4 +510,26 @@ object Sampling {
       .withColumnRenamed("__graft_shard", "shard")
       .withColumnRenamed("__graft_key", "order_key")
   } }
+
+  /** Kish effective sample size per group: ess = (Σw)²/Σw² — how many
+    * EQUAL-weight rows the weighted set is statistically worth. The
+    * health check for every weighted tier in the engine (DSIR importance
+    * weights, temperature rebalancing, weightedSample priorities): an
+    * ess_ratio (= ess/n) near 1 means weights are nearly uniform; near
+    * 1/n means one row dominates and downstream estimates carry its
+    * variance. ONE aggregation pass, output bounded by group count;
+    * null/negative-weight rows are dropped (a weight of 0 contributes
+    * nothing to either sum). */
+  def effectiveSampleSize(df: DataFrame, weightCol: String,
+                          groupCols: String*): DataFrame = {
+    graft.util.Errors.context("effectiveSampleSize", weightCol +: groupCols) {
+    val w = col(weightCol).cast("double")
+    val base = df.na.drop(weightCol +: groupCols)
+      .filter(w >= 0.0)
+    val aggs = Seq(count(lit(1)).as("n"), sum(w).as("sum_w"),
+      (sum(w) * sum(w) / sum(w * w)).as("ess"),
+      (sum(w) * sum(w) / sum(w * w) / count(lit(1))).as("ess_ratio"))
+    if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  } }
 }

@@ -1,0 +1,58 @@
+package graft.eval
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CalibrationSpec extends SparkSpec {
+
+  private def toy = {
+    import spark.implicits._
+    // scores chosen so bins 0/5/9 are hit; labels hand-assigned
+    Seq((0.05, 0.0), (0.08, 1.0), (0.55, 1.0), (0.58, 0.0),
+      (0.52, 1.0), (0.95, 1.0), (1.00, 1.0)).toDF("p", "y")
+  }
+
+  test("calibrationCurve: hand-computed bins, 1.0 clamps into the last bin") {
+    import spark.implicits._
+    val got = BinaryMetrics.calibrationCurve(toy, "p", "y", bins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0, 5, 9))
+    val byBin = got.map(r => r._1 -> r).toMap
+    assert(byBin(0)._2 == 2 && math.abs(byBin(0)._3 - 0.065) < 1e-12 &&
+      math.abs(byBin(0)._4 - 0.5) < 1e-12)
+    assert(byBin(5)._2 == 3 &&
+      math.abs(byBin(5)._3 - (0.55 + 0.58 + 0.52) / 3) < 1e-12 &&
+      math.abs(byBin(5)._4 - 2.0 / 3) < 1e-12)
+    // score 1.0 would floor into bin 10 — must clamp to 9
+    assert(byBin(9)._2 == 2 && math.abs(byBin(9)._4 - 1.0) < 1e-12)
+    intercept[IllegalArgumentException](
+      BinaryMetrics.calibrationCurve(toy, "p", "y", bins = 0))
+  }
+
+  test("brierScore: hand value; perfect and uninformed scorers") {
+    import spark.implicits._
+    val r = BinaryMetrics.brierScore(toy, "p", "y").head()
+    val want = Seq((0.05, 0.0), (0.08, 1.0), (0.55, 1.0), (0.58, 0.0),
+      (0.52, 1.0), (0.95, 1.0), (1.00, 1.0))
+      .map { case (p, y) => (p - y) * (p - y) }.sum / 7
+    assert(math.abs(r.getAs[Double]("brier") - want) < 1e-12)
+    assert(r.getAs[Long]("n") == 7L)
+    val perfect = Seq((1.0, 1.0), (0.0, 0.0)).toDF("p", "y")
+    assert(BinaryMetrics.brierScore(perfect, "p", "y")
+      .head().getAs[Double]("brier") == 0.0)
+    val coin = Seq((0.5, 1.0), (0.5, 0.0)).toDF("p", "y")
+    assert(math.abs(BinaryMetrics.brierScore(coin, "p", "y")
+      .head().getAs[Double]("brier") - 0.25) < 1e-12)
+  }
+
+  test("null scores/labels are dropped from both metrics") {
+    import spark.implicits._
+    val withNulls = Seq((Some(0.5), Some(1.0)), (None: Option[Double], Some(1.0)),
+      (Some(0.5), None: Option[Double])).toDF("p", "y")
+    assert(BinaryMetrics.brierScore(withNulls, "p", "y")
+      .head().getAs[Long]("n") == 1L)
+    assert(BinaryMetrics.calibrationCurve(withNulls, "p", "y")
+      .agg(sum("n")).head().getLong(0) == 1L)
+  }
+}

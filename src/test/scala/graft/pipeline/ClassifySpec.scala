@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import Classify._
+
+  /** Linearly separable 2-D cloud (plus bias feature): y = [x1 > 0]. */
+  private def separable(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 + (i % 7) * 0.1 else -1.0 - (i % 5) * 0.1
+      val x2 = ((i * 31) % 11 - 5) * 0.1 // noise dim, label-independent
+      (i.toLong, Array(1.0, x1, x2), if (x1 > 0) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+  }
+
+  test("GD separates a separable cloud: accuracy 1.0, loss non-increasing") {
+    val df = separable(200).cache()
+    val m = trainLogistic(df, "x", "y", steps = 60, lr = 1.0)
+    assert(m.dim == 3)
+    assert(math.abs(m.losses.head - math.log(2.0)) < 1e-12) // zero-init loss
+    assert(m.losses.sliding(2).forall(w => w(0) >= w(1) - 1e-9),
+      m.losses.mkString(","))
+    val scored = scoreLogistic(df, "x", m.weights)
+    val wrong = scored
+      .filter((col("score") >= 0.5).cast("int") =!= col("y").cast("int"))
+      .count()
+    assert(wrong == 0L)
+    // the separating direction dominates the noise dim
+    assert(math.abs(m.weights(1)) > 5 * math.abs(m.weights(2)))
+    df.unpersist()
+  }
+
+  test("scoreColumn reproduces the driver-side sigmoid exactly") {
+    import spark.implicits._
+    val df = separable(50)
+    val w = Array(0.3, -1.2, 0.7)
+    val got = scoreLogistic(df, "x", w)
+      .select(col("id"), col("score")).as[(Long, Double)].collect().toMap
+    separable(50).as[(Long, Array[Double], Double)].collect().foreach {
+      case (id, x, _) =>
+        val dot = x.indices.map(j => w(j) * x(j)).sum
+        val want = 1.0 / (1.0 + math.exp(-dot))
+        assert(math.abs(got(id) - want) < 1e-12)
+    }
+  }
+
+  test("l2 shrinks weights; guards fire on bad input") {
+    val df = separable(100).cache()
+    val plain = trainLogistic(df, "x", "y", steps = 30, lr = 1.0)
+    val reg = trainLogistic(df, "x", "y", steps = 30, lr = 1.0, l2 = 0.5)
+    val n2 = (w: Array[Double]) => math.sqrt(w.map(v => v * v).sum)
+    assert(n2(reg.weights) < n2(plain.weights))
+    intercept[IllegalArgumentException](
+      trainLogistic(df, "x", "y", steps = 0))
+    intercept[IllegalArgumentException](
+      trainLogistic(df.filter(lit(false)), "x", "y", steps = 1))
+    import spark.implicits._
+    val ragged = Seq((Array(1.0), 0.0), (Array(1.0, 2.0), 1.0)).toDF("x", "y")
+    intercept[Exception](trainLogistic(ragged, "x", "y", steps = 1))
+    df.unpersist()
+  }
+
+  test("null labels/features are dropped, not trained on") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(1.0)),
+      (None: Option[Array[Double]], Some(0.0)),
+      (Some(Array(1.0, -2.0)), None: Option[Double]),
+      (Some(Array(1.0, -2.0)), Some(0.0))).toDF("x", "y")
+    val clean = Seq((Array(1.0, 2.0), 1.0), (Array(1.0, -2.0), 0.0))
+      .toDF("x", "y")
+    val a = trainLogistic(df, "x", "y", steps = 5, lr = 0.5).weights
+    val b = trainLogistic(clean, "x", "y", steps = 5, lr = 0.5).weights
+    assert(a.zip(b).forall { case (u, v) => math.abs(u - v) < 1e-12 })
+  }
+}

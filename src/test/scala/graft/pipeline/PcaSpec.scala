@@ -95,6 +95,50 @@ class PcaSpec extends SparkSpec {
     assert(errs.last < 1e-9)
   }
 
+  test("jlProject matches a naive driver reference and preserves distances") {
+    import spark.implicits._
+    val n = 80; val d = 32; val k = 16; val seed = 11
+    val df = synth(n, d)
+    val got = Pca.jlProject(df, "id", "vec", k, seed)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(got.size == n && got.values.forall(_.length == k))
+    // naive reference off the same md5 sign basis
+    val signs = Array.tabulate(k, d)((j, i) => Pca.jlSign(seed, j, i))
+    val src = df.as[(Long, Array[Float])].collect().toMap
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    src.foreach { case (id, xf) =>
+      val x = xf.map(_.toDouble)
+      val want = Array.tabulate(k)(j =>
+        x.indices.map(i => signs(j)(i) * x(i)).sum * scale)
+      val g = got(id)
+      assert(want.indices.forall(j => math.abs(g(j) - want(j)) < 1e-12))
+    }
+    // JL distance preservation on sampled pairs: squared distances scale
+    // by d/k in expectation; with k=16 individual pairs are loose, so
+    // check the MEAN ratio (concentrates) plus a generous per-pair band
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val ids = got.keys.toSeq.sorted
+    val ratios = for (a <- ids.indices; b <- a + 1 until math.min(a + 4, ids.length))
+      yield {
+        val (ia, ib) = (ids(a), ids(b))
+        d2(got(ia), got(ib)) /
+          d2(src(ia).map(_.toDouble), src(ib).map(_.toDouble))
+      }
+    val mean = ratios.sum / ratios.size
+    // k=16 is deliberately small: per-direction variance is ~sqrt(2/16),
+    // and difference vectors share the one fixed basis, so the mean over
+    // pairs keeps O(1/sqrt(k)) fluctuation — 0.25 is the honest band
+    assert(math.abs(mean - 1.0) < 0.25, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0))
+    // different seed ⇒ different basis ⇒ different projection
+    val other = Pca.jlProject(df, "id", "vec", k, seed + 1)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(ids.exists(id => got(id).toSeq != other(id).toSeq))
+    // the error prettifier frames the require into a GraftException
+    intercept[graft.util.GraftException](Pca.jlProject(df, "id", "vec", 0))
+  }
+
   test("fitCheck flags hold; guards fire on bad input") {
     val df = synth(60, 4)
     val row = Pca.fitCheck(df, "id", "vec").head()

@@ -1118,4 +1118,30 @@ class PipelineSpec extends SparkSpec {
     assert(res.count() == 9L)
     assert(skipped2.value == 0L)
   }
+
+  test("effectiveSampleSize: uniform weights give ess = n, one dominant " +
+      "row drives ess toward 1; nulls and negatives dropped") {
+    import spark.implicits._
+    val uniform = (0 until 40).map(i => (i.toLong, "a", 2.5)).toDF("id", "g", "w")
+    val u = Sampling.effectiveSampleSize(uniform, "w", "g").head()
+    assert(u.getAs[Long]("n") == 40L)
+    assert(math.abs(u.getAs[Double]("ess") - 40.0) < 1e-9)
+    assert(math.abs(u.getAs[Double]("ess_ratio") - 1.0) < 1e-9)
+    // one huge weight: ess ≈ 1 (Kish: (Σw)²/Σw² → w_max²/w_max² as it dominates)
+    val skew = ((0 until 39).map(i => (i.toLong, "a", 1e-6)) :+ (39L, "a", 1000.0))
+      .toDF("id", "g", "w")
+    val s = Sampling.effectiveSampleSize(skew, "w", "g").head()
+    assert(math.abs(s.getAs[Double]("ess") - 1.0) < 1e-6)
+    // grouped: hand value for {1, 3}: (4)²/(10) = 1.6
+    val two = Seq((0L, "a", 1.0), (1L, "a", 3.0), (2L, "b", 5.0)).toDF("id", "g", "w")
+    val byG = Sampling.effectiveSampleSize(two, "w", "g")
+      .orderBy("g").as[(String, Long, Double, Double, Double)].collect()
+    assert(byG(0)._1 == "a" && math.abs(byG(0)._4 - 1.6) < 1e-12)
+    assert(byG(1)._1 == "b" && math.abs(byG(1)._4 - 1.0) < 1e-12)
+    // nulls/negatives dropped; global (no group) form works
+    val dirty = Seq((0L, Some(1.0)), (1L, None: Option[Double]), (2L, Some(-2.0)))
+      .toDF("id", "w")
+    val g = Sampling.effectiveSampleSize(dirty, "w").head()
+    assert(g.getAs[Long]("n") == 1L)
+  }
 }
