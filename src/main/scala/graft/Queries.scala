@@ -5348,6 +5348,66 @@ object Queries {
              SELECT 0::INT AS dim, round(w0, 6) AS weight FROM w2
              UNION ALL SELECT 1::INT, round(w1, 6) FROM w2 ORDER BY dim""")),
 
+    // corpus scoring through the SAME 2-step weights: the oracle recomputes
+    // the weights in SQL and pushes every doc through the sigmoid — pins
+    // the distributed scoreColumn projection end-to-end
+    QueryDef("q_logreg_score",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .withColumn("y", (col("lang") === "en").cast("double"))
+          .withColumn("x",
+            array(lit(1.0), col("n_chars").cast("double") / 1000.0))
+        val m = graft.pipeline.Classify.trainLogistic(
+          docs, "x", "y", steps = 2, lr = 0.5)
+        graft.pipeline.Classify.scoreLogistic(docs, "x", m.weights)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE AS y,
+               1.0 AS x0, n_chars::DOUBLE / 1000.0 AS x1 FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             s1 AS (SELECT count(*)::DOUBLE AS n, sum((0.5 - y) * x0) AS g0,
+               sum((0.5 - y) * x1) AS g1 FROM f),
+             w1 AS (SELECT -0.5 * g0 / n AS w0, -0.5 * g1 / n AS w1 FROM s1),
+             p AS (SELECT y, x0, x1,
+               1.0 / (1.0 + exp(-(w1.w0 * x0 + w1.w1 * x1))) AS p
+               FROM f, w1),
+             s2 AS (SELECT count(*)::DOUBLE AS n, sum((p - y) * x0) AS g0,
+               sum((p - y) * x1) AS g1 FROM p),
+             w2 AS (SELECT w1.w0 - 0.5 * s2.g0 / s2.n AS w0,
+               w1.w1 - 0.5 * s2.g1 / s2.n AS w1 FROM w1, s2)
+             SELECT doc_id, round(1.0 / (1.0 +
+               exp(-(w2.w0 * x0 + w2.w1 * x1))), 6) AS score
+             FROM f, w2 ORDER BY doc_id""")),
+
+    // ---- per-group AUC (Mann-Whitney rank identity) -----------------------
+    QueryDef("q_auc_by",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        graft.eval.BinaryMetrics.aucBy(li, "l_discount", "label",
+            "l_linestatus")
+          .select(col("l_linestatus"), col("pos"), col("neg"),
+            round(col("auc_roc"), 6).as("auc_roc"))
+          .orderBy("l_linestatus")
+      },
+      Some("""WITH sl AS (SELECT l_linestatus AS g, l_discount::DOUBLE
+                 AS score, (l_returnflag = 'R')::INT::DOUBLE AS y
+               FROM lineitem WHERE l_linestatus IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+             ps AS (SELECT g, score, sum(y) AS pos,
+               count(*)::DOUBLE AS cnt FROM sl GROUP BY 1, 2),
+             r AS (SELECT g, pos, cnt, coalesce(sum(cnt) OVER
+                 (PARTITION BY g ORDER BY score ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below FROM ps),
+             a AS (SELECT g, sum(pos) AS p, sum(cnt - pos) AS n,
+               sum(pos * (below + (cnt + 1) / 2.0)) AS prs FROM r
+               GROUP BY 1)
+             SELECT g AS l_linestatus, p::BIGINT AS pos, n::BIGINT AS neg,
+               round((prs - p * (p + 1) / 2.0) / (p * n), 6) AS auc_roc
+             FROM a ORDER BY l_linestatus""")),
+
     // ---- calibration curve + Brier score ----------------------------------
     QueryDef("q_calibration",
       (s, d) => {

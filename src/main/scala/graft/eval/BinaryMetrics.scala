@@ -262,6 +262,48 @@ object BinaryMetrics {
       count(lit(1)).as("n"))
   }
 
+  /** Per-group ROC AUC by the Mann-Whitney rank-sum identity:
+    * AUC = (Σ_pos avgRank − P(P+1)/2) / (P·N) with ties at average rank
+    * — exactly the trapezoid area [[auc]] computes, but as a closed-form
+    * aggregate, so it GROUPS: one row per key, no curve materialized.
+    * Plan: groupBy (keys, score) folds rows to per-score (pos, cnt)
+    * first, so the rank window runs over DISTINCT scores per group (a
+    * classifier emits far fewer distinct scores than rows), then one
+    * windowed cumulative sum and one final aggregate. Groups with no
+    * positives or no negatives yield NaN (0/0), not a fake 0.5. */
+  def aucBy(df: DataFrame, scoreCol: String, labelCol: String,
+            groupCols: String*): DataFrame = {
+    val keyed = df.select(groupCols.map(col) :+
+        col(scoreCol).cast("double").as("score") :+
+        col(labelCol).cast("double").as("label"): _*)
+      .na.drop(groupCols :+ "score" :+ "label")
+    val perScore = keyed
+      .groupBy((groupCols :+ "score").map(col): _*)
+      .agg(sum("label").as("pos"), count(lit(1)).cast("double").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("below",
+      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+      .withColumn("avg_rank", col("below") + (col("cnt") + 1.0) / 2.0)
+    val aggs = Seq(
+      sum(col("pos")).as("p"),
+      sum(col("cnt") - col("pos")).as("n"),
+      sum(col("pos") * col("avg_rank")).as("pos_rank_sum"))
+    val folded =
+      if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // CASE guards the ANSI divide: single-class groups are NaN by contract
+    folded.withColumn("auc_roc",
+        when(col("p") > 0 && col("n") > 0,
+          (col("pos_rank_sum") - col("p") * (col("p") + 1.0) / 2.0) /
+            (col("p") * col("n")))
+          .otherwise(lit(Double.NaN)))
+      .select(groupCols.map(col) :+ col("p").cast("long").as("pos") :+
+        col("n").cast("long").as("neg") :+ col("auc_roc"): _*)
+  }
+
   /** mllib adapter for AUC metrics (areaUnderROC/areaUnderPR). */
   def mllibMetrics(df: DataFrame, scoreCol: String, labelCol: String,
                    numBins: Int = 0): BinaryClassificationMetrics = {

@@ -46,6 +46,41 @@ class CalibrationSpec extends SparkSpec {
       .head().getAs[Double]("brier") - 0.25) < 1e-12)
   }
 
+  test("aucBy matches the trapezoid auc under heavy ties, and hand cases") {
+    import spark.implicits._
+    // deterministic tie-heavy scores: 7 distinct values over 400 rows
+    val rows = (0 until 400).map { i =>
+      val score = (i * 13 % 7).toDouble / 10.0
+      val label = if ((i * 31 + (i % 7) * 11) % 10 < 3 + (i * 13 % 7)) 1.0 else 0.0
+      (i.toLong, score, label, if (i % 2 == 0) "even" else "odd")
+    }.toDF("id", "p", "y", "g")
+    val whole = BinaryMetrics.auc(rows, "p", "y").head().getAs[Double]("auc_roc")
+    val viaRanks = BinaryMetrics.aucBy(rows, "p", "y").head()
+      .getAs[Double]("auc_roc")
+    assert(math.abs(whole - viaRanks) < 1e-12, s"$whole vs $viaRanks")
+    // grouped: each group's AUC equals the trapezoid AUC of its slice
+    val grouped = BinaryMetrics.aucBy(rows, "p", "y", "g")
+      .orderBy("g").as[(String, Long, Long, Double)].collect()
+    assert(grouped.map(_._1).toSeq == Seq("even", "odd"))
+    grouped.foreach { case (g, pos, neg, a) =>
+      val slice = rows.filter(col("g") === g)
+      val want = BinaryMetrics.auc(slice, "p", "y").head()
+        .getAs[Double]("auc_roc")
+      assert(math.abs(a - want) < 1e-12, s"group $g: $a vs $want")
+      assert(pos > 0 && neg > 0)
+    }
+    // perfect separation = 1.0; reversed = 0.0; single-class = NaN
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("p", "y")
+    assert(BinaryMetrics.aucBy(perfect, "p", "y").head()
+      .getAs[Double]("auc_roc") == 1.0)
+    val reversed = Seq((0.1, 1.0), (0.9, 0.0)).toDF("p", "y")
+    assert(BinaryMetrics.aucBy(reversed, "p", "y").head()
+      .getAs[Double]("auc_roc") == 0.0)
+    val oneClass = Seq((0.1, 1.0), (0.9, 1.0)).toDF("p", "y")
+    assert(BinaryMetrics.aucBy(oneClass, "p", "y").head()
+      .getAs[Double]("auc_roc").isNaN)
+  }
+
   test("null scores/labels are dropped from both metrics") {
     import spark.implicits._
     val withNulls = Seq((Some(0.5), Some(1.0)), (None: Option[Double], Some(1.0)),
