@@ -5462,6 +5462,50 @@ object Queries {
              SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
              FROM s ORDER BY vec_id, j""")),
 
+    // ---- rank-biased overlap (ranking drift, no truth set) ----------------
+    QueryDef("q_rbo",
+      (s, d) => {
+        val o = orders(s, d)
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val runA = o.withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= 20)
+          .select("o_orderpriority", "o_orderkey", "rank")
+        val runB = o.withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 20)
+          .select("o_orderpriority", "o_orderkey", "rank")
+        graft.eval.RankingMetrics.rbo(runA, runB,
+            "o_orderpriority", "o_orderkey", "rank", k = 20, p = 0.9)
+          .select(col("o_orderpriority"), col("n_common"),
+            round(col("rbo"), 6).as("rbo"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH ra AS (SELECT o_orderpriority AS q, o_orderkey AS doc,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS r FROM orders),
+             rb AS (SELECT o_orderpriority AS q, o_orderkey AS doc,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey) AS r FROM orders),
+             j AS (SELECT ra.q, greatest(ra.r, rb.r) AS m
+               FROM ra JOIN rb USING (q, doc)
+               WHERE ra.r <= 20 AND rb.r <= 20),
+             w AS (SELECT mm.m, sum(pow(0.9, d.d - 1) / d.d) AS g
+               FROM (SELECT DISTINCT m FROM j) mm, range(1, 21) d(d)
+               WHERE d.d >= mm.m GROUP BY 1),
+             agg AS (SELECT q, count(*) AS n_common,
+               sum(g) * (1 - 0.9) / (1 - pow(0.9, 20)) AS rbo
+               FROM j JOIN w USING (m) GROUP BY q),
+             qs AS (SELECT DISTINCT o_orderpriority AS q FROM orders
+               WHERE o_orderpriority IS NOT NULL)
+             SELECT qs.q AS o_orderpriority,
+               coalesce(n_common, 0)::BIGINT AS n_common,
+               round(coalesce(rbo, 0), 6) AS rbo
+             FROM qs LEFT JOIN agg ON qs.q = agg.q ORDER BY 1""")),
+
     // ---- effective sample size (weighted-tier health) ---------------------
     QueryDef("q_ess",
       (s, d) => graft.pipeline.Sampling.effectiveSampleSize(

@@ -82,4 +82,60 @@ object RankingMetrics {
         (coalesce(col("__graft_dcg"), lit(0.0)) / col("__graft_idcg"))
           .as("ndcg_at_k"))
   } }
+
+  /** Per-query rank-biased overlap (Webber et al. 2010), truncated at
+    * depth `k` and normalized so identical rankings score exactly 1:
+    *
+    *   RBO@k = (1−p)/(1−p^k) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * — the top-weighted way to compare two RANKINGS with no truth set
+    * (ANN run vs exact run, yesterday's index vs today's): agreement at
+    * rank 1 outweighs agreement at rank k by p^(1−k). `p` is the
+    * persistence (≈ how deep a user looks; 0.9 ⇒ ~top-10 dominate).
+    *
+    * Scale shape: a shared (query, doc) pair enters every depth
+    * d ≥ m = max(rank_A, rank_B), so its total contribution is the
+    * CLOSED weight g(m) = Σ_{d=m..k} p^(d−1)/d — precomputed as a
+    * k-entry literal array indexed per pair. The plan is one equi-join
+    * of the two rank-≤-k runs on (query, doc) and one query-keyed
+    * aggregate: no per-depth explosion, no window, parallelism = query
+    * cardinality. Ranks must be 1-based and unique per query within
+    * each run (break ties upstream). Queries appearing in either run
+    * with no shared docs score 0. Lists SHORTER than k score < 1 even
+    * when identical — the truncated (RBO_min) form keeps dividing by
+    * the full depth d, charging the unobserved tail; compare runs at
+    * the same k they were cut to. */
+  def rbo(runA: DataFrame, runB: DataFrame, queryCol: String,
+          docCol: String, rankCol: String, k: Int,
+          p: Double = 0.9): DataFrame = {
+    graft.util.Errors.context("rbo", Seq(queryCol, docCol, rankCol)) {
+    require(k >= 1, s"rbo needs k >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"rbo needs p in (0,1), got $p")
+    def side(df: DataFrame, tag: String) =
+      df.na.drop(Seq(queryCol, docCol, rankCol))
+        .filter(col(rankCol) <= k && col(rankCol) >= 1)
+        .select(col(queryCol).as("__graft_q"),
+          col(docCol).as("__graft_d"),
+          col(rankCol).cast("long").as(s"__graft_r$tag"))
+    val a = side(runA, "a")
+    val b = side(runB, "b")
+    // g(m) = Σ_{d=m..k} p^(d-1)/d, tail-summed once on the driver
+    val g = new Array[Double](k + 1)
+    var d = k
+    var tail = 0.0
+    while (d >= 1) { tail += math.pow(p, d - 1) / d; g(d) = tail; d -= 1 }
+    val weights = array((1 to k).map(m => lit(g(m))): _*)
+    val norm = (1.0 - p) / (1.0 - math.pow(p, k))
+    val pairs = a.join(b, Seq("__graft_q", "__graft_d"))
+      .withColumn("__graft_w", element_at(weights,
+        greatest(col("__graft_ra"), col("__graft_rb")).cast("int")))
+      .groupBy("__graft_q")
+      .agg(count(lit(1)).as("n_common"),
+        (sum(col("__graft_w")) * norm).as("rbo"))
+    val qs = a.select("__graft_q").union(b.select("__graft_q")).distinct()
+    qs.join(pairs, Seq("__graft_q"), "left")
+      .select(col("__graft_q").as(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  } }
 }

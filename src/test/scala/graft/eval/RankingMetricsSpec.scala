@@ -79,4 +79,46 @@ class RankingMetricsSpec extends SparkSpec {
     assert(m.getAs[Double]("recall_at_k") == 1.0)
     assert(math.abs(m.getAs[Double]("ndcg_at_k") - 1.0) < 1e-12)
   }
+
+  test("rbo: identical = 1, disjoint = 0, hand case, top-weighting") {
+    import spark.implicits._
+    def run(rows: (String, Long, Int)*) = rows.toSeq.toDF("q", "doc", "rank")
+    val a = run(("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3))
+    // identical rankings: exactly 1 regardless of p/k normalization
+    val same = RankingMetrics.rbo(a, a, "q", "doc", "rank", k = 3, p = 0.5)
+      .head()
+    assert(math.abs(same.getAs[Double]("rbo") - 1.0) < 1e-12)
+    assert(same.getAs[Long]("n_common") == 3L)
+    // hand case: B swaps ranks 1 and 2 → A_1 = 0, A_2 = A_3 = 1
+    // rbo = (0 + 0.5 + 0.25) · (1−0.5)/(1−0.5³) = 0.75 · 4/7 = 3/7
+    val b = run(("q1", 2L, 1), ("q1", 1L, 2), ("q1", 3L, 3))
+    val swapped = RankingMetrics.rbo(a, b, "q", "doc", "rank", 3, 0.5)
+      .head().getAs[Double]("rbo")
+    assert(math.abs(swapped - 3.0 / 7.0) < 1e-12, swapped.toString)
+    // disjoint doc sets: query still present, rbo 0
+    val c = run(("q1", 7L, 1), ("q1", 8L, 2), ("q1", 9L, 3))
+    val disj = RankingMetrics.rbo(a, c, "q", "doc", "rank", 3, 0.5).head()
+    assert(disj.getAs[Long]("n_common") == 0L &&
+      disj.getAs[Double]("rbo") == 0.0)
+    // top-weighting: disagreeing at rank 1 hurts more than at rank 3
+    val tailSwap = run(("q1", 1L, 1), ("q1", 3L, 2), ("q1", 2L, 3))
+    val tail = RankingMetrics.rbo(a, tailSwap, "q", "doc", "rank", 3, 0.5)
+      .head().getAs[Double]("rbo")
+    assert(tail > swapped)
+    // multi-query independence + ranks beyond k ignored
+    val a2 = run(("q1", 1L, 1), ("q2", 5L, 1), ("q2", 6L, 99))
+    val b2 = run(("q1", 1L, 1), ("q2", 5L, 1), ("q2", 6L, 2))
+    val byQ = RankingMetrics.rbo(a2, b2, "q", "doc", "rank", 3, 0.5)
+      .orderBy("q").as[(String, Long, Double)].collect()
+    // q1's identical SINGLE-doc lists score 16/21, not 1: truncated RBO
+    // keeps dividing by the full depth d, so the unobserved tail of a
+    // short list counts against it (RBO_min semantics)
+    assert(byQ(0)._1 == "q1" && byQ(0)._2 == 1L &&
+      math.abs(byQ(0)._3 - 16.0 / 21.0) < 1e-12)
+    assert(byQ(1)._2 == 1L) // (q2, 6) rank-99 row filtered from run A
+    intercept[graft.util.GraftException](
+      RankingMetrics.rbo(a, b, "q", "doc", "rank", 0, 0.5))
+    intercept[graft.util.GraftException](
+      RankingMetrics.rbo(a, b, "q", "doc", "rank", 3, 1.0))
+  }
 }
