@@ -5479,7 +5479,8 @@ object Queries {
           .filter(col("rank") <= 20)
           .select("o_orderpriority", "o_orderkey", "rank")
         graft.eval.RankingMetrics.rbo(runA, runB,
-            "o_orderpriority", "o_orderkey", "rank", k = 20, p = 0.9)
+            "o_orderpriority", "o_orderkey", "rank", k = 20, p = 0.9,
+            universe = Some(o.select("o_orderpriority")))
           .select(col("o_orderpriority"), col("n_common"),
             round(col("rbo"), 6).as("rbo"))
           .orderBy("o_orderpriority")

@@ -107,7 +107,7 @@ object RankingMetrics {
     * the same k they were cut to. */
   def rbo(runA: DataFrame, runB: DataFrame, queryCol: String,
           docCol: String, rankCol: String, k: Int,
-          p: Double = 0.9): DataFrame = {
+          p: Double = 0.9, universe: Option[DataFrame] = None): DataFrame = {
     graft.util.Errors.context("rbo", Seq(queryCol, docCol, rankCol)) {
     require(k >= 1, s"rbo needs k >= 1, got $k")
     require(p > 0.0 && p < 1.0, s"rbo needs p in (0,1), got $p")
@@ -132,7 +132,21 @@ object RankingMetrics {
       .groupBy("__graft_q")
       .agg(count(lit(1)).as("n_common"),
         (sum(col("__graft_w")) * norm).as("rbo"))
-    val qs = a.select("__graft_q").union(b.select("__graft_q")).distinct()
+    // the query universe decides which zero-overlap queries surface with
+    // rbo 0. Derived from the runs by default — but that recomputes the
+    // callers' ranking lineage (typically a window over the full corpus)
+    // a SECOND time per side; callers with an expensive ranking should
+    // pass `universe` (e.g. the raw table's distinct query keys) so the
+    // runs are each computed exactly once
+    val qs = universe match {
+      case Some(u) => u.na.drop(Seq(queryCol))
+        .select(col(queryCol).as("__graft_q")).distinct()
+      case None => runA.na.drop(Seq(queryCol))
+        .select(col(queryCol).as("__graft_q"))
+        .union(runB.na.drop(Seq(queryCol))
+          .select(col(queryCol).as("__graft_q")))
+        .distinct()
+    }
     qs.join(pairs, Seq("__graft_q"), "left")
       .select(col("__graft_q").as(queryCol),
         coalesce(col("n_common"), lit(0L)).as("n_common"),

@@ -116,6 +116,15 @@ class RankingMetricsSpec extends SparkSpec {
     assert(byQ(0)._1 == "q1" && byQ(0)._2 == 1L &&
       math.abs(byQ(0)._3 - 16.0 / 21.0) < 1e-12)
     assert(byQ(1)._2 == 1L) // (q2, 6) rank-99 row filtered from run A
+    // explicit universe: extra queries surface with rbo 0, and the
+    // result is unchanged for the queries the runs cover
+    val uni = Seq("q1", "q2", "q3").toDF("q")
+    val withU = RankingMetrics.rbo(a2, b2, "q", "doc", "rank", 3, 0.5,
+        universe = Some(uni))
+      .orderBy("q").as[(String, Long, Double)].collect()
+    assert(withU.length == 3)
+    assert(withU.take(2).toSeq == byQ.toSeq)
+    assert(withU(2) == (("q3", 0L, 0.0)))
     intercept[graft.util.GraftException](
       RankingMetrics.rbo(a, b, "q", "doc", "rank", 0, 0.5))
     intercept[graft.util.GraftException](
