@@ -5381,6 +5381,75 @@ object Queries {
                exp(-(w2.w0 * x0 + w2.w1 * x1))), 6) AS score
              FROM f, w2 ORDER BY doc_id""")),
 
+    // ---- cross-validated classifier AUC -----------------------------------
+    // k=3 folds × 2-step training, fully replayed: folds via the q_kfold
+    // Lehmer chain, leave-one-out step-1 sums by subtraction from the
+    // totals, step 2 through exp() per (row, model) pair, per-fold AUC by
+    // the q_auc_by rank identity. Ranks are engine-stable because the
+    // sigmoid is monotone in the one varying feature — ulp-level weight
+    // differences cannot reorder scores.
+    QueryDef("q_crossval",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .withColumn("y", (col("lang") === "en").cast("double"))
+          .withColumn("x",
+            array(lit(1.0), col("n_chars").cast("double") / 1000.0))
+        graft.pipeline.Classify.crossValAuc(docs, "doc_id", "x", "y",
+            k = 3, steps = 2, lr = 0.5, seed = 3L)
+          .select(col("fold"), col("n_train"), col("pos"), col("neg"),
+            round(col("auc_roc"), 6).as("auc_roc"))
+          .orderBy("fold")
+      },
+      Some("""WITH base AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE AS y,
+               1.0 AS x0, n_chars::DOUBLE / 1000.0 AS x1 FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                 AND doc_id IS NOT NULL),
+             k1 AS (SELECT *, (doc_id % 2147483648 +
+                 (doc_id // 2147483648) * 48271) % 2147483646 + 1 AS xx
+               FROM base),
+             k2 AS (SELECT *, ((xx * 48271 % 2147483647) * 48271
+                 % 2147483647) * 48271 % 2147483647 AS x3 FROM k1),
+             f AS (SELECT doc_id, y, x0, x1, least(floor(
+                 ((((x3 + 3) % 2147483646 + 1) * 48271 % 2147483647)
+                   * 48271 % 2147483647)::DOUBLE / 2147483647.0 * 3), 2)
+                 ::INT AS fold FROM k2),
+             pf AS (SELECT fold, count(*)::DOUBLE AS n,
+               sum((0.5 - y) * x0) AS g0, sum((0.5 - y) * x1) AS g1
+               FROM f GROUP BY 1),
+             tot AS (SELECT sum(n) AS n, sum(g0) AS g0, sum(g1) AS g1
+               FROM pf),
+             w1 AS (SELECT pf.fold,
+               -0.5 * (tot.g0 - pf.g0) / (tot.n - pf.n) AS w0,
+               -0.5 * (tot.g1 - pf.g1) / (tot.n - pf.n) AS w1
+               FROM pf, tot),
+             p2 AS (SELECT w1.fold AS m, f.y, f.x0, f.x1, 1.0 / (1.0 +
+                 exp(-(w1.w0 * f.x0 + w1.w1 * f.x1))) AS p
+               FROM f JOIN w1 ON f.fold <> w1.fold),
+             s2 AS (SELECT m, count(*)::DOUBLE AS n,
+               sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1
+               FROM p2 GROUP BY 1),
+             w2 AS (SELECT w1.fold, w1.w0 - 0.5 * s2.g0 / s2.n AS w0,
+               w1.w1 - 0.5 * s2.g1 / s2.n AS w1x
+               FROM w1 JOIN s2 ON w1.fold = s2.m),
+             sc AS (SELECT f.fold, f.y, 1.0 / (1.0 +
+                 exp(-(w2.w0 * f.x0 + w2.w1x * f.x1))) AS score
+               FROM f JOIN w2 ON f.fold = w2.fold),
+             ps AS (SELECT fold, score, sum(y) AS pos,
+               count(*)::DOUBLE AS cnt FROM sc GROUP BY 1, 2),
+             r AS (SELECT fold, pos, cnt, coalesce(sum(cnt) OVER
+                 (PARTITION BY fold ORDER BY score ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below FROM ps),
+             a AS (SELECT fold, sum(pos) AS p, sum(cnt - pos) AS n,
+               sum(pos * (below + (cnt + 1) / 2.0)) AS prs FROM r
+               GROUP BY 1),
+             t2 AS (SELECT count(*) AS total FROM f)
+             SELECT a.fold, (t2.total - a.p - a.n)::BIGINT AS n_train,
+               a.p::BIGINT AS pos, a.n::BIGINT AS neg,
+               round((prs - a.p * (a.p + 1) / 2.0) / (a.p * a.n), 6)
+                 AS auc_roc
+             FROM a, t2 ORDER BY fold""")),
+
     // ---- per-group AUC (Mann-Whitney rank identity) -----------------------
     QueryDef("q_auc_by",
       (s, d) => {

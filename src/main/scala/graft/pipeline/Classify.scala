@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * projection, one map pass. That is the 100-TB story: the corpus is
   * touched once, by the cheap half.
   *
-  * Determinism: zero init, fixed partitioning ⇒ fixed double-sum order,
-  * no sampling — the trained weights are bit-reproducible for a given
-  * input layout, and a fixed small step count is replayable in external
-  * SQL (the q_logreg_step oracle replays two full-batch steps exactly,
-  * modulo 1e-6 rounding for sum-order ulps).
+  * Determinism: zero init, no sampling, per-partition sum order fixed —
+  * but treeAggregate COMBINES partials in task-arrival order, so
+  * repeated runs agree only to reduce-order ulps (~1e-13 relative), not
+  * bit-exactly. A fixed small step count is replayable in external SQL
+  * (the q_logreg_step oracle replays two full-batch steps; its 1e-6
+  * rounding absorbs the reorder noise).
   */
 object Classify {
 
@@ -45,14 +46,18 @@ object Classify {
     *
     * Each step scans `df` once (treeAggregate) — cache the labeled frame
     * for multi-step training. The mean-gradient form keeps `lr` scale-
-    * free in n.
+    * free in n. `posWeight` multiplies the positive class's gradient and
+    * loss contributions (set ≈ n_neg/n_pos when good docs are rare —
+    * the usual shape of a quality-labeling effort); the default 1.0 is
+    * an exact no-op.
     */
   def trainLogistic(df: DataFrame, featuresCol: String, labelCol: String,
                     steps: Int = 50, lr: Double = 0.5,
-                    l2: Double = 0.0): LogisticModel = {
+                    l2: Double = 0.0, posWeight: Double = 1.0): LogisticModel = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     require(lr > 0.0, s"lr must be > 0, got $lr")
     require(l2 >= 0.0, s"l2 must be >= 0, got $l2")
+    require(posWeight > 0.0, s"posWeight must be > 0, got $posWeight")
     val spark = df.sparkSession
     import spark.implicits._
     val data = df.na.drop(Seq(featuresCol, labelCol))
@@ -79,12 +84,16 @@ object Classify {
           var j = 0
           while (j < dim) { dot += w(j) * x(j); j += 1 }
           val p = 1.0 / (1.0 + math.exp(-dot))
-          val r = p - y
+          // posWeight scales the positive class's gradient AND loss terms
+          // (the standard imbalance correction); 1.0 multiplies exactly,
+          // so the default path is bit-identical to unweighted
+          val wRow = if (y > 0.5) posWeight else 1.0
+          val r = (p - y) * wRow
           j = 0
           while (j < dim) { g(j) += r * x(j); j += 1 }
           // clamp avoids -inf on saturated correct/incorrect rows
           val pc = math.min(math.max(p, 1e-15), 1.0 - 1e-15)
-          (g, l0 - (y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc)),
+          (g, l0 - wRow * (y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc)),
             n0 + 1L)
         },
         combOp = { case ((ga, la, na), (gb, lb, nb)) =>
@@ -128,4 +137,48 @@ object Classify {
                     weights: Array[Double],
                     scoreCol: String = "score"): DataFrame =
     df.withColumn(scoreCol, scoreColumn(col(featuresCol), weights))
+
+  /** K-fold cross-validated AUC of the logistic classifier — the "does
+    * the quality scorer generalize, or did it memorize the labelers'
+    * quirks" check run BEFORE scoring a 100-TB corpus. Folds are the
+    * deterministic Lehmer assignment ([[Sampling.kFold]] — reproducible
+    * across runs and partitionings); each fold's model trains on the
+    * other k−1 folds and scores the held-out fold, and one grouped
+    * rank-identity AUC pass ([[graft.eval.BinaryMetrics.aucBy]]) scores
+    * all folds together. Output: (fold, n_train, pos, neg, auc_roc) —
+    * pos+neg = the fold's test rows.
+    *
+    * Cost: the labeled frame is cached once; training is k·steps
+    * treeAggregate passes over it (labeled sets are small — this is
+    * driver-paced by design), evaluation one shuffle. The corpus itself
+    * is never touched. */
+  def crossValAuc(df: DataFrame, idCol: String, featuresCol: String,
+                  labelCol: String, k: Int = 5, steps: Int = 50,
+                  lr: Double = 0.5, l2: Double = 0.0,
+                  posWeight: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require(k >= 2, s"crossValAuc needs k >= 2, got $k")
+    val folded = Sampling.kFold(
+        df.na.drop(Seq(idCol, featuresCol, labelCol)), idCol, k, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = folded.count()
+      val scored = (0 until k).map { f =>
+        val m = trainLogistic(folded.filter(col("fold") =!= f),
+          featuresCol, labelCol, steps, lr, l2, posWeight)
+        scoreLogistic(folded.filter(col("fold") === f), featuresCol,
+            m.weights)
+          .select(col("fold"), col("score"), col(labelCol).as("__graft_y"))
+      }.reduce(_ unionAll _)
+      val auc = graft.eval.BinaryMetrics.aucBy(scored, "score",
+        "__graft_y", "fold")
+      // n_train = everything outside the fold (cheap driver arithmetic)
+      auc.withColumn("n_train", lit(total) - col("pos") - col("neg"))
+        .select(col("fold"), col("n_train"), col("pos"), col("neg"),
+          col("auc_roc"))
+        .orderBy("fold")
+        // the persisted fold frame feeds k+1 jobs lazily — materialize
+        // the small result before releasing it
+        .localCheckpoint(eager = true)
+    } finally folded.unpersist()
+  }
 }

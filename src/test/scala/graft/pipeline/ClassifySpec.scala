@@ -63,6 +63,57 @@ class ClassifySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("posWeight: 1.0 is bit-identical; raising it moves the boundary " +
+      "toward recalling positives") {
+    import spark.implicits._
+    // imbalanced, overlapping cloud: 10% positives shifted only +0.5
+    val df = (0 until 300).map { i =>
+      val pos = i % 10 == 0
+      val base = ((i * 37) % 21 - 10) * 0.2
+      (i.toLong, Array(1.0, base + (if (pos) 0.5 else 0.0)),
+        if (pos) 1.0 else 0.0)
+    }.toDF("id", "x", "y").cache()
+    val a = trainLogistic(df, "x", "y", steps = 40, lr = 0.5)
+    val b = trainLogistic(df, "x", "y", steps = 40, lr = 0.5, posWeight = 1.0)
+    // same code path (default = 1.0); tolerance because treeAggregate's
+    // combine ORDER is arrival-dependent across runs — the ×1.0 itself
+    // is an exact identity
+    assert(a.weights.zip(b.weights).forall { case (u, v) =>
+      math.abs(u - v) < 1e-12 })
+    assert(a.losses.zip(b.losses).forall { case (u, v) =>
+      math.abs(u - v) < 1e-12 })
+    val up = trainLogistic(df, "x", "y", steps = 40, lr = 0.5, posWeight = 9.0)
+    def recall(w: Array[Double]) = {
+      val s = scoreLogistic(df, "x", w)
+      s.filter(col("y") === 1.0 && col("score") >= 0.5).count().toDouble /
+        s.filter(col("y") === 1.0).count()
+    }
+    assert(recall(up.weights) > recall(a.weights))
+    intercept[IllegalArgumentException](
+      trainLogistic(df, "x", "y", posWeight = 0.0))
+    df.unpersist()
+  }
+
+  test("crossValAuc: separable data scores ~1 on every held-out fold; " +
+      "folds partition the data") {
+    val df = separable(300).cache()
+    val cv = crossValAuc(df, "id", "x", "y", k = 3, steps = 40, lr = 1.0)
+      .collect()
+    assert(cv.length == 3)
+    assert(cv.map(_.getAs[Int]("fold")).toSeq == Seq(0, 1, 2))
+    val n = cv.map(r => r.getAs[Long]("pos") + r.getAs[Long]("neg")).sum
+    assert(n == 300L)
+    cv.foreach { r =>
+      assert(r.getAs[Long]("n_train") == 300L - r.getAs[Long]("pos") -
+        r.getAs[Long]("neg"))
+      assert(r.getAs[Double]("auc_roc") > 0.99,
+        s"fold ${r.getAs[Int]("fold")}: ${r.getAs[Double]("auc_roc")}")
+    }
+    intercept[IllegalArgumentException](
+      crossValAuc(df, "id", "x", "y", k = 1))
+    df.unpersist()
+  }
+
   test("null labels/features are dropped, not trained on") {
     import spark.implicits._
     val df = Seq(
