@@ -5498,6 +5498,38 @@ object Queries {
                round(avg(y), 6) AS frac_pos
              FROM sl GROUP BY 1 ORDER BY 1""")),
 
+    // isotonic calibration contract (the q_pca_check pattern): the PAV
+    // solve itself is iterative pooling the oracle can't replay, but its
+    // invariants are exact — bin census reproduced, mass conserved
+    // (Σ n·calibrated = Σ pos), monotone, within [0,1]
+    QueryDef("q_isotonic",
+      (s, d) => {
+        import s.implicits._
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10.0)
+        val fit = graft.eval.BinaryMetrics.isotonicCalibrate(
+            li, "p", "label", bins = 10)
+          .orderBy("bin")
+          .as[(Int, Long, Long, Double, Double)].collect()
+        val monotone = fit.sliding(2)
+          .forall(w => w.length < 2 || w(0)._5 <= w(1)._5)
+        val inBounds = fit.forall(r => r._5 >= 0.0 && r._5 <= 1.0)
+        val massCal = fit.map(r => r._2 * r._5).sum
+        Seq((fit.length, fit.map(_._3).sum,
+            BigDecimal(massCal).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, monotone, inBounds))
+          .toDF("n_bins", "mass_pos", "mass_cal", "monotone", "in_bounds")
+      },
+      Some("""WITH sl AS (SELECT least(floor((l_discount * 10.0) * 10), 9)
+                 ::INT AS bin, (l_returnflag = 'R')::INT AS y FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+             b AS (SELECT bin, count(*) AS n, sum(y) AS pos FROM sl
+               GROUP BY 1)
+             SELECT count(*)::INT AS n_bins, sum(pos)::BIGINT AS mass_pos,
+               round(sum(pos)::DOUBLE, 6) AS mass_cal,
+               true AS monotone, true AS in_bounds FROM b""")),
+
     QueryDef("q_brier",
       (s, d) => {
         val li = lineitem(s, d)
@@ -5530,6 +5562,34 @@ object Queries {
                FROM e, range(16) j(j), range(64) t(i) GROUP BY 1, 2)
              SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
              FROM s ORDER BY vec_id, j""")),
+
+    // ---- two-proportion z-test (curation A/B keep rates) ------------------
+    QueryDef("q_prop_test",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("kept", (col("l_returnflag") === "R").cast("int"))
+        graft.stat.StatTests.propTestStats(li, "kept", Seq("l_linestatus"))
+          .select(col("a_l_linestatus"), col("b_l_linestatus"),
+            col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+            round(col("rate1"), 6).as("rate1"),
+            round(col("rate2"), 6).as("rate2"),
+            round(col("z_stat"), 6).as("z_stat"))
+          .orderBy("a_l_linestatus", "b_l_linestatus")
+      },
+      Some("""WITH g AS (SELECT l_linestatus AS g,
+               sum((l_returnflag = 'R')::INT)::DOUBLE AS s,
+               count(*)::DOUBLE AS n FROM lineitem
+               WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+               GROUP BY 1),
+             pairs AS (SELECT a.g AS ga, b.g AS gb, a.s AS s1, a.n AS n1,
+               b.s AS s2, b.n AS n2 FROM g a, g b WHERE a.g < b.g)
+             SELECT ga AS a_l_linestatus, gb AS b_l_linestatus,
+               n1::BIGINT AS n1, n2::BIGINT AS n2,
+               round(s1 / n1, 6) AS rate1, round(s2 / n2, 6) AS rate2,
+               round((s1 / n1 - s2 / n2) / sqrt(
+                 ((s1 + s2) / (n1 + n2)) * (1 - (s1 + s2) / (n1 + n2)) *
+                 (1 / n1 + 1 / n2)), 6) AS z_stat
+             FROM pairs ORDER BY 1, 2""")),
 
     // ---- rank-biased overlap (ranking drift, no truth set) ----------------
     QueryDef("q_rbo",

@@ -2,7 +2,7 @@ package graft.eval
 
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binary-classification evaluation (reference extensions/evaluation.py).
@@ -250,6 +250,82 @@ object BinaryMetrics {
       .agg(count(lit(1)).as("n"),
         avg(col("score")).as("mean_pred"),
         avg(col("label")).as("frac_pos"))
+  }
+
+  /** Isotonic calibration by pool-adjacent-violators over score bins:
+    * fits the monotone step function mapping raw scores to calibrated
+    * probabilities — the standard post-hoc fix when [[calibrationCurve]]
+    * shows a scorer is directionally right but miscalibrated. The
+    * corpus folds to ≤ `bins` (bin, n, pos) aggregates in ONE pass; PAV
+    * pools on the driver (O(bins), trivial); applying the fit is a
+    * stateless array lookup ([[calibrateColumn]]) — so calibrating a
+    * 100-TB corpus costs one aggregation plus one map pass.
+    *
+    * Returns (bin, n, pos, frac_pos, calibrated) per non-empty bin.
+    * PAV invariants (spec-pinned, contract-checked by q_isotonic):
+    * calibrated is non-decreasing in bin, stays in [0, 1], and
+    * conserves mass: Σ n·calibrated = Σ pos exactly (each pool's value
+    * IS its pooled rate). Empty bins get no row — [[calibrateColumn]]
+    * carries the previous bin's value forward. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int = 100): DataFrame = {
+    require(bins >= 1, s"isotonicCalibrate: bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sl = scoreAndLabels(df, scoreCol, labelCol)
+    // integer (n, pos) per bin — the PAV merge rule compares rates by
+    // Long cross-multiplication, exact, no float thresholds
+    val binned = sl.groupBy(least(floor(col("score") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // PAV with a merge stack: each block carries (startIdx, pos, n);
+    // a new block absorbs the top while the top's rate >= its own
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    binned.indices.foreach { i =>
+      val (_, n, pos) = binned(i)
+      var cur = (i, pos, n)
+      while (stack.nonEmpty &&
+          stack.last._2 * cur._3 >= cur._2 * stack.last._3) {
+        val t = stack.remove(stack.length - 1)
+        cur = (t._1, t._2 + cur._2, t._3 + cur._3)
+      }
+      stack += cur
+    }
+    val calibrated = new Array[Double](binned.length)
+    stack.indices.foreach { bi =>
+      val (start, pos, n) = stack(bi)
+      val end = if (bi + 1 < stack.length) stack(bi + 1)._1 else binned.length
+      val rate = pos.toDouble / n
+      (start until end).foreach(calibrated(_) = rate)
+    }
+    binned.indices.map { i =>
+      val (bin, n, pos) = binned(i)
+      (bin, n, pos, pos.toDouble / n, calibrated(i))
+    }.toDF("bin", "n", "pos", "frac_pos", "calibrated")
+  }
+
+  /** Piecewise-constant calibrated score from an [[isotonicCalibrate]]
+    * result (collected driver-side): score → its bin's calibrated value,
+    * empty bins inheriting the nearest lower non-empty bin (clamped to
+    * the first fitted value below the fitted range). Pure projection —
+    * the literal lookup array inlines into codegen. */
+  def calibrateColumn(scoreCol: Column, fit: Array[(Int, Double)],
+                      bins: Int = 100): Column = {
+    require(fit.nonEmpty, "calibrateColumn: empty fit")
+    val sorted = fit.sortBy(_._1)
+    val full = new Array[Double](bins)
+    var next = 0
+    var last = sorted.head._2
+    for (b <- 0 until bins) {
+      if (next < sorted.length && sorted(next)._1 == b) {
+        last = sorted(next)._2; next += 1
+      }
+      full(b) = last
+    }
+    val lut = array(full.map(lit): _*)
+    element_at(lut,
+      (least(floor(scoreCol * bins), lit(bins - 1)).cast("int") + 1))
   }
 
   /** Brier score: mean squared error of the predicted probability,

@@ -84,6 +84,56 @@ object StatTests {
          (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)))
   }
 
+  /** Pairwise two-proportion z-test over groups: for each group pair,
+    * z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled rate —
+    * the keep-rate / filter-rate comparison for curation A/B runs (did
+    * variant B's dedup keep significantly more docs per source?).
+    * `successCol` is 0/1 (cast from boolean upstream). Same plan shape
+    * as [[welchStats]]: ONE grouped aggregation folds the corpus to
+    * per-group (successes, n), then driver-bounded pair arithmetic —
+    * the z and rates are SQL-expressible (oracle-checked, q_prop_test);
+    * the p-value needs the normal CDF and is spec-pinned
+    * (`2·(1 − Φ(|z|))`, StatEvalSpec pattern). Degenerate pairs (pooled
+    * rate 0 or 1 — no variance) yield NaN. */
+  def propTestStats(df: DataFrame, successCol: String,
+                    strata: Seq[String]): DataFrame = {
+    val g = df.na.drop(successCol +: strata)
+      .groupBy(strata.map(col): _*)
+      .agg(sum(col(successCol).cast("double")).as("succ"),
+        count(lit(1)).cast("double").as("n"))
+    val a = g.select(strata.map(cn => col(cn).as(s"a_$cn")) ++
+      Seq(col("succ").as("s1"), col("n").as("n1")): _*)
+    val b = g.select(strata.map(cn => col(cn).as(s"b_$cn")) ++
+      Seq(col("succ").as("s2"), col("n").as("n2")): _*)
+    val crossed = a.crossJoin(b)
+      .filter(concat_ws("|", strata.map(cn => col(s"a_$cn")): _*) <
+        concat_ws("|", strata.map(cn => col(s"b_$cn")): _*))
+    val pooled = (col("s1") + col("s2")) / (col("n1") + col("n2"))
+    val variance = pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n2"))
+    crossed
+      .withColumn("rate1", col("s1") / col("n1"))
+      .withColumn("rate2", col("s2") / col("n2"))
+      .withColumn("z_stat",
+        when(variance > 0.0,
+          (col("rate1") - col("rate2")) / sqrt(variance))
+          .otherwise(lit(Double.NaN)))
+  }
+
+  /** [[propTestStats]] plus the two-sided p-value (normal CDF,
+    * commons-math — beyond the SQL oracle, spec-pinned). */
+  def propTest(df: DataFrame, successCol: String,
+               strata: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val stats = propTestStats(df, successCol, strata)
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution()
+    val pUdf = org.apache.spark.sql.functions.udf { (z: Double) =>
+      if (z.isNaN) Double.NaN
+      else 2.0 * (1.0 - nd.cumulativeProbability(math.abs(z)))
+    }
+    stats.withColumn("p_value", pUdf(col("z_stat")))
+  }
+
   /** One-sample Kolmogorov-Smirnov test of a column against a named
     * distribution (reference stats.py:36-64 supports the commons-math3
     * family; unknown names fall back to Normal(0,1)). Distributed: the

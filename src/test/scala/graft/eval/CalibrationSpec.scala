@@ -46,6 +46,38 @@ class CalibrationSpec extends SparkSpec {
       .head().getAs[Double]("brier") - 0.25) < 1e-12)
   }
 
+  test("isotonicCalibrate: hand PAV case, monotone input unchanged, " +
+      "mass conserved, calibrateColumn lookup with empty-bin carry") {
+    import spark.implicits._
+    // 4 bins (bins=4, scores at bin centers), rates [0.2, 0.1, 0.6, 0.4]
+    // with n=10 each → PAV pools (0,1)→0.15 and (2,3)→0.5
+    def mk(bin: Int, pos: Int, n: Int) =
+      (0 until n).map(i => (bin / 4.0 + 0.1, if (i < pos) 1.0 else 0.0))
+    val df = (mk(0, 2, 10) ++ mk(1, 1, 10) ++ mk(2, 6, 10) ++ mk(3, 4, 10))
+      .toDF("p", "y")
+    val fit = BinaryMetrics.isotonicCalibrate(df, "p", "y", bins = 4)
+      .orderBy("bin").as[(Int, Long, Long, Double, Double)].collect()
+    assert(fit.map(_._5).toSeq == Seq(0.15, 0.15, 0.5, 0.5))
+    assert(fit.map(_._4).toSeq == Seq(0.2, 0.1, 0.6, 0.4))
+    // mass conservation: Σ n·calibrated == Σ pos
+    assert(math.abs(fit.map(r => r._2 * r._5).sum -
+      fit.map(_._3).sum.toDouble) < 1e-9)
+    // already-monotone input passes through untouched
+    val mono = (mk(0, 1, 10) ++ mk(1, 3, 10) ++ mk(2, 7, 10)).toDF("p", "y")
+    val fit2 = BinaryMetrics.isotonicCalibrate(mono, "p", "y", bins = 4)
+      .orderBy("bin").as[(Int, Long, Long, Double, Double)].collect()
+    assert(fit2.map(_._5).toSeq == Seq(0.1, 0.3, 0.7))
+    // lookup: bin 3 is EMPTY in `mono` — a bin-3 score inherits bin 2's
+    // value; a below-range score clamps to the first fitted value
+    val lut = fit2.map(r => (r._1, r._5))
+    val probe = Seq(0.1, 0.35, 0.6, 0.9).toDF("p")
+    val out = probe.select(BinaryMetrics.calibrateColumn(col("p"), lut,
+      bins = 4).as("c")).as[Double].collect().toSeq
+    assert(out == Seq(0.1, 0.3, 0.7, 0.7))
+    intercept[IllegalArgumentException](
+      BinaryMetrics.isotonicCalibrate(df, "p", "y", bins = 0))
+  }
+
   test("aucBy matches the trapezoid auc under heavy ties, and hand cases") {
     import spark.implicits._
     // deterministic tie-heavy scores: 7 distinct values over 400 rows

@@ -89,6 +89,32 @@ class StatEvalSpec extends SparkSpec {
     assert(ps.map(_._3) == full.map(_._3.pValue))
   }
 
+  test("propTest: hand z for a known 2x2, p = 2(1-Phi|z|), degenerate NaN") {
+    import spark.implicits._
+    // group a: 30/100 successes; group b: 50/100
+    val df = ((0 until 100).map(i => ("a", if (i < 30) 1 else 0)) ++
+      (0 until 100).map(i => ("b", if (i < 50) 1 else 0))).toDF("g", "kept")
+    val r = StatTests.propTest(df, "kept", Seq("g")).head()
+    val pooled = 80.0 / 200.0
+    val wantZ = (0.3 - 0.5) / math.sqrt(pooled * (1 - pooled) * (2.0 / 100))
+    assert(math.abs(r.getAs[Double]("z_stat") - wantZ) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rate1") - 0.3) < 1e-12)
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution()
+    val wantP = 2.0 * (1.0 - nd.cumulativeProbability(math.abs(wantZ)))
+    assert(math.abs(r.getAs[Double]("p_value") - wantP) < 1e-12)
+    // identical rates: z = 0, p = 1
+    val same = ((0 until 50).map(i => ("a", i % 2)) ++
+      (0 until 50).map(i => ("b", i % 2))).toDF("g", "kept")
+    val rs = StatTests.propTest(same, "kept", Seq("g")).head()
+    assert(rs.getAs[Double]("z_stat") == 0.0 &&
+      math.abs(rs.getAs[Double]("p_value") - 1.0) < 1e-12)
+    // pooled rate 0 (no successes anywhere): NaN, not a crash
+    val zero = Seq(("a", 0), ("b", 0)).toDF("g", "kept")
+    val rz = StatTests.propTest(zero, "kept", Seq("g")).head()
+    assert(rz.getAs[Double]("z_stat").isNaN &&
+      rz.getAs[Double]("p_value").isNaN)
+  }
+
   test("KS test accepts the true distribution, rejects a wrong one") {
     val df = spark.range(2000).select(randn(42).as("v"))
     val ok = StatTests.ksTest(df, "v", "norm", 0, 1)
