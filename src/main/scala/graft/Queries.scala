@@ -5563,6 +5563,35 @@ object Queries {
              SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
              FROM s ORDER BY vec_id, j""")),
 
+    // ---- operating-point selection (threshold at target precision) -------
+    QueryDef("q_threshold_at",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_quantity") > 25).cast("double"))
+          .withColumn("p", col("l_quantity") / 50.0)
+        graft.eval.BinaryMetrics.thresholdAtPrecision(li, "p", "label",
+            minPrecision = 0.9)
+          .select(round(col("threshold"), 6).as("threshold"),
+            round(col("precision"), 6).as("precision"),
+            round(col("recall"), 6).as("recall"))
+      },
+      Some("""WITH sl AS (SELECT l_quantity / 50.0 AS score,
+               (l_quantity > 25)::INT::DOUBLE AS label FROM lineitem
+               WHERE l_quantity IS NOT NULL),
+             per AS (SELECT score, sum(label)::DOUBLE AS pos,
+               (count(*) - sum(label))::DOUBLE AS neg FROM sl GROUP BY 1),
+             c AS (SELECT score,
+               sum(pos) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(neg) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(pos) OVER () AS p FROM per),
+             sel AS (SELECT score AS threshold, tp / (tp + fp) AS precision,
+               tp / p AS recall FROM c WHERE tp / (tp + fp) >= 0.9)
+             SELECT round(threshold, 6) AS threshold,
+               round(precision, 6) AS precision, round(recall, 6) AS recall
+             FROM sel ORDER BY threshold LIMIT 1""")),
+
     // ---- two-proportion z-test (curation A/B keep rates) ------------------
     QueryDef("q_prop_test",
       (s, d) => {

@@ -123,6 +123,26 @@ object BinaryMetrics {
         .toDF("threshold", "fpr", "recall", "precision"))
   }
 
+  /** Operating-point selection: the highest-recall threshold whose
+    * precision meets `minPrecision` — "keep as much as possible at ≥90%
+    * purity", the knob that turns a trained quality scorer into a
+    * corpus filter. Recall is non-increasing in the threshold, so the
+    * answer is the SMALLEST qualifying distinct score; returns an empty
+    * frame when the precision floor is unattainable (caller decides the
+    * fallback). Same one-sort distributed cumulative pass as the curve
+    * accessors. */
+  def thresholdAtPrecision(df: DataFrame, scoreCol: String,
+                           labelCol: String,
+                           minPrecision: Double): DataFrame = {
+    require(minPrecision > 0.0 && minPrecision <= 1.0,
+      s"thresholdAtPrecision: minPrecision must be in (0,1], got $minPrecision")
+    curveData(df, scoreCol, labelCol)
+      .filter(col("precision") >= minPrecision)
+      .orderBy(col("threshold"))
+      .limit(1)
+      .select(col("threshold"), col("precision"), col("recall"))
+  }
+
   /** Distinct thresholds, descending (reference `thresholds`,
     * extensions/evaluation.py:8-12 → mllib's thresholds = the distinct
     * scores). One column so callers can zip against the curve frames. */

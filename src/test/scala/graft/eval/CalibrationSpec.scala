@@ -113,6 +113,32 @@ class CalibrationSpec extends SparkSpec {
       .getAs[Double]("auc_roc").isNaN)
   }
 
+  test("thresholdAtPrecision: picks the max-recall qualifying threshold; " +
+      "empty when unattainable") {
+    import spark.implicits._
+    // descending-score curve: t=0.9 → P=1.0 R=1/3; t=0.7 → P=2/3 R=2/3;
+    // t=0.5 → P=3/4 R=1.0; t=0.3 → P=3/5 R=1.0
+    val df = Seq((0.9, 1.0), (0.7, 0.0), (0.5, 1.0), (0.5, 1.0),
+      (0.3, 0.0)).toDF("p", "y")
+    val at75 = BinaryMetrics.thresholdAtPrecision(df, "p", "y", 0.75)
+      .collect()
+    assert(at75.length == 1)
+    // both t=0.9 (R=1/3) and t=0.5 (P=0.75, R=1.0) qualify → t=0.5 wins
+    assert(at75(0).getAs[Double]("threshold") == 0.5)
+    assert(math.abs(at75(0).getAs[Double]("recall") - 1.0) < 1e-12)
+    // precision 1.0 only attainable at the top threshold (recall 1/3)
+    val at100 = BinaryMetrics.thresholdAtPrecision(df, "p", "y", 1.0)
+      .head()
+    assert(at100.getAs[Double]("threshold") == 0.9)
+    assert(math.abs(at100.getAs[Double]("recall") - 1.0 / 3) < 1e-12)
+    // unattainable floor → empty frame, not an error
+    val none = BinaryMetrics.thresholdAtPrecision(
+      Seq((0.9, 0.0), (0.1, 1.0)).toDF("p", "y"), "p", "y", 0.9)
+    assert(none.count() == 0L)
+    intercept[IllegalArgumentException](
+      BinaryMetrics.thresholdAtPrecision(df, "p", "y", 0.0))
+  }
+
   test("null scores/labels are dropped from both metrics") {
     import spark.implicits._
     val withNulls = Seq((Some(0.5), Some(1.0)), (None: Option[Double], Some(1.0)),
