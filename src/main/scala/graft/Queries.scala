@@ -5563,6 +5563,92 @@ object Queries {
              SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
              FROM s ORDER BY vec_id, j""")),
 
+    // ---- multiclass metrics ----------------------------------------------
+    QueryDef("q_multiclass",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("pred", when(col("l_quantity") <= 17, "A")
+            .when(col("l_quantity") <= 34, "N").otherwise("R"))
+        graft.eval.Multiclass.perClass(li, "pred", "l_returnflag")
+          .select(col("cls"), col("support"), col("predicted"), col("tp"),
+            round(col("precision"), 6).as("precision"),
+            round(col("recall"), 6).as("recall"),
+            round(col("f1"), 6).as("f1"))
+          .orderBy("cls")
+      },
+      Some("""WITH d AS (SELECT l_returnflag AS label,
+               CASE WHEN l_quantity <= 17 THEN 'A'
+                 WHEN l_quantity <= 34 THEN 'N' ELSE 'R' END AS pred
+               FROM lineitem WHERE l_returnflag IS NOT NULL
+                 AND l_quantity IS NOT NULL),
+             c AS (SELECT label, pred, count(*)::BIGINT AS n FROM d
+               GROUP BY 1, 2),
+             sup AS (SELECT label AS cls, sum(n)::BIGINT AS support FROM c
+               GROUP BY 1),
+             prd AS (SELECT pred AS cls, sum(n)::BIGINT AS predicted
+               FROM c GROUP BY 1),
+             tpc AS (SELECT label AS cls, n AS tp FROM c
+               WHERE label = pred),
+             j AS (SELECT coalesce(sup.cls, prd.cls) AS cls,
+               coalesce(support, 0) AS support,
+               coalesce(predicted, 0) AS predicted,
+               coalesce(tp, 0) AS tp
+               FROM sup FULL OUTER JOIN prd ON sup.cls = prd.cls
+               LEFT JOIN tpc ON coalesce(sup.cls, prd.cls) = tpc.cls)
+             SELECT cls, support, predicted, tp,
+               round(tp / predicted::DOUBLE, 6) AS precision,
+               round(tp / support::DOUBLE, 6) AS recall,
+               round(CASE WHEN tp = 0 THEN 0.0 ELSE
+                 2.0 * (tp / predicted::DOUBLE) * (tp / support::DOUBLE) /
+                 (tp / predicted::DOUBLE + tp / support::DOUBLE) END, 6)
+                 AS f1
+             FROM j ORDER BY cls""")),
+
+    QueryDef("q_multiclass_sum",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("pred", when(col("l_quantity") <= 17, "A")
+            .when(col("l_quantity") <= 34, "N").otherwise("R"))
+        graft.eval.Multiclass.summary(li, "pred", "l_returnflag")
+          .select(col("n"), round(col("accuracy"), 6).as("accuracy"),
+            round(col("macro_precision"), 6).as("macro_precision"),
+            round(col("macro_recall"), 6).as("macro_recall"),
+            round(col("macro_f1"), 6).as("macro_f1"),
+            round(col("weighted_f1"), 6).as("weighted_f1"))
+      },
+      Some("""WITH d AS (SELECT l_returnflag AS label,
+               CASE WHEN l_quantity <= 17 THEN 'A'
+                 WHEN l_quantity <= 34 THEN 'N' ELSE 'R' END AS pred
+               FROM lineitem WHERE l_returnflag IS NOT NULL
+                 AND l_quantity IS NOT NULL),
+             c AS (SELECT label, pred, count(*)::BIGINT AS n FROM d
+               GROUP BY 1, 2),
+             sup AS (SELECT label AS cls, sum(n)::BIGINT AS support FROM c
+               GROUP BY 1),
+             prd AS (SELECT pred AS cls, sum(n)::BIGINT AS predicted
+               FROM c GROUP BY 1),
+             tpc AS (SELECT label AS cls, n AS tp FROM c
+               WHERE label = pred),
+             j AS (SELECT coalesce(sup.cls, prd.cls) AS cls,
+               coalesce(support, 0) AS support,
+               coalesce(predicted, 0) AS predicted, coalesce(tp, 0) AS tp
+               FROM sup FULL OUTER JOIN prd ON sup.cls = prd.cls
+               LEFT JOIN tpc ON coalesce(sup.cls, prd.cls) = tpc.cls),
+             m AS (SELECT cls, support, tp,
+               tp / predicted::DOUBLE AS p, tp / support::DOUBLE AS r,
+               CASE WHEN tp = 0 THEN 0.0 ELSE
+                 2.0 * (tp / predicted::DOUBLE) * (tp / support::DOUBLE) /
+                 (tp / predicted::DOUBLE + tp / support::DOUBLE) END AS f1
+               FROM j)
+             SELECT sum(support)::BIGINT AS n,
+               round(sum(tp) / sum(support)::DOUBLE, 6) AS accuracy,
+               round(avg(p), 6) AS macro_precision,
+               round(avg(r), 6) AS macro_recall,
+               round(avg(f1), 6) AS macro_f1,
+               round(sum(f1 * support) / sum(support)::DOUBLE, 6)
+                 AS weighted_f1
+             FROM m""")),
+
     // ---- operating-point selection (threshold at target precision) -------
     QueryDef("q_threshold_at",
       (s, d) => {

@@ -196,4 +196,40 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.pipeline.VecIndex.newRows(
       emptyVecs, "vec_id", "embedding", vPath).count() == 0)
   }
+
+  test("classifier/evaluation tier tolerates empty input") {
+    val emptySL = spark.emptyDataset[(Double, Double)].toDF("p", "y")
+    assert(graft.eval.BinaryMetrics.calibrationCurve(
+      emptySL, "p", "y").count() == 0)
+    val b = graft.eval.BinaryMetrics.brierScore(emptySL, "p", "y").head()
+    assert(b.isNullAt(0) && b.getAs[Long]("n") == 0L)
+    assert(graft.eval.BinaryMetrics.aucBy(emptySL, "p", "y").count() == 1)
+    assert(graft.eval.BinaryMetrics.aucBy(emptySL, "p", "y")
+      .head().getAs[Double]("auc_roc").isNaN) // 0 pos, 0 neg → NaN
+    assert(graft.eval.BinaryMetrics.isotonicCalibrate(
+      emptySL, "p", "y").count() == 0)
+    assert(graft.eval.BinaryMetrics.thresholdAtPrecision(
+      emptySL, "p", "y", 0.9).count() == 0)
+    // trainLogistic refuses an empty labeled set with a clear message
+    val emptyFeat = spark.emptyDataset[(Array[Double], Double)]
+      .toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.Classify.trainLogistic(emptyFeat, "x", "y", steps = 1))
+    assert(e.getMessage.contains("no non-null labeled rows"))
+    val emptyRun = spark.emptyDataset[(String, Long, Int)]
+      .toDF("q", "doc", "rank")
+    assert(graft.eval.RankingMetrics.rbo(
+      emptyRun, emptyRun, "q", "doc", "rank", k = 3).count() == 0)
+    // global ESS over nothing: one row, n = 0, NaN ratios (0/0)
+    val ess = graft.pipeline.Sampling.effectiveSampleSize(
+      emptyNum.select(col("x").as("w")), "w").head()
+    assert(ess.getAs[Long]("n") == 0L)
+    assert(graft.pipeline.Sampling.effectiveSampleSize(
+      emptyNum, "x", "g").count() == 0)
+    assert(graft.pipeline.Pca.jlProject(
+      emptyVecs, "vec_id", "embedding", 4).count() == 0)
+    assert(graft.stat.StatTests.propTestStats(
+      emptyNum.select(col("g"), col("x").as("kept")), "kept",
+      Seq("g")).count() == 0)
+  }
 }
