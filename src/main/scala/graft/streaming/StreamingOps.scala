@@ -231,6 +231,42 @@ object StreamingOps {
     agg.select(col("window"), psiTerms.reduce(_ + _).as("psi"), col("n"))
   }
 
+  /** Frozen reference for [[streamingScoreDrift]]: the trained
+    * classifier's score distribution over the training-time corpus as
+    * `bins` equal-width shares on [0, 1] (score 1.0 clamps into the top
+    * bin — same binning as the stream side). One batch aggregation. */
+  def scoreShares(df: DataFrame, featuresCol: String,
+                  weights: Array[Double], bins: Int = 10): Array[Double] = {
+    require(bins >= 1, s"scoreShares needs bins >= 1, got $bins")
+    val score = graft.pipeline.Classify.scoreColumn(col(featuresCol), weights)
+    val bin = least(floor(score * bins), lit(bins - 1)).cast("int")
+    val counts = df.na.drop(Seq(featuresCol))
+      .groupBy(bin.as("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = math.max(counts.values.sum, 1L).toDouble
+    Array.tabulate(bins)(b => counts.getOrElse(b, 0L) / total)
+  }
+
+  /** Classifier score drift on a stream: scores each row with the
+    * frozen model ([[graft.pipeline.Classify.scoreColumn]] — a pure
+    * projection, stream-legal) and runs [[streamingPsi]] over the score
+    * distribution against the training-time [[scoreShares]] reference.
+    * The "has the corpus shifted under my quality classifier" monitor:
+    * a drifting PSI says the scorer now sees inputs it wasn't
+    * calibrated for, BEFORE downstream keep rates move. Same state
+    * bound as streamingPsi: one windowed aggregation, O(windows) rows. */
+  def streamingScoreDrift(stream: DataFrame, tsCol: String,
+                          featuresCol: String, weights: Array[Double],
+                          refShares: Array[Double],
+                          windowDur: String = "10 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val scored = stream.withColumn("__graft_score",
+      graft.pipeline.Classify.scoreColumn(col(featuresCol), weights))
+    streamingPsi(scored, tsCol, "__graft_score",
+      lo = 0.0, width = 1.0 / refShares.length, refShares,
+      windowDur, watermark)
+  }
+
   /** Sessionization with mapGroupsWithState-free session windows
     * (session_window is native since Spark 3.2). */
   def sessionCounts(stream: DataFrame, tsCol: String, userCol: String,

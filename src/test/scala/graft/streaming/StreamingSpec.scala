@@ -324,6 +324,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingScoreDrift: in-distribution window ~0, shifted window " +
+      "alerts; reference matches the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model: score = sigmoid(x1 - 1) — features (1.0 bias, x1)
+    val w = Array(-1.0, 1.0)
+    // training snapshot: x1 ∈ {0, 2} evenly → scores {σ(-1)≈0.27, σ(1)≈0.73}
+    val train = Seq(Array(1.0, 0.0), Array(1.0, 2.0), Array(1.0, 0.0),
+      Array(1.0, 2.0)).toDF("x")
+    val ref = StreamingOps.scoreShares(train, "x", w, bins = 4)
+    assert(math.abs(ref.sum - 1.0) < 1e-12)
+    assert(ref.toSeq == Seq(0.0, 0.5, 0.5, 0.0)) // 0.27 → bin 1, 0.73 → bin 2
+    val input = MemoryStream[(Timestamp, Double)]
+    val drift = StreamingOps.streamingScoreDrift(
+      input.toDF().toDF("ts", "x1")
+        .withColumn("x", array(lit(1.0), col("x1"))),
+      "ts", "x", w, ref, windowDur = "10 minutes")
+    val q = drift.writeStream.format("memory")
+      .queryName("sd").outputMode("update").start()
+    try {
+      input.addData(
+        // window 1: the training mix — no drift
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 0.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 2.0),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), 0.0),
+        (Timestamp.valueOf("2024-01-01 00:04:00"), 2.0),
+        // window 2: saturated-high inputs the scorer never saw
+        (Timestamp.valueOf("2024-01-01 00:11:00"), 9.0),
+        (Timestamp.valueOf("2024-01-01 00:12:00"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, psi, n FROM sd")
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getDouble(1), r.getLong(2)))).toMap
+      val ok = rows("2024-01-01 00:00:00.0")
+      assert(ok._2 == 4L && math.abs(ok._1) < 1e-9)
+      val bad = rows("2024-01-01 00:10:00.0")
+      assert(bad._2 == 2L && bad._1 > 0.25)
+    } finally q.stop()
+  }
+
   test("sessionCounts groups events into gap-based sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
