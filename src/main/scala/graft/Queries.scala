@@ -5477,6 +5477,42 @@ object Queries {
                round((prs - p * (p + 1) / 2.0) / (p * n), 6) AS auc_roc
              FROM a ORDER BY l_linestatus""")),
 
+    // feature importance of the replayed 2-step model: |w|·σ normalized;
+    // the constant bias feature exercises the σ=0 → importance-0 path
+    QueryDef("q_feature_importance",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .withColumn("y", (col("lang") === "en").cast("double"))
+          .withColumn("x",
+            array(lit(1.0), col("n_chars").cast("double") / 1000.0))
+        val m = graft.pipeline.Classify.trainLogistic(
+          docs, "x", "y", steps = 2, lr = 0.5)
+        graft.pipeline.Classify.featureImportance(docs, "x", m.weights)
+          .select(col("dim"), round(col("weight"), 6).as("weight"),
+            round(col("raw_importance"), 6).as("raw_importance"),
+            round(col("importance"), 6).as("importance"))
+          .orderBy("dim")
+      },
+      Some("""WITH f AS (SELECT (lang = 'en')::INT::DOUBLE AS y, 1.0 AS x0,
+               n_chars::DOUBLE / 1000.0 AS x1 FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             s1 AS (SELECT count(*)::DOUBLE AS n, sum((0.5 - y) * x0) AS g0,
+               sum((0.5 - y) * x1) AS g1 FROM f),
+             w1 AS (SELECT -0.5 * g0 / n AS w0, -0.5 * g1 / n AS w1 FROM s1),
+             p AS (SELECT y, x0, x1, 1.0 / (1.0 +
+               exp(-(w1.w0 * x0 + w1.w1 * x1))) AS p FROM f, w1),
+             s2 AS (SELECT count(*)::DOUBLE AS n, sum((p - y) * x0) AS g0,
+               sum((p - y) * x1) AS g1 FROM p),
+             w2 AS (SELECT w1.w0 - 0.5 * s2.g0 / s2.n AS w0,
+               w1.w1 - 0.5 * s2.g1 / s2.n AS w1 FROM w1, s2),
+             sd AS (SELECT stddev_samp(x1) AS s FROM f)
+             SELECT 0::INT AS dim, round(w0, 6) AS weight,
+               0.0 AS raw_importance, 0.0 AS importance FROM w2
+             UNION ALL
+             SELECT 1::INT, round(w1, 6), round(abs(w1) * s, 6), 1.0
+             FROM w2, sd ORDER BY dim""")),
+
     // ---- calibration curve + Brier score ----------------------------------
     QueryDef("q_calibration",
       (s, d) => {

@@ -138,6 +138,60 @@ object Classify {
                     scoreCol: String = "score"): DataFrame =
     df.withColumn(scoreCol, scoreColumn(col(featuresCol), weights))
 
+  /** Standardized feature importance: |w_j|·σ_j (weight × feature
+    * standard deviation), normalized to sum 1 — the "which quality
+    * signal actually drives the filter" readout, comparable across
+    * features with different scales. ONE aggregation computes the
+    * per-dim stddevs; the rest is driver arithmetic on d doubles.
+    * Constant features (σ = 0) get importance 0. */
+  def featureImportance(df: DataFrame, featuresCol: String,
+                        weights: Array[Double]): DataFrame = {
+    require(weights.nonEmpty, "featureImportance: empty weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = weights.length
+    val stds = df.na.drop(Seq(featuresCol))
+      .select((0 until dim).map(j =>
+        stddev_samp(element_at(col(featuresCol), j + 1).cast("double"))
+          .as(s"s$j")): _*)
+      .head()
+    val raw = (0 until dim).map { j =>
+      val s = if (stds.isNullAt(j)) 0.0 else stds.getDouble(j)
+      math.abs(weights(j)) * (if (s.isNaN) 0.0 else s)
+    }
+    val total = raw.sum
+    (0 until dim).map { j =>
+      (j, weights(j), raw(j),
+        if (total > 0) raw(j) / total else 0.0)
+    }.toDF("dim", "weight", "raw_importance", "importance")
+  }
+
+  /** Persist a trained model as a self-describing parquet table (one
+    * row per weight + a meta row carrying the loss trace length), the
+    * [[Quantize.writeIvfPq]] convention: train once, score many ingest
+    * cycles later without retraining. */
+  def saveModel(model: LogisticModel, path: String,
+                spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = model.weights.zipWithIndex.map { case (w, j) =>
+      ("w", j, w) } ++
+      model.losses.zipWithIndex.map { case (l, s) => ("loss", s, l) }
+    rows.toSeq.toDF("kind", "idx", "value")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]]. */
+  def loadModel(path: String,
+                spark: org.apache.spark.sql.SparkSession): LogisticModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .as[(String, Int, Double)].collect()
+    val w = rows.filter(_._1 == "w").sortBy(_._2).map(_._3)
+    val l = rows.filter(_._1 == "loss").sortBy(_._2).map(_._3)
+    require(w.nonEmpty, s"loadModel: no weights at $path")
+    LogisticModel(w, l)
+  }
+
   /** K-fold cross-validated AUC of the logistic classifier — the "does
     * the quality scorer generalize, or did it memorize the labelers'
     * quirks" check run BEFORE scoring a 100-TB corpus. Folds are the

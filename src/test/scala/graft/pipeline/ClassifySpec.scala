@@ -114,6 +114,42 @@ class ClassifySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("featureImportance: |w|·σ normalized; constant feature scores 0") {
+    import spark.implicits._
+    // x1 constant; x2 has σ = 2·σ(x3) but half the weight → equal raw
+    val df = (0 until 100).map { i =>
+      val v = (i % 11 - 5).toDouble
+      (i.toLong, Array(1.0, 2.0 * v, v))
+    }.toDF("id", "x")
+    val fi = featureImportance(df, "x", Array(5.0, 1.0, 2.0))
+      .orderBy("dim")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(fi(0)._4 == 0.0) // constant bias: σ = 0
+    assert(math.abs(fi(1)._4 - 0.5) < 1e-12)
+    assert(math.abs(fi(2)._4 - 0.5) < 1e-12)
+    assert(math.abs(fi.map(_._4).sum - 1.0) < 1e-12)
+  }
+
+  test("saveModel/loadModel: exact parquet round-trip") {
+    val df = separable(60).cache()
+    val m = trainLogistic(df, "x", "y", steps = 10, lr = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-logreg").toString + "/model"
+    saveModel(m, path, spark)
+    val back = loadModel(path, spark)
+    assert(back.weights.sameElements(m.weights))
+    assert(back.losses.sameElements(m.losses))
+    // scoring through the reloaded model is identical
+    import spark.implicits._
+    val a = scoreLogistic(df, "x", m.weights)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val b = scoreLogistic(df, "x", back.weights)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(a == b)
+    intercept[Exception](loadModel(path + "-nope", spark))
+    df.unpersist()
+  }
+
   test("null labels/features are dropped, not trained on") {
     import spark.implicits._
     val df = Seq(
