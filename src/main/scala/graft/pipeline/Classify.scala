@@ -209,11 +209,19 @@ object Classify {
   def crossValAuc(df: DataFrame, idCol: String, featuresCol: String,
                   labelCol: String, k: Int = 5, steps: Int = 50,
                   lr: Double = 0.5, l2: Double = 0.0,
-                  posWeight: Double = 1.0, seed: Long = 0L): DataFrame = {
+                  posWeight: Double = 1.0, seed: Long = 0L,
+                  components: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"crossValAuc needs k >= 2, got $k")
-    val folded = Sampling.kFold(
-        df.na.drop(Seq(idCol, featuresCol, labelCol)), idCol, k, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labeled = df.na.drop(Seq(idCol, featuresCol, labelCol))
+    // components: near-dup (id, component) pairs — fold on the component
+    // REPRESENTATIVE so a duplicate clique never straddles folds and the
+    // held-out AUC can't be inflated by validating on near-copies of
+    // training docs (the componentSafeSplit leakage argument, applied
+    // to cross-validation)
+    val folded = (components match {
+      case Some(c) => Sampling.componentSafeKFold(labeled, c, idCol, k, seed)
+      case None    => Sampling.kFold(labeled, idCol, k, seed)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = folded.count()
       val scored = (0 until k).map { f =>

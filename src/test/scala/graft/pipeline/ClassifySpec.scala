@@ -114,6 +114,23 @@ class ClassifySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("crossValAuc with components keeps near-dup cliques in one fold") {
+    import spark.implicits._
+    val df = separable(120).cache()
+    // clique {0..9} all map to representative 0
+    val comps = (0L to 9L).map(id => (id, 0L)).toDF("id", "component")
+    val folded = Sampling.componentSafeKFold(df, comps, "id", k = 3)
+    val cliqueFolds = folded.filter(col("id") <= 9)
+      .select("fold").distinct().count()
+    assert(cliqueFolds == 1L) // the whole clique lands in ONE fold
+    val cv = crossValAuc(df, "id", "x", "y", k = 3, steps = 30, lr = 1.0,
+      components = Some(comps)).collect()
+    assert(cv.length == 3)
+    assert(cv.map(r => r.getAs[Long]("pos") + r.getAs[Long]("neg")).sum
+      == 120L)
+    df.unpersist()
+  }
+
   test("featureImportance: |w|·σ normalized; constant feature scores 0") {
     import spark.implicits._
     // x1 constant; x2 has σ = 2·σ(x3) but half the weight → equal raw
