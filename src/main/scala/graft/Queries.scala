@@ -3085,6 +3085,79 @@ object Queries {
              SELECT lang, lang_pred, count(*) AS n FROM pred
              GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
 
+    // the engine evaluating itself: Multiclass.summary over the marker-
+    // word language-ID's predictions vs the dataset's lang labels — both
+    // halves are independently hash-green (q_lang_id, q_multiclass_sum),
+    // so their composition replays end-to-end too
+    QueryDef("q_langid_eval",
+      (s, d) => {
+        import graft.pipeline.TextAnalysis._
+        val preds = withLanguageId(
+          documents(s, d).select("lang", "text"), "text")
+        graft.eval.Multiclass.summary(preds, "lang_pred", "lang")
+          .select(col("n"), round(col("accuracy"), 6).as("accuracy"),
+            round(col("macro_precision"), 6).as("macro_precision"),
+            round(col("macro_recall"), 6).as("macro_recall"),
+            round(col("macro_f1"), 6).as("macro_f1"),
+            round(col("weighted_f1"), 6).as("weighted_f1"))
+      },
+      Some("""WITH sc AS (SELECT lang,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','and','of','to','in','is','that','it','with','for')))::DOUBLE AS s_en,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu')))::DOUBLE AS s_de,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))::DOUBLE AS s_fr,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('el','los','las','es','una','del','por','con','para','como')))::DOUBLE AS s_es,
+               (length(text) - length(replace(text, '的', ''))
+                + length(text) - length(replace(text, '是', ''))
+                + length(text) - length(replace(text, '在', ''))
+                + length(text) - length(replace(text, '了', ''))
+                + length(text) - length(replace(text, '我', ''))
+                + length(text) - length(replace(text, '有', ''))
+                + length(text) - length(replace(text, '和', ''))
+                + length(text) - length(replace(text, '不', ''))
+                + length(text) - length(replace(text, '这', ''))
+                + length(text) - length(replace(text, '中', '')))::DOUBLE AS s_zh
+               FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+             d2 AS (SELECT lang AS label, CASE
+               WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+               ELSE 'zh' END AS pred FROM sc),
+             c AS (SELECT label, pred, count(*)::BIGINT AS n FROM d2
+               GROUP BY 1, 2),
+             sup AS (SELECT label AS cls, sum(n)::BIGINT AS support FROM c
+               GROUP BY 1),
+             prd AS (SELECT pred AS cls, sum(n)::BIGINT AS predicted
+               FROM c GROUP BY 1),
+             tpc AS (SELECT label AS cls, n AS tp FROM c
+               WHERE label = pred),
+             j AS (SELECT coalesce(sup.cls, prd.cls) AS cls,
+               coalesce(support, 0) AS support,
+               coalesce(predicted, 0) AS predicted, coalesce(tp, 0) AS tp
+               FROM sup FULL OUTER JOIN prd ON sup.cls = prd.cls
+               LEFT JOIN tpc ON coalesce(sup.cls, prd.cls) = tpc.cls),
+             m AS (SELECT cls, support, tp,
+               CASE WHEN predicted > 0 THEN tp / predicted::DOUBLE END AS p,
+               CASE WHEN support > 0 THEN tp / support::DOUBLE END AS r
+               FROM j),
+             m2 AS (SELECT cls, support, tp, p, r,
+               CASE WHEN p IS NULL OR r IS NULL THEN NULL
+                 WHEN p + r = 0 THEN 0.0
+                 ELSE 2.0 * p * r / (p + r) END AS f1 FROM m)
+             SELECT sum(support)::BIGINT AS n,
+               round(sum(tp) / sum(support)::DOUBLE, 6) AS accuracy,
+               round(avg(p), 6) AS macro_precision,
+               round(avg(r), 6) AS macro_recall,
+               round(avg(f1), 6) AS macro_f1,
+               round(sum(f1 * support) / sum(support)::DOUBLE, 6)
+                 AS weighted_f1
+             FROM m2""")),
+
     // ---- PII scrubbing (emails / IPs / long digit runs) -------------------
     // the fixture docs carry no PII, so deterministic PII is appended from
     // doc_id first; the scrub must then strip it back out — oracle runs
