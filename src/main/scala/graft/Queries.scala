@@ -5672,6 +5672,45 @@ object Queries {
              SELECT vec_id, j::INT AS j, round(acc * 0.25, 6) AS v
              FROM s ORDER BY vec_id, j""")),
 
+    // ---- Brier decomposition (Murphy) -------------------------------------
+    QueryDef("q_brier_decomp",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10.0)
+        graft.eval.BinaryMetrics.brierDecomposition(li, "p", "label",
+            bins = 10)
+          .select(col("n"), round(col("brier"), 6).as("brier"),
+            round(col("reliability"), 6).as("reliability"),
+            round(col("resolution"), 6).as("resolution"),
+            round(col("uncertainty"), 6).as("uncertainty"),
+            round(col("within_bin_var"), 6).as("within_bin_var"),
+            round(col("within_bin_cov"), 6).as("within_bin_cov"))
+      },
+      Some("""WITH sl AS (SELECT l_discount * 10.0 AS p,
+               (l_returnflag = 'R')::INT::DOUBLE AS y FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+             c AS (SELECT least(floor(p * 10), 9)::INT AS bin,
+               count(*)::DOUBLE AS n, avg(p) AS pbar, avg(y) AS ybarb,
+               avg((p - y) * (p - y)) AS bs,
+               avg(p * p) - avg(p) * avg(p) AS v,
+               avg(p * y) - avg(p) * avg(y) AS cv FROM sl GROUP BY 1),
+             t AS (SELECT sum(n) AS n,
+               sum(n * ybarb) / sum(n) AS ybar,
+               sum(n * bs) / sum(n) AS brier,
+               sum(n * (pbar - ybarb) * (pbar - ybarb)) / sum(n) AS rel,
+               sum(n * v) / sum(n) AS wv, sum(n * cv) / sum(n) AS wc
+               FROM c),
+             r AS (SELECT t.n, t.brier, t.rel,
+               (SELECT sum(c.n * (c.ybarb - t.ybar) * (c.ybarb - t.ybar))
+                FROM c) / t.n AS res,
+               t.ybar * (1 - t.ybar) AS unc, t.wv, t.wc FROM t)
+             SELECT n::BIGINT AS n, round(brier, 6) AS brier,
+               round(rel, 6) AS reliability, round(res, 6) AS resolution,
+               round(unc, 6) AS uncertainty,
+               round(wv, 6) AS within_bin_var,
+               round(wc, 6) AS within_bin_cov FROM r""")),
+
     // ---- multiclass metrics ----------------------------------------------
     QueryDef("q_multiclass",
       (s, d) => {

@@ -325,6 +325,111 @@ object BinaryMetrics {
     }.toDF("bin", "n", "pos", "frac_pos", "calibrated")
   }
 
+  /** Per-group [[isotonicCalibrate]]: one aggregation folds the corpus
+    * to (group, bin, n, pos) cells, PAV runs per group on the driver —
+    * sources miscalibrate differently (a web-crawl scorer reads fan
+    * fiction differently than legal text), so one global fit papers
+    * over per-source bias. Output adds `groupCol`; each group's rows
+    * equal its standalone [[isotonicCalibrate]] fit (spec-pinned). */
+  def isotonicCalibrateBy(df: DataFrame, scoreCol: String,
+                          labelCol: String, groupCol: String,
+                          bins: Int = 100): DataFrame = {
+    require(bins >= 1, s"isotonicCalibrateBy: bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sl = df.select(col(groupCol).cast("string").as("g"),
+        col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("double").as("label"))
+      .na.drop(Seq("g", "score", "label"))
+    val cells = sl.groupBy(col("g"),
+        least(floor(col("score") * bins), lit(bins - 1)).cast("int")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+      .as[(String, Int, Long, Long)].collect()
+    cells.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val binned = rows.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+      pavFit(binned).map { case (bin, n, pos, fp, cal) =>
+        (g, bin, n, pos, fp, cal) }
+    }.toDF(groupCol, "bin", "n", "pos", "frac_pos", "calibrated")
+  }
+
+  /** PAV over sorted integer (bin, n, pos) cells → per-bin
+    * (bin, n, pos, frac_pos, calibrated); shared by the global and
+    * grouped isotonic fits. */
+  private def pavFit(binned: Array[(Int, Long, Long)])
+      : Seq[(Int, Long, Long, Double, Double)] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    binned.indices.foreach { i =>
+      val (_, n, pos) = binned(i)
+      var cur = (i, pos, n)
+      while (stack.nonEmpty &&
+          stack.last._2 * cur._3 >= cur._2 * stack.last._3) {
+        val t = stack.remove(stack.length - 1)
+        cur = (t._1, t._2 + cur._2, t._3 + cur._3)
+      }
+      stack += cur
+    }
+    val calibrated = new Array[Double](binned.length)
+    stack.indices.foreach { bi =>
+      val (start, pos, n) = stack(bi)
+      val end = if (bi + 1 < stack.length) stack(bi + 1)._1 else binned.length
+      val rate = pos.toDouble / n
+      (start until end).foreach(calibrated(_) = rate)
+    }
+    binned.indices.map { i =>
+      val (bin, n, pos) = binned(i)
+      (bin, n, pos, pos.toDouble / n, calibrated(i))
+    }
+  }
+
+  /** Murphy decomposition of the Brier score over `bins` equal-width
+    * score bins: brier = reliability − resolution + uncertainty, where
+    * reliability = Σ nᵦ(p̄ᵦ − ȳᵦ)²/N  (calibration error — want 0),
+    * resolution  = Σ nᵦ(ȳᵦ − ȳ)²/N   (discrimination — want large),
+    * uncertainty = ȳ(1 − ȳ)           (data's irreducible floor).
+    * With continuous scores binned, the EXACT identity carries two
+    * within-bin terms (both emitted, so the check is explicit):
+    * brier = reliability − resolution + uncertainty
+    *         + within_bin_var − 2·within_bin_cov
+    * — within_bin_var is the score variance around each bin's mean
+    * forecast, within_bin_cov the score-label covariance inside bins
+    * (both → 0 as bins narrow). One aggregation pass, O(bins) result. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"brierDecomposition: bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sl = scoreAndLabels(df, scoreCol, labelCol)
+    // ONE corpus pass folds to ≤bins cells; the decomposition (which
+    // needs the global ȳ across cells) is driver arithmetic
+    val cells = sl.groupBy(least(floor(col("score") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg("score").as("pbar"), avg("label").as("ybar"),
+        avg(pow(col("score") - col("label"), 2)).as("bs"),
+        (avg(pow(col("score"), 2)) - pow(avg(col("score")), 2)).as("v"),
+        (avg(col("score") * col("label")) -
+          avg(col("score")) * avg(col("label"))).as("cv"))
+      .as[(Int, Double, Double, Double, Double, Double, Double)].collect()
+    val n = cells.map(_._2).sum
+    if (n == 0) {
+      Seq.empty[(Long, Double, Double, Double, Double, Double, Double)]
+        .toDF("n", "brier", "reliability", "resolution", "uncertainty",
+          "within_bin_var", "within_bin_cov")
+    } else {
+      val ybar = cells.map(c => c._2 * c._4).sum / n
+      val brier = cells.map(c => c._2 * c._5).sum / n
+      val rel = cells.map(c => c._2 * (c._3 - c._4) * (c._3 - c._4)).sum / n
+      val res = cells.map(c => c._2 * (c._4 - ybar) * (c._4 - ybar)).sum / n
+      val unc = ybar * (1.0 - ybar)
+      val wv = cells.map(c => c._2 * c._6).sum / n
+      val wc = cells.map(c => c._2 * c._7).sum / n
+      Seq((n.toLong, brier, rel, res, unc, wv, wc))
+        .toDF("n", "brier", "reliability", "resolution", "uncertainty",
+          "within_bin_var", "within_bin_cov")
+    }
+  }
+
   /** Piecewise-constant calibrated score from an [[isotonicCalibrate]]
     * result (collected driver-side): score → its bin's calibrated value,
     * empty bins inheriting the nearest lower non-empty bin (clamped to

@@ -113,6 +113,57 @@ class CalibrationSpec extends SparkSpec {
       .getAs[Double]("auc_roc").isNaN)
   }
 
+  test("isotonicCalibrateBy: per-group fits equal standalone fits") {
+    import spark.implicits._
+    def mk(g: String, bin: Int, pos: Int, n: Int) =
+      (0 until n).map(i => (g, bin / 4.0 + 0.1, if (i < pos) 1.0 else 0.0))
+    // group A needs pooling; group B is already monotone
+    val df = (mk("A", 0, 2, 10) ++ mk("A", 1, 1, 10) ++ mk("A", 2, 6, 10) ++
+      mk("B", 0, 1, 10) ++ mk("B", 2, 7, 10)).toDF("g", "p", "y")
+    val by = BinaryMetrics.isotonicCalibrateBy(df, "p", "y", "g", bins = 4)
+      .orderBy("g", "bin")
+      .as[(String, Int, Long, Long, Double, Double)].collect()
+    Seq("A", "B").foreach { g =>
+      val standalone = BinaryMetrics.isotonicCalibrate(
+          df.filter(col("g") === g), "p", "y", bins = 4)
+        .orderBy("bin").as[(Int, Long, Long, Double, Double)].collect()
+      val grouped = by.filter(_._1 == g)
+        .map(r => (r._2, r._3, r._4, r._5, r._6))
+      assert(grouped.toSeq == standalone.toSeq, s"group $g")
+    }
+    // group A pooled bins 0-1 (rates 0.2, 0.1 → 0.15); B untouched
+    assert(by.filter(_._1 == "A").map(_._6).toSeq == Seq(0.15, 0.15, 0.6))
+    assert(by.filter(_._1 == "B").map(_._6).toSeq == Seq(0.1, 0.7))
+  }
+
+  test("brierDecomposition: exact identity and hand case") {
+    import spark.implicits._
+    // two bins: scores {0.1, 0.3} in bins 0/1 at bins=2... use bins=10 with
+    // in-bin score spread so within-bin terms are nonzero
+    val df = Seq((0.02, 0.0), (0.08, 1.0), (0.82, 1.0), (0.88, 1.0),
+      (0.85, 0.0)).toDF("p", "y")
+    val r = BinaryMetrics.brierDecomposition(df, "p", "y", bins = 10).head()
+    val brier = r.getAs[Double]("brier")
+    val want = Seq((0.02, 0.0), (0.08, 1.0), (0.82, 1.0), (0.88, 1.0),
+      (0.85, 0.0)).map { case (p, y) => (p - y) * (p - y) }.sum / 5
+    assert(math.abs(brier - want) < 1e-12)
+    val identity = r.getAs[Double]("reliability") -
+      r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty") +
+      r.getAs[Double]("within_bin_var") -
+      2 * r.getAs[Double]("within_bin_cov")
+    assert(math.abs(brier - identity) < 1e-12, s"$brier vs $identity")
+    // uncertainty = ȳ(1−ȳ) with ȳ = 3/5
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.6 * 0.4) < 1e-12)
+    // a perfectly calibrated uninformed scorer: rel 0, res 0
+    val flat = Seq((0.5, 1.0), (0.5, 0.0)).toDF("p", "y")
+    val fr = BinaryMetrics.brierDecomposition(flat, "p", "y").head()
+    assert(math.abs(fr.getAs[Double]("reliability")) < 1e-12)
+    assert(math.abs(fr.getAs[Double]("resolution")) < 1e-12)
+    assert(BinaryMetrics.brierDecomposition(
+      spark.emptyDataset[(Double, Double)].toDF("p", "y"), "p", "y")
+      .count() == 0)
+  }
+
   test("thresholdAtPrecision: picks the max-recall qualifying threshold; " +
       "empty when unattainable") {
     import spark.implicits._
