@@ -48,4 +48,34 @@ object Snapshot {
                  textCol: String): DataFrame =
     diff(old, neu, idCol, textCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Schema drift between two frames — the row-content companion above
+    * answers "which documents changed"; this answers "did the UPSTREAM
+    * change shape" (a crawler adding a field, a type widening, a column
+    * silently dropped), the check an ingestion job runs BEFORE touching
+    * data. Pure driver-side StructType comparison — no job, no scan.
+    * One row per column in either schema: (column, status ∈ added /
+    * removed / type_changed / nullability_changed / unchanged,
+    * type_old, type_new). Column order is ignored (parquet readers
+    * resolve by name); `added` means present only in `neu`. */
+  def schemaDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val a = old.schema.map(f => f.name -> f).toMap
+    val b = neu.schema.map(f => f.name -> f).toMap
+    (a.keySet ++ b.keySet).toSeq.sorted.map { name =>
+      (a.get(name), b.get(name)) match {
+        case (None, Some(f)) =>
+          (name, "added", null: String, f.dataType.sql)
+        case (Some(f), None) =>
+          (name, "removed", f.dataType.sql, null: String)
+        case (Some(fa), Some(fb)) if fa.dataType != fb.dataType =>
+          (name, "type_changed", fa.dataType.sql, fb.dataType.sql)
+        case (Some(fa), Some(fb)) if fa.nullable != fb.nullable =>
+          (name, "nullability_changed", fa.dataType.sql, fb.dataType.sql)
+        case (Some(fa), Some(fb)) =>
+          (name, "unchanged", fa.dataType.sql, fb.dataType.sql)
+      }
+    }.toDF("column", "status", "type_old", "type_new")
+  }
 }

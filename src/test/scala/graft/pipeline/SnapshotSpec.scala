@@ -41,4 +41,26 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(same == Map("unchanged" -> 50L))
   }
+
+  test("schemaDiff: added/removed/type_changed/unchanged; order ignored") {
+    import spark.implicits._
+    val old = Seq((1L, "t", 5)).toDF("id", "text", "n")
+    val neu = old.drop("text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n", col("n").cast("double"))
+      .select("n", "lang", "id") // shuffled column order must not matter
+    val d = Snapshot.schemaDiff(old, neu).orderBy("column")
+      .as[(String, String, String, String)].collect()
+    assert(d.map(r => r._1 -> r._2).toSeq == Seq(
+      "id" -> "unchanged", "lang" -> "added", "n" -> "type_changed",
+      "text" -> "removed"))
+    val n = d.find(_._1 == "n").get
+    assert(n._3 == "INT" && n._4 == "DOUBLE")
+    assert(d.find(_._1 == "lang").get._3 == null)
+    assert(d.find(_._1 == "text").get._4 == null)
+    // identical schemas: all unchanged, no phantom rows
+    val same = Snapshot.schemaDiff(old, old)
+    assert(same.filter(col("status") =!= "unchanged").count() == 0)
+    assert(same.count() == 3)
+  }
 }
