@@ -3195,6 +3195,41 @@ object Queries {
                 regexp_matches(s, '10\.0\.0\.'))::INT AS has_pii_left
              FROM scrubbed ORDER BY doc_id""")),
 
+    // ---- multi-pattern blocklist screen (Aho-Corasick) --------------------
+    // one automaton pass per doc counts every overlapping occurrence of
+    // every pattern; the oracle brute-counts match positions per (doc,
+    // pattern) with a position-list comprehension. "table table" on a
+    // "table table table" run exercises self-overlap (2 hits where a
+    // non-overlapping replace() count would say 1).
+    QueryDef("q_blocklist",
+      (s, d) => graft.pipeline.Blocklist.matches(documents(s, d),
+          "doc_id", "text",
+          Seq("spark", "merge batch", "table table", "scan"))
+        .orderBy("doc_id", "pattern"),
+      Some("""WITH pats(pattern) AS (VALUES ('spark'), ('merge batch'),
+               ('table table'), ('scan')),
+             h AS (SELECT doc_id, pattern,
+               len([i FOR i IN range(1, length(text) - length(pattern) + 2)
+                    IF substr(text, i, length(pattern)) = pattern])::BIGINT
+                 AS hits
+               FROM documents, pats
+               WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+             SELECT doc_id, pattern, hits FROM h WHERE hits > 0
+             ORDER BY doc_id, pattern""")),
+
+    // the screen itself: zero-shuffle early-exit filter — NOT matches() +
+    // anti-join. Patterns chosen so a meaningful fraction survives.
+    QueryDef("q_blocklist_clean",
+      (s, d) => graft.pipeline.Blocklist.screen(documents(s, d),
+          "doc_id", "text", Seq("merge batch", "table table"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+             WHERE doc_id IS NOT NULL AND text IS NOT NULL
+               AND NOT contains(text, 'merge batch')
+               AND NOT contains(text, 'table table')
+             ORDER BY doc_id""")),
+
     // ---- per-document n-gram novelty (contribution scoring) ---------------
     // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
     // ownership); oracle rebuilds the shingle stream + first-occurrence
