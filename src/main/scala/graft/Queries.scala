@@ -3230,6 +3230,174 @@ object Queries {
                AND NOT contains(text, 'table table')
              ORDER BY doc_id""")),
 
+    // ---- fuzzy string join (edit distance <= k) ----------------------------
+    // q-gram count-filter candidates + levenshtein verify; the oracle is
+    // the brute-force quadratic join (exact-recall contract — the filter
+    // is a theorem). Supplier names differ only in their digit tail, so
+    // k=1 exercises substitution-heavy mass.
+    QueryDef("q_fuzzy_join",
+      (s, d) => graft.pipeline.FuzzyJoin.fuzzyPairs(
+          s.read.parquet(s"$d/supplier.parquet"), "s_suppkey", "s_name",
+          maxDist = 1)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier
+               WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL)
+             SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.nm, b.nm)::INT AS dist
+             FROM s a JOIN s b ON a.id < b.id
+             WHERE levenshtein(a.nm, b.nm) <= 1
+             ORDER BY id_a, id_b""")),
+
+    // cross-table reconciliation: right side = names with the first char
+    // dropped (every row is a deletion-distance-1 partner of its source),
+    // so the insert/delete + length-difference path is exercised
+    QueryDef("q_fuzzy_cross",
+      (s, d) => {
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val mutated = sup.select((col("s_suppkey") + lit(100000L)).as("mid"),
+          substring(col("s_name"), 2, 1000).as("mname"))
+        graft.pipeline.FuzzyJoin.fuzzyJoin(sup, "s_suppkey", "s_name",
+            mutated, "mid", "mname", maxDist = 1)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH l AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier
+               WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL),
+             r AS (SELECT id + 100000 AS id, substr(nm, 2) AS nm FROM l)
+             SELECT l.id AS id_a, r.id AS id_b,
+               levenshtein(l.nm, r.nm)::INT AS dist
+             FROM l JOIN r ON levenshtein(l.nm, r.nm) <= 1
+             ORDER BY id_a, id_b""")),
+
+    // ---- link-graph signals (PageRank / degrees) ---------------------------
+    // supplier→part bipartite graph from distinct lineitem pairs; the
+    // oracle unrolls the SAME three iterations (teleport written as
+    // (1 - 0.85) on both sides so the constant is bit-identical; round(9)
+    // absorbs sum-order ulps). Parts have no out-edges, so the dangling
+    // correction carries real mass here, not just a code path.
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+               l_partkey + 1000000 AS dst FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+             n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             c AS (SELECT count(*)::DOUBLE AS nn FROM n),
+             deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY 1),
+             r0 AS (SELECT v, 1.0/nn AS r FROM n, c),
+             d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+               WHERE v NOT IN (SELECT src FROM e)),
+             c0 AS (SELECT e.dst AS v, sum(r0.r / deg.d) AS cb FROM e
+               JOIN r0 ON e.src = r0.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r1 AS (SELECT n.v,
+               (1 - 0.85)/c.nn + 0.85*(coalesce(c0.cb, 0) + d0.dm/c.nn) AS r
+               FROM n LEFT JOIN c0 ON n.v = c0.v, c, d0),
+             d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+               WHERE v NOT IN (SELECT src FROM e)),
+             c1 AS (SELECT e.dst AS v, sum(r1.r / deg.d) AS cb FROM e
+               JOIN r1 ON e.src = r1.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r2 AS (SELECT n.v,
+               (1 - 0.85)/c.nn + 0.85*(coalesce(c1.cb, 0) + d1.dm/c.nn) AS r
+               FROM n LEFT JOIN c1 ON n.v = c1.v, c, d1),
+             d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+               WHERE v NOT IN (SELECT src FROM e)),
+             c2 AS (SELECT e.dst AS v, sum(r2.r / deg.d) AS cb FROM e
+               JOIN r2 ON e.src = r2.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r3 AS (SELECT n.v,
+               (1 - 0.85)/c.nn + 0.85*(coalesce(c2.cb, 0) + d2.dm/c.nn) AS r
+               FROM n LEFT JOIN c2 ON n.v = c2.v, c, d2)
+             SELECT v AS node, round(r, 9) AS rank FROM r3 ORDER BY node""")),
+
+    QueryDef("q_graph_degree",
+      (s, d) => graft.pipeline.Graph.degrees(
+          lineitem(s, d)
+            .select(col("l_suppkey").as("src"),
+              (col("l_partkey") + lit(1000000L)).as("dst"))
+            .distinct(),
+          "src", "dst")
+        .orderBy("node"),
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+               l_partkey + 1000000 AS dst FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+             o AS (SELECT src AS node, count(*)::BIGINT AS od
+               FROM e GROUP BY 1),
+             i AS (SELECT dst AS node, count(*)::BIGINT AS id
+               FROM e GROUP BY 1)
+             SELECT coalesce(o.node, i.node) AS node,
+               coalesce(od, 0)::BIGINT AS out_degree,
+               coalesce(id, 0)::BIGINT AS in_degree
+             FROM o FULL OUTER JOIN i ON o.node = i.node
+             ORDER BY node""")),
+
+    // ---- k-anonymity / rare-category suppression ---------------------------
+    // quasi-identifier = (segment, nation, account-balance band): plenty of
+    // sub-k groups at every SF (485 singletons at sf0.01)
+    QueryDef("q_k_anon",
+      (s, d) => graft.pipeline.Privacy.kAnonymityViolations(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("acct_band",
+              floor(col("c_acctbal") / lit(1000.0))),
+          Seq("c_mktsegment", "c_nationkey", "acct_band"), k = 5)
+        .orderBy("c_mktsegment", "c_nationkey", "acct_band"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+               floor(c_acctbal/1000)::BIGINT AS acct_band,
+               count(*)::BIGINT AS n
+             FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+             ORDER BY 1, 2, 3""")),
+
+    // suppression release: violating rows' quasi columns nulled; the
+    // oracle replays the window-count CASE
+    QueryDef("q_k_anonymize",
+      (s, d) => graft.pipeline.Privacy.kAnonymize(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("acct_band",
+              floor(col("c_acctbal") / lit(1000.0)))
+            .select("c_custkey", "c_mktsegment", "c_nationkey", "acct_band"),
+          Seq("c_mktsegment", "c_nationkey", "acct_band"), k = 5)
+        .orderBy("c_custkey"),
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+               floor(c_acctbal/1000)::BIGINT AS acct_band FROM customer),
+             w AS (SELECT *, count(*) OVER (PARTITION BY c_mktsegment,
+               c_nationkey, acct_band) AS n FROM c)
+             SELECT c_custkey,
+               CASE WHEN n >= 5 THEN c_mktsegment END AS c_mktsegment,
+               CASE WHEN n >= 5 THEN c_nationkey END AS c_nationkey,
+               CASE WHEN n >= 5 THEN acct_band END AS acct_band
+             FROM w ORDER BY c_custkey""")),
+
+    // rare-category suppression on a long-tailed derived column (first two
+    // tokens — ~40² combos, singletons at every SF); result = post-
+    // suppression category histogram
+    QueryDef("q_suppress_rare",
+      (s, d) => {
+        val docs = documents(s, d).na.drop(Seq("doc_id", "text"))
+          .withColumn("bigram", concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 2)))
+        graft.pipeline.Privacy.suppressRare(docs, "bigram", minCount = 3L)
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy("bigram")
+      },
+      Some("""WITH t AS (SELECT array_to_string(
+               regexp_split_to_array(trim(text), '\s+')[1:2], ' ')
+                 AS bigram
+               FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             cnt AS (SELECT bigram, count(*) AS n FROM t GROUP BY 1),
+             s AS (SELECT CASE WHEN cnt.n < 3 THEN 'OTHER'
+                 ELSE t.bigram END AS bigram
+               FROM t JOIN cnt USING (bigram))
+             SELECT bigram, count(*)::BIGINT AS n FROM s
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- per-document n-gram novelty (contribution scoring) ---------------
     // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
     // ownership); oracle rebuilds the shingle stream + first-occurrence

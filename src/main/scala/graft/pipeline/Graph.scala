@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph signals for corpus curation — the web-scale quality prior
+  * (a Common-Crawl-style harmonic/PageRank score per domain or document)
+  * that upstream filters consume alongside text quality.
+  *
+  * 100-TB shape: the edge list with out-degrees attached is built ONCE
+  * and persisted; each iteration is then exactly one shuffle (the
+  * contribution aggregate on dst) plus a broadcast of the two scalars
+  * (node count, dangling mass). Ranks never grow beyond one row per
+  * node. Lineage grows two joins per iteration — pass
+  * `checkpointEvery` > 0 to cut it with an eager localCheckpoint for
+  * long runs. */
+object Graph {
+
+  /** PageRank over an edge frame. `edges` rows are (src, dst) long-castable
+    * ids; PARALLEL EDGES COUNT (a multigraph src contributes its rank
+    * split over its edge multiset) — `.distinct()` the input for simple-
+    * graph semantics. Returns (node, rank) for every node appearing as a
+    * src or dst; Σrank = 1 up to float error. Dangling nodes (no out-
+    * edges) teleport their whole rank uniformly, the standard correction.
+    * One driver action up front (the node count); iterations stay lazy. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85,
+               checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    val e = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degs = e.groupBy("__src").agg(count(lit(1)).cast("double").as("__d"))
+    // per-iteration reusable: each edge with its src out-degree
+    val eDeg = e.join(degs, "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one action; also materializes the persist
+    require(n > 0, "empty graph")
+    // literals written as the same arithmetic the SQL oracle uses so the
+    // constants are bit-identical ((1 - d) differs from a 0.15 literal in
+    // the last ulp)
+    val teleport = lit(1.0) - lit(damping)
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    var i = 0
+    while (i < iters) {
+      val contribs = eDeg.join(ranks, col("__src") === col("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__d")).as("__c"))
+      // dangling mass: rank held by nodes with no out-edges, redistributed
+      // uniformly — a one-row frame, broadcast-crossed so nothing collects
+      val dangling = ranks
+        .join(degs, col("node") === col("__src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (teleport / lit(n.toDouble) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n.toDouble))).as("rank"))
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** In/out degree per node — the quick structural profile (hub/authority
+    * candidates, isolated-node counts) run before committing to an
+    * iterative pass. One aggregate per direction, full-outer joined on
+    * the ≤node-count frames. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+    val outD = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = e.groupBy(col("__dst").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    outD.join(inD, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification guards for curated releases — the structured-data
+  * complement of [[TextAnalysis.scrubPii]]: PII scrubbing removes direct
+  * identifiers from text; k-anonymity bounds what the remaining
+  * QUASI-identifiers (the column combination an adversary links on)
+  * reveal. Sweeney's k-anonymity by suppression: every released row must
+  * share its quasi-identifier tuple with at least k−1 others.
+  *
+  * 100-TB shape: violation listing is one hash aggregate; anonymization
+  * is one window pass (null-safe grouping for free — quasi columns with
+  * nulls group together, which an equi-join-back would silently drop);
+  * rare-category suppression joins a value-count frame AQE broadcasts
+  * when small, so the corpus itself never shuffles for it. */
+object Privacy {
+
+  /** Quasi-identifier groups occurring fewer than k times: the rows an
+    * adversary could single out. Returns the quasi columns plus `n`
+    * (1 ≤ n < k). Null quasi values form their own groups. */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[String],
+                           k: Int): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** `df` with the quasi-identifier columns SUPPRESSED (set to NULL) on
+    * every row whose quasi tuple occurs fewer than k times — the release
+    * then satisfies k-anonymity on those columns (suppressed rows all
+    * share the all-NULL tuple). Non-quasi columns pass through. One
+    * window shuffle on the quasi key. */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi.map(col): _*)
+    val n = count(lit(1)).over(w)
+    val cols = df.columns.map { c =>
+      if (quasi.contains(c))
+        when(n >= k, col(c)).otherwise(lit(null)).as(c)
+      else col(c)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Categorical values occurring fewer than `minCount` times replaced by
+    * `other` — the long-tail cut that both bounds a categorical column's
+    * cardinality before a groupBy/pivot AND removes singleton categories
+    * that act as quasi-identifiers. NULL values stay NULL (they are not a
+    * category). The count frame is one aggregate on the value column,
+    * joined back null-safely. */
+  def suppressRare(df: DataFrame, column: String, minCount: Long,
+                   other: String = "OTHER"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val counts = df.groupBy(col(column).as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val joined = df.join(counts, col(column) <=> col("__v"), "left")
+    val replaced = when(col(column).isNull, lit(null))
+      .when(col("__n") < minCount, lit(other))
+      .otherwise(col(column))
+    joined.select(df.columns.map {
+      case c if c == column => replaced.as(c)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+  }
+}

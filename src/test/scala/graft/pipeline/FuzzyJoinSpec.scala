@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // substitutions, insertions, deletions, repeats, and SHORT strings
+  // (below the count-filter floor) all represented
+  private val names = Seq(
+    1L -> "alpha-node-17", 2L -> "alpha-node-18", // subst, dist 1
+    3L -> "alpha-nodee-17", // insert vs 1, dist 1
+    4L -> "alpha-node-1", // delete vs 1, dist 1
+    5L -> "beta-node-17", // dist > 1 from alphas at k=1
+    6L -> "ab", 7L -> "ac", 8L -> "a", 9L -> "b", // short set
+    10L -> "aaaa", 11L -> "aaab", // repeated grams (multiset ordinals)
+    12L -> "zzzzzzzzzzzz")
+
+  private def brute(k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib
+      d = lev(sa, sb)
+      if d <= k
+    } yield (ia, ib, d)).toSet
+
+  test("fuzzyPairs == brute force at k=1 and k=2 (q=2)") {
+    val df = names.toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === brute(k), s"k=$k")
+    }
+  }
+
+  test("fuzzyPairs == brute force at q=3 (different gram width)") {
+    val df = names.toDF("id", "name")
+    val got = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = 1, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute(1))
+  }
+
+  test("fuzzyJoin (cross-table) == brute force, including short strings") {
+    val left = names.toDF("id", "name")
+    val right = Seq(100L -> "alpha-node-17", 101L -> "alpha-nod-17",
+      102L -> "gamma", 103L -> "ab", 104L -> "aa")
+      .toDF("rid", "rname")
+    val got = FuzzyJoin.fuzzyJoin(left, "id", "name",
+        right, "rid", "rname", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, sa) <- names
+      (ib, sb) <- Seq(100L -> "alpha-node-17", 101L -> "alpha-nod-17",
+        102L -> "gamma", 103L -> "ab", 104L -> "aa")
+      d = lev(sa, sb)
+      if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+  }
+
+  test("maxPostingList skips over-cap keys (bounded, recall documented)") {
+    // every string shares gram ("aa",0): cap 2 < 4 strings kills the key;
+    // the pairs survive only if another under-cap gram finds them
+    val df = Seq(1L -> "aax", 2L -> "aay", 3L -> "aaz", 4L -> "aaw")
+      .toDF("id", "name")
+    val full = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = 1).count()
+    val capped = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = 1,
+      maxPostingList = 2).count()
+    assert(full === 6L)
+    assert(capped <= full)
+  }
+
+  test("null ids/strings dropped; maxDist/q validated") {
+    val df = Seq((java.lang.Long.valueOf(1L), "abc"),
+      (java.lang.Long.valueOf(2L), null),
+      (null.asInstanceOf[java.lang.Long], "abd")).toDF("id", "name")
+    assert(FuzzyJoin.fuzzyPairs(df, "id", "name", 1).count() === 0L)
+    intercept[IllegalArgumentException](
+      FuzzyJoin.fuzzyPairs(df, "id", "name", 0))
+    intercept[IllegalArgumentException](
+      FuzzyJoin.fuzzyPairs(df, "id", "name", 1, q = 0))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val people = Seq(
+    (1L, "NY", "M", 100.0), (2L, "NY", "M", 200.0), (3L, "NY", "M", 50.0),
+    (4L, "NY", "F", 10.0), (5L, "NY", "F", 20.0),
+    (6L, "LA", "M", 30.0), // singleton group
+    (7L, "SF", null, 40.0), (8L, "SF", null, 60.0)) // null quasi value
+
+  test("violations lists exactly the groups under k (nulls grouped)") {
+    val df = people.toDF("id", "city", "sex", "bal")
+    val got = Privacy.kAnonymityViolations(df, Seq("city", "sex"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("NY", "F", 2L), ("LA", "M", 1L), ("SF", null, 2L)))
+  }
+
+  test("kAnonymize nulls quasi columns on violating rows only") {
+    val df = people.toDF("id", "city", "sex", "bal")
+    val out = Privacy.kAnonymize(df, Seq("city", "sex"), k = 3)
+      .as[(Long, String, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // surviving group (NY, M) keeps its values
+    assert(out(1L) === (("NY", "M", 100.0)))
+    // violating groups suppressed, other columns intact
+    assert(out(4L) === ((null, null, 10.0)))
+    assert(out(6L) === ((null, null, 30.0)))
+    assert(out(7L) === ((null, null, 40.0)))
+    // the released table is k-anonymous on the quasi columns
+    val rel = Privacy.kAnonymize(df, Seq("city", "sex"), k = 3)
+    val minN = rel.groupBy("city", "sex").count()
+      .agg(org.apache.spark.sql.functions.min("count")).as[Long].head()
+    assert(minN >= 3L)
+  }
+
+  test("suppressRare replaces sub-threshold values, keeps nulls null") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, null), (6L, "c"), (7L, "c")).toDF("id", "v")
+    val got = Privacy.suppressRare(df, "v", minCount = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "OTHER",
+      5L -> null, 6L -> "c", 7L -> "c"))
+  }
+
+  test("parameter validation") {
+    val df = people.toDF("id", "city", "sex", "bal")
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityViolations(df, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("city"), 1))
+    intercept[IllegalArgumentException](
+      Privacy.suppressRare(df, "city", 0L))
+  }
+}
