@@ -1,41 +1,55 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Approximate string join: all pairs within Levenshtein edit distance
-  * `maxDist`, found EXACTLY via q-gram count filtering (Gravano et al.,
-  * VLDB'01) + a `levenshtein` verify — the set-similarity-join shape the
-  * engine's other dedup ops use (candidates → verify), applied to edit
-  * distance for entity resolution / near-identical key reconciliation.
+  * `maxDist`, found EXACTLY via positional q-gram PREFIX filtering
+  * (Gravano et al. VLDB'01 count bound + the prefix-filtering lemma as
+  * used by Ed-Join, Xiao et al. VLDB'08) + a `levenshtein` verify — the
+  * candidates → verify shape the engine's other dedup ops use, applied
+  * to edit distance for entity resolution / near-identical key
+  * reconciliation.
   *
-  * Filter (a theorem, not a knob): one edit destroys at most q of a
-  * string's |s|−q+1 positional q-grams, so ed(a,b) ≤ k implies the
-  * multiset q-gram intersection is ≥ max(|a|,|b|) − (q−1) − k·q.
+  * Theorems (exactness is proved, not sampled):
+  *  - COUNT BOUND: one edit destroys at most q of a string's |s|−q+1
+  *    positional q-grams, so ed(a,b) ≤ k implies the multiset gram
+  *    overlap is ≥ max(na,nb) − k·q (na = |a|−q+1 grams).
+  *  - PREFIX FILTER: fix any total order on gram keys; if |A∩B| ≥ t
+  *    then the first |A|−t+1 elements of A intersect the first |B|−t+1
+  *    of B. With t = max(na,nb) − k·q and |Δlen| ≤ k, both prefix
+  *    lengths are ≤ q·k + 1. So a valid pair must share a positional
+  *    gram that BOTH sides keep among their q·k+1 rarest grams (order =
+  *    ascending global df, ties by (gram, ordinal)).
   * Multiset semantics come from keying postings on (gram, occurrence
-  * ordinal); pairs failing the count bound or the |len(a)−len(b)| ≤ k
-  * length bound are pruned BEFORE any levenshtein call. Strings too
-  * short for the bound to bite (len ≤ q·(k+1) − 1, including len < q
-  * with no grams at all) are paired brute-force among themselves — a
-  * pair with one long side always clears the bound or the length filter.
+  * ordinal). Strings too short for the count bound to bite
+  * (len ≤ q·(k+1) − 1, including len < q with no grams at all) are
+  * paired brute-force among themselves — a pair with one long side
+  * always clears the count bound (making its prefix intersect) or the
+  * |len(a)−len(b)| ≤ k length filter.
   *
-  * SCALE: one shuffle of the posting lists on the (gram, ordinal) key;
-  * per-key pair generation costs Σ df², so the operator suits string
-  * columns whose q-grams are DIVERSE (names, titles, URLs). A corpus of
-  * near-identical long strings (shared boilerplate prefixes) degrades
-  * toward all-pairs — the same Σdf² economics as ngramJaccard, see the
-  * NOTES round-9 df-cut finding. `maxPostingList` skips over-cap keys
-  * (bounded memory, EXACTNESS LOST for pairs whose every shared gram is
-  * over-cap) — the same contract as Dedup's maxBucket/maxPostingList.
-  * Verify joins are plain shuffled equi-joins; candidates, not the
-  * corpus, set their size. */
+  * SCALE: this is why the prefix filter and not the plain count filter.
+  * Boilerplate-prefix corpora ("Supplier#000…", shared URL hosts, form
+  * letters) give the COMMON grams huge posting lists — pair generation
+  * over full posting lists costs Σ df² and degenerates toward all-pairs
+  * (measured 3.6 s on 1k supplier names at sf0.1, quadratic beyond).
+  * Sorting each string's grams by ascending GLOBAL df puts exactly those
+  * grams last, so they never enter a prefix: candidates come from the
+  * rare (discriminative) grams only. Cost: one df aggregate, one
+  * per-string prefix selection (groupByKey on id), one pair-generation
+  * shuffle on the prefix (gram, ordinal) key — Σ over PREFIX posting
+  * lists only. `maxPostingList` skips over-cap prefix keys (bounded
+  * memory, EXACTNESS LOST for pairs whose every shared prefix gram is
+  * over-cap — same contract as Dedup's maxBucket). Verify joins are
+  * plain shuffled equi-joins; candidates, not the corpus, set their
+  * size. */
 object FuzzyJoin {
 
   // private[graft], not private: a fully-private nested case class gets a
   // private bytecode constructor, which Janino-generated deserializer code
   // cannot call (runtime CompileException in the groupByKey stage)
   private[graft] final case class Posting(gram: String, ord: Int,
-                                          id: Long, len: Int)
+                                          id: Long, len: Int, side: Int)
 
   /** (id, s, len) with nulls dropped, ids cast long. Cached by callers:
     * consumed by postings, the short side, and the verify joins. */
@@ -47,7 +61,7 @@ object FuzzyJoin {
 
   /** Positional q-gram postings: one local pass per string, ordinal =
     * occurrence index of the gram within the string (multiset key). */
-  private def postingsOf(strs: DataFrame, q: Int) = {
+  private def postingsOf(strs: DataFrame, q: Int, side: Int) = {
     val spark = strs.sparkSession
     import spark.implicits._
     strs.filter(col("__len") >= q).as[(Long, String, Int)]
@@ -58,9 +72,84 @@ object FuzzyJoin {
           val prev = seen.get(g)
           val ord = if (prev == null) 0 else prev.intValue()
           seen.put(g, ord + 1)
-          Posting(g, ord, id, len)
+          Posting(g, ord, id, len, side)
         }
       }
+  }
+
+  /** Each string's q·k+1 rarest postings in the global ascending
+    * (df, gram, ord) order — df computed over ALL sides' postings so
+    * cross-table joins see one total order. Strings with fewer grams
+    * keep them all (the lemma then reads "whole set", still exact). */
+  private def prefixOf(posts: Dataset[Posting], q: Int, k: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    val dfc = posts.groupBy("gram", "ord").agg(count(lit(1)).as("__df"))
+    posts.toDF().join(dfc, Seq("gram", "ord"))
+      .select("id", "side", "gram", "ord", "len", "__df")
+      .as[(Long, Int, String, Int, Int, Long)]
+      .groupByKey(r => (r._2, r._1))
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray
+        java.util.Arrays.sort(arr,
+          (a: (Long, Int, String, Int, Int, Long),
+           b: (Long, Int, String, Int, Int, Long)) => {
+            val c1 = java.lang.Long.compare(a._6, b._6)
+            if (c1 != 0) c1 else {
+              val c2 = a._3.compareTo(b._3)
+              if (c2 != 0) c2 else Integer.compare(a._4, b._4)
+            }
+          })
+        arr.iterator.take(q * k + 1)
+      }
+      .map(r => Posting(r._3, r._4, r._1, r._5, r._2))
+      .toDF("gram", "ord", "id", "len", "side")
+  }
+
+  /** Candidate pairs from the prefix postings: strings sharing a prefix
+    * (gram, ord) key, length-filtered. `cross = false` emits id-ordered
+    * same-side pairs; `cross = true` emits side-0 × side-1 only. */
+  private def candidatesOf(pre: DataFrame, k: Int, cross: Boolean,
+                           maxPostingList: Int): DataFrame = {
+    val spark = pre.sparkSession
+    import spark.implicits._
+    pre.select("gram", "ord", "id", "len", "side")
+      .as[(String, Int, Long, Int, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
+                    else maxPostingList + 1
+        val rows = it.take(limit).toArray
+        if (rows.length > maxPostingList) Iterator.empty
+        else if (cross) {
+          val lefts = rows.filter(_._5 == 0)
+          val rights = rows.filter(_._5 == 1)
+          val out = Array.newBuilder[(Long, Long)]
+          lefts.foreach { l =>
+            rights.foreach { r =>
+              if (math.abs(l._4 - r._4) <= k) out += ((l._3, r._3))
+            }
+          }
+          out.result().iterator
+        } else {
+          val out = Array.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              val (a, b) = (rows(i), rows(j))
+              if (a._3 != b._3 && math.abs(a._4 - b._4) <= k) {
+                if (a._3 < b._3) out += ((a._3, b._3))
+                else out += ((b._3, a._3))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("id_a", "id_b")
   }
 
   /** Self-join: (id_a, id_b, dist) with id_a < id_b and
@@ -70,42 +159,11 @@ object FuzzyJoin {
                  maxPostingList: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val strs = prep(df, idCol, strCol).cache()
     val k = maxDist
-    // count-filtered candidates from the posting lists
-    val counted = postingsOf(strs, q)
-      .groupByKey(p => (p.gram, p.ord))
-      .flatMapGroups { (_, it) =>
-        val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
-                    else maxPostingList + 1
-        val rows = it.take(limit).toArray
-        if (rows.length > maxPostingList) Iterator.empty
-        else {
-          val out = Array.newBuilder[(Long, Int, Long, Int)]
-          java.util.Arrays.sort(rows,
-            (a: Posting, b: Posting) => java.lang.Long.compare(a.id, b.id))
-          var i = 0
-          while (i < rows.length) {
-            var j = i + 1
-            while (j < rows.length) {
-              if (rows(i).id != rows(j).id &&
-                  math.abs(rows(i).len - rows(j).len) <= k)
-                out += ((rows(i).id, rows(i).len, rows(j).id, rows(j).len))
-              j += 1
-            }
-            i += 1
-          }
-          out.result().iterator
-        }
-      }
-      .toDF("id_a", "len_a", "id_b", "len_b")
-      .groupBy("id_a", "len_a", "id_b", "len_b")
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >=
-        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(k * q))
-      .select("id_a", "id_b")
+    val strs = prep(df, idCol, strCol).cache()
+    val counted = candidatesOf(
+      prefixOf(postingsOf(strs, q, 0), q, k), k, cross = false,
+      maxPostingList)
     // strings the bound can't prune pair only among THEMSELVES within
     // edit distance k (a longer partner forces bound >= 1 or a length
     // gap > k) — brute-force the short set
@@ -115,51 +173,24 @@ object FuzzyJoin {
       .join(short.select(col("__id").as("id_b"), col("__len").as("lb")),
         col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b")
-    verify(counted.unionAll(shortPairs).distinct(), strs, k)
+    verifyCross(counted.unionAll(shortPairs).distinct(), strs, strs, k)
   }
 
   /** Cross-table join: (id_a from left, id_b from right, dist ≤ maxDist).
-    * Same filter; postings of both sides share one shuffle, pairs are
-    * emitted across sides only. */
+    * Postings of both sides share one df computation and one prefix
+    * shuffle; pairs are emitted across sides only. */
   def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
                 right: DataFrame, rightId: String, rightStr: String,
                 maxDist: Int, q: Int = 2,
                 maxPostingList: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val spark = left.sparkSession
-    import spark.implicits._
     val k = maxDist
     val ls = prep(left, leftId, leftStr).cache()
     val rs = prep(right, rightId, rightStr).cache()
-    val tagged = postingsOf(ls, q).map(p => (p.gram, p.ord, p.id, p.len, 0))
-      .unionAll(postingsOf(rs, q).map(p => (p.gram, p.ord, p.id, p.len, 1)))
-    val counted = tagged
-      .groupByKey(p => (p._1, p._2))
-      .flatMapGroups { (_, it) =>
-        val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
-                    else maxPostingList + 1
-        val rows = it.take(limit).toArray
-        if (rows.length > maxPostingList) Iterator.empty
-        else {
-          val lefts = rows.filter(_._5 == 0)
-          val rights = rows.filter(_._5 == 1)
-          val out = Array.newBuilder[(Long, Int, Long, Int)]
-          lefts.foreach { l =>
-            rights.foreach { r =>
-              if (math.abs(l._4 - r._4) <= k)
-                out += ((l._3, l._4, r._3, r._4))
-            }
-          }
-          out.result().iterator
-        }
-      }
-      .toDF("id_a", "len_a", "id_b", "len_b")
-      .groupBy("id_a", "len_a", "id_b", "len_b")
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >=
-        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(k * q))
-      .select("id_a", "id_b")
+    val tagged = postingsOf(ls, q, 0).unionAll(postingsOf(rs, q, 1))
+    val counted = candidatesOf(prefixOf(tagged, q, k), k, cross = true,
+      maxPostingList)
     val shortL = ls.filter(col("__len") <= q * (k + 1) - 1)
     val shortR = rs.filter(col("__len") <= q * (k + 1) - 1)
     val shortPairs = shortL.select(col("__id").as("id_a"),
@@ -169,9 +200,6 @@ object FuzzyJoin {
       .select("id_a", "id_b")
     verifyCross(counted.unionAll(shortPairs).distinct(), ls, rs, k)
   }
-
-  private def verify(cands: DataFrame, strs: DataFrame, k: Int): DataFrame =
-    verifyCross(cands, strs, strs, k)
 
   private def verifyCross(cands: DataFrame, ls: DataFrame, rs: DataFrame,
                           k: Int): DataFrame =

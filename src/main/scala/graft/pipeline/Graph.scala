@@ -48,6 +48,15 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
     var i = 0
     while (i < iters) {
+      // each iteration's ranks feed TWO branches (contributions AND the
+      // dangling-mass aggregate); without a persist the shared lineage is
+      // evaluated once per consumer, DOUBLING per iteration — 2^iters
+      // plan blowup (measured: 5.8 s -> ~2 s for 3 iterations at sf0.1).
+      // The persist makes both branches scan one InMemoryRelation,
+      // populated lazily inside the caller's job — no extra action.
+      // Memory: one (node, rank) row per node per iteration, freed by the
+      // caller's cache clear / session end.
+      ranks = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val contribs = eDeg.join(ranks, col("__src") === col("node"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("rank") / col("__d")).as("__c"))

@@ -80,6 +80,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(capped <= full)
   }
 
+  test("boilerplate-prefix corpus (shared long prefix) stays exact") {
+    // the shape the prefix filter exists for: every name shares a long
+    // constant prefix, so the discriminative grams are the digit tails —
+    // the common grams must never enter a prefix yet recall must stay 1.0
+    val boiler = (1L to 60L).map(i => i -> f"Item#$i%05d")
+    val df = boiler.toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val want = (for {
+        (ia, sa) <- boiler; (ib, sb) <- boiler
+        if ia < ib
+        d = lev(sa, sb)
+        if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
   test("null ids/strings dropped; maxDist/q validated") {
     val df = Seq((java.lang.Long.valueOf(1L), "abc"),
       (java.lang.Long.valueOf(2L), null),
