@@ -3398,6 +3398,88 @@ object Queries {
              SELECT bigram, count(*)::BIGINT AS n FROM s
              GROUP BY 1 ORDER BY 1""")),
 
+    // l-diversity on the same quasi key as q_k_anon: sensitive value =
+    // custkey mod 7 (deterministic, 7 classes) — small bands can't reach
+    // 4 distinct classes, so violations exist at every SF
+    QueryDef("q_l_diversity",
+      (s, d) => graft.pipeline.Privacy.lDiversityViolations(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("acct_band",
+              floor(col("c_acctbal") / lit(1000.0)))
+            .withColumn("cls", col("c_custkey") % lit(7L)),
+          Seq("c_mktsegment", "c_nationkey", "acct_band"), "cls", l = 4)
+        .orderBy("c_mktsegment", "c_nationkey", "acct_band"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+               floor(c_acctbal/1000)::BIGINT AS acct_band,
+               count(DISTINCT c_custkey % 7)::BIGINT AS distinct_sensitive
+             FROM customer GROUP BY 1, 2, 3
+             HAVING count(DISTINCT c_custkey % 7) < 4
+             ORDER BY 1, 2, 3""")),
+
+    // ---- personalized PageRank (TrustRank) ---------------------------------
+    // seeds = suppliers 1-3 on the supplier→part graph; the oracle unrolls
+    // the SAME two iterations with the seed restart distribution (dangling
+    // mass returns to the seeds); round(9) absorbs sum-order ulps
+    QueryDef("q_ppr",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.pipeline.Graph.personalizedPageRank(edges, "src", "dst",
+            seeds = Seq(1L, 2L, 3L), iters = 2)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .filter(col("rank") > 0)
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+               l_partkey + 1000000 AS dst FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+             n AS (SELECT src AS v FROM e UNION SELECT dst FROM e
+               UNION SELECT v FROM (VALUES (1), (2), (3)) t(v)),
+             sd AS (SELECT v, CASE WHEN v IN (1, 2, 3) THEN 1.0/3
+               ELSE 0.0 END AS sv FROM n),
+             deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY 1),
+             r0 AS (SELECT v, sv AS r FROM sd),
+             d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+               WHERE v NOT IN (SELECT src FROM e)),
+             c0 AS (SELECT e.dst AS v, sum(r0.r / deg.d) AS cb FROM e
+               JOIN r0 ON e.src = r0.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r1 AS (SELECT sd.v,
+               (1 - 0.85)*sd.sv + 0.85*(coalesce(c0.cb, 0) + d0.dm*sd.sv) AS r
+               FROM sd LEFT JOIN c0 ON sd.v = c0.v, d0),
+             d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+               WHERE v NOT IN (SELECT src FROM e)),
+             c1 AS (SELECT e.dst AS v, sum(r1.r / deg.d) AS cb FROM e
+               JOIN r1 ON e.src = r1.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r2 AS (SELECT sd.v,
+               (1 - 0.85)*sd.sv + 0.85*(coalesce(c1.cb, 0) + d1.dm*sd.sv) AS r
+               FROM sd LEFT JOIN c1 ON sd.v = c1.v, d1)
+             SELECT v AS node, round(r, 9) AS rank FROM r2
+             WHERE round(r, 9) > 0 ORDER BY node""")),
+
+    // ---- bipartite co-occurrence projection --------------------------------
+    // suppliers appearing in the same ORDER (src = orderkey, deg ≤ 7, so
+    // pair generation is bounded); result = the top pairs by shared-order
+    // count with a full deterministic tiebreak
+    QueryDef("q_cooccur",
+      (s, d) => graft.pipeline.Graph.coOccurrence(
+          lineitem(s, d).select(col("l_orderkey").as("src"),
+            col("l_suppkey").as("dst")),
+          "src", "dst")
+        .orderBy(col("shared").desc, col("node_a"), col("node_b"))
+        .limit(100),
+      Some("""WITH e AS (SELECT DISTINCT l_orderkey AS src,
+               l_suppkey AS dst FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL)
+             SELECT a.dst AS node_a, b.dst AS node_b,
+               count(*)::BIGINT AS shared
+             FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+             GROUP BY 1, 2
+             ORDER BY shared DESC, node_a, node_b LIMIT 100""")),
+
     // ---- per-document n-gram novelty (contribution scoring) ---------------
     // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
     // ownership); oracle rebuilds the shingle stream + first-occurrence

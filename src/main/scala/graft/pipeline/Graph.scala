@@ -79,6 +79,114 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (TrustRank-style): the teleport distribution
+    * concentrates on `seeds` instead of being uniform, so rank measures
+    * proximity-to-the-trusted-set — the curation prior "how reachable is
+    * this domain/doc from known-good seeds" (Gyöngyi 2004). Same plan
+    * shape as [[pageRank]]: one contribution shuffle per iteration,
+    * per-iteration ranks persisted (two consumers), dangling mass
+    * redistributed over the SEEDS (the standard restart semantics — all
+    * lost mass returns to the trusted set). Seeds are added to the node
+    * set even when isolated, so Σrank = 1 up to float error; seeds is a
+    * driver-side literal list (a trusted set is small by nature —
+    * hundreds of domains, not a DataFrame). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int = 3,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(seeds.distinct.size == seeds.size, "duplicate seed ids")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst")))
+      .unionAll(seeds.toDF("node"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degs = e.groupBy("__src").agg(count(lit(1)).cast("double").as("__d"))
+    val eDeg = e.join(degs, "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // restart distribution s(v): 1/|S| on seeds, 0 elsewhere — written as
+    // the same arithmetic the SQL oracle uses (1.0/|S| literal division)
+    def sv(node: org.apache.spark.sql.Column) =
+      when(node.isin(seeds: _*), lit(1.0) / lit(seeds.size.toDouble))
+        .otherwise(lit(0.0))
+    val teleport = lit(1.0) - lit(damping)
+    var ranks = nodes.withColumn("rank", sv(col("node")))
+    var i = 0
+    while (i < iters) {
+      ranks = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val contribs = eDeg.join(ranks, col("__src") === col("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__d")).as("__c"))
+      val dangling = ranks
+        .join(degs, col("node") === col("__src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (teleport * sv(col("node")) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") * sv(col("node")))).as("rank"))
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Bipartite co-occurrence projection: pairs of `dst` nodes sharing at
+    * least one `src` neighbor, with the shared-neighbor count — the
+    * "parts bought together" / "domains citing the same page" graph that
+    * collaborative filtering and related-item curation start from.
+    *
+    * SCALE: per-src pair generation costs Σ out-degree², so hub sources
+    * (a src linking to everything) dominate. `maxDegree` SKIPS srcs with
+    * out-degree > maxDegree (their pairs are dropped — hub sources carry
+    * little signal per pair, the standard projection cut; counts for
+    * pairs that ALSO share under-cap srcs keep only the under-cap
+    * contributions). One shuffle on src, one count aggregate on the pair
+    * key. Parallel edges collapse first (a src counts once per dst). */
+  def coOccurrence(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .distinct()
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val dsts = it.map(_._2).toArray
+        if (dsts.length > maxDegree) Iterator.empty
+        else {
+          java.util.Arrays.sort(dsts)
+          val out = Array.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < dsts.length) {
+            var j = i + 1
+            while (j < dsts.length) {
+              out += ((dsts(i), dsts(j)))
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("node_a", "node_b")
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** In/out degree per node — the quick structural profile (hub/authority
     * candidates, isolated-node counts) run before committing to an
     * iterative pass. One aggregate per direction, full-outer joined on

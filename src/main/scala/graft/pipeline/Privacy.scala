@@ -48,6 +48,23 @@ object Privacy {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Quasi-identifier groups whose SENSITIVE column takes fewer than `l`
+    * distinct non-null values — the k-anonymity follow-up (Machanavajjhala
+    * 2006): a group can be large yet still leak if everyone in it shares
+    * the same sensitive value. Returns the quasi columns plus
+    * `distinct_sensitive` (0 ≤ v < l; all-null groups report 0). One hash
+    * aggregate — the count-distinct is per-group, never corpus-wide. */
+  def lDiversityViolations(df: DataFrame, quasi: Seq[String],
+                           sensitive: String, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(!quasi.contains(sensitive),
+      s"sensitive column $sensitive cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(countDistinct(col(sensitive)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
   /** Categorical values occurring fewer than `minCount` times replaced by
     * `other` — the long-tail cut that both bounds a categorical column's
     * cardinality before a groupBy/pivot AND removes singleton categories

@@ -61,6 +61,69 @@ class GraphSpec extends SparkSpec {
       (4L, 1L, 0L), (5L, 0L, 1L)))
   }
 
+  /** driver reference for PPR: restart distribution on seeds, dangling
+    * mass returned to the seeds */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct.sorted
+    val s = nodes.map(v =>
+      v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = s
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(es =>
+        es.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - d) * s(v) + d * (contrib.getOrElse(v, 0.0) +
+          dangling * s(v)))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: restart on seeds, dangling to seeds, sum 1") {
+    val seeds = Seq(1L, 4L)
+    val got = Graph.personalizedPageRank(g.toDF("src", "dst"), "src", "dst",
+      seeds, iters = 4).as[(Long, Double)].collect().toMap
+    val want = refPpr(g, seeds, 4, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // proximity: the seed's direct successor outranks a node only
+    // reachable through it
+    assert(got(1L) > got(5L))
+  }
+
+  test("personalizedPageRank: isolated seed joins the node set") {
+    val got = Graph.personalizedPageRank(g.toDF("src", "dst"), "src", "dst",
+      Seq(99L), iters = 2).as[(Long, Double)].collect().toMap
+    val want = refPpr(g, Seq(99L), 2, 0.85)
+    assert(got.keySet.contains(99L))
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("coOccurrence: shared-src pairs counted; parallel edges collapse") {
+    // srcs: 1→{2,3}, 2→{3,5}, 3→{1}, 4→{3}; pair (2,3) from src 1,
+    // (3,5) from src 2; duplicate edge rows must not double-count
+    val edges = g ++ Seq((1L, 2L)) // duplicate 1→2
+    val got = Graph.coOccurrence(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L, 1L), (3L, 5L, 1L)))
+  }
+
+  test("coOccurrence: maxDegree skips hub sources") {
+    val hub = (1L to 10L).map(d => (100L, d)) ++ Seq((200L, 1L), (200L, 2L))
+    val capped = Graph.coOccurrence(hub.toDF("src", "dst"), "src", "dst",
+      maxDegree = 5).as[(Long, Long, Long)].collect().toSet
+    // the 10-fan hub is skipped; only the 2-fan src contributes
+    assert(capped === Set((1L, 2L, 1L)))
+    val full = Graph.coOccurrence(hub.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect()
+    assert(full.length === 45) // C(10,2) with (1,2) counted twice -> merged
+    assert(full.find(r => r._1 == 1L && r._2 == 2L).get._3 === 2L)
+  }
+
   test("validates iters/damping; empty graph refused") {
     val df = g.toDF("src", "dst")
     intercept[IllegalArgumentException](

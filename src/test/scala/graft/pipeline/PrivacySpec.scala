@@ -45,6 +45,25 @@ class PrivacySpec extends SparkSpec {
       5L -> null, 6L -> "c", 7L -> "c"))
   }
 
+  test("lDiversityViolations: groups with too few distinct sensitive values") {
+    // (NY, M): bals 100/200/50 -> 3 distinct; (NY, F): 10/10 -> 1 distinct;
+    // (SF, null): 40/null -> 1 distinct (nulls are not a sensitive value)
+    val rows = Seq(
+      (1L, "NY", "M", "flu"), (2L, "NY", "M", "cold"), (3L, "NY", "M", "flu"),
+      (4L, "NY", "F", "flu"), (5L, "NY", "F", "flu"),
+      (6L, "LA", "M", "cold"),
+      (7L, "SF", null, "flu"), (8L, "SF", null, null))
+    val df = rows.toDF("id", "city", "sex", "dx")
+    val got = Privacy.lDiversityViolations(df, Seq("city", "sex"), "dx", 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("NY", "F", 1L), ("LA", "M", 1L), ("SF", null, 1L)))
+    // l=4: every group violates; (NY, M) reports its true distinct count
+    val all = Privacy.lDiversityViolations(df, Seq("city", "sex"), "dx", 4)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all(("NY", "M")) === 2L)
+  }
+
   test("parameter validation") {
     val df = people.toDF("id", "city", "sex", "bal")
     intercept[IllegalArgumentException](
@@ -53,5 +72,9 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymize(df, Seq("city"), 1))
     intercept[IllegalArgumentException](
       Privacy.suppressRare(df, "city", 0L))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityViolations(df, Seq("city"), "city", 2))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityViolations(df, Seq("city"), "bal", 1))
   }
 }
