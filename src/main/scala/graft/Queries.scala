@@ -3480,6 +3480,83 @@ object Queries {
              GROUP BY 1, 2
              ORDER BY shared DESC, node_a, node_b LIMIT 100""")),
 
+    // ---- exact repeated-substring dedup (ExactSubstr, Lee et al. 2022) -----
+    // maximal removal spans: every 60-char window occurring >= 2 times
+    // corpus-wide, min-(doc,pos) owner keeps, non-owner windows island-
+    // merged per doc; the oracle replays windows -> dup strings -> owner
+    // -> island merge with identical arithmetic
+    QueryDef("q_substr_spans",
+      (s, d) => graft.pipeline.SubstringDedup.repeatedSubstringSpans(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text",
+          minLen = 60)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH w AS (SELECT doc_id AS id,
+               unnest(range(1, length(text) - 58)) AS pos, text
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 60),
+             s AS (SELECT id, pos, substr(text, pos::INT, 60) AS sub FROM w),
+             d AS (SELECT sub FROM s GROUP BY sub HAVING count(*) >= 2),
+             m AS (SELECT s.id, s.pos, row_number() OVER (PARTITION BY s.sub
+                 ORDER BY s.id, s.pos) AS rn
+               FROM s JOIN d USING (sub)),
+             rem AS (SELECT id, pos FROM m WHERE rn > 1),
+             b AS (SELECT id, pos, CASE WHEN pos > coalesce(
+                 max(pos + 60) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               THEN 1 ELSE 0 END AS brk FROM rem),
+             g AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id
+               ORDER BY pos) AS grp FROM b)
+             SELECT id AS doc_id, min(pos)::BIGINT AS span_start,
+               (max(pos) + 59)::BIGINT AS span_end
+             FROM g GROUP BY id, grp ORDER BY doc_id, span_start""")),
+
+    // rewrite release: spans cut out, owner copy kept, fully-repeated docs
+    // become '' — the whole segment algebra replayed in SQL
+    QueryDef("q_substr_dedup",
+      (s, d) => graft.pipeline.SubstringDedup.removeRepeatedSubstrings(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text",
+          minLen = 60)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id AS id,
+               unnest(range(1, length(text) - 58)) AS pos, text
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 60),
+             s AS (SELECT id, pos, substr(text, pos::INT, 60) AS sub FROM w),
+             d AS (SELECT sub FROM s GROUP BY sub HAVING count(*) >= 2),
+             m AS (SELECT s.id, s.pos, row_number() OVER (PARTITION BY s.sub
+                 ORDER BY s.id, s.pos) AS rn
+               FROM s JOIN d USING (sub)),
+             rem AS (SELECT id, pos FROM m WHERE rn > 1),
+             b AS (SELECT id, pos, CASE WHEN pos > coalesce(
+                 max(pos + 60) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               THEN 1 ELSE 0 END AS brk FROM rem),
+             g AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id
+               ORDER BY pos) AS grp FROM b),
+             sp AS (SELECT id, min(pos) AS s0, max(pos) + 59 AS e0
+               FROM g GROUP BY id, grp),
+             bef AS (SELECT id, coalesce(lag(e0) OVER (PARTITION BY id
+                 ORDER BY s0), 0) + 1 AS ks, s0 - 1 AS ke FROM sp),
+             aft AS (SELECT sp.id, max(e0) + 1 AS ks,
+                 length(dd.text)::BIGINT AS ke
+               FROM sp JOIN documents dd ON dd.doc_id = sp.id
+               GROUP BY sp.id, length(dd.text)),
+             segs AS (SELECT * FROM bef WHERE ks <= ke
+               UNION ALL SELECT * FROM aft WHERE ks <= ke),
+             pieces AS (SELECT segs.id, ks,
+                 substr(dd.text, ks::INT, (ke - ks + 1)::INT) AS piece
+               FROM segs JOIN documents dd ON dd.doc_id = segs.id),
+             rew AS (SELECT id, string_agg(piece, '' ORDER BY ks) AS t
+               FROM pieces GROUP BY id),
+             ids AS (SELECT DISTINCT id FROM sp)
+             SELECT dd.doc_id, CASE WHEN ids.id IS NOT NULL
+                 THEN coalesce(rew.t, '') ELSE dd.text END AS text
+             FROM documents dd
+             LEFT JOIN ids ON ids.id = dd.doc_id
+             LEFT JOIN rew ON rew.id = dd.doc_id
+             WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
+             ORDER BY doc_id""")),
+
     // ---- per-document n-gram novelty (contribution scoring) ---------------
     // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
     // ownership); oracle rebuilds the shingle stream + first-occurrence

@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring deduplication (the "ExactSubstr" half of
+  * Lee et al. 2022, arXiv:2107.06499 — the other half, document-level
+  * near-dup, is [[Dedup]]): every maximal character span whose
+  * fixed-length windows all occur elsewhere in the corpus is removed,
+  * keeping the globally-first occurrence. Catches the cross-document
+  * boilerplate (license headers, navigation chrome, quoted passages)
+  * that document-level jaccard misses because the rest of the document
+  * differs.
+  *
+  * Semantics (deterministic, engine-independent):
+  *  - a WINDOW is a `minLen`-char substring at 1-based position p;
+  *  - a window is REPEATED if its exact string occurs at >= 2 (doc, pos)
+  *    positions corpus-wide (within-doc repeats count);
+  *  - the OWNER of a repeated string is its minimal (doc, pos); every
+  *    other occurrence marks [p, p+minLen-1] for removal;
+  *  - per doc, marked windows merge into maximal spans (overlap OR
+  *    abutment); [[removeRepeatedSubstrings]] cuts the spans out.
+  *
+  * PLAN (all declarative, one logical pass per stage):
+  *  1. window hashes: ONE Rabin-Karp rolling pass per doc (O(doc), no
+  *     per-window substring allocation) exploded to (id, pos, h);
+  *  2. dup-hash set: one count aggregate on the 8-byte hash (map-side
+  *     combine; this shuffle is O(corpus windows) — the same asymptotic
+  *     bill a distributed suffix array pays, paid here in shuffle bytes
+  *     with an 8-byte key instead of sort memory);
+  *  3. candidate (id, pos) rows from the dup-hash join (at realistic dup
+  *     rates small -> AQE broadcasts), then substrings extracted for
+  *     CANDIDATES ONLY by a broadcast join back over the streamed docs —
+  *     the corpus never shuffles and never materializes its windows;
+  *  4. EXACT verify: window over the actual substring (count + min
+  *     owner) — rolling-hash collisions die here, so the hash is an
+  *     optimization, never a correctness input;
+  *  5. island merge per doc (running-max window), then segment algebra
+  *     for the rewrite.
+  *
+  * 100-TB notes: stages 2-3 carry (hash) and (hash, id, pos) only; the
+  * only stage keyed on strings is 4, whose input is candidate windows —
+  * proportional to the DUPLICATED mass, not the corpus. A boilerplate-
+  * saturated corpus degrades stage 4 toward the corpus size; raise
+  * `minLen` (fewer, more specific repeats) before reaching for caps. */
+object SubstringDedup {
+
+  private def prep(df: DataFrame, idCol: String, textCol: String) =
+    df.na.drop(Seq(idCol, textCol))
+      .select(col(idCol).cast("long").as("__id"),
+        col(textCol).cast("string").as("__t"))
+
+  /** Rolling window hashes (id, pos, h), one O(doc-length) Rabin-Karp
+    * pass per doc — no per-window substring allocation (measured: the
+    * substr-per-window formulation spent 2×1.4 s of q_substr_spans'
+    * 5.6 s at sf0.1 just materializing 60-char strings twice). Base-31
+    * polynomial mod 2⁶⁴; collisions are harmless — the verify stage
+    * groups on true substrings. */
+  private def windowHashes(docs: DataFrame, minLen: Int): DataFrame = {
+    val roll = udf { t: String =>
+      val n = t.length
+      if (n < minLen) Array.empty[Long]
+      else {
+        val B = 31L
+        var pow = 1L // B^(minLen-1)
+        var j = 1
+        while (j < minLen) { pow *= B; j += 1 }
+        val out = new Array[Long](n - minLen + 1)
+        var h = 0L
+        var i = 0
+        while (i < minLen) { h = h * B + t.charAt(i); i += 1 }
+        out(0) = h
+        while (i < n) {
+          h = (h - t.charAt(i - minLen) * pow) * B + t.charAt(i)
+          out(i - minLen + 1) = h
+          i += 1
+        }
+        out
+      }
+    }
+    docs.filter(length(col("__t")) >= minLen)
+      .select(col("__id"), posexplode(roll(col("__t"))))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"),
+        col("col").as("__h"))
+  }
+
+  /** Maximal removal spans: (doc_id, span_start, span_end), 1-based
+    * inclusive. Docs with nothing repeated produce no rows. */
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                             minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val docs = prep(df, idCol, textCol)
+    val wins = windowHashes(docs, minLen)
+    // dup-hash prefilter: count on the 8-byte hash only
+    val dupH = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    // candidate (id, pos) rows — at realistic dup rates a small frame;
+    // substrings are extracted for CANDIDATES ONLY by a join back to the
+    // docs (cand broadcasts, the corpus streams — no corpus shuffle)
+    val cand = wins.join(dupH, "__h")
+      .join(docs, "__id")
+      .select(col("__id"), col("__pos"),
+        col("__t").substr(col("__pos").cast("int"), lit(minLen)).as("__sub"))
+    // exact verify + ownership on the true substring
+    val bySub = Window.partitionBy("__sub")
+    val removed = cand
+      .withColumn("__n", count(lit(1)).over(bySub))
+      .withColumn("__own",
+        min(struct(col("__id").as("i"), col("__pos").as("p"))).over(bySub))
+      .filter(col("__n") >= 2 &&
+        !(col("__own.i") === col("__id") && col("__own.p") === col("__pos")))
+      .select("__id", "__pos")
+    // island merge: break where pos exceeds the running max end (exclusive)
+    val byDoc = Window.partitionBy("__id").orderBy("__pos")
+    val prevEnd = max(col("__pos") + lit(minLen.toLong))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    removed
+      .withColumn("__brk",
+        when(col("__pos") > coalesce(prevEnd, lit(0L)), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__grp", sum(col("__brk")).over(byDoc))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(minLen.toLong - 1)).as("span_end"))
+      .select(col("__id").as("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** `df` with every removal span cut out of the text column: the
+    * segment algebra (kept = gaps between spans + head + tail) runs as
+    * lag windows + one ordered concat aggregate; docs without spans pass
+    * through untouched, docs removed entirely become the empty string.
+    * Other columns pass through. */
+  def removeRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+                               minLen: Int): DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, minLen)
+    val docs = prep(df, idCol, textCol)
+    val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
+    // kept segment BEFORE each span: (prev span end + 1) .. (start - 1)
+    val before = spans
+      .withColumn("__ks",
+        coalesce(lag(col("span_end"), 1).over(byDoc), lit(0L)) + lit(1L))
+      .select(col("doc_id"), col("__ks"),
+        (col("span_start") - lit(1L)).as("__ke"))
+    // trailing segment after the last span, bounded by doc length
+    val after = spans.groupBy("doc_id")
+      .agg(max(col("span_end")).as("__last"))
+      .join(docs.select(col("__id").as("doc_id"),
+        length(col("__t")).cast("long").as("__len")), "doc_id")
+      .select(col("doc_id"), (col("__last") + lit(1L)).as("__ks"),
+        col("__len").as("__ke"))
+    val pieces = before.unionAll(after)
+      .filter(col("__ks") <= col("__ke"))
+      .join(docs.select(col("__id").as("doc_id"), col("__t")), "doc_id")
+      .select(col("doc_id"), col("__ks"),
+        col("__t").substr(col("__ks").cast("int"),
+          (col("__ke") - col("__ks") + lit(1L)).cast("int")).as("__piece"))
+    // docs WITH spans: ordered concat of kept pieces ("" when none kept)
+    val rewritten = spans.select("doc_id").distinct()
+      .join(pieces.groupBy("doc_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("__ks"), col("__piece")))),
+            x => x.getField("__piece")), "").as("__new")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), lit("")).as("__new"))
+    // rename the join key: the caller's idCol may itself be "doc_id"
+    val out = df.na.drop(Seq(idCol, textCol))
+      .join(rewritten.select(col("doc_id").as("__rid"), col("__new")),
+        col(idCol).cast("long") === col("__rid"), "left")
+    out.select(df.columns.map {
+      case c if c == textCol =>
+        coalesce(col("__new"), col(textCol)).as(c)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+  }
+}
