@@ -5135,6 +5135,60 @@ object Queries {
                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
              ORDER BY event_id""")),
 
+    // ---- EWMA (per-user exponential smoothing) -----------------------------
+    // the engine runs the e_i = a*x_i + (1-a)*e_{i-1} recursion in one
+    // sorted-group streaming pass; the oracle replays the SAME recursion
+    // via a recursive CTE with the same op order (a*x + (1.0-a)*e), so
+    // the doubles are BIT-IDENTICAL and compared UNROUNDED. (A closed-
+    // form pow expansion drifted ~1e-12 past a round(6) boundary; and
+    // round() itself is unusable here — DuckDB's scales by 1e6 before
+    // rounding, flipping values that sit ~1e-9 below a boundary.)
+    QueryDef("q_ewma",
+      (s, d) => graft.events.Rolling.ewma(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value", alpha = 0.3)
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE r AS (SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS rn
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             rec AS (
+               SELECT user_id, event_id, rn, value::DOUBLE AS e
+               FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r.user_id, r.event_id, r.rn,
+                 0.3 * r.value + (1.0 - 0.3) * rec.e
+               FROM r JOIN rec ON r.user_id = rec.user_id
+                 AND r.rn = rec.rn + 1)
+             SELECT user_id, event_id, e AS ewma FROM rec
+             ORDER BY 1, 2""")),
+
+    // ---- trailing-baseline anomaly flags -----------------------------------
+    // z against the same user's strictly-earlier trailing hour (the
+    // current second excluded so a burst can't mask itself); identical
+    // RANGE window replayed in DuckDB
+    QueryDef("q_rolling_zscore",
+      (s, d) => graft.events.Rolling.rollingZscore(events(s, d),
+          Seq("user_id"), "ts", "value", windowSec = 3600L, threshold = 2.0)
+        .select(col("event_id"), round(col("z"), 6).as("z"),
+          col("is_anomaly"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             round(CASE WHEN count(value) OVER w >= 2
+                 AND stddev_samp(value) OVER w > 0
+               THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+               END, 6) AS z,
+             coalesce(CASE WHEN count(value) OVER w >= 2
+                 AND stddev_samp(value) OVER w > 0
+               THEN abs((value - avg(value) OVER w) /
+                 stddev_samp(value) OVER w) > 2.0 END, false) AS is_anomaly
+             FROM (SELECT event_id, user_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+             WINDOW w AS (PARTITION BY user_id ORDER BY tss
+               RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING)
+             ORDER BY event_id""")),
+
     // ---- as-of join: latest click before each purchase, per user ----------
     // oracle = DuckDB's NATIVE ASOF JOIN — the engine's merge-scan
     // formulation must reproduce a first-class reference implementation

@@ -99,6 +99,82 @@ object Rolling {
     * by the grid, not the event count), one left join on (keys, cell),
     * one keyed LOCF window. A key spanning more than `maxCells` cells
     * fails loudly (degenerate span ⇒ the grid itself explodes). */
+  /** Exponentially-weighted moving average per key: rows sorted by
+    * (`tsCol`, `tieCol`) within each key, then
+    * `e_1 = x_1; e_i = alpha*x_i + (1-alpha)*e_{i-1}` — the
+    * smoothing-feature / drift-tracker primitive a trailing mean's hard
+    * cutoff can't express. Returns (keys..., tieCol, ewma); join back on
+    * the tie id for the full row. Null keys/ts/tie/values are dropped
+    * (a null observation has no defined weight).
+    *
+    * The recursion is inherently sequential per key, so this is the one
+    * events op that is NOT a SQL window: `flatMapSortedGroups` gives a
+    * STREAMING iterator sorted by the shuffle (one shuffle on the key,
+    * in-sort by (ts, tie), O(1) state per key, no per-key buffering) —
+    * entity event counts never hit memory. Ties sort on `tieCol` (pass
+    * the event id) so the order — and therefore the float result — is
+    * total and deterministic; the timestamp sorts at FULL precision
+    * (no epoch-second truncation). */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(keys.nonEmpty, "ewma needs at least one key column")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .select(struct(keys.map(col): _*).as("__k"),
+        col(tsCol).as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        col(valueCol).cast("double").as("__v"))
+    val kType = base.schema("__k").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(Seq(
+      StructField("__k", kType), StructField("__tie", LongType),
+      StructField("ewma", DoubleType)))
+    val res = base.as(Encoders.row(base.schema))
+      .groupByKey((r: Row) => r.getStruct(0))(Encoders.row(kType))
+      .flatMapSortedGroups(col("__ts"), col("__tie")) {
+        (k: Row, it: Iterator[Row]) =>
+          var e = 0.0
+          var first = true
+          it.map { r =>
+            val v = r.getDouble(3)
+            e = if (first) { first = false; v }
+                else alpha * v + (1.0 - alpha) * e
+            Row(k, r.getLong(2), e)
+          }
+      }(Encoders.row(outSchema))
+    res.select(keys.map(k => col("__k").getField(k).as(k)) :+
+      col("__tie").as(tieCol) :+ col("ewma"): _*)
+  }
+
+  /** Trailing-baseline anomaly score per event: z = (x − mean)/stddev of
+    * the same key's events in the STRICTLY EARLIER seconds
+    * [t−windowSec+1, t−1] (the current second is excluded so a burst
+    * can't mask itself), plus `is_anomaly` = |z| > threshold. z is null
+    * while the baseline has < 2 events or zero variance — warm-up and
+    * constant streams flag nothing. One keyed window, same single
+    * shuffle + in-key sort as [[rollingAgg]]. */
+  def rollingZscore(df: DataFrame, keys: Seq[String], tsCol: String,
+                    valueCol: String, windowSec: Long,
+                    threshold: Double = 3.0): DataFrame = {
+    require(windowSec >= 2, s"rollingZscore needs windowSec >= 2: $windowSec")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__graft_tss"))
+      .rangeBetween(-(windowSec - 1), -1)
+    val z = when(count(col(valueCol)).over(w) >= 2 &&
+        stddev_samp(col(valueCol)).over(w) > 0,
+      (col(valueCol) - avg(col(valueCol)).over(w)) /
+        stddev_samp(col(valueCol)).over(w))
+    df.withColumn("__graft_tss", col(tsCol).cast("long"))
+      .select(col("*"), z.as("z"))
+      // flag is boolean two-state: an undefined z (warm-up, zero
+      // variance) is NOT an anomaly — downstream filters need no
+      // null-handling
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__graft_tss")
+  }
+
   def resample(df: DataFrame, keys: Seq[String], tsCol: String,
                valueCol: String, stepSec: Long,
                maxCells: Int = 1 << 20): DataFrame = {

@@ -111,4 +111,80 @@ class RollingSpec extends SparkSpec {
     assert(e.getMessage.contains("raise stepSec") ||
       Option(e.getCause).exists(_.getMessage.contains("raise stepSec")))
   }
+
+  test("ewma matches the per-key recursion; ties break on the tie id") {
+    import spark.implicits._
+    // key 1: values 10, 20, 30 in ts order; key 2: one row; two rows of
+    // key 3 share a timestamp — tie id decides the recursion order
+    val rows = Seq(
+      (1L, 100L, 1L, 10.0), (1L, 200L, 2L, 20.0), (1L, 300L, 3L, 30.0),
+      (2L, 100L, 4L, 7.0),
+      (3L, 100L, 6L, 1.0), (3L, 100L, 5L, 100.0))
+    val df = rows.toDF("k", "tss", "id", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val a = 0.5
+    val got = Rolling.ewma(df, Seq("k"), "ts", "id", "v", a)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got(1L) === 10.0)
+    assert(got(2L) === a * 20.0 + (1 - a) * 10.0)
+    assert(got(3L) === a * 30.0 + (1 - a) * (a * 20.0 + (1 - a) * 10.0))
+    assert(got(4L) === 7.0)
+    // id 5 sorts before id 6 at the shared timestamp
+    assert(got(5L) === 100.0)
+    assert(got(6L) === a * 1.0 + (1 - a) * 100.0)
+    // alpha = 1 degrades to the value itself
+    val id1 = Rolling.ewma(df, Seq("k"), "ts", "id", "v", 1.0)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(rows.forall { case (_, _, id, v) => id1(id) === v })
+    intercept[IllegalArgumentException](
+      Rolling.ewma(df, Seq("k"), "ts", "id", "v", 0.0))
+  }
+
+  test("ewma multi-key grouping and null dropping") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 100L, 1L, java.lang.Double.valueOf(4.0)),
+      (1L, "b", 100L, 2L, java.lang.Double.valueOf(8.0)),
+      (1L, "a", 200L, 3L, java.lang.Double.valueOf(6.0)),
+      (1L, "a", 300L, 4L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k1", "k2", "tss", "id", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Rolling.ewma(df, Seq("k1", "k2"), "ts", "id", "v", 0.5)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(got === Map(1L -> 4.0, 2L -> 8.0, 3L -> 5.0)) // null row dropped
+  }
+
+  test("rollingZscore: strictly-earlier baseline, warm-up null, flag") {
+    import spark.implicits._
+    // baseline 10,12,14 (mean 12, sd 2) then a 100 burst; the burst's own
+    // second is excluded so it can't mask itself
+    val df = Seq((1L, 10L, 10.0), (1L, 20L, 12.0), (1L, 30L, 14.0),
+      (1L, 40L, 100.0), (1L, 41L, 12.0))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Rolling.rollingZscore(df, Seq("k"), "ts", "v",
+        windowSec = 3600L, threshold = 3.0)
+      .select("tss", "z", "is_anomaly")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) === ((None, Some(false)))) // no baseline: not flagged
+    assert(got(20L) === ((None, Some(false)))) // baseline of 1: null z
+    assert(got(30L)._1.exists(z => math.abs(z - (14.0 - 11.0) /
+      math.sqrt(2.0)) < 1e-12))              // mean 11, sd sqrt(2)
+    assert(got(40L)._1.exists(_ > 3.0) && got(40L)._2 === Some(true))
+    // at 41 the baseline includes the 100 burst (mean 34, wide sd), so
+    // the ordinary 12 is not anomalous — but its z IS defined
+    assert(got(41L)._1.isDefined && got(41L)._2 === Some(false))
+  }
+
+  test("rollingZscore: zero-variance baseline stays null") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 20L, 5.0), (1L, 30L, 5.0),
+      (1L, 40L, 9.0)).toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Rolling.rollingZscore(df, Seq("k"), "ts", "v", 3600L)
+      .select("tss", "z").as[(Long, Option[Double])].collect().toMap
+    assert(got(40L) === None) // sd 0 -> no defined z
+  }
 }
