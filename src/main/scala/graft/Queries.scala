@@ -3557,6 +3557,49 @@ object Queries {
              WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
              ORDER BY doc_id""")),
 
+    // persisted substring index: corpus (4/5 of docs) written to parquet
+    // ONCE, batch (1/5) screened against the FILES; result = island-
+    // merged spans of batch text already present in the corpus. The
+    // oracle recomputes the screen from both halves directly — the index
+    // round-trip must be invisible in the output
+    QueryDef("q_substr_index",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-substridx").toString
+        graft.pipeline.SubstrIndex.write(corpus, "doc_id", "text", path,
+          minLen = 60)
+        graft.pipeline.SubstrIndex.spansAgainst(batch, "doc_id", "text",
+            path)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH b AS (SELECT doc_id AS id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND doc_id % 5 = 0),
+             c AS (SELECT doc_id AS id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND doc_id % 5 <> 0),
+             bw AS (SELECT id, unnest(range(1, length(text) - 58)) AS pos,
+               text FROM b WHERE length(text) >= 60),
+             bs AS (SELECT id, pos, substr(text, pos::INT, 60) AS sub
+               FROM bw),
+             cw AS (SELECT unnest(range(1, length(text) - 58)) AS pos,
+               text FROM c WHERE length(text) >= 60),
+             cs AS (SELECT DISTINCT substr(text, pos::INT, 60) AS sub
+               FROM cw),
+             rem AS (SELECT id, pos FROM bs JOIN cs USING (sub)),
+             b2 AS (SELECT id, pos, CASE WHEN pos > coalesce(
+                 max(pos + 60) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               THEN 1 ELSE 0 END AS brk FROM rem),
+             g AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id
+               ORDER BY pos) AS grp FROM b2)
+             SELECT id AS doc_id, min(pos)::BIGINT AS span_start,
+               (max(pos) + 59)::BIGINT AS span_end
+             FROM g GROUP BY id, grp ORDER BY doc_id, span_start""")),
+
     // ---- per-document n-gram novelty (contribution scoring) ---------------
     // fraction of a doc's distinct n-grams first seen in THIS doc (min-id
     // ownership); oracle rebuilds the shingle stream + first-occurrence

@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   * `minLen` (fewer, more specific repeats) before reaching for caps. */
 object SubstringDedup {
 
-  private def prep(df: DataFrame, idCol: String, textCol: String) =
+  private[pipeline] def prep(df: DataFrame, idCol: String, textCol: String) =
     df.na.drop(Seq(idCol, textCol))
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).cast("string").as("__t"))
@@ -57,7 +57,7 @@ object SubstringDedup {
     * 5.6 s at sf0.1 just materializing 60-char strings twice). Base-31
     * polynomial mod 2⁶⁴; collisions are harmless — the verify stage
     * groups on true substrings. */
-  private def windowHashes(docs: DataFrame, minLen: Int): DataFrame = {
+  private[pipeline] def windowHashes(docs: DataFrame, minLen: Int): DataFrame = {
     val roll = udf { t: String =>
       val n = t.length
       if (n < minLen) Array.empty[Long]
@@ -111,7 +111,14 @@ object SubstringDedup {
       .filter(col("__n") >= 2 &&
         !(col("__own.i") === col("__id") && col("__own.p") === col("__pos")))
       .select("__id", "__pos")
-    // island merge: break where pos exceeds the running max end (exclusive)
+    mergeSpans(removed, minLen)
+  }
+
+  /** Island merge over marked windows (__id, __pos): break where pos
+    * exceeds the running max end (exclusive), then one group per island →
+    * (doc_id, span_start, span_end), 1-based inclusive. */
+  private[pipeline] def mergeSpans(removed: DataFrame,
+                                   minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("__id").orderBy("__pos")
     val prevEnd = max(col("__pos") + lit(minLen.toLong))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -132,8 +139,16 @@ object SubstringDedup {
     * through untouched, docs removed entirely become the empty string.
     * Other columns pass through. */
   def removeRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
-                               minLen: Int): DataFrame = {
-    val spans = repeatedSubstringSpans(df, idCol, textCol, minLen)
+                               minLen: Int): DataFrame =
+    cutSpans(df, idCol, textCol,
+      repeatedSubstringSpans(df, idCol, textCol, minLen))
+
+  /** `df` with the given (doc_id, span_start, span_end) spans cut out of
+    * the text column — the shared segment algebra behind the in-memory
+    * rewrite and the indexed screen. */
+  private[pipeline] def cutSpans(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 spans: DataFrame): DataFrame = {
     val docs = prep(df, idCol, textCol)
     val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
     // kept segment BEFORE each span: (prev span end + 1) .. (start - 1)
