@@ -5261,6 +5261,42 @@ object Queries {
                ON p.user_id = c.user_id AND p.tsu >= c.click_tsu
              ORDER BY event_id""")),
 
+    // backward as-of with a 10-minute tolerance (pandas merge_asof
+    // tolerance parity): matches older than the bound are nulled; the
+    // oracle applies the same CASE over DuckDB's native ASOF JOIN
+    QueryDef("q_asof_tolerance",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            round(col("value"), 2).as("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"),
+            col("tsu").as("click_tsu"),
+            round(col("value"), 2).as("click_value"))
+        graft.joins.AsofJoin.asofJoinTolerance(purchases, clicks,
+            keys = Seq("user_id"), tsCol = "tsu",
+            valueCols = Seq("click_tsu", "click_value"),
+            rightTsValueCol = "click_tsu", tolerance = 6.0e8)
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               round(value, 2) AS value, event_type FROM events),
+             p AS (SELECT event_id, user_id, tsu, value FROM e
+               WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, tsu AS click_tsu, value AS click_value
+               FROM e WHERE event_type = 'click'),
+             j AS (SELECT p.user_id, p.tsu, p.event_id, p.value,
+               c.click_tsu, c.click_value
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.tsu >= c.click_tsu)
+             SELECT user_id, tsu, event_id, value,
+               CASE WHEN tsu - click_tsu <= 600000000
+                 THEN click_tsu END AS click_tsu,
+               CASE WHEN tsu - click_tsu <= 600000000
+                 THEN click_value END AS click_value
+             FROM j ORDER BY event_id""")),
+
     // ---- forward as-of: next click at or after each purchase --------------
     // same merge-scan plan as the backward tier, ts DESCENDING: scanning
     // from the future backward, the carried right row at each left row is

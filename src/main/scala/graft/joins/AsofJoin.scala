@@ -36,6 +36,46 @@ object AsofJoin {
                tsCol: String, valueCols: Seq[String]): DataFrame =
     asofImpl(left, right, keys, tsCol, valueCols, forward = false)
 
+  /** Backward as-of with a MAX-GAP bound (pandas
+    * `merge_asof(tolerance=...)`): a match older than `tolerance` (in
+    * `tsCol` units — seconds for timestamps, raw difference for
+    * numerics) is DROPPED, leaving the left row with null value columns.
+    * `rightTsValueCol` names the valueCols entry carrying the matched
+    * right row's ts (the gap being bounded). Applied as one projection
+    * over the merge-scan output — the plan cost is [[asofJoin]]'s. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], tsCol: String,
+                        valueCols: Seq[String], rightTsValueCol: String,
+                        tolerance: Double): DataFrame =
+    withTolerance(
+      asofImpl(left, right, keys, tsCol, valueCols, forward = false),
+      col(tsCol).cast("double") - col(rightTsValueCol).cast("double"),
+      valueCols, rightTsValueCol, tolerance)
+
+  /** Forward as-of with a max-gap bound — see [[asofJoinTolerance]]. */
+  def asofJoinForwardTolerance(left: DataFrame, right: DataFrame,
+                               keys: Seq[String], tsCol: String,
+                               valueCols: Seq[String],
+                               rightTsValueCol: String,
+                               tolerance: Double): DataFrame =
+    withTolerance(
+      asofImpl(left, right, keys, tsCol, valueCols, forward = true),
+      col(rightTsValueCol).cast("double") - col(tsCol).cast("double"),
+      valueCols, rightTsValueCol, tolerance)
+
+  private def withTolerance(joined: DataFrame, gap: org.apache.spark.sql.Column,
+                            valueCols: Seq[String], rightTsValueCol: String,
+                            tolerance: Double): DataFrame = {
+    require(valueCols.contains(rightTsValueCol),
+      s"rightTsValueCol '$rightTsValueCol' must be one of valueCols")
+    require(tolerance >= 0.0, s"tolerance must be >= 0, got $tolerance")
+    val keep = col(rightTsValueCol).isNotNull && gap <= tolerance
+    joined.select(joined.columns.map {
+      case c if valueCols.contains(c) => when(keep, col(c)).as(c)
+      case c => col(c)
+    }.toIndexedSeq: _*)
+  }
+
   /** FORWARD as-of: for every left row, attach the EARLIEST right row
     * with `right.ts >= left.ts` within the key — the "next reading after
     * the event" direction (label-at-horizon joins, next-heartbeat

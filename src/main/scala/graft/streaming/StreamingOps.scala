@@ -277,6 +277,39 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"))
 
+  final case class EwmaState(e: Double, has: Boolean)
+  final case class EwmaRow(key: String, ts: Long, tie: Long, value: Double)
+  final case class EwmaOut(key: String, ts: Long, tie: Long, ewma: Double)
+
+  /** STREAMING per-key EWMA — the continuous face of
+    * [[graft.events.Rolling.ewma]]: one double of state per key carries
+    * the smoothed value across micro-batches; rows inside a batch apply
+    * in (ts, tie) order. Same caveat as [[streamingLocf]]: arrival order
+    * stands in for event time ACROSS batches (a late row in a later
+    * batch folds in at its arrival position) — exact whenever the source
+    * delivers per-key ordered data, which the batch-parity spec pins. */
+  def streamingEwma(stream: Dataset[EwmaRow], alpha: Double)
+      : Dataset[EwmaOut] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaRow],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, has = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            st = if (st.has) EwmaState(alpha * r.value + (1.0 - alpha) * st.e,
+              has = true)
+            else EwmaState(r.value, has = true)
+            EwmaOut(key, r.ts, r.tie, st.e)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class LocfCarry(value: Double, has: Boolean)
   final case class LocfRow(key: String, ts: Long, tie: Long,
                            value: Option[Double])

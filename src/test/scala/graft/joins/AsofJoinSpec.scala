@@ -97,6 +97,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(m(6L) == 300.0) // 99: nothing after -> backward fallback
   }
 
+  test("tolerance bounds the match gap in both directions") {
+    val left = Seq(("a", 10L, 1.0), ("a", 45L, 2.0), ("a", 100L, 3.0))
+      .toDF("k", "ts", "v")
+    val right = Seq(("a", 8L, 8L, 80.0), ("a", 50L, 50L, 500.0))
+      .toDF("k", "ts", "rts", "q")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    val back = toMap(AsofJoin.asofJoinTolerance(left, right, Seq("k"), "ts",
+      Seq("rts", "q"), "rts", tolerance = 10.0))
+    assert(back(10L) == 80.0)  // gap 2 within tolerance
+    assert(back(45L) == null)  // backward match is 8, gap 37 > 10
+    assert(back(100L) == null) // backward match is 50, gap 50 > 10
+    val fwd = toMap(AsofJoin.asofJoinForwardTolerance(left, right, Seq("k"),
+      "ts", Seq("rts", "q"), "rts", tolerance = 10.0))
+    assert(fwd(10L) == null)   // forward match is 50, gap 40 > 10
+    assert(fwd(45L) == 500.0)  // gap 5 within tolerance
+    assert(fwd(100L) == null)  // no forward match at all
+    intercept[IllegalArgumentException](AsofJoin.asofJoinTolerance(
+      left, right, Seq("k"), "ts", Seq("q"), "rts", 10.0))
+    intercept[IllegalArgumentException](AsofJoin.asofJoinTolerance(
+      left, right, Seq("k"), "ts", Seq("rts", "q"), "rts", -1.0))
+  }
+
   test("binary join keys compare by content, not reference") {
     val left = Seq((Array[Byte](1, 2), 10L, 1.0), (Array[Byte](3), 10L, 2.0))
       .toDF("k", "ts", "v")

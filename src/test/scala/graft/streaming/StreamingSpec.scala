@@ -513,6 +513,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwma: in-batch (ts, tie) order, carry across batches, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.EwmaRow]
+    val sm = StreamingOps.streamingEwma(input.toDS(), alpha = 0.5)
+    val q = sm.writeStream.format("memory")
+      .queryName("sewma").outputMode("update").start()
+    try {
+      // batch 1 arrives out of order; the op must fold 10 -> 20 -> 30
+      input.addData(
+        StreamingOps.EwmaRow("a", 30L, 3L, 30.0),
+        StreamingOps.EwmaRow("a", 10L, 1L, 10.0),
+        StreamingOps.EwmaRow("a", 20L, 2L, 20.0),
+        StreamingOps.EwmaRow("b", 10L, 4L, 7.0))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT tie, ewma FROM sewma").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(b1(1L) === 10.0)
+      assert(b1(2L) === 15.0)
+      assert(b1(3L) === 22.5)
+      assert(b1(4L) === 7.0)
+      // batch parity with the batch operator on the same rows
+      val batchGot = graft.events.Rolling.ewma(
+          Seq(("a", 30L, 3L, 30.0), ("a", 10L, 1L, 10.0),
+            ("a", 20L, 2L, 20.0), ("b", 10L, 4L, 7.0))
+            .toDF("key", "tss", "tie", "v")
+            .withColumn("ts", col("tss").cast("timestamp")),
+          Seq("key"), "ts", "tie", "v", 0.5)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(b1 === batchGot)
+      // batch 2: the smoothed value carries over the boundary
+      input.addData(StreamingOps.EwmaRow("a", 40L, 5L, 0.0))
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT tie, ewma FROM sewma WHERE tie = 5")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(b2(5L) === 0.5 * 0.0 + 0.5 * 22.5)
+    } finally q.stop()
+  }
+
   test("windowedQuantiles: sketch merges across micro-batches, equals batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
