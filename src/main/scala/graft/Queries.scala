@@ -3416,6 +3416,27 @@ object Queries {
              HAVING count(DISTINCT c_custkey % 7) < 4
              ORDER BY 1, 2, 3""")),
 
+    // seeded-Laplace DP release counts: the md5 draw and the inverse CDF
+    // replay bit-for-bit in DuckDB (ln last-ulp differences absorbed by
+    // round(6) — the entropy-row precedent)
+    QueryDef("q_dp_counts",
+      (s, d) => graft.pipeline.Privacy.dpCounts(
+          s.read.parquet(s"$d/customer.parquet"),
+          Seq("c_mktsegment"), epsilon = 0.5, seed = 42L)
+        .select(col("c_mktsegment"), col("n"),
+          round(col("noisy_count"), 6).as("noisy_count"))
+        .orderBy("c_mktsegment"),
+      Some("""WITH g AS (SELECT c_mktsegment, count(*)::BIGINT AS n
+               FROM customer GROUP BY 1),
+             u AS (SELECT c_mktsegment, n,
+               ((('0x' || substr(md5('42' || chr(1) || c_mktsegment), 1, 15))
+                 ::UBIGINT::DOUBLE) + 0.5) / 1.152921504606846976e18 AS uv
+               FROM g)
+             SELECT c_mktsegment, n,
+               round(n + (-1.0/0.5) * sign(uv - 0.5) *
+                 ln(1 - 2*abs(uv - 0.5)), 6) AS noisy_count
+             FROM u ORDER BY 1""")),
+
     // ---- personalized PageRank (TrustRank) ---------------------------------
     // seeds = suppliers 1-3 on the supplier→part graph; the oracle unrolls
     // the SAME two iterations with the seed restart distribution (dangling

@@ -65,6 +65,35 @@ object Privacy {
       .filter(col("distinct_sensitive") < l)
   }
 
+  /** ε-differentially-private group counts by the Laplace mechanism:
+    * count + Laplace(1/ε) noise per group (sensitivity 1 — one row moves
+    * one count by one). The noise is derived DETERMINISTICALLY from
+    * `md5(seed:groupValues)` (60-bit uniform → inverse-CDF Laplace), the
+    * [[Dsir]]/[[Pca.jlProject]] device: runs are reproducible and the
+    * DuckDB oracle replays the draw bit-for-bit. CAVEAT, stated plainly:
+    * a pseudorandom draw from a published seed is NOT a cryptographic DP
+    * guarantee — an adversary knowing the seed can subtract the noise.
+    * Treat ε as an engineering knob for release pipelines that hold the
+    * seed secret, exactly as they would hold the raw counts.
+    * One hash aggregate + a stateless projection; `noisy_count` is the
+    * release column, `n` the true count for the holder's own use. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns")
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val keyStr = concat_ws("\u0001",
+      lit(seed.toString) +: groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(keyStr.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    // u in (0,1): the +0.5 keeps the inverse CDF off both ln(0) poles
+    val u = (h.cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+    val noise = (lit(-1.0) / lit(epsilon)) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_count", col("n") + noise)
+  }
+
   /** Categorical values occurring fewer than `minCount` times replaced by
     * `other` — the long-tail cut that both bounds a categorical column's
     * cardinality before a groupBy/pivot AND removes singleton categories

@@ -109,6 +109,43 @@ object SubstrIndex {
     hits
   }
 
+  /** STREAMING window-match stream against the files: for a readStream
+    * source, emits (id, pos, cid, cpos) for every stream row window whose
+    * exact substring exists in the indexed corpus — the fourth streaming
+    * screen (minhash [[TextIndex.matchesStream]], embeddings
+    * [[VecIndex]], Bloom exact, this = exact substrings). Two
+    * stream-static joins re-planned per micro-batch, so [[append]]s
+    * between batches are picked up; no state store, no watermark.
+    * Delivery contract: a window matching k corpus occurrences is
+    * emitted k times (a stateless stream cannot distinct) — run
+    * sink-side dropDuplicates("id", "pos") in foreachBatch, or the batch
+    * [[spansAgainst]] there, when exactly-once matters. */
+  def matchesStream(stream: DataFrame, idCol: String, textCol: String,
+                    path: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val minLen = cfgOf(spark, path)
+    val wins = stream
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null || t.length < minLen) Iterator.empty
+        else {
+          val hs = SubstringDedup.rollingHashArray(t, minLen)
+          hs.iterator.zipWithIndex.map { case (h, i) =>
+            (id, (i + 1).toLong, t.substring(i, i + minLen), h)
+          }
+        }
+      }
+      .toDF("id", "pos", "__bsub", "__h")
+    wins
+      .join(spark.read.parquet(s"$path/postings"), col("__h") === col("h"))
+      .join(spark.read.parquet(s"$path/docs"), "cid")
+      .filter(col("ctext").substr(col("cpos").cast("int"), lit(minLen))
+        === col("__bsub"))
+      .select(col("id"), col("pos"), col("cid"), col("cpos"))
+  }
+
   /** Island-merged spans of batch text already present in the corpus:
     * (doc_id, span_start, span_end) — [[SubstringDedup]]'s span algebra
     * against the files. */

@@ -57,28 +57,32 @@ object SubstringDedup {
     * 5.6 s at sf0.1 just materializing 60-char strings twice). Base-31
     * polynomial mod 2⁶⁴; collisions are harmless — the verify stage
     * groups on true substrings. */
-  private[pipeline] def windowHashes(docs: DataFrame, minLen: Int): DataFrame = {
-    val roll = udf { t: String =>
-      val n = t.length
-      if (n < minLen) Array.empty[Long]
-      else {
-        val B = 31L
-        var pow = 1L // B^(minLen-1)
-        var j = 1
-        while (j < minLen) { pow *= B; j += 1 }
-        val out = new Array[Long](n - minLen + 1)
-        var h = 0L
-        var i = 0
-        while (i < minLen) { h = h * B + t.charAt(i); i += 1 }
-        out(0) = h
-        while (i < n) {
-          h = (h - t.charAt(i - minLen) * pow) * B + t.charAt(i)
-          out(i - minLen + 1) = h
-          i += 1
-        }
-        out
+  /** Base-31 polynomial rolling hashes of every `minLen`-char window of
+    * `t`, index i ↔ 1-based position i+1 — one O(|t|) pass. */
+  private[pipeline] def rollingHashArray(t: String, minLen: Int): Array[Long] = {
+    val n = t.length
+    if (n < minLen) Array.empty[Long]
+    else {
+      val B = 31L
+      var pow = 1L // B^(minLen-1)
+      var j = 1
+      while (j < minLen) { pow *= B; j += 1 }
+      val out = new Array[Long](n - minLen + 1)
+      var h = 0L
+      var i = 0
+      while (i < minLen) { h = h * B + t.charAt(i); i += 1 }
+      out(0) = h
+      while (i < n) {
+        h = (h - t.charAt(i - minLen) * pow) * B + t.charAt(i)
+        out(i - minLen + 1) = h
+        i += 1
       }
+      out
     }
+  }
+
+  private[pipeline] def windowHashes(docs: DataFrame, minLen: Int): DataFrame = {
+    val roll = udf { t: String => rollingHashArray(t, minLen) }
     docs.filter(length(col("__t")) >= minLen)
       .select(col("__id"), posexplode(roll(col("__t"))))
       .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"),

@@ -64,6 +64,33 @@ class PrivacySpec extends SparkSpec {
     assert(all(("NY", "M")) === 2L)
   }
 
+  test("dpCounts: noise replays the md5 inverse-CDF draw exactly") {
+    def noiseFor(key: String, eps: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val u = (h.toDouble + 0.5) / 1.152921504606846976e18
+      -1.0 / eps * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g")
+    val got = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = 42L)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("x")._1 === 2L && got("y")._1 === 1L)
+    assert(got("x")._2 === 2.0 + noiseFor("42x", 0.5))
+    assert(got("y")._2 === 1.0 + noiseFor("42y", 0.5))
+    // reproducible; seed changes the draw
+    val again = Privacy.dpCounts(df, Seq("g"), 0.5, 42L)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again("x") === got("x")._2)
+    val other = Privacy.dpCounts(df, Seq("g"), 0.5, 43L)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(other("x") !== got("x")._2)
+    intercept[IllegalArgumentException](Privacy.dpCounts(df, Seq(), 0.5, 1L))
+    intercept[IllegalArgumentException](
+      Privacy.dpCounts(df, Seq("g"), 0.0, 1L))
+  }
+
   test("parameter validation") {
     val df = people.toDF("id", "city", "sex", "bal")
     intercept[IllegalArgumentException](

@@ -86,6 +86,34 @@ class SubstrIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("matchesStream: per-batch screen equals the batch op (after distinct)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    SubstrIndex.write(corpus.toDF("id", "text"), "id", "text", path,
+      minLen = L)
+    val input = MemoryStream[(Long, String)]
+    val out = SubstrIndex.matchesStream(
+      input.toDS().toDF("id", "text"), "id", "text", path)
+    val q = out.writeStream.format("memory").queryName("ssidx")
+      .outputMode("append").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT id, pos FROM ssidx")
+        .as[(Long, Long)].collect().toSet
+      val want = SubstrIndex.matches(batch.toDF("id", "text"), "id",
+        "text", path).as[(Long, Long)].collect().toSet
+      assert(got === want && got.nonEmpty)
+      // second micro-batch: the screen keeps working on new rows
+      input.addData(100L -> "SHARED-BOILERPLATE tail piece")
+      q.processAllAvailable()
+      val got2 = spark.sql("SELECT DISTINCT id FROM ssidx")
+        .as[Long].collect().toSet
+      assert(got2.contains(100L))
+    } finally q.stop()
+  }
+
   test("write refuses an existing index unless overwrite") {
     val path = tmp()
     SubstrIndex.write(corpus.toDF("id", "text"), "id", "text", path,
