@@ -3268,6 +3268,29 @@ object Queries {
              FROM l JOIN r ON levenshtein(l.nm, r.nm) <= 1
              ORDER BY id_a, id_b""")),
 
+    // entity resolution: fuzzy pairs closed into transitive clusters;
+    // oracle = quadratic levenshtein join + recursive min-label closure
+    // (the q_dedup_cc pattern), singletons self-labeled
+    QueryDef("q_entity_clusters",
+      (s, d) => graft.pipeline.FuzzyJoin.entityClusters(
+          s.read.parquet(s"$d/supplier.parquet"), "s_suppkey", "s_name",
+          maxDist = 1)
+        .orderBy("id"),
+      Some("""WITH RECURSIVE s AS (SELECT s_suppkey AS id, s_name AS nm
+               FROM supplier
+               WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL),
+             p AS (SELECT a.id AS id_a, b.id AS id_b FROM s a JOIN s b
+               ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1),
+             edges AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+             lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+             SELECT s.id AS id, coalesce(lab.component, s.id)::BIGINT AS entity
+             FROM s LEFT JOIN lab ON lab.id = s.id ORDER BY s.id""")),
+
     // ---- link-graph signals (PageRank / degrees) ---------------------------
     // supplier→part bipartite graph from distinct lineitem pairs; the
     // oracle unrolls the SAME three iterations (teleport written as
@@ -3316,6 +3339,47 @@ object Queries {
                (1 - 0.85)/c.nn + 0.85*(coalesce(c2.cb, 0) + d2.dm/c.nn) AS r
                FROM n LEFT JOIN c2 ON n.v = c2.v, c, d2)
              SELECT v AS node, round(r, 9) AS rank FROM r3 ORDER BY node""")),
+
+    // weighted PageRank: rank splits over out-edges by quantity flow; the
+    // oracle unrolls the SAME two iterations with w/d contribution shares
+    // (weights summed exactly from decimals, cast to DOUBLE once)
+    QueryDef("q_pagerank_weighted",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .groupBy(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .agg(sum(col("l_quantity")).cast("double").as("w"))
+        graft.pipeline.Graph.pageRankWeighted(edges, "src", "dst", "w",
+            iters = 2)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT l_suppkey AS src,
+               l_partkey + 1000000 AS dst,
+               sum(l_quantity)::DOUBLE AS w FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+               GROUP BY 1, 2),
+             n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             c AS (SELECT count(*)::DOUBLE AS nn FROM n),
+             deg AS (SELECT src, sum(w) AS d FROM e GROUP BY 1),
+             r0 AS (SELECT v, 1.0/nn AS r FROM n, c),
+             d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+               WHERE v NOT IN (SELECT src FROM e)),
+             c0 AS (SELECT e.dst AS v, sum(r0.r * e.w / deg.d) AS cb FROM e
+               JOIN r0 ON e.src = r0.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r1 AS (SELECT n.v,
+               (1 - 0.85)/c.nn + 0.85*(coalesce(c0.cb, 0) + d0.dm/c.nn) AS r
+               FROM n LEFT JOIN c0 ON n.v = c0.v, c, d0),
+             d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+               WHERE v NOT IN (SELECT src FROM e)),
+             c1 AS (SELECT e.dst AS v, sum(r1.r * e.w / deg.d) AS cb FROM e
+               JOIN r1 ON e.src = r1.v JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+             r2 AS (SELECT n.v,
+               (1 - 0.85)/c.nn + 0.85*(coalesce(c1.cb, 0) + d1.dm/c.nn) AS r
+               FROM n LEFT JOIN c1 ON n.v = c1.v, c, d1)
+             SELECT v AS node, round(r, 9) AS rank FROM r2 ORDER BY node""")),
 
     QueryDef("q_graph_degree",
       (s, d) => graft.pipeline.Graph.degrees(

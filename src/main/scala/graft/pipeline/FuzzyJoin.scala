@@ -201,6 +201,24 @@ object FuzzyJoin {
     verifyCross(counted.unionAll(shortPairs).distinct(), ls, rs, k)
   }
 
+  /** Entity resolution: every row labeled with its ENTITY — the minimal
+    * id of its transitive edit-distance-≤k cluster ("Acme Corp" ~
+    * "Acme Corp." ~ "Acme Corp,." chain into one entity even when the
+    * endpoints are > k apart). [[fuzzyPairs]] builds the match graph,
+    * [[Components.connectedComponents]] closes it; rows matching nothing
+    * are their own entity. Returns (id, entity). */
+  def entityClusters(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int, q: Int = 2,
+                     maxPostingList: Int = Int.MaxValue): DataFrame = {
+    val pairs = fuzzyPairs(df, idCol, strCol, maxDist, q, maxPostingList)
+      .select("id_a", "id_b")
+    val labels = Components.connectedComponents(pairs)
+    df.na.drop(Seq(idCol, strCol))
+      .select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+  }
+
   private def verifyCross(cands: DataFrame, ls: DataFrame, rs: DataFrame,
                           k: Int): DataFrame =
     cands

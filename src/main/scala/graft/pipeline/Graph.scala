@@ -79,6 +79,57 @@ object Graph {
     ranks
   }
 
+  /** PageRank with EDGE WEIGHTS: a src splits its rank over its out-edges
+    * proportionally to `weightCol` (link counts, click volumes, quantity
+    * flows) instead of uniformly. Rows with null or non-positive weight
+    * are dropped (they carry no rank). Same plan as [[pageRank]]: the
+    * weighted out-degree joins the edge list once; each iteration is one
+    * contribution shuffle with per-iteration rank persists. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 3,
+                       damping: Double = 0.85,
+                       checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    val e = edges.na.drop(Seq(srcCol, dstCol, weightCol))
+      .filter(col(weightCol) > 0)
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(weightCol).cast("double").as("__w"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degs = e.groupBy("__src").agg(sum(col("__w")).as("__d"))
+    val eDeg = e.join(degs, "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val teleport = lit(1.0) - lit(damping)
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    var i = 0
+    while (i < iters) {
+      ranks = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val contribs = eDeg.join(ranks, col("__src") === col("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") * col("__w") / col("__d")).as("__c"))
+      val dangling = ranks
+        .join(degs, col("node") === col("__src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (teleport / lit(n.toDouble) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n.toDouble))).as("rank"))
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Personalized PageRank (TrustRank-style): the teleport distribution
     * concentrates on `seeds` instead of being uniform, so rank measures
     * proximity-to-the-trusted-set — the curation prior "how reachable is

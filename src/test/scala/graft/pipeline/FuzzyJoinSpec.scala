@@ -99,6 +99,16 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("entityClusters: transitive chains merge, singletons self-label") {
+    // aaaa ~ aaab ~ aabb chain (each hop distance 1; endpoints distance
+    // 2) must land in ONE entity at k=1; the unrelated string stands alone
+    val df = Seq(1L -> "aaaa", 2L -> "aaab", 3L -> "aabb",
+      4L -> "zzzzzz").toDF("id", "name")
+    val got = FuzzyJoin.entityClusters(df, "id", "name", maxDist = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("null ids/strings dropped; maxDist/q validated") {
     val df = Seq((java.lang.Long.valueOf(1L), "abc"),
       (java.lang.Long.valueOf(2L), null),

@@ -103,6 +103,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRankWeighted: integer weights equal the multigraph expansion") {
+    // weight w ≡ the edge repeated w times: the weighted op on weights
+    // (2, 1, 3) must match plain pageRank on the expanded multigraph
+    val weighted = Seq((1L, 2L, 2.0), (1L, 3L, 1.0), (3L, 1L, 3.0))
+    val expanded = weighted.flatMap { case (s, d0, w) =>
+      Seq.fill(w.toInt)((s, d0)) }
+    val got = Graph.pageRankWeighted(weighted.toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 4).as[(Long, Double)].collect().toMap
+    val want = Graph.pageRank(expanded.toDF("src", "dst"), "src", "dst",
+      iters = 4).as[(Long, Double)].collect().toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // null/non-positive weight rows drop: an all-dropped edge list is an
+    // empty graph
+    intercept[IllegalArgumentException](Graph.pageRankWeighted(
+      Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"), "src", "dst", "w"))
+  }
+
   test("coOccurrence: shared-src pairs counted; parallel edges collapse") {
     // srcs: 1→{2,3}, 2→{3,5}, 3→{1}, 4→{3}; pair (2,3) from src 1,
     // (3,5) from src 2; duplicate edge rows must not double-count
