@@ -3642,6 +3642,44 @@ object Queries {
              WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
              ORDER BY doc_id""")),
 
+    // per-doc repeated-char fraction: the span pipeline rolled up into a
+    // quality signal (same windows/ownership/islands SQL + one rollup)
+    QueryDef("q_substr_fraction",
+      (s, d) => graft.pipeline.SubstringDedup.repeatedFraction(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text",
+          minLen = 60)
+        .select(col("doc_id"), col("n_chars"), col("repeated_chars"),
+          round(col("repeated_frac"), 6).as("repeated_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id AS id,
+               unnest(range(1, length(text) - 58)) AS pos, text
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 60),
+             s AS (SELECT id, pos, substr(text, pos::INT, 60) AS sub FROM w),
+             d AS (SELECT sub FROM s GROUP BY sub HAVING count(*) >= 2),
+             m AS (SELECT s.id, s.pos, row_number() OVER (PARTITION BY s.sub
+                 ORDER BY s.id, s.pos) AS rn
+               FROM s JOIN d USING (sub)),
+             rem AS (SELECT id, pos FROM m WHERE rn > 1),
+             b AS (SELECT id, pos, CASE WHEN pos > coalesce(
+                 max(pos + 60) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               THEN 1 ELSE 0 END AS brk FROM rem),
+             g AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id
+               ORDER BY pos) AS grp FROM b),
+             sp AS (SELECT id, min(pos) AS s0, max(pos) + 59 AS e0
+               FROM g GROUP BY id, grp),
+             rc AS (SELECT id, sum(e0 - s0 + 1)::BIGINT AS repeated_chars
+               FROM sp GROUP BY id)
+             SELECT dd.doc_id, length(dd.text)::BIGINT AS n_chars,
+               coalesce(rc.repeated_chars, 0)::BIGINT AS repeated_chars,
+               round(CASE WHEN length(dd.text) > 0
+                 THEN coalesce(rc.repeated_chars, 0)::DOUBLE / length(dd.text)
+                 ELSE 0.0 END, 6) AS repeated_frac
+             FROM documents dd LEFT JOIN rc ON rc.id = dd.doc_id
+             WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
+             ORDER BY dd.doc_id""")),
+
     // persisted substring index: corpus (4/5 of docs) written to parquet
     // ONCE, batch (1/5) screened against the FILES; result = island-
     // merged spans of batch text already present in the corpus. The

@@ -137,6 +137,30 @@ object SubstringDedup {
       .select(col("__id").as("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Per-doc repeated-character fraction — the quality signal version of
+    * the span pipeline (rank docs by how much of them is corpus-repeated
+    * boilerplate instead of rewriting them): (doc_id, n_chars,
+    * repeated_chars, repeated_frac) for EVERY doc, zero for docs with
+    * nothing repeated; empty docs report fraction 0. One rollup over
+    * [[repeatedSubstringSpans]]. */
+  def repeatedFraction(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int): DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, minLen)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + lit(1L))
+        .as("repeated_chars"))
+    prep(df, idCol, textCol)
+      .select(col("__id").as("doc_id"),
+        length(col("__t")).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("repeated_chars"), lit(0L)).as("repeated_chars"),
+        when(col("n_chars") > 0,
+          coalesce(col("repeated_chars"), lit(0L)).cast("double") /
+            col("n_chars"))
+          .otherwise(lit(0.0)).as("repeated_frac"))
+  }
+
   /** `df` with every removal span cut out of the text column: the
     * segment algebra (kept = gaps between spans + head + tail) runs as
     * lag windows + one ordered concat aggregate; docs without spans pass

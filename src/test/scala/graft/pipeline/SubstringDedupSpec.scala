@@ -99,6 +99,19 @@ class SubstringDedupSpec extends SparkSpec {
     check(Seq(1L -> "tiny", 2L -> "tiny", 3L -> "also small"), l = 10)
   }
 
+  test("repeatedFraction: span mass over doc length, zeros included") {
+    val docs = Seq(1L -> "exactly the same text here",
+      2L -> "exactly the same text here",
+      3L -> "nothing shared in this doc")
+    val got = SubstringDedup.repeatedFraction(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((26L, 0L, 0.0)))   // owner keeps everything
+    assert(got(2L) === ((26L, 26L, 1.0)))  // full duplicate
+    assert(got(3L) === ((26L, 0L, 0.0)))
+  }
+
   test("nulls dropped; minLen validated") {
     val df = Seq((java.lang.Long.valueOf(1L), "some text"),
       (java.lang.Long.valueOf(2L), null)).toDF("doc_id", "text")
