@@ -2998,6 +2998,26 @@ object Queries {
     // it and the pooled luminance features must reproduce the analytic
     // formula the oracle computes directly from doc_id. PNG is lossless,
     // so any drift in decode/pooling breaks the hash.
+    // exact binary payload dedup: payloads derived from doc_id % 50, so
+    // byte-content grouping must reproduce the id-class structure the
+    // oracle computes directly (the payload bytes themselves are not
+    // SQL-reachable — the CONTRACT is the group structure)
+    QueryDef("q_payload_dedup",
+      (s, d) => {
+        val pngOf = udf((id: Long) =>
+          graft.pipeline.Multimodal.syntheticPng(id % 50))
+        graft.pipeline.Multimodal.payloadDedup(
+            documents(s, d).na.drop(Seq("doc_id")).select(col("doc_id"))
+              .withColumn("payload", pngOf(col("doc_id"))),
+            "doc_id", "payload")
+          .select("keep_id", "dup_count")
+          .orderBy("keep_id")
+      },
+      Some("""SELECT min(doc_id)::BIGINT AS keep_id,
+               count(*)::BIGINT AS dup_count
+             FROM documents WHERE doc_id IS NOT NULL
+             GROUP BY doc_id % 50 ORDER BY keep_id""")),
+
     QueryDef("q_multimodal",
       (s, d) => {
         import graft.pipeline.Multimodal._

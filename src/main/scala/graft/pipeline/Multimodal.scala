@@ -119,6 +119,25 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("int").as("n_frames")).as("meta"))
 
+  /** EXACT byte-identical payload dedup — the multimodal face of
+    * [[Dedup.exact]]: one group per distinct payload, reporting the
+    * minimal id (the keeper), the copy count, and the payload size.
+    * Grouping is on the BYTES themselves (BinaryType grouping keys
+    * compare by content), so identical re-encodes collapse and near-dups
+    * never do — no hash trust anywhere. One shuffle carrying the
+    * payloads (the same bill text exact-dedup pays); for datasets whose
+    * payloads dwarf their count, pre-hash with a (md5, length) key and
+    * verify the rare collisions — not done here because a silent
+    * collision would merge two DIFFERENT images. */
+  def payloadDedup(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame =
+    df.na.drop(Seq(idCol, payloadCol))
+      .groupBy(col(payloadCol).cast("binary").as("__p"))
+      .agg(min(col(idCol).cast("long")).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"),
+        length(col("__p")).cast("long").as("n_bytes"))
+
   /** STUB decode: deterministic pseudo-features from payload bytes.
     * Real implementation would decode pixels and pool; the contract
     * (dim-`dim` double array, null payload → null features) is identical. */

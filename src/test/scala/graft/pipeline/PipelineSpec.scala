@@ -756,6 +756,20 @@ class PipelineSpec extends SparkSpec {
     assert(fps("a") != fps("c"))
   }
 
+  test("payloadDedup groups byte-identical payloads only; nulls dropped") {
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(1L)
+    val other = Multimodal.syntheticPng(2L)
+    val df = Seq((1L, png), (2L, png.clone()), // identical CONTENT, new ref
+      (3L, other), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "data")
+    val got = Multimodal.payloadDedup(df, "id", "data")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got === Map(1L -> ((2L, png.length.toLong)),
+      3L -> ((1L, other.length.toLong))))
+  }
+
   test("ImageIOCodec decodes synthetic PNG exactly; unknown payloads fall back") {
     import spark.implicits._
     val df = Seq((7L, Multimodal.syntheticPng(7L)), (8L, Array[Byte](1, 2, 3)))
