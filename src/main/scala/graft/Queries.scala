@@ -5072,6 +5072,108 @@ object Queries {
                SELECT '7_test', count(*)::BIGINT FROM s3 WHERE k < 0.1)
              ORDER BY stage""")),
 
+    // the funnel with the ExactSubstr stage on: exact dedup, then
+    // cross-doc repeated-span rewrite + min-words recheck, then
+    // decontamination — every stage count replayed (the q_substr_dedup
+    // rewrite SQL spliced between the dedup and decontamination CTEs)
+    QueryDef("q_curation_funnel_substr",
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.pipeline.Curate.funnel(docs, "doc_id", "text", bench,
+            minWords = 30, valFraction = 0.15, testFraction = 0.1,
+            seed = 7, substrMinLen = 60)
+          .orderBy("stage")
+      },
+      Some("""WITH input AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             minw AS (SELECT doc_id, text FROM input
+               WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 30),
+             ded AS (SELECT min(doc_id) AS doc_id, text FROM minw
+               GROUP BY text),
+             sw AS (SELECT doc_id AS id,
+               unnest(range(1, length(text) - 58)) AS pos, text
+               FROM ded WHERE length(text) >= 60),
+             ss AS (SELECT id, pos, substr(text, pos::INT, 60) AS sub
+               FROM sw),
+             sd AS (SELECT sub FROM ss GROUP BY sub HAVING count(*) >= 2),
+             sm AS (SELECT ss.id, ss.pos, row_number() OVER (
+                 PARTITION BY ss.sub ORDER BY ss.id, ss.pos) AS rn
+               FROM ss JOIN sd USING (sub)),
+             srem AS (SELECT id, pos FROM sm WHERE rn > 1),
+             sb AS (SELECT id, pos, CASE WHEN pos > coalesce(
+                 max(pos + 60) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               THEN 1 ELSE 0 END AS brk FROM srem),
+             sg AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id
+               ORDER BY pos) AS grp FROM sb),
+             sp AS (SELECT id, min(pos) AS s0, max(pos) + 59 AS e0
+               FROM sg GROUP BY id, grp),
+             bef AS (SELECT id, coalesce(lag(e0) OVER (PARTITION BY id
+                 ORDER BY s0), 0) + 1 AS ks, s0 - 1 AS ke FROM sp),
+             aft AS (SELECT sp.id, max(e0) + 1 AS ks,
+                 length(dd.text)::BIGINT AS ke
+               FROM sp JOIN ded dd ON dd.doc_id = sp.id
+               GROUP BY sp.id, length(dd.text)),
+             segs AS (SELECT * FROM bef WHERE ks <= ke
+               UNION ALL SELECT * FROM aft WHERE ks <= ke),
+             pieces AS (SELECT segs.id, ks,
+                 substr(dd.text, ks::INT, (ke - ks + 1)::INT) AS piece
+               FROM segs JOIN ded dd ON dd.doc_id = segs.id),
+             rew AS (SELECT id, string_agg(piece, '' ORDER BY ks) AS t
+               FROM pieces GROUP BY id),
+             sids AS (SELECT DISTINCT id FROM sp),
+             red AS (SELECT dd.doc_id, CASE WHEN sids.id IS NOT NULL
+                 THEN coalesce(rew.t, '') ELSE dd.text END AS text
+               FROM ded dd
+               LEFT JOIN sids ON sids.id = dd.doc_id
+               LEFT JOIN rew ON rew.id = dd.doc_id),
+             resub AS (SELECT doc_id, text FROM red
+               WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 30),
+             tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t FROM resub),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM tok),
+             btok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+             bg AS (SELECT DISTINCT unnest(list_distinct(
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+3], ' ')) END)) AS s
+               FROM btok),
+             bad AS (SELECT DISTINCT doc_id FROM sh JOIN bg USING (s)),
+             clean AS (SELECT doc_id FROM resub
+               WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+             s1 AS (SELECT doc_id,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM clean),
+             s2 AS (SELECT doc_id, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT doc_id,
+               ((((x3 + 7) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k FROM s2)
+             SELECT stage, n FROM (
+               SELECT '1_input' AS stage, count(*)::BIGINT AS n FROM input
+               UNION ALL
+               SELECT '2_min_words', count(*)::BIGINT FROM minw
+               UNION ALL
+               SELECT '3_exact_dedup', count(*)::BIGINT FROM ded
+               UNION ALL
+               SELECT '3b_substr_rewrite', count(*)::BIGINT FROM resub
+               UNION ALL
+               SELECT '4_decontaminated', count(*)::BIGINT FROM clean
+               UNION ALL
+               SELECT '5_train', count(*)::BIGINT FROM s3 WHERE k >= 0.25
+               UNION ALL
+               SELECT '6_val', count(*)::BIGINT FROM s3
+                 WHERE k >= 0.1 AND k < 0.25
+               UNION ALL
+               SELECT '7_test', count(*)::BIGINT FROM s3 WHERE k < 0.1)
+             ORDER BY stage""")),
+
     // ---- weighted Bernoulli sampling (quality-weighted downsampling) ------
     // oracle replays the Lehmer hash verbatim (see q_hash_sample) with the
     // keep-probability min(1, rate·weight) clamp

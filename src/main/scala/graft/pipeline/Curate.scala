@@ -26,15 +26,30 @@ object Curate {
   def curated(df: DataFrame, idCol: String, textCol: String,
               benchmark: DataFrame, minWords: Int = 30,
               valFraction: Double = 0.15, testFraction: Double = 0.1,
-              seed: Long = 7L): DataFrame = {
+              seed: Long = 7L, substrMinLen: Int = 0): DataFrame = {
     val input = df.na.drop(Seq(idCol, textCol))
     val minw = input.filter(
       TextAnalysis.tokenCount(col(textCol)) >= minWords)
     val deduped = Dedup.exact(minw, idCol, textCol)
-    val clean = Decontaminate.decontaminate(deduped, idCol, textCol,
+    val afterSub = substrStage(deduped, idCol, textCol, minWords,
+      substrMinLen)
+    val clean = Decontaminate.decontaminate(afterSub, idCol, textCol,
       benchmark, textCol, n = 4)
     Sampling.trainTestSplit(clean, idCol, valFraction, testFraction, seed)
   }
+
+  /** Optional ExactSubstr pass between dedup and decontamination
+    * (`substrMinLen` > 0 enables it): cross-document repeated spans are
+    * cut ([[SubstringDedup.removeRepeatedSubstrings]]) and remnants
+    * falling under `minWords` drop — the Lee et al. order (dedup whole
+    * docs first so the span pass only sees one copy of each text). */
+  private def substrStage(deduped: DataFrame, idCol: String,
+                          textCol: String, minWords: Int,
+                          substrMinLen: Int): DataFrame =
+    if (substrMinLen <= 0) deduped
+    else SubstringDedup
+      .removeRepeatedSubstrings(deduped, idCol, textCol, substrMinLen)
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= minWords)
 
   /** Text SEMANTIC near-dup pairs with NO embedding column: hashed-TF
     * vectors ([[TextAnalysis.hashEmbed]]) fed into SemDeDup's
@@ -98,21 +113,27 @@ object Curate {
   def funnel(df: DataFrame, idCol: String, textCol: String,
              benchmark: DataFrame, minWords: Int = 30,
              valFraction: Double = 0.15, testFraction: Double = 0.1,
-             seed: Long = 7L): DataFrame = {
+             seed: Long = 7L, substrMinLen: Int = 0): DataFrame = {
     val input = df.na.drop(Seq(idCol, textCol))
     val minw = input.filter(
       TextAnalysis.tokenCount(col(textCol)) >= minWords)
     val deduped = Dedup.exact(minw, idCol, textCol)
-    val clean = Decontaminate.decontaminate(deduped, idCol, textCol,
+    val afterSub = substrStage(deduped, idCol, textCol, minWords,
+      substrMinLen)
+    val clean = Decontaminate.decontaminate(afterSub, idCol, textCol,
       benchmark, textCol, n = 4)
     val split = Sampling.trainTestSplit(clean, idCol, valFraction,
       testFraction, seed)
     def stage(name: String, frame: DataFrame): DataFrame =
       frame.agg(count(lit(1)).as("n"))
         .select(lit(name).as("stage"), col("n"))
-    stage("1_input", input)
+    val head = stage("1_input", input)
       .unionAll(stage("2_min_words", minw))
       .unionAll(stage("3_exact_dedup", deduped))
+    // "3_" < "3b_" < "4_" lexicographically, so the stage sort holds
+    (if (substrMinLen > 0)
+       head.unionAll(stage("3b_substr_rewrite", afterSub))
+     else head)
       .unionAll(stage("4_decontaminated", clean))
       .unionAll(split.groupBy("split")
         .agg(count(lit(1)).as("n"))

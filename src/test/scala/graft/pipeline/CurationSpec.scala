@@ -367,6 +367,32 @@ class CurationSpec extends SparkSpec {
     assert(rows == Set(1L, 4L))
   }
 
+  test("Curate.funnel substring stage: off by default, cuts boilerplate when on") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    // doc 11 = boilerplate + tiny unique tail: after the substring cut
+    // it falls under minWords and drops; doc 10 (owner) keeps everything
+    val df = Seq(
+      (10L, long + " unique ten " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      (11L, long + " tail"),
+      (12L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = df.filter(col("doc_id") % 97 === 0) // empty benchmark
+    val off = graft.pipeline.Curate.funnel(df, "doc_id", "text", bench,
+        minWords = 30).collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(!off.contains("3b_substr_rewrite"))
+    assert(off("4_decontaminated") == 3L)
+    val on = graft.pipeline.Curate.funnel(df, "doc_id", "text", bench,
+        minWords = 30, substrMinLen = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(on("3_exact_dedup") == 3L)
+    assert(on("3b_substr_rewrite") == 2L) // doc 11's remnant too short
+    assert(on("4_decontaminated") == 2L)
+    val kept = graft.pipeline.Curate.curated(df, "doc_id", "text", bench,
+        minWords = 30, substrMinLen = 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L))
+  }
+
   test("lineDedupInDoc: first occurrence kept per doc, no cross-doc state, zero shuffles") {
     val df = Seq(
       (1L, "nav\nbody one\nnav\n  \nbody two\nbody one"),
