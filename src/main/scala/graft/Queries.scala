@@ -3401,6 +3401,44 @@ object Queries {
                FROM n LEFT JOIN c1 ON n.v = c1.v, c, d1)
              SELECT v AS node, round(r, 9) AS rank FROM r2 ORDER BY node""")),
 
+    // HITS hubs/authorities, 1 iteration unrolled: supplier hubs score by
+    // summed part authority then L2-normalize; parts re-score from the
+    // UPDATED hubs (suppliers have authority 0, parts hub 0 — both sides
+    // of the bipartite split carry real zeros); multi-iteration behavior
+    // is spec-pinned against a driver reference
+    QueryDef("q_hits",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.pipeline.Graph.hits(edges, "src", "dst", iters = 1)
+          .select(col("node"), round(col("hub"), 9).as("hub"),
+            round(col("authority"), 9).as("authority"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+               l_partkey + 1000000 AS dst FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+             n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             c AS (SELECT count(*)::DOUBLE AS nn FROM n),
+             a0 AS (SELECT v, 1.0/sqrt(nn) AS a FROM n, c),
+             hu AS (SELECT e.src AS v, sum(a0.a) AS s FROM e
+               JOIN a0 ON a0.v = e.dst GROUP BY 1),
+             h1u AS (SELECT n.v, coalesce(hu.s, 0) AS h FROM n
+               LEFT JOIN hu ON hu.v = n.v),
+             hn AS (SELECT sqrt(sum(h*h)) AS s FROM h1u),
+             h1 AS (SELECT v, h/hn.s AS h FROM h1u, hn),
+             au AS (SELECT e.dst AS v, sum(h1.h) AS s FROM e
+               JOIN h1 ON h1.v = e.src GROUP BY 1),
+             a1u AS (SELECT n.v, coalesce(au.s, 0) AS a FROM n
+               LEFT JOIN au ON au.v = n.v),
+             an AS (SELECT sqrt(sum(a*a)) AS s FROM a1u),
+             a1 AS (SELECT v, a/an.s AS a FROM a1u, an)
+             SELECT h1.v AS node, round(h1.h, 9) AS hub,
+               round(a1.a, 9) AS authority
+             FROM h1 JOIN a1 ON a1.v = h1.v ORDER BY node""")),
+
     QueryDef("q_graph_degree",
       (s, d) => graft.pipeline.Graph.degrees(
           lineitem(s, d)

@@ -192,6 +192,59 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the two-sided link score
+    * PageRank's single rank can't express: a HUB points at good
+    * authorities, an AUTHORITY is pointed at by good hubs (directory
+    * pages vs content pages; crawl seed lists vs canonical sources).
+    * Per iteration: h ← A·a then L2-normalize, a ← Aᵀ·h (the UPDATED h)
+    * then L2-normalize; init = uniform unit vectors. PARALLEL EDGES
+    * COUNT (multigraph semantics, as [[pageRank]]) — `.distinct()` the
+    * input for simple graphs. Returns (node, hub, authority); nodes on
+    * one side only score 0 on the other. Two contribution shuffles per
+    * iteration + two one-row norm aggregates broadcast back; hub/auth
+    * frames persist per iteration (two consumers each). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    def normalized(scores: DataFrame, valCol: String): DataFrame = {
+      val norm = scores.agg(sqrt(sum(col(valCol) * col(valCol))).as("__n"))
+      scores.crossJoin(broadcast(norm))
+        .select(col("node"), (col(valCol) / col("__n")).as(valCol))
+    }
+    var auth = nodes.withColumn("auth", lit(1.0) / sqrt(lit(n.toDouble)))
+    var hub = nodes.withColumn("hub", lit(1.0) / sqrt(lit(n.toDouble)))
+    var i = 0
+    while (i < iters) {
+      auth = auth.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hu = e.join(auth, col("__dst") === col("node"))
+        .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__s"))
+      hub = normalized(
+        nodes.join(hu, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__s"), lit(0.0)).as("hub")),
+        "hub")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val au = e.join(hub, col("__src") === col("node"))
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("__s"))
+      auth = normalized(
+        nodes.join(au, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__s"), lit(0.0)).as("auth")),
+        "auth")
+      i += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth").as("authority"))
+  }
+
   /** Bipartite co-occurrence projection: pairs of `dst` nodes sharing at
     * least one `src` neighbor, with the shared-neighbor count — the
     * "parts bought together" / "domains citing the same page" graph that

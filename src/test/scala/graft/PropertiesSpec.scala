@@ -394,4 +394,91 @@ class PropertiesSpec extends SparkSpec {
       got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
     }
   }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: fuzzy join prefix filter is exact on random small-alphabet strings") {
+    import spark.implicits._
+    // tiny alphabet maximizes gram collisions and near-miss pairs — the
+    // regime where a prefix-filter bug would lose recall
+    val strGen: Gen[String] =
+      Gen.chooseNum(0, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.listOfN(25, strGen)
+    for ((strs, caseIdx) <- samples(corpusGen, 3).zipWithIndex;
+         k <- Seq(1, 2)) {
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        d = levRef(sa, sb)
+        if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = graft.pipeline.FuzzyJoin
+        .fuzzyPairs(rows.toDF("id", "s"), "id", "s", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"case $caseIdx k=$k strs=$strs")
+    }
+  }
+
+  test("property: substring spans and rewrite equal the reference on random docs") {
+    import spark.implicits._
+    val L = 8
+    val docGen: Gen[String] =
+      Gen.chooseNum(0, 90).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('x', 'y', ' ')).map(_.mkString))
+    val corpusGen = Gen.listOfN(10, docGen)
+    for ((docs0, caseIdx) <- samples(corpusGen, 3).zipWithIndex) {
+      val docs = docs0.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // reference: windows -> repeated strings -> min owner -> merged spans
+      val wins = for {
+        (id, t) <- docs; if t.length >= L
+        p <- 1 to (t.length - L + 1)
+      } yield (id, p.toLong, t.substring(p - 1, p - 1 + L))
+      val removed = wins.groupBy(_._3).filter(_._2.size >= 2).values
+        .flatMap { occ =>
+          val owner = occ.map(o => (o._1, o._2)).min
+          occ.map(o => (o._1, o._2)).filterNot(_ == owner)
+        }.toSeq
+      val wantSpans = removed.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).distinct.sorted
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          if (acc.nonEmpty && p <= acc.last._2 + 1) {
+            val (s0, e0) = acc.last
+            acc(acc.length - 1) = (s0, math.max(e0, p + L - 1))
+          } else acc += ((p, p + L - 1))
+        }
+        acc.map { case (s0, e0) => (id, s0, e0) }
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = graft.pipeline.SubstringDedup
+        .repeatedSubstringSpans(df, "doc_id", "text", L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotSpans == wantSpans, s"case $caseIdx spans")
+      val wantText = docs.map { case (id, t) =>
+        val cut = wantSpans.filter(_._1 == id).toSeq.sortBy(_._2)
+        val sb = new StringBuilder
+        var prev = 0L
+        cut.foreach { case (_, s0, e0) =>
+          if (s0 - 1 > prev) sb.append(t.substring(prev.toInt, (s0 - 1).toInt))
+          prev = e0
+        }
+        if (prev < t.length) sb.append(t.substring(prev.toInt))
+        id -> sb.toString
+      }.toMap
+      val gotText = graft.pipeline.SubstringDedup
+        .removeRepeatedSubstrings(df, "doc_id", "text", L)
+        .as[(Long, String)].collect().toMap
+      assert(gotText == wantText, s"case $caseIdx rewrite")
+    }
+  }
 }

@@ -122,6 +122,45 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"), "src", "dst", "w"))
   }
 
+  /** driver reference for HITS: h <- A a, normalize; a <- A^T h (updated),
+    * normalize */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var a = nodes.map(_ -> 1.0 / math.sqrt(n)).toMap
+    var h = nodes.map(_ -> 1.0 / math.sqrt(n)).toMap
+    for (_ <- 1 to iters) {
+      val hu = nodes.map(v =>
+        v -> edges.filter(_._1 == v).map(ed => a(ed._2)).sum).toMap
+      val hn = math.sqrt(hu.values.map(x => x * x).sum)
+      h = hu.view.mapValues(_ / hn).toMap
+      val au = nodes.map(v =>
+        v -> edges.filter(_._2 == v).map(ed => h(ed._1)).sum).toMap
+      val an = math.sqrt(au.values.map(x => x * x).sum)
+      a = au.view.mapValues(_ / an).toMap
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits matches the reference; pure hubs/authorities score 0 on the other side") {
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.hits(g.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = refHits(g, iters)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (v, (hb, au)) =>
+        assert(math.abs(hb - want(v)._1) < 1e-12, s"hub $v iters=$iters")
+        assert(math.abs(au - want(v)._2) < 1e-12, s"auth $v iters=$iters")
+      }
+      // node 4 only points (pure hub); node 5 is only pointed at
+      assert(got(4L)._2 === 0.0 && got(5L)._1 === 0.0)
+    }
+    intercept[IllegalArgumentException](
+      Graph.hits(g.toDF("src", "dst"), "src", "dst", iters = 0))
+  }
+
   test("coOccurrence: shared-src pairs counted; parallel edges collapse") {
     // srcs: 1→{2,3}, 2→{3,5}, 3→{1}, 4→{3}; pair (2,3) from src 1,
     // (3,5) from src 2; duplicate edge rows must not double-count
