@@ -5212,6 +5212,32 @@ object Queries {
                SELECT '7_test', count(*)::BIGINT FROM s3 WHERE k < 0.1)
              ORDER BY stage""")),
 
+    // deterministic in-group negative sampling (contrastive pairs): rank
+    // arithmetic + md5 offset draw replayed verbatim; offsets in
+    // [1, n-1] make self-pairs impossible by construction
+    QueryDef("q_negative_pairs",
+      (s, d) => graft.pipeline.Sampling.negativePairs(
+          documents(s, d), "doc_id", Seq("source"), k = 2, seed = 11L)
+        .select(col("source"), col("id"), col("j").cast("long").as("j"),
+          col("neg_id"))
+        .orderBy("source", "id", "j"),
+      Some("""WITH dd AS (SELECT source, doc_id FROM documents
+               WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+             r AS (SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                 AS r,
+               count(*) OVER (PARTITION BY source) AS n FROM dd),
+             e AS (SELECT source, doc_id, r, n, unnest(range(1, 3)) AS j
+               FROM r WHERE n >= 2),
+             p AS (SELECT source, doc_id, j,
+               (r + 1 + (('0x' || substr(md5('11:' || doc_id || ':' || j),
+                 1, 15))::UBIGINT % (n - 1))::BIGINT) % n AS pr
+               FROM e)
+             SELECT p.source, p.doc_id AS id, p.j::BIGINT AS j,
+               r2.doc_id AS neg_id
+             FROM p JOIN r r2 ON r2.source = p.source AND r2.r = p.pr
+             ORDER BY 1, 2, 3""")),
+
     // ---- weighted Bernoulli sampling (quality-weighted downsampling) ------
     // oracle replays the Lehmer hash verbatim (see q_hash_sample) with the
     // keep-probability min(1, rate·weight) clamp

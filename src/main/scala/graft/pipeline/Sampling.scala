@@ -520,6 +520,48 @@ object Sampling {
     * variance. ONE aggregation pass, output bounded by group count;
     * null/negative-weight rows are dropped (a weight of 0 contributes
     * nothing to either sum). */
+  /** Deterministic IN-GROUP negative sampling for contrastive training
+    * data: each row gets `k` pseudo-random partners from its OWN group
+    * (its source/domain/shard — the "in-batch negatives" convention),
+    * never itself, reproducibly. Partner j of a row at in-group rank r
+    * (dense, ordered by id) is the row at rank
+    * `(r + 1 + md5(seed:id:j) mod (n_g - 1)) mod n_g` — the offset lives
+    * in [1, n_g-1], so self-pairing is impossible by construction, and
+    * the draw replays in SQL. Groups of one row emit nothing. Output:
+    * (groupCols..., id, j, neg_id).
+    *
+    * SCALE: two keyed windows (rank + group size) and one join back on
+    * (group, rank) — everything shuffles on the GROUP key only; there is
+    * no global rank and no global sort. Per-group row counts bound the
+    * window partitions exactly as every other keyed-window op here. */
+  def negativePairs(df: DataFrame, idCol: String, groupCols: Seq[String],
+                    k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "negativePairs needs group columns")
+    graft.util.Errors.context("negativePairs", idCol +: groupCols) {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ranked = df.na.drop(idCol +: groupCols)
+      .select(groupCols.map(col) :+ col(idCol).cast("long").as("__id"): _*)
+      .withColumn("__r", row_number().over(w.orderBy(col("__id"))) - lit(1))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2)
+    val js = ranked.select(
+      ranked.columns.map(col) :+ explode(sequence(lit(1), lit(k))).as("j"): _*)
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+        col("__id").cast("string"), lit(":"), col("j").cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    val partner = pmod(
+      col("__r") + lit(1L) + pmod(h, col("__n") - lit(1L)), col("__n"))
+    val picks = js.withColumn("__pr", partner)
+    val lookup = ranked.select(
+      groupCols.map(col) :+ col("__r").as("__pr") :+
+        col("__id").as("neg_id"): _*)
+    picks.join(lookup, groupCols :+ "__pr")
+      .select(groupCols.map(col) :+ col("__id").as("id") :+ col("j") :+
+        col("neg_id"): _*)
+  } }
+
   def effectiveSampleSize(df: DataFrame, weightCol: String,
                           groupCols: String*): DataFrame = {
     graft.util.Errors.context("effectiveSampleSize", weightCol +: groupCols) {

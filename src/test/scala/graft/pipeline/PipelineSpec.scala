@@ -704,6 +704,45 @@ class PipelineSpec extends SparkSpec {
     assert(tricky("the") == 3L)
   }
 
+  test("negativePairs: in-group, never self, k per row, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b"), (20L, "c")).toDF("id", "g")
+    val got = Sampling.negativePairs(df, "id", Seq("g"), k = 2, seed = 5L)
+      .as[(String, Long, Int, Long)].collect()
+    // group c has one row -> nothing; every other row gets exactly k
+    assert(!got.exists(_._2 == 20L))
+    assert(got.groupBy(r => (r._1, r._2)).forall(_._2.map(_._3).sorted
+      .toSeq == Seq(1, 2)))
+    // never self, always same group
+    val groups = Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "a",
+      10L -> "b", 11L -> "b")
+    got.foreach { case (g, id, _, neg) =>
+      assert(neg != id && groups(neg) == g && groups(id) == g)
+    }
+    // two-row groups must pick the only other member
+    assert(got.filter(_._2 == 10L).forall(_._4 == 11L))
+    // deterministic across invocations; seed changes draws somewhere
+    val again = Sampling.negativePairs(df, "id", Seq("g"), 2, 5L)
+      .as[(String, Long, Int, Long)].collect()
+    assert(got.toSet === again.toSet)
+    // replay the draw for one row: group a ordered 1,2,3,4 (rank 0..3)
+    def h(id: Long, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"5:$id:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val expect = (for (j <- 1 to 2) yield {
+      val pr = ((0 + 1 + h(1L, j) % 3) % 4).toInt
+      ("a", 1L, j, ids(pr))
+    }).toSet
+    assert(got.filter(_._2 == 1L).toSet === expect)
+    intercept[IllegalArgumentException](
+      Sampling.negativePairs(df, "id", Seq("g"), 0, 5L))
+  }
+
   test("sampling guards: null ids dropped from splits, bad fractions rejected") {
     import spark.implicits._
     val withNull = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"),
