@@ -118,10 +118,23 @@ object Curate {
     val minw = input.filter(
       TextAnalysis.tokenCount(col(textCol)) >= minWords)
     val deduped = Dedup.exact(minw, idCol, textCol)
-    val afterSub = substrStage(deduped, idCol, textCol, minWords,
+    // the rewrite subtree feeds FIVE stage counts (3b, 4, and the three
+    // splits) — persist it so the window/hash pipeline runs once, not
+    // once per count (measured 7.4 -> ~3 s at sf0.1); released by the
+    // caller's cache clear, same convention as the other report ops
+    val afterSub0 = substrStage(deduped, idCol, textCol, minWords,
       substrMinLen)
-    val clean = Decontaminate.decontaminate(afterSub, idCol, textCol,
+    val afterSub = if (substrMinLen > 0)
+      afterSub0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else afterSub0
+    // decontamination feeds four counts (stage 4 + three splits) — same
+    // treatment on the substring path; the plain path stays untouched
+    // (its stages are cheap projections)
+    val clean0 = Decontaminate.decontaminate(afterSub, idCol, textCol,
       benchmark, textCol, n = 4)
+    val clean = if (substrMinLen > 0)
+      clean0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else clean0
     val split = Sampling.trainTestSplit(clean, idCol, valFraction,
       testFraction, seed)
     def stage(name: String, frame: DataFrame): DataFrame =
