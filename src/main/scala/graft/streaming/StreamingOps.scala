@@ -133,6 +133,46 @@ object StreamingOps {
       }
   }
 
+  final case class ZRow(key: String, ts: Long, tie: Long, value: Double)
+  final case class ZOut(key: String, ts: Long, tie: Long, value: Double,
+                        z: Option[Double], isAnomaly: Boolean)
+
+  /** STREAMING anomaly flags against each key's ENTIRE history: every
+    * event scores z = (x − mean)/stddev of the key's Welford state
+    * BEFORE the event folds in (a burst can't mask itself), then updates
+    * the state — the history-baseline sibling of
+    * [[graft.events.Rolling.rollingZscore]]'s trailing window. z is None
+    * (flag false) until a key has >= 2 prior events with variance; state
+    * is O(1) per key. In-batch rows apply in (ts, tie) order; arrival
+    * order stands in for event time across batches, like
+    * [[streamingLocf]]/[[streamingEwma]]. */
+  def streamingZscore(stream: Dataset[ZRow],
+                      threshold: Double = 3.0): Dataset[ZOut] = {
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[RunningState, ZOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ZRow],
+         state: GroupState[RunningState]) =>
+          var s = state.getOption.getOrElse(RunningState(0L, 0.0, 0.0))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            val sd = if (s.n > 1) math.sqrt(s.m2 / (s.n - 1)) else 0.0
+            val z = if (s.n >= 2 && sd > 0.0) Some((r.value - s.mean) / sd)
+                    else None
+            val n1 = s.n + 1
+            val d = r.value - s.mean
+            val mean = s.mean + d / n1
+            s = RunningState(n1, mean, s.m2 + d * (r.value - mean))
+            ZOut(key, r.ts, r.tie, r.value, z,
+              z.exists(v => math.abs(v) > threshold))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Sliding (overlapping) event-time windows — the streaming mirror of
     * `events.Rolling.rollingAggCoarse`: every event lands in
     * window/slide overlapping buckets, so each emitted row is the count/

@@ -552,6 +552,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingZscore: pre-update baseline, warm-up None, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.ZRow]
+    val sz = StreamingOps.streamingZscore(input.toDS(), threshold = 2.0)
+    val q = sz.writeStream.format("memory")
+      .queryName("szsc").outputMode("update").start()
+    try {
+      input.addData(
+        StreamingOps.ZRow("a", 10L, 1L, 10.0),
+        StreamingOps.ZRow("a", 20L, 2L, 12.0),
+        StreamingOps.ZRow("a", 30L, 3L, 14.0),
+        StreamingOps.ZRow("a", 40L, 4L, 100.0))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT tie, z, isAnomaly FROM szsc").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            r.getBoolean(2)))).toMap
+      assert(b1(1L) === ((None, false)))
+      assert(b1(2L) === ((None, false))) // one prior event: no variance
+      // prior state {10, 12}: mean 11, sd sqrt(2)
+      assert(b1(3L)._1.exists(z =>
+        math.abs(z - (14.0 - 11.0) / math.sqrt(2.0)) < 1e-12))
+      assert(b1(4L)._1.exists(_ > 2.0) && b1(4L)._2)
+      // batch 2: the Welford state carried over (now includes the burst)
+      input.addData(StreamingOps.ZRow("a", 50L, 5L, 12.0))
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT tie, isAnomaly FROM szsc WHERE tie = 5")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(b2(5L) === false) // wide post-burst sd: 12 is ordinary
+    } finally q.stop()
+  }
+
   test("windowedQuantiles: sketch merges across micro-batches, equals batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
