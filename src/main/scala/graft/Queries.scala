@@ -5841,6 +5841,68 @@ object Queries {
                sum(n_events)::BIGINT AS n_events
              FROM per GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- events: ordered-step funnel (first-touch, windowed) --------------
+    // greedy earliest-after-previous matching anchored at the first step-0
+    // event == the oracle's chained min-joins (see Funnel scaladoc); the
+    // Spark side is ONE user-keyed shuffle instead of K joins
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        graft.events.Funnel.report(ev, "user_id", "event_type", "tsu",
+            Seq("view", "click", "purchase"), window = 604800000000L)
+          .select(col("step"), col("step_name"), col("n_users"),
+            round(col("conversion"), 6).as("conversion"))
+          .orderBy("step")
+      },
+      Some("""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL GROUP BY 1),
+             s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+               FROM events e JOIN s0 ON e.user_id = s0.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+                 AND epoch_us(e.ts) - s0.t0 <= 604800000000 GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               JOIN s0 ON e.user_id = s0.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+                 AND epoch_us(e.ts) - s0.t0 <= 604800000000 GROUP BY 1),
+             c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                   (SELECT count(*) FROM s1) AS c1,
+                   (SELECT count(*) FROM s2) AS c2)
+             SELECT 0 AS step, 'view' AS step_name, c0::BIGINT AS n_users,
+               round(c0::DOUBLE / c0, 6) AS conversion FROM c
+             UNION ALL SELECT 1, 'click', c1::BIGINT,
+               round(c1::DOUBLE / c0, 6) FROM c
+             UNION ALL SELECT 2, 'purchase', c2::BIGINT,
+               round(c2::DOUBLE / c0, 6) FROM c
+             ORDER BY step""")),
+
+    // ---- events: cohort retention matrix ----------------------------------
+    // week cohorts by first event; integral div on both sides (epoch micros
+    // are non-negative, so trunc == floor == DuckDB's //)
+    QueryDef("q_retention",
+      (s, d) => {
+        val ev = events(s, d).withColumn("tsu", unix_micros(col("ts")))
+        graft.events.Retention.cohorts(ev, "user_id", "tsu", 604800000000L)
+          .select(col("cohort"), col("offset"), col("n_active"),
+            col("cohort_size"), round(col("retention"), 6).as("retention"))
+          .orderBy("cohort", "offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1),
+             a AS (SELECT DISTINCT user_id, p FROM ev),
+             j AS (SELECT f.cohort, a.p - f.cohort AS "offset",
+                   count(*)::BIGINT AS n_active
+               FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2)
+             SELECT cohort, "offset", n_active,
+               max(CASE WHEN "offset" = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort) AS cohort_size,
+               round(n_active::DOUBLE /
+                 max(CASE WHEN "offset" = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort), 6) AS retention
+             FROM j ORDER BY cohort, "offset"""")),
+
     // ---- Spearman correlation (rank-transform + Pearson) -------------------
     QueryDef("q_corr_spearman",
       (s, d) => Stats.corrSpearman(lineitem(s, d),
