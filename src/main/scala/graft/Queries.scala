@@ -3439,6 +3439,41 @@ object Queries {
                round(a1.a, 9) AS authority
              FROM h1 JOIN a1 ON a1.v = h1.v ORDER BY node""")),
 
+    // ---- label propagation (deterministic synchronous LPA) ----------------
+    // labels init to node ids; each iteration every node adopts its
+    // neighbors' most frequent label, ties to the smallest — the oracle
+    // replays the three synchronous rounds CTE-for-CTE
+    QueryDef("q_label_prop",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.pipeline.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT l_suppkey AS a,
+               l_partkey + 1000000 AS b FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+             sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+             l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+             c1 AS (SELECT s.a AS node, l.label, count(*) AS c FROM sym s
+               JOIN l0 l ON s.b = l.node GROUP BY 1, 2),
+             l1 AS (SELECT node, label FROM (SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+             c2 AS (SELECT s.a AS node, l.label, count(*) AS c FROM sym s
+               JOIN l1 l ON s.b = l.node GROUP BY 1, 2),
+             l2 AS (SELECT node, label FROM (SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+             c3 AS (SELECT s.a AS node, l.label, count(*) AS c FROM sym s
+               JOIN l2 l ON s.b = l.node GROUP BY 1, 2),
+             l3 AS (SELECT node, label FROM (SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
+             SELECT node, label FROM l3 ORDER BY node""")),
+
     QueryDef("q_graph_degree",
       (s, d) => graft.pipeline.Graph.degrees(
           lineitem(s, d)
@@ -3537,6 +3572,68 @@ object Queries {
              FROM customer GROUP BY 1, 2, 3
              HAVING count(DISTINCT c_custkey % 7) < 4
              ORDER BY 1, 2, 3""")),
+
+    // ---- t-closeness (categorical variational distance) -------------------
+    // absent-value terms folded algebraically (0.5*(1 + Σ(|p−q|−q)) over
+    // the group's PRESENT values) — the oracle computes the naive full-sum
+    // form over the value universe, pinning the fold's equivalence
+    QueryDef("q_t_closeness",
+      (s, d) => graft.pipeline.Privacy.tCloseness(
+          s.read.parquet(s"$d/orders.parquet"),
+          Seq("o_orderpriority"), "o_orderstatus")
+        .select(col("o_orderpriority"), col("n"),
+          round(col("emd"), 6).as("emd"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH nn AS (SELECT o_orderpriority, o_orderstatus FROM orders
+               WHERE o_orderstatus IS NOT NULL),
+             q AS (SELECT o_orderstatus AS v,
+               count(*)::DOUBLE / (SELECT count(*) FROM nn) AS qv
+               FROM nn GROUP BY 1),
+             gs AS (SELECT o_orderpriority, count(*)::BIGINT AS gn
+               FROM nn GROUP BY 1),
+             cell AS (SELECT o_orderpriority, o_orderstatus AS v,
+               count(*) AS cn FROM nn GROUP BY 1, 2),
+             grid AS (SELECT gs.o_orderpriority, gs.gn, q.v, q.qv,
+               coalesce(cell.cn, 0)::DOUBLE / gs.gn AS pv
+               FROM gs CROSS JOIN q
+               LEFT JOIN cell ON cell.o_orderpriority = gs.o_orderpriority
+                 AND cell.v = q.v)
+             SELECT o_orderpriority, max(gn) AS n,
+               round(0.5 * sum(abs(pv - qv)), 6) AS emd
+             FROM grid GROUP BY 1 ORDER BY 1""")),
+
+    // ---- t-closeness (ordered EMD over the banded value universe) ---------
+    QueryDef("q_t_closeness_ord",
+      (s, d) => graft.pipeline.Privacy.tClosenessOrdered(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("acct_band",
+              floor(col("c_acctbal") / lit(2000.0))),
+          Seq("c_mktsegment"), "acct_band")
+        .select(col("c_mktsegment"), col("n"),
+          round(col("emd"), 6).as("emd"))
+        .orderBy("c_mktsegment"),
+      Some("""WITH nn AS (SELECT c_mktsegment,
+               floor(c_acctbal/2000)::DOUBLE AS v FROM customer
+               WHERE c_acctbal IS NOT NULL),
+             u AS (SELECT v, count(*)::DOUBLE AS gn FROM nn GROUP BY 1),
+             q AS (SELECT v, gn / (SELECT sum(gn) FROM u) AS qv FROM u),
+             m AS (SELECT count(*)::DOUBLE AS m FROM u),
+             gs AS (SELECT c_mktsegment, count(*)::BIGINT AS gsz
+               FROM nn GROUP BY 1),
+             cell AS (SELECT c_mktsegment, v, count(*) AS cn
+               FROM nn GROUP BY 1, 2),
+             grid AS (SELECT gs.c_mktsegment, gs.gsz, q.v, q.qv,
+               coalesce(cell.cn, 0)::DOUBLE / gs.gsz AS pv
+               FROM gs CROSS JOIN q
+               LEFT JOIN cell ON cell.c_mktsegment = gs.c_mktsegment
+                 AND cell.v = q.v),
+             cum AS (SELECT c_mktsegment, gsz,
+               sum(pv - qv) OVER (PARTITION BY c_mktsegment
+                 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cd
+               FROM grid)
+             SELECT c_mktsegment, max(gsz) AS n,
+               round(sum(abs(cd)) / (max(m.m) - 1), 6) AS emd
+             FROM cum, m GROUP BY 1 ORDER BY 1""")),
 
     // seeded-Laplace DP release counts: the md5 draw and the inverse CDF
     // replay bit-for-bit in DuckDB (ln last-ulp differences absorbed by
@@ -4651,6 +4748,34 @@ object Queries {
                     ELSE 'changed' END AS status
                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
              GROUP BY status ORDER BY status""")),
+
+    // ---- SCD2 validity intervals from a versioned change log --------------
+    // key = customer, version = orderkey, tracked = order status: runs of
+    // unchanged status collapse to one interval; exact struct<=>lag change
+    // detection, no fingerprints — the oracle replays lag/run-sum/lead
+    QueryDef("q_scd2",
+      (s, d) => graft.pipeline.Snapshot.scd2(
+          orders(s, d).select("o_custkey", "o_orderkey", "o_orderstatus"),
+          "o_custkey", "o_orderkey", Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("valid_from"),
+          col("valid_to"), col("n_versions"), col("is_current"))
+        .orderBy("o_custkey", "valid_from"),
+      Some("""WITH o AS (SELECT o_custkey AS k, o_orderkey AS ver,
+               o_orderstatus AS v FROM orders
+               WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+             g AS (SELECT k, ver, v,
+               CASE WHEN lag(v) OVER w IS NULL
+                 OR v IS DISTINCT FROM lag(v) OVER w THEN 1 ELSE 0 END AS chg
+               FROM o WINDOW w AS (PARTITION BY k ORDER BY ver)),
+             s AS (SELECT k, ver, v, sum(chg) OVER (PARTITION BY k
+               ORDER BY ver ROWS UNBOUNDED PRECEDING) AS seg FROM g),
+             c AS (SELECT k, seg, v, min(ver) AS valid_from,
+               count(*)::BIGINT AS n_versions FROM s GROUP BY 1, 2, 3)
+             SELECT k AS o_custkey, v AS o_orderstatus, valid_from,
+               lead(valid_from) OVER w2 AS valid_to, n_versions,
+               (lead(valid_from) OVER w2 IS NULL) AS is_current
+             FROM c WINDOW w2 AS (PARTITION BY k ORDER BY valid_from)
+             ORDER BY o_custkey, valid_from""")),
 
     // ---- int8 embedding quantization --------------------------------------
     // per-dim (lo, hi) via one treeAggregate fold (2*dim doubles to the

@@ -291,6 +291,60 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * DETERMINISTIC — the community-detection pass that groups a link
+    * graph into densely-connected clusters (mirror/site families for
+    * curation) without a cluster-count parameter.
+    *
+    * Semantics: labels initialize to the node id; each iteration EVERY
+    * node simultaneously adopts the most frequent label among its
+    * neighbors (undirected view — each input edge counts in both
+    * directions; PARALLEL EDGES COUNT as extra weight, `.distinct()` the
+    * input for simple-graph semantics; a self-loop makes a node its own
+    * neighbor). Ties break toward the SMALLEST label. Synchronous update
+    * + deterministic tie-break make the result a pure function of the
+    * graph — a SQL oracle replays it iteration-for-iteration (the
+    * classic random-order asynchronous variant is irreproducible by
+    * design). The known cost: synchronous LPA can oscillate on bipartite
+    * structure instead of converging — pick `iters` as a fixed budget,
+    * not a convergence expectation.
+    *
+    * Scale shape: the symmetrized edge list is persisted once; each
+    * iteration is one join of labels onto it (node-keyed), one
+    * (node, label) count aggregate (map-side combinable), and one argmax
+    * aggregate — all keyed, no windows over the full graph. Labels
+    * persist per iteration (single consumer, but the persist cuts the
+    * replayed lineage the same way [[pageRank]]'s does). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+    val sym = e.unionAll(e.select(col("__b").as("__a"), col("__a").as("__b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every node appears as __a in the symmetrized list, so this is the
+    // full node set and every node has >= 1 neighbor row
+    val nodes = sym.select(col("__a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var i = 0
+    while (i < iters) {
+      labels = labels.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = sym.join(labels, col("__b") === col("node"))
+        .groupBy(col("__a").as("node2"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc): max_by over (count, -label) —
+      // the ordering struct is unique per label, so the pick is total
+      labels = counts
+        .groupBy(col("node2").as("node"))
+        .agg(max_by(col("label"),
+          struct(col("__c"), (-col("label")).as("__t"))).as("label"))
+      i += 1
+    }
+    labels
+  }
+
   /** In/out degree per node — the quick structural profile (hub/authority
     * candidates, isolated-node counts) run before committing to an
     * iterative pass. One aggregate per direction, full-outer joined on

@@ -65,6 +65,108 @@ object Privacy {
       .filter(col("distinct_sensitive") < l)
   }
 
+  /** Per-quasi-group t-closeness distance for a CATEGORICAL sensitive
+    * column (Li et al. 2007, the l-diversity follow-up): the distance
+    * between the group's sensitive-value distribution P and the whole
+    * table's distribution Q. For categorical values under the uniform
+    * ground distance this is the variational distance
+    * 0.5·Σ|p_v − q_v|; a release is t-close when every group's distance
+    * is ≤ t. Null sensitive values are excluded from BOTH distributions.
+    *
+    * Scale shape — the absent-value terms are folded algebraically
+    * instead of materialized: Σ over ALL values of |p−q| =
+    * 1 + Σ_{v∈group}(|p_v − q_v| − q_v), so the plan is one
+    * (quasi, value) aggregate joined to the BROADCAST global value
+    * distribution (distinct sensitive values — small by the nature of a
+    * categorical column), then one group aggregate. No group × universe
+    * grid, no window. Returns the quasi columns + `n` (group size among
+    * non-null-sensitive rows) + `emd`. */
+  def tCloseness(df: DataFrame, quasi: Seq[String],
+                 sensitive: String): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(!quasi.contains(sensitive),
+      s"sensitive column $sensitive cannot also be a quasi-identifier")
+    val nn = df.filter(col(sensitive).isNotNull)
+    val global = nn.groupBy(col(sensitive).as("__v"))
+      .agg(count(lit(1)).as("__gn"))
+    val globalQ = global.crossJoin(
+        broadcast(global.agg(sum("__gn").cast("double").as("__N"))))
+      .select(col("__v"), (col("__gn") / col("__N")).as("__q"))
+    val cell = nn.groupBy(quasi.map(col) :+ col(sensitive).as("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi.map(col): _*)
+    cell.join(broadcast(globalQ), "__v")
+      .withColumn("__gsz", sum("__n").over(w))
+      .groupBy(quasi.map(col): _*)
+      .agg(max("__gsz").as("n"),
+        (lit(0.5) * (lit(1.0) +
+          sum(abs(col("__n") / col("__gsz") - col("__q")) - col("__q"))))
+          .as("emd"))
+  }
+
+  /** [[tCloseness]] groups whose distance exceeds `t`. */
+  def tClosenessViolations(df: DataFrame, quasi: Seq[String],
+                           sensitive: String, t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1), got $t")
+    tCloseness(df, quasi, sensitive).filter(col("emd") > t)
+  }
+
+  /** t-closeness distance for an ORDERED (numeric) sensitive column:
+    * the normalized Earth Mover's Distance under the ordered ground
+    * distance, EMD = (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)| over the m
+    * distinct observed values of the WHOLE table in order (Li et al.
+    * 2007 eq. 5). Groups missing a universe value still accumulate its
+    * cumulative term, so the plan builds the group × universe grid:
+    * distinct quasi groups CROSS JOIN the broadcast value universe, left
+    * join the per-cell counts, one windowed cumulative sum per group.
+    * The grid is |groups| × m rows — bound m by banding the sensitive
+    * column first (the same pre-banding k-anonymity releases use);
+    * `maxUniverse` refuses a universe that would explode the grid.
+    * Returns quasi columns + `n` + `emd`; requires ≥ 2 distinct values
+    * (EMD is undefined on a constant column). */
+  def tClosenessOrdered(df: DataFrame, quasi: Seq[String],
+                        sensitive: String,
+                        maxUniverse: Int = 10000): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(!quasi.contains(sensitive),
+      s"sensitive column $sensitive cannot also be a quasi-identifier")
+    val nn = df.filter(col(sensitive).isNotNull)
+    val global = nn.groupBy(col(sensitive).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__gn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = global.count()
+    require(m >= 2, s"ordered t-closeness needs >= 2 distinct values, got $m")
+    require(m <= maxUniverse,
+      s"sensitive universe has $m distinct values (> maxUniverse=" +
+        s"$maxUniverse); band the column first — the grid is groups x m")
+    val globalQ = global.crossJoin(
+        broadcast(global.agg(sum("__gn").cast("double").as("__N"))))
+      .select(col("__v"), (col("__gn") / col("__N")).as("__q"))
+    val cell = nn.groupBy(quasi.map(col) :+
+        col(sensitive).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val groups = cell.groupBy(quasi.map(col): _*)
+      .agg(sum("__n").as("__gsz"))
+    // null-safe quasi equality: null quasi values form their own group
+    // (matching the groupBy semantics above); a plain equi-join would
+    // silently zero those groups' cells
+    val cellR = cell.select(quasi.map(c => col(c).as(s"__k_$c")) ++
+      Seq(col("__v").as("__cv"), col("__n")): _*)
+    val joinCond = quasi.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _) && col("__v") === col("__cv")
+    val grid = groups.crossJoin(broadcast(globalQ))
+      .join(cellR, joinCond, "left")
+      .withColumn("__p", coalesce(col("__n"), lit(0L)) / col("__gsz"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi.map(col): _*).orderBy("__v")
+    grid
+      .withColumn("__cum", sum(col("__p") - col("__q")).over(wOrd))
+      .groupBy(quasi.map(col): _*)
+      .agg(max("__gsz").as("n"),
+        (sum(abs(col("__cum"))) / lit((m - 1).toDouble)).as("emd"))
+  }
+
   /** ε-differentially-private group counts by the Laplace mechanism:
     * count + Laplace(1/ε) noise per group (sensitivity 1 — one row moves
     * one count by one). The noise is derived DETERMINISTICALLY from

@@ -49,6 +49,58 @@ object Snapshot {
     diff(old, neu, idCol, textCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
 
+  /** Slowly-changing-dimension TYPE-2 history from a versioned record
+    * stream: given rows (key, version, tracked columns), collapse runs
+    * of consecutive versions with unchanged tracked values and emit one
+    * validity interval per run — (key, tracked…, valid_from, valid_to,
+    * n_versions, is_current), where `valid_from` is the run's first
+    * version, `valid_to` the NEXT run's first version (null on the
+    * current run — the standard half-open SCD2 interval), and
+    * `n_versions` the collapsed run length. The warehouse op that turns
+    * an append-only change log (or a stack of snapshots tagged with
+    * their snapshot id) into queryable history.
+    *
+    * Change detection compares the tracked tuple itself null-safely
+    * (struct <=> lag(struct)) — exact, no fingerprint collisions; a
+    * tracked value changing A→B→A yields three intervals, as SCD2
+    * requires. CONTRACT: (key, version) pairs are unique — duplicate
+    * versions within a key make the lag order, and therefore the run
+    * boundaries, nondeterministic. Rows with null key or version are
+    * dropped.
+    *
+    * Scale shape: two windows and one aggregate, ALL keyed on the
+    * record key (one shuffle; the second window and the agg reuse the
+    * first's partitioning) — nothing global, interval count bounded by
+    * the version count. */
+  def scd2(df: DataFrame, keyCol: String, versionCol: String,
+           tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "no tracked columns")
+    require(!tracked.contains(keyCol) && !tracked.contains(versionCol),
+      "tracked columns must not include the key or version column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(versionCol)
+    val t = struct(tracked.map(col): _*)
+    val seg = df.na.drop(Seq(keyCol, versionCol))
+      .withColumn("__t", t)
+      .withColumn("__chg",
+        when(lag("__t", 1).over(w).isNull ||
+          !(col("__t") <=> lag("__t", 1).over(w)), 1).otherwise(0))
+      .withColumn("__seg", sum("__chg").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val runs = seg
+      .groupBy(col(keyCol) +: col("__seg") +: tracked.map(col): _*)
+      .agg(min(col(versionCol)).as("valid_from"),
+        count(lit(1)).as("n_versions"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("valid_from")
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__seg")
+  }
+
   /** Schema drift between two frames — the row-content companion above
     * answers "which documents changed"; this answers "did the UPSTREAM
     * change shape" (a crawler adding a field, a type widening, a column

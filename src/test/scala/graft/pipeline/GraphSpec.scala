@@ -182,6 +182,46 @@ class GraphSpec extends SparkSpec {
     assert(full.find(r => r._1 == 1L && r._2 == 2L).get._3 === 2L)
   }
 
+  /** driver reference: synchronous LPA, undirected, parallel edges
+    * weighted, ties to the smallest label */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges ++ edges.map(_.swap)
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = nbrs.keySet
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = nodes.map { v =>
+        val counts = nbrs(v).groupBy(lab).view.mapValues(_.size).toMap
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation matches the synchronous reference") {
+    // two triangles joined by a bridge, plus a pendant
+    val g2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L))
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(g2.toDF("src", "dst"), "src", "dst",
+        iters).as[(Long, Long)].collect().toMap
+      assert(got === lpaRef(g2, iters), s"iters=$iters")
+    }
+  }
+
+  test("labelPropagation: parallel edges weight the vote; ties go small") {
+    // node 3 sees label 1 once and label 2 twice (parallel edge) → 2 wins;
+    // node 4 sees labels {1, 2} once each → tie → 1
+    val g2 = Seq((3L, 1L), (3L, 2L), (3L, 2L), (4L, 1L), (4L, 2L))
+    val got = Graph.labelPropagation(g2.toDF("src", "dst"), "src", "dst",
+      iters = 1).as[(Long, Long)].collect().toMap
+    assert(got(3L) === 2L && got(4L) === 1L)
+    assert(got === lpaRef(g2, 1))
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(g2.toDF("src", "dst"), "src", "dst", iters = 0))
+  }
+
   test("validates iters/damping; empty graph refused") {
     val df = g.toDF("src", "dst")
     intercept[IllegalArgumentException](

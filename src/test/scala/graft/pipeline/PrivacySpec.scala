@@ -91,6 +91,58 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpCounts(df, Seq("g"), 0.0, 1L))
   }
 
+  test("tCloseness: variational distance with absent values folded") {
+    // global dist over sex (non-null): M 4/6, F 2/6
+    // NY: M 3/5, F 2/5 → 0.5*(|3/5−4/6| + |2/5−2/6|) = 0.5*(1/15+1/15)
+    // LA: M only → 0.5*(|1−4/6| + 2/6) = 1/3 (absent F contributes q)
+    val df = people.toDF("id", "city", "sex", "bal")
+    val got = Privacy.tCloseness(df, Seq("city"), "sex")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set("NY", "LA")) // SF rows have null sensitive
+    assert(got("NY")._1 === 5L && math.abs(got("NY")._2 - 1.0 / 15) < 1e-12)
+    assert(got("LA")._1 === 1L && math.abs(got("LA")._2 - 1.0 / 3) < 1e-12)
+    val viol = Privacy.tClosenessViolations(df, Seq("city"), "sex", t = 0.2)
+      .as[(String, Long, Double)].collect()
+    assert(viol.map(_._1).toSeq === Seq("LA"))
+  }
+
+  test("tClosenessOrdered: EMD matches the hand cumulative computation") {
+    // values: 1 (×2), 2 (×1), 3 (×1) globally → q = (.5, .25, .25), m=3
+    // group A holds both 1s: p=(1,0,0); cum diffs: .5, .25, 0 → EMD=.375
+    // group B holds one 2, one 3: p=(0,.5,.5); cums: −.5, −.25, 0 → .375
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "v")
+    val got = Privacy.tClosenessOrdered(df, Seq("g"), "v")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(got("A") - 0.375) < 1e-12)
+    assert(math.abs(got("B") - 0.375) < 1e-12)
+    // null quasi values form their own group (null-safe grid join)
+    val withNull = Seq((Some("A"), 1.0), (None, 1.0), (None, 3.0))
+      .toDF("g", "v")
+    val gn = Privacy.tClosenessOrdered(withNull, Seq("g"), "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    // null group p=(.5,.5) vs q=(2/3,1/3): cums −1/6 then 0; m−1=1 → 1/6
+    assert(math.abs(gn(None) - 1.0 / 6) < 1e-12)
+  }
+
+  test("tCloseness parameter validation") {
+    val df = people.toDF("id", "city", "sex", "bal")
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(df, Seq.empty, "sex"))
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(df, Seq("sex"), "sex"))
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessViolations(df, Seq("city"), "sex", t = 1.0))
+    // constant sensitive column refused on the ordered path
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessOrdered(
+        Seq(("A", 1.0), ("B", 1.0)).toDF("g", "v"), Seq("g"), "v"))
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessOrdered(df, Seq("city"), "bal", maxUniverse = 2))
+  }
+
   test("parameter validation") {
     val df = people.toDF("id", "city", "sex", "bal")
     intercept[IllegalArgumentException](

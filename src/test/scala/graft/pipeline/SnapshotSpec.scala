@@ -63,4 +63,32 @@ class SnapshotSpec extends SparkSpec {
     assert(same.filter(col("status") =!= "unchanged").count() == 0)
     assert(same.count() == 3)
   }
+
+  test("scd2 collapses runs and emits half-open intervals") {
+    import spark.implicits._
+    // key 1: A,A,B,A -> three intervals (A x2, B, A); key 2: constant C
+    val df = Seq(
+        (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"),
+        (2L, 5L, "C"), (2L, 6L, "C"),
+        (3L, 1L, null)) // null tracked value is a real state
+      .toDF("k", "ver", "v")
+    val got = Snapshot.scd2(df, "k", "ver", Seq("v"))
+      .select("k", "v", "valid_from", "valid_to", "n_versions", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, 30L, 2L, false), (1L, "B", 30L, 40L, 1L, false),
+      (1L, "A", 40L, -1L, 1L, true),
+      (2L, "C", 5L, -1L, 2L, true),
+      (3L, null, 1L, -1L, 1L, true)))
+    // null -> value is a change (null-safe compare), not an unchanged run
+    val nulls = Seq((1L, 1L, null), (1L, 2L, "X"))
+      .toDF("k", "ver", "v")
+    assert(Snapshot.scd2(nulls, "k", "ver", Seq("v")).count() == 2)
+    intercept[IllegalArgumentException](
+      Snapshot.scd2(df, "k", "ver", Seq.empty))
+    intercept[IllegalArgumentException](
+      Snapshot.scd2(df, "k", "ver", Seq("ver")))
+  }
 }
