@@ -5966,6 +5966,28 @@ object Queries {
                sum(n_events)::BIGINT AS n_events
              FROM per GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- events: first-order Markov transition matrix ---------------------
+    // lead over (user, ts, event_id) — the tie column makes the pairing a
+    // total order, so counts replay exactly
+    QueryDef("q_transitions",
+      (s, d) => graft.events.Transitions.transitionMatrix(
+          events(s, d), "user_id", "event_type", "ts", "event_id")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("p"), 6).as("p"))
+        .orderBy("from_type", "to_type"),
+      Some("""WITH p AS (SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL AND ts IS NOT NULL),
+             c AS (SELECT f AS from_type, t AS to_type,
+               count(*)::BIGINT AS n FROM p WHERE t IS NOT NULL
+               GROUP BY 1, 2)
+             SELECT from_type, to_type, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+                 AS p
+             FROM c ORDER BY from_type, to_type""")),
+
     // ---- events: ordered-step funnel (first-touch, windowed) --------------
     // greedy earliest-after-previous matching anchored at the first step-0
     // event == the oracle's chained min-joins (see Funnel scaladoc); the
@@ -6027,6 +6049,66 @@ object Queries {
                  max(CASE WHEN "offset" = 0 THEN n_active END)
                  OVER (PARTITION BY cohort), 6) AS retention
              FROM j ORDER BY cohort, "offset"""")),
+
+    // ---- per-group OLS fit (slope / intercept / r²) -----------------------
+    // one hash aggregate of six sums; the oracle replays the raw-sums
+    // identity term-for-term (regr_slope would accumulate differently)
+    QueryDef("q_linear_fit",
+      (s, d) => Stats.linearFit(lineitem(s, d), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("l_returnflag"),
+      Some("""WITH g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(l_quantity::DOUBLE) AS sx,
+               sum(l_extendedprice::DOUBLE) AS sy,
+               sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+               sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+               sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+               GROUP BY 1)
+             SELECT l_returnflag, n,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+               round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+                 AS intercept,
+               round((n*sxy - sx*sy)*(n*sxy - sx*sy) /
+                 ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+             FROM g ORDER BY l_returnflag""")),
+
+    // ---- Benford first-digit profile --------------------------------------
+    // leading digit via the canonical decimal string (strip sign, point,
+    // zeros) — exact in both engines; the double column is cast to
+    // DECIMAL(12,2) first (no double is an exact .xx5 tie, so both
+    // engines round identically)
+    QueryDef("q_benford",
+      (s, d) => Stats.benford(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("bal",
+              col("c_acctbal").cast(
+                org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2))),
+          "bal")
+        .select(col("digit"), col("n"),
+          round(col("observed_p"), 6).as("observed_p"),
+          round(col("expected_p"), 6).as("expected_p"),
+          round(col("chi2_term"), 6).as("chi2_term"))
+        .orderBy("digit"),
+      Some("""WITH v AS (SELECT substr(regexp_replace(
+                 c_acctbal::DECIMAL(12,2)::VARCHAR, '[^1-9]', '', 'g'),
+                 1, 1)::INT AS digit
+               FROM customer
+               WHERE c_acctbal IS NOT NULL AND c_acctbal != 0),
+             c AS (SELECT digit, count(*)::BIGINT AS n FROM v GROUP BY 1),
+             t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+             SELECT digit, n,
+               round(n / total, 6) AS observed_p,
+               round(log10(1 + 1.0/digit), 6) AS expected_p,
+               round(total * (n/total - log10(1 + 1.0/digit)) *
+                 (n/total - log10(1 + 1.0/digit)) /
+                 log10(1 + 1.0/digit), 6) AS chi2_term
+             FROM c, t ORDER BY digit""")),
 
     // ---- Spearman correlation (rank-transform + Pearson) -------------------
     QueryDef("q_corr_spearman",

@@ -386,6 +386,87 @@ object Stats {
     clean.agg(pairs.head, pairs.tail: _*)
   }
 
+  /** Per-group ordinary-least-squares fit y = slope·x + intercept with
+    * r² — the trend profile ("is this source's quality drifting over
+    * time", "does size predict price in this segment") as ONE hash
+    * aggregate of six sums per group, map-side combinable, no window and
+    * no second pass. Slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); a group
+    * with zero x-variance (or fewer than 2 pairs) yields null slope /
+    * intercept / r²; a zero-y-variance group yields r² = null (0/0).
+    * Rows with null x or y are dropped pairwise. The raw-sums identity
+    * is chosen over centered two-pass accumulation deliberately: it
+    * keeps the fit to one scan, and an oracle replays the identical
+    * expression tree term-for-term — callers fitting astronomically
+    * scaled x (epoch micros) should center x first, the standard
+    * conditioning fix. Groupless fits pass `groupCols = Seq.empty`. */
+  def linearFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val clean = df.filter(x.isNotNull && y.isNotNull)
+    val grouped =
+      if (groupCols.isEmpty) clean.groupBy()
+      else clean.groupBy(groupCols.map(col): _*)
+    val agged = grouped.agg(count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val n = col("n").cast("double")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    val covXY = n * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(col("n") >= 2 && varX =!= 0d, covXY / varX)
+    agged
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("__sy") - slope * col("__sx")) / n)
+      .withColumn("r2",
+        when(col("n") >= 2 && varX =!= 0d && varY =!= 0d,
+          (covXY * covXY) / (varX * varY)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** Benford first-significant-digit profile for an EXACTLY-REPRESENTED
+    * numeric column (integral or decimal — doubles are refused: their
+    * decimal rendering is engine-specific, while a decimal's scaled
+    * integer digits replay identically anywhere). Rows with null or
+    * zero value are excluded; sign is ignored. Returns one row per
+    * observed leading digit: (digit, n, observed_p,
+    * expected_p = log10(1 + 1/d), chi2_term = n_total·(o−e)²/e) — sum
+    * chi2_term and compare to χ²₈ for the classic fraud/quality test.
+    * One hash aggregate + a broadcast scalar total; the digit extraction
+    * is a pure string projection of the exact integer form. */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    df.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.DecimalType |
+           _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"benford needs an integral or decimal column, got $column: $t")
+    }
+    // leading significant digit via the CANONICAL decimal string (both
+    // engines render integral/decimal types as plain digits with
+    // optional sign and point): strip every non-1-9 char — sign, point,
+    // zeros — and take the first remaining digit. No arithmetic, so no
+    // float contamination to reason about.
+    val digit = substring(
+      regexp_replace(col(column).cast("string"), "[^1-9]", ""), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(column).isNotNull && col(column) =!= 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("double").as("__N"))
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed_p", col("n") / col("__N"))
+      .withColumn("expected_p", expected)
+      .withColumn("chi2_term", col("__N") *
+        (col("observed_p") - col("expected_p")) *
+        (col("observed_p") - col("expected_p")) / col("expected_p"))
+      .drop("__N")
+  }
+
   /** Higher central moments — population skewness (m3/m2^1.5) and
     * population EXCESS kurtosis (m4/m2² − 3) — for every column in one
     * long-format frame (column, n, mean, variance, skewness, kurtosis),

@@ -374,4 +374,49 @@ class StatsSpec extends SparkSpec {
     assert(sub.getString(0) == "s")
     assert(math.abs(sub.getLong(3) - 2L) <= math.max(1, (2 * 4 * 0.05).toLong))
   }
+
+  test("linearFit recovers a known line and flags degenerate groups") {
+    import spark.implicits._
+    // group a: exact line y = 2x + 1; group b: noisy; group c: constant x
+    val df = (Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0)) ++
+        Seq(("b", 1.0, 1.0), ("b", 2.0, 3.0), ("b", 3.0, 2.0),
+          ("b", 4.0, 5.0)) ++
+        Seq(("c", 2.0, 1.0), ("c", 2.0, 9.0)) ++
+        Seq(("d", 1.0, 4.0))) // single point
+      .toDF("g", "x", "y")
+    val got = graft.agg.Stats.linearFit(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(math.abs(a.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(a.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)
+    // group b vs the closed-form least squares on the same points
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ys = Seq(1.0, 3.0, 2.0, 5.0)
+    val n = 4.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(got("b").getDouble(2) - slope) < 1e-12)
+    // zero x-variance and n=1 yield null fit columns
+    assert(got("c").isNullAt(2) && got("c").isNullAt(4))
+    assert(got("d").isNullAt(2))
+    // groupless call returns one row
+    assert(graft.agg.Stats.linearFit(df, Seq.empty, "x", "y").count() == 1)
+  }
+
+  test("benford extracts leading significant digits exactly") {
+    import spark.implicits._
+    val df = Seq("123.45", "0.0042", "-950.00", "1.00", "0.00", null)
+      .toDF("s")
+      .select(col("s").cast("decimal(12,4)").as("v"))
+    val got = graft.agg.Stats.benford(df, "v")
+      .select("digit", "n").as[(Int, Long)].collect().toMap
+    // 123.45→1, 0.0042→4, -950→9, 1.00→1; zero and null excluded
+    assert(got == Map(1 -> 2L, 4 -> 1L, 9 -> 1L))
+    val row = graft.agg.Stats.benford(df, "v")
+      .filter(col("digit") === 1).head()
+    assert(math.abs(row.getDouble(2) - 0.5) < 1e-12)          // observed
+    assert(math.abs(row.getDouble(3) - math.log10(2.0)) < 1e-12) // expected
+    intercept[IllegalArgumentException](
+      graft.agg.Stats.benford(Seq(1.5).toDF("v"), "v")) // double refused
+  }
 }
