@@ -6927,6 +6927,234 @@ object Queries {
                  (1 / n1 + 1 / n2)), 6) AS z_stat
              FROM pairs ORDER BY 1, 2""")),
 
+    // ---- chi-square independence + Cramér's V -----------------------------
+    // the zero-cell-free identity chi2 = N·(Σ o²/(row·col) − 1): both
+    // engines replay it term-for-term over the observed cells only
+    QueryDef("q_chi2",
+      (s, d) => graft.stat.InferenceTests.chiSquare(
+          lineitem(s, d), "l_returnflag", "l_linestatus")
+        .select(col("n"), col("rows"), col("cols"), col("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v")),
+      Some("""WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+               count(*)::DOUBLE AS n FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+               GROUP BY 1, 2),
+             m AS (SELECT a, b, n,
+               sum(n) OVER (PARTITION BY a) AS rn,
+               sum(n) OVER (PARTITION BY b) AS cn,
+               sum(n) OVER () AS tot FROM cells),
+             agg AS (SELECT max(tot)::BIGINT AS n,
+               count(DISTINCT a)::BIGINT AS rows_,
+               count(DISTINCT b)::BIGINT AS cols_,
+               sum(n * n / (rn * cn)) AS s, max(tot) AS nd FROM m)
+             SELECT n, rows_ AS "rows", cols_ AS cols,
+               (rows_ - 1) * (cols_ - 1) AS dof,
+               round(nd * (s - 1.0), 6) AS chi2,
+               round(sqrt(nd * (s - 1.0) /
+                 (nd * least(rows_ - 1, cols_ - 1))), 6) AS cramers_v
+             FROM agg""")),
+
+    // ---- one-way ANOVA F ---------------------------------------------------
+    // ANOVA is shift-invariant, and the raw-sums identity on ~1e5-scale
+    // prices suffers catastrophic cancellation (Σs²/n − S²/N agreed to
+    // only ~0.03 absolute between engines at sf0.01) — center by a FIXED
+    // literal near the mean on both sides so the identical statistics
+    // come out with ~1e9× less cancellation error. SS columns are scaled
+    // to per-row mean squares (magnitude ~1e5, engine diff ≪ 1e-6)
+    QueryDef("q_anova",
+      (s, d) => graft.stat.InferenceTests.anovaF(
+          lineitem(s, d).withColumn("price_c",
+            col("l_extendedprice") - 38000.0d),
+          "price_c", "l_returnflag")
+        .select(col("k"), col("n"),
+          round(col("ss_between") / col("n"), 4).as("msb_per_row"),
+          round(col("ss_within") / col("n"), 4).as("msw_per_row"),
+          col("df_between"), col("df_within"),
+          round(col("f_stat"), 6).as("f_stat")),
+      Some("""WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n,
+               sum(l_extendedprice - 38000.0) AS s,
+               sum((l_extendedprice - 38000.0) * (l_extendedprice - 38000.0))
+                 AS ss
+               FROM lineitem WHERE l_extendedprice IS NOT NULL
+                 AND l_returnflag IS NOT NULL GROUP BY 1),
+             t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+               sum(s * s / n) - sum(s) * sum(s) / sum(n) AS ssb,
+               sum(ss - s * s / n) AS ssw, sum(n) AS nd FROM g)
+             SELECT k, n, round(ssb / nd, 4) AS msb_per_row,
+               round(ssw / nd, 4) AS msw_per_row,
+               (k - 1)::BIGINT AS df_between, (nd - k)::BIGINT AS df_within,
+               round((ssb / (k - 1)) / (ssw / (nd - k)), 6) AS f_stat
+             FROM t""")),
+
+    // ---- Cohen's kappa (label agreement beyond chance) ---------------------
+    // rater 2 is a deterministic derived label so both engines build the
+    // identical contingency table
+    QueryDef("q_kappa",
+      (s, d) => {
+        val li = lineitem(s, d).withColumn("flag2",
+          when(col("l_tax") > 0.04, "R")
+            .when(col("l_discount") > 0.05, "N").otherwise("A"))
+        graft.stat.InferenceTests.cohenKappa(li, "l_returnflag", "flag2")
+          .select(col("n"), round(col("po"), 6).as("po"),
+            round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+      },
+      Some("""WITH d2 AS (SELECT l_returnflag AS r1,
+               CASE WHEN l_tax > 0.04 THEN 'R'
+                 WHEN l_discount > 0.05 THEN 'N' ELSE 'A' END AS r2
+               FROM lineitem WHERE l_returnflag IS NOT NULL),
+             cells AS (SELECT r1, r2, count(*)::DOUBLE AS n FROM d2
+               GROUP BY 1, 2),
+             rm AS (SELECT r1 AS lbl, sum(n) AS rn FROM cells GROUP BY 1),
+             cm AS (SELECT r2 AS lbl, sum(n) AS cn FROM cells GROUP BY 1),
+             pe AS (SELECT coalesce(sum(rn * cn), 0) AS pen
+               FROM rm JOIN cm USING (lbl)),
+             po AS (SELECT sum(n)::BIGINT AS n,
+               sum(CASE WHEN r1 = r2 THEN n ELSE 0 END) / sum(n) AS po,
+               sum(n) AS nd FROM cells)
+             SELECT n, round(po, 6) AS po,
+               round(pen / (nd * nd), 6) AS pe,
+               round((po - pen / (nd * nd)) / (1 - pen / (nd * nd)), 6)
+                 AS kappa
+             FROM po, pe""")),
+
+    // ---- Mann-Whitney U (rank-sum with mid-rank ties) ----------------------
+    // folds to the distinct-value frame; the cumulative mid-rank window
+    // runs over values, not rows — both engines replay the identity
+    QueryDef("q_mannwhitney",
+      (s, d) => graft.stat.InferenceTests.mannWhitney(
+          lineitem(s, d), "l_extendedprice", "l_linestatus", "O", "F")
+        .select(col("n1"), col("n2"),
+          round(col("u_stat"), 4).as("u_stat"),
+          round(col("z_stat"), 6).as("z_stat")),
+      Some("""WITH two AS (SELECT l_extendedprice AS v,
+               (l_linestatus = 'O')::DOUBLE AS a FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_linestatus IN ('O', 'F')),
+             bv AS (SELECT v, count(*)::DOUBLE AS n, sum(a) AS na FROM two
+               GROUP BY 1),
+             r AS (SELECT v, n, na, coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before FROM bv),
+             agg AS (SELECT sum(na) AS n1, sum(n - na) AS n2,
+               sum(na * (before + (n + 1) / 2)) AS ra,
+               sum(n * n * n - n) AS ties FROM r)
+             SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+               round(ra - n1 * (n1 + 1) / 2, 4) AS u_stat,
+               round((ra - n1 * (n1 + 1) / 2 - n1 * n2 / 2) /
+                 sqrt(n1 * n2 / 12 *
+                   ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1)))), 6)
+                 AS z_stat
+             FROM agg""")),
+
+    // ---- Kaplan-Meier survival (time to first purchase, right-censored) ----
+    // duration = hours from a user's first event to their first purchase,
+    // censored at their last event otherwise; exact integer-hour ties give
+    // the curve real event-time structure. The product-limit estimate is
+    // exp(Σ ln(1−d/r)) with an explicit zero flag, replayed in identical
+    // op order (ln's last-ulp engine differences sit under round(6) — the
+    // entropy/dp_counts precedent)
+    QueryDef("q_survival",
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tmax"))
+          .selectExpr(
+            // `div` = exact integer division — a double divide + cast
+            // could land a hair under the boundary one engine and not
+            // the other
+            "(coalesce(tp, tmax) - t0) div 3600000000 AS dur_h",
+            "cast(tp IS NOT NULL AS int) AS ev")
+        graft.events.Survival.kaplanMeier(perUser, "dur_h", "ev")
+          .select(col("t").cast("long").as("t"), col("n_risk"),
+            col("n_event"), col("n_censored"),
+            round(col("survival"), 6).as("survival"))
+          .orderBy("t")
+      },
+      Some("""WITH per AS (SELECT user_id, epoch_us(min(ts)) AS t0,
+               epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                 AS tp,
+               epoch_us(max(ts)) AS tmax
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1),
+             dur AS (SELECT ((coalesce(tp, tmax) - t0) // 3600000000)::DOUBLE
+                 AS t,
+               (tp IS NOT NULL)::INT AS ev FROM per),
+             byt AS (SELECT t, sum(ev)::DOUBLE AS d, count(*)::DOUBLE AS n
+               FROM dur GROUP BY 1),
+             w AS (SELECT t, d, n, sum(n) OVER () -
+               coalesce(sum(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS risk FROM byt),
+             c AS (SELECT t, risk, d, n,
+               CASE WHEN sum(CASE WHEN 1.0 - d / risk <= 0 THEN 1
+                   ELSE 0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN 1.0 - d / risk > 0
+                   THEN ln(1.0 - d / risk) ELSE 0.0 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS surv
+               FROM w)
+             SELECT t::BIGINT AS t, risk::BIGINT AS n_risk,
+               d::BIGINT AS n_event, (n - d)::BIGINT AS n_censored,
+               round(surv, 6) AS survival
+             FROM c ORDER BY t""")),
+
+    // ---- log-rank test (per-group observed vs expected events) -------------
+    // groups = user_id parity; the (group × time) frame is COMPLETED
+    // before at-risk accounting (a group with no cell at t is still at
+    // risk there) — mirrored by the SQL's cross join + left join
+    QueryDef("q_logrank",
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tmax"))
+          .selectExpr("cast(user_id % 2 AS long) AS grp",
+            "(coalesce(tp, tmax) - t0) div 3600000000 AS dur_h",
+            "cast(tp IS NOT NULL AS int) AS ev")
+        graft.events.Survival.logRank(perUser, "grp", "dur_h", "ev")
+          .select(col("grp"), col("observed").cast("long").as("observed"),
+            round(col("expected"), 6).as("expected"))
+          .orderBy("grp")
+      },
+      Some("""WITH per AS (SELECT user_id, epoch_us(min(ts)) AS t0,
+               epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                 AS tp,
+               epoch_us(max(ts)) AS tmax
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1),
+             dur AS (SELECT user_id % 2 AS g,
+               ((coalesce(tp, tmax) - t0) // 3600000000)::DOUBLE AS t,
+               (tp IS NOT NULL)::INT AS ev FROM per),
+             times AS (SELECT DISTINCT t FROM dur),
+             grps AS (SELECT g, count(*)::DOUBLE AS gtot FROM dur
+               GROUP BY 1),
+             cells AS (SELECT g, t, sum(ev)::DOUBLE AS d,
+               count(*)::DOUBLE AS n FROM dur GROUP BY 1, 2),
+             fullf AS (SELECT grps.g, times.t, grps.gtot,
+               coalesce(cells.d, 0) AS d, coalesce(cells.n, 0) AS n
+               FROM grps CROSS JOIN times
+               LEFT JOIN cells ON cells.g = grps.g AND cells.t = times.t),
+             w AS (SELECT g, t, d, gtot - coalesce(sum(n) OVER
+               (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS rg FROM fullf),
+             tt AS (SELECT g, t, d, rg,
+               sum(d) OVER (PARTITION BY t) AS dt,
+               sum(rg) OVER (PARTITION BY t) AS rt FROM w)
+             SELECT g AS grp, sum(d)::BIGINT AS observed,
+               round(sum(dt * rg / rt), 6) AS expected
+             FROM tt GROUP BY 1 ORDER BY 1""")),
+
     // ---- rank-biased overlap (ranking drift, no truth set) ----------------
     QueryDef("q_rbo",
       (s, d) => {
