@@ -7155,6 +7155,127 @@ object Queries {
                round(sum(dt * rg / rt), 6) AS expected
              FROM tt GROUP BY 1 ORDER BY 1""")),
 
+    // ---- smoothed target encoding (category table) -------------------------
+    // integer-valued quantities make every sum exact, so the smoothed
+    // blend is a deterministic division in both engines
+    QueryDef("q_target_encode",
+      (s, d) => graft.ml.FeatureEncode.targetEncodeTable(
+          lineitem(s, d), "l_returnflag", "l_quantity", smoothing = 20.0)
+        .select(col("category"), col("n"), round(col("enc"), 6).as("enc"))
+        .orderBy("category"),
+      Some("""WITH g AS (SELECT l_returnflag AS category,
+               count(*)::BIGINT AS n, sum(l_quantity) AS s FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+               GROUP BY 1),
+             p AS (SELECT sum(s) / sum(n) AS prior FROM g)
+             SELECT category, n,
+               round((s + 20.0 * prior) / (n + 20.0), 6) AS enc
+             FROM g, p ORDER BY category""")),
+
+    // ---- leave-one-out target encoding (per-row, aggregated to verify) ----
+    // enc_i = (Σy_c − y_i)/(n_c − 1): the per-row frame is pinned through
+    // its per-category profile. The distinct count runs on the UNROUNDED
+    // encoding in both engines — exact-integer sums divided by an exact
+    // integer are bit-identical IEEE divisions, while rounding first
+    // would collapse adjacent encodings (spacing 1/(n−1) < 1e-6 at
+    // sf0.1) differently than rounding after
+    QueryDef("q_target_encode_loo",
+      (s, d) => graft.ml.FeatureEncode.targetEncodeLoo(
+          lineitem(s, d), "l_returnflag", "l_quantity", smoothing = 0.0)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_returnflag_enc").as("n_distinct_enc"),
+          round(min("l_returnflag_enc"), 6).as("min_enc"),
+          round(max("l_returnflag_enc"), 6).as("max_enc"))
+        .orderBy("l_returnflag"),
+      Some("""WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n,
+               sum(l_quantity) AS s FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+               GROUP BY 1),
+             enc AS (SELECT li.l_returnflag,
+               (g.s - li.l_quantity) / (g.n - 1) AS e
+               FROM lineitem li JOIN g ON li.l_returnflag = g.l_returnflag
+               WHERE li.l_quantity IS NOT NULL)
+             SELECT l_returnflag, count(DISTINCT e)::BIGINT AS n_distinct_enc,
+               round(min(e), 6) AS min_enc, round(max(e), 6) AS max_enc
+             FROM enc GROUP BY 1 ORDER BY 1""")),
+
+    // ---- weight of evidence per category ----------------------------------
+    QueryDef("q_woe",
+      (s, d) => graft.ml.FeatureEncode.woeTable(
+          documents(s, d).withColumn("is_en",
+            (col("lang") === "en").cast("int")),
+          "source", "is_en", eps = 0.5)
+        .select(col("category"), col("n_pos"), col("n_neg"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
+        .orderBy("category"),
+      Some("""WITH g AS (SELECT source AS category,
+               sum((lang = 'en')::INT)::DOUBLE AS pos,
+               sum((lang != 'en')::INT)::DOUBLE AS neg FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+             t AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM g)
+             SELECT category, pos::BIGINT AS n_pos, neg::BIGINT AS n_neg,
+               round(ln(((pos + 0.5) / (pt + 1.0)) /
+                 ((neg + 0.5) / (nt + 1.0))), 6) AS woe,
+               round(((pos + 0.5) / (pt + 1.0) - (neg + 0.5) / (nt + 1.0)) *
+                 ln(((pos + 0.5) / (pt + 1.0)) /
+                   ((neg + 0.5) / (nt + 1.0))), 6) AS iv
+             FROM g, t ORDER BY category""")),
+
+    // ---- information value, k columns in ONE corpus pass -------------------
+    // the (column, value) pairs explode from a map projection so three
+    // columns cost one shuffle; the oracle replays each column separately
+    // and unions — identical per-category terms, sum-order ulps under
+    // round(6) (the entropy precedent)
+    QueryDef("q_iv",
+      (s, d) => graft.ml.FeatureEncode.informationValue(
+          lineitem(s, d).withColumn("is_disc",
+            (col("l_discount") > 0.05).cast("int")),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"), "is_disc",
+          eps = 0.5)
+        .select(col("column"), col("n_categories"),
+          round(col("iv"), 6).as("iv"))
+        .orderBy("column"),
+      Some("""WITH lab AS (SELECT (l_discount > 0.05)::INT::DOUBLE AS y,
+               l_returnflag, l_linestatus, l_linenumber FROM lineitem
+               WHERE l_discount IS NOT NULL),
+             pairs AS (
+               SELECT 'l_returnflag' AS col_, l_returnflag AS val, y
+                 FROM lab WHERE l_returnflag IS NOT NULL
+               UNION ALL
+               SELECT 'l_linestatus', l_linestatus, y FROM lab
+                 WHERE l_linestatus IS NOT NULL
+               UNION ALL
+               SELECT 'l_linenumber', l_linenumber::VARCHAR, y FROM lab
+                 WHERE l_linenumber IS NOT NULL),
+             g AS (SELECT col_, val, sum(y) AS pos,
+               count(*) - sum(y) AS neg FROM pairs GROUP BY 1, 2),
+             t AS (SELECT col_, sum(pos) AS pt, sum(neg) AS nt,
+               count(*)::BIGINT AS n_categories FROM g GROUP BY 1)
+             SELECT g.col_ AS "column", t.n_categories,
+               round(sum(((pos + 0.5) / (pt + 1.0) -
+                 (neg + 0.5) / (nt + 1.0)) *
+                 ln(((pos + 0.5) / (pt + 1.0)) /
+                   ((neg + 0.5) / (nt + 1.0)))), 6) AS iv
+             FROM g JOIN t USING (col_)
+             GROUP BY 1, 2 ORDER BY 1""")),
+
+    // ---- one-hot encoding (explicit category list, zero-shuffle) -----------
+    QueryDef("q_onehot",
+      (s, d) => graft.ml.FeatureEncode.oneHot(
+          lineitem(s, d), "l_returnflag", Seq("A", "N", "R"), "flag")
+        .groupBy("l_linestatus")
+        .agg(sum("flag_A").cast("long").as("n_a"),
+          sum("flag_N").cast("long").as("n_n"),
+          sum("flag_R").cast("long").as("n_r"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+               sum((l_returnflag = 'A')::INT)::BIGINT AS n_a,
+               sum((l_returnflag = 'N')::INT)::BIGINT AS n_n,
+               sum((l_returnflag = 'R')::INT)::BIGINT AS n_r,
+               count(*)::BIGINT AS n
+             FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // ---- rank-biased overlap (ranking drift, no truth set) ----------------
     QueryDef("q_rbo",
       (s, d) => {
