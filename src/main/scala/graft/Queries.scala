@@ -5666,6 +5666,82 @@ object Queries {
                RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING)
              ORDER BY event_id""")),
 
+    // ---- per-key gap / outage report ---------------------------------------
+    // all gaps are exact micros longs; only the avg is a division
+    QueryDef("q_gap_report",
+      (s, d) => graft.events.TimeSeries.gapReport(events(s, d),
+          Seq("user_id"), "ts", "event_id", thresholdUs = 3600000000L)
+        // avg_gap is one correctly-rounded division of exact ints —
+        // bit-identical across engines, so it compares UNROUNDED
+        // (round() itself would diverge: scaling a ~1e10 value by 1e6
+        // exceeds 2^53 in DuckDB's round path)
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          col("max_gap_us"), col("avg_gap_us"), col("n_gaps_over"))
+        .orderBy("user_id"),
+      Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS tsu,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS gap
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL)
+             SELECT user_id, count(*)::BIGINT AS n_events,
+               (max(tsu) - min(tsu))::BIGINT AS span_us,
+               max(gap)::BIGINT AS max_gap_us,
+               sum(gap)::DOUBLE / count(gap) AS avg_gap_us,
+               sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_gaps_over
+             FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // ---- time-weighted average (step-function hold) ------------------------
+    QueryDef("q_twa",
+      (s, d) => graft.events.TimeSeries.timeWeightedAvg(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value")
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          round(col("twa"), 6).as("twa"))
+        .orderBy("user_id"),
+      Some("""WITH w AS (SELECT user_id, value, epoch_us(ts) AS tsu,
+               (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) - epoch_us(ts))::DOUBLE
+                 AS hold
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL)
+             SELECT user_id, count(*)::BIGINT AS n_events,
+               (max(tsu) - min(tsu))::BIGINT AS span_us,
+               round(CASE WHEN max(tsu) > min(tsu)
+                 THEN sum(value * hold) / (max(tsu) - min(tsu))
+                 ELSE max(value) END, 6) AS twa
+             FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CUSUM change detection (per-event, bit-exact recursion) -----------
+    // same oracle strategy as q_ewma: a recursive CTE replaying the
+    // identical +/−/greatest op order is BIT-IDENTICAL to the JVM
+    // recursion — cusum_hi/lo compare unrounded
+    QueryDef("q_cusum",
+      (s, d) => graft.events.TimeSeries.cusum(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value",
+          target = 5.0, slack = 0.5, h = 25.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("cusum_hi"), col("cusum_lo"), col("alarm"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE r AS (SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             rec AS (
+               SELECT user_id, event_id, rn, value::DOUBLE AS v,
+                 greatest(0.0, value - 5.0 - 0.5) AS hi,
+                 greatest(0.0, 5.0 - 0.5 - value) AS lo
+               FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r.user_id, r.event_id, r.rn, r.value,
+                 greatest(0.0, rec.hi + (r.value - 5.0 - 0.5)),
+                 greatest(0.0, rec.lo + (5.0 - 0.5 - r.value))
+               FROM r JOIN rec ON r.user_id = rec.user_id
+                 AND r.rn = rec.rn + 1)
+             SELECT user_id, event_id, v AS value, hi AS cusum_hi,
+               lo AS cusum_lo, (hi > 25.0 OR lo > 25.0) AS alarm
+             FROM rec ORDER BY 1, 2""")),
+
     // ---- as-of join: latest click before each purchase, per user ----------
     // oracle = DuckDB's NATIVE ASOF JOIN — the engine's merge-scan
     // formulation must reproduce a first-class reference implementation
