@@ -7352,6 +7352,41 @@ object Queries {
                count(*)::BIGINT AS n
              FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Jaro-Winkler native expression (cross-engine scalar check) --------
+    // each supplier name scored against its successor's name and a
+    // char-dropped mutation of itself; the oracle is DuckDB's own
+    // jaro_similarity / jaro_winkler_similarity — a genuine independent
+    // implementation of the same standard, agreeing under round(6)
+    QueryDef("q_jaro",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("s_suppkey")
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"))
+          .withColumn("next_name", lead("s_name", 1).over(w))
+          .withColumn("mut_name",
+            concat(substring(col("s_name"), 1, 2),
+              substring(col("s_name"), 4, 1000000)))
+          .filter(col("next_name").isNotNull)
+        sup.select(col("s_suppkey"),
+            round(graft.expr.JaroWinkler.of(col("s_name"),
+              col("next_name")), 6).as("jaro_next"),
+            round(graft.expr.JaroWinkler.winkler(col("s_name"),
+              col("next_name")), 6).as("jw_next"),
+            round(graft.expr.JaroWinkler.winkler(col("s_name"),
+              col("mut_name")), 6).as("jw_mut"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH sup AS (SELECT s_suppkey, s_name,
+               lead(s_name) OVER (ORDER BY s_suppkey) AS next_name,
+               concat(substr(s_name, 1, 2), substr(s_name, 4)) AS mut_name
+               FROM supplier)
+             SELECT s_suppkey,
+               round(jaro_similarity(s_name, next_name), 6) AS jaro_next,
+               round(jaro_winkler_similarity(s_name, next_name), 6)
+                 AS jw_next,
+               round(jaro_winkler_similarity(s_name, mut_name), 6) AS jw_mut
+             FROM sup WHERE next_name IS NOT NULL ORDER BY s_suppkey""")),
+
     // ---- rank-biased overlap (ranking drift, no truth set) ----------------
     QueryDef("q_rbo",
       (s, d) => {

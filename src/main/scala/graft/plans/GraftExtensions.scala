@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.jaroDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     GraftExtensions.columnFunctionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
@@ -112,6 +114,27 @@ object GraftExtensions {
           org.apache.spark.sql.types.ArrayType(DoubleType)),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
           org.apache.spark.sql.types.ArrayType(DoubleType)))
+    })
+
+  val jaroDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro"),
+    new ExpressionInfo(classOf[graft.expr.JaroSimilarity].getName,
+      "graft_jaro"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: graft_jaro(str_col, str_col)")
+      graft.expr.JaroSimilarity(exprs.head, exprs(1))
+    })
+
+  val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[graft.expr.JaroWinklerSimilarity].getName,
+      "graft_jaro_winkler"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "usage: graft_jaro_winkler(str_col, str_col)")
+      graft.expr.JaroWinklerSimilarity(exprs.head, exprs(1))
     })
 
   /** graft_cosine(a, b): composed from the native graft_dot kernels —

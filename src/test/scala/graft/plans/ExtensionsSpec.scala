@@ -235,4 +235,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("""g == "b" and h == 1""", 30.0)))
     } finally spark.conf.set("spark.graft.rewriteStrataUnion", "false")
   }
+
+  test("graft_jaro / graft_jaro_winkler are callable from SQL, in codegen") {
+    val r = spark.sql(
+      "SELECT graft_jaro('MARTHA', 'MARHTA'), " +
+        "graft_jaro_winkler('MARTHA', 'MARHTA'), " +
+        "graft_jaro_winkler('abc', CAST(NULL AS STRING))").head()
+    assert(math.abs(r.getDouble(0) - 0.9444444444444445) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.9611111111111111) < 1e-12)
+    assert(r.isNullAt(2))
+    val codegen = spark.range(3)
+      .selectExpr("graft_jaro_winkler(concat('ab', id), 'ab0')")
+    val plan = codegen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_jaro_winkler"), plan)
+    assert(codegen.collect().head.getDouble(0) == 1.0)
+  }
 }
