@@ -7387,6 +7387,135 @@ object Queries {
                round(jaro_winkler_similarity(s_name, mut_name), 6) AS jw_mut
              FROM sup WHERE next_name IS NOT NULL ORDER BY s_suppkey""")),
 
+    // ---- hybrid retrieval: reciprocal rank fusion --------------------------
+    // lexical run (BM25, spark/join terms) fused with a semantic run
+    // (embedding cosine vs vec 0) — the RAG hybrid-search shape. Ranks are
+    // per-run row_number over (score desc, doc); the fused score is a sum
+    // of exact reciprocals both engines compute bit-identically, so the
+    // row compares UNROUNDED. The BM25 scores feeding run A's ranks carry
+    // ln() last-ulp engine noise, but distinct docs' scores differ by
+    // orders of magnitude more than an ulp (equal-score docs tie-break on
+    // the id), so the integer ranks are stable across engines.
+    QueryDef("q_rrf_hybrid",
+      (s, d) => {
+        val runA = graft.pipeline.Relevance.bm25(
+            documents(s, d), "doc_id", "text", Seq("spark", "join"))
+          .select(lit(0L).as("query_id"), col("doc_id"), col("score"))
+        val e = embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val runB = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"),
+            graft.pipeline.Dedup.cosine(col("embedding"), col("qv"))
+              .as("score"))
+        graft.eval.Fusion.rrf(Seq(runA, runB), "query_id", "doc_id",
+            "score", k = 60, depth = 50)
+          .orderBy("fused_rank")
+      },
+      Some("""WITH clean AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+               FROM clean),
+             lens AS (SELECT doc_id, count(*) AS len FROM tok
+               WHERE token != '' GROUP BY 1),
+             n AS (SELECT count(*) AS n FROM clean),
+             avgdl AS (SELECT avg(len) AS avgdl FROM lens),
+             qtf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+             dfreq AS (SELECT token, count(*) AS doc_freq FROM qtf GROUP BY 1),
+             bm AS (SELECT doc_id,
+               sum(ln(1 + (n.n - doc_freq + 0.5) / (doc_freq + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))) AS score
+               FROM qtf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                 n, avgdl
+               GROUP BY doc_id),
+             ra AS (SELECT doc_id, row_number()
+                 OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+             cs AS (SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.v, qv.q) AS score
+               FROM e, qv WHERE e.vec_id != 0),
+             rb AS (SELECT doc_id, row_number()
+                 OVER (ORDER BY score DESC, doc_id) AS r FROM cs),
+             u AS (SELECT doc_id, r FROM ra WHERE r <= 50
+               UNION ALL SELECT doc_id, r FROM rb WHERE r <= 50)
+             SELECT 0::BIGINT AS query_id, doc_id,
+               count(*)::BIGINT AS n_runs,
+               sum(1.0 / (60 + r)) AS rrf_score,
+               row_number() OVER (ORDER BY sum(1.0 / (60 + r)) DESC, doc_id)
+                 AS fused_rank
+             FROM u GROUP BY doc_id ORDER BY fused_rank""")),
+
+    // ---- hybrid retrieval: weighted min-max score fusion -------------------
+    // two semantic runs (cosine + inner product — they rank differently
+    // whenever corpus norms differ) per-query min-max normalized and
+    // convex-combined 0.7/0.3. The RANKS are stable across engines
+    // (distinct vectors' scores differ far above ulp scale; exact ties
+    // break on the id) but list_cosine_similarity's division order is
+    // not bit-identical to dot/sqrt(na*nb), so the fused SCORE compares
+    // under round(6) — the q_bm25 convention
+    QueryDef("q_fuse_weighted",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = e.filter(col("vec_id") >= 3).crossJoin(broadcast(q))
+        val runCos = pairs.select(col("query_id"),
+          col("vec_id").as("doc_id"),
+          graft.pipeline.Dedup.cosine(col("embedding"), col("qv"))
+            .as("score"))
+        val runDot = pairs.select(col("query_id"),
+          col("vec_id").as("doc_id"),
+          graft.pipeline.Dedup.dotProduct(col("embedding"), col("qv"))
+            .as("score"))
+        graft.eval.Fusion.weightedFuse(Seq(runCos, runDot), Seq(0.7, 0.3),
+            "query_id", "doc_id", "score", depth = 20)
+          .filter(col("fused_rank") <= 10)
+          .select(col("query_id"), col("doc_id"), col("n_runs"),
+            round(col("fused_score"), 6).as("fused_score"),
+            col("fused_rank"))
+          .orderBy("query_id", "fused_rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 3),
+             cs AS (SELECT query_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.v, qv) AS s
+               FROM e, q WHERE e.vec_id >= 3),
+             dp AS (SELECT query_id, e.vec_id AS doc_id,
+               list_inner_product(e.v, qv) AS s
+               FROM e, q WHERE e.vec_id >= 3),
+             rc AS (SELECT query_id, doc_id, s, row_number()
+                 OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+               FROM cs),
+             rd AS (SELECT query_id, doc_id, s, row_number()
+                 OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+               FROM dp),
+             nc AS (SELECT query_id, doc_id,
+               CASE WHEN max(s) OVER w = min(s) OVER w THEN 0.0
+                 ELSE 0.7 * ((s - min(s) OVER w) /
+                   (max(s) OVER w - min(s) OVER w)) END AS contrib
+               FROM rc WHERE r <= 20
+               WINDOW w AS (PARTITION BY query_id)),
+             nd AS (SELECT query_id, doc_id,
+               CASE WHEN max(s) OVER w = min(s) OVER w THEN 0.0
+                 ELSE 0.3 * ((s - min(s) OVER w) /
+                   (max(s) OVER w - min(s) OVER w)) END AS contrib
+               FROM rd WHERE r <= 20
+               WINDOW w AS (PARTITION BY query_id)),
+             u AS (SELECT * FROM nc UNION ALL SELECT * FROM nd)
+             SELECT query_id, doc_id, count(*)::BIGINT AS n_runs,
+               round(sum(contrib), 6) AS fused_score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sum(contrib) DESC, doc_id) AS fused_rank
+             FROM u GROUP BY query_id, doc_id
+             QUALIFY fused_rank <= 10
+             ORDER BY query_id, fused_rank""")),
+
     // ---- rank-biased overlap (ranking drift, no truth set) ----------------
     QueryDef("q_rbo",
       (s, d) => {
