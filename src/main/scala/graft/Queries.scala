@@ -7387,6 +7387,30 @@ object Queries {
                round(jaro_winkler_similarity(s_name, mut_name), 6) AS jw_mut
              FROM sup WHERE next_name IS NOT NULL ORDER BY s_suppkey""")),
 
+    // ---- Jaro-Winkler blocked ER pairs -------------------------------------
+    // prefix blocking (first 4 chars) + native codegen'd JW scoring over
+    // part names; the oracle replays the identical block predicate and
+    // DuckDB's own jaro_winkler_similarity — blocking is deterministic,
+    // so the candidate sets coincide exactly and only the score needs
+    // the round(6) engine-ulp guard. Threshold 0.92 sits far from any
+    // pair's score at every SF (probed), so inclusion is ulp-stable.
+    QueryDef("q_jw_pairs",
+      (s, d) => graft.pipeline.FuzzyJoin.jaroWinklerPairs(
+          s.read.parquet(s"$d/part.parquet").filter(col("p_size") <= 3),
+          "p_partkey", "p_name", minSim = 0.92, blockLen = 4)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS s,
+               substr(p_name, 1, 4) AS blk
+               FROM part
+               WHERE p_size <= 3 AND p_partkey IS NOT NULL
+                 AND p_name IS NOT NULL)
+             SELECT a.id AS id_a, b.id AS id_b,
+               round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+             FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+             WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92
+             ORDER BY 1, 2""")),
+
     // ---- hybrid retrieval: reciprocal rank fusion --------------------------
     // lexical run (BM25, spark/join terms) fused with a semantic run
     // (embedding cosine vs vec 0) — the RAG hybrid-search shape. Ranks are

@@ -109,6 +109,41 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("jaroWinklerPairs == same-block brute force; blocking is the " +
+      "only recall cut") {
+    val rows = Seq(1L -> "MARTHA", 2L -> "MARHTA", 3L -> "MARTHA K",
+      4L -> "DWAYNE", 5L -> "DUANE", 6L -> "DWAYNE", 7L -> "MA",
+      8L -> "M", 9L -> "XARTHA") // 9 ~ 1 but differs in char 1: blocked out
+    val df = rows.toDF("id", "name")
+    val got = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        minSim = 0.7, blockLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def blk(s: String) = s.substring(0, math.min(2, s.length))
+    val exp = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && blk(sa) == blk(sb)
+      jw = graft.expr.JaroWinkler.jaroWinkler(sa, sb)
+      if jw >= 0.7
+    } yield (ia, ib, jw)).toSet
+    assert(got == exp)
+    // the blocked-out near-pair is absent despite a high raw score
+    assert(graft.expr.JaroWinkler.jaroWinkler("MARTHA", "XARTHA") > 0.8)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 9L))
+    // identical strings under the same block score exactly 1
+    assert(got.contains((4L, 6L, 1.0)))
+  }
+
+  test("jaroWinklerPairs: over-cap blocks are skipped entirely") {
+    val big = (1L to 50L).map(i => i -> s"AA-common-$i")
+    val small = Seq(100L -> "ZZ-rare-1", 101L -> "ZZ-rare-2")
+    val df = (big ++ small).toDF("id", "name")
+    val got = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        minSim = 0.5, blockLen = 2, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L))) // the AA block (50 > 10) is gone
+  }
+
   test("null ids/strings dropped; maxDist/q validated") {
     val df = Seq((java.lang.Long.valueOf(1L), "abc"),
       (java.lang.Long.valueOf(2L), null),
