@@ -5742,6 +5742,105 @@ object Queries {
                lo AS cusum_lo, (hi > 25.0 OR lo > 25.0) AS alarm
              FROM rec ORDER BY 1, 2""")),
 
+    // ---- per-key autocorrelation function (lags 1..3) ----------------------
+    // one keyed window pass (mean + 3 leads) folded into one aggregate,
+    // melted by stack(); the series mean is a double window-avg, so the
+    // products carry sum-order ulps — acf compares under round(6)
+    QueryDef("q_acf",
+      (s, d) => graft.events.TimeSeries.acf(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value", maxLag = 3)
+        .select(col("user_id"), col("lag"), col("n"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("user_id", "lag"),
+      Some("""WITH b AS (SELECT user_id, event_id, value::DOUBLE AS x,
+               epoch_us(ts) AS tsu
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             m AS (SELECT user_id, x,
+               avg(x) OVER (PARTITION BY user_id) AS mu,
+               lead(x, 1) OVER w AS l1, lead(x, 2) OVER w AS l2,
+               lead(x, 3) OVER w AS l3
+               FROM b WINDOW w AS (PARTITION BY user_id
+                 ORDER BY tsu, event_id)),
+             a AS (SELECT user_id, count(*)::BIGINT AS n,
+               sum((x - mu) * (x - mu)) AS den,
+               sum((x - mu) * (l1 - mu)) AS n1,
+               sum((x - mu) * (l2 - mu)) AS n2,
+               sum((x - mu) * (l3 - mu)) AS n3
+               FROM m GROUP BY 1)
+             SELECT user_id, lag, n, round(num / nullif(den, 0), 6) AS acf
+             FROM (SELECT user_id, n, 1 AS lag, n1 AS num, den FROM a
+               UNION ALL SELECT user_id, n, 2, n2, den FROM a
+               UNION ALL SELECT user_id, n, 3, n3, den FROM a)
+             ORDER BY user_id, lag""")),
+
+    // ---- Holt linear (level + trend) smoothing ------------------------------
+    // the q_ewma contract extended to a two-state recursion: the oracle's
+    // RECURSIVE CTE applies the IDENTICAL op order (level from (l+b),
+    // trend from the recomputed level), so level/trend/forecast compare
+    // BIT-FOR-BIT, unrounded
+    QueryDef("q_holt",
+      (s, d) => graft.events.TimeSeries.holtLinear(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value",
+          alpha = 0.3, beta = 0.2)
+        .select(col("user_id"), col("event_id"), col("level"),
+          col("trend"), col("forecast"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE r AS (SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             rec AS (
+               SELECT user_id, event_id, rn, value::DOUBLE AS l,
+                 0.0::DOUBLE AS b
+               FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r.user_id, r.event_id, r.rn,
+                 0.3 * r.value + (1.0 - 0.3) * (rec.l + rec.b),
+                 0.2 * ((0.3 * r.value + (1.0 - 0.3) * (rec.l + rec.b))
+                   - rec.l) + (1.0 - 0.2) * rec.b
+               FROM r JOIN rec ON r.user_id = rec.user_id
+                 AND r.rn = rec.rn + 1)
+             SELECT user_id, event_id, l AS level, b AS trend,
+               l + b AS forecast
+             FROM rec ORDER BY 1, 2""")),
+
+    // ---- Durbin-Watson residual autocorrelation -----------------------------
+    // per-user OLS of value on seconds-from-first-event (min-centered in
+    // exact long micros BEFORE the double divide — raw epoch-micros x
+    // would cancel catastrophically in the x² sums), residuals lagged in
+    // time order, DW ratio under round(6)
+    QueryDef("q_durbin_watson",
+      (s, d) => graft.events.TimeSeries.durbinWatson(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value")
+        .select(col("user_id"), col("n"), round(col("dw"), 6).as("dw"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id, event_id, value::DOUBLE AS y,
+               epoch_us(ts) AS tsu
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             c AS (SELECT user_id, event_id, y,
+               (tsu - min(tsu) OVER (PARTITION BY user_id))::DOUBLE / 1e6
+                 AS xc FROM b),
+             g AS (SELECT user_id, count(*) AS n, sum(xc) AS sx,
+               sum(y) AS sy, sum(xc * y) AS sxy, sum(xc * xc) AS sxx
+               FROM c GROUP BY 1),
+             k AS (SELECT user_id, n,
+               (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS slope,
+               (sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                 * sx) / n AS icept
+               FROM g),
+             e AS (SELECT c.user_id, c.event_id, xc,
+               y - (icept + slope * xc) AS e
+               FROM c JOIN k USING (user_id)),
+             l AS (SELECT user_id, e, lag(e) OVER (PARTITION BY user_id
+                 ORDER BY xc, event_id) AS ep FROM e)
+             SELECT user_id, count(*)::BIGINT AS n,
+               round(sum((e - ep) * (e - ep)) / nullif(sum(e * e), 0), 6)
+                 AS dw
+             FROM l GROUP BY 1 ORDER BY 1""")),
+
     // ---- as-of join: latest click before each purchase, per user ----------
     // oracle = DuckDB's NATIVE ASOF JOIN — the engine's merge-scan
     // formulation must reproduce a first-class reference implementation

@@ -112,4 +112,153 @@ object TimeSeries {
       col("__tie").as(tieCol) :+ col("value") :+ col("cusum_hi") :+
       col("cusum_lo") :+ col("alarm"): _*)
   }
+
+  /** Per-key autocorrelation function at lags 1..`maxLag` (the
+    * seasonality / self-similarity probe):
+    *
+    *   acf(l) = Σ_{t≤n−l} (x_t − x̄)(x_{t+l} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * with x̄ the key's full-series mean — the standard biased estimator
+    * (denominator over ALL n terms, so acf(0) ≡ 1 and |acf| ≤ 1).
+    * Series order is (ts, tie); constant series (zero variance) yield
+    * null. Output: one row per (key, lag): (keys…, lag, n, acf).
+    *
+    * Scale shape: ONE shuffle on the key — the mean (whole-partition
+    * window), the `maxLag` leads (one window pass), and the final
+    * per-key aggregate all share the keyed partitioning; the lag melt
+    * is a `stack` projection of the single aggregate row, not a
+    * row-multiplying explode of the series. */
+  def acf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    require(keys.nonEmpty, "acf needs at least one key column")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__tsu"), col(tieCol))
+    val wAll = Window.partitionBy(kc: _*)
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .withColumn("__tsu", unix_micros(col(tsCol)))
+      .withColumn("__x", col(valueCol).cast("double"))
+      .withColumn("__m", avg("__x").over(wAll))
+    val withLeads = (1 to maxLag).foldLeft(base) { (d, l) =>
+      d.withColumn(s"__lead_$l", lead("__x", l).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+        .as("__den")) ++
+      (1 to maxLag).map(l =>
+        sum((col("__x") - col("__m")) * (col(s"__lead_$l") - col("__m")))
+          .as(s"__num_$l"))
+    val perKey = withLeads.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack($maxLag, " +
+      (1 to maxLag).map(l => s"$l, __num_$l").mkString(", ") +
+      ") as (lag, __num)"
+    perKey.select(kc ++ Seq(col("n"), col("__den"), expr(stackExpr)): _*)
+      .select(kc ++ Seq(col("lag"), col("n"),
+        (col("__num") / nullif(col("__den"), lit(0.0))).as("acf")): _*)
+  }
+
+  /** Holt linear (double-exponential) smoothing per key — EWMA plus a
+    * trend the level recursion feeds on, for drifting metrics where a
+    * single exponential lags systematically:
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialized l_1 = x_1, b_1 = 0 (trend is learned, not seeded from
+    * x_2 − x_1 — one convention, replayable without a two-row
+    * lookahead). Emits (keys…, tie, level, trend, forecast) per
+    * observation, forecast = l_t + b_t = the one-step-ahead prediction.
+    * Same shape as [[Rolling.ewma]]: one shuffle, shuffle-sorted group
+    * iterators, O(1) state per key — the recursion streams, it never
+    * buffers a key's history. Results replay bit-for-bit against a
+    * RECURSIVE CTE applying the identical op order. */
+  def holtLinear(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tieCol: String, valueCol: String, alpha: Double,
+                 beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(keys.nonEmpty, "holtLinear needs at least one key column")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .select(struct(keys.map(col): _*).as("__k"),
+        col(tsCol).as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        col(valueCol).cast("double").as("__v"))
+    val kType = base.schema("__k").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(Seq(
+      StructField("__k", kType), StructField("__tie", LongType),
+      StructField("level", DoubleType), StructField("trend", DoubleType)))
+    val res = base.as(Encoders.row(base.schema))
+      .groupByKey((r: Row) => r.getStruct(0))(Encoders.row(kType))
+      .flatMapSortedGroups(col("__ts"), col("__tie")) {
+        (k: Row, it: Iterator[Row]) =>
+          var l = 0.0
+          var b = 0.0
+          var first = true
+          it.map { r =>
+            val v = r.getDouble(3)
+            if (first) { first = false; l = v; b = 0.0 }
+            else {
+              val lNew = alpha * v + (1.0 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1.0 - beta) * b
+              l = lNew
+            }
+            Row(k, r.getLong(2), l, b)
+          }
+      }(Encoders.row(outSchema))
+    res.select(keys.map(k => col("__k").getField(k).as(k)) :+
+      col("__tie").as(tieCol) :+ col("level") :+ col("trend") :+
+      (col("level") + col("trend")).as("forecast"): _*)
+  }
+
+  /** Durbin-Watson autocorrelation-of-residuals statistic per key: fit
+    * y ~ time by per-key OLS (closed form), then
+    *
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²   ∈ [0, 4]
+    *
+    * over the time-ordered residuals — ≈2 means uncorrelated residuals,
+    * →0 positive serial correlation (the trend-line fit is lying about
+    * independence), →4 negative. Time enters the regression as SECONDS
+    * from the key's first event (min-centered in exact long micros
+    * before the double divide — raw epoch-micros x would put ~1e30 in
+    * the x² sums and cancel catastrophically). Output: (keys…, n, dw);
+    * keys with < 2 events or a degenerate fit (zero x- or residual
+    * variance) yield null dw.
+    *
+    * Scale shape: one shuffle on the key; the min-center window, the
+    * OLS sums aggregate, the residual join-back (AQE broadcasts the
+    * per-key coefficient frame), the lag window, and the final
+    * aggregate all run on that one keyed partitioning. */
+  def durbinWatson(df: DataFrame, keys: Seq[String], tsCol: String,
+                   tieCol: String, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "durbinWatson needs at least one key column")
+    val kc = keys.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__xc"), col(tieCol))
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .withColumn("__tsu", unix_micros(col(tsCol)))
+      .withColumn("__xc",
+        ((col("__tsu") - min("__tsu").over(wAll)).cast("double") / 1e6))
+      .withColumn("__y", col(valueCol).cast("double"))
+    val sums = base.groupBy(kc: _*).agg(
+      count(lit(1)).as("__n"), sum("__xc").as("__sx"),
+      sum("__y").as("__sy"),
+      sum(col("__xc") * col("__y")).as("__sxy"),
+      sum(col("__xc") * col("__xc")).as("__sxx"))
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      nullif(col("__n") * col("__sxx") - col("__sx") * col("__sx"),
+        lit(0.0))
+    val coefs = sums.select(kc ++ Seq(col("__n"), slope.as("__slope"),
+      ((col("__sy") - slope * col("__sx")) / col("__n"))
+        .as("__icept")): _*)
+    val resid = base.join(coefs, keys)
+      .withColumn("__e",
+        col("__y") - (col("__icept") + col("__slope") * col("__xc")))
+      .withColumn("__ep", lag("__e", 1).over(w))
+    resid.groupBy(kc: _*).agg(
+      count(lit(1)).as("n"),
+      (sum((col("__e") - col("__ep")) * (col("__e") - col("__ep"))) /
+        nullif(sum(col("__e") * col("__e")), lit(0.0))).as("dw"))
+  }
 }

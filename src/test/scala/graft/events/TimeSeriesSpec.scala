@@ -77,4 +77,98 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((1L, 0.0, false), (1L, 8.0, false), (1L, 16.0, true),
       (2L, 0.0, false)))
   }
+
+  test("acf matches the direct biased-estimator computation") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0)
+    val df = evts(xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong * 10, i.toLong, v) })
+    val got = TimeSeries.acf(df, Seq("user_id"), "ts", "event_id",
+        "value", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val m = xs.sum / xs.length
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    def ref(l: Int) = xs.dropRight(l).zip(xs.drop(l))
+      .map { case (a, b) => (a - m) * (b - m) }.sum / den
+    (1 to 3).foreach { l =>
+      assert(got(l)._1 == xs.length.toLong)
+      assert(math.abs(got(l)._2 - ref(l)) < 1e-12, s"lag $l")
+    }
+    // biased estimator bound
+    (1 to 3).foreach(l => assert(math.abs(got(l)._2) <= 1.0 + 1e-12))
+  }
+
+  test("acf: constant series yields null; keys independent") {
+    val df = evts(Seq((1L, 0L, 1L, 7.0), (1L, 10L, 2L, 7.0),
+      (1L, 20L, 3L, 7.0), (2L, 0L, 4L, 1.0), (2L, 10L, 5L, 2.0),
+      (2L, 20L, 6L, 3.0)))
+    val got = TimeSeries.acf(df, Seq("user_id"), "ts", "event_id",
+        "value", maxLag = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).isNullAt(3)) // zero variance -> null, not NaN
+    // user 2: x = 1,2,3, mean 2: num = (1-2)(2-2)+(2-2)(3-2) = 0
+    assert(got(2L).getDouble(3) == 0.0)
+  }
+
+  test("holtLinear reproduces the driver-side recursion; beta=0 " +
+      "degrades to EWMA levels") {
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 18.0, 14.0)
+    val df = evts(xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong * 10, i.toLong, v) })
+    val (alpha, beta) = (0.4, 0.3)
+    val got = TimeSeries.holtLinear(df, Seq("user_id"), "ts", "event_id",
+        "value", alpha, beta)
+      .orderBy("event_id")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    var l = xs.head; var b = 0.0
+    val exp = xs.zipWithIndex.map { case (v, i) =>
+      if (i > 0) {
+        val lNew = alpha * v + (1.0 - alpha) * (l + b)
+        b = beta * (lNew - l) + (1.0 - beta) * b
+        l = lNew
+      }
+      (l, b, l + b)
+    }
+    got.zip(exp).foreach { case ((gl, gb, gf), (el, eb, ef)) =>
+      assert(gl == el && gb == eb && gf == ef) // bit-exact recursion
+    }
+    // beta = 0: trend stays 0 and levels reduce to EWMA
+    val holt0 = TimeSeries.holtLinear(df, Seq("user_id"), "ts",
+        "event_id", "value", alpha, 0.0)
+      .orderBy("event_id").collect()
+    val ewma = Rolling.ewma(df, Seq("user_id"), "ts", "event_id",
+        "value", alpha).orderBy("event_id").collect()
+    holt0.zip(ewma).foreach { case (h, e) =>
+      assert(h.getDouble(3) == 0.0)
+      assert(h.getDouble(2) == e.getDouble(2))
+    }
+  }
+
+  test("durbinWatson: perfect fit -> null; alternating residuals -> " +
+      "dw near 4; trending residuals -> dw near 0") {
+    // key 1: y exactly linear in t -> residuals all 0 -> dw null
+    // key 2: y alternates around a flat line -> e flips sign each step
+    val lin = (0 until 8).map(i => (1L, i.toLong * 1000000, i.toLong,
+      2.0 + 3.0 * i))
+    val alt = (0 until 8).map(i => (2L, i.toLong * 1000000, 100L + i,
+      5.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    // key 3: a slow full-period sine — the OLS trend is ~flat, the
+    // residuals ARE the wave: smooth, strongly positively correlated
+    val walk = (0 until 16).map(i => (3L, i.toLong * 1000000, 200L + i,
+      math.sin(2 * math.Pi * i / 16)))
+    val got = TimeSeries.durbinWatson(
+        evts(lin ++ alt ++ walk), Seq("user_id"), "ts", "event_id",
+        "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).isNullAt(2), "zero residual variance -> null dw")
+    assert(got(2L).getDouble(2) > 3.0, "alternating -> dw near 4")
+    assert(got(3L).getDouble(2) < 1.0, "persistent -> dw near 0")
+    assert(got(2L).getLong(1) == 8L)
+  }
+
+  test("durbinWatson: single-event keys yield null dw") {
+    val got = TimeSeries.durbinWatson(evts(Seq((9L, 0L, 1L, 5.0))),
+      Seq("user_id"), "ts", "event_id", "value").collect()
+    assert(got.length == 1 && got.head.isNullAt(2))
+  }
 }
