@@ -6855,6 +6855,44 @@ object Queries {
                round(avg(y), 6) AS frac_pos
              FROM sl GROUP BY 1 ORDER BY 1""")),
 
+    // ---- cumulative gains / lift table -------------------------------------
+    // equal-frequency deciles of the (score desc, tie) ranking via the
+    // range-sort + partition-offset scaffold (no single-partition
+    // window); every ratio is ONE division of exact longs, identical op
+    // order in both engines, so the row compares UNROUNDED
+    QueryDef("q_lift",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("tie",
+            col("l_orderkey").cast("long") * 8 + col("l_linenumber"))
+        graft.eval.BinaryMetrics.liftTable(li, "l_discount", "label",
+            "tie", nBuckets = 10)
+          .orderBy("bucket")
+      },
+      Some("""WITH sl AS (SELECT (l_returnflag = 'R')::INT::BIGINT AS y,
+               l_discount AS s, l_orderkey * 8 + l_linenumber AS t
+               FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+                 AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+             r AS (SELECT y, row_number() OVER (ORDER BY s DESC, t) AS rn
+               FROM sl),
+             tot AS (SELECT count(*)::BIGINT AS tn, sum(y)::BIGINT AS tp
+               FROM sl),
+             bk AS (SELECT ((rn - 1) * 10) // tn AS bi,
+               count(*)::BIGINT AS bn, sum(y)::BIGINT AS pos
+               FROM r, tot GROUP BY 1),
+             c AS (SELECT bi, bn, pos,
+               sum(bn) OVER (ORDER BY bi)::BIGINT AS cum_n,
+               sum(pos) OVER (ORDER BY bi)::BIGINT AS cum_pos FROM bk)
+             SELECT (bi + 1)::INT AS bucket, bn AS n, pos,
+               pos / bn AS rate,
+               (pos / bn) / (tp / tn) AS lift,
+               cum_n, cum_pos,
+               cum_pos / tp AS gain,
+               (cum_pos / cum_n) / (tp / tn) AS cum_lift
+             FROM c, tot ORDER BY bucket""")),
+
     // isotonic calibration contract (the q_pca_check pattern): the PAV
     // solve itself is iterative pooling the oracle can't replay, but its
     // invariants are exact — bin census reproduced, mass conserved

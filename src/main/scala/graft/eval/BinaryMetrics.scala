@@ -505,6 +505,79 @@ object BinaryMetrics {
         col("n").cast("long").as("neg") :+ col("auc_roc"): _*)
   }
 
+  /** Cumulative gains / lift table — the "how much better than random
+    * is the top decile" report scorers ship with. Rows rank by
+    * (score DESC, tie ASC) — `tieCol` must be unique per row so the
+    * equal-frequency split is total and replayable — and bucket
+    * b ∈ [1, nBuckets] holds ranks r with ⌊(r−1)·B/n⌋ = b−1 (the
+    * row_number formulation of an even split; ties at a bucket
+    * boundary go where their tie column says, not arbitrarily).
+    * Per bucket: n, pos, rate = pos/n, lift = rate/overall,
+    * cum_n, cum_pos, gain = cum_pos/total_pos,
+    * cum_lift = (cum_pos/cum_n)/overall. All ratios are single
+    * divisions of exact longs — bit-replayable in any engine.
+    * A label is positive when != 0.
+    *
+    * Scale shape: global ranking WITHOUT a single-partition window —
+    * one range-sort shuffle on (score desc, tie), then per-partition
+    * offset ranks (the zipfFit scaffold): pass 1 counts partition
+    * sizes, pass 2 folds each partition's rows into its ≤ nBuckets
+    * local (n, pos) cells. Driver merges ≤ partitions·nBuckets cells;
+    * corpus rows never leave their partition after the sort. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                tieCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"liftTable: nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    val base = df.na.drop(Seq(scoreCol, labelCol, tieCol))
+      .select(col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("double") =!= 0.0, 1L).otherwise(0L)
+          .as("__y"),
+        col(tieCol).cast("long").as("__t"))
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = base
+      .repartitionByRange(np, col("__s").desc, col("__t"))
+      .sortWithinPartitions(col("__s").desc, col("__t"))
+    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((pi, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val b = nBuckets.toLong
+    val cells = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val n = new Array[Long](nBuckets)
+      val pos = new Array[Long](nBuckets)
+      var rk = offsets(pi)
+      it.foreach { r =>
+        val bi = if (total == 0) 0 else ((rk * b) / total).toInt
+        rk += 1
+        n(bi) += 1
+        pos(bi) += r.getLong(1)
+      }
+      (0 until nBuckets).iterator.filter(n(_) > 0)
+        .map(i => (i, n(i), pos(i)))
+    }.collect()
+    val n = new Array[Long](nBuckets)
+    val pos = new Array[Long](nBuckets)
+    cells.foreach { case (i, cn, cp) => n(i) += cn; pos(i) += cp }
+    val totalPos = pos.sum
+    val overall = totalPos.toDouble / total
+    var cumN = 0L
+    var cumPos = 0L
+    val rows = (0 until nBuckets).filter(n(_) > 0).map { i =>
+      cumN += n(i); cumPos += pos(i)
+      val rate = pos(i).toDouble / n(i)
+      (i + 1, n(i), pos(i), rate, rate / overall, cumN, cumPos,
+        cumPos.toDouble / totalPos,
+        (cumPos.toDouble / cumN) / overall)
+    }
+    import spark.implicits._
+    rows.toDF("bucket", "n", "pos", "rate", "lift", "cum_n", "cum_pos",
+      "gain", "cum_lift")
+  }
+
   /** mllib adapter for AUC metrics (areaUnderROC/areaUnderPR). */
   def mllibMetrics(df: DataFrame, scoreCol: String, labelCol: String,
                    numBins: Int = 0): BinaryClassificationMetrics = {

@@ -199,4 +199,51 @@ class CalibrationSpec extends SparkSpec {
     assert(BinaryMetrics.calibrationCurve(withNulls, "p", "y")
       .agg(sum("n")).head().getLong(0) == 1L)
   }
+
+  test("liftTable: perfect scorer concentrates positives in bucket 1") {
+    import spark.implicits._
+    // 20 rows, 5 positives with the 5 highest scores, 4 buckets of 5
+    val df = (1 to 20).map(i =>
+      (100.0 - i, if (i <= 5) 1.0 else 0.0, i.toLong)).toDF("s", "y", "t")
+    val got = BinaryMetrics.liftTable(df, "s", "y", "t", nBuckets = 4)
+      .orderBy("bucket").collect()
+    assert(got.length == 4)
+    val b1 = got.head
+    assert(b1.getLong(1) == 5L && b1.getLong(2) == 5L) // n, pos
+    assert(b1.getDouble(3) == 1.0)                     // rate
+    assert(b1.getDouble(4) == 1.0 / 0.25)              // lift = 4x
+    assert(b1.getDouble(7) == 1.0)                     // gain: all pos in b1
+    got.tail.foreach(r => assert(r.getLong(2) == 0L))
+    // cumulative counts cover everything
+    assert(got.last.getLong(5) == 20L && got.last.getLong(6) == 5L)
+    assert(math.abs(got.last.getDouble(8) - 1.0) < 1e-15) // cum_lift -> 1
+  }
+
+  test("liftTable: ties split deterministically by the tie column and " +
+      "bucket sizes follow the row_number formula") {
+    import spark.implicits._
+    // all scores equal: ranking is pure tie order; 7 rows into 3 buckets
+    // -> sizes floor boundaries: ranks 1-2 / 3-4 / 5-7? formula:
+    // bucket(r) = floor((r-1)*3/7): r=1,2,3 -> 0; 4,5 -> 1; 6,7 -> 2
+    val df = (1 to 7).map(i => (1.0, (i % 2).toDouble, i.toLong))
+      .toDF("s", "y", "t")
+    val got = BinaryMetrics.liftTable(df, "s", "y", "t", nBuckets = 3)
+      .orderBy("bucket").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L, 2L))
+    // positives are rows with odd tie: buckets hold t=1,2,3 / 4,5 / 6,7
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("liftTable: null rows dropped; rates are exact long ratios") {
+    import spark.implicits._
+    val df = Seq((Some(0.9), Some(1.0), Some(1L)),
+      (None, Some(1.0), Some(2L)), (Some(0.1), None, Some(3L)),
+      (Some(0.2), Some(0.0), None), (Some(0.5), Some(0.0), Some(4L)))
+      .toDF("s", "y", "t")
+    val got = BinaryMetrics.liftTable(df, "s", "y", "t", nBuckets = 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 2L && got.head.getLong(2) == 1L)
+    assert(got.head.getDouble(3) == 0.5)
+  }
 }
