@@ -4440,6 +4440,38 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- add-k TRIGRAM LM quality score ------------------------------------
+    // q_lm_score with one more order of context; the context count is
+    // the trigram-prefix count (how often the bigram OPENS a trigram),
+    // not the raw bigram count — the oracle derives both tables from
+    // the same trigram CTE so the distinction is pinned
+    QueryDef("q_lm_trigram",
+      (s, d) => graft.pipeline.LanguageModel.trigramScore(
+          documents(s, d), "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("lm3_score"), 6).as("lm3_score"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                 x -> x <> '') AS ts
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             tri AS (SELECT doc_id, unnest(list_transform(range(len(ts)-2),
+                 i -> {'w1': ts[i+1], 'w2': ts[i+2], 'w3': ts[i+3]})) AS tg
+               FROM toks WHERE len(ts) >= 3),
+             t AS (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3
+               FROM tri),
+             c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM t GROUP BY 1, 2, 3),
+             cc AS (SELECT w1, w2, count(*) AS cc FROM t GROUP BY 1, 2),
+             v AS (SELECT count(DISTINCT tok) AS v FROM
+               (SELECT unnest(ts) AS tok FROM toks)),
+             ll AS (SELECT t.doc_id,
+                 ln((c3.c3 + 0.5) / (cc.cc + 0.5 * v.v)) AS ll
+               FROM t JOIN c3 USING (w1, w2, w3) JOIN cc USING (w1, w2)
+                 CROSS JOIN v)
+             SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+               round(avg(ll), 6) AS lm3_score
+             FROM ll GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- deterministic upsampling (fractional replication) ----------------
     // per-group epochs: en 2.5x (2 copies + Bernoulli(0.5) third), fr 0.5x
     // (degrades to hashSample), other langs pass through once. The copy

@@ -127,6 +127,67 @@ object LanguageModel {
       .select(col("__graft_id").as(idCol), col("n_bigrams"), col("lm_score"))
   } }
 
+  /** Mean TRIGRAM log-likelihood per document — [[lmScore]] with one
+    * more order of context:
+    *
+    *   score(d) = mean over trigrams (w1,w2,w3) of
+    *     ln( (c(w1,w2,w3) + k) / (c(w1,w2,·) + k·V) )
+    *
+    * where c(w1,w2,·) is the CONTEXT count (how often the bigram
+    * prefix opens any trigram in the training stream — NOT the raw
+    * bigram count: the last bigram of a training document opens
+    * nothing) and V is the training vocabulary. Sharper than the
+    * bigram score at separating fluent text from shuffled/templated
+    * tokens, at the price of a sparser count table — use the bigram
+    * score below ~10⁵ training docs. Documents with fewer than three
+    * tokens are absent. Output: (idCol, n_trigrams, lm3_score).
+    *
+    * Scale shape identical to [[lmScore]]: one typed flatMap → two
+    * hash aggregates over the training stream (trigram-vocabulary-
+    * bounded), token-keyed left joins back to the scoring stream (AQE
+    * broadcasts count tables that fit), one per-doc aggregate. */
+  def trigramScore(df: DataFrame, idCol: String, textCol: String,
+                   addK: Double = 0.5,
+                   train: Option[DataFrame] = None): DataFrame = {
+    require(addK > 0, s"trigramScore needs addK > 0, got $addK")
+    graft.util.Errors.context("trigramScore", Seq(idCol, textCol)) {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def triStream(src: DataFrame): DataFrame =
+      src.na.drop(Seq(idCol, textCol))
+        .select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ts = tokenize(text)
+          (2 until ts.length).iterator
+            .map(i => (id, ts(i - 2), ts(i - 1), ts(i)))
+        }.toDF("__graft_id", "w1", "w2", "w3")
+    val trainDf = train.getOrElse(df.na.drop(Seq(idCol, textCol)))
+    val tb = trainDf.na.drop(Seq(textCol)).select(col(textCol))
+      .as[String].flatMap { text =>
+        val ts = tokenize(text)
+        (2 until ts.length).iterator
+          .map(i => (ts(i - 2), ts(i - 1), ts(i)))
+      }.toDF("w1", "w2", "w3")
+    val c3 = tb.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c3"))
+    val cctx = tb.groupBy("w1", "w2").agg(count(lit(1)).as("__cctx"))
+    val v = trainDf.na.drop(Seq(textCol))
+      .select(explode(alphaTokens(col(textCol))).as("tok"))
+      .agg(countDistinct("tok").as("__v"))
+    triStream(df)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(cctx, Seq("w1", "w2"), "left")
+      .na.fill(0L, Seq("__c3", "__cctx"))
+      .crossJoin(broadcast(v))
+      .select(col("__graft_id"),
+        log((col("__c3") + addK) / (col("__cctx") + lit(addK) * col("__v")))
+          .as("__ll"))
+      .groupBy("__graft_id")
+      .agg(count(lit(1)).as("n_trigrams"), avg("__ll").as("lm3_score"))
+      .select(col("__graft_id").as(idCol), col("n_trigrams"),
+        col("lm3_score"))
+  } }
+
   /** Collocation extraction via pointwise mutual information — the
     * word2vec/Gensim-style phrase detector ("new york", "machine
     * learning"): adjacent token pairs that co-occur far more than their

@@ -115,4 +115,44 @@ class LanguageModelSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(LanguageModel.lmScore(empty, "doc_id", "text").count() == 0L)
   }
+
+  test("trigramScore matches the closed-form add-k computation and " +
+      "uses CONTEXT counts, not raw bigram counts") {
+    import spark.implicits._
+    // corpus: "a b c a b d" + "a b" — the second doc's (a,b) bigram
+    // opens NO trigram, so context count c(a,b,·) = 2 (not 3): the
+    // distinction under test
+    val df = Seq((1L, "a b c a b d"), (2L, "a b")).toDF("doc_id", "text")
+    val k = 0.5
+    val got = LanguageModel.trigramScore(df, "doc_id", "text", addK = k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // doc 2 has < 3 tokens -> absent
+    assert(got.keySet == Set(1L))
+    val v = 4.0 // vocabulary a, b, c, d
+    // trigrams of doc 1: (a,b,c), (b,c,a), (c,a,b), (a,b,d)
+    // c3 each = 1; contexts: (a,b)->2, (b,c)->1, (c,a)->1
+    val exp = Seq(
+      math.log((1 + k) / (2 + k * v)), // a b c
+      math.log((1 + k) / (1 + k * v)), // b c a
+      math.log((1 + k) / (1 + k * v)), // c a b
+      math.log((1 + k) / (2 + k * v))  // a b d
+    )
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - exp.sum / exp.length) < 1e-12)
+  }
+
+  test("trigramScore cross-corpus: unseen trigrams get the smoothed " +
+      "floor from the TRAIN statistics") {
+    import spark.implicits._
+    val train = Seq((10L, "x y z x y z")).toDF("doc_id", "text")
+    val score = Seq((1L, "p q r")).toDF("doc_id", "text")
+    val k = 0.5
+    val got = LanguageModel.trigramScore(score, "doc_id", "text",
+        addK = k, train = Some(train)).head()
+    // unseen trigram, unseen context, train vocab = {x, y, z} (V=3)
+    val floor = math.log((0 + k) / (0 + k * 3.0))
+    assert(got.getLong(1) == 1L)
+    assert(math.abs(got.getDouble(2) - floor) < 1e-12)
+  }
 }
