@@ -7556,6 +7556,36 @@ object Queries {
                round(jaro_winkler_similarity(s_name, mut_name), 6) AS jw_mut
              FROM sup WHERE next_name IS NOT NULL ORDER BY s_suppkey""")),
 
+    // ---- embedding drift: cosine histogram vs a reference sample ----------
+    // every 50th vector is the broadcast reference; the rest stream
+    // through a broadcast-nested-loop + bins-bounded aggregate. Cosines
+    // round to 6 decimals BEFORE binning so the bin edges replay across
+    // engines; bin edges are the identical (-1 + 2·b/B) arithmetic
+    QueryDef("q_cos_drift",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Similarity.cosineHistogram(
+            e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+            e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            bins = 20)
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+             r AS (SELECT v FROM e WHERE vec_id % 50 = 0),
+             c AS (SELECT v FROM e WHERE vec_id % 50 != 0),
+             p AS (SELECT least(floor(
+                 (round(list_cosine_similarity(c.v, r.v), 6) + 1.0)
+                   / 2.0 * 20), 19)::INT AS bin
+               FROM c, r),
+             h AS (SELECT bin, count(*)::BIGINT AS n FROM p GROUP BY 1)
+             SELECT b.bin::INT AS bin,
+               -1.0 + 2.0 * b.bin / 20 AS lo,
+               -1.0 + 2.0 * (b.bin + 1) / 20 AS hi,
+               coalesce(n, 0)::BIGINT AS n
+             FROM range(20) b(bin) LEFT JOIN h ON b.bin = h.bin
+             ORDER BY 1""")),
+
     // ---- Jaro-Winkler blocked ER pairs -------------------------------------
     // prefix blocking (first 4 chars) + native codegen'd JW scoring over
     // part names; the oracle replays the identical block predicate and

@@ -183,6 +183,59 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos")
   }
 
+  /** Cosine-similarity histogram of A×B pairs — the embedding DRIFT
+    * diagnostic: how does a corpus slice sit, geometrically, against a
+    * reference sample? Two snapshots of the same corpus should produce
+    * near-identical histograms; a new source, a changed encoder, or an
+    * encoding bug shifts the mass visibly. The companion of
+    * [[graft.agg.Stats.psi]] (numeric features) and
+    * [[LanguageModel.tokenJsDivergence]] (token distributions) for the
+    * embedding column.
+    *
+    * `b` is the REFERENCE side and must be bounded (`maxRef` guard —
+    * probe + refuse, the [[allPairsCosine]] contract): it broadcasts,
+    * and each A-row scores against all of it. `a` streams at ANY scale:
+    * the plan is scan → broadcast-nested-loop → per-pair bin projection
+    * → bins-bounded hash aggregate, so partial aggregation collapses
+    * every partition to ≤ `bins` rows before the only shuffle. Pairs
+    * with a shared id are NOT excluded — for self-drift (a vs a sample
+    * of itself) the |B| self-pairs land in the top bin; subtract them
+    * or sample disjoint slices. The cosine is rounded to 6 decimals
+    * BEFORE binning so the bin edges are engine-replayable. Output:
+    * one row per bin b ∈ [0, bins): (bin, lo, hi, n) — empty bins
+    * present with n = 0, edges lo/hi spanning [−1, 1]. */
+  def cosineHistogram(a: DataFrame, idColA: String, vecColA: String,
+                      b: DataFrame, idColB: String, vecColB: String,
+                      bins: Int = 20, maxRef: Int = 10000): DataFrame = {
+    require(bins >= 1, s"cosineHistogram needs bins >= 1, got $bins")
+    val spark = a.sparkSession
+    val probeLimit = if (maxRef == Int.MaxValue) maxRef else maxRef + 1
+    val refProbe = b.na.drop(Seq(idColB, vecColB)).limit(probeLimit).count()
+    require(refProbe <= maxRef,
+      s"cosineHistogram broadcasts the reference side and refuses " +
+        s"references above maxRef=$maxRef rows; this reference has more. " +
+        s"Sample it first (Sampling.hashSample) or raise maxRef " +
+        s"deliberately.")
+    val ca = a.na.drop(Seq(idColA, vecColA))
+      .select(col(vecColA).cast("array<double>").as("__va"))
+      .withColumn("__na", Dedup.sqNorm(col("__va")))
+    val cb = b.na.drop(Seq(idColB, vecColB))
+      .select(col(vecColB).cast("array<double>").as("__vb"))
+      .withColumn("__nb", Dedup.sqNorm(col("__vb")))
+    val cos = round(Dedup.cosinePre(col("__va"), col("__vb"),
+      col("__na"), col("__nb")), 6)
+    val counts = ca.crossJoin(broadcast(cb))
+      .select(least(floor((cos + 1.0) / 2.0 * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("__n"))
+    spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(-1.0) + lit(2.0) * col("bin") / bins).as("lo"),
+        (lit(-1.0) + lit(2.0) * (col("bin") + 1) / bins).as("hi"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+  }
+
   /** IVF index: coarse-quantizer cells for every corpus vector.
     *
     * The quantizer is trained on a BOUNDED deterministic sample (first

@@ -416,6 +416,31 @@ class PipelineSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("cosineHistogram: mass lands in the right bins, empty bins " +
+      "present, reference guard refuses") {
+    import spark.implicits._
+    // corpus: two copies of the reference vector (cos 1), one
+    // orthogonal (cos 0), one opposite (cos -1)
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ref = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineHistogram(corpus, "vec_id", "embedding",
+        ref, "vec_id", "embedding", bins = 4)
+      .orderBy("bin").collect()
+    assert(got.length == 4) // dense: empty bins present
+    // bins over [-1,1): cos -1 -> bin 0, cos 0 -> bin 2, cos 1 -> bin 3
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 0L, 1L, 2L))
+    assert(got.head.getDouble(1) == -1.0 && got.last.getDouble(2) == 1.0)
+    assert(got.map(_.getLong(3)).sum == 4L) // one cell per A-row per B-row
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineHistogram(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", bins = 4, maxRef = 2)
+    }
+    assert(e.getMessage.contains("maxRef"))
+  }
+
   test("embeddingDedupAgainst / nearNewRows: cross-side near-dups only") {
     import spark.implicits._
     // corpus directions: e0 and e1; batch: dup of e0, near-e1, orthogonal
