@@ -6285,6 +6285,40 @@ object Queries {
                  ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
              FROM g ORDER BY l_returnflag""")),
 
+    // ---- ridge regression (closed-form, one distributed pass) -------------
+    // two features + intercept, λ = 10 on the slopes only; the oracle
+    // solves the SAME centered normal equations by Cramer's rule while
+    // the engine runs Gaussian elimination — algebraically identical,
+    // numerically within ulps, pinned under round(4)
+    QueryDef("q_ridge",
+      (s, d) => graft.ml.Regression.ridgeFit(lineitem(s, d),
+          Seq("l_quantity", "l_discount"), "l_extendedprice",
+          lambda = 10.0)
+        .select(col("n"), round(col("intercept"), 4).as("intercept"),
+          round(col("beta_l_quantity"), 4).as("beta_l_quantity"),
+          round(col("beta_l_discount"), 4).as("beta_l_discount")),
+      Some("""WITH b AS (SELECT l_quantity::DOUBLE AS x1,
+               l_discount::DOUBLE AS x2, l_extendedprice::DOUBLE AS y
+               FROM lineitem WHERE l_quantity IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+             g AS (SELECT count(*)::BIGINT AS n, sum(x1) AS sx1,
+               sum(x2) AS sx2, sum(y) AS sy, sum(x1*x1) AS s11,
+               sum(x1*x2) AS s12, sum(x2*x2) AS s22, sum(x1*y) AS s1y,
+               sum(x2*y) AS s2y FROM b),
+             k AS (SELECT n, sx1/n AS m1, sx2/n AS m2, sy/n AS my,
+               s11 - n*(sx1/n)*(sx1/n) + 10.0 AS g11,
+               s12 - n*(sx1/n)*(sx2/n) AS g12,
+               s22 - n*(sx2/n)*(sx2/n) + 10.0 AS g22,
+               s1y - n*(sx1/n)*(sy/n) AS c1,
+               s2y - n*(sx2/n)*(sy/n) AS c2 FROM g),
+             k2 AS (SELECT n, m1, m2, my,
+               (c1*g22 - c2*g12) / (g11*g22 - g12*g12) AS b1,
+               (g11*c2 - g12*c1) / (g11*g22 - g12*g12) AS b2 FROM k)
+             SELECT n, round(my - (b1*m1 + b2*m2), 4) AS intercept,
+               round(b1, 4) AS beta_l_quantity,
+               round(b2, 4) AS beta_l_discount
+             FROM k2""")),
+
     // ---- Benford first-digit profile --------------------------------------
     // leading digit via the canonical decimal string (strip sign, point,
     // zeros) — exact in both engines; the double column is cast to
