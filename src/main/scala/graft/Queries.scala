@@ -5838,6 +5838,63 @@ object Queries {
                l + b AS forecast
              FROM rec ORDER BY 1, 2""")),
 
+    // ---- Mann-Kendall trend + Sen's slope -----------------------------------
+    // run on the DAILY resample (the operator's documented contract —
+    // MK is pairwise), per user. Bucket avgs round(6) before the test so
+    // sign comparisons are ulp-stable across engines; from there S, n,
+    // and the tie sums are exact longs and var_s/z/sen are fixed op
+    // chains — z and sen_slope still round(6) for the sqrt/interpolation
+    QueryDef("q_mann_kendall",
+      (s, d) => {
+        val ev = events(s, d)
+          .na.drop(Seq("user_id", "ts", "value"))
+          .withColumn("day",
+            expr("unix_micros(ts) div 86400000000"))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(round(avg("value"), 6).as("x"))
+          .withColumn("ts2", timestamp_micros(col("day") * 86400000000L))
+        graft.events.TimeSeries.mannKendall(daily, Seq("user_id"),
+            "ts2", "day", "x")
+          .select(col("user_id"), col("n"), col("s"), col("var_s"),
+            round(col("z"), 6).as("z"),
+            round(col("sen_slope"), 6).as("sen_slope"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL),
+             dly AS (SELECT user_id, tsu // 86400000000 AS day,
+               round(avg(value), 6) AS x FROM e GROUP BY 1, 2),
+             r AS (SELECT user_id, day, x, row_number()
+                 OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dly),
+             p AS (SELECT a.user_id, a.x AS xa, b.x AS xb,
+               a.day AS ta, b.day AS tb
+               FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn),
+             sagg AS (SELECT user_id, sum(CASE WHEN xb > xa THEN 1
+                 WHEN xb < xa THEN -1 ELSE 0 END)::BIGINT AS s
+               FROM p GROUP BY 1),
+             sen AS (SELECT user_id, quantile_cont(
+                 (xb - xa) / (((tb - ta) * 86400000000)::DOUBLE / 1e6),
+                 0.5) AS sen_slope
+               FROM p WHERE tb != ta GROUP BY 1),
+             tc AS (SELECT user_id, count(*)::BIGINT AS t FROM dly
+               GROUP BY user_id, x),
+             tie AS (SELECT user_id,
+               sum(t * (t - 1) * (t * 2 + 5))::BIGINT AS tsum,
+               sum(t)::BIGINT AS n FROM tc GROUP BY 1),
+             f AS (SELECT tie.user_id, n, coalesce(s, 0)::BIGINT AS s,
+               ((n * (n - 1) * (n * 2 + 5) - tsum))::DOUBLE / 18.0
+                 AS var_s, sen_slope
+               FROM tie LEFT JOIN sagg ON tie.user_id = sagg.user_id
+                 LEFT JOIN sen ON tie.user_id = sen.user_id)
+             SELECT user_id, n, s, var_s,
+               round(CASE WHEN var_s > 0.0 THEN
+                 CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(var_s)
+                   WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(var_s)
+                   ELSE 0.0 END END, 6) AS z,
+               round(sen_slope, 6) AS sen_slope
+             FROM f ORDER BY user_id""")),
+
     // ---- Durbin-Watson residual autocorrelation -----------------------------
     // per-user OLS of value on seconds-from-first-event (min-centered in
     // exact long micros BEFORE the double divide — raw epoch-micros x

@@ -212,6 +212,87 @@ object TimeSeries {
       (col("level") + col("trend")).as("forecast"): _*)
   }
 
+  /** Mann-Kendall trend test + Sen's slope per key — the
+    * distribution-free "is this metric drifting" test for short
+    * per-entity series (run it on RESAMPLED/aggregated series, not raw
+    * event streams — the statistic is pairwise by construction):
+    *
+    *   S     = Σ_{i<j} sign(x_j − x_i)          (time order)
+    *   VarS  = [n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)] / 18
+    *   z     = (S∓1)/√VarS  (continuity-corrected; 0 when S = 0,
+    *            null when VarS = 0 — constant or single-point series)
+    *   sen   = median of (x_j − x_i)/(t_j − t_i) over pairs with
+    *            distinct timestamps (seconds; robust slope estimate)
+    *
+    * t_v are per-distinct-value tie counts. S, n, and the tie sums are
+    * exact longs and VarS/z/sen are fixed op chains over them, so the
+    * whole row replays bit-for-bit in any engine.
+    *
+    * Scale shape: ONE keyed shuffle; the pair frame is a within-key
+    * rank self-join — O(Σ n_k²) pairs by construction, which is the
+    * point of the `maxN` probe: any key longer than `maxN` observations
+    * REFUSES (aggregate the series first — daily/hourly resample —
+    * rather than raising the cap; MK on 10⁶ raw points is 10¹² pairs
+    * of noise). */
+  def mannKendall(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String,
+                  maxN: Int = 10000): DataFrame = {
+    require(keys.nonEmpty, "mannKendall needs at least one key column")
+    require(maxN >= 2, s"maxN must be >= 2, got $maxN")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__tsu"), col(tieCol))
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .withColumn("__tsu", unix_micros(col(tsCol)))
+      .withColumn("__x", col(valueCol).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .select(kc ++ Seq(col("__tsu"), col("__x"), col("__rn")): _*)
+      .cache() // consumed by the probe, the pair join (twice), and ties
+    val longest = base.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L)).as("m")).head().getLong(0)
+    require(longest <= maxN,
+      s"mannKendall is pairwise (O(n²) per key) and refuses keys longer " +
+        s"than maxN=$maxN observations (longest here: $longest). " +
+        s"Aggregate the series first (Rolling.resample / a time-bucket " +
+        s"groupBy), or raise maxN deliberately.")
+    val a = base.select(kc ++ Seq(col("__tsu").as("__ta"),
+      col("__x").as("__xa"), col("__rn").as("__ra")): _*)
+    val b = base.select(kc ++ Seq(col("__tsu").as("__tb"),
+      col("__x").as("__xb"), col("__rn").as("__rb")): _*)
+    val pairs = a.join(b, keys).filter(col("__ra") < col("__rb"))
+    val sAgg = pairs.groupBy(kc: _*).agg(
+      sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
+    val senAgg = pairs.filter(col("__tb") =!= col("__ta"))
+      .select(kc ++ Seq(((col("__xb") - col("__xa")) /
+        ((col("__tb") - col("__ta")).cast("double") / 1e6))
+        .as("__slope")): _*)
+      .groupBy(kc: _*)
+      .agg(graft.expr.ExactPercentile.of(col("__slope"), Seq(0.5))
+        .getItem(0).as("sen_slope"))
+    val ties = base.groupBy(kc :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+          .as("__tsum"),
+        sum("__t").as("n"))
+    val varS = ((col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+      col("__tsum")).cast("double") / 18.0).as("var_s")
+    val z = when(col("var_s") > 0.0,
+      when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("s") < 0,
+          (col("s") + 1).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)))
+    // left joins: single-observation keys have no pairs — s
+    // coalesces to 0, sen_slope stays null, varS = 0 nulls z
+    ties.join(sAgg, keys, "left").join(senAgg, keys, "left")
+      .select(kc ++ Seq(col("n"), coalesce(col("s"), lit(0L)).as("s"),
+        varS, col("sen_slope")): _*)
+      .withColumn("z", z)
+      .select(kc ++ Seq(col("n"), col("s"), col("var_s"), col("z"),
+        col("sen_slope")): _*)
+  }
+
   /** Durbin-Watson autocorrelation-of-residuals statistic per key: fit
     * y ~ time by per-key OLS (closed form), then
     *

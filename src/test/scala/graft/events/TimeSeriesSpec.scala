@@ -171,4 +171,52 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("user_id"), "ts", "event_id", "value").collect()
     assert(got.length == 1 && got.head.isNullAt(2))
   }
+
+  test("mannKendall: monotone series maxes S, Sen slope exact on a " +
+      "linear series; constant series nulls z") {
+    // user 1: x = 3t + 1 at 1-second steps -> every pair concordant:
+    // S = n(n-1)/2 = 15, sen = 3 per second
+    val lin = (0 until 6).map(i =>
+      (1L, i.toLong * 1000000, i.toLong, 3.0 * i + 1.0))
+    // user 2: constant -> S = 0, var_s = 0 (one tie group), z null
+    val const = (0 until 5).map(i =>
+      (2L, i.toLong * 1000000, 100L + i, 7.0))
+    // user 3: strictly decreasing -> S = -n(n-1)/2
+    val dec = (0 until 4).map(i =>
+      (3L, i.toLong * 1000000, 200L + i, -2.0 * i))
+    val got = TimeSeries.mannKendall(evts(lin ++ const ++ dec),
+        Seq("user_id"), "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) == 6L && u1.getLong(2) == 15L)
+    // no ties: var_s = n(n-1)(2n+5)/18 = 6*5*17/18
+    assert(u1.getDouble(3) == 6.0 * 5 * 17 / 18.0)
+    assert(u1.getDouble(4) == 14.0 / math.sqrt(6.0 * 5 * 17 / 18.0))
+    assert(u1.getDouble(5) == 3.0) // sen: all pairwise slopes = 3/s
+    val u2 = got(2L)
+    assert(u2.getLong(2) == 0L && u2.getDouble(3) == 0.0)
+    assert(u2.isNullAt(4)) // var_s = 0 -> z null
+    assert(u2.getDouble(5) == 0.0) // slopes all 0
+    val u3 = got(3L)
+    assert(u3.getLong(2) == -6L)
+    assert(u3.getDouble(5) == -2.0)
+    assert(u3.getDouble(4) < 0) // continuity-corrected negative z
+  }
+
+  test("mannKendall: ties reduce var_s by the tie correction; maxN " +
+      "refuses long series") {
+    // x = 1,1,2,2: ties t = {2,2}; S counts only cross-value pairs
+    val df = evts(Seq((1L, 0L, 1L, 1.0), (1L, 1L, 2L, 1.0),
+      (1L, 2L, 3L, 2.0), (1L, 3L, 4L, 2.0)))
+    val r = TimeSeries.mannKendall(df, Seq("user_id"), "ts",
+      "event_id", "value").head()
+    assert(r.getLong(2) == 4L) // 2x2 concordant cross pairs
+    // var = [4*3*13 - 2*(2*1*9)] / 18 = (156 - 36)/18
+    assert(r.getDouble(3) == 120.0 / 18.0)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.mannKendall(df, Seq("user_id"), "ts", "event_id",
+        "value", maxN = 3)
+    }
+    assert(e.getMessage.contains("resample"))
+  }
 }
