@@ -6342,6 +6342,29 @@ object Queries {
                  ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
              FROM g ORDER BY l_returnflag""")),
 
+    // ---- per-source concentration (Gini + Herfindahl) ----------------------
+    // how unevenly character mass spreads across each source's docs; the
+    // rank formulation of Gini is permutation-invariant over ties so the
+    // window needs no tie column; sums carry engine ulps -> round(6)
+    QueryDef("q_concentration",
+      (s, d) => graft.agg.Stats.concentration(documents(s, d),
+          Seq("source"), "n_chars")
+        .select(col("source"), col("n"), col("total"),
+          round(col("gini"), 6).as("gini"),
+          round(col("hhi"), 6).as("hhi"))
+        .orderBy("source"),
+      Some("""WITH b AS (SELECT source, n_chars::DOUBLE AS x,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                 AS i
+               FROM documents
+               WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+             SELECT source, count(*)::BIGINT AS n,
+               sum(x) AS total,
+               round((2.0 * sum(i * x) - (count(*) + 1) * sum(x)) /
+                 (count(*) * nullif(sum(x), 0)), 6) AS gini,
+               round(sum(x * x) / (nullif(sum(x), 0) * sum(x)), 6) AS hhi
+             FROM b GROUP BY source ORDER BY source""")),
+
     // ---- ridge regression (closed-form, one distributed pass) -------------
     // two features + intercept, λ = 10 on the slopes only; the oracle
     // solves the SAME centered normal equations by Cramer's rule while

@@ -842,6 +842,46 @@ object Stats {
     }
   }
 
+  /** Per-group concentration report — how unevenly a quantity is spread
+    * across a group's members: the corpus-balance diagnostic ("is one
+    * domain 80% of this source's token mass?") for weighting decisions.
+    *
+    *   gini = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)   (x₍ᵢ₎ ascending)
+    *   hhi  = Σ xᵢ² / (Σx)²                        (Herfindahl index)
+    *
+    * gini ∈ [0, 1−1/n] (0 = perfectly even), hhi ∈ [1/n, 1] (1 = one
+    * member holds everything). Values must be non-negative (required —
+    * Gini is undefined for mixed signs); groups with Σx = 0 yield null.
+    * Both statistics are permutation-invariant over equal values, so
+    * the row_number rank (value, then input order) is deterministic
+    * WITHOUT a tie column.
+    *
+    * Scale shape: ONE shuffle on the group key — the ascending-rank
+    * window and the final aggregate share the keyed partitioning;
+    * output is one row per group. */
+  def concentration(df: DataFrame, groups: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(groups.nonEmpty, "concentration needs at least one group col")
+    val gc = groups.map(col)
+    val v = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("__x"))
+    val base = df.na.drop(groups :+ valueCol)
+      .select(gc :+ when(v < 0, raise_error(concat(
+          lit(s"concentration: negative value in $valueCol: "),
+          v.cast("string")))).otherwise(v).as("__x"): _*)
+      .withColumn("__i", row_number().over(w))
+    base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("__x").as("total"),
+        sum(col("__i") * col("__x")).as("__ix"),
+        sum(col("__x") * col("__x")).as("__xx"))
+      .select(gc ++ Seq(col("n"), col("total"),
+        ((lit(2.0) * col("__ix") - (col("n") + 1) * col("total")) /
+          (col("n") * nullif(col("total"), lit(0.0)))).as("gini"),
+        (col("__xx") / (nullif(col("total"), lit(0.0)) * col("total")))
+          .as("hhi")): _*)
+  }
+
   /** One-pass schema-wide table profile: for every column (or the given
     * subset), (column, n_rows, n_nonnull, n_distinct, min_str, max_str)
     * in one aggregate — the data-engineering "what is actually in this

@@ -419,4 +419,39 @@ class StatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.agg.Stats.benford(Seq(1.5).toDF("v"), "v")) // double refused
   }
+
+  test("concentration: even split -> gini 0 and hhi 1/n; monopoly -> " +
+      "gini 1-1/n and hhi 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+      ("mono", 0.0), ("mono", 0.0), ("mono", 0.0), ("mono", 12.0),
+      ("zero", 0.0), ("zero", 0.0)).toDF("g", "x")
+    val got = graft.agg.Stats.concentration(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val even = got("even")
+    assert(even.getLong(1) == 4L)
+    assert(math.abs(even.getDouble(3)) < 1e-12)        // gini 0
+    assert(math.abs(even.getDouble(4) - 0.25) < 1e-12) // hhi 1/4
+    val mono = got("mono")
+    assert(math.abs(mono.getDouble(3) - 0.75) < 1e-12) // 1 - 1/4
+    assert(math.abs(mono.getDouble(4) - 1.0) < 1e-12)
+    val zero = got("zero")
+    assert(zero.isNullAt(3) && zero.isNullAt(4)) // sum 0 -> null
+  }
+
+  test("concentration matches the textbook Gini on a known vector and " +
+      "refuses negatives") {
+    import spark.implicits._
+    // x = 1,2,3,4: gini = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    val df = Seq.tabulate(4)(i => ("a", (i + 1).toDouble)).toDF("g", "x")
+    val r = graft.agg.Stats.concentration(df, Seq("g"), "x").head()
+    assert(math.abs(r.getDouble(3) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 30.0 / 100.0) < 1e-12)
+    val bad = Seq(("a", -1.0)).toDF("g", "x")
+    val e = intercept[Exception] {
+      graft.agg.Stats.concentration(bad, Seq("g"), "x").collect()
+    }
+    assert(e.getMessage.contains("negative"))
+  }
 }
