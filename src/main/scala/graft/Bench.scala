@@ -25,9 +25,10 @@ object Bench {
     "q_fence_cap"          -> (0.22, 0.70),
     "q_mahalanobis"        -> (0.90, 2.15),
     "q_multimodal"         -> (0.50, 1.50),
-    // floor widened r9 third session: measured 0.337 steady (fast
-    // direction)
-    "q_mode_stratified"    -> (0.30, 0.95),
+    // floor widened r9 third session (0.337) and again sixth session
+    // (0.197 in a full-bench run) — both fast direction, not a
+    // regression signal
+    "q_mode_stratified"    -> (0.15, 0.95),
     "q_repetition"         -> (0.55, 1.35),
     "q_minhash_dedup"      -> (0.90, 2.15),
     // floor widened r9 twice: local full-bench runs measured 0.316 and

@@ -7670,6 +7670,46 @@ object Queries {
                round(jaro_winkler_similarity(s_name, mut_name), 6) AS jw_mut
              FROM sup WHERE next_name IS NOT NULL ORDER BY s_suppkey""")),
 
+    // ---- margin-based best-match mining (LASER/CCMatrix criterion) --------
+    // hub-discounted best match for 30 query vectors against the rest;
+    // both neighborhood means and the final margin ranking replayed in
+    // SQL; cos/margin round(6) (cosine + small-avg engine ulps)
+    QueryDef("q_margin_mine",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.pipeline.Similarity.marginMatches(
+            e.filter(col("vec_id") < 30), "vec_id", "embedding",
+            e.filter(col("vec_id") >= 30), "vec_id", "embedding", k = 4)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy("id_a")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+             a AS (SELECT vec_id AS id_a, v FROM e WHERE vec_id < 30),
+             b AS (SELECT vec_id AS id_b, v FROM e WHERE vec_id >= 30),
+             p AS (SELECT id_a, id_b,
+               list_cosine_similarity(a.v, b.v) AS cos FROM a, b),
+             ra AS (SELECT id_a, id_b, cos, row_number()
+                 OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS r
+               FROM p),
+             nx AS (SELECT id_a, avg(cos) AS nnx FROM ra WHERE r <= 4
+               GROUP BY 1),
+             rb AS (SELECT id_a, id_b, cos, row_number()
+                 OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) AS r
+               FROM p),
+             ny AS (SELECT id_b, avg(cos) AS nny FROM rb WHERE r <= 4
+               GROUP BY 1),
+             m AS (SELECT p.id_a, p.id_b, cos,
+               cos / nullif((nnx + nny) / 2.0, 0) AS margin
+               FROM p JOIN nx USING (id_a) JOIN ny USING (id_b)
+               WHERE cos / nullif((nnx + nny) / 2.0, 0) IS NOT NULL),
+             best AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                 ORDER BY margin DESC, id_b) AS rn FROM m)
+             SELECT id_a, id_b, round(cos, 6) AS cos,
+               round(margin, 6) AS margin
+             FROM best WHERE rn = 1 ORDER BY id_a""")),
+
     // ---- embedding drift: cosine histogram vs a reference sample ----------
     // every 50th vector is the broadcast reference; the rest stream
     // through a broadcast-nested-loop + bins-bounded aggregate. Cosines

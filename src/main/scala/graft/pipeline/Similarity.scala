@@ -236,6 +236,72 @@ object Similarity {
         coalesce(col("__n"), lit(0L)).as("n"))
   }
 
+  /** Margin-based best-match mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining criterion): for every A-row, the
+    * B-row maximizing
+    *
+    *   margin(x, y) = cos(x, y) / ((nnₖ(x) + nnₖ(y)) / 2)
+    *
+    * where nnₖ(x) is the mean cosine of x's k nearest B-neighbors and
+    * nnₖ(y) the mean of y's k nearest A-neighbors. The ratio discounts
+    * HUB vectors (high cosine to everything): a raw-cosine top-1 pairs
+    * half the corpus to the same few hubs; the margin demands the pair
+    * stand out against BOTH sides' local neighborhoods. Margin > 1 ⇒
+    * closer than the average of their neighborhoods — the usual mining
+    * threshold is 1.04-1.06.
+    *
+    * This is the EXACT (brute-force) baseline, guarded like
+    * [[allPairsCosine]]: both sides must fit `maxRows` (the pair frame
+    * is |A|·|B|). At corpus scale, shard A and mine against an IVF-
+    * restricted B candidate set, then feed the candidate pairs here.
+    * Output: (id_a, id_b, cos, margin) — one row per A-row with a
+    * non-degenerate neighborhood (nn means summing to 0 yield null
+    * margin and are dropped). */
+  def marginMatches(a: DataFrame, idColA: String, vecColA: String,
+                    b: DataFrame, idColB: String, vecColB: String,
+                    k: Int = 4, maxRows: Int = 100000): DataFrame = {
+    require(k >= 1, s"marginMatches needs k >= 1, got $k")
+    def guard(df: DataFrame, side: String): DataFrame = {
+      val clean = df.na.drop(Seq(
+        if (side == "A") idColA else idColB,
+        if (side == "A") vecColA else vecColB))
+      val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+      require(clean.limit(probeLimit).count() <= maxRows,
+        s"marginMatches is the exact brute-force miner (|A|x|B| pair " +
+          s"frame) and refuses side $side above maxRows=$maxRows rows; " +
+          s"restrict candidates with an IVF/LSH pass first, or raise " +
+          s"maxRows deliberately.")
+      clean
+    }
+    val ca = guard(a, "A").select(col(idColA).cast("long").as("id_a"),
+        col(vecColA).cast("array<double>").as("__va"))
+      .withColumn("__na", Dedup.sqNorm(col("__va")))
+    val cb = guard(b, "B").select(col(idColB).cast("long").as("id_b"),
+        col(vecColB).cast("array<double>").as("__vb"))
+      .withColumn("__nb", Dedup.sqNorm(col("__vb")))
+    val pairs = ca.crossJoin(broadcast(cb))
+      .select(col("id_a"), col("id_b"),
+        Dedup.cosinePre(col("__va"), col("__vb"), col("__na"), col("__nb"))
+          .as("cos"))
+    val wa = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b").orderBy(col("cos").desc, col("id_a"))
+    val nnx = pairs.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k)
+      .groupBy("id_a").agg(avg("cos").as("__nnx"))
+    val nny = pairs.withColumn("__r", row_number().over(wb))
+      .filter(col("__r") <= k)
+      .groupBy("id_b").agg(avg("cos").as("__nny"))
+    val wBest = Window.partitionBy("id_a")
+      .orderBy(col("margin").desc, col("id_b"))
+    pairs.join(broadcast(nnx), "id_a").join(broadcast(nny), "id_b")
+      .withColumn("margin", col("cos") /
+        nullif((col("__nnx") + col("__nny")) / 2.0, lit(0.0)))
+      .na.drop(Seq("margin"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select("id_a", "id_b", "cos", "margin")
+  }
+
   /** IVF index: coarse-quantizer cells for every corpus vector.
     *
     * The quantizer is trained on a BOUNDED deterministic sample (first

@@ -441,6 +441,47 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRef"))
   }
 
+  test("marginMatches == brute-force margin computation; hubs are " +
+      "discounted; guard refuses oversized sides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val aRows = (0L until 5L).map(i => (i, vec()))
+    val bRows = (100L until 106L).map(i => (i, vec()))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val k = 2
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val dot = x.zip(y).map(p => p._1 * p._2).sum
+      dot / math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    val nnx = aRows.map { case (ia, va) =>
+      ia -> bRows.map(r => cos(va, r._2)).sorted.reverse.take(k)
+        .sum / k }.toMap
+    val nny = bRows.map { case (ib, vb) =>
+      ib -> aRows.map(r => cos(r._2, vb)).sorted.reverse.take(k)
+        .sum / k }.toMap
+    val expBest = aRows.map { case (ia, va) =>
+      val cands = bRows.map { case (ib, vb) =>
+        (ib, cos(va, vb) / ((nnx(ia) + nny(ib)) / 2.0)) }
+      ia -> cands.minBy { case (ib, m) => (-m, ib) }
+    }.toMap
+    val got = Similarity.marginMatches(a, "vec_id", "embedding",
+        b, "vec_id", "embedding", k = k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expBest.keySet)
+    expBest.foreach { case (ia, (ib, m)) =>
+      assert(got(ia)._1 == ib, s"best match for $ia")
+      assert(math.abs(got(ia)._2 - m) < 1e-10, s"margin for $ia")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.marginMatches(a, "vec_id", "embedding",
+        b, "vec_id", "embedding", k = 2, maxRows = 3)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+
   test("embeddingDedupAgainst / nearNewRows: cross-side near-dups only") {
     import spark.implicits._
     // corpus directions: e0 and e1; batch: dup of e0, near-e1, orthogonal
