@@ -6342,6 +6342,37 @@ object Queries {
                  ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
              FROM g ORDER BY l_returnflag""")),
 
+    // ---- robust means (trimmed + winsorized) --------------------------------
+    // on the INTEGER quantity column the whole row is bit-exact
+    // UNROUNDED: integer-valued double sums are exact in any order, the
+    // exact-quantile cuts replay (quantile_cont interpolation — the
+    // q_percentiles contract), and the operator's decomposition form
+    // keeps the winsorized mean a fixed op chain. The first cut of this
+    // row used avg() over clamped cents values and hit an EXACT half
+    // boundary at round(6) (51646.2046875: Spark HALF_UP vs DuckDB
+    // half-even) — averaged cents data lands on exact halves
+    // systematically; never round such a column for comparison
+    QueryDef("q_robust_mean",
+      (s, d) => graft.agg.Stats.robustMean(lineitem(s, d),
+          Seq("l_returnflag"), "l_quantity", p = 0.1)
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag AS g,
+               l_quantity::DOUBLE AS x FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+             q AS (SELECT g, quantile_cont(x, 0.1) AS q_lo,
+               quantile_cont(x, 0.9) AS q_hi FROM b GROUP BY 1)
+             SELECT g AS l_returnflag, count(*)::BIGINT AS n,
+               sum(x) / count(*) AS mean,
+               sum(CASE WHEN x >= q_lo AND x <= q_hi THEN x END) /
+                 count(CASE WHEN x >= q_lo AND x <= q_hi THEN 1 END)
+                 AS trimmed_mean,
+               (sum(CASE WHEN x >= q_lo AND x <= q_hi THEN x END)
+                 + count(CASE WHEN x < q_lo THEN 1 END) * any_value(q_lo)
+                 + count(CASE WHEN x > q_hi THEN 1 END) * any_value(q_hi))
+                 / count(*) AS winsorized_mean,
+               any_value(q_lo) AS q_lo, any_value(q_hi) AS q_hi
+             FROM b JOIN q USING (g) GROUP BY g ORDER BY g""")),
+
     // ---- per-source concentration (Gini + Herfindahl) ----------------------
     // how unevenly character mass spreads across each source's docs; the
     // rank formulation of Gini is permutation-invariant over ties so the

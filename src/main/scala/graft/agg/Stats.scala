@@ -842,6 +842,60 @@ object Stats {
     }
   }
 
+  /** Per-group robust means: alongside the plain mean, the
+    * `p`-trimmed mean (drop values strictly outside the [p, 1−p]
+    * exact quantiles, average the rest) and the `p`-winsorized mean
+    * (CLAMP values to those quantiles, average everything) — the
+    * outlier-insensitive location estimates for metrics where fences
+    * ([[graft.clean.Clean]]) would be too aggressive to apply to the
+    * data itself. Quantiles are exact ([[graft.expr.ExactPercentile]],
+    * quantile_cont interpolation), so the cut points replay in SQL.
+    *
+    * Scale shape: one keyed percentile aggregate (exact percentile is
+    * a TypedImperativeAggregate — memory scales with group
+    * cardinality of VALUES, the documented ExactPercentile contract),
+    * one broadcast-friendly join back, one final keyed aggregate.
+    * Output: (groups…, n, mean, trimmed_mean, winsorized_mean, q_lo,
+    * q_hi). */
+  def robustMean(df: DataFrame, groups: Seq[String], valueCol: String,
+                 p: Double = 0.1): DataFrame = {
+    require(groups.nonEmpty, "robustMean needs at least one group col")
+    require(p >= 0.0 && p < 0.5, s"p must be in [0, 0.5), got $p")
+    val gc = groups.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df.na.drop(groups :+ valueCol)
+      .select(gc :+ v.as("__x"): _*)
+    val cuts = base.groupBy(gc: _*)
+      .agg(graft.expr.ExactPercentile.of(col("__x"), Seq(p, 1.0 - p))
+        .as("__q"))
+      .select(gc ++ Seq(col("__q").getItem(0).as("q_lo"),
+        col("__q").getItem(1).as("q_hi")): _*)
+    // winsorized mean by EXACT DECOMPOSITION — clamped-sum =
+    // in-range sum + n_below·q_lo + n_above·q_hi — rather than
+    // averaging per-row clamped values: mathematically identical, but
+    // the op chain is fixed (two products + three divisions), so for
+    // integer-valued columns the whole row replays BIT-FOR-BIT in any
+    // engine (a per-row clamped avg() mixes quantile fractions into
+    // the accumulation and goes sum-order-dependent)
+    base.join(cuts, groups)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("__x").as("__s"),
+        sum(when(col("__x") >= col("q_lo") &&
+          col("__x") <= col("q_hi"), col("__x"))).as("__ts"),
+        count(when(col("__x") >= col("q_lo") &&
+          col("__x") <= col("q_hi"), lit(1))).as("__tn"),
+        count(when(col("__x") < col("q_lo"), lit(1))).as("__nlo"),
+        count(when(col("__x") > col("q_hi"), lit(1))).as("__nhi"),
+        first("q_lo").as("q_lo"), first("q_hi").as("q_hi"))
+      .select(gc ++ Seq(col("n"),
+        (col("__s") / col("n")).as("mean"),
+        (col("__ts") / col("__tn")).as("trimmed_mean"),
+        ((col("__ts") + col("__nlo") * col("q_lo") +
+          col("__nhi") * col("q_hi")) / col("n"))
+          .as("winsorized_mean"),
+        col("q_lo"), col("q_hi")): _*)
+  }
+
   /** Per-group concentration report — how unevenly a quantity is spread
     * across a group's members: the corpus-balance diagnostic ("is one
     * domain 80% of this source's token mass?") for weighting decisions.

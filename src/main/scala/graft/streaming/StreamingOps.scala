@@ -350,6 +350,42 @@ object StreamingOps {
       }
   }
 
+  final case class HoltState(l: Double, b: Double, has: Boolean)
+  final case class HoltOut(key: String, ts: Long, tie: Long,
+                           level: Double, trend: Double, forecast: Double)
+
+  /** STREAMING Holt linear smoothing — the continuous face of
+    * [[graft.events.TimeSeries.holtLinear]]: two doubles of state per
+    * key (level + trend) carry across micro-batches; rows inside a
+    * batch apply in (ts, tie) order with the IDENTICAL op order as the
+    * batch recursion (level from l+b, trend from the recomputed level),
+    * so a single-batch run is bit-exact against it (batch-parity
+    * spec-pinned). Same arrival-order caveat as [[streamingEwma]]. */
+  def streamingHolt(stream: Dataset[EwmaRow], alpha: Double, beta: Double)
+      : Dataset[HoltOut] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaRow],
+         state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, has = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            st = if (st.has) {
+              val lNew = alpha * r.value + (1.0 - alpha) * (st.l + st.b)
+              HoltState(lNew,
+                beta * (lNew - st.l) + (1.0 - beta) * st.b, has = true)
+            } else HoltState(r.value, 0.0, has = true)
+            HoltOut(key, r.ts, r.tie, st.l, st.b, st.l + st.b)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class LocfCarry(value: Double, has: Boolean)
   final case class LocfRow(key: String, ts: Long, tie: Long,
                            value: Option[Double])

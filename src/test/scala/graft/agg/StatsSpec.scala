@@ -440,6 +440,32 @@ class StatsSpec extends SparkSpec {
     assert(zero.isNullAt(3) && zero.isNullAt(4)) // sum 0 -> null
   }
 
+  test("robustMean: trimmed/winsorized on a known vector with an " +
+      "outlier; p=0 degrades everything to the mean") {
+    import spark.implicits._
+    // x = 1..9 plus outlier 1000; p = 0.1 -> q_lo/q_hi from
+    // quantile_cont(0.1/0.9) over the 10 sorted values:
+    // h = 0.1*9 = 0.9 -> q_lo = 1 + 0.9*(2-1) = 1.9
+    // h = 0.9*9 = 8.1 -> q_hi = 9 + 0.1*(1000-9) = 108.1
+    val xs = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = xs.map(("a", _)).toDF("g", "x")
+    val r = graft.agg.Stats.robustMean(df, Seq("g"), "x", p = 0.1).head()
+    val qLo = 1.9
+    val qHi = 9.0 + 0.1 * 991.0
+    assert(math.abs(r.getAs[Double]("q_lo") - qLo) < 1e-12)
+    assert(math.abs(r.getAs[Double]("q_hi") - qHi) < 1e-12)
+    // in-range: 2..9 (1 < 1.9, 1000 > 108.1)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - 44.0 / 8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("winsorized_mean") -
+      (44.0 + qLo + qHi) / 10) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean") - xs.sum / 10) < 1e-12)
+    val p0 = graft.agg.Stats.robustMean(df, Seq("g"), "x", p = 0.0).head()
+    assert(p0.getAs[Double]("trimmed_mean") == p0.getAs[Double]("mean"))
+    assert(p0.getAs[Double]("winsorized_mean") == p0.getAs[Double]("mean"))
+    intercept[IllegalArgumentException](
+      graft.agg.Stats.robustMean(df, Seq("g"), "x", p = 0.5))
+  }
+
   test("concentration matches the textbook Gini on a known vector and " +
       "refuses negatives") {
     import spark.implicits._

@@ -552,6 +552,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHolt: batch parity bit-exact in one batch, level+trend " +
+      "carry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.EwmaRow]
+    val sm = StreamingOps.streamingHolt(input.toDS(), alpha = 0.4,
+      beta = 0.3)
+    val q = sm.writeStream.format("memory")
+      .queryName("sholt").outputMode("update").start()
+    try {
+      val rows = Seq(("a", 10L, 1L, 10.0), ("a", 20L, 2L, 12.0),
+        ("a", 30L, 3L, 11.0), ("b", 10L, 4L, 5.0))
+      input.addData(rows.map(r =>
+        StreamingOps.EwmaRow(r._1, r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT tie, level, trend, forecast FROM sholt")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      val batch = graft.events.TimeSeries.holtLinear(
+          rows.toDF("key", "tss", "tie", "v")
+            .withColumn("ts", col("tss").cast("timestamp")),
+          Seq("key"), "ts", "tie", "v", alpha = 0.4, beta = 0.3)
+        .collect()
+        .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toMap
+      assert(got === batch) // bit-exact parity
+      // batch 2: level AND trend carry across the boundary
+      input.addData(StreamingOps.EwmaRow("a", 40L, 5L, 11.0))
+      q.processAllAvailable()
+      val (l3, b3, _) = got(3L)
+      val lNew = 0.4 * 11.0 + 0.6 * (l3 + b3)
+      val bNew = 0.3 * (lNew - l3) + 0.7 * b3
+      val b2 = spark.sql("SELECT level, trend FROM sholt WHERE tie = 5")
+        .head()
+      assert(b2.getDouble(0) == lNew && b2.getDouble(1) == bNew)
+    } finally q.stop()
+  }
+
   test("streamingZscore: pre-update baseline, warm-up None, state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
