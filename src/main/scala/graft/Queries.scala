@@ -6342,6 +6342,27 @@ object Queries {
                  ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
              FROM g ORDER BY l_returnflag""")),
 
+    // ---- 2-D skyline (Pareto front) ----------------------------------------
+    // parts not dominated on (size, retailprice); pure comparisons, no
+    // arithmetic — the row compares unrounded. Oracle = quadratic
+    // NOT EXISTS domination, a genuinely independent formulation of the
+    // same definition
+    QueryDef("q_skyline",
+      (s, d) => graft.operators.Skyline.skyline2d(
+          s.read.parquet(s"$d/part.parquet"), "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+             WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM part q
+                 WHERE q.p_size IS NOT NULL
+                   AND q.p_retailprice IS NOT NULL
+                   AND q.p_size >= p.p_size
+                   AND q.p_retailprice >= p.p_retailprice
+                   AND (q.p_size > p.p_size
+                     OR q.p_retailprice > p.p_retailprice))
+             ORDER BY 1""")),
+
     // ---- robust means (trimmed + winsorized) --------------------------------
     // on the INTEGER quantity column the whole row is bit-exact
     // UNROUNDED: integer-valued double sums are exact in any order, the
