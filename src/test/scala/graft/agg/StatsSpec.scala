@@ -464,6 +464,15 @@ class StatsSpec extends SparkSpec {
     assert(p0.getAs[Double]("winsorized_mean") == p0.getAs[Double]("mean"))
     intercept[IllegalArgumentException](
       graft.agg.Stats.robustMean(df, Seq("g"), "x", p = 0.5))
+    // approx path (scale mode): cuts within GK tolerance, means
+    // consistent with whatever cuts were chosen
+    val ap = graft.agg.Stats.robustMean(df, Seq("g"), "x", p = 0.1,
+      accuracy = 10000).head()
+    val (alo, ahi) = (ap.getAs[Double]("q_lo"), ap.getAs[Double]("q_hi"))
+    assert(alo <= 2.0 && ahi >= 9.0) // rank-error bound on 10 points
+    val inRange = xs.filter(x => x >= alo && x <= ahi)
+    assert(ap.getAs[Double]("trimmed_mean") ==
+      inRange.sum / inRange.length)
   }
 
   test("concentration matches the textbook Gini on a known vector and " +
