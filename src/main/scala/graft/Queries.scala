@@ -7762,6 +7762,80 @@ object Queries {
                round(margin, 6) AS margin
              FROM best WHERE rn = 1 ORDER BY id_a""")),
 
+    // ---- MMR diversified re-ranking ----------------------------------------
+    // top-8 cosine candidates per query re-ranked by maximal marginal
+    // relevance, k = 3, λ = 0.7; the oracle UNROLLS the three greedy
+    // steps (step-1 argmax, then penalty = 0.3·max cos to the selected
+    // set, recomputed per step) — scores round(6), selection itself is
+    // argmax over well-separated scores with doc-id tie-break
+    QueryDef("q_mmr",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+        val cands = e.filter(col("vec_id") >= 3).crossJoin(broadcast(q))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            graft.pipeline.Dedup.cosine(col("embedding"), col("qv"))
+              .as("rel"),
+            col("embedding"))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= 8).drop("__r")
+        graft.pipeline.Similarity.mmrRerank(cands, "query_id", "doc_id",
+            "rel", "embedding", k = 3, lambda = 0.7)
+          .select(col("query_id"), col("doc_id"),
+            round(col("rel"), 6).as("rel"),
+            round(col("mmr_score"), 6).as("mmr_score"), col("mmr_rank"))
+          .orderBy("query_id", "mmr_rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 3),
+             c0 AS (SELECT query_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.v, qv) AS rel, e.v AS v
+               FROM e, q WHERE e.vec_id >= 3),
+             c AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, doc_id) AS r
+               FROM c0) WHERE r <= 8),
+             s1 AS (SELECT * FROM (SELECT query_id, doc_id, rel, v,
+                 0.7 * rel AS score, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY 0.7 * rel DESC, doc_id) AS rn FROM c)
+               WHERE rn = 1),
+             s2 AS (SELECT * FROM (SELECT c.query_id, c.doc_id, c.rel,
+                 c.v,
+                 0.7 * c.rel - 0.3 * list_cosine_similarity(c.v, s1.v)
+                   AS score,
+                 row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   0.7 * c.rel - 0.3 * list_cosine_similarity(c.v, s1.v)
+                     DESC, c.doc_id) AS rn
+               FROM c JOIN s1 ON c.query_id = s1.query_id
+                 AND c.doc_id != s1.doc_id)
+               WHERE rn = 1),
+             s3 AS (SELECT * FROM (SELECT c.query_id, c.doc_id, c.rel,
+                 0.7 * c.rel - 0.3 * greatest(
+                   list_cosine_similarity(c.v, s1.v),
+                   list_cosine_similarity(c.v, s2.v)) AS score,
+                 row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   0.7 * c.rel - 0.3 * greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)) DESC,
+                   c.doc_id) AS rn
+               FROM c JOIN s1 ON c.query_id = s1.query_id
+                 AND c.doc_id != s1.doc_id
+               JOIN s2 ON c.query_id = s2.query_id
+                 AND c.doc_id != s2.doc_id)
+               WHERE rn = 1)
+             SELECT query_id, doc_id, round(rel, 6) AS rel,
+               round(score, 6) AS mmr_score, 1 AS mmr_rank FROM s1
+             UNION ALL SELECT query_id, doc_id, round(rel, 6),
+               round(score, 6), 2 FROM s2
+             UNION ALL SELECT query_id, doc_id, round(rel, 6),
+               round(score, 6), 3 FROM s3
+             ORDER BY query_id, mmr_rank""")),
+
     // ---- embedding drift: cosine histogram vs a reference sample ----------
     // every 50th vector is the broadcast reference; the rest stream
     // through a broadcast-nested-loop + bins-bounded aggregate. Cosines

@@ -236,6 +236,97 @@ object Similarity {
         coalesce(col("__n"), lit(0L)).as("n"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — greedy diversity for a retrieval candidate set: at each
+    * step pick the candidate maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+    *
+    * (first pick: pure relevance — the subtracted term is empty). The
+    * result trades relevance against redundancy: λ = 1 is the raw
+    * ranking, λ → 0 maximizes spread. Ties break on the doc id, so
+    * the selection is fully deterministic.
+    *
+    * Scale shape: candidates are already per-query bounded (an ANN /
+    * BM25 top-N), so the greedy runs INSIDE one `flatMapGroups` over
+    * the query key — each query's O(k·N) loop is local to its group,
+    * queries parallelize across the cluster, and nothing global moves.
+    * `maxCandidates` bounds the per-group buffer (refuse, don't spill
+    * — a "candidate set" of a million rows means the upstream cut is
+    * missing). Output: (queryCol, docCol, relCol, mmr_score, mmr_rank)
+    * for the top `k` per query. */
+  def mmrRerank(candidates: DataFrame, queryCol: String, docCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.7,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val base = candidates.na.drop(Seq(queryCol, docCol, relCol, vecCol))
+      .select(col(queryCol).cast("long").as("__q"),
+        col(docCol).cast("long").as("__d"),
+        col(relCol).cast("double").as("__rel"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .as[(Long, Long, Double, Array[Double])]
+    base.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cand = it.toArray
+        require(cand.length <= maxCandidates,
+          s"mmrRerank: query $q has ${cand.length} candidates " +
+            s"(> maxCandidates=$maxCandidates) — cut the candidate set " +
+            s"upstream (ANN top-N) before re-ranking")
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
+          }
+          dot / math.sqrt(na * nb)
+        }
+        val selected = Array.newBuilder[(Long, Long, Double, Double, Int)]
+        val used = new Array[Boolean](cand.length)
+        // maxSim(i) = max cosine of candidate i to the selected set,
+        // maintained incrementally: O(k·N) cosines per query
+        val maxSim = Array.fill(cand.length)(Double.NegativeInfinity)
+        var step = 0
+        val steps = math.min(k, cand.length)
+        while (step < steps) {
+          var bi = -1
+          var bScore = Double.NegativeInfinity
+          var bDoc = Long.MaxValue
+          var i = 0
+          while (i < cand.length) {
+            if (!used(i)) {
+              val pen = if (step == 0) 0.0
+                else (1.0 - lambda) * maxSim(i)
+              val s = lambda * cand(i)._3 - pen
+              if (s > bScore || (s == bScore && cand(i)._2 < bDoc)) {
+                bi = i; bScore = s; bDoc = cand(i)._2
+              }
+            }
+            i += 1
+          }
+          used(bi) = true
+          selected += ((q, cand(bi)._2, cand(bi)._3, bScore, step + 1))
+          var j = 0
+          while (j < cand.length) {
+            if (!used(j)) {
+              val c = cos(cand(j)._4, cand(bi)._4)
+              if (c > maxSim(j)) maxSim(j) = c
+            }
+            j += 1
+          }
+          step += 1
+        }
+        selected.result().iterator
+      }
+      .toDF("__q", "__d", "__rel", "mmr_score", "mmr_rank")
+      .select(col("__q").as(queryCol), col("__d").as(docCol),
+        col("__rel").as(relCol), col("mmr_score"), col("mmr_rank"))
+  }
+
   /** Margin-based best-match mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix bitext-mining criterion): for every A-row, the
     * B-row maximizing

@@ -441,6 +441,37 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRef"))
   }
 
+  test("mmrRerank: lambda=1 is the raw ranking; near-duplicate top " +
+      "candidates get split by diversity; guard refuses") {
+    import spark.implicits._
+    // candidates for one query: docs 1 and 2 are near-identical
+    // vectors with top relevance; doc 3 is orthogonal, lower rel
+    val cands = Seq(
+      (0L, 1L, 0.99, Seq(1.0, 0.0, 0.0)),
+      (0L, 2L, 0.98, Seq(0.999, 0.01, 0.0)),
+      (0L, 3L, 0.50, Seq(0.0, 1.0, 0.0)))
+      .toDF("q", "doc", "rel", "v")
+    val raw = Similarity.mmrRerank(cands, "q", "doc", "rel", "v",
+        k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").select("doc").as[Long].collect().toSeq
+    assert(raw == Seq(1L, 2L, 3L)) // pure relevance order
+    val div = Similarity.mmrRerank(cands, "q", "doc", "rel", "v",
+        k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").select("doc").as[Long].collect().toSeq
+    // step 2: doc 2's cos to doc 1 ~ 1 -> score ~ 0.49 - 0.5;
+    // doc 3's cos ~ 0 -> 0.25: diversity promotes the orthogonal doc
+    assert(div == Seq(1L, 3L, 2L))
+    // ranks are dense, scores non-increasing within the greedy order
+    val rows = Similarity.mmrRerank(cands, "q", "doc", "rel", "v",
+        k = 3, lambda = 0.5).orderBy("mmr_rank").collect()
+    assert(rows.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+    val e = intercept[Exception] {
+      Similarity.mmrRerank(cands, "q", "doc", "rel", "v", k = 2,
+        lambda = 0.5, maxCandidates = 2).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
   test("marginMatches == brute-force margin computation; hubs are " +
       "discounted; guard refuses oversized sides") {
     import spark.implicits._
