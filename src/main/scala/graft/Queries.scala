@@ -7762,6 +7762,29 @@ object Queries {
                round(margin, 6) AS margin
              FROM best WHERE rn = 1 ORDER BY id_a""")),
 
+    // ---- per-doc character entropy (native codegen'd expression) -----------
+    // codepoint-distribution Shannon entropy; both engines group the
+    // same codepoint multiset, sum orders differ -> round(6)
+    QueryDef("q_char_entropy",
+      (s, d) => documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.expr.CharEntropy.of(col("text")), 6)
+            .as("char_entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '')) AS c
+               FROM documents
+               WHERE text IS NOT NULL AND len(text) > 0),
+             cc AS (SELECT doc_id, c, count(*) AS k FROM ch
+               WHERE c != '' GROUP BY 1, 2),
+             n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
+             SELECT cc.doc_id,
+               round(-sum((k::DOUBLE / n.n) * log2(k::DOUBLE / n.n)), 6)
+                 AS char_entropy
+             FROM cc JOIN n USING (doc_id)
+             GROUP BY cc.doc_id ORDER BY cc.doc_id""")),
+
     // ---- MMR diversified re-ranking ----------------------------------------
     // top-8 cosine candidates per query re-ranked by maximal marginal
     // relevance, k = 3, λ = 0.7; the oracle UNROLLS the three greedy

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.jaroDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.charEntropyDescriptor)
     GraftExtensions.columnFunctionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => StrataUnionRewrite)
   }
@@ -114,6 +115,16 @@ object GraftExtensions {
           org.apache.spark.sql.types.ArrayType(DoubleType)),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
           org.apache.spark.sql.types.ArrayType(DoubleType)))
+    })
+
+  val charEntropyDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_char_entropy"),
+    new ExpressionInfo(classOf[graft.expr.CharEntropy].getName,
+      "graft_char_entropy"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: graft_char_entropy(str_col)")
+      graft.expr.CharEntropy(exprs.head)
     })
 
   val jaroDescriptor: (FunctionIdentifier, ExpressionInfo,

@@ -236,6 +236,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.rewriteStrataUnion", "false")
   }
 
+  test("graft_char_entropy is callable from SQL with null propagation") {
+    val r = spark.sql("SELECT graft_char_entropy('abcd'), " +
+      "graft_char_entropy(''), " +
+      "graft_char_entropy(CAST(NULL AS STRING))").head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+  }
+
   test("graft_jaro / graft_jaro_winkler are callable from SQL, in codegen") {
     val r = spark.sql(
       "SELECT graft_jaro('MARTHA', 'MARHTA'), " +
