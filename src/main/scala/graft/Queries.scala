@@ -5838,6 +5838,35 @@ object Queries {
                l + b AS forecast
              FROM rec ORDER BY 1, 2""")),
 
+    // ---- burstiness: per-user Fano factor over hourly buckets ---------------
+    // empty in-span buckets count as zeros WITHOUT materializing
+    // (N = max-min+1 span arithmetic); every term is an exact long and
+    // the op chain is fixed, so the row compares UNROUNDED
+    QueryDef("q_dispersion",
+      (s, d) => graft.events.TimeSeries.dispersion(events(s, d),
+          Seq("user_id"), "ts", bucketUs = 3600000000L)
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+               epoch_us(ts) // 3600000000 AS bk, count(*)::BIGINT AS c
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+             g AS (SELECT user_id, sum(c)::BIGINT AS n_events,
+               (max(bk) - min(bk) + 1)::BIGINT AS n_buckets,
+               count(*)::BIGINT AS occupied,
+               sum(c * c)::BIGINT AS cc
+               FROM b GROUP BY 1)
+             SELECT user_id, n_events, n_buckets, occupied,
+               n_events::DOUBLE / n_buckets AS mean,
+               cc::DOUBLE / n_buckets -
+                 (n_events::DOUBLE / n_buckets) *
+                 (n_events::DOUBLE / n_buckets) AS variance,
+               CASE WHEN n_events::DOUBLE / n_buckets > 0.0 THEN
+                 (cc::DOUBLE / n_buckets -
+                   (n_events::DOUBLE / n_buckets) *
+                   (n_events::DOUBLE / n_buckets)) /
+                 (n_events::DOUBLE / n_buckets) END AS fano
+             FROM g ORDER BY user_id""")),
+
     // ---- Mann-Kendall trend + Sen's slope -----------------------------------
     // run on the DAILY resample (the operator's documented contract —
     // MK is pairwise), per user. Bucket avgs round(6) before the test so

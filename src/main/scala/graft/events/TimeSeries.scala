@@ -212,6 +212,49 @@ object TimeSeries {
       (col("level") + col("trend")).as("forecast"): _*)
   }
 
+  /** Burstiness per key: the Fano factor (index of dispersion) of
+    * per-bucket event counts over the key's observed span —
+    *
+    *   F = Var(c) / Mean(c)     over buckets [min_bucket, max_bucket]
+    *
+    * (≈1 Poisson arrivals, ≫1 bursty, <1 regular/paced). EMPTY buckets
+    * inside the span count as zeros — they are what makes a stream
+    * bursty — but never materialize: N = max−min+1 buckets is span
+    * arithmetic, and the zero buckets contribute nothing to Σc and
+    * Σc², so mean = Σc/N and var = Σc²/N − mean² need only the
+    * OCCUPIED bucket counts. Every input is an exact long (population
+    * variance over integer counts), so the whole row replays
+    * bit-for-bit in any engine. Keys spanning one bucket have
+    * variance 0; fano is null when mean is 0 (cannot happen for keys
+    * with events, kept for contract clarity).
+    *
+    * Scale shape: two stacked hash aggregates on the key (per-bucket
+    * counts → per-key moments), no windows, no explode — the span can
+    * be years of empty buckets for free. Output: (keys…, n_events,
+    * n_buckets, occupied, mean, variance, fano). */
+  def dispersion(df: DataFrame, keys: Seq[String], tsCol: String,
+                 bucketUs: Long): DataFrame = {
+    require(keys.nonEmpty, "dispersion needs at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val kc = keys.map(col)
+    val bucket = expr(s"unix_micros(${tsCol}) div ${bucketUs}L")
+    val perBucket = df.na.drop(keys :+ tsCol)
+      .groupBy(kc :+ bucket.as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val mean = col("n_events").cast("double") / col("n_buckets")
+    perBucket.groupBy(kc: _*)
+      .agg(sum("__c").as("n_events"),
+        (max("__b") - min("__b") + 1).as("n_buckets"),
+        count(lit(1)).as("occupied"),
+        sum(col("__c") * col("__c")).as("__cc"))
+      .select(kc ++ Seq(col("n_events"), col("n_buckets"),
+        col("occupied"), mean.as("mean"),
+        (col("__cc").cast("double") / col("n_buckets") - mean * mean)
+          .as("variance")): _*)
+      .withColumn("fano",
+        when(col("mean") > 0.0, col("variance") / col("mean")))
+  }
+
   /** Mann-Kendall trend test + Sen's slope per key — the
     * distribution-free "is this metric drifting" test for short
     * per-entity series (run it on RESAMPLED/aggregated series, not raw

@@ -172,6 +172,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 1 && got.head.isNullAt(2))
   }
 
+  test("dispersion: empty in-span buckets count as zeros; Poisson-ish " +
+      "vs bursty ordering; exact moments") {
+    // user 1: one event per bucket (buckets 0..3) -> var 0, fano 0
+    val regular = (0 until 4).map(i => (1L, i.toLong * 10, i.toLong, 0.0))
+    // user 2: 4 events in bucket 0, none in 1..3 (span forced by one
+    // event in bucket 3): counts (4,0,0,1) over N=4
+    val bursty = Seq((2L, 0L, 10L, 0.0), (2L, 1L, 11L, 0.0),
+      (2L, 2L, 12L, 0.0), (2L, 3L, 13L, 0.0), (2L, 35L, 14L, 0.0))
+    val got = TimeSeries.dispersion(evts(regular ++ bursty),
+        Seq("user_id"), "ts", bucketUs = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) == 4L && u1.getLong(2) == 4L &&
+      u1.getLong(3) == 4L)
+    assert(u1.getDouble(4) == 1.0 && u1.getDouble(5) == 0.0 &&
+      u1.getDouble(6) == 0.0)
+    val u2 = got(2L)
+    assert(u2.getLong(1) == 5L && u2.getLong(2) == 4L &&
+      u2.getLong(3) == 2L) // occupied: buckets 0 and 3
+    // counts (4,0,0,1): mean 1.25, var = (16+1)/4 - 1.5625 = 2.6875
+    assert(u2.getDouble(4) == 1.25)
+    assert(u2.getDouble(5) == 17.0 / 4 - 1.25 * 1.25)
+    assert(u2.getDouble(6) == u2.getDouble(5) / 1.25)
+    assert(u2.getDouble(6) > u1.getDouble(6)) // bursty > regular
+  }
+
   test("mannKendall: monotone series maxes S, Sen slope exact on a " +
       "linear series; constant series nulls z") {
     // user 1: x = 3t + 1 at 1-second steps -> every pair concordant:
