@@ -6371,6 +6371,28 @@ object Queries {
                  ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
              FROM g ORDER BY l_returnflag""")),
 
+    // ---- hierarchical rollup totals ----------------------------------------
+    // native ROLLUP (Expand + one hash agg) vs DuckDB GROUP BY ROLLUP;
+    // grouping-bit convention pinned via the GROUPING() identity, null
+    // dimension slots coalesced to a sentinel on both sides so row
+    // sorting never touches null ordering
+    QueryDef("q_rollup",
+      (s, d) => graft.agg.Stats.rollupAgg(lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .withColumn("total", col("total").cast("long"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+               coalesce(l_linestatus, '(all)') AS l_linestatus,
+               (2 * grouping(l_returnflag) + grouping(l_linestatus))::INT
+                 AS level,
+               count(*)::BIGINT AS n,
+               sum(l_quantity)::BIGINT AS total
+             FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+               AND l_quantity IS NOT NULL
+             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY 1, 2""")),
+
     // ---- 2-D skyline (Pareto front) ----------------------------------------
     // parts not dominated on (size, retailprice); pure comparisons, no
     // arithmetic — the row compares unrounded. Oracle = quadratic

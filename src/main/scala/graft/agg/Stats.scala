@@ -842,6 +842,27 @@ object Stats {
     }
   }
 
+  /** Hierarchical rollup totals: one pass producing every prefix level
+    * of `dims` — (a,b,c), (a,b), (a), grand total — via Spark's native
+    * ROLLUP (Expand + one hash aggregate; Catalyst plans the multi-
+    * level aggregation, nothing hand-scheduled). Rolled-up dimensions
+    * surface as the `(all)` sentinel rather than NULL so downstream
+    * sorts/joins need no null-handling, and `level` = grouping_id
+    * (first dim = most significant bit; 0 = fully grouped row).
+    * `dims` values must not collide with the sentinel. Output:
+    * (dims… coalesced, level, n, total = Σ valueCol). */
+  def rollupAgg(df: DataFrame, dims: Seq[String],
+                valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "rollupAgg needs at least one dimension")
+    val clean = df.na.drop(dims :+ valueCol)
+    clean.rollup(dims.map(col): _*)
+      .agg(grouping_id().as("level"), count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"))
+      .select(dims.map(c =>
+        coalesce(col(c).cast("string"), lit("(all)")).as(c)) ++
+        Seq(col("level"), col("n"), col("total")): _*)
+  }
+
   /** Per-group robust means: alongside the plain mean, the
     * `p`-trimmed mean (drop values strictly outside the [p, 1−p]
     * exact quantiles, average the rest) and the `p`-winsorized mean

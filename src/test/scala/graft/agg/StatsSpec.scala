@@ -440,6 +440,24 @@ class StatsSpec extends SparkSpec {
     assert(zero.isNullAt(3) && zero.isNullAt(4)) // sum 0 -> null
   }
 
+  test("rollupAgg: every prefix level present, sentinel in rolled " +
+      "slots, levels consistent with the bit convention") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("d1", "d2", "v")
+    val got = graft.agg.Stats.rollupAgg(df, Seq("d1", "d2"), "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("a", "x")) == (0L, 1L, 1L))
+    assert(got(("a", "y")) == (0L, 1L, 2L))
+    assert(got(("b", "x")) == (0L, 1L, 4L))
+    assert(got(("a", "(all)")) == (1L, 2L, 3L)) // d2 rolled -> LSB
+    assert(got(("b", "(all)")) == (1L, 1L, 4L))
+    assert(got(("(all)", "(all)")) == (3L, 3L, 7L))
+    assert(got.size == 6) // no CUBE-only (d2 without d1) rows
+  }
+
   test("robustMean: trimmed/winsorized on a known vector with an " +
       "outlier; p=0 degrades everything to the mean") {
     import spark.implicits._
