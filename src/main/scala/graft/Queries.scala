@@ -5698,6 +5698,37 @@ object Queries {
                RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING)
              ORDER BY event_id""")),
 
+    // ---- robust trailing-baseline anomaly flags ----------------------------
+    // median/IQR baseline over the strictly-earlier trailing hour;
+    // exact window percentiles (quantile_cont interpolation) on both
+    // sides, round(6) for the interpolation/division ulps
+    QueryDef("q_rolling_robust",
+      (s, d) => graft.events.Rolling.rollingRobustZscore(events(s, d),
+          Seq("user_id"), "ts", "value", windowSec = 3600L,
+          threshold = 2.5)
+        .select(col("event_id"),
+          round(col("baseline_median"), 6).as("baseline_median"),
+          round(col("baseline_iqr"), 6).as("baseline_iqr"),
+          round(col("robust_z"), 6).as("robust_z"), col("is_anomaly"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, round(med, 6) AS baseline_median,
+               round(q3 - q1, 6) AS baseline_iqr,
+               round(CASE WHEN cnt >= 4 AND (q3 - q1) > 0 THEN
+                 (value - med) / (0.7413 * (q3 - q1)) END, 6) AS robust_z,
+               coalesce(CASE WHEN cnt >= 4 AND (q3 - q1) > 0 THEN
+                 abs((value - med) / (0.7413 * (q3 - q1))) > 2.5 END,
+                 false) AS is_anomaly
+             FROM (SELECT event_id, value,
+               quantile_cont(value, 0.5) OVER w AS med,
+               quantile_cont(value, 0.25) OVER w AS q1,
+               quantile_cont(value, 0.75) OVER w AS q3,
+               count(value) OVER w AS cnt
+               FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+               WINDOW w AS (PARTITION BY user_id ORDER BY tss
+                 RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING))
+             ORDER BY event_id""")),
+
     // ---- per-key gap / outage report ---------------------------------------
     // all gaps are exact micros longs; only the avg is a division
     QueryDef("q_gap_report",

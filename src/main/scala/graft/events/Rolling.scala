@@ -69,6 +69,49 @@ object Rolling {
       .withColumn("sum_win", sum(col("sum_grain")).over(w))
   }
 
+  /** Robust trailing-baseline anomaly score — [[rollingZscore]] with
+    * median/IQR in place of mean/stddev, for streams where the baseline
+    * itself is outlier-contaminated (one earlier burst inflates a
+    * stddev baseline and MASKS the next burst; quartiles shrug it off):
+    *
+    *   robust_z = (x − median_w) / (0.7413 · IQR_w)
+    *
+    * over the same key's events in the STRICTLY EARLIER seconds
+    * [t − windowSec + 1, t − 1] (current second excluded, as in
+    * rollingZscore). 0.7413 = 1/(2·Φ⁻¹(0.75)) makes the denominator a
+    * consistent σ estimate under normality, so thresholds carry over.
+    * The window quantiles are Spark's EXACT `percentile` (quantile_cont
+    * interpolation) evaluated as window aggregates — one keyed window
+    * pass computes all three quartiles (CollapseWindow folds them).
+    * null z while the baseline has < 4 events or zero IQR.
+    *
+    * Scale note: exact percentile over a window buffers the FRAME's
+    * values per row — fine for the bounded trailing windows this is
+    * for (minutes-hours of per-key events); for huge frames aggregate
+    * to grains first (the [[rollingAggCoarse]] treatment). */
+  def rollingRobustZscore(df: DataFrame, keys: Seq[String], tsCol: String,
+                          valueCol: String, windowSec: Long,
+                          threshold: Double = 3.5): DataFrame = {
+    require(windowSec >= 2,
+      s"rollingRobustZscore needs windowSec >= 2: $windowSec")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__graft_tss"))
+      .rangeBetween(-(windowSec - 1), -1)
+    val med = expr(s"percentile($valueCol, 0.5)").over(w)
+    val q1 = expr(s"percentile($valueCol, 0.25)").over(w)
+    val q3 = expr(s"percentile($valueCol, 0.75)").over(w)
+    val iqr = q3 - q1
+    val z = when(count(col(valueCol)).over(w) >= 4 && iqr > 0,
+      (col(valueCol) - med) / (lit(0.7413) * iqr))
+    df.withColumn("__graft_tss", col(tsCol).cast("long"))
+      .select(col("*"), med.as("baseline_median"), iqr.as("baseline_iqr"),
+        z.as("robust_z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__graft_tss")
+  }
+
   /** Last-observation-carried-forward fill: nulls in `valueCol` take the
     * most recent non-null value of the same key at-or-before their
     * timestamp (sensor dropout / sparse-feature densification). One keyed

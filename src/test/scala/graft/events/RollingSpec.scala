@@ -187,4 +187,45 @@ class RollingSpec extends SparkSpec {
       .select("tss", "z").as[(Long, Option[Double])].collect().toMap
     assert(got(40L) === None) // sd 0 -> no defined z
   }
+
+  test("rollingRobustZscore: contaminated baseline still flags the " +
+      "second burst; stddev baseline would not") {
+    import spark.implicits._
+    // baseline 10,10,10,12,1000 (an earlier burst inside the window),
+    // then a 200 burst. Robust: median 10, IQR 2 -> huge z. Classic:
+    // mean 208.4, sd ~442 -> z < 0.1.
+    val df = Seq((1L, 10L, 10.0), (1L, 20L, 10.0), (1L, 30L, 10.0),
+      (1L, 40L, 12.0), (1L, 50L, 1000.0), (1L, 60L, 200.0))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val robust = Rolling.rollingRobustZscore(df, Seq("k"), "ts", "v",
+        windowSec = 3600L, threshold = 3.5)
+      .select("tss", "robust_z", "is_anomaly")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // warm-up: < 4 baseline events -> null z, never flagged
+    assert(robust(10L)._1.isEmpty && !robust(10L)._2)
+    assert(robust(40L)._1.isEmpty && !robust(40L)._2)
+    // burst at 60: baseline 10,10,10,12,1000 -> med 10, IQR = q3-q1 = 2
+    val z60 = robust(60L)._1.get
+    assert(math.abs(z60 - (200.0 - 10.0) / (0.7413 * 2.0)) < 1e-9)
+    assert(robust(60L)._2)
+    val classic = Rolling.rollingZscore(df, Seq("k"), "ts", "v",
+        windowSec = 3600L, threshold = 3.5)
+      .select("tss", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(!classic(60L)) // the stddev baseline is blind to it
+  }
+
+  test("rollingRobustZscore: zero IQR stays null") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 20L, 5.0), (1L, 30L, 5.0),
+      (1L, 40L, 5.0), (1L, 50L, 99.0))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Rolling.rollingRobustZscore(df, Seq("k"), "ts", "v",
+        windowSec = 3600L)
+      .select("tss", "robust_z").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(50L).isEmpty) // constant baseline: IQR 0 -> null
+  }
 }
