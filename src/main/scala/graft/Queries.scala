@@ -6476,6 +6476,23 @@ object Queries {
                any_value(q_lo) AS q_lo, any_value(q_hi) AS q_hi
              FROM b JOIN q USING (g) GROUP BY g ORDER BY g""")),
 
+    // ---- rendezvous (HRW) shard assignment ---------------------------------
+    // argmax over per-shard md5 salts; the oracle takes the explode +
+    // arg_max route to the same argmax — identical md5 preimages on
+    // both sides, ties impossible
+    QueryDef("q_rendezvous",
+      (s, d) => graft.pipeline.Sampling.rendezvousShard(
+          s.read.parquet(s"$d/supplier.parquet"), "s_suppkey",
+          nShards = 8)
+        .select(col("s_suppkey"), col("shard"))
+        .orderBy("s_suppkey"),
+      Some("""WITH x AS (SELECT s_suppkey, unnest(range(8)) AS sh
+               FROM supplier),
+             h AS (SELECT s_suppkey, sh,
+               md5('graft:' || s_suppkey || ':' || sh) AS hh FROM x)
+             SELECT s_suppkey, arg_max(sh, hh)::INT AS shard
+             FROM h GROUP BY 1 ORDER BY 1""")),
+
     // ---- per-source concentration (Gini + Herfindahl) ----------------------
     // how unevenly character mass spreads across each source's docs; the
     // rank formulation of Gini is permutation-invariant over ties so the

@@ -574,4 +574,30 @@ object Sampling {
     if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
     else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   } }
+
+  /** Rendezvous (highest-random-weight) shard assignment: each row goes
+    * to `shard = argmax_s md5(seed:id:s)` — the STABLE sharding scheme:
+    * when a shard is added or removed, only the rows whose argmax
+    * changes move (~1/n of them), unlike `hash(id) % n` where nearly
+    * everything reshuffles. Use it to route documents to index/model
+    * shards that must survive resharding.
+    *
+    * Pure projection — the n md5 literal-salted hashes, the array max,
+    * and the argmax position all fuse into whole-stage codegen; no
+    * shuffle, no explode, nothing leaves the row. Cost is n md5 calls
+    * per row, so `nShards` is capped at 1024 — beyond that use plain
+    * hash-mod (stability amortizes away when shards are that fine).
+    * Ties are md5 collisions (practically impossible); argmax takes the
+    * first. Output: input columns + `shard` ∈ [0, nShards). */
+  def rendezvousShard(df: DataFrame, idCol: String, nShards: Int,
+                      seed: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards must be in [1, 1024], got $nShards")
+    require(!seed.contains(":"), s"seed must not contain ':': $seed")
+    val hashes = array((0 until nShards).map(s =>
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
+        lit(s.toString)))): _*)
+    df.withColumn("shard",
+      (array_position(hashes, array_max(hashes)) - 1).cast("int"))
+  }
 }

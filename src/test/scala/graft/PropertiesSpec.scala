@@ -481,4 +481,32 @@ class PropertiesSpec extends SparkSpec {
       assert(gotText == wantText, s"case $caseIdx rewrite")
     }
   }
+
+  test("property: rendezvous sharding moves ONLY the removed shard's " +
+      "rows when n shrinks; hash-mod moves nearly everything") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("id")
+    def assign(n: Int) = graft.pipeline.Sampling
+      .rendezvousShard(ids, "id", n)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    val s8 = assign(8)
+    val s7 = assign(7)
+    assert(s8.values.toSet.size == 8) // every shard used
+    // HRW stability: rows NOT on the removed shard 7 keep their shard
+    s8.foreach { case (id, sh) =>
+      if (sh < 7) assert(s7(id) == sh, s"id $id moved without cause")
+      else assert(s7(id) < 7) // evicted rows land somewhere valid
+    }
+    // contrast: id % n reshuffles most rows on the same shrink
+    val modMoved = (1L to 400L).count(id => id % 8 != id % 7)
+    assert(modMoved > 300)
+    // determinism + seed sensitivity
+    assert(assign(8) == s8)
+    val seeded = graft.pipeline.Sampling
+      .rendezvousShard(ids, "id", 8, seed = "other")
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(seeded != s8)
+    intercept[IllegalArgumentException](graft.pipeline.Sampling
+      .rendezvousShard(ids, "id", 8, seed = "a:b"))
+  }
 }
