@@ -5698,6 +5698,41 @@ object Queries {
                RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING)
              ORDER BY event_id""")),
 
+    // ---- persisted incremental aggregation state ---------------------------
+    // the state is built INCREMENTALLY (write even half, append odd
+    // half, merge from the files) and must equal the oracle's one-shot
+    // aggregate over everything — the mergeable-moments contract.
+    // sum/mean/variance carry reduce-order ulps -> round(6)
+    QueryDef("q_agg_index",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_aggidx").toString
+        val ev = events(s, d)
+        graft.pipeline.AggIndex.write(
+          ev.filter(col("event_id") % 2 === 0),
+          Seq("event_type"), "value", tmp)
+        graft.pipeline.AggIndex.append(
+          ev.filter(col("event_id") % 2 === 1),
+          Seq("event_type"), "value", tmp)
+        graft.pipeline.AggIndex.compact(s, tmp)
+        graft.pipeline.AggIndex.stats(s, tmp)
+          .select(col("event_type"), col("n"),
+            round(col("sum"), 6).as("sum"), col("min"), col("max"),
+            round(col("mean"), 6).as("mean"),
+            round(col("variance"), 6).as("variance"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum,
+               min(value) AS min, max(value) AS max,
+               round(sum(value) / count(*), 6) AS mean,
+               round(sum(value * value) / count(*) -
+                 (sum(value) / count(*)) * (sum(value) / count(*)), 6)
+                 AS variance
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- robust trailing-baseline anomaly flags ----------------------------
     // median/IQR baseline over the strictly-earlier trailing hour;
     // exact window percentiles (quantile_cont interpolation) on both
