@@ -4440,6 +4440,39 @@ object Queries {
                round(avg(ll), 6) AS lm_score
              FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- c-TF-IDF class topic terms ----------------------------------------
+    // top-5 distinguishing terms per language class; scores round(6)
+    // (ln + division ulps), ranks deterministic via the token tiebreak
+    QueryDef("q_ctfidf",
+      (s, d) => graft.pipeline.Relevance.classTfidf(
+          documents(s, d), "lang", "text", topK = 5, minCount = 2)
+        .select(col("lang"), col("token"), col("tf"), col("f_t"),
+          round(col("ctfidf"), 6).as("ctfidf"), col("rank"))
+        .orderBy("lang", "rank"),
+      Some("""WITH toks AS (SELECT lang,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z]+'), x -> x <> '')) AS token
+               FROM documents
+               WHERE lang IS NOT NULL AND text IS NOT NULL),
+             full_tc AS (SELECT lang, token, count(*)::BIGINT AS tf
+               FROM toks GROUP BY 1, 2),
+             ft AS (SELECT token, sum(tf)::BIGINT AS f_t FROM full_tc
+               GROUP BY 1),
+             mass AS (SELECT lang, sum(tf)::BIGINT AS mass FROM full_tc
+               GROUP BY 1),
+             a AS (SELECT sum(mass)::DOUBLE / count(*) AS a FROM mass),
+             scored AS (SELECT f.lang, f.token, f.tf, ft.f_t,
+               (f.tf::DOUBLE / mass.mass) * ln(1.0 + a.a / ft.f_t)
+                 AS ctfidf
+               FROM full_tc f JOIN ft USING (token)
+                 JOIN mass ON f.lang = mass.lang CROSS JOIN a
+               WHERE f.tf >= 2),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY ctfidf DESC, token) AS rank FROM scored)
+             SELECT lang, token, tf, f_t, round(ctfidf, 6) AS ctfidf,
+               rank
+             FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // ---- add-k TRIGRAM LM quality score ------------------------------------
     // q_lm_score with one more order of context; the context count is
     // the trigram-prefix count (how often the bigram OPENS a trigram),

@@ -48,6 +48,60 @@ object Relevance {
           (col("doc_freq") + 1)) + 1)).as("tfidf"))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF weighting): label each
+    * CLASS of documents (a cluster, a source, a language) with the
+    * terms that distinguish it. All documents of a class count as one
+    * concatenated pseudo-document:
+    *
+    *   w(t, c) = (tf_{t,c} / tokens_c) · ln(1 + A / f_t)
+    *
+    * with tf_{t,c} the term's in-class count, tokens_c the class's
+    * token mass, f_t the term's CORPUS count, and A the mean class
+    * token mass — frequent-everywhere terms get idf → ln(1+A/f_t) ≈ 0,
+    * class-concentrated terms surface. Returns the top `topK` terms
+    * per class by (score desc, token): (classCol, token, tf, f_t,
+    * ctfidf, rank). Tokenization is [[LanguageModel.alphaTokens]]
+    * (lowercased alphabetic runs — SQL-replayable).
+    *
+    * Scale shape: one explode → (class, token) hash aggregate, one
+    * token-keyed aggregate off it for f_t (AQE broadcasts it back),
+    * class totals and A as broadcast scalars, then ONE class-keyed
+    * window for the top-k cut. Vocab-bounded everywhere. */
+  def classTfidf(df: DataFrame, classCol: String, textCol: String,
+                 topK: Int = 10, minCount: Long = 1L): DataFrame = {
+    require(topK >= 1, s"classTfidf needs topK >= 1, got $topK")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    graft.util.Errors.context("classTfidf", Seq(classCol, textCol)) {
+    val clean = df.na.drop(Seq(classCol, textCol))
+    val toks = clean.select(col(classCol).as("__graft_c"),
+      explode(LanguageModel.alphaTokens(col(textCol))).as("token"))
+    val ctc = toks.groupBy("__graft_c", "token")
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minCount)
+    // f_t and class masses derive from the SAME (class, token) counts —
+    // no second pass over the corpus
+    val full = toks.groupBy("__graft_c", "token")
+      .agg(count(lit(1)).as("__tf0"))
+    val ft = full.groupBy("token").agg(sum("__tf0").as("f_t"))
+    val classMass = full.groupBy("__graft_c")
+      .agg(sum("__tf0").as("__mass"))
+    val a = classMass.agg(
+      (sum("__mass").cast("double") / count(lit(1))).as("__a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_c")
+      .orderBy(col("ctfidf").desc, col("token"))
+    ctc.join(ft, "token")
+      .join(classMass, "__graft_c")
+      .crossJoin(broadcast(a))
+      .select(col("__graft_c"), col("token"), col("tf"), col("f_t"),
+        ((col("tf").cast("double") / col("__mass")) *
+          log(lit(1.0) + col("__a") / col("f_t"))).as("ctfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__graft_c").as(classCol), col("token"), col("tf"),
+        col("f_t"), col("ctfidf"), col("rank"))
+  } }
+
   /** BM25 score of every document against a bag of query terms (docs
     * sharing no term are absent — union zeros in if a total ranking is
     * needed). Lucene's non-negative idf variant:

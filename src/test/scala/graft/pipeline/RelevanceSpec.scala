@@ -64,4 +64,36 @@ class RelevanceSpec extends SparkSpec {
     val blank = Seq((1L, "   ")).toDF("doc_id", "text")
     assert(Relevance.tfidf(blank, "doc_id", "text").count() == 0)
   }
+
+  test("classTfidf: class-exclusive terms outrank shared boilerplate; " +
+      "scores match the closed form") {
+    import spark.implicits._
+    // 'the' appears in every class (boilerplate); each class has its
+    // own exclusive term repeated as often
+    val df = Seq(
+      ("a", "the the cats cats cats"),
+      ("b", "the the dogs dogs dogs"),
+      ("c", "the the fish fish fish")).toDF("cls", "text")
+    val got = Relevance.classTfidf(df, "cls", "text", topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // rank 1 in every class: the exclusive term, not 'the'
+    assert(got(("a", 1))._1 == "cats")
+    assert(got(("b", 1))._1 == "dogs")
+    assert(got(("c", 1))._1 == "fish")
+    assert(got(("a", 2))._1 == "the")
+    // closed form: mass_c = 5, A = 5, f(cats) = 3, f(the) = 6
+    val (_, tf, ft, score) = got(("a", 1))
+    assert(tf == 3L && ft == 3L)
+    assert(math.abs(score - (3.0 / 5) * math.log(1 + 5.0 / 3)) < 1e-12)
+    val sThe = got(("a", 2))._4
+    assert(math.abs(sThe - (2.0 / 5) * math.log(1 + 5.0 / 6)) < 1e-12)
+    assert(score > sThe)
+    // minCount prunes singletons before ranking
+    val pruned = Relevance.classTfidf(df, "cls", "text", topK = 5,
+      minCount = 3)
+    assert(pruned.filter($"token" === "the").count() == 0)
+  }
 }
