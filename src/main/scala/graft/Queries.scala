@@ -6544,6 +6544,52 @@ object Queries {
                any_value(q_lo) AS q_lo, any_value(q_hi) AS q_hi
              FROM b JOIN q USING (g) GROUP BY g ORDER BY g""")),
 
+    // ---- triangle counts + clustering coefficient --------------------------
+    // co-supply graph (suppliers sharing a part in lineitem); wedge
+    // join + semijoin closure on both sides; coeff is one fixed
+    // rational chain over exact longs — compares UNROUNDED
+    QueryDef("q_triangles",
+      (s, d) => {
+        // quantity <= 2 keeps the co-supply graph SPARSE (the full
+        // graph is near-complete on the small supplier universe and
+        // its wedge mass explodes — see NOTES)
+        val li = lineitem(s, d)
+          .filter(col("l_quantity") <= 2)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+          .distinct()
+        val edges = li.join(
+            li.select(col("p"), col("sp").as("sp2")), "p")
+          .filter(col("sp") < col("sp2"))
+          .select(col("sp").as("src"), col("sp2").as("dst"))
+        graft.pipeline.Graph.triangles(edges, "src", "dst")
+          .orderBy("node")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p,
+               l_suppkey AS sp FROM lineitem
+               WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                 AND l_quantity <= 2),
+             e AS (SELECT DISTINCT a.sp AS a, b.sp AS b
+               FROM ps a JOIN ps b ON a.p = b.p AND a.sp < b.sp),
+             w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+               FROM e e1 JOIN e e2 ON e1.b = e2.a),
+             t AS (SELECT w.a, w.b, w.c FROM w
+               WHERE EXISTS (SELECT 1 FROM e
+                 WHERE e.a = w.a AND e.b = w.c)),
+             pn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+               SELECT a AS node FROM t UNION ALL
+               SELECT b FROM t UNION ALL SELECT c FROM t)
+               GROUP BY 1),
+             dg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+               SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+               GROUP BY 1)
+             SELECT dg.node, degree,
+               coalesce(triangles, 0)::BIGINT AS triangles,
+               CASE WHEN degree >= 2 THEN
+                 2.0 * coalesce(triangles, 0) / (degree * (degree - 1))
+               END AS coeff
+             FROM dg LEFT JOIN pn ON dg.node = pn.node
+             ORDER BY dg.node""")),
+
     // ---- rendezvous (HRW) shard assignment ---------------------------------
     // argmax over per-shard md5 salts; the oracle takes the explode +
     // arg_max route to the same argmax — identical md5 preimages on

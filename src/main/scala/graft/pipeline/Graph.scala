@@ -362,4 +362,48 @@ object Graph {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph (direction and duplicate edges collapse;
+    * self-loops drop) — the community-density signal: how clique-like
+    * is each node's neighborhood?
+    *
+    *   coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1))   (null when deg < 2)
+    *
+    * Algorithm: canonicalize to a < b edges, enumerate WEDGES by
+    * joining the canonical edge list with itself on the middle vertex
+    * (a < b < c comes free from canonical ordering), then close each
+    * wedge against the edge list — the standard two-join formulation;
+    * Catalyst plans both as shuffled equi-joins, and each found
+    * triangle credits its three corners via one explode + hash
+    * aggregate. Wedge mass is Σ_v deg(v)²/2 — for skew-heavy graphs cut
+    * hubs first ([[coOccurrence]]'s maxDegree treatment applies
+    * upstream). Output: (node, degree, triangles, coeff). */
+  def triangles(edges: DataFrame, srcCol: String,
+                dstCol: String): DataFrame = {
+    val e0 = edges.na.drop(Seq(srcCol, dstCol))
+      .select(col(srcCol).cast("long").as("__u"),
+        col(dstCol).cast("long").as("__v"))
+      .filter(col("__u") =!= col("__v"))
+    val canon = e0.select(least(col("__u"), col("__v")).as("a"),
+        greatest(col("__u"), col("__v")).as("b"))
+      .distinct()
+    // wedges a-b-c with a < b < c: (a,b) joined to (b,c)
+    val wedges = canon.select(col("a"), col("b"))
+      .join(canon.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(canon.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "leftsemi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1))).as("coeff"))
+  }
 }

@@ -232,4 +232,27 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
         "src", "dst"))
   }
+
+  test("triangles: known graph, direction/duplicate/self-loop " +
+      "normalization, clustering coefficients") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, every node in 3) + pendant 5-1 + an
+    // isolated edge 6-7; edges arrive directed, duplicated, reversed,
+    // with a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (5L, 1L), (6L, 7L), (3L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) == 3L && got(1L).getLong(1) == 4L)
+    assert(got(2L).getLong(2) == 3L && got(2L).getLong(1) == 3L)
+    // node 2: deg 3, tri 3 -> coeff 1 (its neighborhood is a clique)
+    assert(got(2L).getDouble(3) == 1.0)
+    // node 1: deg 4 (pendant 5), tri 3 -> 2*3/12
+    assert(got(1L).getDouble(3) == 0.5)
+    assert(got(5L).getLong(2) == 0L && got(5L).isNullAt(3)) // deg 1
+    assert(got(6L).getLong(2) == 0L && got(7L).getLong(2) == 0L)
+    // global triangle count: each triangle credits 3 corners
+    assert(got.values.map(_.getLong(2)).sum == 4L * 3)
+  }
 }
