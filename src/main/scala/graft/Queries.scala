@@ -6513,6 +6513,33 @@ object Queries {
                      OR q.p_retailprice > p.p_retailprice))
              ORDER BY 1""")),
 
+    // ---- exact weighted percentiles ----------------------------------------
+    // quantity-weighted price quantiles: Type-1 inverse CDF returns an
+    // OBSERVED value, the running weight sum folds in deterministic
+    // value order, and integer weights make every sum exact — the row
+    // compares UNROUNDED
+    QueryDef("q_weighted_pctl",
+      (s, d) => graft.agg.Stats.weightedPercentile(lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+          Seq(0.25, 0.5, 0.9))
+        .orderBy("l_returnflag", "p"),
+      Some("""WITH cells AS (SELECT l_returnflag AS g,
+               l_extendedprice::DOUBLE AS v,
+               sum(l_quantity::DOUBLE) AS cw
+               FROM lineitem WHERE l_returnflag IS NOT NULL
+                 AND l_extendedprice IS NOT NULL
+                 AND l_quantity IS NOT NULL
+               GROUP BY 1, 2),
+             c AS (SELECT g, v,
+               sum(cw) OVER (PARTITION BY g ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cw) OVER (PARTITION BY g) AS tot FROM cells)
+             SELECT g AS l_returnflag, p,
+               min(CASE WHEN cum >= p * tot THEN v END) AS wpctl
+             FROM c, (VALUES (CAST(0.25 AS DOUBLE)),
+               (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) ps(p)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- robust means (trimmed + winsorized) --------------------------------
     // on the INTEGER quantity column the whole row is bit-exact
     // UNROUNDED: integer-valued double sums are exact in any order, the

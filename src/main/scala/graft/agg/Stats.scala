@@ -842,6 +842,59 @@ object Stats {
     }
   }
 
+  /** Exact WEIGHTED percentiles per group — quantiles of a value under
+    * a weight column (token-mass-weighted doc-length median, importance-
+    * weighted score quantiles): the Type-1 (lower) inverse CDF,
+    *
+    *   Q(p) = min { v : cumW(v) ≥ p · W }
+    *
+    * with cumW the running weight total in ascending value order and W
+    * the group's weight mass. Always an OBSERVED value (no
+    * interpolation), so results compare exactly across engines: the
+    * running sum folds in the deterministic value order and both the
+    * cut product and the comparisons are fixed op chains. Zero/negative
+    * weights are refused (they make the CDF non-monotone).
+    *
+    * Scale shape: one hash aggregate to per-(group, value) weight
+    * cells, one keyed window (cumulative sum in value order), one
+    * final aggregate — all on the group key, output one row per
+    * (group, p). */
+  def weightedPercentile(df: DataFrame, groups: Seq[String],
+                         valueCol: String, weightCol: String,
+                         ps: Seq[Double]): DataFrame = {
+    require(groups.nonEmpty, "weightedPercentile needs group columns")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must lie in (0, 1], got $ps")
+    val gc = groups.map(col)
+    val v = col(valueCol).cast("double")
+    val wgt = col(weightCol).cast("double")
+    val cells = df.na.drop(groups :+ valueCol :+ weightCol)
+      .select(gc ++ Seq(v.as("__v"),
+        when(wgt <= 0.0, raise_error(concat(
+            lit(s"weightedPercentile: non-positive weight in " +
+              s"$weightCol: "), wgt.cast("string"))))
+          .otherwise(wgt).as("__w")): _*)
+      .groupBy(gc :+ col("__v"): _*)
+      .agg(sum("__w").as("__cw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*)
+    val cum = cells
+      .withColumn("__cum", sum("__cw").over(w))
+      .withColumn("__tot", sum("__cw").over(wAll))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= lit(p) * col("__tot"), col("__v")))
+        .as(s"__q$i")
+    }
+    val perGroup = cum.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${ps.length}, " +
+      ps.zipWithIndex.map { case (p, i) => s"${p}D, __q$i" }
+        .mkString(", ") + ") as (p, wpctl)"
+    perGroup.select(gc :+ expr(stackExpr): _*)
+  }
+
   /** Hierarchical rollup totals: one pass producing every prefix level
     * of `dims` — (a,b,c), (a,b), (a), grand total — via Spark's native
     * ROLLUP (Expand + one hash aggregate; Catalyst plans the multi-

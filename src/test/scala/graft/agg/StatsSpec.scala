@@ -440,6 +440,40 @@ class StatsSpec extends SparkSpec {
     assert(zero.isNullAt(3) && zero.isNullAt(4)) // sum 0 -> null
   }
 
+  test("weightedPercentile: Type-1 inverse CDF on a known weighted " +
+      "set; uniform weights reduce to the plain lower percentile") {
+    import spark.implicits._
+    // values 10,20,30 with weights 1,1,8: cum = 1,2,10 of W=10
+    // p=0.1 -> 10 (cum 1 >= 1); p=0.2 -> 20; p=0.21 -> 30; p=1 -> 30
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 1.0), ("a", 30.0, 8.0))
+      .toDF("g", "v", "w")
+    val got = graft.agg.Stats.weightedPercentile(df, Seq("g"), "v", "w",
+        Seq(0.1, 0.2, 0.21, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got(0.1) == 10.0 && got(0.2) == 20.0)
+    assert(got(0.21) == 30.0 && got(1.0) == 30.0)
+    // duplicate values merge their weights before the cumsum
+    val dup = Seq(("a", 10.0, 3.0), ("a", 10.0, 3.0), ("a", 99.0, 4.0))
+      .toDF("g", "v", "w")
+    val m = graft.agg.Stats.weightedPercentile(dup, Seq("g"), "v", "w",
+      Seq(0.5)).head()
+    assert(m.getDouble(2) == 10.0) // cum(10) = 6 >= 5
+    // uniform weights == unweighted lower quantile
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val uni = vals.map(("a", _, 1.0)).toDF("g", "v", "w")
+    val q = graft.agg.Stats.weightedPercentile(uni, Seq("g"), "v", "w",
+        Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(q == Map(0.2 -> 1.0, 0.4 -> 3.0, 0.6 -> 5.0, 0.8 -> 7.0,
+      1.0 -> 9.0))
+    val bad = Seq(("a", 1.0, 0.0)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      graft.agg.Stats.weightedPercentile(bad, Seq("g"), "v", "w",
+        Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
+
   test("rollupAgg: every prefix level present, sentinel in rolled " +
       "slots, levels consistent with the bit convention") {
     import spark.implicits._
