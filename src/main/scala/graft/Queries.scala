@@ -7755,6 +7755,57 @@ object Queries {
                round(surv, 6) AS survival
              FROM c ORDER BY t""")),
 
+    // ---- Nelson-Aalen cumulative hazard (per user-parity group) ------------
+    // additive companion of q_survival. NOT bit-exact despite the
+    // deterministic fold order — Spark's running-window sum
+    // accumulates differently than DuckDB's in the last ulp (measured
+    // 4e-16 at sf0.01) — so hazard/survival compare under round(6),
+    // the KM precedent
+    QueryDef("q_nelson_aalen",
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tmax"))
+          .selectExpr("cast(user_id % 2 AS long) AS grp",
+            "(coalesce(tp, tmax) - t0) div 3600000000 AS dur_h",
+            "cast(tp IS NOT NULL AS int) AS ev")
+        graft.events.Survival.nelsonAalenBy(perUser, "grp", "dur_h", "ev")
+          .select(col("grp"), col("t").cast("long").as("t"),
+            col("n_risk"), col("n_event"),
+            round(col("hazard"), 6).as("hazard"),
+            round(col("survival_breslow"), 6).as("survival_breslow"))
+          .orderBy("grp", "t")
+      },
+      Some("""WITH per AS (SELECT user_id, epoch_us(min(ts)) AS t0,
+               epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                 AS tp,
+               epoch_us(max(ts)) AS tmax
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1),
+             dur AS (SELECT user_id % 2 AS grp,
+               ((coalesce(tp, tmax) - t0) // 3600000000)::DOUBLE AS t,
+               (tp IS NOT NULL)::INT AS ev FROM per),
+             byt AS (SELECT grp, t, sum(ev)::DOUBLE AS d,
+               count(*)::DOUBLE AS n FROM dur GROUP BY 1, 2),
+             w AS (SELECT grp, t, d, n,
+               sum(n) OVER (PARTITION BY grp) -
+               coalesce(sum(n) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS risk FROM byt),
+             c AS (SELECT grp, t, risk, d,
+               sum(d / risk) OVER (PARTITION BY grp ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS hazard FROM w)
+             SELECT grp, t::BIGINT AS t, risk::BIGINT AS n_risk,
+               d::BIGINT AS n_event, round(hazard, 6) AS hazard,
+               round(exp(-hazard), 6) AS survival_breslow
+             FROM c ORDER BY grp, t""")),
+
     // ---- log-rank test (per-group observed vs expected events) -------------
     // groups = user_id parity; the (group × time) frame is COMPLETED
     // before at-risk accounting (a group with no cell at t is still at

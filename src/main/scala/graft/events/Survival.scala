@@ -56,6 +56,42 @@ object Survival {
       .orderBy("t")
   }
 
+  /** Nelson-Aalen cumulative hazard per group — the additive
+    * companion of [[kaplanMeierBy]] (hazard sums are better-behaved
+    * than survival products for comparing groups and feeding
+    * regressions):
+    *
+    *   H(t) = Σ_{tᵢ ≤ t} dᵢ / nᵢ        (dᵢ events, nᵢ at risk at tᵢ)
+    *
+    * with the Breslow survival estimate exp(−H(t)) alongside. Same
+    * distinct-duration frame and risk-set windows as KM — one shuffle
+    * on the group, per-group running sums; the hazard is a running sum
+    * of exact-count ratios folding in deterministic time order, so the
+    * curve replays in SQL. Output: (groupCol, t, n_risk, n_event,
+    * hazard, survival_breslow). */
+  def nelsonAalenBy(df: DataFrame, groupCol: String, durationCol: String,
+                    eventCol: String): DataFrame = {
+    val byT = df.na.drop(Seq(groupCol, durationCol, eventCol))
+      .groupBy(col(groupCol), col(durationCol).cast("double").as("t"))
+      .agg(sum(col(eventCol).cast("double")).as("__d"),
+        count(lit(1)).cast("double").as("__n"))
+    val wAll = Window.partitionBy(groupCol)
+    val wBefore = Window.partitionBy(groupCol).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.partitionBy(groupCol).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("__risk",
+        sum("__n").over(wAll) -
+          coalesce(sum("__n").over(wBefore), lit(0.0)))
+      .withColumn("hazard",
+        sum(col("__d") / col("__risk")).over(wUpTo))
+      .select(col(groupCol), col("t"),
+        col("__risk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("n_event"),
+        col("hazard"), exp(-col("hazard")).as("survival_breslow"))
+  }
+
   /** Per-group KM curves: identical shape with every window partitioned
     * by `groupCol` — distinct (group, duration) frame, fully parallel
     * across groups. */

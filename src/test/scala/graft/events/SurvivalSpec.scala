@@ -110,4 +110,38 @@ class SurvivalSpec extends SparkSpec {
     val stat = Survival.logRankStat(df, "g", "dur", "ev").head()
     assert(math.abs(stat.getDouble(1)) < 1e-12)
   }
+
+  test("nelsonAalenBy: hand-computed hazard ladder with censoring; " +
+      "exp(-H) tracks the KM curve from above") {
+    import spark.implicits._
+    // group a: durations (1,ev) (2,ev) (2,cens) (3,ev):
+    //   t=1: risk 4, d 1 -> H = 1/4
+    //   t=2: risk 3, d 1 -> H = 1/4 + 1/3
+    //   t=3: risk 1, d 1 -> H = 1/4 + 1/3 + 1
+    val rows = Seq(("a", 1.0, 1), ("a", 2.0, 1), ("a", 2.0, 0),
+      ("a", 3.0, 1), ("b", 5.0, 0))
+    val df = rows.toDF("g", "dur", "ev")
+    val got = Survival.nelsonAalenBy(df, "g", "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    val h1 = got(("a", 1.0))
+    assert(h1.getLong(2) == 4L && h1.getLong(3) == 1L)
+    assert(math.abs(h1.getDouble(4) - 0.25) < 1e-15)
+    val h2 = got(("a", 2.0))
+    assert(h2.getLong(2) == 3L)
+    assert(math.abs(h2.getDouble(4) - (0.25 + 1.0 / 3)) < 1e-15)
+    val h3 = got(("a", 3.0))
+    assert(math.abs(h3.getDouble(4) - (0.25 + 1.0 / 3 + 1.0)) < 1e-15)
+    assert(math.abs(h3.getDouble(5) -
+      math.exp(-(0.25 + 1.0 / 3 + 1.0))) < 1e-15)
+    // all-censored group: hazard stays 0, breslow survival 1
+    val b = got(("b", 5.0))
+    assert(b.getDouble(4) == 0.0 && b.getDouble(5) == 1.0)
+    // Breslow bounds KM from above at every event time
+    val km = Survival.kaplanMeierBy(df, "g", "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("survival")).toMap
+    got.foreach { case (k, r) =>
+      assert(r.getDouble(5) >= km(k) - 1e-12, s"breslow < KM at $k")
+    }
+  }
 }
