@@ -5731,6 +5731,58 @@ object Queries {
                RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING)
              ORDER BY event_id""")),
 
+    // ---- RFM segmentation ---------------------------------------------------
+    // quantile-threshold scoring over the user frame; monetary rounds
+    // to 6 BEFORE bucketing so threshold comparisons are ulp-stable;
+    // recency/frequency are exact ints, thresholds replay via
+    // quantile_cont — the whole row compares unrounded
+    QueryDef("q_rfm",
+      (s, d) => graft.events.Retention.rfm(events(s, d),
+          "user_id", "ts", "value", nBins = 5)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL),
+             ref AS (SELECT max(tsu) AS r FROM e),
+             u AS (SELECT user_id,
+               (ref.r - max(tsu)) // 3600000000 AS recency_h,
+               count(*)::BIGINT AS frequency,
+               round(sum(value), 6) AS monetary
+               FROM e, ref GROUP BY user_id, ref.r),
+             q AS (SELECT
+               [quantile_cont(recency_h::DOUBLE, 0.2),
+                quantile_cont(recency_h::DOUBLE, 0.4),
+                quantile_cont(recency_h::DOUBLE, 0.6),
+                quantile_cont(recency_h::DOUBLE, 0.8)] AS qr,
+               [quantile_cont(frequency::DOUBLE, 0.2),
+                quantile_cont(frequency::DOUBLE, 0.4),
+                quantile_cont(frequency::DOUBLE, 0.6),
+                quantile_cont(frequency::DOUBLE, 0.8)] AS qf,
+               [quantile_cont(monetary, 0.2),
+                quantile_cont(monetary, 0.4),
+                quantile_cont(monetary, 0.6),
+                quantile_cont(monetary, 0.8)] AS qm
+               FROM u),
+             sc AS (SELECT user_id, recency_h, frequency, monetary,
+               6 - (1 + (recency_h::DOUBLE > qr[1])::INT
+                 + (recency_h::DOUBLE > qr[2])::INT
+                 + (recency_h::DOUBLE > qr[3])::INT
+                 + (recency_h::DOUBLE > qr[4])::INT) AS r_score,
+               1 + (frequency::DOUBLE > qf[1])::INT
+                 + (frequency::DOUBLE > qf[2])::INT
+                 + (frequency::DOUBLE > qf[3])::INT
+                 + (frequency::DOUBLE > qf[4])::INT AS f_score,
+               1 + (monetary > qm[1])::INT + (monetary > qm[2])::INT
+                 + (monetary > qm[3])::INT + (monetary > qm[4])::INT
+                 AS m_score
+               FROM u, q)
+             SELECT user_id, recency_h, frequency, monetary,
+               r_score::INT AS r_score, f_score::INT AS f_score,
+               m_score::INT AS m_score,
+               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                 AS segment
+             FROM sc ORDER BY user_id""")),
+
     // ---- persisted incremental aggregation state ---------------------------
     // the state is built INCREMENTALLY (write even half, append odd
     // half, merge from the files) and must equal the oracle's one-shot

@@ -48,4 +48,56 @@ object Retention {
           .over(Window.partitionBy("cohort")))
       .withColumn("retention", col("n_active") / col("cohort_size"))
   }
+
+  /** RFM segmentation — the classic engagement triage: per user,
+    * Recency (hours since their last event, against the CORPUS max
+    * timestamp), Frequency (event count), Monetary (Σ `valueCol`,
+    * rounded to 6 decimals so quantile-boundary comparisons are
+    * engine-stable), each scored 1..`nBins` by quantile thresholds
+    * computed over the USERS (exact percentiles, quantile_cont
+    * interpolation). Higher is better everywhere — recency scores
+    * DESCEND with staleness (freshest users get `nBins`). A metric
+    * strictly above the k-th threshold scores ≥ k+1; ties sit in the
+    * lower bucket (deterministic, no rank machinery).
+    *
+    * Scale shape: one user aggregate over the events, one ≤3·(nBins−1)-
+    * value percentile aggregate over the USER frame, thresholds folded
+    * back as a broadcast crossJoin, scores as one projection. Output:
+    * (userCol, recency_h, frequency, monetary, r_score, f_score,
+    * m_score, segment = "RFM" digits). */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, nBins: Int = 5): DataFrame = {
+    require(nBins >= 2 && nBins <= 10,
+      s"nBins must be in [2, 10], got $nBins")
+    val clean = df.na.drop(Seq(userCol, tsCol, valueCol))
+    val refTs = clean.agg(max(unix_micros(col(tsCol))).as("__ref"))
+    val perUser = clean
+      .groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol).cast("double")), 6).as("monetary"))
+      .crossJoin(broadcast(refTs))
+      .withColumn("recency_h",
+        expr("(__ref - __last) div 3600000000"))
+      .drop("__last", "__ref")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = perUser.agg(
+      graft.expr.ExactPercentile.of(col("recency_h"), ps).as("__qr"),
+      graft.expr.ExactPercentile.of(col("frequency"), ps).as("__qf"),
+      graft.expr.ExactPercentile.of(col("monetary"), ps).as("__qm"))
+    def scoreAsc(metric: org.apache.spark.sql.Column, q: String) =
+      (0 until nBins - 1).map(i =>
+        when(metric > col(q).getItem(i), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+    val withScores = perUser.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        lit(nBins + 1) - scoreAsc(col("recency_h").cast("double"), "__qr"))
+      .withColumn("f_score", scoreAsc(col("frequency").cast("double"),
+        "__qf"))
+      .withColumn("m_score", scoreAsc(col("monetary"), "__qm"))
+    withScores.select(col(userCol), col("recency_h"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+  }
 }
