@@ -5989,6 +5989,48 @@ object Queries {
                l + b AS forecast
              FROM rec ORDER BY 1, 2""")),
 
+    // ---- single change-point localization (AMOC) ----------------------------
+    // values enter as EXACT CENTS (round(value·100) longs — v·100 is
+    // never an exact .5, so both engines round identically), making
+    // every running sum exact and every output a fixed division chain:
+    // the whole row compares UNROUNDED. The first cut rounded the raw
+    // double means at 6 and hit the half-boundary (59.6046875) — the
+    // q_robust_mean lesson again
+    QueryDef("q_change_point",
+      (s, d) => graft.events.TimeSeries.changePoint(
+          events(s, d).withColumn("cents",
+            round(col("value") * 100).cast("long")),
+          Seq("user_id"), "ts", "event_id", "cents")
+        .select(col("user_id"), col("n"), col("split_tie"),
+          col("n_before"), (col("gain") / 100.0).as("gain"),
+          (col("mean_before") / 100.0).as("mean_before"),
+          (col("mean_after") / 100.0).as("mean_after"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id, event_id,
+               round(value * 100)::BIGINT::DOUBLE AS x,
+               epoch_us(ts) AS tsu
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             c AS (SELECT user_id, event_id, tsu,
+               count(*) OVER wp AS nt, sum(x) OVER wp AS st,
+               count(*) OVER wa AS n, sum(x) OVER wa AS s
+               FROM b
+               WINDOW wp AS (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS UNBOUNDED PRECEDING),
+               wa AS (PARTITION BY user_id)),
+             g AS (SELECT user_id, event_id, nt, n,
+               st / nt AS mb, (s - st) / (n - nt) AS ma,
+               round(sqrt(nt * (n - nt) / n) *
+                 abs(st / nt - (s - st) / (n - nt)), 6) AS gain,
+               tsu
+               FROM c WHERE nt < n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY gain DESC, tsu, event_id) AS rk FROM g)
+             SELECT user_id, n::BIGINT AS n, event_id AS split_tie,
+               nt::BIGINT AS n_before, gain / 100.0 AS gain,
+               mb / 100.0 AS mean_before, ma / 100.0 AS mean_after
+             FROM r WHERE rk = 1 ORDER BY user_id""")),
+
     // ---- burstiness: per-user Fano factor over hourly buckets ---------------
     // empty in-span buckets count as zeros WITHOUT materializing
     // (N = max-min+1 span arithmetic); every term is an exact long and

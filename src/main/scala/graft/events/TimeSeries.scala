@@ -212,6 +212,56 @@ object TimeSeries {
       (col("level") + col("trend")).as("forecast"): _*)
   }
 
+  /** Single change-point localization per key (the AMOC / binary-
+    * segmentation step [[cusum]] alarms don't give you — WHERE did the
+    * mean shift?): the split t maximizing the scaled mean-shift
+    * statistic
+    *
+    *   G(t) = √(n_t · (N − n_t) / N) · |mean(x₁..t) − mean(x_{t+1}..N)|
+    *
+    * over every prefix/suffix split in (ts, tie) order. Returns the
+    * best split per key: (keys…, n, split_tie, n_before, gain,
+    * mean_before, mean_after) — the change STARTS at the row after
+    * `split_tie`. Keys with < 2 observations are absent. `gain`
+    * compares across engines under round(6); the argmax ranks on the
+    * ROUNDED gain with the earliest split winning ties, so the chosen
+    * split is ulp-stable too.
+    *
+    * Scale shape: one keyed window pass (running sum + count), one
+    * keyed rank window, both on the same shuffle; the statistic never
+    * materializes more than the series itself. Run [[cusum]] first to
+    * find WHICH keys shifted, this to find WHERE. */
+  def changePoint(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "changePoint needs at least one key column")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__tsu"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kc: _*)
+    val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
+      .withColumn("__tsu", unix_micros(col(tsCol)))
+      .withColumn("__x", col(valueCol).cast("double"))
+      .withColumn("__nt", count(lit(1)).over(w))
+      .withColumn("__st", sum("__x").over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum("__x").over(wAll))
+      .filter(col("__nt") < col("__n")) // suffix must be non-empty
+    val meanB = col("__st") / col("__nt")
+    val meanA = (col("__s") - col("__st")) / (col("__n") - col("__nt"))
+    val gain = sqrt(col("__nt") * (col("__n") - col("__nt")) /
+      col("__n")) * abs(meanB - meanA)
+    val rankW = Window.partitionBy(kc: _*)
+      .orderBy(col("__g").desc, col("__tsu"), col(tieCol))
+    base
+      .withColumn("__g", round(gain, 6))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") === 1)
+      .select(kc ++ Seq(col("__n").as("n"),
+        col(tieCol).as("split_tie"), col("__nt").as("n_before"),
+        col("__g").as("gain"), meanB.as("mean_before"),
+        meanA.as("mean_after")): _*)
+  }
+
   /** Burstiness per key: the Fano factor (index of dispersion) of
     * per-bucket event counts over the key's observed span —
     *

@@ -172,6 +172,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 1 && got.head.isNullAt(2))
   }
 
+  test("changePoint finds a planted mean shift at the exact split; " +
+      "flat series maximize at tiny gains") {
+    // user 1: 5 at t=0..4, then 50 at t=5..9 -> split after t=4
+    val shift = (0 until 10).map(i => (1L, i.toLong * 10, i.toLong,
+      if (i < 5) 5.0 else 50.0))
+    val got = TimeSeries.changePoint(evts(shift), Seq("user_id"), "ts",
+      "event_id", "value").head()
+    assert(got.getLong(1) == 10L)
+    assert(got.getLong(2) == 4L)  // split tie: last row of the prefix
+    assert(got.getLong(3) == 5L)  // n_before
+    assert(got.getDouble(5) == 5.0 && got.getDouble(6) == 50.0)
+    // gain = sqrt(5*5/10) * 45
+    assert(math.abs(got.getDouble(4) -
+      math.sqrt(2.5) * 45.0) < 1e-6)
+    // constant series: all gains 0 -> earliest split wins the tie
+    val flat = (0 until 6).map(i => (2L, i.toLong * 10, 100L + i, 7.0))
+    val f = TimeSeries.changePoint(evts(flat), Seq("user_id"), "ts",
+      "event_id", "value").head()
+    assert(f.getDouble(4) == 0.0 && f.getLong(2) == 100L)
+    // single-observation keys are absent (no valid split)
+    val single = evts(Seq((3L, 0L, 999L, 1.0)))
+    assert(TimeSeries.changePoint(single, Seq("user_id"), "ts",
+      "event_id", "value").count() == 0L)
+  }
+
   test("dispersion: empty in-span buckets count as zeros; Poisson-ish " +
       "vs bursty ordering; exact moments") {
     // user 1: one event per bucket (buckets 0..3) -> var 0, fano 0
