@@ -5989,6 +5989,45 @@ object Queries {
                l + b AS forecast
              FROM rec ORDER BY 1, 2""")),
 
+    // ---- diurnal seasonality summary ---------------------------------------
+    // hour-of-day variance-explained per user; hourly means round(6)
+    // BEFORE the peak/trough argmax (ulp-stable hour choice), r²
+    // round(6) for the moment-sum ulps
+    QueryDef("q_seasonality",
+      (s, d) => graft.events.TimeSeries.seasonality(events(s, d),
+          Seq("user_id"), "ts", "value")
+        .select(col("user_id"), col("n"),
+          round(col("r2_seasonal"), 6).as("r2_seasonal"),
+          col("peak_hour"), col("trough_hour"),
+          col("peak_mean"), col("trough_mean"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+               ((epoch_us(ts) // 3600000000) % 24)::INT AS h,
+               value::DOUBLE AS x
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL),
+             ph AS (SELECT user_id, h, count(*)::BIGINT AS n,
+               sum(x) AS s, sum(x * x) AS ss,
+               round(sum(x) / count(*), 6) AS m
+               FROM b GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY m DESC, h) AS rp,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY m ASC, h) AS rt FROM ph),
+             a AS (SELECT user_id, sum(n)::BIGINT AS n, sum(s) AS st,
+               sum(ss) AS sst, sum(s * s / n) AS between_ss,
+               max(CASE WHEN rp = 1 THEN h END) AS peak_hour,
+               max(CASE WHEN rp = 1 THEN m END) AS peak_mean,
+               max(CASE WHEN rt = 1 THEN h END) AS trough_hour,
+               max(CASE WHEN rt = 1 THEN m END) AS trough_mean
+               FROM r GROUP BY 1)
+             SELECT user_id, n,
+               round(CASE WHEN sst - st * st / n > 0.0 THEN
+                 1.0 - (sst - between_ss) / (sst - st * st / n) END, 6)
+                 AS r2_seasonal,
+               peak_hour, trough_hour, peak_mean, trough_mean
+             FROM a ORDER BY user_id""")),
+
     // ---- single change-point localization (AMOC) ----------------------------
     // values enter as EXACT CENTS (round(value·100) longs — v·100 is
     // never an exact .5, so both engines round identically), making

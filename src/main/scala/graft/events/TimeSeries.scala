@@ -212,6 +212,57 @@ object TimeSeries {
       (col("level") + col("trend")).as("forecast"): _*)
   }
 
+  /** Diurnal seasonality summary per key — how much of a metric's
+    * variance the hour-of-day profile explains:
+    *
+    *   r² = 1 − SSE_within / SST,   SSE_within = Σ_h Σ_{t∈h} (x − x̄_h)²
+    *
+    * (the one-way-ANOVA variance-explained of the 24 hour-of-day
+    * groups — ≈0 for hour-independent metrics, →1 when the hour alone
+    * predicts the value), plus the peak and trough hours (argmax /
+    * argmin of the hourly means, rounded to 6 decimals before the
+    * argmax so hour choice is ulp-stable; ties take the earliest
+    * hour). Both sums come from per-(key, hour) moment sums —
+    * SSE_within = Σx² − Σ_h s_h²/n_h — so the whole thing is TWO
+    * stacked hash aggregates on the key, no windows over events.
+    * Constant series (SST = 0) yield null r². Output: (keys…, n,
+    * r2_seasonal, peak_hour, trough_hour, peak_mean, trough_mean). */
+  def seasonality(df: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "seasonality needs at least one key column")
+    val kc = keys.map(col)
+    val hour = ((unix_micros(col(tsCol)) / lit(3600000000L))
+      .cast("long") % 24).cast("int")
+    val perHour = df.na.drop(keys :+ tsCol :+ valueCol)
+      .groupBy(kc :+ hour.as("__h"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("double")).as("__s"),
+        sum(col(valueCol).cast("double") * col(valueCol).cast("double"))
+          .as("__ss"))
+      .withColumn("__m", round(col("__s") / col("__n"), 6))
+    val peakW = Window.partitionBy(kc: _*)
+      .orderBy(col("__m").desc, col("__h"))
+    val troughW = Window.partitionBy(kc: _*)
+      .orderBy(col("__m").asc, col("__h"))
+    val ranked = perHour
+      .withColumn("__rp", row_number().over(peakW))
+      .withColumn("__rt", row_number().over(troughW))
+    val agg = ranked.groupBy(kc: _*)
+      .agg(sum("__n").as("n"), sum("__s").as("__st"),
+        sum("__ss").as("__sst"),
+        sum(col("__s") * col("__s") / col("__n")).as("__between"),
+        max(when(col("__rp") === 1, col("__h"))).as("peak_hour"),
+        max(when(col("__rp") === 1, col("__m"))).as("peak_mean"),
+        max(when(col("__rt") === 1, col("__h"))).as("trough_hour"),
+        max(when(col("__rt") === 1, col("__m"))).as("trough_mean"))
+    val sst = col("__sst") - col("__st") * col("__st") / col("n")
+    val sse = col("__sst") - col("__between")
+    agg.select(kc ++ Seq(col("n"),
+      when(sst > 0.0, lit(1.0) - sse / sst).as("r2_seasonal"),
+      col("peak_hour"), col("trough_hour"), col("peak_mean"),
+      col("trough_mean")): _*)
+  }
+
   /** Single change-point localization per key (the AMOC / binary-
     * segmentation step [[cusum]] alarms don't give you — WHERE did the
     * mean shift?): the split t maximizing the scaled mean-shift

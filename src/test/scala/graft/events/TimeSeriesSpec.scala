@@ -172,6 +172,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 1 && got.head.isNullAt(2))
   }
 
+  test("seasonality: pure hourly signal -> r2 1 with the right peak; " +
+      "hour-independent signal -> r2 ~ 0; constant -> null") {
+    val h = 3600000000L
+    // user 1: value depends ONLY on hour-of-day (2 days of data):
+    // hour 3 peaks at 30, hour 20 troughs at -5, others 1.0
+    def v(hour: Int) = if (hour == 3) 30.0 else if (hour == 20) -5.0
+      else 1.0
+    val diurnal = (0 until 48).map(i =>
+      (1L, i.toLong * h, i.toLong, v(i % 24)))
+    // user 2: alternating values regardless of hour (period 2 over a
+    // 24-hour grid hits each hour with BOTH values across 2 days)
+    val flat = (0 until 48).map(i =>
+      (2L, i.toLong * h, 100L + i, if (i / 24 == 0) 4.0 else 8.0))
+    // user 3: constant
+    val const = (0 until 5).map(i => (3L, i.toLong * h, 200L + i, 2.0))
+    val got = TimeSeries.seasonality(evts(diurnal ++ flat ++ const),
+        Seq("user_id"), "ts", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) == 48L)
+    assert(math.abs(u1.getDouble(2) - 1.0) < 1e-9) // hour explains all
+    assert(u1.getInt(3) == 3 && u1.getInt(4) == 20)
+    assert(u1.getDouble(5) == 30.0 && u1.getDouble(6) == -5.0)
+    // user 2: every hour's mean is 6.0 -> between-variance 0 -> r2 0
+    assert(math.abs(got(2L).getDouble(2)) < 1e-9)
+    assert(got(3L).isNullAt(2)) // SST 0 -> null
+  }
+
   test("changePoint finds a planted mean shift at the exact split; " +
       "flat series maximize at tiny gains") {
     // user 1: 5 at t=0..4, then 50 at t=5..9 -> split after t=4
