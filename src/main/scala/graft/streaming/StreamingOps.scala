@@ -386,6 +386,41 @@ object StreamingOps {
       }
   }
 
+  final case class CusumState(hi: Double, lo: Double)
+  final case class CusumOut(key: String, ts: Long, tie: Long,
+                            value: Double, cusumHi: Double,
+                            cusumLo: Double, alarm: Boolean)
+
+  /** STREAMING two-sided CUSUM — the continuous face of
+    * [[graft.events.TimeSeries.cusum]]: two doubles of state per key
+    * (the high/low one-sided sums) carry across micro-batches; rows
+    * inside a batch apply in (ts, tie) order with the identical
+    * max(0, ·) op order, so a single-batch run is bit-exact against
+    * the batch recursion (parity spec-pinned). Same arrival-order
+    * caveat as [[streamingEwma]]. */
+  def streamingCusum(stream: Dataset[EwmaRow], target: Double,
+                     slack: Double, h: Double): Dataset[CusumOut] = {
+    require(slack >= 0 && h > 0, s"need slack >= 0 and h > 0: $slack, $h")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaRow],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            st = CusumState(
+              math.max(0.0, st.hi + (r.value - target - slack)),
+              math.max(0.0, st.lo + (target - slack - r.value)))
+            CusumOut(key, r.ts, r.tie, r.value, st.hi, st.lo,
+              st.hi > h || st.lo > h)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class LocfCarry(value: Double, has: Boolean)
   final case class LocfRow(key: String, ts: Long, tie: Long,
                            value: Option[Double])

@@ -591,6 +591,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCusum: batch parity bit-exact; one-sided sums carry " +
+      "and alarm across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.EwmaRow]
+    val sm = StreamingOps.streamingCusum(input.toDS(), target = 5.0,
+      slack = 0.5, h = 6.0)
+    val q = sm.writeStream.format("memory")
+      .queryName("scusum").outputMode("update").start()
+    try {
+      val rows = Seq(("a", 10L, 1L, 9.0), ("a", 20L, 2L, 9.0),
+        ("a", 30L, 3L, 4.0), ("b", 10L, 4L, 1.0))
+      input.addData(rows.map(r =>
+        StreamingOps.EwmaRow(r._1, r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT tie, cusumHi, cusumLo, alarm FROM scusum")
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+      val batch = graft.events.TimeSeries.cusum(
+          rows.toDF("key", "tss", "tie", "v")
+            .withColumn("ts", col("tss").cast("timestamp")),
+          Seq("key"), "ts", "tie", "v", target = 5.0, slack = 0.5,
+          h = 6.0)
+        .collect().map(r => r.getLong(1) ->
+          (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      assert(got === batch) // bit-exact parity
+      assert(got(2L)._3) // hi = 3.5 + 3.5 = 7 > 6 -> alarm
+      // batch 2: the positive sum carries (3.5+3.5-1.5=5.5 after 4.0
+      // row) and one more high row re-alarms
+      input.addData(StreamingOps.EwmaRow("a", 40L, 5L, 6.5))
+      q.processAllAvailable()
+      val b2 = spark.sql(
+        "SELECT cusumHi, alarm FROM scusum WHERE tie = 5").head()
+      assert(b2.getDouble(0) == 5.5 + (6.5 - 5.5) && b2.getBoolean(1))
+    } finally q.stop()
+  }
+
   test("streamingZscore: pre-update baseline, warm-up None, state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
