@@ -8530,7 +8530,116 @@ object Queries {
              FROM documents
              WHERE source IS NOT NULL AND n_chars IS NOT NULL
                AND n_chars >= 0
-             GROUP BY 1 ORDER BY source"""))
+             GROUP BY 1 ORDER BY source""")),
+
+    // ---- JSON key profile (semi-structured tier) ---------------------------
+    // one generic MAP<STRING,STRING> parse; DuckDB replays it with
+    // json_keys + a dynamic json_extract_string path
+    QueryDef("q_json_profile",
+      (s, d) => graft.pipeline.Semistructured.jsonProfile(events(s, d), "props")
+        .select(col("key"), col("cnt"), col("n_distinct"), col("n_numeric"),
+          round(col("avg_num"), 6).as("avg_num"),
+          round(col("share"), 6).as("share"))
+        .orderBy("key"),
+      Some("""WITH base AS (SELECT props FROM events WHERE props IS NOT NULL),
+             kv AS (SELECT unnest(json_keys(props)) AS key, props FROM base),
+             tot AS (SELECT count(*)::DOUBLE AS total FROM base)
+             SELECT key, count(*)::BIGINT AS cnt,
+               count(DISTINCT json_extract_string(props, '$.' || key))::BIGINT
+                 AS n_distinct,
+               count(TRY_CAST(json_extract_string(props, '$.' || key)
+                 AS DOUBLE))::BIGINT AS n_numeric,
+               round(avg(TRY_CAST(json_extract_string(props, '$.' || key)
+                 AS DOUBLE)), 6) AS avg_num,
+               round(count(*) / greatest((SELECT total FROM tot), 1.0), 6)
+                 AS share
+             FROM kv GROUP BY 1 ORDER BY 1""")),
+
+    // ---- typed JSON field extraction (one parse, then plain agg) -----------
+    QueryDef("q_json_extract",
+      (s, d) => {
+        val ex = graft.pipeline.Semistructured.extractFields(
+          events(s, d), "props",
+          Seq(("k_val", "k", org.apache.spark.sql.types.LongType)))
+        ex.filter(col("event_type").isNotNull)
+          .groupBy("event_type").agg(
+            count(col("k_val")).as("n_k"),
+            sum(col("k_val")).as("sum_k"),
+            round(avg(col("k_val")), 6).as("avg_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+               count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 ::BIGINT AS n_k,
+               sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 ::BIGINT AS sum_k,
+               round(avg(TRY_CAST(json_extract_string(props, '$.k')
+                 AS BIGINT)), 6) AS avg_k
+             FROM events WHERE event_type IS NOT NULL
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CUPED variance reduction (experimentation tier) -------------------
+    // units = users; pre/post split on event_id parity (deterministic,
+    // SF-independent); arm = user_id % 2. theta fit pooled; the oracle
+    // replays the identical two-pass algebra
+    QueryDef("q_cuped",
+      (s, d) => {
+        val units = events(s, d)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_id").isNotNull)
+          .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+          .agg(
+            avg(when(col("event_id") % 2 === 0, col("value"))).as("pre"),
+            avg(when(col("event_id") % 2 === 1, col("value"))).as("post"))
+        graft.stat.Experiment.cuped(units, "arm", "pre", "post")
+          .select(col("arm"), col("n"),
+            round(col("mean_post"), 6).as("mean_post"),
+            round(col("mean_cuped"), 6).as("mean_cuped"),
+            round(col("var_post"), 6).as("var_post"),
+            round(col("var_cuped"), 6).as("var_cuped"))
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (SELECT user_id, (user_id % 2)::BIGINT AS arm,
+               avg(CASE WHEN event_id % 2 = 0 THEN value END) AS pre,
+               avg(CASE WHEN event_id % 2 = 1 THEN value END) AS post
+               FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND event_id IS NOT NULL
+               GROUP BY 1, 2),
+             c AS (SELECT * FROM u WHERE pre IS NOT NULL
+               AND post IS NOT NULL),
+             f AS (SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+               avg(pre) AS mu FROM c)
+             SELECT arm, count(*)::BIGINT AS n,
+               round(avg(post), 6) AS mean_post,
+               round(avg(post - coalesce(theta, 0) * (pre - mu)), 6)
+                 AS mean_cuped,
+               round(var_samp(post), 6) AS var_post,
+               round(var_samp(post - coalesce(theta, 0) * (pre - mu)), 6)
+                 AS var_cuped
+             FROM c, f GROUP BY arm ORDER BY arm""")),
+
+    // ---- sample-ratio mismatch guardrail -----------------------------------
+    // chi2/dof oracle-replayed; the Wilson–Hilferty p-value is spec-pinned
+    // (InferenceTests convention)
+    QueryDef("q_srm",
+      (s, d) => {
+        val users = events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id")).distinct()
+          .select((col("user_id") % 3).cast("string").as("arm"))
+        graft.stat.Experiment.srmCheck(users, "arm",
+            Seq("0" -> 1.0, "1" -> 1.0, "2" -> 1.0))
+          .select(col("n"), col("n_arms"),
+            round(col("chi2"), 6).as("chi2"), col("dof"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE user_id IS NOT NULL),
+             c AS (SELECT (user_id % 3)::VARCHAR AS arm,
+               count(*)::DOUBLE AS o FROM u GROUP BY 1),
+             t AS (SELECT sum(o) AS n FROM c)
+             SELECT n::BIGINT AS n, 3::BIGINT AS n_arms,
+               round(sum((o - n / 3) * (o - n / 3) / (n / 3)), 6) AS chi2,
+               2::BIGINT AS dof
+             FROM c, t GROUP BY n"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

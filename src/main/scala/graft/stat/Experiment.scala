@@ -1,0 +1,112 @@
+package graft.stat
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Experimentation tier: CUPED variance reduction and the sample-ratio
+  * mismatch (SRM) guardrail — the two calculations every A/B platform
+  * runs before anyone reads a treatment effect.
+  */
+object Experiment {
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data; Deng et
+    * al., WSDM 2013): reduce metric variance with a pre-period
+    * covariate. Input is UNIT-level (one row per randomization unit)
+    * with arm assignment, pre-period metric and post-period metric.
+    *
+    * theta = cov_pop(pre, post) / var_pop(pre) is fit POOLED across all
+    * arms (the standard choice — fitting per-arm reintroduces bias),
+    * then adjusted = post − theta·(pre − mean(pre)). Returns one row
+    * per arm: n, mean_post, mean_cuped, var_post, var_cuped (sample
+    * variances) — var_cuped/var_post ≈ 1 − corr² is the variance
+    * reduction bought.
+    *
+    * Degenerate guard: var_pop(pre) = 0 (constant covariate) forces
+    * theta = 0, i.e. no adjustment, mean_cuped = mean_post.
+    *
+    * Scale shape: one scalar aggregate (theta, mean_pre) broadcast back
+    * over the unit frame, then one hash aggregate keyed on arm. Two
+    * passes over unit rows, no driver collection, no window. */
+  def cuped(df: DataFrame, armCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    val clean = df.na.drop(Seq(armCol, preCol, postCol))
+    val pre = col(preCol).cast(DoubleType)
+    val post = col(postCol).cast(DoubleType)
+    val fit = clean.agg(
+        var_pop(pre).as("__v"), covar_pop(pre, post).as("__c"),
+        avg(pre).as("__mu_pre"))
+      // explicit zero-variance guard (not a bare divide): deterministic
+      // under ANSI and non-ANSI division semantics alike
+      .select(when(col("__v") > 0, col("__c") / col("__v"))
+        .otherwise(lit(0.0)).as("__theta"), col("__mu_pre"))
+    clean.crossJoin(broadcast(fit))
+      .withColumn("__adj",
+        post - col("__theta") * (pre - col("__mu_pre")))
+      .groupBy(armCol).agg(
+        count(lit(1)).as("n"),
+        avg(post).as("mean_post"),
+        avg(col("__adj")).as("mean_cuped"),
+        var_samp(post).as("var_post"),
+        var_samp(col("__adj")).as("var_cuped"))
+  }
+
+  /** Sample-ratio mismatch check: chi-square goodness-of-fit of observed
+    * arm counts against `expected` weights (need not sum to 1 — they
+    * are normalized). An SRM (p below ~1e-3) means the assignment
+    * mechanism is broken and the experiment unreadable, whatever the
+    * metric movement says.
+    *
+    * Returns one row: n (units), n_arms, chi2, dof
+    * (= arms-in-expected − 1), p_value (Wilson–Hilferty via
+    * [[InferenceTests.chiSquarePValue]]). Arms observed but absent from
+    * `expected` are a hard error (require) — silently dropping them
+    * would hide exactly the bug SRM exists to catch; expected arms with
+    * zero observed rows contribute their full expected count.
+    *
+    * Scale shape: one hash aggregate keyed on arm (arms ≪ rows), then
+    * the chi-square sum folds driver-side over `expected.size` rows —
+    * the only collect is over the arm-count result, bounded by the
+    * experiment's arm count. */
+  def srmCheck(df: DataFrame, armCol: String,
+               expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck needs expected arm weights")
+    require(expected.forall(_._2 > 0), "expected weights must be positive")
+    val spark = df.sparkSession
+    val wSum = expected.map(_._2).sum
+    // bounded collect: > expected.size distinct arms already proves an
+    // unknown arm, so never pull more than expected.size+1 count rows
+    // even if the caller pointed armCol at a high-cardinality column
+    val rows = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast(StringType).as("arm"))
+      .agg(count(lit(1)).as("cnt"))
+      .take(expected.size + 1)
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unknown = counts.keySet -- expected.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"observed arms absent from expected: ${unknown.mkString(", ")} — " +
+        "an unknown arm IS a sample-ratio bug; list it explicitly")
+    val n = counts.values.sum
+    val chi2 = expected.map { case (arm, w) =>
+      val e = n * w / wSum
+      val o = counts.getOrElse(arm, 0L).toDouble
+      if (e > 0) (o - e) * (o - e) / e else 0.0
+    }.sum
+    val dof = (expected.size - 1).toLong
+    val p = InferenceTests.chiSquarePValue(chi2, dof)
+    // Row(...) keeps each value's own type — a Seq(long, double) literal
+    // would numeric-widen the longs to Double and break the LongType
+    // schema fields
+    toRow(spark, Row(n, expected.size.toLong, chi2, dof, p),
+      StructType(Seq(
+        StructField("n", LongType), StructField("n_arms", LongType),
+        StructField("chi2", DoubleType), StructField("dof", LongType),
+        StructField("p_value", DoubleType))))
+  }
+
+  private def toRow(spark: SparkSession, row: Row,
+                    schema: StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, schema)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.stat
+
+import graft.SparkSpec
+
+class ExperimentSpec extends SparkSpec {
+
+  test("cuped: hand-checked theta and adjusted means") {
+    import spark.implicits._
+    // pre perfectly predicts post within noise: post = 2*pre + arm effect
+    val units = Seq(
+      ("t", 1.0, 2.5), ("t", 2.0, 4.4), ("t", 3.0, 6.6),
+      ("c", 1.0, 2.0), ("c", 2.0, 4.1), ("c", 3.0, 5.9)
+    ).toDF("arm", "pre", "post")
+    val rows = Experiment.cuped(units, "arm", "pre", "post")
+      .orderBy("arm").collect()
+    // pooled theta = cov_pop(pre,post)/var_pop(pre); replicate in Scala
+    val pre = Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0)
+    val post = Seq(2.5, 4.4, 6.6, 2.0, 4.1, 5.9)
+    val muPre = pre.sum / 6; val muPost = post.sum / 6
+    val theta = pre.zip(post).map { case (x, y) =>
+      (x - muPre) * (y - muPost) }.sum /
+      pre.map(x => (x - muPre) * (x - muPre)).sum
+    val adj = pre.zip(post).map { case (x, y) => y - theta * (x - muPre) }
+    val cMean = adj.drop(3).sum / 3; val tMean = adj.take(3).sum / 3
+    assert(rows.map(_.getString(0)).toSeq == Seq("c", "t"))
+    assert(math.abs(rows(0).getDouble(3) - cMean) < 1e-12)
+    assert(math.abs(rows(1).getDouble(3) - tMean) < 1e-12)
+    // variance strictly reduced when pre correlates with post
+    rows.foreach { r =>
+      assert(r.getDouble(5) < r.getDouble(4),
+        s"var_cuped ${r.getDouble(5)} !< var_post ${r.getDouble(4)}")
+    }
+  }
+
+  test("cuped: constant covariate degrades to no adjustment") {
+    import spark.implicits._
+    val units = Seq(("t", 5.0, 1.0), ("t", 5.0, 3.0),
+      ("c", 5.0, 2.0), ("c", 5.0, 4.0)).toDF("arm", "pre", "post")
+    val rows = Experiment.cuped(units, "arm", "pre", "post")
+      .orderBy("arm").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3)) // mean_cuped == mean_post
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
+  test("cuped: null pre/post rows dropped from both fit and report") {
+    import spark.implicits._
+    val units = Seq(("t", Some(1.0), Some(2.0)), ("t", None, Some(9.0)),
+      ("c", Some(2.0), None), ("c", Some(3.0), Some(4.0)))
+      .toDF("arm", "pre", "post")
+    val rows = Experiment.cuped(units, "arm", "pre", "post")
+      .orderBy("arm").collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+      Seq("c" -> 1L, "t" -> 1L))
+  }
+
+  test("srmCheck: balanced arms give chi2 ~ 0, unbalanced flag") {
+    import spark.implicits._
+    val balanced = (1 to 300).map(i => (i % 2).toString).toDF("arm")
+    val b = Experiment.srmCheck(balanced, "arm",
+      Seq("0" -> 1.0, "1" -> 1.0)).collect()(0)
+    assert(b.getLong(0) == 300 && b.getDouble(2) == 0.0)
+    assert(b.getDouble(4) > 0.99) // p ~ 1
+
+    // 200 vs 100 against 50/50: chi2 = (50^2/150)*2 = 33.33
+    val skew = ((1 to 200).map(_ => "0") ++ (1 to 100).map(_ => "1"))
+      .toDF("arm")
+    val s = Experiment.srmCheck(skew, "arm",
+      Seq("0" -> 1.0, "1" -> 1.0)).collect()(0)
+    assert(math.abs(s.getDouble(2) - 100.0 * 100 / 300) < 1e-9)
+    assert(s.getDouble(4) < 1e-3) // a real SRM
+  }
+
+  test("srmCheck: expected arm with zero observed rows still counted") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b", "b").toDF("arm")
+    val r = Experiment.srmCheck(df, "arm",
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)).collect()(0)
+    // e = 4/3 each; chi2 = 2*(4/3-... ) observed (2,2,0)
+    val e = 4.0 / 3
+    val expChi2 = 2 * (2 - e) * (2 - e) / e + e
+    assert(math.abs(r.getDouble(2) - expChi2) < 1e-9)
+    assert(r.getLong(3) == 2)
+  }
+
+  test("srmCheck: unknown observed arm is a hard error") {
+    import spark.implicits._
+    val df = Seq("a", "b", "z").toDF("arm")
+    val ex = intercept[IllegalArgumentException] {
+      Experiment.srmCheck(df, "arm", Seq("a" -> 1.0, "b" -> 1.0))
+    }
+    assert(ex.getMessage.contains("z"))
+  }
+}
