@@ -8639,7 +8639,247 @@ object Queries {
              SELECT n::BIGINT AS n, 3::BIGINT AS n_arms,
                round(sum((o - n / 3) * (o - n / 3) / (n / 3)), 6) AS chi2,
                2::BIGINT AS dof
-             FROM c, t GROUP BY n"""))
+             FROM c, t GROUP BY n""")),
+
+    // ---- table-health expectation suite ------------------------------------
+    // testdata has no nulls/dirt, so the suite runs over deterministically
+    // injected defects (mod-keyed nulls, a bad category, a collapsed key)
+    QueryDef("q_expectations",
+      (s, d) => {
+        import graft.clean.Expectations._
+        val base = orders(s, d)
+          .withColumn("cust", when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_custkey")))
+          .withColumn("status2", when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+          .withColumn("dupkey", col("o_orderkey") % 1000)
+        graft.clean.Expectations.run(base, Seq(
+            Completeness("cust", 0.95),
+            Uniqueness(Seq("o_orderkey")),
+            Uniqueness(Seq("dupkey"), 0.5),
+            AllowedValues("status2", Seq("P", "O", "F"), 0.95),
+            InRange("o_totalprice", 0.0, 300000.0, 0.9),
+            NonNegative("o_totalprice")))
+          .select(col("check_id"), col("check"), col("column"),
+            round(col("metric"), 6).as("metric"), col("threshold"),
+            col("pass"))
+          .orderBy("check_id")
+      },
+      Some("""WITH b AS (SELECT *,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END
+                 AS cust,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS status2,
+               o_orderkey % 1000 AS dupkey
+               FROM orders),
+             n AS (SELECT count(*)::DOUBLE AS n FROM b)
+             SELECT * FROM (
+               SELECT 0::BIGINT AS check_id, 'completeness' AS "check",
+                 'cust' AS "column",
+                 round(count(cust) / (SELECT n FROM n), 6) AS metric,
+                 0.95::DOUBLE AS threshold,
+                 count(cust) / (SELECT n FROM n) >= 0.95 AS pass FROM b
+               UNION ALL
+               SELECT 1, 'uniqueness', 'o_orderkey',
+                 round(count(DISTINCT o_orderkey) / (SELECT n FROM n), 6),
+                 1.0::DOUBLE,
+                 count(DISTINCT o_orderkey) / (SELECT n FROM n) >= 1.0
+                 FROM b
+               UNION ALL
+               SELECT 2, 'uniqueness', 'dupkey',
+                 round(count(DISTINCT dupkey) / (SELECT n FROM n), 6),
+                 0.5::DOUBLE,
+                 count(DISTINCT dupkey) / (SELECT n FROM n) >= 0.5
+                 FROM b
+               UNION ALL
+               SELECT 3, 'allowed_values', 'status2',
+                 round(sum(CASE WHEN status2 IN ('P','O','F') THEN 1.0
+                   ELSE 0.0 END) / count(status2), 6),
+                 0.95::DOUBLE, sum(CASE WHEN status2 IN ('P','O','F')
+                   THEN 1.0 ELSE 0.0 END) / count(status2) >= 0.95 FROM b
+               UNION ALL
+               SELECT 4, 'in_range', 'o_totalprice',
+                 round(sum(CASE WHEN o_totalprice BETWEEN 0 AND 300000
+                   THEN 1.0 ELSE 0.0 END) / count(o_totalprice), 6),
+                 0.9::DOUBLE, sum(CASE WHEN o_totalprice BETWEEN 0 AND
+                   300000 THEN 1.0 ELSE 0.0 END) / count(o_totalprice)
+                   >= 0.9 FROM b
+               UNION ALL
+               SELECT 5, 'non_negative', 'o_totalprice',
+                 round(sum(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0
+                   END) / count(o_totalprice), 6),
+                 1.0::DOUBLE, sum(CASE WHEN o_totalprice >= 0 THEN 1.0
+                   ELSE 0.0 END) / count(o_totalprice) >= 1.0 FROM b
+             ) ORDER BY check_id""")),
+
+    // ---- functional-dependency violation report ----------------------------
+    QueryDef("q_fd",
+      (s, d) => graft.clean.Expectations.fdViolations(
+          lineitem(s, d), Seq("l_orderkey"), "l_returnflag")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("n_rows"), col("n_dependent"),
+          col("example_min"), col("example_max"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, count(*)::BIGINT AS n_rows,
+               count(DISTINCT l_returnflag)::BIGINT AS n_dependent,
+               min(l_returnflag) AS example_min,
+               max(l_returnflag) AS example_max
+             FROM lineitem WHERE l_orderkey IS NOT NULL
+             GROUP BY 1
+             HAVING count(DISTINCT l_returnflag) > 1 AND l_orderkey % 20 = 0
+             ORDER BY 1""")),
+
+    // ---- referential-integrity orphan check --------------------------------
+    // parent thinned deterministically so orphans exist; output aggregated
+    // per order status for a stable small frame
+    QueryDef("q_fk_orphans",
+      (s, d) => {
+        val parent = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey") % 3 =!= 0)
+        graft.clean.Expectations.fkOrphans(
+            orders(s, d), "o_custkey", parent, "c_custkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col("o_custkey")).as("n_orphan_keys"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n_orphans,
+               count(DISTINCT o_custkey)::BIGINT AS n_orphan_keys
+             FROM orders
+             WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+               (SELECT c_custkey FROM customer
+                WHERE c_custkey IS NOT NULL AND c_custkey % 3 <> 0)
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- event debounce (predecessor-gap throttle) -------------------------
+    QueryDef("q_debounce",
+      (s, d) => graft.events.Engagement.debounce(events(s, d),
+          Seq("user_id"), "ts", "event_id", minGapUs = 600000000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+        .orderBy("user_id"),
+      Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS tsu,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS gap
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+             SELECT user_id, count(*)::BIGINT AS n_kept FROM g
+             WHERE gap IS NULL OR gap >= 600000000
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CDC apply (SCD1 upsert/delete merge) ------------------------------
+    // change batch derived deterministically from orders: %10==3 updated
+    // (+100), %10==7 deleted, %100==3 double-updated (+200 at seq 2 — the
+    // last-writer-wins case); result spot-checked on a mod-97 key slice
+    // (prices compare UNROUNDED: x+100.0 is one IEEE op, bit-identical)
+    QueryDef("q_cdc_apply",
+      (s, d) => {
+        val snap = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val o = orders(s, d)
+        val changes =
+          o.filter(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+              (col("o_totalprice") + 100.0).as("o_totalprice"))
+          .unionAll(o.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey"), lit("D").as("op"), lit(1L).as("seq"),
+              lit(0.0).as("o_totalprice")))
+          .unionAll(o.filter(col("o_orderkey") % 100 === 3)
+            .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+              (col("o_totalprice") + 200.0).as("o_totalprice")))
+        graft.pipeline.Snapshot.applyChanges(snap, changes,
+            "o_orderkey", "op", "seq", Seq("o_totalprice"))
+          .filter(col("o_orderkey") % 97 === 0)
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH ch AS (
+               SELECT o_orderkey, 'U' AS op, 1 AS seq,
+                 o_totalprice + 100.0 AS price FROM orders
+                 WHERE o_orderkey % 10 = 3
+               UNION ALL
+               SELECT o_orderkey, 'D', 1, 0.0 FROM orders
+                 WHERE o_orderkey % 10 = 7
+               UNION ALL
+               SELECT o_orderkey, 'U', 2, o_totalprice + 200.0 FROM orders
+                 WHERE o_orderkey % 100 = 3),
+             w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC, op DESC, price DESC) AS rn FROM ch),
+             win AS (SELECT o_orderkey, op, price FROM w WHERE rn = 1)
+             SELECT coalesce(o.o_orderkey, win.o_orderkey) AS o_orderkey,
+               CASE WHEN win.op IS NOT NULL THEN win.price
+                 ELSE o.o_totalprice END AS o_totalprice
+             FROM orders o FULL OUTER JOIN win USING (o_orderkey)
+             WHERE coalesce(win.op, 'U') <> 'D'
+               AND coalesce(o.o_orderkey, win.o_orderkey) % 97 = 0
+             ORDER BY 1""")),
+
+    // ---- cumulative distinct-user reach ------------------------------------
+    QueryDef("q_reach",
+      (s, d) => graft.events.Engagement.cumulativeReach(
+          events(s, d), "user_id", "ts")
+        .select(col("day").cast("string").as("day"), col("new_users"),
+          col("cum_users"))
+        .orderBy("day"),
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1)
+             SELECT day::VARCHAR AS day, count(*)::BIGINT AS new_users,
+               sum(count(*)) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                 AS cum_users
+             FROM f GROUP BY day ORDER BY day""")),
+
+    // ---- trailing-window active users (exact WAU) --------------------------
+    QueryDef("q_rolling_active",
+      (s, d) => graft.events.Engagement.rollingActive(
+          events(s, d), "user_id", "ts", windowDays = 7)
+        .select(col("day").cast("string").as("day"), col("active_users"))
+        .orderBy("day"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+               AS d FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             span AS (SELECT unnest(generate_series(
+               (SELECT min(d) FROM ud), (SELECT max(d) FROM ud),
+               INTERVAL 1 DAY))::DATE AS day)
+             SELECT s.day::VARCHAR AS day,
+               count(DISTINCT ud.u)::BIGINT AS active_users
+             FROM span s LEFT JOIN ud
+               ON ud.d BETWEEN s.day - 6 AND s.day
+             GROUP BY s.day ORDER BY s.day""")),
+
+    // ---- ER survivorship (golden record) -----------------------------------
+    // clusters = nations, attribute nulls injected mod-keyed; each attribute
+    // independently survives from its best (non-null, priority, low-id) row
+    QueryDef("q_golden",
+      (s, d) => {
+        val base = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_nationkey").as("cluster"),
+            col("c_custkey").as("id"),
+            (col("c_custkey") % 5).as("prio"),
+            when(col("c_custkey") % 7 === 0, lit(null))
+              .otherwise(col("c_name")).as("name"),
+            when(col("c_custkey") % 3 === 0, lit(null))
+              .otherwise(col("c_mktsegment")).as("seg"))
+        graft.pipeline.FuzzyJoin.survivorship(base, "cluster", "id",
+            "prio", Seq("name", "seg"))
+          .orderBy("cluster")
+      },
+      Some("""WITH b AS (SELECT c_nationkey AS cluster, c_custkey AS id,
+               c_custkey % 5 AS prio,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END
+                 AS name,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END
+                 AS seg FROM customer),
+             rn AS (SELECT cluster, name, row_number() OVER
+               (PARTITION BY cluster ORDER BY (name IS NOT NULL) DESC,
+                 prio DESC, id ASC) AS r FROM b),
+             rs AS (SELECT cluster, seg, row_number() OVER
+               (PARTITION BY cluster ORDER BY (seg IS NOT NULL) DESC,
+                 prio DESC, id ASC) AS r FROM b),
+             cnt AS (SELECT cluster, count(*)::BIGINT AS n_members
+               FROM b GROUP BY 1)
+             SELECT cnt.cluster, cnt.n_members, rn.name, rs.seg
+             FROM cnt
+             JOIN rn ON rn.cluster = cnt.cluster AND rn.r = 1
+             JOIN rs ON rs.cluster = cnt.cluster AND rs.r = 1
+             ORDER BY cnt.cluster"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

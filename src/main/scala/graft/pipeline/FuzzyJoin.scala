@@ -262,6 +262,34 @@ object FuzzyJoin {
       .select("id_a", "id_b", "jw")
   }
 
+  /** Survivorship (golden record): collapse each entity cluster to ONE
+    * record, picking every attribute independently from the cluster's
+    * best row for THAT attribute — non-null beats null, then higher
+    * `priorityCol` (source trust / recency), then LOWER `idCol` (a
+    * total order, so the golden record is deterministic). The merge
+    * step after [[entityClusters]]: attributes from different member
+    * rows may combine (that is the point of attribute-level
+    * survivorship — the fullest trusted record, not the single best
+    * row).
+    *
+    * Returns (clusterCol, n_members, attrs…).
+    *
+    * Scale shape: ONE hash aggregate keyed on the cluster — a
+    * max_by(attr, (attr IS NOT NULL, priority, −id)) per attribute, all
+    * in the same partial/final agg. No window, no per-cluster loop;
+    * popular clusters cost their row count, never a sort. */
+  def survivorship(df: DataFrame, clusterCol: String, idCol: String,
+                   priorityCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "survivorship needs attribute columns")
+    val picks = attrCols.map { c =>
+      max_by(col(c), struct(col(c).isNotNull.cast("int"),
+        col(priorityCol), -col(idCol).cast("long"))).as(c)
+    }
+    df.na.drop(Seq(clusterCol, idCol, priorityCol))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"), picks: _*)
+  }
+
   private def verifyCross(cands: DataFrame, ls: DataFrame, rs: DataFrame,
                           k: Int): DataFrame =
     cands

@@ -42,6 +42,47 @@ object Snapshot {
           .otherwise("changed").as("status"))
   } }
 
+  /** Apply a CDC change batch to a snapshot (SCD TYPE-1 upsert/delete
+    * merge — the MERGE INTO of the incremental tier): `changes` carries
+    * (idCol, opCol ∈ {"U","D"}, seqCol, payloadCols…); for each id the
+    * HIGHEST-seq change wins (ties broken by the full (seq, op,
+    * payload…) struct order, so the result is deterministic even under
+    * seq collisions), then: winning op "D" removes the id, "U" upserts
+    * the winning payload (insert if the id was absent), ids without
+    * changes pass through from `snapshot` verbatim.
+    *
+    * Contract: `idCol` unique within `snapshot` (the snapshot-tier
+    * primary-key contract); `snapshot` must contain exactly
+    * (idCol, payloadCols…)-compatible columns.
+    *
+    * Scale shape: one hash aggregate over the CHANGE BATCH (batch-
+    * bounded — one max(struct) winner per changed id, no window), then
+    * one outer join keyed on id; the 100-TB snapshot shuffles once (or
+    * not at all when AQE broadcasts the batch-sized winner side). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, idCol: String,
+                   opCol: String, seqCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "applyChanges needs payload columns")
+    graft.util.Errors.context("Snapshot.applyChanges",
+        Seq(idCol, opCol, seqCol) ++ payloadCols) {
+    val winner = changes.na.drop(Seq(idCol, opCol, seqCol))
+      .groupBy(col(idCol).as("__graft_cid"))
+      .agg(max(struct(
+        (col(seqCol) +: col(opCol) +: payloadCols.map(col)): _*))
+        .as("__graft_w"))
+      .select(col("__graft_cid"), col(s"__graft_w.$opCol").as("__graft_op"),
+        struct(payloadCols.map(c => col(s"__graft_w.$c").as(c)): _*)
+          .as("__graft_payload"))
+    snapshot.select(col(idCol) +: payloadCols.map(col): _*)
+      .join(winner, col(idCol) === col("__graft_cid"), "full_outer")
+      .filter(coalesce(col("__graft_op"), lit("U")) =!= "D")
+      .select(
+        coalesce(col(idCol), col("__graft_cid")).as(idCol) +:
+          payloadCols.map(c =>
+            when(col("__graft_op").isNotNull, col(s"__graft_payload.$c"))
+              .otherwise(col(c)).as(c)): _*)
+  } }
+
   /** One-row-per-status counts of [[diff]] — the "how big is the delta"
     * number an incremental pipeline branches on (one extra agg). */
   def diffReport(old: DataFrame, neu: DataFrame, idCol: String,

@@ -154,4 +154,36 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       FuzzyJoin.fuzzyPairs(df, "id", "name", 1, q = 0))
   }
+
+  test("survivorship: non-null beats null, then priority, then lower id") {
+    import spark.implicits._
+    val df = Seq(
+      // cluster 10: phone only on the LOW-priority row — survives anyway
+      (10L, 1L, 3L, "Acme Corp", null.asInstanceOf[String]),
+      (10L, 2L, 1L, "Acme Corp.", "555-1234"),
+      // cluster 20: equal priority → lower id wins
+      (20L, 5L, 2L, "Beta", "111"),
+      (20L, 6L, 2L, "Beta Inc", "222")
+    ).toDF("cluster", "id", "prio", "name", "phone")
+    val got = FuzzyJoin.survivorship(df, "cluster", "id", "prio",
+        Seq("name", "phone"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      // name from prio-3 row, phone from the only non-null row — a MERGED
+      // golden record spanning two member rows
+      (10L, 2L, "Acme Corp", "555-1234"),
+      (20L, 2L, "Beta", "111")))
+  }
+
+  test("survivorship: all-null attribute stays null; validation") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, null.asInstanceOf[String]))
+      .toDF("cluster", "id", "prio", "name")
+    val got = FuzzyJoin.survivorship(df, "cluster", "id", "prio",
+      Seq("name")).collect()(0)
+    assert(got.isNullAt(2))
+    intercept[IllegalArgumentException](
+      FuzzyJoin.survivorship(df, "cluster", "id", "prio", Seq.empty))
+  }
 }

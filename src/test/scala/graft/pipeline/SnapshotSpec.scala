@@ -91,4 +91,51 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Snapshot.scd2(df, "k", "ver", Seq("ver")))
   }
+
+  test("applyChanges: upsert, insert, delete, passthrough") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "price")
+    val changes = Seq(
+      (2L, "U", 1L, "b2", 21.0),  // update existing
+      (3L, "D", 1L, "", 0.0),     // delete existing
+      (4L, "U", 1L, "d", 40.0),   // insert new
+      (5L, "D", 1L, "", 0.0))     // delete absent — no-op
+      .toDF("id", "op", "seq", "name", "price")
+    val got = Snapshot.applyChanges(snap, changes, "id", "op", "seq",
+        Seq("name", "price"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("applyChanges: last writer wins on seq; delete-then-update resurrects") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "U", 1L, "x"), (1L, "U", 3L, "z"), (1L, "U", 2L, "y"),
+      (2L, "D", 1L, ""), (2L, "U", 2L, "new"))
+      .toDF("id", "op", "seq", "v")
+    val got = Snapshot.applyChanges(snap, changes, "id", "op", "seq",
+        Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "z"), (2L, "new")))
+    // reverse case: update then delete at higher seq → gone
+    val del = Seq((1L, "U", 1L, "x"), (1L, "D", 2L, ""))
+      .toDF("id", "op", "seq", "v")
+    assert(Snapshot.applyChanges(snap, del, "id", "op", "seq",
+      Seq("v")).count() == 0)
+  }
+
+  test("applyChanges: seq ties resolve deterministically via struct order") {
+    import spark.implicits._
+    val snap = Seq((9L, "s")).toDF("id", "v")
+    // same id, same seq: ("U","b") vs ("U","a") — full struct order picks
+    // the lexicographically larger payload, every run
+    val changes = Seq((1L, "U", 1L, "a"), (1L, "U", 1L, "b"))
+      .toDF("id", "op", "seq", "v")
+    val got1 = Snapshot.applyChanges(snap, changes, "id", "op", "seq",
+      Seq("v")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1 == Set((9L, "s"), (1L, "b")))
+  }
 }
