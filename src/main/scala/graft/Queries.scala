@@ -8879,7 +8879,115 @@ object Queries {
              FROM cnt
              JOIN rn ON rn.cluster = cnt.cluster AND rn.r = 1
              JOIN rs ON rs.cluster = cnt.cluster AND rs.r = 1
-             ORDER BY cnt.cluster"""))
+             ORDER BY cnt.cluster""")),
+
+    // ---- Poisson-bootstrap confidence intervals ----------------------------
+    // md5(id:b:seed) uniforms → hardcoded-literal Poisson(1) CASE chain →
+    // per-replica weighted means → percentile band; every step is a fixed
+    // IEEE op chain both engines replay (thresholds are decimal literals,
+    // NOT computed — libm exp could differ by an ulp)
+    QueryDef("q_bootstrap_ci",
+      (s, d) => graft.stat.Resample.bootstrapMeanCI(events(s, d),
+          "event_id", "value", Seq("event_type"), b = 100, alpha = 0.05,
+          seed = 7)
+        .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"), col("n_replicas"))
+        .orderBy("event_type"),
+      Some(s"""WITH base AS (SELECT event_type, event_id,
+               value::DOUBLE AS x FROM events
+               WHERE event_id IS NOT NULL AND value IS NOT NULL
+                 AND event_type IS NOT NULL),
+             reps AS (SELECT event_type, b.b AS b, x,
+               ('0x' || substr(md5(event_id::VARCHAR || ':' ||
+                 b.b::VARCHAR || ':7'), 1, 15))::UBIGINT::DOUBLE /
+                 1152921504606846976.0 AS u
+               FROM base, range(0, 100) b(b)),
+             wts AS (SELECT event_type, b, x, CASE
+               ${graft.stat.Resample.poisCdf.zipWithIndex.map { case (t, k) =>
+                   s"WHEN u < $t THEN $k.0" }.mkString(" ")}
+               ELSE 12.0 END AS w FROM reps),
+             means AS (SELECT event_type, b, sum(w * x) / sum(w) AS m
+               FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+             ci AS (SELECT event_type, quantile_cont(m, 0.025) AS lo,
+               quantile_cont(m, 0.975) AS hi, count(*)::BIGINT AS n_replicas
+               FROM means GROUP BY 1),
+             pt AS (SELECT event_type, count(*)::BIGINT AS n, avg(x) AS mean
+               FROM base GROUP BY 1)
+             SELECT pt.event_type, n, round(mean, 6) AS mean,
+               round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi, n_replicas
+             FROM pt JOIN ci USING (event_type) ORDER BY 1""")),
+
+    // ---- split-conformal prediction intervals ------------------------------
+    // synthetic model pred = 0.8·value + 10 (one fixed IEEE op chain);
+    // calibration = even event ids, target = odd; q = k-th smallest
+    // |residual|, k = ceil(0.9·(n+1)) — an exact order statistic
+    QueryDef("q_conformal",
+      (s, d) => {
+        val scored = events(s, d)
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+          .withColumn("pred", col("value") * 0.8 + 10.0)
+        val calib = scored.filter(col("event_id") % 2 === 0)
+        val target = scored.filter(col("event_id") % 2 === 1)
+        graft.stat.Resample.conformalInterval(calib, target,
+            "pred", "value", alpha = 0.1)
+          .filter(col("event_id") % 31 === 5)
+          .select(col("event_id"), round(col("pred"), 6).as("pred"),
+            round(col("ci_lo"), 6).as("ci_lo"),
+            round(col("ci_hi"), 6).as("ci_hi"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT abs(value - (value * 0.8 + 10.0)) AS r
+               FROM events WHERE event_id IS NOT NULL
+                 AND value IS NOT NULL AND event_id % 2 = 0),
+             d AS (SELECT r, count(*)::BIGINT AS c FROM c GROUP BY 1),
+             nk AS (SELECT sum(c) AS n,
+               ceil(0.9::DOUBLE * (sum(c) + 1)) AS k FROM d),
+             cum AS (SELECT r, sum(c) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM d),
+             q AS (SELECT min(r) AS q FROM cum, nk WHERE cum >= k)
+             SELECT event_id, round(value * 0.8 + 10.0, 6) AS pred,
+               round(value * 0.8 + 10.0 - q, 6) AS ci_lo,
+               round(value * 0.8 + 10.0 + q, 6) AS ci_hi
+             FROM events, q
+             WHERE event_id IS NOT NULL AND value IS NOT NULL
+               AND event_id % 2 = 1 AND event_id % 31 = 5
+             ORDER BY event_id""")),
+
+    // ---- pairwise 1-Wasserstein drift distances ----------------------------
+    QueryDef("q_wasserstein",
+      (s, d) => graft.stat.Drift.wasserstein1Pairs(events(s, d),
+          "value", "event_type")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          round(col("w1"), 6).as("w1"))
+        .orderBy("group_a", "group_b"),
+      Some("""WITH gv AS (SELECT event_type AS g, value::DOUBLE AS v,
+               count(*)::BIGINT AS c FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1, 2),
+             tot AS (SELECT g, sum(c)::BIGINT AS n FROM gv GROUP BY 1),
+             pairs AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+               FROM tot a JOIN tot b ON a.g < b.g),
+             m AS (SELECT ga, gb, na, nb, v, sum(ca)::BIGINT AS ca,
+               sum(cb)::BIGINT AS cb FROM (
+                 SELECT p.ga, p.gb, p.na, p.nb, gv.v, gv.c AS ca, 0 AS cb
+                   FROM gv JOIN pairs p ON gv.g = p.ga
+                 UNION ALL
+                 SELECT p.ga, p.gb, p.na, p.nb, gv.v, 0, gv.c
+                   FROM gv JOIN pairs p ON gv.g = p.gb)
+               GROUP BY 1, 2, 3, 4, 5),
+             e AS (SELECT ga, gb, na, nb,
+               (sum(ca) OVER w)::DOUBLE / na AS fa,
+               (sum(cb) OVER w)::DOUBLE / nb AS fb,
+               lead(v) OVER (PARTITION BY ga, gb ORDER BY v) - v AS dv
+               FROM m WINDOW w AS (PARTITION BY ga, gb ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT ga AS group_a, gb AS group_b, max(na)::BIGINT AS n_a,
+               max(nb)::BIGINT AS n_b,
+               round(sum(CASE WHEN dv IS NOT NULL
+                 THEN abs(fa - fb) * dv ELSE 0 END), 6) AS w1
+             FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,9 +55,13 @@ object Engagement {
                     windowDays: Int): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays must be in [1, 366], got $windowDays")
+    // cached: BOTH the contribution explode and the span scalar read this
+    // frame — uncached, the events scan + distinct shuffle would run twice.
+    // Day-granular (users × active-days), far smaller than the event log.
     val userDays = df.na.drop(Seq(userCol, tsCol))
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()
+      .cache()
     val contrib = userDays
       .select(col("__u"), explode(sequence(col("__d"),
         date_add(col("__d"), windowDays - 1))).as("day"))

@@ -1,0 +1,128 @@
+package graft.stat
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Resampling-based uncertainty: Poisson-bootstrap confidence intervals
+  * and split-conformal prediction intervals — both DETERMINISTIC
+  * (md5-derived pseudo-randomness, the [[graft.pipeline.Dsir]] /
+  * epochShuffle basis) so results reproduce across runs, partitionings
+  * and engines.
+  */
+object Resample {
+
+  /** Cumulative Poisson(1) CDF thresholds for inverse-CDF draws:
+    * P(X ≤ k) for k = 0..11 (the k = 12 tail has mass < 1e-12 — below
+    * the 60-bit uniform's resolution). HARDCODED decimal literals, not
+    * computed: math.exp could differ by an ulp across libms, while a
+    * decimal literal parses to the identical double in every engine —
+    * a SQL oracle replays this CASE chain verbatim. */
+  val poisCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216, 0.9999999899522336, 0.9999999991683892)
+
+  /** The 60-bit md5-prefix uniform in [0,1):
+    * conv(md5(id:b:seed)[0,15), 16, 10) / 2^60. */
+  private def uniform(idCol: String, b: Column, seed: Long): Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      b.cast("string"), lit(":"), lit(seed.toString)).cast("binary")),
+      1, 15), 16, 10).cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Per-group mean with a Poisson-bootstrap percentile confidence
+    * interval (Poisson(1) replica weights — the streaming-friendly
+    * bootstrap: weights are independent per row, no resampling pass;
+    * indistinguishable from the multinomial bootstrap at n ≫ 1).
+    * Replica b weights each row by an md5(id:b:seed)-seeded Poisson
+    * draw; the CI is the [α/2, 1−α/2] percentile band of the B replica
+    * means. Returns one row per group:
+    * (groups…, n, mean, ci_lo, ci_hi, n_replicas).
+    *
+    * Determinism: the weight of (row, replica) is a pure function of
+    * (idCol, replica index, seed) — reproducible across runs and
+    * replayable by any engine with md5.
+    *
+    * Scale shape: one ×B explode (B chosen by the caller — cost is B
+    * aggregate inputs, the standard Poisson-bootstrap trade), one hash
+    * aggregate keyed on (groups, replica) producing groups×B rows, then
+    * one exact-percentile aggregate per group over B values. Replicas
+    * whose total weight is 0 (vanishing probability beyond toy n) are
+    * dropped. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      groupCols: Seq[String], b: Int = 200,
+                      alpha: Double = 0.05, seed: Long = 0L): DataFrame = {
+    require(b >= 2, s"bootstrapMeanCI needs b >= 2 replicas, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val gs = groupCols.map(col)
+    val clean = df.na.drop(idCol +: valueCol +: groupCols)
+    val x = col(valueCol).cast("double")
+    // inverse-CDF Poisson(1) draw as a literal CASE chain
+    val u = uniform(idCol, col("__b"), seed)
+    val w = poisCdf.zipWithIndex.reverse
+      .foldLeft(lit(poisCdf.size).cast("double")) { case (acc, (t, k)) =>
+        when(u < lit(t), lit(k.toDouble)).otherwise(acc)
+      }
+    val replicas = clean
+      .select(gs :+ x.as("__x") :+ col(idCol).cast("string").as(idCol): _*)
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(sum(col("__w") * col("__x")).as("__wx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("__mean_b", col("__wx") / col("__sw"))
+    val point = clean.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"), avg(x).as("mean"))
+    val ci = replicas.groupBy(groupCols.map(col): _*)
+      .agg(
+        element_at(graft.expr.ExactPercentile.of(col("__mean_b"),
+          Seq(alpha / 2, 1 - alpha / 2)), 1).as("ci_lo"),
+        element_at(graft.expr.ExactPercentile.of(col("__mean_b"),
+          Seq(alpha / 2, 1 - alpha / 2)), 2).as("ci_hi"),
+        count(lit(1)).as("n_replicas"))
+    point.join(ci, groupCols)
+      .select((groupCols.map(col) ++ Seq(col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"), col("n_replicas"))): _*)
+  }
+
+  /** Split-conformal prediction intervals: from a CALIBRATION frame
+    * with predictions and actuals, compute the conformal quantile q =
+    * the k-th smallest absolute residual, k = ⌈(1−α)(n+1)⌉, then band
+    * every TARGET prediction as [pred − q, pred + q] — finite-sample
+    * ≥ 1−α coverage for exchangeable data, no distributional
+    * assumptions (Vovk et al.; the split/inductive variant).
+    * If k > n (α too small for the calibration size) q is null and the
+    * bands are null — the honest answer, not a clamped one.
+    *
+    * Returns `target` with ci_lo/ci_hi appended.
+    *
+    * Scale shape: residuals fold to a distinct-value count frame; the
+    * order statistic comes from a cumulative window over DISTINCT
+    * residual values (bounded by value cardinality); the scalar q then
+    * broadcasts onto the target scan — no target shuffle. */
+  def conformalInterval(calib: DataFrame, target: DataFrame,
+                        predCol: String, actualCol: String,
+                        alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val r = abs(col(actualCol).cast("double") - col(predCol).cast("double"))
+    val byV = calib.na.drop(Seq(predCol, actualCol))
+      .select(r.as("__r")).groupBy("__r")
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("__r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // scalar (n, k) via a broadcast cross join — no driver action
+    val nk = byV.agg(sum("__c").as("__n"))
+      .select(col("__n"),
+        ceil((lit(1.0) - lit(alpha)) * (col("__n") + 1)).as("__k"))
+    val q = byV.withColumn("__cum", sum("__c").over(wCum))
+      .crossJoin(broadcast(nk))
+      .filter(col("__cum") >= col("__k"))
+      .agg(min("__r").as("__q"))
+    target.crossJoin(broadcast(q))
+      .withColumn("ci_lo", col(predCol).cast("double") - col("__q"))
+      .withColumn("ci_hi", col(predCol).cast("double") + col("__q"))
+      .drop("__q")
+  }
+}
