@@ -134,8 +134,13 @@ object Expectations {
     * the deduplicated parent side when small; at dimension-table scale
     * this is one map-side pass over the child. */
   def fkOrphans(child: DataFrame, childKey: String,
-                parent: DataFrame, parentKey: String): DataFrame =
+                parent: DataFrame, parentKey: String): DataFrame = {
+    // rename the parent key before the join: with same-lineage child and
+    // parent (self-FK checks) a bare col(parentKey) reference would be
+    // ambiguous against the child's own columns
+    val keys = parent.select(col(parentKey).as("__graft_pk"))
+      .na.drop().distinct()
     child.filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)).na.drop().distinct(),
-        col(childKey) === col(parentKey), "left_anti")
+      .join(keys, col(childKey) === col("__graft_pk"), "left_anti")
+  }
 }

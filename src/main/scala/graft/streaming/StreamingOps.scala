@@ -435,6 +435,42 @@ object StreamingOps {
     * still takes the current carry) — the standard streaming
     * approximation, spec-pinned, exact whenever the source delivers
     * per-key ordered data. */
+  final case class DebounceState(lastKeptUs: Long, has: Boolean)
+  final case class DebounceRow(key: String, ts: Long, tie: Long)
+
+  /** Streaming TRUE debounce — the last-SURVIVOR variant the batch
+    * [[graft.events.Engagement.debounce]] deliberately does not offer
+    * (it is inherently sequential, which is exactly what per-key
+    * streaming state is for): an event survives iff it is ≥ `minGapUs`
+    * after the last KEPT event of its key, so a burst collapses to its
+    * first event no matter how long it lasts (the predecessor-gap
+    * batch form re-admits a burst's later events once intra-burst gaps
+    * shrink below the threshold — different, documented semantics).
+    * One Long + flag of state per key; rows inside a batch apply in
+    * (ts, tie) order; the same arrival-order-across-batches caveat as
+    * [[streamingLocf]], exact on per-key ordered sources. */
+  def streamingDebounce(stream: Dataset[DebounceRow], minGapUs: Long)
+      : Dataset[DebounceRow] = {
+    require(minGapUs >= 0, s"minGapUs must be >= 0, got $minGapUs")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceState, DebounceRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DebounceRow],
+         state: GroupState[DebounceState]) =>
+          var st = state.getOption.getOrElse(DebounceState(0L, has = false))
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).flatMap { r =>
+            if (!st.has || r.ts - st.lastKeptUs >= minGapUs) {
+              st = DebounceState(r.ts, has = true)
+              Some(r)
+            } else None
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def streamingLocf(stream: Dataset[LocfRow]): Dataset[LocfRow] = {
     val spark = stream.sparkSession
     import spark.implicits._

@@ -232,4 +232,54 @@ class EmptyInputSpec extends SparkSpec {
       emptyNum.select(col("g"), col("x").as("kept")), "kept",
       Seq("g")).count() == 0)
   }
+
+  test("quality/CDC/engagement/resampling tiers tolerate empty input") {
+    import graft.clean.Expectations
+    import graft.clean.Expectations._
+    // whole expectation suite on an empty frame: every metric 1.0
+    val checks = Expectations.run(emptyNum,
+      Seq(Completeness("x"), Uniqueness(Seq("g")), InRange("x", 0, 1),
+        AllowedValues("g", Seq("a")), NonNegative("x")))
+    assert(checks.count() == 5 &&
+      checks.collect().forall(r => r.getDouble(3) == 1.0))
+    assert(Expectations.fdViolations(emptyNum, Seq("g"), "x").count() == 0)
+    assert(Expectations.fkOrphans(emptyNum, "x", emptyNum, "y")
+      .count() == 0)
+
+    val emptyEv = spark.emptyDataset[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    assert(graft.events.Engagement.cumulativeReach(
+      emptyEv, "user_id", "ts").count() == 0)
+    assert(graft.events.Engagement.rollingActive(
+      emptyEv, "user_id", "ts", 7).count() == 0)
+    assert(graft.events.Engagement.debounce(
+      emptyEv, Seq("user_id"), "ts", "event_id", 10L).count() == 0)
+
+    val emptySnap = spark.emptyDataset[(Long, String)].toDF("id", "v")
+    val emptyCh = spark.emptyDataset[(Long, String, Long, String)]
+      .toDF("id", "op", "seq", "v")
+    assert(graft.pipeline.Snapshot.applyChanges(
+      emptySnap, emptyCh, "id", "op", "seq", Seq("v")).count() == 0)
+    assert(graft.pipeline.FuzzyJoin.survivorship(
+      emptyNum.select(col("x").as("cluster"), col("y").as("id"),
+        col("x").as("prio"), col("g").as("a")),
+      "cluster", "id", "prio", Seq("a")).count() == 0)
+
+    // resampling: empty calibration → null q → null bands on target
+    val target = Seq((1.0, 2.0)).toDF("p", "y")
+    val banded = graft.stat.Resample.conformalInterval(
+      emptyNum.select(col("x").as("p"), col("y")), target, "p", "y")
+      .collect()(0)
+    assert(banded.isNullAt(2) && banded.isNullAt(3))
+    assert(graft.stat.Resample.bootstrapMeanCI(
+      emptyNum.select(col("g"), col("x"), col("y").as("id")),
+      "id", "x", Seq("g"), b = 5).count() == 0)
+    assert(graft.stat.Drift.wasserstein1Pairs(
+      emptyNum, "x", "g").count() == 0)
+    assert(graft.pipeline.Semistructured.jsonProfile(
+      emptyDocs, "text").count() == 0)
+    assert(graft.stat.Experiment.cuped(
+      emptyNum.select(col("g").as("arm"), col("x").as("pre"),
+        col("y").as("post")), "arm", "pre", "post").count() == 0)
+  }
 }

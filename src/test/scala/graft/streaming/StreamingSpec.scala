@@ -694,4 +694,37 @@ class StreamingSpec extends SparkSpec {
       assert(qs == Seq(sk.quantile(0.5), sk.quantile(0.9)))
     } finally q.stop()
   }
+
+  test("streamingDebounce: burst collapses to its head, state crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.DebounceRow]
+    val kept = StreamingOps.streamingDebounce(input.toDS(), minGapUs = 10L)
+    val q = kept.writeStream.format("memory")
+      .queryName("debounce").outputMode("update").start()
+    try {
+      // batch 1: a burst at 0,4,8,12 — last-SURVIVOR debounce keeps 0
+      // (head) and 12 (first event >= 10 after the last KEPT one); the
+      // batch predecessor-gap form would keep only 0 (every raw gap is
+      // 4) — this row is exactly the semantic difference
+      input.addData(
+        StreamingOps.DebounceRow("a", 12L, 4L),
+        StreamingOps.DebounceRow("a", 0L, 1L),
+        StreamingOps.DebounceRow("a", 4L, 2L),
+        StreamingOps.DebounceRow("a", 8L, 3L),
+        StreamingOps.DebounceRow("b", 5L, 5L))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT key, ts FROM debounce").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(b1 == Set(("a", 0L), ("a", 12L), ("b", 5L)))
+      // batch 2: last-kept = 12 carries over — 20 is only 8 later
+      // (dropped), 25 is 13 later (kept)
+      input.addData(StreamingOps.DebounceRow("a", 20L, 6L),
+        StreamingOps.DebounceRow("a", 25L, 7L))
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT key, ts FROM debounce WHERE ts >= 20")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(b2 == Set(("a", 25L)))
+    } finally q.stop()
+  }
 }
