@@ -8987,7 +8987,44 @@ object Queries {
                max(nb)::BIGINT AS n_b,
                round(sum(CASE WHEN dv IS NOT NULL
                  THEN abs(fa - fb) * dv ELSE 0 END), 6) AS w1
-             FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+             FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- linear conversion attribution -------------------------------------
+    // touch columns coalesced to −1 on unattributed conversions: the
+    // compare sorts rows, and null sort position differs across engines
+    QueryDef("q_attribution",
+      (s, d) => graft.events.Attribution.attribute(events(s, d),
+          Seq("user_id"), "ts", "event_id", "event_type",
+          touchTypes = Seq("view", "click"), convType = "purchase",
+          lookbackUs = 21600000000L, model = "linear")
+        .select(col("user_id"), col("conv_tie"), col("conv_ts"),
+          coalesce(col("touch_tie"), lit(-1L)).as("touch_tie"),
+          coalesce(col("touch_ts"), lit(-1L)).as("touch_ts"),
+          col("n_touches"), round(col("weight"), 6).as("weight"))
+        .orderBy("user_id", "conv_tie", "touch_tie"),
+      Some("""WITH base AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+               event_type FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL),
+             c AS (SELECT user_id, tsu AS conv_ts, event_id AS conv_tie
+               FROM base WHERE event_type = 'purchase'),
+             t AS (SELECT user_id, tsu AS touch_ts, event_id AS touch_tie
+               FROM base WHERE event_type IN ('view', 'click')),
+             cr AS (SELECT c.user_id, c.conv_tie, c.conv_ts, t.touch_tie,
+               t.touch_ts
+               FROM c JOIN t ON c.user_id = t.user_id
+                 AND (t.touch_ts < c.conv_ts OR (t.touch_ts = c.conv_ts
+                   AND t.touch_tie < c.conv_tie))
+                 AND t.touch_ts >= c.conv_ts - 21600000000),
+             w AS (SELECT *, count(*) OVER (PARTITION BY user_id,
+               conv_tie) AS n FROM cr)
+             SELECT user_id, conv_tie, conv_ts, touch_tie, touch_ts,
+               n::BIGINT AS n_touches, round(1.0 / n, 6) AS weight FROM w
+             UNION ALL
+             SELECT c.user_id, c.conv_tie, c.conv_ts, -1, -1, 0, 0.0
+             FROM c WHERE NOT EXISTS (SELECT 1 FROM cr
+               WHERE cr.user_id = c.user_id AND cr.conv_tie = c.conv_tie)
+             ORDER BY user_id, conv_tie, touch_tie"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
