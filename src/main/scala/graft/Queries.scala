@@ -9024,7 +9024,143 @@ object Queries {
              SELECT c.user_id, c.conv_tie, c.conv_ts, -1, -1, 0, 0.0
              FROM c WHERE NOT EXISTS (SELECT 1 FROM cr
                WHERE cr.user_id = c.user_id AND cr.conv_tie = c.conv_tie)
-             ORDER BY user_id, conv_tie, touch_tie"""))
+             ORDER BY user_id, conv_tie, touch_tie""")),
+
+    // ---- JSON schema drift between snapshots -------------------------------
+    // new snapshot renames key k → k2 on a mod-keyed row slice: k stays
+    // common (share drops), k2 appears as added
+    QueryDef("q_json_drift",
+      (s, d) => {
+        val old = events(s, d)
+        val neu = events(s, d).withColumn("props",
+          when(col("event_id") % 5 === 0,
+            expr("replace(props, '\"k\"', '\"k2\"')"))
+            .otherwise(col("props")))
+        graft.pipeline.Semistructured.jsonProfileDiff(old, neu, "props")
+          .select(col("key"), col("status"), col("cnt_old"), col("cnt_new"),
+            round(col("share_old"), 6).as("share_old"),
+            round(col("share_new"), 6).as("share_new"),
+            col("n_distinct_old"), col("n_distinct_new"))
+          .orderBy("key")
+      },
+      Some("""WITH oldp AS (SELECT props FROM events
+               WHERE props IS NOT NULL),
+             newp AS (SELECT CASE WHEN event_id % 5 = 0
+               THEN replace(props, '"k"', '"k2"') ELSE props END AS props
+               FROM events WHERE props IS NOT NULL),
+             po AS (SELECT key, count(*)::BIGINT AS cnt,
+               count(DISTINCT json_extract_string(props, '$.' || key))
+                 ::BIGINT AS nd,
+               count(*) / (SELECT count(*)::DOUBLE FROM oldp) AS share
+               FROM (SELECT unnest(json_keys(props)) AS key, props
+                 FROM oldp) GROUP BY key),
+             pn AS (SELECT key, count(*)::BIGINT AS cnt,
+               count(DISTINCT json_extract_string(props, '$.' || key))
+                 ::BIGINT AS nd,
+               count(*) / (SELECT count(*)::DOUBLE FROM newp) AS share
+               FROM (SELECT unnest(json_keys(props)) AS key, props
+                 FROM newp) GROUP BY key)
+             SELECT key,
+               CASE WHEN po.cnt IS NULL THEN 'added'
+                 WHEN pn.cnt IS NULL THEN 'removed'
+                 ELSE 'common' END AS status,
+               coalesce(po.cnt, 0) AS cnt_old,
+               coalesce(pn.cnt, 0) AS cnt_new,
+               round(coalesce(po.share, 0), 6) AS share_old,
+               round(coalesce(pn.share, 0), 6) AS share_new,
+               coalesce(po.nd, 0) AS n_distinct_old,
+               coalesce(pn.nd, 0) AS n_distinct_new
+             FROM po FULL OUTER JOIN pn USING (key) ORDER BY key""")),
+
+    // ---- intra-list diversity of top-k lists -------------------------------
+    // run = deterministic top-5 per embedding label; cosine via the same
+    // dot/sqrt op chain on both sides, round(6) for the pair-sum order
+    QueryDef("q_ild",
+      (s, d) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy("vec_id")
+        val run = e.na.drop(Seq("label", "vec_id"))
+          .withColumn("rank", row_number().over(w))
+        graft.eval.RankingMetrics.intraListDiversity(run, "label",
+            "vec_id", "rank", e, "vec_id", "embedding", k = 5)
+          .select(col("label"), col("n_items"), col("n_pairs"),
+            round(col("ild"), 6).as("ild"))
+          .orderBy("label")
+      },
+      Some("""WITH r AS (SELECT label, vec_id, row_number() OVER
+               (PARTITION BY label ORDER BY vec_id) AS rnk
+               FROM embeddings WHERE label IS NOT NULL
+                 AND vec_id IS NOT NULL),
+             t AS (SELECT label, vec_id FROM r WHERE rnk <= 5),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             sc AS (SELECT t.label, t.vec_id, v.v FROM t
+               JOIN v USING (vec_id)),
+             p AS (SELECT a.label,
+               1 - list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) AS dd
+               FROM sc a JOIN sc b ON a.label = b.label
+                 AND a.vec_id < b.vec_id),
+             ni AS (SELECT label, count(*)::BIGINT AS n_items FROM sc
+               GROUP BY 1),
+             ag AS (SELECT label, count(*)::BIGINT AS n_pairs,
+               avg(dd) AS ild FROM p GROUP BY 1)
+             SELECT ni.label, n_items,
+               coalesce(n_pairs, 0) AS n_pairs, round(ild, 6) AS ild
+             FROM ni LEFT JOIN ag USING (label) ORDER BY label""")),
+
+    // ---- catalog coverage of a result set ----------------------------------
+    QueryDef("q_rec_coverage",
+      (s, d) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy("vec_id")
+        val run = e.na.drop(Seq("label", "vec_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        graft.eval.RankingMetrics.catalogCoverage(run, "vec_id",
+            e, "vec_id")
+          .select(col("n_recommended"), col("catalog_size"),
+            round(col("coverage"), 6).as("coverage"))
+      },
+      Some("""WITH r AS (SELECT label, vec_id, row_number() OVER
+               (PARTITION BY label ORDER BY vec_id) AS rnk
+               FROM embeddings WHERE label IS NOT NULL
+                 AND vec_id IS NOT NULL),
+             items AS (SELECT DISTINCT vec_id FROM r WHERE rnk <= 5),
+             cat AS (SELECT DISTINCT vec_id FROM embeddings
+               WHERE vec_id IS NOT NULL)
+             SELECT (SELECT count(*) FROM items)::BIGINT AS n_recommended,
+               (SELECT count(*) FROM cat)::BIGINT AS catalog_size,
+               round((SELECT count(*) FROM items
+                 WHERE vec_id IN (SELECT vec_id FROM cat))::DOUBLE /
+                 (SELECT count(*) FROM cat), 6) AS coverage""")),
+
+    // ---- auto-binned histogram (Freedman–Diaconis) -------------------------
+    QueryDef("q_auto_hist",
+      (s, d) => PlotData.autoHistogram(lineitem(s, d), "l_extendedprice")
+        .select(col("bucket"), col("cnt"),
+          round(col("bin_lo"), 4).as("bin_lo"),
+          round(col("bin_hi"), 4).as("bin_hi")),
+      Some("""WITH st AS (SELECT count(l_extendedprice)::DOUBLE AS n,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3,
+               min(l_extendedprice)::DOUBLE AS lo,
+               max(l_extendedprice)::DOUBLE AS hi FROM lineitem),
+             bb AS (SELECT lo, hi, ceil((hi - lo) /
+               (2 * (q3 - q1) / pow(n, 1.0 / 3.0)))::INT AS bins FROM st),
+             c AS (SELECT least(greatest(floor((l_extendedprice - lo) /
+               ((hi - lo) / bins)), 0), bins - 1)::INT AS bucket,
+               count(*) AS cnt FROM lineitem, bb GROUP BY 1),
+             g AS (SELECT t.range::INT AS bucket, lo, hi, bins
+               FROM bb, range(0, 100000) t WHERE t.range < bb.bins)
+             SELECT g.bucket, coalesce(cnt, 0) AS cnt,
+               round(lo + g.bucket * ((hi - lo) / bins), 4) AS bin_lo,
+               round(lo + (g.bucket + 1) * ((hi - lo) / bins), 4) AS bin_hi
+             FROM g LEFT JOIN c USING (bucket) ORDER BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

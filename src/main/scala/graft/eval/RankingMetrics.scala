@@ -152,4 +152,71 @@ object RankingMetrics {
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         coalesce(col("rbo"), lit(0.0)).as("rbo"))
   } }
+
+  /** Intra-list diversity of top-k result lists: per query, the mean
+    * pairwise cosine DISTANCE (1 − cos) between the embedding vectors
+    * of its top-k items — the "did we recommend ten copies of the same
+    * thing" metric that precision can't see. Items missing from `vecs`
+    * are skipped (n_items reports those that scored). Single-item and
+    * empty lists yield ild null with n_pairs 0 — no pairs, no claim.
+    * Returns (queryCol, n_items, n_pairs, ild).
+    *
+    * Scale shape: one rank-cut + equi-join against the vector table,
+    * then a query-keyed self-join — pair mass is queries × k², with k
+    * caller-bounded (the depth cut happens BEFORE the join). Everything
+    * keyed on the query. */
+  def intraListDiversity(run: DataFrame, queryCol: String, itemCol: String,
+                         rankCol: String, vecs: DataFrame, vecIdCol: String,
+                         vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"intraListDiversity needs k >= 1, got $k")
+    val top = run.na.drop(Seq(queryCol, itemCol, rankCol))
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"))
+    val vv = vecs.na.drop(Seq(vecIdCol, vecCol))
+      .select(col(vecIdCol).as("__i"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val scored = top.join(vv, "__i")
+    val a = scored.select(col("__q"), col("__i").as("__ia"),
+      col("__v").as("__va"))
+    val b = scored.select(col("__q"), col("__i").as("__ib"),
+      col("__v").as("__vb"))
+    val dot = graft.expr.DotProduct.of(col("__va"), col("__vb"))
+    val cos = dot / (sqrt(graft.expr.DotProduct.of(col("__va"), col("__va"))) *
+      sqrt(graft.expr.DotProduct.of(col("__vb"), col("__vb"))))
+    val pairs = a.join(b, Seq("__q")).filter(col("__ia") < col("__ib"))
+      .select(col("__q"), (lit(1.0) - cos).as("__d"))
+    val nItems = scored.groupBy("__q")
+      .agg(count(lit(1)).as("n_items"))
+    val agg = pairs.groupBy("__q")
+      .agg(count(lit(1)).as("n_pairs"), avg("__d").as("ild"))
+    nItems.join(agg, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_items"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("ild"))
+  }
+
+  /** Catalog coverage of a result set: what share of the catalog is
+    * recommended at all (aggregate diversity). One row:
+    * (n_recommended, catalog_size, coverage). Items outside the
+    * catalog (stale run vs current catalog) count in n_recommended but
+    * coverage is distinct-RECOMMENDED-∩-catalog / catalog — stale items
+    * must not inflate the share.
+    *
+    * Scale shape: two distinct-count aggregates plus one semi-join;
+    * scalars cross-joined. */
+  def catalogCoverage(run: DataFrame, itemCol: String,
+                      catalog: DataFrame, catIdCol: String): DataFrame = {
+    val items = run.na.drop(Seq(itemCol)).select(col(itemCol).as("__i"))
+      .distinct()
+    val cat = catalog.na.drop(Seq(catIdCol))
+      .select(col(catIdCol).as("__c")).distinct()
+    val nRec = items.agg(count(lit(1)).as("n_recommended"))
+    val inCat = items.join(cat, col("__i") === col("__c"), "left_semi")
+      .agg(count(lit(1)).as("__hit"))
+    val nCat = cat.agg(count(lit(1)).as("catalog_size"))
+    nRec.crossJoin(inCat).crossJoin(nCat)
+      .select(col("n_recommended"), col("catalog_size"),
+        when(col("catalog_size") > 0,
+          col("__hit").cast("double") / col("catalog_size"))
+          .otherwise(lit(0.0)).as("coverage"))
+  }
 }

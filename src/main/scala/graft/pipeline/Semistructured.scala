@@ -70,6 +70,37 @@ object Semistructured {
         fields.map { case (out, key, _) => col(s"__j.`$key`").as(out) }: _*)
   }
 
+  /** Schema-drift report between two snapshots of a JSON column: which
+    * top-level keys appeared, disappeared, or changed shape. One row
+    * per key seen in either side — (key, status ∈ added/removed/common,
+    * cnt_old, cnt_new, share_old, share_new, n_distinct_old,
+    * n_distinct_new), counts coalesced to 0 on the absent side. The
+    * JSON sibling of [[Snapshot.schemaDiff]]: parquet columns are
+    * declared, JSON keys are only discoverable by scanning — this is
+    * the scan.
+    *
+    * Scale shape: two [[jsonProfile]] passes (one per snapshot — each
+    * a single parse + key-keyed aggregate) and one full-outer join on
+    * the key, a vocab-of-keys-sized frame. */
+  def jsonProfileDiff(old: DataFrame, neu: DataFrame,
+                      jsonCol: String): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      jsonProfile(df, jsonCol).select(col("key"),
+        col("cnt").as(s"cnt_$sfx"), col("share").as(s"share_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"))
+    side(old, "old").join(side(neu, "new"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("cnt_old").isNull, "added")
+          .when(col("cnt_new").isNull, "removed")
+          .otherwise("common").as("status"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),
+        coalesce(col("share_old"), lit(0.0)).as("share_old"),
+        coalesce(col("share_new"), lit(0.0)).as("share_new"),
+        coalesce(col("n_distinct_old"), lit(0L)).as("n_distinct_old"),
+        coalesce(col("n_distinct_new"), lit(0L)).as("n_distinct_new"))
+  }
+
   /** Infer a full (possibly nested) schema for a JSON column from a
     * bounded sample of `sampleN` rows, using Spark's own JSON schema
     * inference. The sample is bounded by `limit` (one small job); the

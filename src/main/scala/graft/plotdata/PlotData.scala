@@ -44,6 +44,41 @@ object PlotData {
       .orderBy((strata :+ "bucket").map(col): _*)
   }
 
+  /** Histogram with an AUTO-derived bin count — the matplotlib
+    * `bins='auto'` convenience the fixed-bins form makes the caller
+    * guess: "fd" (Freedman–Diaconis, width = 2·IQR/n^(1/3) — robust to
+    * outliers, the default) or "sturges" (⌈log2 n + 1⌉ — for small
+    * n or zero-IQR columns, also the fd fallback when IQR = 0).
+    * The bin count derives from one exact stats pass (count, q1, q3,
+    * min, max — a single driver scalar, the eager-learn shape
+    * [[histogram]] itself already uses for min/max), then delegates to
+    * [[histogram]]. All derivation arithmetic is plain IEEE ops a SQL
+    * oracle reproduces — bin-count parity holds unless (hi−lo)/width
+    * sits within an ulp of an integer. */
+  def autoHistogram(df: DataFrame, c: String, rule: String = "fd",
+                    strata: Seq[String] = Nil): DataFrame = {
+    require(Seq("fd", "sturges").contains(rule),
+      s"rule must be fd|sturges, got $rule")
+    val x = col(c).cast("double")
+    val r = df.agg(count(x), element_at(
+        graft.expr.ExactPercentile.of(x, Seq(0.25, 0.75)), 1),
+      element_at(graft.expr.ExactPercentile.of(x, Seq(0.25, 0.75)), 2),
+      min(x), max(x)).head()
+    val n = r.getLong(0)
+    if (n == 0) return histogram(df, c, 1, strata)
+    val (q1, q3, lo, hi) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val sturgesBins = math.ceil(math.log(n.toDouble) / math.log(2.0) + 1.0)
+    val bins = rule match {
+      case "fd" if q3 > q1 && hi > lo =>
+        // pow(n, 1/3), not cbrt: mirrors the SQL oracle's op textually
+        math.ceil((hi - lo) / (2.0 * (q3 - q1) / math.pow(n.toDouble, 1.0 / 3.0)))
+      case _ if hi > lo => sturgesBins
+      case _ => 1.0
+    }
+    histogram(df, c, math.max(1, bins.toInt), strata)
+  }
+
   /** Categorical histogram = value_counts completed over the full
     * category×strata product (reference plot.py:112-124). */
   def histogramCategorical(df: DataFrame, c: String, topN: Int = 20,

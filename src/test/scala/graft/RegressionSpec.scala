@@ -159,6 +159,24 @@ class RegressionSpec extends SparkSpec {
     assert(h2.forall(_.getAs[Long]("cnt") == 0))
   }
 
+  test("autoHistogram: FD bin count, sturges fallback, degenerate guards") {
+    // n=8, values 0..7: q1=1.75, q3=5.25, IQR=3.5, width=2*3.5/8^(1/3)=3.5
+    // → bins = ceil(7/3.5) = 2
+    val df = (0 until 8).map(_.toDouble).toDF("x")
+    val h = PlotData.autoHistogram(df, "x").collect()
+    assert(h.length == 2 && h.map(_.getAs[Long]("cnt")).sum == 8)
+    // zero-IQR but spread data falls back to sturges = ceil(log2 9 + 1) = 5
+    val spiky = (Seq.fill(7)(5.0) ++ Seq(0.0, 10.0)).toDF("x")
+    assert(PlotData.autoHistogram(spiky, "x").collect().length == 5)
+    // all-equal and empty degrade to the single-bucket guard
+    assert(PlotData.autoHistogram(Seq(3.0, 3.0).toDF("x"), "x")
+      .collect().length == 1)
+    assert(PlotData.autoHistogram(
+      Seq(3.0).toDF("x").filter(lit(false)), "x").collect().length == 1)
+    intercept[IllegalArgumentException](
+      PlotData.autoHistogram(df, "x", rule = "scott"))
+  }
+
   test("scatterBins guards: all-equal axis") {
     val df = Seq((1.0, 2.0), (1.0, 2.0)).toDF("x", "y")
     val b = PlotData.scatterBins(df, "x", "y", bins = 10).collect()

@@ -130,4 +130,48 @@ class RankingMetricsSpec extends SparkSpec {
     intercept[graft.util.GraftException](
       RankingMetrics.rbo(a, b, "q", "doc", "rank", 3, 1.0))
   }
+
+  test("intraListDiversity: orthogonal list = 1, duplicate list = 0") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),  // orthogonal pair
+      (3L, Seq(1.0, 1.0)), (4L, Seq(2.0, 2.0)),  // same direction
+      (5L, Seq(1.0, 0.0))                         // lone item, no pair
+    ).toDF("id", "v")
+    val run = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2),
+      ("qb", 3L, 1), ("qb", 4L, 2),
+      ("qc", 5L, 1),
+      ("qa", 9L, 3) // item without a vector: skipped, not crashed
+    ).toDF("q", "doc", "rank")
+    val got = RankingMetrics.intraListDiversity(run, "q", "doc", "rank",
+        vecs, "id", "v", k = 5)
+      .orderBy("q").collect()
+    assert(got(0).getString(0) == "qa" && got(0).getLong(1) == 2 &&
+      got(0).getLong(2) == 1 && math.abs(got(0).getDouble(3) - 1.0) < 1e-12)
+    assert(got(1).getString(0) == "qb" &&
+      math.abs(got(1).getDouble(3)) < 1e-12)
+    assert(got(2).getString(0) == "qc" && got(2).getLong(2) == 0 &&
+      got(2).isNullAt(3)) // single item: no pairs, null ild
+  }
+
+  test("intraListDiversity: rank cut applies before pairing") {
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.0))).toDF("id", "v")
+    val run = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+      .toDF("q", "doc", "rank")
+    val got = RankingMetrics.intraListDiversity(run, "q", "doc", "rank",
+      vecs, "id", "v", k = 2).collect()(0)
+    assert(got.getLong(1) == 2 && got.getLong(2) == 1)
+  }
+
+  test("catalogCoverage: stale items don't inflate the share") {
+    val run = Seq(("q", 1L), ("q", 2L), ("r", 2L), ("r", 99L))
+      .toDF("q", "doc")
+    val cat = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = RankingMetrics.catalogCoverage(run, "doc", cat, "id")
+      .collect()(0)
+    // recommended distinct {1,2,99} = 3; in-catalog {1,2} = 2 of 4
+    assert(got.getLong(0) == 3 && got.getLong(1) == 4 &&
+      got.getDouble(2) == 0.5)
+  }
 }

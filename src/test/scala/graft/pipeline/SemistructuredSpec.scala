@@ -67,4 +67,18 @@ class SemistructuredSpec extends SparkSpec {
     assert(byName("b") == StringType)
     assert(byName("c") == DoubleType)
   }
+
+  test("jsonProfileDiff: added/removed/common with zero-coalesced sides") {
+    import spark.implicits._
+    val old = Seq("""{"a": 1, "b": 2}""", """{"a": 3}""").toDF("js")
+    val neu = Seq("""{"a": 9}""", """{"c": "x"}""").toDF("js")
+    val got = Semistructured.jsonProfileDiff(old, neu, "js")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", "common", 2L, 1L, 1.0, 0.5),
+      ("b", "removed", 1L, 0L, 0.5, 0.0),
+      ("c", "added", 0L, 1L, 0.0, 0.5)))
+  }
 }
