@@ -8882,10 +8882,12 @@ object Queries {
              ORDER BY cnt.cluster""")),
 
     // ---- Poisson-bootstrap confidence intervals ----------------------------
-    // md5(id:b:seed) uniforms → hardcoded-literal Poisson(1) CASE chain →
-    // per-replica weighted means → percentile band; every step is a fixed
-    // IEEE op chain both engines replay (thresholds are decimal literals,
-    // NOT computed — libm exp could differ by an ulp)
+    // Lehmer(id, replica, seed) uniforms (the q_hash_sample replay, with
+    // the replica index injected at the seed stage) → hardcoded-literal
+    // Poisson(1) CASE chain → per-replica weighted means → percentile
+    // band; every step is fixed integer/IEEE arithmetic both engines
+    // replay (CDF thresholds are decimal literals, NOT computed — libm
+    // exp could differ by an ulp)
     QueryDef("q_bootstrap_ci",
       (s, d) => graft.stat.Resample.bootstrapMeanCI(events(s, d),
           "event_id", "value", Seq("event_type"), b = 100, alpha = 0.05,
@@ -8898,11 +8900,20 @@ object Queries {
                value::DOUBLE AS x FROM events
                WHERE event_id IS NOT NULL AND value IS NOT NULL
                  AND event_type IS NOT NULL),
-             reps AS (SELECT event_type, b.b AS b, x,
-               ('0x' || substr(md5(event_id::VARCHAR || ':' ||
-                 b.b::VARCHAR || ':7'), 1, 15))::UBIGINT::DOUBLE /
-                 1152921504606846976.0 AS u
+             s1 AS (SELECT event_type, b.b AS b, x,
+               (event_id % 2147483648 + (event_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS lx
                FROM base, range(0, 100) b(b)),
+             s2 AS (SELECT event_type, b, x,
+               ((lx * 48271 % 2147483647) * 48271 % 2147483647)
+                 * 48271 % 2147483647 AS x3 FROM s1),
+             s3 AS (SELECT event_type, b, x,
+               (x3 + (7 + b * 48271) % 2147483646) % 2147483646 + 1 AS y0
+               FROM s2),
+             reps AS (SELECT event_type, b, x,
+               (((y0 * 48271 % 2147483647) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS u
+               FROM s3),
              wts AS (SELECT event_type, b, x, CASE
                ${graft.stat.Resample.poisCdf.zipWithIndex.map { case (t, k) =>
                    s"WHEN u < $t THEN $k.0" }.mkString(" ")}

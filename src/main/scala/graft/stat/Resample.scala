@@ -6,9 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Resampling-based uncertainty: Poisson-bootstrap confidence intervals
   * and split-conformal prediction intervals — both DETERMINISTIC
-  * (md5-derived pseudo-randomness, the [[graft.pipeline.Dsir]] /
-  * epochShuffle basis) so results reproduce across runs, partitionings
-  * and engines.
+  * (Lehmer-hash pseudo-randomness, the [[graft.pipeline.Sampling]]
+  * basis) so results reproduce across runs, partitionings and engines.
   */
 object Resample {
 
@@ -24,25 +23,44 @@ object Resample {
     0.999916758850712, 0.9999897508033253, 0.999998874797402,
     0.9999998885745216, 0.9999999899522336, 0.9999999991683892)
 
-  /** The 60-bit md5-prefix uniform in [0,1):
-    * conv(md5(id:b:seed)[0,15), 16, 10) / 2^60. */
-  private def uniform(idCol: String, b: Column, seed: Long): Column =
-    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-      b.cast("string"), lit(":"), lit(seed.toString)).cast("binary")),
-      1, 15), 16, 10).cast("double") / lit(1152921504606846976.0) // 2^60
+  /** Per-(row, replica) uniform in (0, 1) on the engine's Lehmer basis
+    * ([[graft.pipeline.Sampling.hashKey]]'s documented construction),
+    * with the replica index injected AFTER the id nonlinearity —
+    * (seed' + b·A) mod (M−1) at the seed stage — and THREE more
+    * Park-Miller steps to decorrelate adjacent replicas. Pure 64-bit
+    * modular arithmetic (every intermediate < 2^31·48271 ≈ 1e14):
+    * codegen-friendly, ~50× cheaper per row than an md5-string draw
+    * (measured 23 s → bench-normal on the 10M-row sf0.1 explode), and
+    * replayable VERBATIM in any SQL engine — the q_hash_sample oracle
+    * treatment. */
+  private def uniform(idCol: String, b: Column, seed: Long): Column = {
+    val M = 2147483647L // 2^31 − 1 (prime)
+    val A = 48271L
+    val idL = col(idCol).cast("long")
+    val lo = pmod(idL, lit(2147483648L))
+    val hi = shiftrightunsigned(idL, 31)
+    val x0 = pmod(lo + hi * lit(A), lit(M - 1)) + lit(1L)
+    val x3 = (1 to 3).foldLeft(x0)((x, _) => pmod(x * lit(A), lit(M)))
+    val inj = pmod(lit(math.floorMod(seed, M - 1)) + b.cast("long") * lit(A),
+      lit(M - 1))
+    val y0 = pmod(x3 + inj, lit(M - 1)) + lit(1L)
+    val y3 = (1 to 3).foldLeft(y0)((x, _) => pmod(x * lit(A), lit(M)))
+    y3.cast("double") / lit(M.toDouble)
+  }
 
   /** Per-group mean with a Poisson-bootstrap percentile confidence
     * interval (Poisson(1) replica weights — the streaming-friendly
     * bootstrap: weights are independent per row, no resampling pass;
     * indistinguishable from the multinomial bootstrap at n ≫ 1).
-    * Replica b weights each row by an md5(id:b:seed)-seeded Poisson
-    * draw; the CI is the [α/2, 1−α/2] percentile band of the B replica
-    * means. Returns one row per group:
+    * Replica b weights each row by a Lehmer-hash-seeded Poisson draw
+    * (see [[uniform]]); the CI is the [α/2, 1−α/2] percentile band of
+    * the B replica means. `idCol` must be integral (the Lehmer-basis
+    * contract, as in hashSample). Returns one row per group:
     * (groups…, n, mean, ci_lo, ci_hi, n_replicas).
     *
     * Determinism: the weight of (row, replica) is a pure function of
     * (idCol, replica index, seed) — reproducible across runs and
-    * replayable by any engine with md5.
+    * replayable verbatim in SQL.
     *
     * Scale shape: one ×B explode (B chosen by the caller — cost is B
     * aggregate inputs, the standard Poisson-bootstrap trade), one hash
@@ -55,18 +73,32 @@ object Resample {
                       alpha: Double = 0.05, seed: Long = 0L): DataFrame = {
     require(b >= 2, s"bootstrapMeanCI needs b >= 2 replicas, got $b")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"bootstrapMeanCI needs an integral id column (the Lehmer-basis " +
+          s"contract); $idCol is ${t.simpleString}")
+    }
     val gs = groupCols.map(col)
     val clean = df.na.drop(idCol +: valueCol +: groupCols)
     val x = col(valueCol).cast("double")
-    // inverse-CDF Poisson(1) draw as a literal CASE chain
-    val u = uniform(idCol, col("__b"), seed)
+    // inverse-CDF Poisson(1) draw as a literal CASE chain over a
+    // MATERIALIZED uniform: the 12 branch predicates all reference
+    // `__u`; inlining the Lehmer chain into each branch would evaluate
+    // it up to 12× per exploded row (CASE branches are outside
+    // common-subexpression elimination), and CollapseProject keeps the
+    // projection because the chain is not collapse-cheap
     val w = poisCdf.zipWithIndex.reverse
       .foldLeft(lit(poisCdf.size).cast("double")) { case (acc, (t, k)) =>
-        when(u < lit(t), lit(k.toDouble)).otherwise(acc)
+        when(col("__u") < lit(t), lit(k.toDouble)).otherwise(acc)
       }
     val replicas = clean
-      .select(gs :+ x.as("__x") :+ col(idCol).cast("string").as(idCol): _*)
+      .select(gs :+ x.as("__x") :+ col(idCol).cast("long").as(idCol): _*)
       .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", uniform(idCol, col("__b"), seed))
       .withColumn("__w", w)
       .groupBy(gs :+ col("__b"): _*)
       .agg(sum(col("__w") * col("__x")).as("__wx"),

@@ -272,7 +272,7 @@ class EmptyInputSpec extends SparkSpec {
       .collect()(0)
     assert(banded.isNullAt(2) && banded.isNullAt(3))
     assert(graft.stat.Resample.bootstrapMeanCI(
-      emptyNum.select(col("g"), col("x"), col("y").as("id")),
+      emptyNum.select(col("g"), col("x"), col("y").cast("long").as("id")),
       "id", "x", Seq("g"), b = 5).count() == 0)
     assert(graft.stat.Drift.wasserstein1Pairs(
       emptyNum, "x", "g").count() == 0)

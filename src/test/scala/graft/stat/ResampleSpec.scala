@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 
 class ResampleSpec extends SparkSpec {
 
-  /** JVM-side replica of the engine's md5-uniform → Poisson(1) weight. */
+  /** JVM-side replica of the engine's Lehmer-uniform → Poisson(1)
+    * weight (the exact modular op chain from Resample.uniform). */
   private def weightOf(id: Long, b: Int, seed: Long): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$id:$b:$seed".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val u = java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
-      1152921504606846976.0
+    val M = 2147483647L; val A = 48271L
+    val lo = java.lang.Math.floorMod(id, 2147483648L)
+    val hi = id >>> 31
+    val x0 = java.lang.Math.floorMod(lo + hi * A, M - 1) + 1L
+    val x3 = (1 to 3).foldLeft(x0)((x, _) => x * A % M)
+    val inj = (java.lang.Math.floorMod(seed, M - 1) + b * A) % (M - 1)
+    val y0 = (x3 + inj) % (M - 1) + 1L
+    val y3 = (1 to 3).foldLeft(y0)((x, _) => x * A % M)
+    val u = y3.toDouble / M.toDouble
     val k = Resample.poisCdf.indexWhere(u < _)
     if (k < 0) 12.0 else k.toDouble
   }
