@@ -9171,7 +9171,82 @@ object Queries {
              SELECT g.bucket, coalesce(cnt, 0) AS cnt,
                round(lo + g.bucket * ((hi - lo) / bins), 4) AS bin_lo,
                round(lo + (g.bucket + 1) * ((hi - lo) / bins), 4) AS bin_hi
-             FROM g LEFT JOIN c USING (bucket) ORDER BY 1"""))
+             FROM g LEFT JOIN c USING (bucket) ORDER BY 1""")),
+
+    // ---- Theil T inequality index (entropy companion of Gini/HHI) ---------
+    QueryDef("q_theil",
+      (s, d) => graft.agg.Stats.theil(documents(s, d), Seq("source"),
+          "n_chars")
+        .select(col("source"), col("n"), col("total"),
+          round(col("theil"), 6).as("theil"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*)::BIGINT AS n,
+               sum(n_chars::DOUBLE) AS total,
+               round(sum(CASE WHEN n_chars > 0 THEN n_chars::DOUBLE *
+                 ln(n_chars::DOUBLE) ELSE 0 END) / sum(n_chars::DOUBLE)
+                 - ln(sum(n_chars::DOUBLE) / count(*)), 6) AS theil
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Qini uplift curve by score bucket ---------------------------------
+    // units = the q_cuped frame; score = pre, outcome = post > 50,
+    // treated = odd user ids; thresholds via quantile_cont parity
+    QueryDef("q_qini",
+      (s, d) => {
+        val units = events(s, d)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_id").isNotNull)
+          .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+          .agg(
+            avg(when(col("event_id") % 2 === 0, col("value"))).as("pre"),
+            avg(when(col("event_id") % 2 === 1, col("value"))).as("post"))
+          .filter(col("pre").isNotNull && col("post").isNotNull)
+          .withColumn("outcome",
+            when(col("post") > 50.0, 1.0).otherwise(0.0))
+        graft.stat.Experiment.upliftDeciles(units, "arm", "1",
+            "outcome", "pre", buckets = 5)
+          .select(col("bucket"), col("n_t"), col("n_c"),
+            col("y_t"), col("y_c"),
+            round(col("rate_t"), 6).as("rate_t"),
+            round(col("rate_c"), 6).as("rate_c"),
+            round(col("uplift"), 6).as("uplift"),
+            round(col("qini"), 6).as("qini"))
+          .orderBy("bucket")
+      },
+      Some("""WITH u AS (SELECT user_id, (user_id % 2)::BIGINT AS arm,
+               avg(CASE WHEN event_id % 2 = 0 THEN value END) AS pre,
+               avg(CASE WHEN event_id % 2 = 1 THEN value END) AS post
+               FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 AND event_id IS NOT NULL
+               GROUP BY 1, 2),
+             c AS (SELECT arm, pre,
+               (CASE WHEN post > 50.0 THEN 1.0 ELSE 0.0 END)::DOUBLE AS y
+               FROM u WHERE pre IS NOT NULL AND post IS NOT NULL),
+             th AS (SELECT quantile_cont(pre, 0.2) AS t1,
+               quantile_cont(pre, 0.4) AS t2,
+               quantile_cont(pre, 0.6) AS t3,
+               quantile_cont(pre, 0.8) AS t4 FROM c),
+             b AS (SELECT 5 - ((pre > t1)::INT + (pre > t2)::INT +
+               (pre > t3)::INT + (pre > t4)::INT) AS bucket,
+               (CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE AS t, y
+               FROM c, th),
+             per AS (SELECT bucket, sum(t) AS n_t, sum(1.0 - t) AS n_c,
+               sum(t * y) AS y_t, sum((1.0 - t) * y) AS y_c
+               FROM b GROUP BY 1),
+             cum AS (SELECT *,
+               sum(y_t) OVER w AS cyt, sum(y_c) OVER w AS cyc,
+               sum(n_t) OVER w AS cnt_t, sum(n_c) OVER w AS cnt_c
+               FROM per WINDOW w AS (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT bucket::BIGINT AS bucket, n_t::BIGINT AS n_t,
+               n_c::BIGINT AS n_c, y_t, y_c,
+               round(CASE WHEN n_t > 0 THEN y_t / n_t END, 6) AS rate_t,
+               round(CASE WHEN n_c > 0 THEN y_c / n_c END, 6) AS rate_c,
+               round(CASE WHEN n_t > 0 AND n_c > 0
+                 THEN y_t / n_t - y_c / n_c END, 6) AS uplift,
+               round(cyt - cyc * (cnt_t / nullif(cnt_c, 0)), 6) AS qini
+             FROM cum ORDER BY bucket"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

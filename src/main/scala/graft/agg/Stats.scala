@@ -1020,6 +1020,37 @@ object Stats {
           .as("hhi")): _*)
   }
 
+  /** Per-group Theil T inequality index — the entropy-based companion of
+    * [[concentration]]'s Gini/HHI (Theil decomposes additively across
+    * sub-populations, which Gini does not):
+    *
+    *   T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ)  =  Σ(x·ln x)/Σx − ln(Σx/n)
+    *
+    * T ∈ [0, ln n] (0 = perfectly even). Zero values contribute 0 (the
+    * x→0 limit) but still count in n and μ; negative values are an
+    * error (same contract as Gini); Σx = 0 groups yield null.
+    *
+    * Scale shape: ONE hash aggregate keyed on the group — no rank
+    * window at all (the advantage over Gini's sorted form). */
+  def theil(df: DataFrame, groups: Seq[String],
+            valueCol: String): DataFrame = {
+    require(groups.nonEmpty, "theil needs at least one group col")
+    val gc = groups.map(col)
+    val v = col(valueCol).cast("double")
+    val x = when(v < 0, raise_error(concat(
+      lit(s"theil: negative value in $valueCol: "), v.cast("string"))))
+      .otherwise(v)
+    df.na.drop(groups :+ valueCol)
+      .select(gc :+ x.as("__x"): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("__x").as("total"),
+        sum(when(col("__x") > 0, col("__x") * log(col("__x")))
+          .otherwise(lit(0.0))).as("__xlx"))
+      .select(gc ++ Seq(col("n"), col("total"),
+        (col("__xlx") / nullif(col("total"), lit(0.0)) -
+          log(col("total") / col("n"))).as("theil")): _*)
+  }
+
   /** One-pass schema-wide table profile: for every column (or the given
     * subset), (column, n_rows, n_nonnull, n_distinct, min_str, max_str)
     * in one aggregate — the data-engineering "what is actually in this

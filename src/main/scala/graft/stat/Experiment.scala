@@ -1,6 +1,7 @@
 package graft.stat
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -102,6 +103,67 @@ object Experiment {
         StructField("n", LongType), StructField("n_arms", LongType),
         StructField("chi2", DoubleType), StructField("dof", LongType),
         StructField("p_value", DoubleType))))
+  }
+
+  /** Uplift (Qini) curve by score bucket: rank units by a targeting
+    * score, cut into `buckets` quantile slices (bucket 1 = HIGHEST
+    * scores), and per slice report treated/control counts, outcome
+    * rates, the slice uplift (rate_t − rate_c), and the cumulative
+    * Qini value
+    *
+    *   qini(k) = Σ_{b ≤ k} y_t(b) − Σ_{b ≤ k} y_c(b) · N_t(k)/N_c(k)
+    *
+    * — the model-evaluation curve for "who should we treat": a random
+    * score gives a straight line to the endpoint, a good model front-
+    * loads the uplift. Slices with no control units yield null
+    * rate_c/uplift (and qini inherits null until controls appear).
+    *
+    * Scale shape: one exact-percentile pass for the bucket thresholds
+    * (a broadcast scalar row — bucket assignment is a literal
+    * comparison chain, no global rank window over units), one hash
+    * aggregate keyed on the bucket, then windows over the
+    * `buckets`-row result frame (bounded by the parameter, not the
+    * data). */
+  def upliftDeciles(df: DataFrame, armCol: String, treatedValue: String,
+                    outcomeCol: String, scoreCol: String,
+                    buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"buckets must be in [2,100], got $buckets")
+    val score = col(scoreCol).cast("double")
+    val y = col(outcomeCol).cast("double")
+    val t = (col(armCol).cast(StringType) === treatedValue).cast("double")
+    val clean = df.na.drop(Seq(armCol, outcomeCol, scoreCol))
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val thr = clean.agg(graft.expr.ExactPercentile.of(score, ps).as("__t"))
+    // bucket 1 = top scores: count how many thresholds the score exceeds,
+    // from the bucket's top end down
+    val withB = clean.crossJoin(broadcast(thr))
+      .withColumn("__gt", (1 until buckets).map(i =>
+        (score > element_at(col("__t"), i)).cast("int"))
+        .reduceOption(_ + _).getOrElse(lit(0)))
+      .withColumn("bucket", lit(buckets) - col("__gt"))
+    val per = withB.groupBy("bucket").agg(
+      sum(t).as("n_t"), sum(lit(1.0) - t).as("n_c"),
+      sum(t * y).as("y_t"), sum((lit(1.0) - t) * y).as("y_c"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // windows over <= `buckets` rows — bounded by the parameter
+    per
+      .withColumn("rate_t",
+        when(col("n_t") > 0, col("y_t") / col("n_t")))
+      .withColumn("rate_c",
+        when(col("n_c") > 0, col("y_c") / col("n_c")))
+      .withColumn("uplift", col("rate_t") - col("rate_c"))
+      .withColumn("qini",
+        sum("y_t").over(wCum) - sum("y_c").over(wCum) *
+          (sum("n_t").over(wCum) /
+            nullif(sum("n_c").over(wCum), lit(0.0))))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_t").cast("long").as("n_t"),
+        col("n_c").cast("long").as("n_c"),
+        col("y_t"), col("y_c"), col("rate_t"), col("rate_c"),
+        col("uplift"), col("qini"))
+      .orderBy("bucket")
   }
 
   private def toRow(spark: SparkSession, row: Row,

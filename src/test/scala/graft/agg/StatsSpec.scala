@@ -541,4 +541,26 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("negative"))
   }
+
+  test("theil: even split -> 0, monopoly -> ln n; zeros count in n") {
+    import spark.implicits._
+    val df = Seq(
+      ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+      ("mono", 0.0), ("mono", 0.0), ("mono", 0.0), ("mono", 12.0),
+      ("zero", 0.0), ("zero", 0.0)).toDF("g", "x")
+    val got = graft.agg.Stats.theil(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("even").getDouble(3)) < 1e-12)
+    // one member holds all of n=4: T = ln 4
+    assert(math.abs(got("mono").getDouble(3) - math.log(4.0)) < 1e-12)
+    assert(got("zero").isNullAt(3)) // sum 0 -> null
+    // hand-check a non-degenerate vector: x = (1, 3), mu = 2
+    val hand = Seq(("h", 1.0), ("h", 3.0)).toDF("g", "x")
+    val t = graft.agg.Stats.theil(hand, Seq("g"), "x").collect()(0)
+    val expect = 0.5 * (0.5 * math.log(0.5) + 1.5 * math.log(1.5))
+    assert(math.abs(t.getDouble(3) - expect) < 1e-12)
+    val e2 = intercept[Exception](graft.agg.Stats.theil(
+      Seq(("g", -1.0)).toDF("g", "x"), Seq("g"), "x").collect())
+    assert(e2.getMessage.contains("negative"))
+  }
 }

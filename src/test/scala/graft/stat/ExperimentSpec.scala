@@ -84,6 +84,40 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getLong(3) == 2)
   }
 
+  test("upliftDeciles: hand-checked two-bucket qini") {
+    import spark.implicits._
+    // top-half scores: treated respond 2/2, control 1/2; bottom: nobody
+    val units = Seq(
+      ("t", 8.0, 1.0), ("t", 7.0, 1.0), ("t", 2.0, 0.0), ("t", 1.0, 0.0),
+      ("c", 6.0, 0.0), ("c", 5.0, 1.0), ("c", 4.0, 0.0), ("c", 3.0, 0.0)
+    ).toDF("arm", "score", "y")
+    val got = Experiment.upliftDeciles(units, "arm", "t", "y", "score",
+      buckets = 2).collect()
+    assert(got.length == 2)
+    val b1 = got(0)
+    assert(b1.getLong(0) == 1 && b1.getLong(1) == 2 && b1.getLong(2) == 2)
+    assert(b1.getDouble(5) == 1.0 && b1.getDouble(6) == 0.5) // rates
+    assert(b1.getDouble(7) == 0.5)                           // uplift
+    assert(b1.getDouble(8) == 1.0) // qini(1) = 2 - 1*(2/2)
+    val b2 = got(1)
+    assert(b2.getDouble(7) == 0.0)
+    assert(b2.getDouble(8) == 1.0) // flat tail: qini(2) = 2 - 1*(4/4)
+    intercept[IllegalArgumentException](
+      Experiment.upliftDeciles(units, "arm", "t", "y", "score", 1))
+  }
+
+  test("upliftDeciles: bucket with no controls yields null rate/uplift") {
+    import spark.implicits._
+    val units = Seq(
+      ("t", 9.0, 1.0), ("t", 8.0, 0.0),  // top bucket all treated
+      ("c", 2.0, 1.0), ("t", 1.0, 0.0))
+      .toDF("arm", "score", "y")
+    val got = Experiment.upliftDeciles(units, "arm", "t", "y", "score",
+      buckets = 2).collect()
+    assert(got(0).getLong(2) == 0 && got(0).isNullAt(6) &&
+      got(0).isNullAt(7))
+  }
+
   test("srmCheck: unknown observed arm is a hard error") {
     import spark.implicits._
     val df = Seq("a", "b", "z").toDF("arm")
