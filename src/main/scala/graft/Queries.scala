@@ -4865,21 +4865,31 @@ object Queries {
              FROM e JOIN s USING (pos) ORDER BY vec_id, pos""")),
 
     // ---- distributed PCA: covariance pass (the oracle-facing half) --------
-    // one treeAggregate folds (n, d sums, upper-tri product sums) per
-    // partition; cov = (Sxy - n*mu_i*mu_j)/(n-1). DuckDB recomputes every
-    // cell with covar_samp over the exploded embeddings — 2080 cells at
-    // dim 64, exact to the 6th decimal
+    // ROUNDING-FREE contract (the round-9 red row): elements quantize to
+    // exact longs q = floor(v·2^20) (power-of-two scaling of a float is
+    // exact, so both engines floor the identical double), the co-moment
+    // sums n/Σx/Σy/Σxy are exact longs (order-independent — unlike double
+    // sums), and cov derives through one fixed IEEE chain
+    // (Sxy − Sx·Sy/n)/(n−1)/2^40 that DuckDB replays term-for-term.
+    // Every compared column is exact or chain-derived → compares
+    // UNROUNDED (no round(6) half-boundary flips across engine builds).
+    // CovExactSpec pins the double-path covFrame to this frame at 1e-6.
     QueryDef("q_pca_cov",
-      (s, d) => graft.pipeline.Pca.covFrame(
-          embeddings(s, d), "vec_id", "embedding")
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      (s, d) => graft.pipeline.Pca.covFrameExact(
+          embeddings(s, d), "vec_id", "embedding", scaleBits = 20)
         .orderBy("i", "j"),
       Some("""WITH e AS (SELECT vec_id,
                generate_subscripts(embedding, 1) - 1 AS pos,
-               unnest(embedding)::DOUBLE AS v
+               floor(unnest(embedding)::DOUBLE * 1048576.0)::BIGINT AS q
                FROM embeddings WHERE embedding IS NOT NULL)
-             SELECT a.pos AS i, b.pos AS j,
-               round(covar_samp(a.v, b.v), 6) AS cov
+             SELECT a.pos AS i, b.pos AS j, count(*)::BIGINT AS n,
+               sum(a.q)::BIGINT AS sx, sum(b.q)::BIGINT AS sy,
+               sum(a.q * b.q)::BIGINT AS sxy,
+               (sum(a.q * b.q)::BIGINT::DOUBLE
+                 - sum(a.q)::BIGINT::DOUBLE * sum(b.q)::BIGINT::DOUBLE
+                   / count(*)::BIGINT::DOUBLE)
+                 / (count(*)::BIGINT - 1)::DOUBLE
+                 / 1099511627776.0 AS cov
              FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
              GROUP BY 1, 2 ORDER BY 1, 2""")),
 
@@ -6101,10 +6111,15 @@ object Queries {
 
     // ---- Mann-Kendall trend + Sen's slope -----------------------------------
     // run on the DAILY resample (the operator's documented contract —
-    // MK is pairwise), per user. Bucket avgs round(6) before the test so
-    // sign comparisons are ulp-stable across engines; from there S, n,
-    // and the tie sums are exact longs and var_s/z/sen are fixed op
-    // chains — z and sen_slope still round(6) for the sqrt/interpolation
+    // MK is pairwise), per user. ROUNDING-FREE contract (the round-9 red
+    // row): daily values are exact cent sums qsum (floor(v·100 + 0.5) is
+    // deterministic for cents data — the true integer sits > 0.49 from
+    // the floor boundary) carried as x = qsum/cnt/100, a fixed chain
+    // over exact longs, so every downstream comparison/group/slope is
+    // the identical IEEE op chain in both engines; Sen's slope uses the
+    // "lower" Type-1 order-statistic pick (SELECTS a chain-derived
+    // double instead of interpolating a new one) and z derives from
+    // exact longs through sqrt — all columns compare UNROUNDED.
     QueryDef("q_mann_kendall",
       (s, d) => {
         val ev = events(s, d)
@@ -6112,33 +6127,44 @@ object Queries {
           .withColumn("day",
             expr("unix_micros(ts) div 86400000000"))
         val daily = ev.groupBy("user_id", "day")
-          .agg(round(avg("value"), 6).as("x"))
+          .agg(sum(floor(col("value") * 100 + 0.5)).as("qsum"),
+            count(lit(1)).as("cnt"))
+          .withColumn("x",
+            col("qsum").cast("double") / col("cnt").cast("double") / 100.0)
           .withColumn("ts2", timestamp_micros(col("day") * 86400000000L))
         graft.events.TimeSeries.mannKendall(daily, Seq("user_id"),
-            "ts2", "day", "x")
+            "ts2", "day", "x", senEstimator = "lower")
           .select(col("user_id"), col("n"), col("s"), col("var_s"),
-            round(col("z"), 6).as("z"),
-            round(col("sen_slope"), 6).as("sen_slope"))
+            col("z"), col("sen_slope"))
           .orderBy("user_id")
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value
                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
                  AND value IS NOT NULL),
              dly AS (SELECT user_id, tsu // 86400000000 AS day,
-               round(avg(value), 6) AS x FROM e GROUP BY 1, 2),
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS qsum,
+               count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+             dx AS (SELECT user_id, day,
+               qsum::DOUBLE / cnt::DOUBLE / 100.0 AS x FROM dly),
              r AS (SELECT user_id, day, x, row_number()
-                 OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dly),
+                 OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dx),
              p AS (SELECT a.user_id, a.x AS xa, b.x AS xb,
                a.day AS ta, b.day AS tb
                FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn),
              sagg AS (SELECT user_id, sum(CASE WHEN xb > xa THEN 1
                  WHEN xb < xa THEN -1 ELSE 0 END)::BIGINT AS s
                FROM p GROUP BY 1),
-             sen AS (SELECT user_id, quantile_cont(
-                 (xb - xa) / (((tb - ta) * 86400000000)::DOUBLE / 1e6),
-                 0.5) AS sen_slope
-               FROM p WHERE tb != ta GROUP BY 1),
-             tc AS (SELECT user_id, count(*)::BIGINT AS t FROM dly
+             sl AS (SELECT user_id,
+                 (xb - xa) / (((tb - ta) * 86400000000)::DOUBLE / 1e6)
+                   AS slope
+               FROM p WHERE tb != ta),
+             sr AS (SELECT user_id, slope,
+                 row_number() OVER (PARTITION BY user_id ORDER BY slope)
+                   AS srn,
+                 count(*) OVER (PARTITION BY user_id) AS m FROM sl),
+             sen AS (SELECT user_id, slope AS sen_slope FROM sr
+               WHERE srn = (m + 1) // 2),
+             tc AS (SELECT user_id, count(*)::BIGINT AS t FROM dx
                GROUP BY user_id, x),
              tie AS (SELECT user_id,
                sum(t * (t - 1) * (t * 2 + 5))::BIGINT AS tsum,
@@ -6149,11 +6175,11 @@ object Queries {
                FROM tie LEFT JOIN sagg ON tie.user_id = sagg.user_id
                  LEFT JOIN sen ON tie.user_id = sen.user_id)
              SELECT user_id, n, s, var_s,
-               round(CASE WHEN var_s > 0.0 THEN
+               CASE WHEN var_s > 0.0 THEN
                  CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(var_s)
                    WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(var_s)
-                   ELSE 0.0 END END, 6) AS z,
-               round(sen_slope, 6) AS sen_slope
+                   ELSE 0.0 END END AS z,
+               sen_slope
              FROM f ORDER BY user_id""")),
 
     // ---- Durbin-Watson residual autocorrelation -----------------------------

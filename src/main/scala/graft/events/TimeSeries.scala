@@ -369,8 +369,17 @@ object TimeSeries {
     *            distinct timestamps (seconds; robust slope estimate)
     *
     * t_v are per-distinct-value tie counts. S, n, and the tie sums are
-    * exact longs and VarS/z/sen are fixed op chains over them, so the
-    * whole row replays bit-for-bit in any engine.
+    * exact longs and VarS/z are fixed op chains over them, so those
+    * columns replay bit-for-bit in any engine.
+    *
+    * `senEstimator` picks the median flavor: "interpolated" (the
+    * classical Sen estimate — averages the two middle slopes on even
+    * counts) or "lower" (the ⌈m/2⌉-th smallest slope, a Type-1 order
+    * statistic). "lower" SELECTS an existing slope value instead of
+    * manufacturing a new double, so the emitted number is a fixed op
+    * chain over the inputs — the engine-portable choice for oracle
+    * rows (an interpolated midpoint between two ulp-separated doubles
+    * has no cross-engine bit contract; see the q_robust_mean lesson).
     *
     * Scale shape: ONE keyed shuffle; the pair frame is a within-key
     * rank self-join — O(Σ n_k²) pairs by construction, which is the
@@ -380,9 +389,12 @@ object TimeSeries {
     * of noise). */
   def mannKendall(df: DataFrame, keys: Seq[String], tsCol: String,
                   tieCol: String, valueCol: String,
-                  maxN: Int = 10000): DataFrame = {
+                  maxN: Int = 10000,
+                  senEstimator: String = "interpolated"): DataFrame = {
     require(keys.nonEmpty, "mannKendall needs at least one key column")
     require(maxN >= 2, s"maxN must be >= 2, got $maxN")
+    require(Set("interpolated", "lower").contains(senEstimator),
+      s"senEstimator must be 'interpolated' or 'lower', got $senEstimator")
     val kc = keys.map(col)
     val w = Window.partitionBy(kc: _*).orderBy(col("__tsu"), col(tieCol))
     val base = df.na.drop(keys :+ tsCol :+ tieCol :+ valueCol)
@@ -406,13 +418,26 @@ object TimeSeries {
     val sAgg = pairs.groupBy(kc: _*).agg(
       sum(when(col("__xb") > col("__xa"), 1L)
         .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
-    val senAgg = pairs.filter(col("__tb") =!= col("__ta"))
+    val slopes = pairs.filter(col("__tb") =!= col("__ta"))
       .select(kc ++ Seq(((col("__xb") - col("__xa")) /
         ((col("__tb") - col("__ta")).cast("double") / 1e6))
         .as("__slope")): _*)
-      .groupBy(kc: _*)
-      .agg(graft.expr.ExactPercentile.of(col("__slope"), Seq(0.5))
-        .getItem(0).as("sen_slope"))
+    val senAgg = senEstimator match {
+      case "interpolated" =>
+        slopes.groupBy(kc: _*)
+          .agg(graft.expr.ExactPercentile.of(col("__slope"), Seq(0.5))
+            .getItem(0).as("sen_slope"))
+      case "lower" =>
+        // Type-1 pick: the value at sorted position ⌈m/2⌉ — tie order
+        // within equal slopes is irrelevant to the SELECTED value, so
+        // the keyed window needs no further tie-break columns
+        slopes
+          .withColumn("__srn", row_number().over(
+            Window.partitionBy(kc: _*).orderBy(col("__slope"))))
+          .withColumn("__m", count(lit(1)).over(Window.partitionBy(kc: _*)))
+          .filter(col("__srn") === expr("(__m + 1) div 2"))
+          .select(kc :+ col("__slope").as("sen_slope"): _*)
+    }
     val ties = base.groupBy(kc :+ col("__x"): _*)
       .agg(count(lit(1)).as("__t"))
       .groupBy(kc: _*)

@@ -134,6 +134,102 @@ object Pca {
     spark.createDataset(rows).toDF("i", "j", "cov")
   }
 
+  /** Rounding-free oracle view of the covariance: quantize each element
+    * to the exact integer q = floor(v · 2^scaleBits) (a power-of-two
+    * scale of a float widened to double is EXACT — no rounding happens
+    * before the floor, so any engine computes the identical q), fold the
+    * co-moment sums n, Σqᵢ, Σqⱼ, Σqᵢqⱼ as overflow-checked longs (exact,
+    * summation-order-independent — the property double sums lack), and
+    * derive each cell through one fixed IEEE chain
+    *
+    *   cov = (Sxy − Sx·Sy/n) / (n−1) / 4^scaleBits
+    *
+    * that an external engine replays bit-for-bit from the same longs.
+    * Emits (i, j, n, sx, sy, sxy, cov) — every column either an exact
+    * long or a double derived from exact longs by that chain, so the
+    * frame compares UNROUNDED across engines (no round(…,6) half-even vs
+    * half-up boundary flips; see the q_robust_mean lesson in NOTES).
+    *
+    * This is the GATE/diagnostic tier: it pins [[covFrame]]'s double
+    * arithmetic (CovExactSpec requires agreement to 1e-6, the
+    * quantization step) while being engine-portable. Scale shape is the
+    * same single treeAggregate as [[covMatrix]] — no data shuffle.
+    * Overflow contract: n · 4^scaleBits must fit a long (checked
+    * arithmetic throws rather than wrapping — lower scaleBits for
+    * corpora beyond ~2^(62−2·scaleBits) rows or |v| ≥ 1). */
+  def covFrameExact(df: DataFrame, idCol: String, vecCol: String,
+                    scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 26,
+      s"Pca.covFrameExact: scaleBits must be in [1, 26], got $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Similarity.requireIntegralId(df, idCol, "Pca.covFrameExact")
+    val scale = math.pow(2.0, scaleBits)
+    val qvecs = df.na.drop(Seq(idCol, vecCol))
+      .select(org.apache.spark.sql.functions.transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale))).as("q"))
+      .as[Array[Long]]
+    // (n, Σq per dim, Σ qᵢqⱼ upper-tri) — all checked-long exact
+    val zero: (Long, Array[Long], Array[Long]) = (0L, null, null)
+    def merge(a: (Long, Array[Long], Array[Long]),
+              b: (Long, Array[Long], Array[Long]))
+        : (Long, Array[Long], Array[Long]) =
+      if (a._1 == 0L) b
+      else if (b._1 == 0L) a
+      else {
+        require(a._2.length == b._2.length,
+          s"Pca.covFrameExact: ragged widths (${a._2.length} vs ${b._2.length})")
+        var i = 0
+        while (i < a._2.length) { a._2(i) = Math.addExact(a._2(i), b._2(i)); i += 1 }
+        i = 0
+        while (i < a._3.length) { a._3(i) = Math.addExact(a._3(i), b._3(i)); i += 1 }
+        (a._1 + b._1, a._2, a._3)
+      }
+    val (n, s, p) = qvecs.rdd.treeAggregate(zero)(
+      seqOp = (acc, q) => {
+        val (n0, s0, p0) =
+          if (acc._1 == 0L)
+            (0L, new Array[Long](q.length),
+              new Array[Long](q.length * (q.length + 1) / 2))
+          else acc
+        require(q.length == s0.length,
+          s"Pca.covFrameExact: ragged widths (${s0.length} vs ${q.length})")
+        var i = 0
+        var t = 0
+        while (i < q.length) {
+          s0(i) = Math.addExact(s0(i), q(i))
+          var j = i
+          while (j < q.length) {
+            p0(t) = Math.addExact(p0(t), Math.multiplyExact(q(i), q(j)))
+            j += 1; t += 1
+          }
+          i += 1
+        }
+        (n0 + 1L, s0, p0)
+      },
+      combOp = merge)
+    require(n >= 2, s"Pca.covFrameExact needs at least 2 rows, got $n")
+    val d = s.length
+    val unscale = scale * scale // 4^scaleBits, exact power of two
+    val rows = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long, Double)]
+    var i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val sxy = p(t)
+        // the fixed chain DuckDB mirrors term-for-term (all casts explicit)
+        val cov = (sxy.toDouble - s(i).toDouble * s(j).toDouble / n.toDouble) /
+          (n - 1).toDouble / unscale
+        rows += ((i, j, n, s(i), s(j), sxy, cov))
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("i", "j", "n", "sx", "sy", "sxy", "cov")
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvectors as rows), sorted by eigenvalue desc with
     * sign normalized (largest-|entry|, lowest index on ties, positive).

@@ -282,6 +282,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u3.getDouble(4) < 0) // continuity-corrected negative z
   }
 
+  test("mannKendall: senEstimator='lower' picks the Type-1 order " +
+      "statistic; equals interpolated on odd pair counts") {
+    // x over 1-second steps: 0, 3, 4, 10 -> 6 pairwise slopes (per sec):
+    // 3, 2, 10/3, 1, 3.5, 6 -> sorted 1, 2, 3, 10/3, 3.5, 6; m even:
+    // interpolated median = (3 + 10/3)/2 = 19/6, lower pick = 3
+    val df = evts(Seq((1L, 0L, 0L, 0.0), (1L, 1000000L, 1L, 3.0),
+      (1L, 2000000L, 2L, 4.0), (1L, 3000000L, 3L, 10.0)))
+    val lower = TimeSeries.mannKendall(df, Seq("user_id"), "ts",
+      "event_id", "value", senEstimator = "lower").head()
+    assert(lower.getDouble(5) == 3.0)
+    val interp = TimeSeries.mannKendall(df, Seq("user_id"), "ts",
+      "event_id", "value").head()
+    // NOT a closed-form literal on purpose: the interpolated midpoint is
+    // whatever double the interpolation chain produces (the very
+    // engine-fragility senEstimator='lower' exists to avoid)
+    assert(math.abs(interp.getDouble(5) - 19.0 / 6.0) < 1e-12)
+    // odd pair count (3 points -> 3 slopes): the two estimators agree
+    val odd = evts(Seq((2L, 0L, 0L, 0.0), (2L, 1000000L, 1L, 5.0),
+      (2L, 2000000L, 2L, 6.0)))
+    val a = TimeSeries.mannKendall(odd, Seq("user_id"), "ts",
+      "event_id", "value", senEstimator = "lower").head().getDouble(5)
+    val b = TimeSeries.mannKendall(odd, Seq("user_id"), "ts",
+      "event_id", "value").head().getDouble(5)
+    assert(a == b && a == 3.0) // slopes 5, 1, 3 -> median 3
+    val bad = intercept[IllegalArgumentException] {
+      TimeSeries.mannKendall(odd, Seq("user_id"), "ts", "event_id",
+        "value", senEstimator = "upper")
+    }
+    assert(bad.getMessage.contains("senEstimator"))
+  }
+
   test("mannKendall: ties reduce var_s by the tie correction; maxN " +
       "refuses long series") {
     // x = 1,1,2,2: ties t = {2,2}; S counts only cross-value pairs

@@ -50,6 +50,36 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
   }
 
+  test("covFrameExact: exact co-moment longs on a hand case; chain " +
+      "reproduces the quantized covariance; agrees with covFrame") {
+    import spark.implicits._
+    // hand case at scaleBits = 1 (q = floor(2v)): vectors (1.0, 0.5),
+    // (2.0, 1.5) -> q rows (2,1), (4,3): n=2, sx/sy/sxy exact
+    val tiny = Seq((0L, Array(1.0f, 0.5f)), (1L, Array(2.0f, 1.5f)))
+      .toDF("id", "vec")
+    val ex = Pca.covFrameExact(tiny, "id", "vec", scaleBits = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    val c01 = ex((0, 1))
+    assert(c01.getLong(2) == 2L)            // n
+    assert(c01.getLong(3) == 6L)            // sx = 2+4
+    assert(c01.getLong(4) == 4L)            // sy = 1+3
+    assert(c01.getLong(5) == 14L)           // sxy = 2*1 + 4*3
+    // chain: (14 - 6*4/2)/1/4 = 2/4 = 0.5 (covariance of v, since the
+    // halves quantize exactly at scaleBits=1)
+    assert(c01.getDouble(6) == 0.5)
+    // quantization agreement: |covFrameExact - covFrame| < 2^-scaleBits
+    // per cell on a bounded cloud (loose bound; observed ~2^-20 here)
+    val df = synth(200, 6)
+    val exact = Pca.covFrameExact(df, "id", "vec", scaleBits = 20)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    val dbl = Pca.covFrame(df, "id", "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet == dbl.keySet && exact.size == 21)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - dbl(k)) < 1e-5, s"cell $k exact=$v dbl=${dbl(k)}")
+    }
+  }
+
   test("projected sample variance equals the eigenvalue; whiten gives unit variance") {
     val df = synth(150, 5)
     val m = Pca.fit(df, "id", "vec", k = 3)
