@@ -62,6 +62,52 @@ object Queries {
     }
   }
 
+  /** Rank-wise dominance contract for ANN result sets whose ids are
+    * model-dependent (PQ/IVF-PQ codebooks — SQL can't derive them): the
+    * returned ids are re-scored with the EXACT cosine in-query and
+    * compared rank-for-rank against the brute-force top-k. The i-th best
+    * exact cosine of any k-subset of the corpus is at most the i-th
+    * brute cosine, so `pq_exact_le_brute` must hold on every rank; ids
+    * outside the corpus would be dropped by the re-score join and
+    * surface as `pq_returned_ok` = false. brute_cos is the per-rank
+    * value DuckDB replays independently. */
+  private def pqContract(s: SparkSession, corpus: DataFrame,
+                         pqIds: DataFrame, qvec: Array[Double],
+                         k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cos"), col("vec_id")) // k rows — bounded window
+    val brute = graft.pipeline.Similarity.bruteForceTopK(corpus,
+        "vec_id", "embedding", qvec, k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("cos").as("__bcos"))
+    val nReturned = pqIds.count()
+    val pqExact = graft.pipeline.Similarity.bruteForceTopK(
+        corpus.join(pqIds, "vec_id"), "vec_id", "embedding", qvec, k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("cos").as("__pcos"))
+    brute.join(pqExact, Seq("rn"), "left")
+      .select(col("rn"),
+        round(col("__bcos"), 6).as("brute_cos"),
+        (col("__pcos").isNull || col("__pcos") <= col("__bcos") + lit(1e-9))
+          .as("pq_exact_le_brute"),
+        lit(nReturned <= k).as("pq_returned_ok"))
+      .orderBy("rn")
+  }
+
+  /** DuckDB replay of [[pqContract]]: the brute top-k per rank + the
+    * flags the Spark side must have proven true. */
+  private val pqContractOracle: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = 0),
+      s AS (SELECT vec_id,
+        list_cosine_similarity(embedding::DOUBLE[], qv) AS cos
+        FROM embeddings, q WHERE vec_id != 0),
+      b AS (SELECT cos, row_number() OVER (ORDER BY cos DESC, vec_id)
+        AS rn FROM s)
+      SELECT rn, round(cos, 6) AS brute_cos, true AS pq_exact_le_brute,
+        true AS pq_returned_ok
+      FROM b WHERE rn <= 10 ORDER BY rn"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- shape / counts --------------------------------------------------
@@ -4919,23 +4965,62 @@ object Queries {
                true AS monotone, true AS orthonormal
              FROM t""")),
 
-    // rows-only bench twin: fit + project to the top-8 components (the
-    // OPQ-lite rotation ahead of PQ subspace splits). Values depend on the
-    // eigenvectors, which SQL can't derive — exactness is pinned by
-    // q_pca_cov + q_pca_check + PcaSpec
+    // fit + project to the top-8 components (the OPQ-lite rotation ahead
+    // of PQ subspace splits), contracted per component: the DISTRIBUTED
+    // sample variance of each projected coordinate must equal the
+    // model's eigenvalue (pins projection + eigensolve jointly — the
+    // rotation-invariance identity), variances monotone desc, projected
+    // means ~0 (centering), and the kept mass at most the trace. The
+    // oracle reproduces the trace (sum of per-dim var_samp) and the
+    // flags; the eigenvectors themselves stay driver-side (SQL can't
+    // derive them — their exactness is what the identities pin).
     QueryDef("q_pca_project",
-      (s, d) => graft.pipeline.Pca.fitTransform(
-          embeddings(s, d), "vec_id", "embedding", k = 8)
-        .select(col("vec_id"), posexplode(col("projection")).as(Seq("pos", "y")))
-        .select(col("vec_id"), col("pos"), round(col("y"), 6).as("y"))
-        .orderBy("vec_id", "pos"),
-      None),
+      (s, d) => {
+        val e = embeddings(s, d)
+        val m = graft.pipeline.Pca.fit(e, "vec_id", "embedding", k = 8)
+        val spark = s
+        import spark.implicits._
+        val eig = m.eigenvalues.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("pos", "eig")
+        val perComp = graft.pipeline.Pca.transform(e, "vec_id", "embedding", m)
+          .select(posexplode(col("projection")).as(Seq("pos", "y")))
+          .groupBy(col("pos").cast("long").as("pos"))
+          .agg(var_samp("y").as("v"), avg("y").as("mu"))
+        val total = perComp.agg(sum("v").as("kept")).head().getDouble(0)
+        perComp.join(broadcast(eig), "pos")
+          .withColumn("v_next", lead("v", 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy("pos")))
+          .select(col("pos"),
+            round(lit(m.totalVariance), 6).as("trace_cov"),
+            (abs(col("v") - col("eig")) <=
+              lit(1e-8) * greatest(col("eig"), lit(1.0))).as("var_eq_eig"),
+            (col("v_next").isNull || col("v") >= col("v_next") - lit(1e-12))
+              .as("var_monotone"),
+            (abs(col("mu")) <= lit(1e-9)).as("mean_zero"),
+            lit(total <= m.totalVariance * (1.0 + 1e-9)).as("kept_le_trace"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+             t AS (SELECT pos, var_samp(v) AS vs FROM e GROUP BY pos),
+             g AS (SELECT round(sum(vs), 6) AS trace_cov FROM t)
+             SELECT r.range::BIGINT AS pos, g.trace_cov,
+               true AS var_eq_eig, true AS var_monotone,
+               true AS mean_zero, true AS kept_le_trace
+             FROM range(8) r, g ORDER BY pos""")),
 
     // ---- Product-quantization ANN (memory tier under IVF) -----------------
     // 8 codes/vector instead of 64 floats; ADC scoring (per-query lookup
-    // tables, m adds per corpus row). Output is deterministic (seeded
-    // Lloyd on a hashed-id-ordered sample) but codebook-specific, so the
-    // exactness contract lives in the gate twin below + QuantizeSpec
+    // tables, m adds per corpus row). The returned ids are codebook-
+    // dependent, so the gate contract re-scores them EXACTLY in-query
+    // and compares rank-wise against the brute-force top-k: the i-th
+    // best exact cosine of ANY k-subset is at most the i-th brute cosine
+    // (order-statistic dominance), which pins id validity + exact-cosine
+    // reproduction while the brute column gives DuckDB a replayable
+    // value per rank. Recall itself is gate-checked via q_pq_recall.
     QueryDef("q_pq_topk",
       (s, d) => {
         val e = embeddings(s, d)
@@ -4947,14 +5032,18 @@ object Queries {
           "embedding", m = 16, ksub = 256)
         val enc = graft.pipeline.Quantize.pqEncode(corpus, "vec_id",
           "embedding", cb)
-        graft.pipeline.Quantize.pqTopK(enc, cb, "vec_id", qvec, k = 10)
-          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        val pqIds = graft.pipeline.Quantize.pqTopK(enc, cb, "vec_id",
+          qvec, k = 10).select(col("vec_id"))
+        pqContract(s, corpus, pqIds, qvec, k = 10)
       },
-      None),
+      Some(pqContractOracle)),
 
     // IVF-routed ADC search (the composed production shape): coarse cells
     // prune the scan to nProbe/nCells, PQ codes price each survivor at m
-    // adds. Full-probe == pqTopK is spec-pinned; recall via q_pq_recall
+    // adds. Same rank-wise dominance contract as q_pq_topk (the routed
+    // tier may return < k rows when the probed cells run dry — absent
+    // ranks pass dominance vacuously). Full-probe == pqTopK is
+    // spec-pinned; recall via q_pq_recall.
     QueryDef("q_pq_ivf",
       (s, d) => {
         val e = embeddings(s, d)
@@ -4964,11 +5053,11 @@ object Queries {
         val corpus = e.filter(col("vec_id") =!= 0)
         val (index, ivfC, cb) = graft.pipeline.Quantize.ivfPqIndex(corpus,
           "vec_id", "embedding", nCells = 16, m = 16, ksub = 256)
-        graft.pipeline.Quantize.ivfPqTopK(index, ivfC, cb, "vec_id", qvec,
-            k = 10, nProbe = 4)
-          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        val pqIds = graft.pipeline.Quantize.ivfPqTopK(index, ivfC, cb,
+          "vec_id", qvec, k = 10, nProbe = 4).select(col("vec_id"))
+        pqContract(s, corpus, pqIds, qvec, k = 10)
       },
-      None),
+      Some(pqContractOracle)),
 
     // ---- IVF-PQ persistence contract --------------------------------------
     // write the trained index + both model halves to parquet, reload, and
