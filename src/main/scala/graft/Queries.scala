@@ -8003,6 +8003,63 @@ object Queries {
                round(surv, 6) AS survival
              FROM c ORDER BY t""")),
 
+    // ---- grid-binned Kaplan-Meier (the continuous-duration scale tier) ----
+    // same cohort as q_survival but on CONTINUOUS second-resolution
+    // durations (distinct ≈ users — exactly what kaplanMeier's
+    // maxDistinct guard refuses); kaplanMeierBinned snaps durations UP
+    // to a 256-cell uniform grid (a fixed IEEE chain lo + ceil((t−lo)/w)·w
+    // both engines replay identically) and runs the exact KM on ≤256
+    // grid points. Survival under round(6), the q_survival precedent.
+    QueryDef("q_survival_binned",
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tmax"))
+          .selectExpr(
+            "cast(coalesce(tp, tmax) - t0 as double) / 1e6 AS dur_s",
+            "cast(tp IS NOT NULL AS int) AS ev")
+        graft.events.Survival.kaplanMeierBinned(perUser, "dur_s", "ev",
+            bins = 256)
+          .select(col("t"), col("n_risk"), col("n_event"),
+            col("n_censored"), round(col("survival"), 6).as("survival"))
+          .orderBy("t")
+      },
+      Some("""WITH per AS (SELECT user_id, epoch_us(min(ts)) AS t0,
+               epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                 AS tp,
+               epoch_us(max(ts)) AS tmax
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1),
+             dur AS (SELECT (coalesce(tp, tmax) - t0)::DOUBLE / 1e6 AS t0v,
+               (tp IS NOT NULL)::INT AS ev FROM per),
+             mm AS (SELECT min(t0v) AS lo, max(t0v) AS hi FROM dur),
+             snap AS (SELECT CASE WHEN hi = lo THEN lo
+                 ELSE lo + ceil((t0v - lo) / ((hi - lo) / 256)) *
+                   ((hi - lo) / 256) END AS t, ev FROM dur, mm),
+             byt AS (SELECT t, sum(ev)::DOUBLE AS d, count(*)::DOUBLE AS n
+               FROM snap GROUP BY 1),
+             w AS (SELECT t, d, n, sum(n) OVER () -
+               coalesce(sum(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS risk FROM byt),
+             c AS (SELECT t, risk, d, n,
+               CASE WHEN sum(CASE WHEN 1.0 - d / risk <= 0 THEN 1
+                   ELSE 0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN 1.0 - d / risk > 0
+                   THEN ln(1.0 - d / risk) ELSE 0.0 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS surv
+               FROM w)
+             SELECT t, risk::BIGINT AS n_risk,
+               d::BIGINT AS n_event, (n - d)::BIGINT AS n_censored,
+               round(surv, 6) AS survival
+             FROM c ORDER BY t""")),
+
     // ---- Nelson-Aalen cumulative hazard (per user-parity group) ------------
     // additive companion of q_survival. NOT bit-exact despite the
     // deterministic fold order — Spark's running-window sum
@@ -9092,6 +9149,49 @@ object Queries {
                count(*)::BIGINT AS c FROM events
                WHERE event_type IS NOT NULL AND value IS NOT NULL
                GROUP BY 1, 2),
+             tot AS (SELECT g, sum(c)::BIGINT AS n FROM gv GROUP BY 1),
+             pairs AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+               FROM tot a JOIN tot b ON a.g < b.g),
+             m AS (SELECT ga, gb, na, nb, v, sum(ca)::BIGINT AS ca,
+               sum(cb)::BIGINT AS cb FROM (
+                 SELECT p.ga, p.gb, p.na, p.nb, gv.v, gv.c AS ca, 0 AS cb
+                   FROM gv JOIN pairs p ON gv.g = p.ga
+                 UNION ALL
+                 SELECT p.ga, p.gb, p.na, p.nb, gv.v, 0, gv.c
+                   FROM gv JOIN pairs p ON gv.g = p.gb)
+               GROUP BY 1, 2, 3, 4, 5),
+             e AS (SELECT ga, gb, na, nb,
+               (sum(ca) OVER w)::DOUBLE / na AS fa,
+               (sum(cb) OVER w)::DOUBLE / nb AS fb,
+               lead(v) OVER (PARTITION BY ga, gb ORDER BY v) - v AS dv
+               FROM m WINDOW w AS (PARTITION BY ga, gb ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT ga AS group_a, gb AS group_b, max(na)::BIGINT AS n_a,
+               max(nb)::BIGINT AS n_b,
+               round(sum(CASE WHEN dv IS NOT NULL
+                 THEN abs(fa - fb) * dv ELSE 0 END), 6) AS w1
+             FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- grid-binned pairwise W1 (the continuous-value scale tier) --------
+    // same pairs as q_wasserstein but through wasserstein1PairsBinned:
+    // values snap UP to a 512-cell uniform grid (fixed IEEE chain, both
+    // engines identical), then the exact pair sweep runs on the ≤512-
+    // point support — the tier the maxDistinct guard points continuous
+    // columns at. |W1_binned − W1| < 2 cells by construction.
+    QueryDef("q_wasserstein_binned",
+      (s, d) => graft.stat.Drift.wasserstein1PairsBinned(events(s, d),
+          "value", "event_type", bins = 512)
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          round(col("w1"), 6).as("w1"))
+        .orderBy("group_a", "group_b"),
+      Some("""WITH raw AS (SELECT event_type AS g, value::DOUBLE AS v0
+               FROM events WHERE event_type IS NOT NULL
+                 AND value IS NOT NULL),
+             mm AS (SELECT min(v0) AS lo, max(v0) AS hi FROM raw),
+             gv AS (SELECT g, CASE WHEN hi = lo THEN lo
+                 ELSE lo + ceil((v0 - lo) / ((hi - lo) / 512)) *
+                   ((hi - lo) / 512) END AS v, count(*)::BIGINT AS c
+               FROM raw, mm GROUP BY 1, 2),
              tot AS (SELECT g, sum(c)::BIGINT AS n FROM gv GROUP BY 1),
              pairs AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
                FROM tot a JOIN tot b ON a.g < b.g),

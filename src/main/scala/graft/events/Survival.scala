@@ -26,13 +26,68 @@ object Survival {
     * (t, n_risk, n_event, n_censored, survival) where survival is the
     * KM estimate S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/rᵢ). Null durations/events
     * are dropped; censored-only times carry survival unchanged (factor
-    * 1) but still reduce the downstream at-risk counts. */
+    * 1) but still reduce the downstream at-risk counts.
+    *
+    * Bounded-domain contract: the survival product is a SEQUENTIAL
+    * chain over the distinct-duration frame (the unpartitioned windows
+    * below), deliberately kept sequential so a SQL oracle replays the
+    * exp(Σ ln) op order bit-for-bit — so the frame must be small.
+    * `maxDistinct` probes and REFUSES continuous duration columns
+    * (distinct ≈ subjects) instead of silently funneling one partition:
+    * resample durations to calendar units first, or use
+    * [[kaplanMeierBinned]] for the grid-approximated curve at scale. */
   def kaplanMeier(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+                  eventCol: String, maxDistinct: Int = 1000000): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct must be >= 1, got $maxDistinct")
     val byT = df.na.drop(Seq(durationCol, eventCol))
       .groupBy(col(durationCol).cast("double").as("t"))
       .agg(sum(col(eventCol).cast("double")).as("__d"),
         count(lit(1)).cast("double").as("__n"))
+      .cache() // consumed by the probe and the curve
+    val nd = byT.count()
+    require(nd <= maxDistinct,
+      s"kaplanMeier: $nd distinct durations exceed maxDistinct=" +
+        s"$maxDistinct — the survival product is a sequential chain over " +
+        s"the distinct-duration frame. Bucket durations to calendar " +
+        s"units first, use kaplanMeierBinned (quantile-grid curve), or " +
+        s"raise maxDistinct deliberately.")
+    kmCurve(byT)
+  }
+
+  /** Grid-approximated KM for continuous durations at scale: durations
+    * snap UP to a `bins`-cell uniform grid over [min, max] (pure
+    * codegen'd arithmetic — no per-row search), then the exact KM runs
+    * on the ≤ bins distinct grid points. The curve is the exact KM of
+    * the snapped data: event times move later by at most one cell
+    * width, so S(t) is sandwiched between the true S at the cell's two
+    * edges — grid resolution is the only approximation. Long-tailed
+    * durations concentrate cells near the tail; resample to coarser
+    * units first if the head matters more than the tail. */
+  def kaplanMeierBinned(df: DataFrame, durationCol: String,
+                        eventCol: String, bins: Int = 1000): DataFrame = {
+    require(bins >= 2 && bins <= 1000000,
+      s"bins must be in [2, 1000000], got $bins")
+    val clean = df.na.drop(Seq(durationCol, eventCol))
+      .withColumn("__t0", col(durationCol).cast("double"))
+    val mm = clean.agg(min("__t0").as("lo"), max("__t0").as("hi"))
+    val snapped = clean.crossJoin(broadcast(mm))
+      .withColumn("t",
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + ceil((col("__t0") - col("lo")) /
+            ((col("hi") - col("lo")) / bins)) *
+            ((col("hi") - col("lo")) / bins)))
+    val byT = snapped
+      .groupBy("t")
+      .agg(sum(col(eventCol).cast("double")).as("__d"),
+        count(lit(1)).cast("double").as("__n"))
+    kmCurve(byT)
+  }
+
+  /** The shared curve builder over a (t, __d events, __n at-t count)
+    * frame — bounded by the callers' contracts (≤ maxDistinct / ≤ bins
+    * rows), so the unpartitioned windows are deliberate: the survival
+    * product must fold sequentially for SQL-oracle bit-replay. */
+  private def kmCurve(byT: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val wBefore = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -24,13 +24,28 @@ object Drift {
     * broadcast join against the G²-row pair frame — G is the group
     * count, tiny); the ECDF running sums are windows KEYED on the pair.
     * Nothing unkeyed, nothing driver-side; cost is pairs × merged
-    * support size. */
+    * support size — and each PAIR's partition holds that pair's whole
+    * merged support, so a continuous value column (distinct ≈ n)
+    * funnels per-pair volume. `maxDistinct` probes the global distinct
+    * count (an upper bound on any pair's support) and REFUSES instead:
+    * use [[wasserstein1PairsBinned]] for the grid-approximated
+    * distance at scale, or raise the cap deliberately. */
   def wasserstein1Pairs(df: DataFrame, valueCol: String,
-                        groupCol: String): DataFrame = {
+                        groupCol: String,
+                        maxDistinct: Int = 1000000): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct must be >= 1, got $maxDistinct")
     val gv = df.na.drop(Seq(groupCol, valueCol))
       .groupBy(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
+      .cache() // consumed by the probe, the totals, and both pair sides
+    val nd = gv.agg(countDistinct("__v")).head().getLong(0)
+    require(nd <= maxDistinct,
+      s"wasserstein1Pairs: $nd distinct values exceed maxDistinct=" +
+        s"$maxDistinct — each group pair's ECDF sweep holds the merged " +
+        s"support in one partition. Use wasserstein1PairsBinned (grid " +
+        s"ECDF, error <= one cell width), or raise maxDistinct " +
+        s"deliberately.")
     val totals = gv.groupBy("__g").agg(sum("__c").as("__n"))
     val pairs = totals.select(col("__g").as("group_a"), col("__n").as("n_a"))
       .join(totals.select(col("__g").as("group_b"), col("__n").as("n_b")),
@@ -56,5 +71,31 @@ object Drift {
         sum(when(col("__dv").isNotNull,
           abs(col("__fa") - col("__fb")) * col("__dv"))
           .otherwise(lit(0.0))).as("w1"))
+  }
+
+  /** Grid-approximated pairwise W₁ for continuous value columns at
+    * scale: values snap UP to a `bins`-cell uniform grid over the
+    * global [min, max] (pure codegen'd arithmetic — no per-row
+    * search), then the EXACT pair sweep runs on the ≤ bins-point
+    * support. The result is the exact W₁ of the snapped empirical
+    * distributions; since snapping moves each point < one cell width
+    * w, |W₁(snapped) − W₁(true)| < 2w — grid resolution is the whole
+    * error budget. Long-tailed columns stretch the grid; clip or
+    * log-transform first when the tail dwarfs the body. */
+  def wasserstein1PairsBinned(df: DataFrame, valueCol: String,
+                              groupCol: String,
+                              bins: Int = 10000): DataFrame = {
+    require(bins >= 2 && bins <= 10000000,
+      s"bins must be in [2, 10000000], got $bins")
+    val clean = df.na.drop(Seq(groupCol, valueCol))
+      .withColumn("__v0", col(valueCol).cast("double"))
+    val mm = clean.agg(min("__v0").as("__lo"), max("__v0").as("__hi"))
+    val w = (col("__hi") - col("__lo")) / bins
+    val snapped = clean.crossJoin(broadcast(mm))
+      .withColumn(valueCol,
+        when(col("__hi") === col("__lo"), col("__lo"))
+          .otherwise(col("__lo") + ceil((col("__v0") - col("__lo")) / w) * w))
+      .drop("__v0", "__lo", "__hi")
+    wasserstein1Pairs(snapped, valueCol, groupCol, maxDistinct = bins + 1)
   }
 }

@@ -124,9 +124,12 @@ object InferenceTests {
     * tie-corrected normal approximation:
     * z = (U_A − n₁n₂/2) / √(n₁n₂/12 · (n+1 − Σ(t³−t)/(n(n−1)))).
     * The corpus folds to ONE distinct-value count frame (n per value,
-    * n_A per value); mid-ranks come from a cumulative window over the
-    * distinct values — the ROC/aucBy shape, bounded by value
-    * cardinality, never the row count. Returns ONE row:
+    * n_A per value); mid-ranks come from [[graft.util.RangeCum]]'s
+    * range-sort + partition-offset scan over the distinct values —
+    * distributed even when the value column is continuous (distinct ≈
+    * n), where an unpartitioned window would funnel one partition. The
+    * cum'd columns are exact integer counts, so the offset chain is
+    * bit-identical to a sequential window. Returns ONE row:
     * (n1, n2, u_stat, z_stat); all-tied inputs (σ = 0) yield null z. */
   def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
                   groupA: String, groupB: String): DataFrame = {
@@ -137,10 +140,8 @@ object InferenceTests {
       .select(x.as("__v"), (col(groupCol) === groupA).cast("double").as("__a"))
     val byValue = twoGroups.groupBy("__v")
       .agg(count(lit(1)).cast("double").as("__n"), sum("__a").as("__na"))
-    val wCum = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byValue.withColumn("__before",
-      coalesce(sum("__n").over(wCum), lit(0.0)))
+    val ranked = graft.util.RangeCum.cumSum(byValue, Nil, "__v", Seq("__n"))
+      .withColumn("__before", col("__cum___n") - col("__n"))
     val agg = ranked.agg(
       sum("__na").as("__n1"),
       sum(col("__n") - col("__na")).as("__n2"),

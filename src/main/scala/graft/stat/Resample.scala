@@ -131,9 +131,13 @@ object Resample {
     * Returns `target` with ci_lo/ci_hi appended.
     *
     * Scale shape: residuals fold to a distinct-value count frame; the
-    * order statistic comes from a cumulative window over DISTINCT
-    * residual values (bounded by value cardinality); the scalar q then
-    * broadcasts onto the target scan — no target shuffle. */
+    * order statistic comes from [[graft.util.RangeCum]]'s range-sort +
+    * partition-offset scan over the distinct residuals — distributed
+    * even for continuous residuals (distinct ≈ n), where an
+    * unpartitioned window would funnel one partition; the counts are
+    * exact integers so the distributed cum is bit-identical to a
+    * sequential one. The scalar q then broadcasts onto the target scan
+    * — no target shuffle. */
   def conformalInterval(calib: DataFrame, target: DataFrame,
                         predCol: String, actualCol: String,
                         alpha: Double = 0.1): DataFrame = {
@@ -142,15 +146,13 @@ object Resample {
     val byV = calib.na.drop(Seq(predCol, actualCol))
       .select(r.as("__r")).groupBy("__r")
       .agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy("__r")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // scalar (n, k) via a broadcast cross join — no driver action
     val nk = byV.agg(sum("__c").as("__n"))
       .select(col("__n"),
         ceil((lit(1.0) - lit(alpha)) * (col("__n") + 1)).as("__k"))
-    val q = byV.withColumn("__cum", sum("__c").over(wCum))
+    val q = graft.util.RangeCum.cumSum(byV, Nil, "__r", Seq("__c"))
       .crossJoin(broadcast(nk))
-      .filter(col("__cum") >= col("__k"))
+      .filter(col("__cum___c") >= col("__k"))
       .agg(min("__r").as("__q"))
     target.crossJoin(broadcast(q))
       .withColumn("ci_lo", col(predCol).cast("double") - col("__q"))

@@ -144,4 +144,37 @@ class SurvivalSpec extends SparkSpec {
       assert(r.getDouble(5) >= km(k) - 1e-12, s"breslow < KM at $k")
     }
   }
+
+  test("kaplanMeier: maxDistinct refuses continuous durations; binned " +
+      "tier snaps to the grid and brackets the exact curve") {
+    import spark.implicits._
+    val cont = (1 to 300).map(i => (i * 0.37, i % 3 min 1)).toDF("dur", "ev")
+    val e = intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(cont, "dur", "ev", maxDistinct = 100)
+    }
+    assert(e.getMessage.contains("kaplanMeierBinned"))
+    // binned with bins >= distinct count reproduces the exact curve at
+    // the grid points: same survival multiset (durations snap up but
+    // every subject keeps its relative order when cells hold one value)
+    val small = sample.toDF("dur", "ev")
+    val exact = Survival.kaplanMeier(small, "dur", "ev")
+      .select("survival").collect().map(_.getDouble(0)).sorted
+    val fine = Survival.kaplanMeierBinned(small, "dur", "ev", bins = 100000)
+      .select("survival").collect().map(_.getDouble(0)).sorted
+    assert(exact.length == fine.length)
+    exact.zip(fine).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // coarse grid: still a valid monotone survival curve ending within
+    // the exact curve's terminal value (coarsening merges risk sets)
+    val coarse = Survival.kaplanMeierBinned(small, "dur", "ev", bins = 5)
+      .select("t", "survival").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(coarse.length <= 6)
+    coarse.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 >= w(1)._2 - 1e-12) }
+    // degenerate single-duration input
+    val one = Seq((2.0, 1), (2.0, 0)).toDF("dur", "ev")
+    val c1 = Survival.kaplanMeierBinned(one, "dur", "ev").collect()
+    assert(c1.length == 1 && math.abs(c1(0).getDouble(4) - 0.5) < 1e-12)
+  }
 }

@@ -38,4 +38,29 @@ class DriftSpec extends SparkSpec {
     assert(got.getLong(2) == 4 && got.getLong(3) == 2)
     assert(got.getDouble(4) == 0.0)
   }
+
+  test("wasserstein1Pairs: maxDistinct refuses continuous supports; " +
+      "binned tier approximates within two cell widths") {
+    import spark.implicits._
+    val cont = (1 to 400).map(i => (if (i % 2 == 0) "a" else "b",
+      i * 0.001 + (if (i % 2 == 0) 0.05 else 0.0))).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.wasserstein1Pairs(cont, "v", "g", maxDistinct = 100).collect()
+    }
+    assert(e.getMessage.contains("wasserstein1PairsBinned"))
+    // translation by 0.05: exact W1 ≈ 0.05 (ECDF steps 0.002 apart);
+    // grid width at bins=200 over span ~0.45 is ~0.00225, so the binned
+    // estimate must land within 2 cells of the exact distance
+    val exact = Drift.wasserstein1Pairs(cont, "v", "g")
+      .head().getDouble(4)
+    val binned = Drift.wasserstein1PairsBinned(cont, "v", "g", bins = 200)
+      .head().getDouble(4)
+    val cell = 0.45 / 200
+    assert(math.abs(binned - exact) <= 2 * cell + 1e-12,
+      s"binned $binned vs exact $exact (cell $cell)")
+    // degenerate single-value support: both tiers return 0
+    val one = Seq(("a", 3.0), ("b", 3.0)).toDF("g", "v")
+    assert(Drift.wasserstein1PairsBinned(one, "v", "g").head()
+      .getDouble(4) == 0.0)
+  }
 }
