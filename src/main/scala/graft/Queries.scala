@@ -9215,6 +9215,179 @@ object Queries {
                  THEN abs(fa - fb) * dv ELSE 0 END), 6) AS w1
              FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- streaming twins, batch-executed against the oracle ---------------
+    // These rows run the ACTUAL StreamingOps functions (watermarks are
+    // no-ops in batch; flatMapGroupsWithState runs each group once) so
+    // the gate hash-checks the very code the streams execute — the
+    // strongest form of the MemoryStream batch-parity specs.
+
+    // streaming twin: StreamingOps.streamingPsi (StreamingOps.scala) —
+    // hourly event-time windows, fixed uniform reference shares; the
+    // oracle replays the bin chain and the left-associated 10-term PSI
+    // sum in the identical order
+    QueryDef("q_streaming_psi",
+      (s, d) => graft.streaming.StreamingOps.streamingPsi(
+          events(s, d).na.drop(Seq("ts", "value")), "ts", "value",
+          lo = 0.0, width = 50.0, refShares = Array.fill(10)(0.1),
+          windowDur = "1 hour")
+        .select(unix_micros(col("window.start")).as("ws"),
+          round(col("psi"), 6).as("psi"), col("n"))
+        .orderBy("ws"),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS wh,
+               least(greatest(floor((value::DOUBLE - 0.0) / 50.0),
+                 0), 9)::BIGINT AS bin
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+             w AS (SELECT wh,
+               sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END)::BIGINT AS b0,
+               sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END)::BIGINT AS b1,
+               sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END)::BIGINT AS b2,
+               sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END)::BIGINT AS b3,
+               sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END)::BIGINT AS b4,
+               sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END)::BIGINT AS b5,
+               sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END)::BIGINT AS b6,
+               sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END)::BIGINT AS b7,
+               sum(CASE WHEN bin = 8 THEN 1 ELSE 0 END)::BIGINT AS b8,
+               sum(CASE WHEN bin = 9 THEN 1 ELSE 0 END)::BIGINT AS b9,
+               count(*)::BIGINT AS n FROM e GROUP BY 1),
+             t AS (SELECT wh, n, greatest(n::DOUBLE, 1.0) AS tot,
+               b0, b1, b2, b3, b4, b5, b6, b7, b8, b9 FROM w)
+             SELECT wh * 3600000000 AS ws,
+               round(
+                 (greatest(b0/tot,1e-6)-0.1)*ln(greatest(b0/tot,1e-6)/0.1)
+                +(greatest(b1/tot,1e-6)-0.1)*ln(greatest(b1/tot,1e-6)/0.1)
+                +(greatest(b2/tot,1e-6)-0.1)*ln(greatest(b2/tot,1e-6)/0.1)
+                +(greatest(b3/tot,1e-6)-0.1)*ln(greatest(b3/tot,1e-6)/0.1)
+                +(greatest(b4/tot,1e-6)-0.1)*ln(greatest(b4/tot,1e-6)/0.1)
+                +(greatest(b5/tot,1e-6)-0.1)*ln(greatest(b5/tot,1e-6)/0.1)
+                +(greatest(b6/tot,1e-6)-0.1)*ln(greatest(b6/tot,1e-6)/0.1)
+                +(greatest(b7/tot,1e-6)-0.1)*ln(greatest(b7/tot,1e-6)/0.1)
+                +(greatest(b8/tot,1e-6)-0.1)*ln(greatest(b8/tot,1e-6)/0.1)
+                +(greatest(b9/tot,1e-6)-0.1)*ln(greatest(b9/tot,1e-6)/0.1),
+               6) AS psi, n
+             FROM t ORDER BY ws""")),
+
+    // streaming twin: StreamingOps.streamingScoreDrift (via streamingPsi
+    // over scoreColumn's sigmoid projection) — frozen weights, reference
+    // shares from scoreShares over the same corpus (the train-time
+    // snapshot); the oracle replays the sigmoid, BOTH bin chains
+    // (scoreShares bins floor(score*10), the stream side bins
+    // floor((score-0)/0.1) — mirrored exactly as written), and the PSI
+    QueryDef("q_streaming_score_drift",
+      (s, d) => {
+        val ev = events(s, d).na.drop(Seq("ts", "value"))
+          .withColumn("x",
+            array(lit(1.0), col("value").cast("double") / 100.0))
+        val weights = Array(0.2, -0.5)
+        val ref = graft.streaming.StreamingOps.scoreShares(
+          ev, "x", weights, bins = 10)
+        graft.streaming.StreamingOps.streamingScoreDrift(ev, "ts", "x",
+            weights, ref, windowDur = "1 hour")
+          .select(unix_micros(col("window.start")).as("ws"),
+            round(col("psi"), 6).as("psi"), col("n"))
+          .orderBy("ws")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tsu,
+               1.0/(1.0 + exp(-(0.0 + 1.0*0.2
+                 + (value::DOUBLE/100.0)*(-0.5)))) AS score
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+             sh AS (SELECT
+               sum(CASE WHEN least(floor(score*10), 9) = 0 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p0,
+               sum(CASE WHEN least(floor(score*10), 9) = 1 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p1,
+               sum(CASE WHEN least(floor(score*10), 9) = 2 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p2,
+               sum(CASE WHEN least(floor(score*10), 9) = 3 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p3,
+               sum(CASE WHEN least(floor(score*10), 9) = 4 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p4,
+               sum(CASE WHEN least(floor(score*10), 9) = 5 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p5,
+               sum(CASE WHEN least(floor(score*10), 9) = 6 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p6,
+               sum(CASE WHEN least(floor(score*10), 9) = 7 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p7,
+               sum(CASE WHEN least(floor(score*10), 9) = 8 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p8,
+               sum(CASE WHEN least(floor(score*10), 9) = 9 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS p9 FROM e),
+             w AS (SELECT tsu // 3600000000 AS wh,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 0 THEN 1 ELSE 0 END)::BIGINT AS b0,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 1 THEN 1 ELSE 0 END)::BIGINT AS b1,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 2 THEN 1 ELSE 0 END)::BIGINT AS b2,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 3 THEN 1 ELSE 0 END)::BIGINT AS b3,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 4 THEN 1 ELSE 0 END)::BIGINT AS b4,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 5 THEN 1 ELSE 0 END)::BIGINT AS b5,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 6 THEN 1 ELSE 0 END)::BIGINT AS b6,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 7 THEN 1 ELSE 0 END)::BIGINT AS b7,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 8 THEN 1 ELSE 0 END)::BIGINT AS b8,
+               sum(CASE WHEN least(greatest(floor((score - 0.0) / 0.1), 0), 9)
+                 = 9 THEN 1 ELSE 0 END)::BIGINT AS b9,
+               count(*)::BIGINT AS n FROM e GROUP BY 1),
+             t AS (SELECT wh, n, greatest(n::DOUBLE, 1.0) AS tot,
+               b0, b1, b2, b3, b4, b5, b6, b7, b8, b9 FROM w)
+             SELECT wh * 3600000000 AS ws,
+               round(
+                 (greatest(b0/tot,1e-6)-greatest(p0,1e-6))
+                   *ln(greatest(b0/tot,1e-6)/greatest(p0,1e-6))
+                +(greatest(b1/tot,1e-6)-greatest(p1,1e-6))
+                   *ln(greatest(b1/tot,1e-6)/greatest(p1,1e-6))
+                +(greatest(b2/tot,1e-6)-greatest(p2,1e-6))
+                   *ln(greatest(b2/tot,1e-6)/greatest(p2,1e-6))
+                +(greatest(b3/tot,1e-6)-greatest(p3,1e-6))
+                   *ln(greatest(b3/tot,1e-6)/greatest(p3,1e-6))
+                +(greatest(b4/tot,1e-6)-greatest(p4,1e-6))
+                   *ln(greatest(b4/tot,1e-6)/greatest(p4,1e-6))
+                +(greatest(b5/tot,1e-6)-greatest(p5,1e-6))
+                   *ln(greatest(b5/tot,1e-6)/greatest(p5,1e-6))
+                +(greatest(b6/tot,1e-6)-greatest(p6,1e-6))
+                   *ln(greatest(b6/tot,1e-6)/greatest(p6,1e-6))
+                +(greatest(b7/tot,1e-6)-greatest(p7,1e-6))
+                   *ln(greatest(b7/tot,1e-6)/greatest(p7,1e-6))
+                +(greatest(b8/tot,1e-6)-greatest(p8,1e-6))
+                   *ln(greatest(b8/tot,1e-6)/greatest(p8,1e-6))
+                +(greatest(b9/tot,1e-6)-greatest(p9,1e-6))
+                   *ln(greatest(b9/tot,1e-6)/greatest(p9,1e-6)),
+               6) AS psi, n
+             FROM t, sh ORDER BY ws""")),
+
+    // streaming twin: StreamingOps.trailingCounts (flatMapGroupsWithState)
+    // — exact per-event trailing-hour counts; batch runs each user-group
+    // once in timestamp order. Input deduped to distinct (user, micros)
+    // so the oracle's RANGE window (which counts ALL rows at a tied
+    // timestamp) agrees with the stream's strictly-sequential state scan
+    QueryDef("q_trailing_counts",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val ev = events(s, d).na.drop(Seq("user_id", "ts"))
+          .select(col("user_id").cast("string").as("k"),
+            unix_micros(col("ts")).as("t"))
+          .distinct()
+          .as[(String, Long)]
+        graft.streaming.StreamingOps.trailingCounts(ev,
+            windowSec = 3600000000L)
+          .toDF("user_id", "tsu", "n_win")
+          .orderBy("user_id", "tsu")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id::VARCHAR AS user_id,
+               epoch_us(ts) AS tsu FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+             SELECT user_id, tsu,
+               count(*) OVER (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)::BIGINT
+                 AS n_win
+             FROM e ORDER BY user_id, tsu""")),
+
     // ---- linear conversion attribution -------------------------------------
     // touch columns coalesced to −1 on unattributed conversions: the
     // compare sorts rows, and null sort position differs across engines
