@@ -7946,6 +7946,148 @@ object Queries {
                  AS z_stat
              FROM agg""")),
 
+    // ---- Kruskal-Wallis H (k-group rank ANOVA) -----------------------------
+    // integer-valued l_quantity keeps every mid-rank an exact half — the
+    // rank sums are bit-deterministic and only the k-term H fold is float
+    QueryDef("q_kruskal",
+      (s, d) => graft.stat.InferenceTests.kruskalWallis(
+          lineitem(s, d), "l_quantity", "l_returnflag")
+        .select(col("k"), col("n"), col("dof"),
+          round(col("h_stat"), 6).as("h_stat"),
+          round(col("h_corrected"), 6).as("h_corrected")),
+      Some("""WITH cells AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v,
+               count(*)::DOUBLE AS c FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+               GROUP BY 1, 2),
+             bv AS (SELECT v, sum(c) AS n FROM cells GROUP BY 1),
+             r AS (SELECT v, n, coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2 AS mid FROM bv),
+             pg AS (SELECT g, sum(c) AS ng, sum(c * mid) AS rg
+               FROM cells JOIN r USING (v) GROUP BY 1),
+             t AS (SELECT sum(n * n * n - n) AS ties FROM bv),
+             a AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+               sum(rg / ng * rg) AS r2n, sum(ng) AS nd FROM pg)
+             SELECT k, n, (k - 1)::BIGINT AS dof,
+               round(12.0 / (nd * (nd + 1)) * r2n - 3 * (nd + 1), 6) AS h_stat,
+               round((12.0 / (nd * (nd + 1)) * r2n - 3 * (nd + 1)) /
+                 (1.0 - ties / (nd * nd * nd - nd)), 6) AS h_corrected
+             FROM a, t""")),
+
+    // ---- Brown-Forsythe variance homogeneity -------------------------------
+    // ANOVA F on |x − median_g|; integer l_quantity makes every median an
+    // exact half and every deviation an exact multiple of 0.5 — the sums
+    // feeding the F identity are engine-exact
+    QueryDef("q_brown_forsythe",
+      (s, d) => graft.stat.InferenceTests.brownForsythe(
+          lineitem(s, d), "l_quantity", "l_returnflag")
+        .select(col("k"), col("n"),
+          round(col("ss_between") / col("n"), 6).as("msb_per_row"),
+          round(col("ss_within") / col("n"), 6).as("msw_per_row"),
+          col("df_between"), col("df_within"),
+          round(col("f_stat"), 6).as("f_stat")),
+      Some("""WITH med AS (SELECT l_returnflag AS g,
+               quantile_cont(l_quantity::DOUBLE, 0.5) AS m FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+               GROUP BY 1),
+             z AS (SELECT li.l_returnflag AS g,
+               abs(li.l_quantity::DOUBLE - med.m) AS z
+               FROM lineitem li JOIN med ON li.l_returnflag = med.g
+               WHERE li.l_quantity IS NOT NULL),
+             gg AS (SELECT g, count(*)::DOUBLE AS n, sum(z) AS s,
+               sum(z * z) AS ss FROM z GROUP BY 1),
+             t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+               sum(s * s / n) - sum(s) * sum(s) / sum(n) AS ssb,
+               sum(ss - s * s / n) AS ssw, sum(n) AS nd FROM gg)
+             SELECT k, n, round(ssb / nd, 6) AS msb_per_row,
+               round(ssw / nd, 6) AS msw_per_row,
+               (k - 1)::BIGINT AS df_between, (nd - k)::BIGINT AS df_within,
+               round((ssb / (k - 1)) / (ssw / (nd - k)), 6) AS f_stat
+             FROM t""")),
+
+    // ---- Jarque-Bera normality ---------------------------------------------
+    // delegates to the centered two-pass moments (q_moments precedent);
+    // the JB fold runs over the UNROUNDED skew/kurt
+    QueryDef("q_jarque_bera",
+      (s, d) => graft.stat.InferenceTests.jarqueBera(
+          lineitem(s, d), "l_discount")
+        .select(col("n"),
+          round(col("skewness"), 6).as("skewness"),
+          round(col("kurtosis"), 6).as("kurtosis"),
+          round(col("jb_stat"), 6).as("jb_stat")),
+      Some("""WITH clean AS (SELECT l_discount::DOUBLE AS x FROM lineitem
+               WHERE l_discount IS NOT NULL),
+             m AS (SELECT count(*) AS n, avg(x) AS mu FROM clean),
+             p AS (SELECT any_value(n)::BIGINT AS n,
+               avg(pow(x - mu, 2)) AS m2, avg(pow(x - mu, 3)) AS m3,
+               avg(pow(x - mu, 4)) AS m4 FROM clean, m)
+             SELECT n, round(m3 / pow(m2, 1.5), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3, 6) AS kurtosis,
+               round(n / 6.0 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5)) +
+                 (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 6)
+                 AS jb_stat
+             FROM p""")),
+
+    // ---- Cohen's d / Hedges' g effect sizes (all group pairs) --------------
+    // integer l_quantity → exact power sums; the d chain is division-only
+    QueryDef("q_cohens_d",
+      (s, d) => graft.stat.InferenceTests.cohensD(
+          lineitem(s, d), "l_quantity", "l_returnflag")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("cohen_d"), 6).as("cohen_d"),
+          round(col("hedges_g"), 6).as("hedges_g"))
+        .orderBy("group_a", "group_b"),
+      Some("""WITH g AS (SELECT l_returnflag AS g, count(*)::DOUBLE AS n,
+               sum(l_quantity::DOUBLE) AS s,
+               sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS ss
+               FROM lineitem WHERE l_quantity IS NOT NULL
+                 AND l_returnflag IS NOT NULL GROUP BY 1),
+             p AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS na,
+               b.n AS nb, a.s AS sa, b.s AS sb,
+               a.ss - a.s * a.s / a.n AS ssda,
+               b.ss - b.s * b.s / b.n AS ssdb
+               FROM g a, g b WHERE a.g < b.g)
+             SELECT group_a, group_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+               round((sa / na - sb / nb) /
+                 sqrt((ssda + ssdb) / (na + nb - 2)), 6) AS cohen_d,
+               round((sa / na - sb / nb) /
+                 sqrt((ssda + ssdb) / (na + nb - 2)) *
+                 (1.0 - 3.0 / (4 * (na + nb) - 9)), 6) AS hedges_g
+             FROM p ORDER BY 1, 2""")),
+
+    // ---- Kendall's tau-b (exact over the contingency cells) ----------------
+    // 50×11 quantity×discount cells → ~150k cell pairs; every count is an
+    // exact long, only the final ratio is float
+    QueryDef("q_kendall_tau",
+      (s, d) => graft.stat.InferenceTests.kendallTauB(
+          lineitem(s, d), "l_quantity", "l_discount")
+        .select(col("n"), col("cells"), col("concordant"), col("discordant"),
+          round(col("tau_b"), 6).as("tau_b")),
+      Some("""WITH cells AS (SELECT l_quantity AS a, l_discount AS b,
+               count(*)::BIGINT AS n FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+               GROUP BY 1, 2),
+             pr AS (SELECT
+               coalesce(sum(CASE WHEN x.b < y.b THEN x.n * y.n END), 0)::BIGINT
+                 AS c,
+               coalesce(sum(CASE WHEN x.b > y.b THEN x.n * y.n END), 0)::BIGINT
+                 AS d
+               FROM cells x, cells y WHERE x.a < y.a),
+             ta AS (SELECT sum(t * (t - 1) / 2) AS n1t FROM
+               (SELECT sum(n) AS t FROM cells GROUP BY a)),
+             tb AS (SELECT sum(t * (t - 1) / 2) AS n2t FROM
+               (SELECT sum(n) AS t FROM cells GROUP BY b)),
+             tot AS (SELECT sum(n) AS nt, count(*)::BIGINT AS cells
+               FROM cells)
+             SELECT nt::BIGINT AS n, cells, c AS concordant, d AS discordant,
+               round((c - d)::DOUBLE / sqrt(
+                 (nt * (nt - 1) / 2 - n1t)::DOUBLE *
+                 (nt * (nt - 1) / 2 - n2t)::DOUBLE), 6) AS tau_b
+             FROM tot, pr, ta, tb""")),
+
     // ---- Kaplan-Meier survival (time to first purchase, right-censored) ----
     // duration = hours from a user's first event to their first purchase,
     // censored at their last event otherwise; exact integer-hour ties give

@@ -161,6 +161,186 @@ object InferenceTests {
       .select("n1", "n2", "u_stat", "z_stat")
   }
 
+  /** Kruskal-Wallis H (rank-based one-way ANOVA) over `groupCol`'s
+    * groups of `valueCol`, with mid-ranks for ties and the standard tie
+    * correction: H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), divided by
+    * C = 1 − Σ(t³−t)/(N³−N). The k-group generalization of
+    * [[mannWhitney]], sharing its scale shape: one aggregate folds the
+    * corpus to the (group, value) cell frame, the distinct-value frame
+    * derives from it, mid-ranks come from [[graft.util.RangeCum]]'s
+    * range-sort + partition-offset scan (distributed even when the
+    * value column is continuous), and the mid-ranks join back to the
+    * cells on the value key — a distinct-value-sized shuffle join, never
+    * the corpus. Mid-ranks and counts are exact (multiples of 0.5 /
+    * integers), so rank sums are bit-deterministic; only the final
+    * k-term H fold is float-ordered, at k terms ≪ any ulp boundary.
+    * Returns ONE row: (k, n, dof = k−1, h_stat, h_corrected); degenerate
+    * inputs (k < 2 or all values tied, C = 0) yield nulls. */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val cells = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), x.as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val byValue = cells.groupBy("__v").agg(sum("__c").as("__n"))
+    val ranked = graft.util.RangeCum.cumSum(byValue, Nil, "__v", Seq("__n"))
+      .withColumn("__mid",
+        col("__cum___n") - col("__n") + (col("__n") + 1) / 2)
+    val perGroup = cells.join(ranked.select("__v", "__mid"), "__v")
+      .groupBy("__g")
+      .agg(sum("__c").as("__ng"), sum(col("__c") * col("__mid")).as("__rg"))
+    val ties = byValue.agg(
+      sum(col("__n") * col("__n") * col("__n") - col("__n")).as("__ties"))
+    val agg = perGroup.agg(
+      count(lit(1)).as("k"), sum("__ng").cast("long").as("n"),
+      sum(col("__rg") / col("__ng") * col("__rg")).as("__r2n"),
+      sum("__ng").as("__N")).crossJoin(broadcast(ties))
+    val nD = col("__N")
+    val h = lit(12.0) / (nD * (nD + 1)) * col("__r2n") - lit(3) * (nD + 1)
+    val corr = lit(1.0) - col("__ties") / (nD * nD * nD - nD)
+    agg
+      .withColumn("dof", (col("k") - 1).cast("long"))
+      .withColumn("h_stat", when(col("k") >= 2, h))
+      .withColumn("h_corrected",
+        when(col("k") >= 2 && corr > 0, h / corr))
+      .select("k", "n", "dof", "h_stat", "h_corrected")
+  }
+
+  /** Brown-Forsythe test for equality of group variances (Levene's test
+    * with the robust median center): one-way ANOVA F over
+    * z = |x − median_g|. Group medians are ONE exact-percentile
+    * aggregate ([[graft.expr.ExactPercentile]], the house sort-based
+    * TypedImperativeAggregate); they broadcast back onto the rows (the
+    * group frame is k rows) and the F statistic reuses [[anovaF]]'s
+    * raw-sums identity on the centered |deviations| — which are
+    * magnitude-bounded by the data spread, so the identity does not
+    * cancel the way raw prices do. On integer-valued columns the
+    * medians are exact halves and every z is an exact multiple of 0.5 —
+    * the fully engine-deterministic configuration. Returns [[anovaF]]'s
+    * one-row schema. */
+  def brownForsythe(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val medians = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__bf_g"))
+      .agg(element_at(
+        graft.expr.ExactPercentile.of(x, Seq(0.5)), 1).as("__med"))
+    val z = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(medians), col(groupCol) === col("__bf_g"))
+      .withColumn("__z", abs(x - col("__med")))
+    anovaF(z, "__z", groupCol)
+  }
+
+  /** Jarque-Bera normality statistic from the centered sample moments:
+    * JB = n/6 · (S² + K²/4) with S the population skewness and K the
+    * population EXCESS kurtosis — large JB rejects normality (χ²₂ under
+    * H₀). Delegates the moment computation to [[graft.agg.Stats.moments]]
+    * (two-pass centered accumulation — the raw-power identity cancels
+    * catastrophically near S ≈ 0, which is exactly the regime JB
+    * probes). Returns ONE row: (n, skewness, kurtosis, jb_stat);
+    * constant columns (NaN moments) yield NaN JB. */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    graft.agg.Stats.moments(df, Seq(valueCol))
+      .withColumn("jb_stat",
+        col("n") / 6.0 * (col("skewness") * col("skewness") +
+          col("kurtosis") * col("kurtosis") / 4))
+      .select("n", "skewness", "kurtosis", "jb_stat")
+  }
+
+  /** Cohen's d standardized effect size for every pair of `groupCol`
+    * groups (a < b lexically): d = (μ_a − μ_b)/s_pooled with
+    * s_pooled² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2), plus the
+    * small-sample Hedges' g correction J = 1 − 3/(4(n_a+n_b) − 9).
+    * The significance-free companion to the Welch matrix ([[StatTests]]):
+    * a 100-TB A/B readout wants the magnitude, not just the p. One
+    * corpus aggregate to the k-row group frame, then a broadcast k²/2
+    * self-join. Sample variance uses the raw-sums identity — center
+    * astronomically-scaled values first (the [[anovaF]] caveat).
+    * Returns one row per pair: (group_a, group_b, n_a, n_b, mean_a,
+    * mean_b, cohen_d, hedges_g); zero pooled variance yields nulls. */
+  def cohensD(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__s"),
+        sum(x * x).as("__ss"))
+      .withColumn("__ssd",
+        col("__ss") - col("__s") * col("__s") / col("__n"))
+    val a = g.select(col("__g").as("group_a"), col("__n").as("__na"),
+      col("__s").as("__sa"), col("__ssd").as("__ssda"))
+    val b = g.select(col("__g").as("group_b"), col("__n").as("__nb"),
+      col("__s").as("__sb"), col("__ssd").as("__ssdb"))
+    val pairs = a.join(broadcast(b), col("group_a") < col("group_b"))
+    val dfree = col("__na") + col("__nb") - 2
+    val sp2 = (col("__ssda") + col("__ssdb")) / dfree
+    val d = (col("__sa") / col("__na") - col("__sb") / col("__nb")) / sqrt(sp2)
+    pairs
+      .withColumn("n_a", col("__na").cast("long"))
+      .withColumn("n_b", col("__nb").cast("long"))
+      .withColumn("mean_a", col("__sa") / col("__na"))
+      .withColumn("mean_b", col("__sb") / col("__nb"))
+      .withColumn("cohen_d", when(dfree > 0 && sp2 > 0, d))
+      .withColumn("hedges_g",
+        when(dfree > 0 && sp2 > 0,
+          d * (lit(1.0) - lit(3.0) / (lit(4) * (col("__na") + col("__nb")) - 9))))
+      .select("group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        "cohen_d", "hedges_g")
+  }
+
+  /** Kendall's tau-b rank correlation between two ordinal/bounded-
+    * cardinality columns, exact over the contingency-cell frame:
+    * concordant/discordant pair counts come from a cell×cell self-join
+    * (a₁ < a₂, classify by the b order), tie terms from the marginals,
+    * tau_b = (C − D)/√((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and
+    * n₁/n₂ = Σ t(t−1)/2 over each column's tied groups. The corpus
+    * folds to |A|·|B| cells in one aggregate; the join is cells², so the
+    * guard refuses beyond `maxCells` distinct cells — tau over a
+    * CONTINUOUS pair is O(n²) by definition and belongs behind binning
+    * (bucketize first), the same refuse-don't-pretend stance as
+    * mannKendall's maxN. All counts are exact longs; only the final
+    * ratio is float. Returns ONE row: (n, cells, concordant, discordant,
+    * tau_b); a single-valued column (denominator 0) yields null tau. */
+  def kendallTauB(df: DataFrame, aCol: String, bCol: String,
+                  maxCells: Int = 100000): DataFrame = {
+    val cells = df.na.drop(Seq(aCol, bCol))
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .persist() // the guard count below and all four readers reuse it
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTauB: $nCells distinct ($aCol, $bCol) cells exceed " +
+        s"maxCells=$maxCells — the exact cell-pair join is quadratic in " +
+        "cells; bucketize the columns first")
+    val l = cells.select(col("__a").as("__a1"), col("__b").as("__b1"),
+      col("__n").as("__n1"))
+    val r = cells.select(col("__a").as("__a2"), col("__b").as("__b2"),
+      col("__n").as("__n2"))
+    val joined = l.join(r, col("__a1") < col("__a2"))
+    val pairAgg = joined.agg(
+      coalesce(sum(when(col("__b1") < col("__b2"),
+        col("__n1") * col("__n2"))), lit(0L)).as("concordant"),
+      coalesce(sum(when(col("__b1") > col("__b2"),
+        col("__n1") * col("__n2"))), lit(0L)).as("discordant"))
+    val tieA = cells.groupBy("__a").agg(sum("__n").as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1) / 2).as("__n1t"))
+    val tieB = cells.groupBy("__b").agg(sum("__n").as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1) / 2).as("__n2t"))
+    val tot = cells.agg(sum("__n").as("__nTot"),
+      count(lit(1)).as("cells"))
+    val one = tot.crossJoin(broadcast(pairAgg))
+      .crossJoin(broadcast(tieA)).crossJoin(broadcast(tieB))
+    val n0 = col("__nTot") * (col("__nTot") - 1) / 2
+    val denom = (n0 - col("__n1t")).cast("double") *
+      (n0 - col("__n2t")).cast("double")
+    one
+      .withColumn("n", col("__nTot").cast("long"))
+      .withColumn("tau_b",
+        when(denom > 0,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt(denom)))
+      .select("n", "cells", "concordant", "discordant", "tau_b")
+  }
+
   /** Two-sided p-values for the statistics above (CDF-dependent, so
     * spec-pinned rather than oracle-replayed — the Welch/propTest
     * precedent). */
@@ -175,4 +355,12 @@ object InferenceTests {
   def mannWhitneyPValue(z: Double): Double =
     2.0 * (1.0 - new org.apache.commons.math3.distribution.NormalDistribution()
       .cumulativeProbability(math.abs(z)))
+
+  /** Normal-approximation two-sided p for Kendall's tau (no tie
+    * correction in the variance — the classic large-sample form). */
+  def kendallTauPValue(concordant: Long, discordant: Long, n: Long): Double = {
+    val z = 3.0 * (concordant - discordant) /
+      math.sqrt(n.toDouble * (n - 1) * (2 * n + 5) / 2.0)
+    mannWhitneyPValue(z)
+  }
 }

@@ -112,6 +112,145 @@ class InferenceTestsSpec extends SparkSpec {
     assert(tied.isNullAt(3))
   }
 
+  test("kruskalWallis matches a sequential mid-rank computation, with ties") {
+    import spark.implicits._
+    val g1 = Seq(2.9, 3.0, 2.5, 2.6, 3.2, 3.0) // 3.0 ties across groups
+    val g2 = Seq(3.8, 2.7, 4.0, 2.4, 3.0)
+    val g3 = Seq(2.8, 3.4, 3.7, 2.2, 2.0, 3.0)
+    val data = g1.map(("g1", _)) ++ g2.map(("g2", _)) ++ g3.map(("g3", _))
+    val got = InferenceTests.kruskalWallis(data.toDF("g", "v"), "v", "g").head()
+    // sequential reference: pooled sort -> mid-ranks -> H with tie correction
+    val sorted = data.map(_._2).sorted
+    val mid = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).sum.toDouble / xs.size)
+    }
+    val byG = data.groupBy(_._1)
+    val nTot = data.size.toDouble
+    val r2n = byG.values.map { xs =>
+      val rg = xs.map(x => mid(x._2)).sum
+      rg * rg / xs.size
+    }.sum
+    val h = 12.0 / (nTot * (nTot + 1)) * r2n - 3 * (nTot + 1)
+    val ties = data.map(_._2).groupBy(identity).values
+      .map(_.size.toDouble).map(t => t * t * t - t).sum
+    val hc = h / (1.0 - ties / (nTot * nTot * nTot - nTot))
+    assert(got.getLong(0) == 3L && got.getLong(1) == 17L && got.getLong(2) == 2L)
+    assert(math.abs(got.getDouble(3) - h) < 1e-10)
+    assert(math.abs(got.getDouble(4) - hc) < 1e-10)
+    // degenerate: one group -> null H; all-tied -> null corrected H
+    assert(InferenceTests.kruskalWallis(
+      g1.map(("g", _)).toDF("g", "v"), "v", "g").head().isNullAt(3))
+    assert(InferenceTests.kruskalWallis(
+      Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v"), "v", "g")
+      .head().isNullAt(4))
+  }
+
+  test("brownForsythe equals ANOVA on |x - group median| (commons-math F)") {
+    import spark.implicits._
+    val g1 = Seq(18.0, 20.0, 17.0, 16.0, 19.0, 23.0, 19.0)
+    val g2 = Seq(17.0, 30.0, 19.0, 16.0, 15.0, 18.0, 44.0) // fatter spread
+    val g3 = Seq(16.0, 17.0, 16.5, 16.2, 16.8, 17.1, 16.7)
+    val df = (g1.map(("g1", _)) ++ g2.map(("g2", _)) ++ g3.map(("g3", _)))
+      .toDF("g", "v")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val zs = Seq(g1, g2, g3).map(g => g.map(x => math.abs(x - median(g))))
+    val ref = new org.apache.commons.math3.stat.inference.OneWayAnova()
+      .anovaFValue(java.util.List.of(
+        zs(0).toArray, zs(1).toArray, zs(2).toArray))
+    val got = InferenceTests.brownForsythe(df, "v", "g").head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 21L)
+    assert(math.abs(got.getDouble(6) - ref) < 1e-9)
+  }
+
+  test("jarqueBera matches the moments identity and flags a skewed sample") {
+    import spark.implicits._
+    val xs = Seq(1.0, 1.1, 0.9, 1.2, 0.8, 1.0, 5.0) // one fat outlier
+    val got = InferenceTests.jarqueBera(xs.toDF("v"), "v").head()
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+    val s = m3 / math.pow(m2, 1.5)
+    val k = m4 / (m2 * m2) - 3
+    assert(math.abs(got.getDouble(1) - s) < 1e-10)
+    assert(math.abs(got.getDouble(2) - k) < 1e-10)
+    assert(math.abs(got.getDouble(3) - n / 6 * (s * s + k * k / 4)) < 1e-9)
+    assert(got.getDouble(3) > 3.0) // the outlier sample is far from normal
+    // a symmetric two-point sample: skew 0, kurt -2, JB = n/6 * 1
+    val sym = InferenceTests.jarqueBera(
+      Seq(0.0, 1.0, 0.0, 1.0).toDF("v"), "v").head()
+    assert(math.abs(sym.getDouble(1)) < 1e-12)
+    assert(math.abs(sym.getDouble(2) - (-2.0)) < 1e-12)
+  }
+
+  test("cohensD matches the pooled-sd hand computation per pair") {
+    import spark.implicits._
+    val a = Seq(2.0, 4.0, 6.0, 8.0)        // mean 5, var 20/3
+    val b = Seq(1.0, 2.0, 3.0)             // mean 2, var 1
+    val c = Seq(10.0, 10.0, 10.0, 10.0)    // constant
+    val df = (a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)))
+      .toDF("g", "v")
+    val rows = InferenceTests.cohensD(df, "v", "g")
+      .orderBy("group_a", "group_b").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val sp2ab = ((a.size - 1) * (20.0 / 3) + (b.size - 1) * 1.0) /
+      (a.size + b.size - 2)
+    val dab = (5.0 - 2.0) / math.sqrt(sp2ab)
+    val ab = rows(0)
+    assert(ab.getLong(2) == 4L && ab.getLong(3) == 3L)
+    assert(math.abs(ab.getDouble(6) - dab) < 1e-12)
+    assert(math.abs(ab.getDouble(7) -
+      dab * (1.0 - 3.0 / (4 * 7 - 9))) < 1e-12)
+    // (a, c): pooled sd comes only from a's spread; (b, c) likewise
+    val ac = rows(1)
+    val sp2ac = ((a.size - 1) * (20.0 / 3)) / (a.size + c.size - 2)
+    assert(math.abs(ac.getDouble(6) - (5.0 - 10.0) / math.sqrt(sp2ac)) < 1e-12)
+  }
+
+  test("kendallTauB matches the brute-force pairwise count, with ties") {
+    import spark.implicits._
+    val xs = Seq((1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 1), (3, 3),
+      (4, 2), (4, 4), (5, 5))
+    val got = InferenceTests.kendallTauB(xs.toDF("a", "b"), "a", "b").head()
+    // brute force over all row pairs
+    var cC = 0L; var dC = 0L
+    for (i <- xs.indices; j <- i + 1 until xs.size) {
+      val s = (xs(i)._1 - xs(j)._1) * (xs(i)._2 - xs(j)._2)
+      if (s > 0) cC += 1 else if (s < 0) dC += 1
+    }
+    val n = xs.size.toDouble
+    val n0 = n * (n - 1) / 2
+    val n1 = xs.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * (t - 1) / 2).sum
+    val n2 = xs.groupBy(_._2).values.map(_.size.toDouble)
+      .map(t => t * (t - 1) / 2).sum
+    val tau = (cC - dC) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert(got.getLong(0) == 10L)
+    assert(got.getLong(2) == cC && got.getLong(3) == dC)
+    assert(math.abs(got.getDouble(4) - tau) < 1e-12)
+    // perfect concordance on distinct values -> tau 1; constant col -> null
+    val mono = InferenceTests.kendallTauB(
+      Seq((1, 10), (2, 20), (3, 30)).toDF("a", "b"), "a", "b").head()
+    assert(math.abs(mono.getDouble(4) - 1.0) < 1e-12)
+    val const = InferenceTests.kendallTauB(
+      Seq((1, 1), (2, 1), (3, 1)).toDF("a", "b"), "a", "b").head()
+    assert(const.isNullAt(4))
+    // the quadratic guard refuses beyond maxCells
+    val err = intercept[IllegalArgumentException] {
+      InferenceTests.kendallTauB(
+        (1 to 100).map(i => (i, i)).toDF("a", "b"), "a", "b", maxCells = 10)
+    }
+    assert(err.getMessage.contains("maxCells"))
+    // p-value helper: strong monotone trend on 10 points is significant-ish
+    assert(InferenceTests.kendallTauPValue(45L, 0L, 10L) < 0.001)
+  }
+
   test("chiSquarePValue matches commons-math chi-square test") {
     import spark.implicits._
     val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
