@@ -9776,7 +9776,210 @@ object Queries {
                round(CASE WHEN n_t > 0 AND n_c > 0
                  THEN y_t / n_t - y_c / n_c END, 6) AS uplift,
                round(cyt - cyc * (cnt_t / nullif(cnt_c, 0)), 6) AS qini
-             FROM cum ORDER BY bucket"""))
+             FROM cum ORDER BY bucket""")),
+
+    // ---- market-basket association rules -----------------------------------
+    // order baskets x supplier items; counts exact, ratios division-only
+    QueryDef("q_basket_rules",
+      (s, d) => graft.pipeline.Basket.pairRules(
+          lineitem(s, d), "l_orderkey", "l_suppkey", minCount = 3)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), col("n_baskets"), col("oversized_baskets"),
+          round(col("support"), 6).as("support"),
+          round(col("conf_a_b"), 6).as("conf_a_b"),
+          round(col("conf_b_a"), 6).as("conf_b_a"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b"),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_suppkey IS NOT NULL),
+             nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+             sz AS (SELECT b, count(*) AS s FROM bi GROUP BY 1),
+             ovs AS (SELECT count(*) AS o FROM sz WHERE s > 1000),
+             ok AS (SELECT bi.b, bi.i FROM bi JOIN sz ON bi.b = sz.b
+               WHERE sz.s <= 1000),
+             pr AS (SELECT x.i AS item_a, y.i AS item_b,
+               count(*)::BIGINT AS n_ab
+               FROM ok x JOIN ok y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+             mg AS (SELECT i, count(*)::BIGINT AS c FROM bi GROUP BY 1)
+             SELECT item_a, item_b, ma.c AS n_a, mb.c AS n_b, n_ab,
+               nb.n::BIGINT AS n_baskets, ovs.o::BIGINT AS oversized_baskets,
+               round(n_ab::DOUBLE / nb.n, 6) AS support,
+               round(n_ab::DOUBLE / ma.c, 6) AS conf_a_b,
+               round(n_ab::DOUBLE / mb.c, 6) AS conf_b_a,
+               round(n_ab::DOUBLE * nb.n / (ma.c::DOUBLE * mb.c), 6) AS lift
+             FROM pr JOIN mg ma ON pr.item_a = ma.i
+               JOIN mg mb ON pr.item_b = mb.i, nb, ovs
+             ORDER BY 1, 2""")),
+
+    // ---- difference-in-differences -----------------------------------------
+    // deterministic 2x2 design derived from id parities (the q_cuped
+    // arm-derivation precedent); the SE replays the four-cell sum in
+    // identical term order
+    QueryDef("q_did",
+      (s, d) => graft.stat.Experiment.diffInDiff(
+          events(s, d)
+            .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+              col("value").isNotNull)
+            .withColumn("t", (col("user_id") % 2).cast("int"))
+            .withColumn("p", (col("event_id") % 2).cast("int")),
+          "t", "p", "value")
+        .select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+          round(col("mean_tpre"), 6).as("mean_tpre"),
+          round(col("mean_tpost"), 6).as("mean_tpost"),
+          round(col("mean_cpre"), 6).as("mean_cpre"),
+          round(col("mean_cpost"), 6).as("mean_cpost"),
+          round(col("did"), 6).as("did"),
+          round(col("se"), 6).as("se")),
+      Some("""WITH d AS (SELECT (user_id % 2)::INT AS t,
+               (event_id % 2)::INT AS p, value::DOUBLE AS y FROM events
+               WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                 AND value IS NOT NULL),
+             a AS (SELECT
+               sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_tpre,
+               sum(CASE WHEN t = 1 AND p = 0 THEN y END) AS s_tpre,
+               sum(CASE WHEN t = 1 AND p = 0 THEN y * y END) AS ss_tpre,
+               sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_tpost,
+               sum(CASE WHEN t = 1 AND p = 1 THEN y END) AS s_tpost,
+               sum(CASE WHEN t = 1 AND p = 1 THEN y * y END) AS ss_tpost,
+               sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_cpre,
+               sum(CASE WHEN t = 0 AND p = 0 THEN y END) AS s_cpre,
+               sum(CASE WHEN t = 0 AND p = 0 THEN y * y END) AS ss_cpre,
+               sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_cpost,
+               sum(CASE WHEN t = 0 AND p = 1 THEN y END) AS s_cpost,
+               sum(CASE WHEN t = 0 AND p = 1 THEN y * y END) AS ss_cpost
+               FROM d)
+             SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+               round(s_tpre / n_tpre, 6) AS mean_tpre,
+               round(s_tpost / n_tpost, 6) AS mean_tpost,
+               round(s_cpre / n_cpre, 6) AS mean_cpre,
+               round(s_cpost / n_cpost, 6) AS mean_cpost,
+               round((s_tpost / n_tpost - s_tpre / n_tpre) -
+                 (s_cpost / n_cpost - s_cpre / n_cpre), 6) AS did,
+               round(sqrt(
+                 (ss_tpost - s_tpost * s_tpost / n_tpost) / (n_tpost - 1)
+                   / n_tpost +
+                 (ss_tpre - s_tpre * s_tpre / n_tpre) / (n_tpre - 1)
+                   / n_tpre +
+                 (ss_cpost - s_cpost * s_cpost / n_cpost) / (n_cpost - 1)
+                   / n_cpost +
+                 (ss_cpre - s_cpre * s_cpre / n_cpre) / (n_cpre - 1)
+                   / n_cpre), 6) AS se
+             FROM a""")),
+
+    // ---- IPW average treatment effect --------------------------------------
+    // integer-derived propensities exercise BOTH clip edges (raw e spans
+    // 0.00-0.99, clip 0.05); HT and Hajek estimators in one aggregate
+    QueryDef("q_ipw",
+      (s, d) => graft.stat.Experiment.ipwAte(
+          events(s, d)
+            .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+              col("value").isNotNull)
+            .withColumn("t", (col("event_id") % 2).cast("double"))
+            .withColumn("e_raw", (col("user_id") % 100) / lit(100.0)),
+          "t", "value", "e_raw", clip = 0.05)
+        .select(col("n"), col("n_treat"), col("n_ctrl"),
+          round(col("mean_w_treat"), 6).as("mean_w_treat"),
+          round(col("mean_w_ctrl"), 6).as("mean_w_ctrl"),
+          round(col("ate_ht"), 6).as("ate_ht"),
+          round(col("ate_hajek"), 6).as("ate_hajek")),
+      Some("""WITH d AS (SELECT (event_id % 2)::DOUBLE AS t,
+               value::DOUBLE AS y,
+               least(greatest((user_id % 100) / 100.0, 0.05), 0.95) AS e
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             a AS (SELECT count(*)::BIGINT AS n,
+               sum(t)::BIGINT AS n_treat, sum(1.0 - t)::BIGINT AS n_ctrl,
+               sum(t / e) AS wt, sum((1.0 - t) / (1.0 - e)) AS wc,
+               sum(t * y / e) AS wyt,
+               sum((1.0 - t) * y / (1.0 - e)) AS wyc FROM d)
+             SELECT n, n_treat, n_ctrl,
+               round(wt / n_treat, 6) AS mean_w_treat,
+               round(wc / n_ctrl, 6) AS mean_w_ctrl,
+               round((wyt - wyc) / n, 6) AS ate_ht,
+               round(wyt / wt - wyc / wc, 6) AS ate_hajek
+             FROM a""")),
+
+    // ---- forecast accuracy metrics (per event type) ------------------------
+    // pred = previous value per user (the naive one-step forecast); the
+    // metrics aggregate is one keyed pass, no window beyond the keyed lag
+    QueryDef("q_forecast_eval",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val scored = events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull && col("event_type").isNotNull)
+          .withColumn("pred", lag("value", 1).over(w))
+        graft.eval.ForecastEval.forecastEval(
+            scored, "value", "pred", Seq("event_type"))
+          .select(col("event_type"), col("n"), col("n_zero_actual"),
+            round(col("mae"), 6).as("mae"),
+            round(col("rmse"), 6).as("rmse"),
+            round(col("bias"), 6).as("bias"),
+            round(col("mape"), 6).as("mape"),
+            round(col("smape"), 6).as("smape"),
+            round(col("wape"), 6).as("wape"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w AS (SELECT event_type, value::DOUBLE AS y,
+               lag(value::DOUBLE) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS p
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL AND event_type IS NOT NULL),
+             c AS (SELECT event_type, y, p FROM w WHERE p IS NOT NULL),
+             a AS (SELECT event_type, count(*)::BIGINT AS n,
+               sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_zero_actual,
+               avg(abs(p - y)) AS mae,
+               sqrt(avg((p - y) * (p - y))) AS rmse,
+               avg(p - y) AS bias,
+               avg(CASE WHEN y <> 0 THEN abs(p - y) / abs(y) END) AS mape,
+               avg(CASE WHEN abs(y) + abs(p) > 0
+                 THEN 2.0 * abs(p - y) / (abs(y) + abs(p))
+                 ELSE 0 END) AS smape,
+               sum(abs(p - y)) / nullif(sum(abs(y)), 0) AS wape
+               FROM c GROUP BY 1)
+             SELECT event_type, n, n_zero_actual, round(mae, 6) AS mae,
+               round(rmse, 6) AS rmse, round(bias, 6) AS bias,
+               round(mape, 6) AS mape, round(smape, 6) AS smape,
+               round(wape, 6) AS wape
+             FROM a ORDER BY event_type""")),
+
+    // ---- Box-Cox lambda selection ------------------------------------------
+    // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
+    // scaled-statistic discipline); is_best pins the grid argmax
+    QueryDef("q_boxcox",
+      (s, d) => Stats.boxCoxFit(lineitem(s, d), "l_extendedprice")
+        .select(col("lambda"), col("n"),
+          round(col("loglik") / col("n"), 6).as("loglik_per_row"),
+          col("is_best"))
+        .orderBy("lambda"),
+      Some("""WITH clean AS (SELECT l_extendedprice::DOUBLE AS x
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             lam AS (SELECT unnest([-2.0, -1.5, -1.0, -0.5, 0.0, 0.5,
+               1.0, 1.5, 2.0]) AS lambda),
+             t AS (SELECT lambda, CASE WHEN lambda = 0 THEN ln(x)
+               ELSE (pow(x, lambda) - 1) / lambda END AS t
+               FROM clean CROSS JOIN lam),
+             p AS (SELECT lambda, count(*)::DOUBLE AS n, sum(t) AS s,
+               sum(t * t) AS ss FROM t GROUP BY 1),
+             sl AS (SELECT sum(ln(x)) AS sumln FROM clean),
+             r AS (SELECT lambda, n,
+               CASE WHEN ss / n - (s / n) * (s / n) > 0 THEN
+                 -0.5 * n * ln(ss / n - (s / n) * (s / n)) +
+                 (lambda - 1) * sumln END AS ll
+               FROM p, sl)
+             SELECT lambda, n::BIGINT AS n, round(ll / n, 6)
+                 AS loglik_per_row,
+               (ll IS NOT NULL AND row_number() OVER (ORDER BY ll DESC
+                 NULLS LAST, lambda ASC) = 1) AS is_best
+             FROM r ORDER BY lambda"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

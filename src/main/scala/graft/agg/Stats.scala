@@ -1051,6 +1051,75 @@ object Stats {
           log(col("total") / col("n"))).as("theil")): _*)
   }
 
+  /** Box-Cox transform selection by profile likelihood over a λ grid:
+    * for each candidate λ, the transform y(λ) = (x^λ − 1)/λ (ln x at
+    * λ = 0) is scored by the profile log-likelihood
+    * ℓ(λ) = −n/2 · ln(σ̂²_λ) + (λ − 1)·Σ ln x, where σ̂²_λ is the
+    * population variance of the transformed values — the standard MLE
+    * identity, so argmax ℓ is the Box-Cox λ̂. Requires strictly
+    * positive values (raise_error otherwise — the [[theil]] contract).
+    *
+    * Returns one row per λ: (lambda, n, loglik, is_best), ordered by
+    * λ; is_best marks the grid argmax (ties break toward the smaller
+    * λ). Callers wanting the transform itself apply
+    * `(pow(x, λ̂) − 1)/λ̂` — fitting and applying are separate passes
+    * by design (the imputer/fencer replay precedent).
+    *
+    * Scale shape: ONE aggregate computes Σln x once plus (Σt, Σt²)
+    * per grid point — 2·|grid|+2 agg columns over one corpus scan; the
+    * per-λ rows explode from that single row, and the best-pick window
+    * runs over |grid| rows. Constant columns yield null loglik wherever
+    * the transformed variance computes exactly 0 (identity-like λ);
+    * other λ can retain a ±1-ulp variance and a huge negative loglik —
+    * the grid readout is meaningless for constant data either way, so
+    * check variance upstream, not is_best. */
+  def boxCoxFit(df: DataFrame, valueCol: String,
+                lambdas: Seq[Double] =
+                  Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0))
+      : DataFrame = {
+    require(lambdas.nonEmpty, "boxCoxFit: empty lambda grid")
+    require(lambdas.distinct.size == lambdas.size,
+      s"boxCoxFit: duplicate lambdas in grid $lambdas")
+    val v = col(valueCol).cast("double")
+    val x = when(v <= 0, raise_error(concat(
+      lit(s"boxCoxFit: non-positive value in $valueCol: "),
+      v.cast("string")))).otherwise(v)
+    // materialize each transform ONCE before aggregating — pow in the
+    // agg expressions would re-evaluate per referencing sum (the
+    // bootstrap CASE-chain lesson, NOTES r9)
+    def tf(lam: Double) =
+      if (lam == 0.0) log(col("__x"))
+      else (pow(col("__x"), lit(lam)) - 1) / lam
+    val base = df.na.drop(Seq(valueCol)).select(x.as("__x"))
+      .select(col("__x") +: lambdas.indices.map(i =>
+        tf(lambdas(i)).as(s"__t_$i")): _*)
+    val aggs = Seq(count(lit(1)).cast("double").as("__n"),
+      sum(log(col("__x"))).as("__sumln")) ++
+      lambdas.indices.flatMap { i =>
+        val t = col(s"__t_$i")
+        Seq(sum(t).as(s"__s_$i"), sum(t * t).as(s"__ss_$i"))
+      }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = lambdas.zipWithIndex.map { case (lam, i) =>
+      val n = col("__n")
+      val variance = col(s"__ss_$i") / n -
+        (col(s"__s_$i") / n) * (col(s"__s_$i") / n)
+      struct(lit(lam).as("lambda"), n.cast("long").as("n"),
+        when(variance > 0,
+          lit(-0.5) * n * log(variance) + (lit(lam) - 1) * col("__sumln"))
+          .as("loglik"))
+    }
+    val long = one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    val best = org.apache.spark.sql.expressions.Window.partitionBy()
+    long
+      .withColumn("is_best",
+        col("loglik").isNotNull &&
+          col("loglik") === max("loglik").over(best) &&
+          row_number().over(best.orderBy(
+            col("loglik").desc_nulls_last, col("lambda").asc)) === 1)
+      .orderBy("lambda")
+  }
+
   /** One-pass schema-wide table profile: for every column (or the given
     * subset), (column, n_rows, n_nonnull, n_distinct, min_str, max_str)
     * in one aggregate — the data-engineering "what is actually in this

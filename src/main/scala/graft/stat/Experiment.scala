@@ -166,6 +166,105 @@ object Experiment {
       .orderBy("bucket")
   }
 
+  /** Difference-in-differences estimate from unit-period outcome rows:
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre),
+    * the classic two-group two-period design (treatment effect under
+    * the parallel-trends assumption). `treatCol` and `postCol` are
+    * 0/1-coercible indicators. Returns ONE row: per-cell counts/means
+    * (n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre, …), the estimate,
+    * and its standard error from the four-cell variance sum
+    * SE = √(Σ s²_cell/n_cell) — exact for the cell-means estimator
+    * (equivalently the OLS interaction coefficient with
+    * heteroscedasticity-by-cell). Any empty cell yields null estimate:
+    * a missing cell means the design ran off the rails, not zero.
+    *
+    * Scale shape: ONE hash aggregate folds the corpus to the 4 cells
+    * (conditional sums — no pivot, no second scan); everything after is
+    * scalar arithmetic on one row. */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+                 yCol: String): DataFrame = {
+    val y = col(yCol).cast(DoubleType)
+    val t = col(treatCol).cast(IntegerType)
+    val p = col(postCol).cast(IntegerType)
+    val clean = df.na.drop(Seq(treatCol, postCol, yCol))
+    def cell(tv: Int, pv: Int, suffix: String) = {
+      val in = t === tv && p === pv
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, y)).as(s"__s_$suffix"),
+        sum(when(in, y * y)).as(s"__ss_$suffix"))
+    }
+    val aggs = cell(1, 0, "tpre") ++ cell(1, 1, "tpost") ++
+      cell(0, 0, "cpre") ++ cell(0, 1, "cpost")
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    def mean(sfx: String) = col(s"__s_$sfx") / col(s"n_$sfx")
+    // sample variance of the cell / its n — the SE² contribution
+    def v(sfx: String) = {
+      val n = col(s"n_$sfx").cast(DoubleType)
+      (col(s"__ss_$sfx") - col(s"__s_$sfx") * col(s"__s_$sfx") / n) /
+        (n - 1) / n
+    }
+    val allCells = Seq("tpre", "tpost", "cpre", "cpost")
+    val nonEmpty = allCells.map(sfx => col(s"n_$sfx") > 1).reduce(_ && _)
+    val est = (mean("tpost") - mean("tpre")) -
+      (mean("cpost") - mean("cpre"))
+    val se = sqrt(v("tpost") + v("tpre") + v("cpost") + v("cpre"))
+    one
+      .withColumn("mean_tpre", when(col("n_tpre") > 0, mean("tpre")))
+      .withColumn("mean_tpost", when(col("n_tpost") > 0, mean("tpost")))
+      .withColumn("mean_cpre", when(col("n_cpre") > 0, mean("cpre")))
+      .withColumn("mean_cpost", when(col("n_cpost") > 0, mean("cpost")))
+      .withColumn("did", when(nonEmpty, est))
+      .withColumn("se", when(nonEmpty, se))
+      .select("n_tpre", "n_tpost", "n_cpre", "n_cpost",
+        "mean_tpre", "mean_tpost", "mean_cpre", "mean_cpost", "did", "se")
+  }
+
+  /** Inverse-probability-weighted average treatment effect from scored
+    * rows (unit, 0/1 treatment, outcome, propensity e = P(T=1|X) from
+    * any upstream model — e.g. [[graft.pipeline.Classify]]'s logistic
+    * scores). Emits BOTH standard estimators:
+    *
+    *  - Horvitz-Thompson: ATE_ht = mean(t·y/e − (1−t)·y/(1−e)) — the
+    *    textbook unbiased form, variance-fragile when weights get big;
+    *  - Hájek (self-normalized): Σ(t·y/e)/Σ(t/e) −
+    *    Σ((1−t)y/(1−e))/Σ((1−t)/(1−e)) — the production default, exact
+    *    under weight scaling.
+    *
+    * Propensities clip into [clip, 1−clip] FIRST (the standard
+    * positivity trim; extreme e would hand one unit the whole
+    * estimate). Returns ONE row: (n, n_treat, n_ctrl, mean_w_treat,
+    * mean_w_ctrl, ate_ht, ate_hajek). One hash aggregate over the
+    * scored frame — nothing downstream grows with the data. Either arm
+    * empty yields null ATEs. */
+  def ipwAte(df: DataFrame, treatCol: String, yCol: String,
+             propensityCol: String, clip: Double = 0.01): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"ipwAte: clip must be in [0, 0.5), got $clip")
+    val t = col(treatCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val e = least(greatest(col(propensityCol).cast(DoubleType), lit(clip)),
+      lit(1.0 - clip))
+    val clean = df.na.drop(Seq(treatCol, yCol, propensityCol))
+    val one = clean.agg(
+      count(lit(1)).as("n"),
+      sum(t).cast("long").as("n_treat"),
+      sum(lit(1.0) - t).cast("long").as("n_ctrl"),
+      sum(t / e).as("__wt"), sum((lit(1.0) - t) / (lit(1.0) - e)).as("__wc"),
+      sum(t * y / e).as("__wyt"),
+      sum((lit(1.0) - t) * y / (lit(1.0) - e)).as("__wyc"))
+    val both = col("n_treat") > 0 && col("n_ctrl") > 0
+    one
+      .withColumn("mean_w_treat",
+        when(col("n_treat") > 0, col("__wt") / col("n_treat")))
+      .withColumn("mean_w_ctrl",
+        when(col("n_ctrl") > 0, col("__wc") / col("n_ctrl")))
+      .withColumn("ate_ht",
+        when(both, (col("__wyt") - col("__wyc")) / col("n")))
+      .withColumn("ate_hajek",
+        when(both, col("__wyt") / col("__wt") - col("__wyc") / col("__wc")))
+      .select("n", "n_treat", "n_ctrl", "mean_w_treat", "mean_w_ctrl",
+        "ate_ht", "ate_hajek")
+  }
+
   private def toRow(spark: SparkSession, row: Row,
                     schema: StructType): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -563,4 +563,45 @@ class StatsSpec extends SparkSpec {
       Seq(("g", -1.0)).toDF("g", "x"), Seq("g"), "x").collect())
     assert(e2.getMessage.contains("negative"))
   }
+
+  test("boxCoxFit: profile likelihood matches the sequential identity " +
+    "and picks log for lognormal data") {
+    import spark.implicits._
+    // deterministic lognormal-ish sample: exp of a symmetric grid — the
+    // profile likelihood must peak at lambda = 0 (the log transform)
+    val zs = (-40 to 40).map(_ / 10.0)
+    val xs = zs.map(math.exp)
+    val got = graft.agg.Stats.boxCoxFit(xs.toDF("x"), "x")
+      .orderBy("lambda").collect()
+    assert(got.length == 9)
+    // sequential reference for each lambda
+    def ll(lam: Double): Double = {
+      val t = if (lam == 0.0) xs.map(math.log)
+      else xs.map(x => (math.pow(x, lam) - 1) / lam)
+      val n = t.size.toDouble
+      val m = t.sum / n
+      val v = t.map(z => z * z).sum / n - m * m
+      -0.5 * n * math.log(v) + (lam - 1) * xs.map(math.log).sum
+    }
+    got.foreach { r =>
+      val lam = r.getDouble(0)
+      assert(r.getLong(1) == xs.size.toLong)
+      assert(math.abs(r.getDouble(2) - ll(lam)) < 1e-6 * math.abs(ll(lam)),
+        s"loglik mismatch at lambda=$lam")
+    }
+    val best = got.filter(_.getBoolean(3))
+    assert(best.length == 1 && best(0).getDouble(0) == 0.0)
+    // non-positive input is an error, not a silent NaN
+    val err = intercept[Exception](graft.agg.Stats.boxCoxFit(
+      Seq(1.0, 0.0).toDF("x"), "x").collect())
+    assert(err.getMessage.contains("non-positive"))
+    // constant column: exact-zero variance lambdas (the identity
+    // transform) yield null loglik; ulp-variance lambdas may survive
+    // with a huge negative loglik — the readout is documented as
+    // meaningless for constant data, but it must not throw
+    val const = graft.agg.Stats.boxCoxFit(
+      Seq(2.0, 2.0, 2.0).toDF("x"), "x").collect()
+    val identity = const.find(_.getDouble(0) == 1.0).get
+    assert(identity.isNullAt(2) && !identity.getBoolean(3))
+  }
 }

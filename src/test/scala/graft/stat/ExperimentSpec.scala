@@ -126,4 +126,57 @@ class ExperimentSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("z"))
   }
+
+  test("diffInDiff recovers a planted effect with parallel trends") {
+    import spark.implicits._
+    // control: 10 -> 12 (trend +2); treated: 20 -> 25 (trend +2, effect +3)
+    // two units per cell with ±1 spread so the SE is well-defined
+    val rows = Seq(
+      (1, 0, 19.0), (1, 0, 21.0), (1, 1, 24.0), (1, 1, 26.0),
+      (0, 0, 9.0), (0, 0, 11.0), (0, 1, 11.0), (0, 1, 13.0))
+    val got = Experiment.diffInDiff(rows.toDF("t", "p", "y"), "t", "p", "y")
+      .head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L &&
+      got.getLong(2) == 2L && got.getLong(3) == 2L)
+    assert(math.abs(got.getDouble(4) - 20.0) < 1e-12) // mean_tpre
+    assert(math.abs(got.getDouble(8) - 3.0) < 1e-12)  // did
+    // each cell: s² = 2, n = 2 -> v = 1; SE = sqrt(4) = 2
+    assert(math.abs(got.getDouble(9) - 2.0) < 1e-12)
+    // an empty cell nulls the estimate rather than faking a zero
+    val missing = Experiment.diffInDiff(
+      rows.filterNot(r => r._1 == 1 && r._2 == 1).toDF("t", "p", "y"),
+      "t", "p", "y").head()
+    assert(missing.isNullAt(8) && missing.isNullAt(9))
+  }
+
+  test("ipwAte: HT and Hajek agree on balanced uniform propensities") {
+    import spark.implicits._
+    // e = 0.5 everywhere: IPW reduces to the two-arm mean difference
+    val rows = Seq((1.0, 10.0, 0.5), (1.0, 14.0, 0.5),
+      (0.0, 6.0, 0.5), (0.0, 10.0, 0.5))
+    val got = Experiment.ipwAte(rows.toDF("t", "y", "e"), "t", "y", "e")
+      .head()
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L && got.getLong(2) == 2L)
+    assert(math.abs(got.getDouble(5) - 4.0) < 1e-12) // ate_ht
+    assert(math.abs(got.getDouble(6) - 4.0) < 1e-12) // ate_hajek
+  }
+
+  test("ipwAte clips extreme propensities and hand-checks the weighted sums") {
+    import spark.implicits._
+    // e = 0.001 clips to 0.05; e = 0.999 clips to 0.95
+    val rows = Seq((1.0, 2.0, 0.001), (0.0, 3.0, 0.999))
+    val got = Experiment.ipwAte(rows.toDF("t", "y", "e"), "t", "y", "e",
+      clip = 0.05).head()
+    val wyt = 2.0 / 0.05; val wyc = 3.0 / 0.05
+    assert(math.abs(got.getDouble(5) - (wyt - wyc) / 2) < 1e-12)
+    // Hajek normalizes the clipped weights away entirely here
+    assert(math.abs(got.getDouble(6) - (2.0 - 3.0)) < 1e-12)
+    // single-arm input -> null ATEs
+    val oneArm = Experiment.ipwAte(
+      Seq((1.0, 2.0, 0.5)).toDF("t", "y", "e"), "t", "y", "e").head()
+    assert(oneArm.isNullAt(5) && oneArm.isNullAt(6))
+    intercept[IllegalArgumentException] {
+      Experiment.ipwAte(rows.toDF("t", "y", "e"), "t", "y", "e", clip = 0.6)
+    }
+  }
 }
