@@ -8065,7 +8065,10 @@ object Queries {
       (s, d) => graft.stat.InferenceTests.kendallTauB(
           lineitem(s, d), "l_quantity", "l_discount")
         .select(col("n"), col("cells"), col("concordant"), col("discordant"),
-          round(col("tau_b"), 6).as("tau_b")),
+          round(col("tau_b"), 6).as("tau_b"),
+          round(col("gamma"), 6).as("gamma"),
+          round(col("somers_d_ba"), 6).as("somers_d_ba"),
+          round(col("somers_d_ab"), 6).as("somers_d_ab")),
       Some("""WITH cells AS (SELECT l_quantity AS a, l_discount AS b,
                count(*)::BIGINT AS n FROM lineitem
                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
@@ -8085,7 +8088,12 @@ object Queries {
              SELECT nt::BIGINT AS n, cells, c AS concordant, d AS discordant,
                round((c - d)::DOUBLE / sqrt(
                  (nt * (nt - 1) / 2 - n1t)::DOUBLE *
-                 (nt * (nt - 1) / 2 - n2t)::DOUBLE), 6) AS tau_b
+                 (nt * (nt - 1) / 2 - n2t)::DOUBLE), 6) AS tau_b,
+               round((c - d)::DOUBLE / (c + d), 6) AS gamma,
+               round((c - d)::DOUBLE / (nt * (nt - 1) / 2 - n1t), 6)
+                 AS somers_d_ba,
+               round((c - d)::DOUBLE / (nt * (nt - 1) / 2 - n2t), 6)
+                 AS somers_d_ab
              FROM tot, pr, ta, tb""")),
 
     // ---- Kaplan-Meier survival (time to first purchase, right-censored) ----
@@ -9950,6 +9958,154 @@ object Queries {
                round(mape, 6) AS mape, round(smape, 6) AS smape,
                round(wape, 6) AS wape
              FROM a ORDER BY event_type""")),
+
+    // ---- McNemar paired-binary test ----------------------------------------
+    // two derived "classifiers" on the same rows; only discordant cells
+    // enter the statistic — counts exact, one division
+    QueryDef("q_mcnemar",
+      (s, d) => graft.stat.InferenceTests.mcnemar(
+          lineitem(s, d)
+            .filter(col("l_discount").isNotNull && col("l_tax").isNotNull)
+            .withColumn("pa", col("l_discount") > 0.05)
+            .withColumn("pb", col("l_tax") > 0.04),
+          "pa", "pb")
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("chi2_corrected"), 6).as("chi2_corrected")),
+      Some("""WITH d AS (SELECT (l_discount > 0.05) AS a,
+               (l_tax > 0.04) AS b FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+             g AS (SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+               sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+               sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+               sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                 AS n00 FROM d)
+             SELECT n, n11, n10, n01, n00,
+               round((n10 - n01)::DOUBLE * (n10 - n01) / (n10 + n01), 6)
+                 AS chi2,
+               round((abs((n10 - n01)::DOUBLE) - 1) *
+                 (abs((n10 - n01)::DOUBLE) - 1) / (n10 + n01), 6)
+                 AS chi2_corrected
+             FROM g""")),
+
+    // ---- multiple-testing corrections (Bonferroni / Holm / BH) -------------
+    // the correction mechanics over a deterministic p column — rank
+    // windows over the m-row hypothesis frame, running max/min replayed
+    QueryDef("q_fdr_adjust",
+      (s, d) => graft.stat.InferenceTests.multipleTestAdjust(
+          s.read.parquet(s"$d/supplier.parquet")
+            .filter(col("s_suppkey").isNotNull)
+            .withColumn("p", (col("s_suppkey") * 61 % 101) / lit(101.0)),
+          "p", Seq("s_suppkey"))
+        .select(col("s_suppkey"), round(col("p"), 6).as("p"),
+          col("rank").cast("long").as("rank"),
+          round(col("p_bonferroni"), 6).as("p_bonferroni"),
+          round(col("p_holm"), 6).as("p_holm"),
+          round(col("p_bh"), 6).as("p_bh"))
+        .orderBy("rank"),
+      Some("""WITH h AS (SELECT s_suppkey,
+               (s_suppkey * 61 % 101) / 101.0 AS p FROM supplier
+               WHERE s_suppkey IS NOT NULL),
+             mm AS (SELECT count(*)::BIGINT AS m FROM h),
+             r AS (SELECT s_suppkey, p, m,
+               row_number() OVER (ORDER BY p, s_suppkey) AS rank
+               FROM h, mm),
+             adj AS (SELECT *,
+               least(1.0, p * m) AS pb,
+               max(least(1.0, p * (m - rank + 1))) OVER (ORDER BY p,
+                 s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                 ROW) AS ph,
+               min(least(1.0, p * m / rank)) OVER (ORDER BY p, s_suppkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pbh
+               FROM r)
+             SELECT s_suppkey, round(p, 6) AS p, rank,
+               round(pb, 6) AS p_bonferroni, round(ph, 6) AS p_holm,
+               round(pbh, 6) AS p_bh
+             FROM adj ORDER BY rank""")),
+
+    // ---- partial autocorrelation (Durbin-Levinson over the ACF) ------------
+    // the oracle unrolls the IDENTICAL recursion term-for-term from the
+    // same unrounded per-user autocorrelations q_acf pins
+    QueryDef("q_pacf",
+      (s, d) => graft.events.TimeSeries.pacf(events(s, d),
+          Seq("user_id"), "ts", "event_id", "value", maxLag = 3)
+        .select(col("user_id"), col("lag"),
+          round(col("pacf"), 6).as("pacf"))
+        .orderBy("user_id", "lag"),
+      Some("""WITH b AS (SELECT user_id, event_id, value::DOUBLE AS x,
+               epoch_us(ts) AS tsu
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND value IS NOT NULL),
+             m AS (SELECT user_id, x,
+               avg(x) OVER (PARTITION BY user_id) AS mu,
+               lead(x, 1) OVER w AS l1, lead(x, 2) OVER w AS l2,
+               lead(x, 3) OVER w AS l3
+               FROM b WINDOW w AS (PARTITION BY user_id
+                 ORDER BY tsu, event_id)),
+             a AS (SELECT user_id,
+               sum((x - mu) * (x - mu)) AS den,
+               sum((x - mu) * (l1 - mu)) AS n1,
+               sum((x - mu) * (l2 - mu)) AS n2,
+               sum((x - mu) * (l3 - mu)) AS n3
+               FROM m GROUP BY 1),
+             rho AS (SELECT user_id, n1 / nullif(den, 0) AS r1,
+               n2 / nullif(den, 0) AS r2, n3 / nullif(den, 0) AS r3
+               FROM a),
+             dl AS (SELECT user_id, r1, r2, r3,
+               r1 AS phi11,
+               (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS phi22
+               FROM rho),
+             dl2 AS (SELECT *, phi11 - phi22 * phi11 AS phi21 FROM dl),
+             dl3 AS (SELECT user_id, phi11, phi22,
+               (r3 - phi21 * r2 - phi22 * r1) /
+                 nullif(1 - phi21 * r1 - phi22 * r2, 0) AS phi33
+               FROM dl2)
+             SELECT user_id, lag, round(pacf, 6) AS pacf FROM (
+               SELECT user_id, 1 AS lag, phi11 AS pacf FROM dl3
+               UNION ALL SELECT user_id, 2, phi22 FROM dl3
+               UNION ALL SELECT user_id, 3, phi33 FROM dl3)
+             ORDER BY user_id, lag""")),
+
+    // ---- cross-correlation function (hourly view vs click values) ----------
+    // one +-K explode + co-partitioned equi-join on the shifted hour
+    // index; the raw-sums correlation identity folds per lag
+    QueryDef("q_ccf",
+      (s, d) => {
+        val hourly = events(s, d)
+          .filter(col("ts").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("i", expr("unix_micros(ts) div 3600000000"))
+          .groupBy("i")
+          .agg(avg(when(col("event_type") === "view", col("value")))
+            .as("x"),
+            avg(when(col("event_type") === "click", col("value")))
+              .as("y"))
+        graft.events.TimeSeries.crossCorrelation(
+            hourly, Nil, "i", "x", "y", maxLag = 6)
+          .select(col("lag"), col("n"), round(col("r"), 6).as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS i,
+               avg(CASE WHEN event_type = 'view' THEN value END) AS x,
+               avg(CASE WHEN event_type = 'click' THEN value END) AS y
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1),
+             lags AS (SELECT unnest([-6, -5, -4, -3, -2, -1, 0, 1, 2, 3,
+               4, 5, 6]) AS lag),
+             j AS (SELECT l.lag, a.x, b.y
+               FROM e a CROSS JOIN lags l JOIN e b ON a.i + l.lag = b.i
+               WHERE a.x IS NOT NULL AND b.y IS NOT NULL),
+             g AS (SELECT lag, count(*)::BIGINT AS n, sum(x) AS sx,
+               sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(x * y) AS sxy FROM j GROUP BY 1),
+             o AS (SELECT lag::INT AS lag, n,
+               CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+                 THEN (n * sxy - sx * sy) /
+                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r
+               FROM g)
+             SELECT lag, n, round(r, 6) AS r FROM o ORDER BY lag""")),
 
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the

@@ -1,8 +1,9 @@
 package graft.events
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** Per-key time-series health and monitoring operators: gap analysis
   * (instrumentation outages), time-weighted averages (step-function
@@ -155,6 +156,127 @@ object TimeSeries {
     perKey.select(kc ++ Seq(col("n"), col("__den"), expr(stackExpr)): _*)
       .select(kc ++ Seq(col("lag"), col("n"),
         (col("__num") / nullif(col("__den"), lit(0.0))).as("acf")): _*)
+  }
+
+  /** Partial autocorrelation per key via the Durbin-Levinson recursion
+    * over [[acf]]'s autocorrelations: PACF(k) = φ_kk, with
+    *
+    *   φ_kk = (ρ_k − Σ_{j<k} φ_{k−1,j}·ρ_{k−j}) /
+    *          (1 − Σ_{j<k} φ_{k−1,j}·ρ_j),
+    *   φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}
+    *
+    * (inner sums accumulated in ascending j — the op order an oracle
+    * unrolls term-for-term). The distributed work IS the acf pass; the
+    * recursion itself runs driver-side over the collected
+    * (#keys × maxLag) acf frame — bounded by `maxKeys`, the same
+    * driver-scale contract as the strata collects. A null ρ (zero
+    * variance) nulls that key's pacf from the first affected lag on.
+    * Returns (keys…, lag, pacf) for lag = 1..maxLag. */
+  def pacf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, maxLag: Int, maxKeys: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val rho = acf(df, keys, tsCol, tieCol, valueCol, maxLag)
+      .select(keys.map(col) :+ col("lag") :+ col("acf"): _*)
+      .collect()
+    require(rho.length <= maxKeys.toLong * maxLag,
+      s"pacf: ${rho.length} (key, lag) acf rows exceed maxKeys=$maxKeys × " +
+        s"maxLag=$maxLag — the Durbin-Levinson recursion is driver-side")
+    val k = keys.length
+    val byKey = rho.groupBy(r => (0 until k).map(r.get).toSeq)
+    val out = byKey.toSeq.flatMap { case (keyVals, rows) =>
+      val rhoMap = rows.map(r => r.getInt(k) -> (
+        if (r.isNullAt(k + 1)) None else Some(r.getDouble(k + 1)))).toMap
+      // phi(k-1) coefficients, built up lag by lag; None poisons onward
+      var prev = Array.empty[Double]
+      var poisoned = false
+      (1 to maxLag).map { lag =>
+        val pk: Option[Double] =
+          if (poisoned) None
+          else rhoMap.getOrElse(lag, None) match {
+            case None => poisoned = true; None
+            case Some(rhoK) =>
+              if (lag == 1) { prev = Array(rhoK); Some(rhoK) }
+              else {
+                var num = rhoK; var den = 1.0
+                var j = 1
+                while (j < lag) {
+                  num -= prev(j - 1) * rhoMap(lag - j).get
+                  den -= prev(j - 1) * rhoMap(j).get
+                  j += 1
+                }
+                if (den == 0.0) { poisoned = true; None }
+                else {
+                  val phiKK = num / den
+                  val next = new Array[Double](lag)
+                  var i = 1
+                  while (i < lag) {
+                    next(i - 1) = prev(i - 1) - phiKK * prev(lag - i - 1)
+                    i += 1
+                  }
+                  next(lag - 1) = phiKK
+                  prev = next
+                  Some(phiKK)
+                }
+              }
+          }
+        Row.fromSeq(keyVals ++ Seq(lag,
+          pk.map(java.lang.Double.valueOf).orNull))
+      }
+    }
+    val keySchema = StructType(keys.map(c =>
+      StructField(c, df.schema(c).dataType)))
+    val schema = StructType(keySchema.fields ++ Seq(
+      StructField("lag", IntegerType), StructField("pacf", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, schema)
+  }
+
+  /** Cross-correlation function between two ALIGNED series per key:
+    * Pearson r between x_t and y_{t+lag} for every lag in
+    * [−maxLag, maxLag], over an integer-indexed grid (`idxCol` — build
+    * it upstream with a date_diff/window bucketing; requiring the grid
+    * makes "aligned" explicit instead of silently joining ragged
+    * timestamps). Sign convention: r at POSITIVE lag correlates x now
+    * with y `lag` steps LATER, so a peak at +k means x LEADS y by k
+    * (y is a delayed copy/echo of x); a peak at −k means y leads x.
+    *
+    * Scale shape: ONE ±maxLag explode of the x side (2K+1 rows per
+    * observation, K ≪ series length), an equi-join on (keys, shifted
+    * index) — co-partitioned, never a cross join — and one hash
+    * aggregate keyed on (keys, lag) folding the raw-sums correlation
+    * identity. Lags with < 2 matched points or zero variance yield
+    * null r. Returns (keys…, lag, n, r). */
+  def crossCorrelation(df: DataFrame, keys: Seq[String], idxCol: String,
+                       xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"crossCorrelation: maxLag must be >= 1, got $maxLag")
+    val kc = keys.map(col)
+    val base = df.na.drop(keys :+ idxCol)
+    val xs = base.na.drop(Seq(xCol)).select(
+      kc ++ Seq(col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("double").as("__x")): _*)
+      .withColumn("__lag",
+        explode(array((-maxLag to maxLag).map(lit): _*)))
+    val ys = base.na.drop(Seq(yCol)).select(
+      kc ++ Seq(col(idxCol).cast("long").as("__j"),
+        col(yCol).cast("double").as("__y")): _*)
+    val joined = xs.join(ys,
+      (keys.map(c => xs(c) === ys(c)) :+
+        ((col("__i") + col("__lag")) === col("__j"))).reduce(_ && _))
+      .select(xs("*"), col("__y"))
+    val agg = joined.groupBy(kc :+ col("__lag").as("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    agg
+      .withColumn("r",
+        when(col("n") >= 2 && vx > 0 && vy > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy)))
+      .select(kc ++ Seq(col("lag"), col("n"), col("r")): _*)
   }
 
   /** Holt linear (double-exponential) smoothing per key — EWMA plus a

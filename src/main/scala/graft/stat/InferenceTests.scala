@@ -299,7 +299,11 @@ object InferenceTests {
     * (bucketize first), the same refuse-don't-pretend stance as
     * mannKendall's maxN. All counts are exact longs; only the final
     * ratio is float. Returns ONE row: (n, cells, concordant, discordant,
-    * tau_b); a single-valued column (denominator 0) yields null tau. */
+    * tau_b, gamma, somers_d_ba, somers_d_ab) — Goodman-Kruskal gamma
+    * = (C−D)/(C+D) (ties ignored entirely) and both Somers' D
+    * directions ((C−D)/(n₀−n₁) predicts b from a; (n₀−n₂) the
+    * converse) ride along free, they share every count. A
+    * single-valued column (denominator 0) yields nulls. */
   def kendallTauB(df: DataFrame, aCol: String, bCol: String,
                   maxCells: Int = 100000): DataFrame = {
     val cells = df.na.drop(Seq(aCol, bCol))
@@ -332,13 +336,91 @@ object InferenceTests {
     val n0 = col("__nTot") * (col("__nTot") - 1) / 2
     val denom = (n0 - col("__n1t")).cast("double") *
       (n0 - col("__n2t")).cast("double")
+    val cd = (col("concordant") - col("discordant")).cast("double")
     one
       .withColumn("n", col("__nTot").cast("long"))
-      .withColumn("tau_b",
-        when(denom > 0,
-          (col("concordant") - col("discordant")).cast("double") /
-            sqrt(denom)))
-      .select("n", "cells", "concordant", "discordant", "tau_b")
+      .withColumn("tau_b", when(denom > 0, cd / sqrt(denom)))
+      .withColumn("gamma",
+        when(col("concordant") + col("discordant") > 0,
+          cd / (col("concordant") + col("discordant"))))
+      .withColumn("somers_d_ba",
+        when(n0 - col("__n1t") > 0, cd / (n0 - col("__n1t"))))
+      .withColumn("somers_d_ab",
+        when(n0 - col("__n2t") > 0, cd / (n0 - col("__n2t"))))
+      .select("n", "cells", "concordant", "discordant", "tau_b",
+        "gamma", "somers_d_ba", "somers_d_ab")
+  }
+
+  /** McNemar's test for paired binary outcomes (two classifiers scored
+    * on the SAME rows — the model-comparison companion of
+    * [[cohenKappa]]): only the discordant cells matter,
+    * chi2 = (b−c)²/(b+c) over b = (1,0) and c = (0,1) counts, plus the
+    * Edwards continuity-corrected form (|b−c|−1)²/(b+c). Returns ONE
+    * row: (n, n11, n10, n01, n00, chi2, chi2_corrected); no discordant
+    * pairs (b+c = 0) yields null statistics — the test is about
+    * disagreement, and there is none. One conditional aggregate,
+    * nothing downstream of it. p-values via [[chiSquarePValue]] at
+    * dof 1. */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val one = df.na.drop(Seq(aCol, bCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val disc = (col("n10") + col("n01")).cast("double")
+    val diff = (col("n10") - col("n01")).cast("double")
+    one
+      .withColumn("chi2", when(disc > 0, diff * diff / disc))
+      .withColumn("chi2_corrected",
+        when(disc > 0, (abs(diff) - 1) * (abs(diff) - 1) / disc))
+      .select("n", "n11", "n10", "n01", "n00", "chi2", "chi2_corrected")
+  }
+
+  /** Multiple-testing corrections over a hypothesis frame (one row per
+    * test with its p-value): appends
+    *
+    *  - `rank` — 1-based ascending p order (ties broken by `tieCols`,
+    *    which must make the order total for a replayable result),
+    *  - `p_bonferroni` — min(1, p·m),
+    *  - `p_holm` — step-down: running max over ascending ranks of
+    *    min(1, p·(m−i+1)),
+    *  - `p_bh` — Benjamini-Hochberg step-up: running min over
+    *    DESCENDING ranks of min(1, p·m/i); reject at level α ⇔
+    *    p_bh ≤ α.
+    *
+    * The two running extremes are windows over the HYPOTHESIS frame —
+    * m rows, one per test, inherently driver-scale (a 100-TB corpus
+    * produces the p-values; the correction runs on the handful of
+    * tests), so the unpartitioned window is bounded by construction
+    * and `maxTests` makes the bound explicit (refuse beyond it rather
+    * than funnel an unbounded frame through one task). */
+  def multipleTestAdjust(df: DataFrame, pCol: String,
+                         tieCols: Seq[String],
+                         maxTests: Int = 1000000): DataFrame = {
+    require(tieCols.nonEmpty,
+      "multipleTestAdjust needs tie-break columns for a total order")
+    val clean = df.na.drop(pCol +: tieCols).persist()
+    val m = clean.count()
+    require(m <= maxTests,
+      s"multipleTestAdjust: $m hypotheses exceed maxTests=$maxTests — " +
+        "the correction frame must stay window-sized")
+    val p = col(pCol).cast("double")
+    val orderCols = p.asc +: tieCols.map(col(_).asc)
+    val wUp = Window.orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDown = Window.orderBy(orderCols: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ranked = clean
+      .withColumn("rank", row_number().over(Window.orderBy(orderCols: _*)))
+    ranked
+      .withColumn("p_bonferroni", least(lit(1.0), p * m))
+      .withColumn("p_holm",
+        max(least(lit(1.0), p * (lit(m) - col("rank") + 1))).over(wUp))
+      .withColumn("p_bh",
+        min(least(lit(1.0), p * m / col("rank"))).over(wDown))
   }
 
   /** Two-sided p-values for the statistics above (CDF-dependent, so

@@ -329,4 +329,96 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("resample"))
   }
+
+  test("pacf matches an independent Yule-Walker solve per lag") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0, 3.0, 5.0)
+    val df = evts(xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong * 10, i.toLong, v) })
+    val got = TimeSeries.pacf(df, Seq("user_id"), "ts", "event_id",
+        "value", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // reference: biased acf, then phi_kk from a Gaussian-elimination
+    // solve of the k x k Toeplitz Yule-Walker system (independent of
+    // the operator's Durbin-Levinson recursion)
+    val m = xs.sum / xs.length
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    def rho(l: Int): Double =
+      if (l == 0) 1.0
+      else xs.dropRight(l).zip(xs.drop(l))
+        .map { case (a, b) => (a - m) * (b - m) }.sum / den
+    def phiKK(k: Int): Double = {
+      val a = Array.tabulate(k, k)((i, j) => rho(math.abs(i - j)))
+      val b = Array.tabulate(k)(i => rho(i + 1))
+      for (c <- 0 until k) { // partial-pivot elimination
+        val piv = (c until k).maxBy(r => math.abs(a(r)(c)))
+        val (ta, tb) = (a(piv), b(piv)); a(piv) = a(c); a(c) = ta
+        val t2 = b(piv); b(piv) = b(c); b(c) = t2
+        for (r <- c + 1 until k) {
+          val f = a(r)(c) / a(c)(c)
+          for (j <- c until k) a(r)(j) -= f * a(c)(j)
+          b(r) -= f * b(c)
+        }
+      }
+      val sol = new Array[Double](k)
+      for (r <- (k - 1) to 0 by -1) {
+        var s = b(r)
+        for (j <- r + 1 until k) s -= a(r)(j) * sol(j)
+        sol(r) = s / a(r)(r)
+      }
+      sol(k - 1)
+    }
+    (1 to 3).foreach { k =>
+      assert(math.abs(got(k) - phiKK(k)) < 1e-10, s"lag $k")
+    }
+  }
+
+  test("pacf: constant series nulls every lag; keys stay independent") {
+    val df = evts(Seq((1L, 0L, 1L, 7.0), (1L, 10L, 2L, 7.0),
+      (1L, 20L, 3L, 7.0), (1L, 30L, 4L, 7.0)) ++
+      Seq(1.0, 3.0, 2.0, 5.0).zipWithIndex.map { case (v, i) =>
+        (2L, i.toLong * 10, 10L + i, v) })
+    val got = TimeSeries.pacf(df, Seq("user_id"), "ts", "event_id",
+      "value", maxLag = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(got((1L, 1)).isEmpty && got((1L, 2)).isEmpty)
+    assert(got((2L, 1)).isDefined)
+  }
+
+  test("crossCorrelation finds the planted lead at the documented sign") {
+    import spark.implicits._
+    // y is x delayed by 2 steps (x leads y): the CCF must peak at +2
+    val n = 40
+    val x = (0 until n).map(i => math.sin(i * 0.7) + 0.1 * i)
+    val rows = (0 until n).flatMap { i =>
+      val y = if (i >= 2) Some(x(i - 2)) else None
+      Seq((i.toLong, Some(x(i)), y))
+    }
+    val df = rows.toDF("i", "x", "y")
+    val got = TimeSeries.crossCorrelation(df, Nil, "i", "x", "y", 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(2) - 1.0) < 1e-9)
+    assert((-3 to 3).filter(_ != 2).forall(l => got(l) < 0.999))
+    // keyed variant keeps series separate
+    val keyed = rows.map { case (i, xv, yv) => ("a", i, xv, yv) } ++
+      rows.map { case (i, xv, yv) => ("b", i, yv, xv) } // reversed roles
+    val kg = TimeSeries.crossCorrelation(
+        keyed.toDF("k", "i", "x", "y"), Seq("k"), "i", "x", "y", 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(kg(("a", 2)) - 1.0) < 1e-9)
+    assert(math.abs(kg(("b", -2)) - 1.0) < 1e-9) // reversed: y leads x
+  }
+
+  test("crossCorrelation: short overlaps and zero variance yield null r") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, 5.0), (1L, 2.0, 5.0), (2L, 3.0, 5.0))
+      .toDF("i", "x", "y")
+    val got = TimeSeries.crossCorrelation(df, Nil, "i", "x", "y", 2)
+      .collect()
+    // y is constant: every lag's r is null, n still reported
+    assert(got.nonEmpty && got.forall(_.isNullAt(2)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.crossCorrelation(df, Nil, "i", "x", "y", 0)
+    }
+  }
 }

@@ -251,6 +251,78 @@ class InferenceTestsSpec extends SparkSpec {
     assert(InferenceTests.kendallTauPValue(45L, 0L, 10L) < 0.001)
   }
 
+  test("kendallTauB companions: gamma ignores ties, Somers' D directions") {
+    import spark.implicits._
+    val xs = Seq((1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 1), (3, 3),
+      (4, 2), (4, 4), (5, 5))
+    val got = InferenceTests.kendallTauB(xs.toDF("a", "b"), "a", "b").head()
+    val (cC, dC) = (got.getLong(2), got.getLong(3))
+    val n = xs.size.toDouble
+    val n0 = n * (n - 1) / 2
+    val n1 = xs.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * (t - 1) / 2).sum
+    val n2 = xs.groupBy(_._2).values.map(_.size.toDouble)
+      .map(t => t * (t - 1) / 2).sum
+    assert(math.abs(got.getDouble(5) - (cC - dC).toDouble / (cC + dC))
+      < 1e-12)
+    assert(math.abs(got.getDouble(6) - (cC - dC) / (n0 - n1)) < 1e-12)
+    assert(math.abs(got.getDouble(7) - (cC - dC) / (n0 - n2)) < 1e-12)
+    // all-tied pair column: gamma null (no concordant or discordant)
+    val tied = InferenceTests.kendallTauB(
+      Seq((1, 1), (2, 1), (1, 1)).toDF("a", "b"), "a", "b").head()
+    assert(tied.isNullAt(5))
+  }
+
+  test("mcnemar counts discordant cells and matches the textbook statistic") {
+    import spark.implicits._
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(10)((false, false))
+    val got = InferenceTests.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert(got.getLong(0) == 36L)
+    assert(got.getLong(1) == 20L && got.getLong(2) == 5L &&
+      got.getLong(3) == 1L && got.getLong(4) == 10L)
+    assert(math.abs(got.getDouble(5) - 16.0 / 6) < 1e-12)
+    assert(math.abs(got.getDouble(6) - 9.0 / 6) < 1e-12)
+    // perfectly-agreeing classifiers: no discordance, null statistics
+    val agree = InferenceTests.mcnemar(
+      Seq((true, true), (false, false)).toDF("a", "b"), "a", "b").head()
+    assert(agree.isNullAt(5) && agree.isNullAt(6))
+  }
+
+  test("multipleTestAdjust reproduces the sequential BH / Holm / " +
+    "Bonferroni adjustments") {
+    import spark.implicits._
+    val ps = Seq(0.01, 0.04, 0.03, 0.005, 0.2, 0.04) // dup p needs the tie
+    val df = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "p")
+    val got = InferenceTests.multipleTestAdjust(df, "p", Seq("id"))
+      .orderBy("rank").collect()
+    val m = ps.size
+    // sequential reference over (p, id)-sorted hypotheses
+    val sorted = ps.zipWithIndex.sortBy { case (p, i) => (p, i) }
+    val bonf = sorted.map { case (p, _) => math.min(1.0, p * m) }
+    val holm = sorted.zipWithIndex
+      .map { case ((p, _), i) => math.min(1.0, p * (m - i)) }
+      .scanLeft(0.0)(math.max).tail
+    val bh = sorted.zipWithIndex
+      .map { case ((p, _), i) => math.min(1.0, p * m / (i + 1)) }
+      .scanRight(1.0)(math.min).init
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(2) == i + 1)
+      assert(math.abs(r.getDouble(3) - bonf(i)) < 1e-12, s"bonf $i")
+      assert(math.abs(r.getDouble(4) - holm(i)) < 1e-12, s"holm $i")
+      assert(math.abs(r.getDouble(5) - bh(i)) < 1e-12, s"bh $i")
+    }
+    // monotonicity: BH is non-decreasing in rank, Holm too
+    val bhCol = got.map(_.getDouble(5))
+    assert(bhCol.zip(bhCol.tail).forall { case (a, b) => a <= b + 1e-15 })
+    intercept[IllegalArgumentException] {
+      InferenceTests.multipleTestAdjust(df, "p", Seq("id"), maxTests = 2)
+    }
+    intercept[IllegalArgumentException] {
+      InferenceTests.multipleTestAdjust(df, "p", Nil)
+    }
+  }
+
   test("chiSquarePValue matches commons-math chi-square test") {
     import spark.implicits._
     val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
