@@ -10107,6 +10107,124 @@ object Queries {
                FROM g)
              SELECT lag, n, round(r, 6) AS r FROM o ORDER BY lag""")),
 
+    // ---- geospatial tier ----------------------------------------------------
+    // deterministic lat/lon derived from keys (|lat| <= 45 so the 4-deg
+    // grid holds a 300 km radius); the ORACLE is the brute cross join —
+    // it proves the grid-bucketed join loses no pair
+    QueryDef("q_geo_join",
+      (s, d) => {
+        val pts = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey").isNotNull)
+          .withColumn("plat",
+            (col("c_custkey") * 7919 % 9000) / lit(100.0) - 45.0)
+          .withColumn("plon",
+            (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0)
+          .select("c_custkey", "plat", "plon")
+        val qs = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_suppkey").isNotNull)
+          .withColumn("qlat",
+            (col("s_suppkey") * 7127 % 9000) / lit(100.0) - 45.0)
+          .withColumn("qlon",
+            (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
+          .select("s_suppkey", "qlat", "qlon")
+        graft.pipeline.Geo.radiusJoin(pts, qs, "plat", "plon",
+            "qlat", "qlon", radiusMeters = 300000.0, cellDeg = 4.0)
+          .select(col("s_suppkey"), col("c_custkey"),
+            round(col("dist_m"), 3).as("dist_m"))
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 9000) / 100.0 - 45.0 AS plat,
+               (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS plon
+               FROM customer WHERE c_custkey IS NOT NULL),
+             s AS (SELECT s_suppkey,
+               (s_suppkey * 7127 % 9000) / 100.0 - 45.0 AS qlat,
+               (s_suppkey * 104243 % 36000) / 100.0 - 180.0 AS qlon
+               FROM supplier WHERE s_suppkey IS NOT NULL),
+             j AS (SELECT s_suppkey, c_custkey, 12742000.0 * asin(sqrt(
+               sin((qlat - plat) * 0.017453292519943295 / 2) *
+               sin((qlat - plat) * 0.017453292519943295 / 2) +
+               cos(plat * 0.017453292519943295) *
+               cos(qlat * 0.017453292519943295) *
+               sin((qlon - plon) * 0.017453292519943295 / 2) *
+               sin((qlon - plon) * 0.017453292519943295 / 2))) AS dist_m
+               FROM c, s)
+             SELECT s_suppkey, c_custkey, round(dist_m, 3) AS dist_m
+             FROM j WHERE dist_m <= 300000.0
+             ORDER BY s_suppkey, c_custkey""")),
+
+    // ---- nearest point per query (1-NN with radius cap) --------------------
+    QueryDef("q_geo_nearest",
+      (s, d) => {
+        val pts = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey").isNotNull)
+          .withColumn("plat",
+            (col("c_custkey") * 7919 % 9000) / lit(100.0) - 45.0)
+          .withColumn("plon",
+            (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0)
+          .select("c_custkey", "plat", "plon")
+        val qs = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_suppkey").isNotNull)
+          .withColumn("qlat",
+            (col("s_suppkey") * 7127 % 9000) / lit(100.0) - 45.0)
+          .withColumn("qlon",
+            (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
+          .select("s_suppkey", "qlat", "qlon")
+        graft.pipeline.Geo.nearestJoin(pts, qs, "plat", "plon",
+            "qlat", "qlon", queryKey = "s_suppkey", tieCol = "c_custkey",
+            radiusMeters = 300000.0, cellDeg = 4.0)
+          .select(col("s_suppkey"), col("c_custkey"),
+            round(col("dist_m"), 3).as("dist_m"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 9000) / 100.0 - 45.0 AS plat,
+               (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS plon
+               FROM customer WHERE c_custkey IS NOT NULL),
+             s AS (SELECT s_suppkey,
+               (s_suppkey * 7127 % 9000) / 100.0 - 45.0 AS qlat,
+               (s_suppkey * 104243 % 36000) / 100.0 - 180.0 AS qlon
+               FROM supplier WHERE s_suppkey IS NOT NULL),
+             j AS (SELECT s_suppkey, c_custkey, 12742000.0 * asin(sqrt(
+               sin((qlat - plat) * 0.017453292519943295 / 2) *
+               sin((qlat - plat) * 0.017453292519943295 / 2) +
+               cos(plat * 0.017453292519943295) *
+               cos(qlat * 0.017453292519943295) *
+               sin((qlon - plon) * 0.017453292519943295 / 2) *
+               sin((qlon - plon) * 0.017453292519943295 / 2))) AS dist_m
+               FROM c, s),
+             r AS (SELECT s_suppkey, c_custkey, dist_m,
+               row_number() OVER (PARTITION BY s_suppkey
+                 ORDER BY dist_m, c_custkey) AS rn
+               FROM j WHERE dist_m <= 300000.0)
+             SELECT s_suppkey, c_custkey, round(dist_m, 3) AS dist_m
+             FROM r WHERE rn = 1 ORDER BY s_suppkey""")),
+
+    // ---- grid-cell occupancy ------------------------------------------------
+    // the cell key itself (floor lat + wrapped lon), top-50 densest cells
+    QueryDef("q_geo_cells",
+      (s, d) => graft.pipeline.Geo.withCells(
+          s.read.parquet(s"$d/customer.parquet")
+            .filter(col("c_custkey").isNotNull)
+            .withColumn("lat",
+              (col("c_custkey") * 7919 % 9000) / lit(100.0) - 45.0)
+            .withColumn("lon",
+              (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0),
+          "lat", "lon", cellDeg = 4.0)
+        .groupBy("lat_cell", "lon_cell")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lat_cell"), col("lon_cell"))
+        .limit(50),
+      Some("""WITH c AS (SELECT
+               floor(((c_custkey * 7919 % 9000) / 100.0 - 45.0)
+                 / 4.0)::INT AS lat_cell,
+               ((floor((((c_custkey * 104729 % 36000) / 100.0 - 180.0)
+                 + 180.0) / 4.0)::INT % 90) + 90) % 90 AS lon_cell
+               FROM customer WHERE c_custkey IS NOT NULL)
+             SELECT lat_cell, lon_cell, count(*)::BIGINT AS n FROM c
+             GROUP BY 1, 2 ORDER BY n DESC, lat_cell, lon_cell
+             LIMIT 50""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial primitives: haversine distances, integer grid cells, and
+  * a grid-bucketed radius join — the spatial tier a location-carrying
+  * corpus needs (store/sensor/geo-tagged-document joins) without a
+  * geometry library. Everything is plain codegen'd arithmetic on
+  * lat/lon doubles.
+  *
+  * Scale shape: the radius join never cross-joins. Points key into
+  * (latCell, lonCell) grid cells sized so the search radius fits inside
+  * one cell (guarded — see [[radiusJoin]]); each query explodes to its
+  * 3×3 neighbor block (wrapping at the antimeridian) and meets
+  * candidate points through a co-partitioned equi-join on the cell key,
+  * then the exact haversine predicate filters. Work is
+  * O(points + queries·9·density), the standard spatial-grid bound; the
+  * brute cross-join lives only in the ORACLE, where it proves the
+  * bucketing loses nothing.
+  *
+  * Determinism: radians conversion uses the hardcoded decimal literal
+  * 0.017453292519943295 (π/180) rather than a library `radians()` so an
+  * oracle replays the identical op chain (the bootstrap inverse-CDF
+  * precedent); sin/cos/asin last-ulp differences sit far below any
+  * rounded comparison and make a boundary flip on the radius predicate
+  * astronomically unlikely (distances are generic reals). */
+object Geo {
+
+  private val DegToRad = 0.017453292519943295 // pi / 180, decimal literal
+  private val EarthRadiusM = 6371000.0
+
+  /** Great-circle distance in meters between two (lat, lon) pairs in
+    * degrees — the haversine formula,
+    * 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))). */
+  def haversineMeters(latA: Column, lonA: Column,
+                      latB: Column, lonB: Column): Column = {
+    val phi1 = latA * DegToRad
+    val phi2 = latB * DegToRad
+    val dPhi = (latB - latA) * DegToRad
+    val dLam = (lonB - lonA) * DegToRad
+    val a = sin(dPhi / 2) * sin(dPhi / 2) +
+      cos(phi1) * cos(phi2) * sin(dLam / 2) * sin(dLam / 2)
+    lit(2.0 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** Number of longitude cells around the globe for `cellDeg`; requires
+    * cellDeg to divide 360 so the antimeridian wrap is exact. */
+  private def lonCells(cellDeg: Double): Int = {
+    val n = 360.0 / cellDeg
+    require(n == math.rint(n),
+      s"Geo: cellDeg=$cellDeg must divide 360 for exact antimeridian wrap")
+    n.toInt
+  }
+
+  /** Append integer grid-cell columns `<prefix>lat_cell` / `<prefix>
+    * lon_cell`: latCell = floor(lat/cellDeg); lonCell =
+    * floor((lon+180)/cellDeg) wrapped into [0, 360/cellDeg) so −180 and
+    * +180 land in the same cell. */
+  def withCells(df: DataFrame, latCol: String, lonCol: String,
+                cellDeg: Double, prefix: String = ""): DataFrame = {
+    val nLon = lonCells(cellDeg)
+    df
+      .withColumn(s"${prefix}lat_cell",
+        floor(col(latCol) / cellDeg).cast("int"))
+      .withColumn(s"${prefix}lon_cell",
+        (floor((col(lonCol) + 180.0) / cellDeg).cast("int") % nLon
+          + nLon) % nLon)
+  }
+
+  /** All (point, query) pairs within `radiusMeters`, grid-bucketed.
+    * `points`/`queries` carry (lat, lon) degree columns named by the
+    * `*Lat`/`*Lon` params; every input column of both sides survives
+    * (collisions are the caller's to rename), plus `dist_m`.
+    *
+    * Completeness guard: a radius-R disc around any query must fit in
+    * the 3×3 neighbor block, i.e. R ≤ cellDeg·111320·cos(maxAbsLat)
+    * (longitude cells shrink toward the poles; 111320 m/degree at the
+    * equator) and R ≤ cellDeg·111320 for latitude. The max |lat| over
+    * BOTH inputs is probed in one small aggregate per side; violating
+    * the bound is a refuse, not a recall loss — the oracle contract is
+    * exactness, and the caller's fix is a bigger cellDeg or a latitude
+    * cap. */
+  def radiusJoin(points: DataFrame, queries: DataFrame,
+                 pLat: String, pLon: String, qLat: String, qLon: String,
+                 radiusMeters: Double, cellDeg: Double): DataFrame = {
+    require(radiusMeters > 0, s"Geo.radiusJoin: radius must be > 0")
+    val nLon = lonCells(cellDeg)
+    def maxAbsLat(df: DataFrame, c: String): Double =
+      df.na.drop(Seq(c)).agg(max(abs(col(c).cast("double")))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    val mal = math.max(maxAbsLat(points, pLat), maxAbsLat(queries, qLat))
+    val minCellM = cellDeg * 111320.0 * math.cos(mal * DegToRad)
+    require(radiusMeters <= minCellM,
+      f"Geo.radiusJoin: radius $radiusMeters%.0f m exceeds the narrowest " +
+        f"cell dimension $minCellM%.0f m at |lat|=$mal%.2f deg — " +
+        "3x3 neighbor blocks would lose matches; raise cellDeg or cap " +
+        "the latitude range")
+    val p = withCells(points.na.drop(Seq(pLat, pLon)), pLat, pLon,
+      cellDeg, "__p_")
+    val q0 = withCells(queries.na.drop(Seq(qLat, qLon)), qLat, qLon,
+      cellDeg, "__q_")
+    val q = q0
+      .withColumn("__dlat", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("__dlon", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("__q_lat_cell", col("__q_lat_cell") + col("__dlat"))
+      .withColumn("__q_lon_cell",
+        ((col("__q_lon_cell") + col("__dlon")) % nLon + nLon) % nLon)
+      .drop("__dlat", "__dlon")
+    val dist = haversineMeters(col(pLat), col(pLon), col(qLat), col(qLon))
+    p.join(q,
+        col("__p_lat_cell") === col("__q_lat_cell") &&
+          col("__p_lon_cell") === col("__q_lon_cell"))
+      .withColumn("dist_m", dist)
+      .filter(col("dist_m") <= radiusMeters)
+      .drop("__p_lat_cell", "__p_lon_cell", "__q_lat_cell", "__q_lon_cell")
+  }
+
+  /** Nearest point per query within `radiusMeters` (1-NN with a radius
+    * cap): [[radiusJoin]] then an argmin per query key — ties break on
+    * `tieCol` (a unique point id) for a replayable pick. Queries with
+    * no point in range are absent (left-join semantics belong to the
+    * caller: anti-join the result against the queries). */
+  def nearestJoin(points: DataFrame, queries: DataFrame,
+                  pLat: String, pLon: String, qLat: String, qLon: String,
+                  queryKey: String, tieCol: String,
+                  radiusMeters: Double, cellDeg: Double): DataFrame = {
+    val joined = radiusJoin(points, queries, pLat, pLon, qLat, qLon,
+      radiusMeters, cellDeg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryKey)
+      .orderBy(col("dist_m").asc, col(tieCol).asc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
