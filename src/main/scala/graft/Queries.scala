@@ -10225,6 +10225,116 @@ object Queries {
              GROUP BY 1, 2 ORDER BY n DESC, lat_cell, lon_cell
              LIMIT 50""")),
 
+    // ---- top session paths (first-3-event-type prefixes) -------------------
+    QueryDef("q_session_paths",
+      (s, d) => graft.events.Transitions.sessionPaths(
+          events(s, d)
+            .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+              col("event_id").isNotNull && col("event_type").isNotNull)
+            .withColumn("tsu", expr("unix_micros(ts)")),
+          Seq("user_id"), "tsu", "event_id", "event_type",
+          gap = 3600000000L, k = 3, topN = 20),
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+               event_type FROM events WHERE user_id IS NOT NULL
+                 AND ts IS NOT NULL AND event_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+             s AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                 OR tsu - lag(tsu) OVER w > 3600000000 THEN 1 ELSE 0 END
+                 AS ns
+               FROM b WINDOW w AS (PARTITION BY user_id
+                 ORDER BY tsu, event_id)),
+             sid AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS sid FROM s),
+             r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY tsu, event_id) AS rn FROM sid),
+             p AS (SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY 1, 2)
+             SELECT path, count(*)::BIGINT AS n FROM p GROUP BY 1
+             ORDER BY n DESC, path LIMIT 20""")),
+
+    // ---- Simpson's-paradox screen ------------------------------------------
+    // pooled sums FOLD from the group frame on both sides, so the
+    // summation trees match; price centered per the anova precedent
+    QueryDef("q_simpson",
+      (s, d) => Stats.simpsonCheck(
+          lineitem(s, d).withColumn("price_c",
+            col("l_extendedprice") - 38000.0d),
+          "l_quantity", "price_c", "l_returnflag")
+        .select(col("group"), col("n"),
+          round(col("r_group"), 6).as("r_group"),
+          round(col("r_pooled"), 6).as("r_pooled"),
+          col("sign_flip"))
+        .orderBy("group"),
+      Some("""WITH d AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS x,
+               l_extendedprice - 38000.0 AS y FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                 AND l_returnflag IS NOT NULL),
+             gg AS (SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+               sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(x * y) AS sxy FROM d GROUP BY 1),
+             p AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+               sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy FROM gg),
+             pr AS (SELECT CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+               AND n * syy - sy * sy > 0 THEN (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+               AS r_pooled FROM p),
+             gr AS (SELECT g, n, CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+               AND n * syy - sy * sy > 0 THEN (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+               AS r_group FROM gg)
+             SELECT g AS "group", n::BIGINT AS n,
+               round(r_group, 6) AS r_group, round(r_pooled, 6) AS r_pooled,
+               coalesce(r_group * r_pooled < 0, false) AS sign_flip
+             FROM gr, pr ORDER BY 1""")),
+
+    // ---- per-dimension embedding profile -----------------------------------
+    QueryDef("q_vec_profile",
+      (s, d) => graft.util.VectorOps.vecProfile(embeddings(s, d), "embedding")
+        .select(col("dim"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance_pop"), 6).as("variance_pop"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
+        .orderBy("dim"),
+      Some("""WITH e AS (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS dim
+               FROM embeddings WHERE embedding IS NOT NULL),
+             c AS (SELECT dim::INT AS dim, v::DOUBLE AS v FROM e
+               WHERE v IS NOT NULL),
+             g AS (SELECT dim, count(*)::BIGINT AS n, sum(v) AS s,
+               sum(v * v) AS ss, min(v) AS mn, max(v) AS mx FROM c
+               GROUP BY 1)
+             SELECT dim, n, round(s / n, 6) AS mean,
+               round(ss / n - (s / n) * (s / n), 6) AS variance_pop,
+               round(mn, 6) AS min, round(mx, 6) AS max
+             FROM g ORDER BY dim""")),
+
+    // ---- null-pattern mining -----------------------------------------------
+    // correlated derived nulls (the q_nullcounts precedent) so joint
+    // patterns actually occur
+    QueryDef("q_null_patterns",
+      (s, d) => graft.clean.Expectations.nullPatterns(
+          lineitem(s, d)
+            .withColumn("qa", when(col("l_quantity") > 45, null)
+              .otherwise(col("l_quantity")))
+            .withColumn("qb", when(col("l_quantity") > 48 ||
+              col("l_discount") === 0.0, null).otherwise(col("l_discount")))
+            .withColumn("qc", when(col("l_tax") === 0.0, null)
+              .otherwise(col("l_tax"))),
+          Seq("qa", "qb", "qc"))
+        .select(col("mask"), col("n"), round(col("share"), 6).as("share")),
+      Some("""WITH d AS (SELECT
+               (CASE WHEN l_quantity > 45 THEN '1' ELSE '0' END) ||
+               (CASE WHEN l_quantity > 48 OR l_discount = 0.0 THEN '1'
+                 ELSE '0' END) ||
+               (CASE WHEN l_tax = 0.0 THEN '1' ELSE '0' END) AS mask
+               FROM lineitem),
+             g AS (SELECT mask, count(*)::BIGINT AS n FROM d GROUP BY 1),
+             t AS (SELECT sum(n) AS tot FROM g)
+             SELECT mask, n, round(n / tot, 6) AS share FROM g, t
+             ORDER BY n DESC, mask""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

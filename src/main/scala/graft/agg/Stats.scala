@@ -1051,6 +1051,49 @@ object Stats {
           log(col("total") / col("n"))).as("theil")): _*)
   }
 
+  /** Simpson's-paradox screen for a (x, y) relationship across strata:
+    * per-group Pearson r alongside the POOLED r, flagging groups whose
+    * association sign contradicts the pooled sign — the classic
+    * aggregation trap (every stratum trends one way, the pool the
+    * other) surfaced as data instead of folklore. One hash aggregate
+    * keyed on the group builds the per-group raw sums; the pooled sums
+    * FOLD FROM THE GROUP FRAME (Σ over groups of each sum — no second
+    * corpus scan) and broadcast back. Correlations use the raw-sums
+    * identity — center astronomically-scaled columns first (the
+    * [[anovaF]] caveat). Returns one row per group: (group, n, r_group,
+    * r_pooled, sign_flip); degenerate variances yield null r and a
+    * false flag. */
+  def simpsonCheck(df: DataFrame, xCol: String, yCol: String,
+                   groupCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df.filter(x.isNotNull && y.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+    def r(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+          sxy: Column): Column = {
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      when(n >= 2 && vx > 0 && vy > 0,
+        (n * sxy - sx * sy) / sqrt(vx * vy))
+    }
+    val pooled = g.agg(sum("__n").as("__pn"), sum("__sx").as("__psx"),
+        sum("__sy").as("__psy"), sum("__sxx").as("__psxx"),
+        sum("__syy").as("__psyy"), sum("__sxy").as("__psxy"))
+      .select(r(col("__pn"), col("__psx"), col("__psy"), col("__psxx"),
+        col("__psyy"), col("__psxy")).as("r_pooled"))
+    g.crossJoin(broadcast(pooled))
+      .withColumn("r_group", r(col("__n"), col("__sx"), col("__sy"),
+        col("__sxx"), col("__syy"), col("__sxy")))
+      .withColumn("sign_flip",
+        coalesce(col("r_group") * col("r_pooled") < 0, lit(false)))
+      .select(col("group"), col("__n").cast("long").as("n"),
+        col("r_group"), col("r_pooled"), col("sign_flip"))
+  }
+
   /** Box-Cox transform selection by profile likelihood over a λ grid:
     * for each candidate λ, the transform y(λ) = (x^λ − 1)/λ (ln x at
     * λ = 0) is scored by the profile log-likelihood

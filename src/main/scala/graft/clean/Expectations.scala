@@ -125,6 +125,27 @@ object Expectations {
       .filter(col("n_dependent") > 1)
   }
 
+  /** Null-pattern mining: which columns go missing TOGETHER. Each row
+    * maps to a mask string over `cols` ('1' = null at that position,
+    * column order as given); one hash aggregate counts rows per mask
+    * and a share column normalizes. The all-zeros mask is the healthy
+    * row count; a dominant joint pattern usually means one upstream
+    * source dropped, which per-column null counts
+    * ([[graft.agg.Stats]] nullcounts) cannot distinguish from
+    * uncorrelated noise. Returns (mask, n, share), count-desc with a
+    * mask tie-break. */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullPatterns needs at least one column")
+    val mask = concat(cols.map(c =>
+      when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    val counts = df.select(mask.as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", col("n") / sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("n").desc, col("mask"))
+  }
+
   /** Referential-integrity orphans: child rows whose `childKey` has no
     * match in `parent.parentKey`. Null child keys are NOT orphans (SQL
     * FK semantics) — gate them with Completeness instead. Returns the

@@ -94,4 +94,24 @@ class ExpectationsSpec extends SparkSpec {
     val orphans = Expectations.fkOrphans(child, "fk", parent, "pk").collect()
     assert(orphans.map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("nullPatterns counts joint missingness masks in column order") {
+    import spark.implicits._
+    val df = Seq[(Option[Int], Option[String], Option[Double])](
+      (Some(1), Some("x"), Some(1.0)),
+      (Some(2), Some("y"), Some(2.0)),
+      (None, None, Some(3.0)),  // a and b drop together
+      (None, None, Some(4.0)),
+      (Some(5), None, None))
+      .toDF("a", "b", "c")
+    val got = Expectations.nullPatterns(df, Seq("a", "b", "c")).collect()
+    val byMask = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMask == Map("000" -> 2L, "110" -> 2L, "011" -> 1L))
+    // ordered count-desc then mask; shares sum to 1
+    assert(got.map(_.getString(0)).toSeq == Seq("000", "110", "011"))
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Expectations.nullPatterns(df, Nil)
+    }
+  }
 }

@@ -34,4 +34,36 @@ class TransitionsSpec extends SparkSpec {
     assert(Transitions.transitionMatrix(df, "user_id", "event_type",
       "ts", "event_id").count() == 0)
   }
+
+  test("sessionPaths splits on the gap and counts first-k prefixes") {
+    import spark.implicits._
+    // user 1: two sessions (gap > 100 splits); user 2: one session with
+    // 4 events (only the first 3 enter the path)
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "b"),          // session 1: a>b
+      (1L, 500L, 3L, "a"), (1L, 550L, 4L, "b"),       // session 2: a>b
+      (2L, 0L, 5L, "a"), (2L, 10L, 6L, "b"),
+      (2L, 20L, 7L, "c"), (2L, 30L, 8L, "d"))         // a>b>c (d cut)
+      .toDF("user_id", "tsu", "event_id", "event_type")
+    val got = Transitions.sessionPaths(rows, Seq("user_id"), "tsu",
+      "event_id", "event_type", gap = 100L, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b" -> 2L, "a>b>c" -> 1L))
+    // ties at the same timestamp resolve by the tie column
+    val tied = Seq((1L, 0L, 2L, "y"), (1L, 0L, 1L, "x"))
+      .toDF("user_id", "tsu", "event_id", "event_type")
+    val tp = Transitions.sessionPaths(tied, Seq("user_id"), "tsu",
+      "event_id", "event_type", gap = 100L, k = 2).collect()
+    assert(tp.length == 1 && tp(0).getString(0) == "x>y")
+    // topN truncates deterministically (count desc, then path)
+    val many = (1 to 6).map(u => (u.toLong, 0L, u.toLong, s"t$u"))
+      .toDF("user_id", "tsu", "event_id", "event_type")
+    val top = Transitions.sessionPaths(many, Seq("user_id"), "tsu",
+      "event_id", "event_type", gap = 1L, k = 1, topN = 3).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("t1", "t2", "t3"))
+    intercept[IllegalArgumentException] {
+      Transitions.sessionPaths(many, Seq("user_id"), "tsu", "event_id",
+        "event_type", gap = 1L, k = 0)
+    }
+  }
 }

@@ -248,4 +248,55 @@ class StatEvalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "vec_0", "vec_1"))
     assert(out.orderBy("id").collect().map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
   }
+
+  test("vecProfile profiles each dimension, tolerating ragged vectors") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 10.0f)), (2L, Seq(3.0f, 30.0f)),
+      (3L, Seq(5.0f))) // ragged: dim 1 has coverage 2 of 3
+      .toDF("id", "embedding")
+    val got = VectorOps.vecProfile(df, "embedding")
+      .orderBy("dim").collect()
+    assert(got.length == 2)
+    val d0 = got(0)
+    assert(d0.getInt(0) == 0 && d0.getLong(1) == 3L)
+    assert(math.abs(d0.getDouble(2) - 3.0) < 1e-12)          // mean
+    assert(math.abs(d0.getDouble(3) - (35.0 / 3 - 9)) < 1e-9) // pop var
+    assert(d0.getDouble(4) == 1.0 && d0.getDouble(5) == 5.0)
+    val d1 = got(1)
+    assert(d1.getLong(1) == 2L && math.abs(d1.getDouble(2) - 20.0) < 1e-12)
+    // null vectors are skipped entirely
+    val withNull = Seq((1L, Some(Seq(2.0f))), (2L, None))
+      .toDF("id", "embedding")
+    val n = VectorOps.vecProfile(withNull, "embedding").collect()
+    assert(n.length == 1 && n(0).getLong(1) == 1L)
+  }
+
+  test("simpsonCheck flags the planted paradox; aligned data stays clean") {
+    import spark.implicits._
+    // two strata, each with POSITIVE within-group slope, but group B
+    // sits at high x / low y so the pooled slope is negative
+    val gA = Seq((1.0, 10.0), (2.0, 11.0), (3.0, 12.0))
+    val gB = Seq((11.0, 1.0), (12.0, 2.0), (13.0, 3.0))
+    val df = (gA.map { case (x, y) => ("A", x, y) } ++
+      gB.map { case (x, y) => ("B", x, y) }).toDF("g", "x", "y")
+    val got = graft.agg.Stats.simpsonCheck(df, "x", "y", "g")
+      .orderBy("group").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getDouble(2) > 0.99)  // within-group r ~ +1
+      assert(r.getDouble(3) < 0)     // pooled r negative
+      assert(r.getBoolean(4))        // flagged
+    }
+    // aligned strata: no flag, pooled and group signs agree
+    val aligned = (gA.map { case (x, y) => ("A", x, y) } ++
+      gA.map { case (x, y) => ("B", x + 1, y + 1) }).toDF("g", "x", "y")
+    val ok = graft.agg.Stats.simpsonCheck(aligned, "x", "y", "g").collect()
+    assert(ok.forall(r => !r.getBoolean(4)))
+    // constant-x group: null r_group, false flag (never a phantom alarm)
+    val const = (gA.map { case (x, y) => ("A", x, y) } ++
+      Seq(("B", 5.0, 1.0), ("B", 5.0, 2.0))).toDF("g", "x", "y")
+    val cb = graft.agg.Stats.simpsonCheck(const, "x", "y", "g")
+      .orderBy("group").collect()
+    assert(cb(1).isNullAt(2) && !cb(1).getBoolean(4))
+  }
 }
