@@ -10335,6 +10335,102 @@ object Queries {
              SELECT mask, n, round(n / tot, 6) AS share FROM g, t
              ORDER BY n DESC, mask""")),
 
+    // ---- Fleiss' kappa (4 raters per item: orders with 4 line items) -------
+    QueryDef("q_fleiss",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull)
+        val four = li.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") === 4).select("l_orderkey")
+        graft.stat.InferenceTests.fleissKappa(
+            li.join(four, "l_orderkey"), "l_orderkey", "l_returnflag")
+          .select(col("n_items"), col("n_raters"),
+            round(col("p_bar"), 6).as("p_bar"),
+            round(col("p_e"), 6).as("p_e"),
+            round(col("kappa"), 6).as("kappa"))
+      },
+      Some("""WITH ok AS (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+               GROUP BY 1 HAVING count(*) = 4),
+             r AS (SELECT li.l_orderkey AS i, li.l_returnflag AS l
+               FROM lineitem li JOIN ok USING (l_orderkey)
+               WHERE li.l_returnflag IS NOT NULL),
+             cells AS (SELECT i, l, count(*)::DOUBLE AS c FROM r
+               GROUP BY 1, 2),
+             pi AS (SELECT i, sum(c * c) AS c2 FROM cells GROUP BY 1),
+             pb AS (SELECT count(*)::BIGINT AS n_items,
+               avg((c2 - 4.0) / 12.0) AS p_bar FROM pi),
+             pe AS (SELECT sum(nl * nl) / (sum(nl) * sum(nl)) AS p_e
+               FROM (SELECT sum(c) AS nl FROM cells GROUP BY l))
+             SELECT n_items, 4::BIGINT AS n_raters,
+               round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+               round((p_bar - p_e) / (1 - p_e), 6) AS kappa
+             FROM pb, pe""")),
+
+    // ---- duplicate-cluster size histogram -----------------------------------
+    // dup-injected corpus (the q_norm_dedup pattern, two overlapping
+    // slices so cluster sizes 1/2/3 all occur) over the NORMALIZED key
+    QueryDef("q_dup_sizes",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val m7 = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(upper(col("text")), lit("  !!")).as("text"))
+        val m13 = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("** "), col("text")).as("text"))
+        val corpus = docs.unionAll(m7).unionAll(m13)
+          .select(graft.pipeline.Dedup.normalizeText(col("text"))
+            .as("norm"))
+        graft.pipeline.Dedup.dupSizeHistogram(corpus, "norm")
+          .select(col("size"), col("n_clusters"), col("n_docs"))
+          .orderBy("size")
+      },
+      Some("""WITH t AS (SELECT text FROM documents
+               UNION ALL SELECT upper(text) || '  !!' FROM documents
+                 WHERE doc_id % 7 = 0
+               UNION ALL SELECT '** ' || text FROM documents
+                 WHERE doc_id % 13 = 0),
+             n AS (SELECT trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+               AS norm FROM t WHERE text IS NOT NULL),
+             g AS (SELECT count(*)::BIGINT AS size FROM n GROUP BY norm)
+             SELECT size, count(*)::BIGINT AS n_clusters,
+               (size * count(*))::BIGINT AS n_docs
+             FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // ---- burst detection over hourly event rates ----------------------------
+    // exact mean thresholds (ratios of integer sums replay bit-equal),
+    // island merge via idx - row_number
+    QueryDef("q_bursts",
+      (s, d) => {
+        val hourly = events(s, d)
+          .filter(col("event_type").isNotNull && col("ts").isNotNull)
+          .withColumn("i", expr("unix_micros(ts) div 3600000000"))
+          .groupBy("event_type", "i")
+          .agg(count(lit(1)).as("c"))
+        graft.events.TimeSeries.bursts(hourly, Seq("event_type"), "i", "c",
+            mult = 1.3)
+          .select(col("event_type"), col("start_idx"), col("end_idx"),
+            col("n_buckets"), col("total").cast("long").as("total"),
+            col("peak").cast("long").as("peak"))
+          .orderBy("event_type", "start_idx")
+      },
+      Some("""WITH h AS (SELECT event_type,
+               epoch_us(ts) // 3600000000 AS i, count(*)::DOUBLE AS c
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+             m AS (SELECT event_type, avg(c) AS mu FROM h GROUP BY 1),
+             f AS (SELECT h.event_type, i, c FROM h JOIN m
+               USING (event_type) WHERE c > mu * 1.3),
+             isl AS (SELECT *, i - row_number() OVER (PARTITION BY
+               event_type ORDER BY i) AS island FROM f)
+             SELECT event_type, min(i)::BIGINT AS start_idx,
+               max(i)::BIGINT AS end_idx, count(*)::BIGINT AS n_buckets,
+               sum(c)::BIGINT AS total, max(c)::BIGINT AS peak
+             FROM isl GROUP BY event_type, island
+             ORDER BY event_type, start_idx""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

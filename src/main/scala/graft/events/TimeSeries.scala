@@ -279,6 +279,48 @@ object TimeSeries {
       .select(kc ++ Seq(col("lag"), col("n"), col("r")): _*)
   }
 
+  /** Burst detection over a pre-bucketed rate series: per key, mark
+    * buckets whose count exceeds `mult` × the key's MEAN rate, then
+    * merge CONSECUTIVE flagged bucket indices into bursts with the
+    * island trick (idx − row_number over flagged rows is constant
+    * within a run). The mean threshold is deliberate — it is an exact
+    * one-pass scalar an oracle replays; callers wanting robustness to
+    * the bursts themselves inflating the baseline can pre-trim or feed
+    * a reference-period mean. Input is one row per (keys, idxCol)
+    * bucket with `cntCol` (build it upstream with the hour/day
+    * truncation of your choice; zero-count buckets absent from the
+    * input cannot split a run — document or densify upstream if the
+    * series has holes).
+    *
+    * Scale shape: one key-keyed scalar aggregate (mean) broadcast-joined
+    * back, one keyed row_number window over the FLAGGED subset, one
+    * (keys, island) aggregate. Returns per burst: (keys…, start_idx,
+    * end_idx, n_buckets, total, peak), ordered nowhere — callers sort.
+    * Keys whose mean is 0 (all-zero counts) flag nothing. */
+  def bursts(df: DataFrame, keys: Seq[String], idxCol: String,
+             cntCol: String, mult: Double = 2.0): DataFrame = {
+    require(mult > 0, s"bursts: mult must be > 0, got $mult")
+    require(keys.nonEmpty, "bursts needs at least one key column")
+    val kc = keys.map(col)
+    val idx = col(idxCol).cast("long")
+    val cnt = col(cntCol).cast("double")
+    val base = df.na.drop(keys ++ Seq(idxCol, cntCol))
+      .select(kc ++ Seq(idx.as("__i"), cnt.as("__c")): _*)
+    // no broadcast hint: the means frame is one row per key, which for
+    // user-grained keys can itself be huge — let AQE pick the strategy
+    val means = base.groupBy(kc: _*).agg(avg("__c").as("__mu"))
+    val flagged = base.join(means, keys)
+      .filter(col("__c") > col("__mu") * mult)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__i"))
+    flagged
+      .withColumn("__island", col("__i") - row_number().over(w))
+      .groupBy(kc :+ col("__island"): _*)
+      .agg(min("__i").as("start_idx"), max("__i").as("end_idx"),
+        count(lit(1)).as("n_buckets"), sum("__c").as("total"),
+        max("__c").as("peak"))
+      .drop("__island")
+  }
+
   /** Holt linear (double-exponential) smoothing per key — EWMA plus a
     * trend the level recursion feeds on, for drifting metrics where a
     * single exponential lags systematically:

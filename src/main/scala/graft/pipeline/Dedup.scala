@@ -1787,6 +1787,24 @@ object Dedup {
           col("n_docs").cast("double"))
   }
 
+  /** Duplicate-cluster SIZE histogram: how many exact-duplicate
+    * clusters exist at each multiplicity — the readout that separates
+    * "2% dup rate from millions of pairs" from "2% dup rate from one
+    * 40k-copy boilerplate page", which [[dedupReport]]'s flat rate
+    * cannot. Two hash aggregates (content → cluster size, size →
+    * cluster count); n_docs = size·clusters recovers the row mass per
+    * bucket. Returns (size, n_clusters, n_docs) ascending; size 1 rows
+    * are the unique documents. */
+  def dupSizeHistogram(df: DataFrame, contentCol: String): DataFrame = {
+    df.na.drop(Seq(contentCol))
+      .groupBy(col(contentCol))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy("size")
+  }
+
   // ---- incremental (cross-batch) dedup via Bloom filter --------------------
 
   /** Bloom filter over a key column (id, content hash, fingerprint…) —

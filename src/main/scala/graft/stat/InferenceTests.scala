@@ -351,6 +351,53 @@ object InferenceTests {
         "gamma", "somers_d_ba", "somers_d_ab")
   }
 
+  /** Fleiss' kappa: chance-corrected agreement for n raters per item
+    * (the multi-rater generalization of [[cohenKappa]] — label quality
+    * over crowd/model ensembles). Input is one row per (item, rating);
+    * the rater identity is irrelevant, only the per-item label counts
+    * n_il matter. Requires the SAME number of ratings n on every item
+    * (the classic Fleiss design) — verified with one bounded probe and
+    * REFUSED otherwise (silently averaging unequal n produces a
+    * statistic that is not Fleiss' kappa).
+    *
+    *   P_i = (Σ_l n_il² − n)/(n(n−1)),  P̄ = mean_i P_i,
+    *   P_e = Σ_l p_l²,  κ = (P̄ − P_e)/(1 − P_e)
+    *
+    * Scale shape: one aggregate to the (item, label) cell frame, one
+    * item-keyed fold for P_i, one label-keyed fold for the marginals —
+    * every frame bounded by items/labels, nothing re-scans the corpus.
+    * Returns ONE row: (n_items, n_raters, p_bar, p_e, kappa);
+    * P_e = 1 (all ratings one label) yields null kappa. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val cells = df.na.drop(Seq(itemCol, labelCol))
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .persist() // the design probe and all three folds read it
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__c").as("__n"), sum(col("__c") * col("__c")).as("__c2"))
+    val design = perItem.agg(min("__n").as("lo"), max("__n").as("hi")).head()
+    require(!design.isNullAt(0) && design.getDouble(0) == design.getDouble(1),
+      s"fleissKappa: unequal ratings per item " +
+        s"(${design.get(0)}..${design.get(1)}) — the Fleiss design needs " +
+        "a constant rater count; filter items first")
+    val n = design.getDouble(0)
+    require(n >= 2, s"fleissKappa: needs >= 2 ratings per item, got $n")
+    val pBar = perItem
+      .select(((col("__c2") - n) / (n * (n - 1))).as("__pi"))
+      .agg(count(lit(1)).as("n_items"), avg("__pi").as("p_bar"))
+    val pe = cells.groupBy("__l").agg(sum("__c").as("__nl"))
+      .agg(sum(col("__nl") * col("__nl")).as("__sq"),
+        sum("__nl").as("__tot"))
+      .select((col("__sq") / (col("__tot") * col("__tot"))).as("p_e"))
+    pBar.crossJoin(broadcast(pe))
+      .withColumn("n_raters", lit(n).cast("long"))
+      .withColumn("kappa",
+        when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+      .select("n_items", "n_raters", "p_bar", "p_e", "kappa")
+  }
+
   /** McNemar's test for paired binary outcomes (two classifiers scored
     * on the SAME rows — the model-comparison companion of
     * [[cohenKappa]]): only the discordant cells matter,

@@ -330,6 +330,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("resample"))
   }
 
+  test("bursts merges consecutive over-threshold buckets into islands") {
+    import spark.implicits._
+    // key A: mean = 31/8 = 3.875, threshold 5.8125 — buckets 10 (6) and
+    // 11 (7) flag consecutively, 12 (5) does NOT (the documented
+    // bursts-inflate-the-baseline caveat), 20 (9) flags alone
+    val rows = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 1.0), ("A", 3L, 1.0), ("A", 4L, 1.0),
+      ("A", 10L, 6.0), ("A", 11L, 7.0), ("A", 12L, 5.0),
+      ("A", 20L, 9.0),
+      ("B", 1L, 3.0), ("B", 2L, 3.0)) // constant: nothing flagged
+      .toDF("k", "i", "c")
+    val got = TimeSeries.bursts(rows, Seq("k"), "i", "c", mult = 1.5)
+      .orderBy("k", "start_idx").collect()
+    assert(got.length == 2)
+    val first = got(0)
+    assert(first.getString(0) == "A" && first.getLong(1) == 10L &&
+      first.getLong(2) == 11L && first.getLong(3) == 2L)
+    assert(first.getDouble(4) == 13.0 && first.getDouble(5) == 7.0)
+    val second = got(1)
+    assert(second.getLong(1) == 20L && second.getLong(2) == 20L &&
+      second.getLong(3) == 1L)
+    // a gap in the INPUT buckets does not merge islands: 10..12 and 20
+    // stayed separate above even though no rows exist between them
+    intercept[IllegalArgumentException] {
+      TimeSeries.bursts(rows, Seq("k"), "i", "c", mult = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.bursts(rows, Nil, "i", "c")
+    }
+  }
+
   test("pacf matches an independent Yule-Walker solve per lag") {
     val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0, 3.0, 5.0)
     val df = evts(xs.zipWithIndex.map { case (v, i) =>

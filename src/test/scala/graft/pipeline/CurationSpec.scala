@@ -617,4 +617,21 @@ class CurationSpec extends SparkSpec {
     assert(e1 != e0)
     assert(e1.size == 500 && e1.values.toSet.size == 500)
   }
+
+  test("dupSizeHistogram buckets clusters by multiplicity exactly") {
+    import spark.implicits._
+    // 3 uniques, one pair, one triple -> sizes 1/2/3
+    val docs = (Seq("u1", "u2", "u3") ++ Seq.fill(2)("pair") ++
+      Seq.fill(3)("triple")).toDF("text")
+    val got = Dedup.dupSizeHistogram(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> (3L, 3L), 2L -> (1L, 2L), 3L -> (1L, 3L)))
+    // n_docs reconstructs the corpus size
+    assert(got.values.map(_._2).sum == 8L)
+    // null texts are dropped, not clustered together
+    val withNulls = (Seq(Some("x"), None, None)).toDF("text")
+    val g2 = Dedup.dupSizeHistogram(withNulls, "text").collect()
+    assert(g2.length == 1 && g2(0).getLong(0) == 1L)
+  }
 }

@@ -273,6 +273,39 @@ class InferenceTestsSpec extends SparkSpec {
     assert(tied.isNullAt(5))
   }
 
+  test("fleissKappa matches the worked Wikipedia-style example and " +
+    "refuses unequal designs") {
+    import spark.implicits._
+    // 4 items x 3 raters: hand-checkable counts
+    //  item 1: a,a,a  item 2: a,a,b  item 3: b,b,b  item 4: a,b,c
+    val rows = Seq(
+      (1, "a"), (1, "a"), (1, "a"),
+      (2, "a"), (2, "a"), (2, "b"),
+      (3, "b"), (3, "b"), (3, "b"),
+      (4, "a"), (4, "b"), (4, "c"))
+    val got = InferenceTests.fleissKappa(rows.toDF("item", "lbl"),
+      "item", "lbl").head()
+    // P_i: (9-3)/6=1, (5-3)/6=1/3, 1, (3-3)/6=0 -> p_bar = 7/12
+    val pBar = (1.0 + 1.0 / 3 + 1.0 + 0.0) / 4
+    // marginals: a=6, b=5, c=1 of 12 -> P_e = (36+25+1)/144
+    val pE = 62.0 / 144
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - pBar) < 1e-12)
+    assert(math.abs(got.getDouble(3) - pE) < 1e-12)
+    assert(math.abs(got.getDouble(4) - (pBar - pE) / (1 - pE)) < 1e-12)
+    // unanimous single label: P_e = 1 -> null kappa
+    val uni = InferenceTests.fleissKappa(
+      Seq((1, "a"), (1, "a"), (2, "a"), (2, "a")).toDF("i", "l"),
+      "i", "l").head()
+    assert(uni.isNullAt(4))
+    // unequal rater counts refuse
+    val e = intercept[IllegalArgumentException] {
+      InferenceTests.fleissKappa(
+        Seq((1, "a"), (1, "b"), (2, "a")).toDF("i", "l"), "i", "l")
+    }
+    assert(e.getMessage.contains("unequal"))
+  }
+
   test("mcnemar counts discordant cells and matches the textbook statistic") {
     import spark.implicits._
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
