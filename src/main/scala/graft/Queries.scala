@@ -10431,6 +10431,134 @@ object Queries {
              FROM isl GROUP BY event_type, island
              ORDER BY event_type, start_idx""")),
 
+    // ---- persisted geo index (partition-pruned radius query) ---------------
+    // same brute-cross-join oracle as q_geo_join: the pairs must survive
+    // the parquet round trip and the partitioned layout bit-for-bit
+    QueryDef("q_geo_index",
+      (s, d) => {
+        val pts = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey").isNotNull)
+          .withColumn("plat",
+            (col("c_custkey") * 7919 % 9000) / lit(100.0) - 45.0)
+          .withColumn("plon",
+            (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0)
+          .select("c_custkey", "plat", "plon")
+        val qs = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_suppkey").isNotNull)
+          .withColumn("qlat",
+            (col("s_suppkey") * 7127 % 9000) / lit(100.0) - 45.0)
+          .withColumn("qlon",
+            (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
+          .select("s_suppkey", "qlat", "qlon")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-geoindex").toString
+        graft.pipeline.GeoIndex.write(pts, "c_custkey", "plat", "plon",
+          cellDeg = 4.0, path, overwrite = true)
+        graft.pipeline.GeoIndex.radiusQuery(qs, "qlat", "qlon",
+            radiusMeters = 300000.0, path)
+          .select(col("s_suppkey"), col("c_custkey"),
+            round(col("dist_m"), 3).as("dist_m"))
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 9000) / 100.0 - 45.0 AS plat,
+               (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS plon
+               FROM customer WHERE c_custkey IS NOT NULL),
+             s AS (SELECT s_suppkey,
+               (s_suppkey * 7127 % 9000) / 100.0 - 45.0 AS qlat,
+               (s_suppkey * 104243 % 36000) / 100.0 - 180.0 AS qlon
+               FROM supplier WHERE s_suppkey IS NOT NULL),
+             j AS (SELECT s_suppkey, c_custkey, 12742000.0 * asin(sqrt(
+               sin((qlat - plat) * 0.017453292519943295 / 2) *
+               sin((qlat - plat) * 0.017453292519943295 / 2) +
+               cos(plat * 0.017453292519943295) *
+               cos(qlat * 0.017453292519943295) *
+               sin((qlon - plon) * 0.017453292519943295 / 2) *
+               sin((qlon - plon) * 0.017453292519943295 / 2))) AS dist_m
+               FROM c, s)
+             SELECT s_suppkey, c_custkey, round(dist_m, 3) AS dist_m
+             FROM j WHERE dist_m <= 300000.0
+             ORDER BY s_suppkey, c_custkey""")),
+
+    // ---- weighted moments + Kish effective sample size ---------------------
+    QueryDef("q_weighted_moments",
+      (s, d) => Stats.weightedMoments(lineitem(s, d),
+          "l_discount", "l_quantity", Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_w").cast("long").as("sum_w"),
+          round(col("mean_w"), 6).as("mean_w"),
+          round(col("var_w"), 6).as("var_w"),
+          round(col("n_eff"), 6).as("n_eff"))
+        .orderBy("l_returnflag"),
+      Some("""WITH d AS (SELECT l_returnflag, l_discount::DOUBLE AS x,
+               l_quantity::DOUBLE AS w FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+                 AND l_quantity IS NOT NULL),
+             g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+               sum(w * w) AS sww FROM d GROUP BY 1)
+             SELECT l_returnflag, n, sw::BIGINT AS sum_w,
+               round(swx / sw, 6) AS mean_w,
+               round(swxx / sw - (swx / sw) * (swx / sw), 6) AS var_w,
+               round(sw * sw / sww, 6) AS n_eff
+             FROM g ORDER BY l_returnflag""")),
+
+    // ---- Neyman allocation + realized stratified sample --------------------
+    // stddev is the explicit raw-sums chain; membership replays the
+    // Lehmer hash verbatim (the q_hash_sample oracle, seed 5)
+    QueryDef("q_neyman",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+            col("text").isNotNull)
+          .withColumn("len", length(col("text")))
+        val alloc = graft.pipeline.Sampling.neymanAllocation(
+          docs, "source", "len", targetN = 200)
+        val realized = graft.pipeline.Sampling.neymanSample(
+            docs, "doc_id", "source", "len", targetN = 200, seed = 5)
+          .groupBy("source").agg(count(lit(1)).as("__r"))
+        alloc.join(realized, col("stratum") === col("source"), "left")
+          .select(col("stratum"), col("n_rows"),
+            round(col("stddev"), 6).as("stddev"),
+            round(col("fraction"), 6).as("fraction"),
+            coalesce(col("__r"), lit(0L)).as("realized"))
+          .orderBy("stratum")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, length(text)::DOUBLE AS x
+               FROM documents WHERE doc_id IS NOT NULL
+                 AND source IS NOT NULL AND text IS NOT NULL),
+             g AS (SELECT source AS stratum, count(*)::BIGINT AS n_rows,
+               sum(x) AS s, sum(x * x) AS ss FROM d GROUP BY 1),
+             sd AS (SELECT stratum, n_rows,
+               CASE WHEN n_rows >= 2 AND
+                 (ss - s * s / n_rows) / (n_rows - 1) > 0
+                 THEN sqrt((ss - s * s / n_rows) / (n_rows - 1))
+                 ELSE 0.0 END AS stddev FROM g),
+             w AS (SELECT stratum, n_rows, stddev,
+               n_rows * stddev AS weight FROM sd),
+             tw AS (SELECT sum(weight) AS tw FROM w),
+             fr AS (SELECT stratum, n_rows, stddev,
+               CASE WHEN tw > 0 THEN least(1.0,
+                 200.0 * weight / tw / n_rows) ELSE 0.0 END AS fraction
+               FROM w, tw),
+             k1 AS (SELECT doc_id, source,
+               (doc_id % 2147483648 + (doc_id // 2147483648) * 48271)
+                 % 2147483646 + 1 AS x FROM d),
+             k2 AS (SELECT doc_id, source, ((x * 48271 % 2147483647)
+               * 48271 % 2147483647) * 48271 % 2147483647 AS x3 FROM k1),
+             k3 AS (SELECT doc_id, source,
+               ((((x3 + 5) % 2147483646 + 1) * 48271 % 2147483647)
+                 * 48271 % 2147483647)::DOUBLE / 2147483647.0 AS k
+               FROM k2),
+             kept AS (SELECT k3.source, count(*)::BIGINT AS realized
+               FROM k3 JOIN fr ON k3.source = fr.stratum
+               WHERE k3.k < fr.fraction GROUP BY 1)
+             SELECT stratum, n_rows, round(stddev, 6) AS stddev,
+               round(fraction, 6) AS fraction,
+               coalesce(realized, 0) AS realized
+             FROM fr LEFT JOIN kept ON fr.stratum = kept.source
+             ORDER BY stratum""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

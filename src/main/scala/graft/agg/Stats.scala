@@ -1051,6 +1051,44 @@ object Stats {
           log(col("total") / col("n"))).as("theil")): _*)
   }
 
+  /** Weighted moments per group — the readout for importance-weighted /
+    * reweighted corpora (DSIR weights, IPW weights, frequency counts):
+    * mean_w = Σwx/Σw, var_w = Σwx²/Σw − mean_w² (the population /
+    * frequency-weight convention — weights are "this row counts w
+    * times"), plus the effective sample size n_eff = (Σw)²/Σw² that
+    * tells you what the weighting COST in statistical power (the Kish
+    * formula — n_eff ≪ n means a few heavy rows dominate). Negative
+    * weights are an error (raise_error, the [[theil]] contract);
+    * zero-weight rows count in n but contribute nothing else. One hash
+    * aggregate keyed on the groups (or one scalar aggregate when keys
+    * is empty). Σw = 0 yields null moments. */
+  def weightedMoments(df: DataFrame, valueCol: String, weightCol: String,
+                      keys: Seq[String] = Nil): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val wRaw = col(weightCol).cast("double")
+    val w = when(wRaw < 0, raise_error(concat(
+      lit(s"weightedMoments: negative weight in $weightCol: "),
+      wRaw.cast("string")))).otherwise(wRaw)
+    val clean = df.na.drop(keys ++ Seq(valueCol, weightCol))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(w).as("sum_w"),
+      sum(w * x).as("__swx"),
+      sum(w * x * x).as("__swxx"),
+      sum(w * w).as("__sww"))
+    val g = if (keys.isEmpty) clean.agg(aggs.head, aggs.tail: _*)
+    else clean.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mw = col("__swx") / col("sum_w")
+    g
+      .withColumn("mean_w", when(col("sum_w") > 0, mw))
+      .withColumn("var_w",
+        when(col("sum_w") > 0, col("__swxx") / col("sum_w") - mw * mw))
+      .withColumn("n_eff",
+        when(col("__sww") > 0,
+          col("sum_w") * col("sum_w") / col("__sww")))
+      .drop("__swx", "__swxx", "__sww")
+  }
+
   /** Simpson's-paradox screen for a (x, y) relationship across strata:
     * per-group Pearson r alongside the POOLED r, flagging groups whose
     * association sign contradicts the pooled sign — the classic

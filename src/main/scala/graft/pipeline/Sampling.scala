@@ -73,6 +73,60 @@ object Sampling {
     df.filter(hashKey(col(idCol), seed) < frac)
   }
 
+  /** Neyman (optimal) allocation for stratified sampling: given a
+    * total budget `targetN`, allocate per-stratum sample sizes
+    * n_h ∝ N_h·S_h (stratum size × stratum stddev of `valueCol`) —
+    * the variance-minimizing design, which beats proportional
+    * allocation exactly when strata differ in spread. Returns the
+    * allocation table: (stratum, n_rows, stddev, weight = N_h·S_h,
+    * fraction = min(1, alloc/N_h)). Single-row strata (undefined S)
+    * and zero-spread strata get weight 0 — they need ≤1 sample for a
+    * zero-variance mean and are deliberately starved; budget them
+    * separately if representation matters. Stddev is the explicit
+    * raw-sums chain (not the builtin aggregate) so an oracle replays
+    * it term-for-term. One hash aggregate to the stratum frame +
+    * one scalar fold — strata ≪ rows by construction. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       targetN: Long): DataFrame = {
+    require(targetN >= 1, s"neymanAllocation: targetN must be >= 1")
+    val x = col(valueCol).cast("double")
+    val g = df.na.drop(Seq(stratumCol, valueCol))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("__s"),
+        sum(x * x).as("__ss"))
+    val n = col("n_rows").cast("double")
+    val variance = (col("__ss") - col("__s") * col("__s") / n) / (n - 1)
+    val sd = when(col("n_rows") >= 2 && variance > 0, sqrt(variance))
+      .otherwise(lit(0.0))
+    val withW = g
+      .withColumn("stddev", sd)
+      .withColumn("weight", n * col("stddev"))
+    val totW = withW.agg(sum("weight").as("__tw"))
+    withW.crossJoin(broadcast(totW))
+      .withColumn("fraction",
+        when(col("__tw") > 0,
+          least(lit(1.0), lit(targetN.toDouble) * col("weight") /
+            col("__tw") / n)).otherwise(lit(0.0)))
+      .select("stratum", "n_rows", "stddev", "weight", "fraction")
+  }
+
+  /** [[neymanAllocation]] applied: keep each row iff its Lehmer key
+    * falls under its stratum's allocated fraction — the same
+    * partitioning-independent membership as [[stratifiedSample]], with
+    * the fractions LEARNED from the data instead of passed in. The
+    * allocation frame is strata-sized and broadcasts. */
+  def neymanSample(df: DataFrame, idCol: String, stratumCol: String,
+                   valueCol: String, targetN: Long,
+                   seed: Long = 0L): DataFrame = {
+    Similarity.requireIntegralId(df, idCol, "neymanSample")
+    val alloc = neymanAllocation(df, stratumCol, valueCol, targetN)
+      .select(col("stratum").as("__ney_stratum"),
+        col("fraction").as("__ney_f"))
+    df.join(broadcast(alloc), col(stratumCol) === col("__ney_stratum"))
+      .filter(hashKey(col(idCol), seed) < col("__ney_f"))
+      .drop("__ney_stratum", "__ney_f")
+  }
+
   /** Deterministic fractional REPLICATION — the upsampling half of
     * mixture control ("2.5 epochs of wikipedia per training pass")
     * downsampling alone can't express. Every row gets `floor(factor)`

@@ -509,4 +509,41 @@ class PropertiesSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.pipeline.Sampling
       .rendezvousShard(ids, "id", 8, seed = "a:b"))
   }
+
+  test("neymanAllocation weights strata by N_h*S_h; sample follows it") {
+    import spark.implicits._
+    // stratum A: 100 rows spread 0..99 (big S); B: 100 rows constant-ish
+    // (tiny S); C: a single row (weight 0 by contract)
+    val rows = (1 to 100).map(i => (i.toLong, "A", i.toDouble * 3)) ++
+      (101 to 200).map(i => (i.toLong, "B", 5.0 + (i % 2))) ++
+      Seq((201L, "C", 9.0))
+    val df = rows.toDF("id", "s", "v")
+    val alloc = graft.pipeline.Sampling.neymanAllocation(df, "s", "v", 60)
+      .orderBy("stratum").collect()
+    val byS = alloc.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(byS("C")._2 == 0.0 && byS("C")._3 == 0.0) // single row starved
+    // A's stddev dwarfs B's -> A gets nearly the whole budget
+    assert(byS("A")._3 > 10 * byS("B")._3)
+    // sequential check of A's fraction: 60 * wA/(wA+wB) / 100
+    def sd(xs: Seq[Double]): Double = {
+      val n = xs.size; val s = xs.sum; val ss = xs.map(x => x * x).sum
+      math.sqrt((ss - s * s / n) / (n - 1))
+    }
+    val wA = 100 * sd((1 to 100).map(_.toDouble * 3))
+    val wB = 100 * sd((101 to 200).map(i => 5.0 + (i % 2)))
+    assert(math.abs(byS("A")._3 - 60.0 * wA / (wA + wB) / 100) < 1e-12)
+    // the sample realizes the allocation: every kept id obeys the
+    // Lehmer membership at its stratum's fraction
+    val kept = graft.pipeline.Sampling.neymanSample(
+      df, "id", "s", "v", 60, seed = 3)
+    val fr = byS.map { case (k, (_, _, f)) => k -> f }
+    val ok = kept.select("id", "s").as[(Long, String)].collect()
+      .forall { case (id, s) =>
+        graft.pipeline.Sampling.hashSample(
+          df.filter($"id" === id), "id", fr(s), seed = 3).count() == 1
+      }
+    assert(ok)
+    assert(kept.filter($"s" === "C").count() == 0)
+  }
 }

@@ -564,6 +564,34 @@ class StatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative"))
   }
 
+  test("weightedMoments: frequency-weight identity and Kish n_eff") {
+    import spark.implicits._
+    // weights as frequencies: w=2 on x=1 plus w=1 on x=4 must equal the
+    // unweighted moments of (1, 1, 4)
+    val wdf = Seq(("g", 1.0, 2.0), ("g", 4.0, 1.0)).toDF("g", "x", "w")
+    val got = graft.agg.Stats.weightedMoments(wdf, "x", "w", Seq("g")).head()
+    val flat = Seq(1.0, 1.0, 4.0)
+    val mu = flat.sum / 3
+    val varP = flat.map(v => v * v).sum / 3 - mu * mu
+    assert(got.getLong(1) == 2L)                       // n = input rows
+    assert(got.getDouble(2) == 3.0)                    // sum_w
+    assert(math.abs(got.getDouble(3) - mu) < 1e-12)
+    assert(math.abs(got.getDouble(4) - varP) < 1e-12)
+    assert(math.abs(got.getDouble(5) - 9.0 / 5) < 1e-12) // (2+1)²/(4+1)
+    // equal weights: n_eff = n; zero total weight: null moments
+    val eq = graft.agg.Stats.weightedMoments(
+      Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0)).toDF("x", "w"), "x", "w")
+      .head()
+    assert(math.abs(eq.getDouble(4) - 3.0) < 1e-12) // keyless: n_eff at 4
+    val zero = graft.agg.Stats.weightedMoments(
+      Seq((1.0, 0.0)).toDF("x", "w"), "x", "w").head()
+    assert(zero.isNullAt(2) && zero.isNullAt(3))
+    // negative weight is an error
+    val err = intercept[Exception](graft.agg.Stats.weightedMoments(
+      Seq((1.0, -1.0)).toDF("x", "w"), "x", "w").collect())
+    assert(err.getMessage.contains("negative"))
+  }
+
   test("boxCoxFit: profile likelihood matches the sequential identity " +
     "and picks log for lognormal data") {
     import spark.implicits._
