@@ -10559,6 +10559,120 @@ object Queries {
              FROM fr LEFT JOIN kept ON fr.stratum = kept.source
              ORDER BY stratum""")),
 
+    // ---- exact per-group quantile bands (no per-group buffers) -------------
+    // the generalized medianByCounts: P50/P90/P99 per event type off the
+    // distinct-value cumulative frame, quantile_cont convention
+    QueryDef("q_quantile_bands",
+      (s, d) => Stats.quantilesByCounts(
+          events(s, d), "value", Seq("event_type"), Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"),
+          round(col("q_0_5"), 6).as("q_0_5"),
+          round(col("q_0_9"), 6).as("q_0_9"),
+          round(col("q_0_99"), 6).as("q_0_99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             round(quantile_cont(value::DOUBLE, 0.5), 6) AS q_0_5,
+             round(quantile_cont(value::DOUBLE, 0.9), 6) AS q_0_9,
+             round(quantile_cont(value::DOUBLE, 0.99), 6) AS q_0_99
+             FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- energy distance (two-sample, 1-D cumulative identity) -------------
+    // integer l_quantity keeps every cumulative an exact-integer double,
+    // so the RangeCum fold is bit-deterministic
+    QueryDef("q_energy_dist",
+      (s, d) => graft.stat.Drift.energyDistance(
+          lineitem(s, d), "l_quantity", "l_linestatus", "O", "F")
+        .select(col("n_a"), col("n_b"),
+          round(col("e_cross"), 6).as("e_cross"),
+          round(col("e_within_a"), 6).as("e_within_a"),
+          round(col("e_within_b"), 6).as("e_within_b"),
+          round(col("energy"), 6).as("energy")),
+      Some("""WITH two AS (SELECT l_quantity::DOUBLE AS v,
+               (l_linestatus = 'O')::INT AS a FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_linestatus IN ('O', 'F')),
+             c2 AS (SELECT v,
+               sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS ca,
+               sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS cb,
+               v * sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS sa,
+               v * sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS sb
+               FROM two GROUP BY v),
+             cum AS (SELECT *, sum(ca) OVER w AS cca, sum(cb) OVER w
+               AS ccb, sum(sa) OVER w AS csa, sum(sb) OVER w AS csb
+               FROM c2 WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW)),
+             t AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(sa) AS ta,
+               sum(sb) AS tb FROM c2),
+             s AS (SELECT
+               sum(ca * (v * ccb - csb + (tb - csb) - v * (nb - ccb)))
+                 AS sxy,
+               sum(ca * (v * cca - csa + (ta - csa) - v * (na - cca)))
+                 AS sxx,
+               sum(cb * (v * ccb - csb + (tb - csb) - v * (nb - ccb)))
+                 AS syy,
+               any_value(na) AS na, any_value(nb) AS nb
+               FROM cum, t)
+             SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(sxy / (na * nb), 6) AS e_cross,
+               round(sxx / (na * na), 6) AS e_within_a,
+               round(syy / (nb * nb), 6) AS e_within_b,
+               round(2.0 * (sxy / (na * nb)) - sxx / (na * na)
+                 - syy / (nb * nb), 6) AS energy
+             FROM s""")),
+
+    // ---- geo index append path (build + grow, then query) ------------------
+    // two-thirds written, one-third appended; the brute oracle must see
+    // the union — append may not lose, duplicate, or re-cell points
+    QueryDef("q_geo_append",
+      (s, d) => {
+        val pts = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey").isNotNull)
+          .withColumn("plat",
+            (col("c_custkey") * 7919 % 9000) / lit(100.0) - 45.0)
+          .withColumn("plon",
+            (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0)
+          .select("c_custkey", "plat", "plon")
+        val qs = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_suppkey").isNotNull)
+          .withColumn("qlat",
+            (col("s_suppkey") * 7127 % 9000) / lit(100.0) - 45.0)
+          .withColumn("qlon",
+            (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
+          .select("s_suppkey", "qlat", "qlon")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q-geoappend").toString
+        graft.pipeline.GeoIndex.write(
+          pts.filter(col("c_custkey") % 3 =!= 0), "c_custkey",
+          "plat", "plon", cellDeg = 4.0, path, overwrite = true)
+        graft.pipeline.GeoIndex.append(
+          pts.filter(col("c_custkey") % 3 === 0), path)
+        graft.pipeline.GeoIndex.radiusQuery(qs, "qlat", "qlon",
+            radiusMeters = 300000.0, path)
+          .select(col("s_suppkey"), col("c_custkey"),
+            round(col("dist_m"), 3).as("dist_m"))
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 9000) / 100.0 - 45.0 AS plat,
+               (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS plon
+               FROM customer WHERE c_custkey IS NOT NULL),
+             s AS (SELECT s_suppkey,
+               (s_suppkey * 7127 % 9000) / 100.0 - 45.0 AS qlat,
+               (s_suppkey * 104243 % 36000) / 100.0 - 180.0 AS qlon
+               FROM supplier WHERE s_suppkey IS NOT NULL),
+             j AS (SELECT s_suppkey, c_custkey, 12742000.0 * asin(sqrt(
+               sin((qlat - plat) * 0.017453292519943295 / 2) *
+               sin((qlat - plat) * 0.017453292519943295 / 2) +
+               cos(plat * 0.017453292519943295) *
+               cos(qlat * 0.017453292519943295) *
+               sin((qlon - plon) * 0.017453292519943295 / 2) *
+               sin((qlon - plon) * 0.017453292519943295 / 2))) AS dist_m
+               FROM c, s)
+             SELECT s_suppkey, c_custkey, round(dist_m, 3) AS dist_m
+             FROM j WHERE dist_m <= 300000.0
+             ORDER BY s_suppkey, c_custkey""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

@@ -52,6 +52,39 @@ object GeoIndex {
     } finally withCells.unpersist(blocking = false)
   }
 
+  /** Append a batch of new points under the stored config. The config's
+    * max-|lat| widens if the batch reaches further toward a pole (the
+    * guard must keep holding for the UNION of everything indexed);
+    * cellDeg and the coordinate column names are pinned at write time —
+    * the batch must carry the same column names. */
+  def append(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (cellDeg, storedMal, latCol, lonCol) = cfgOf(spark, path)
+    require(batch.columns.contains(latCol) &&
+      batch.columns.contains(lonCol),
+      s"GeoIndex.append: batch must carry the indexed columns " +
+        s"($latCol, $lonCol)")
+    val clean = batch.na.drop(Seq(latCol, lonCol))
+    val withCells = Geo.withCells(clean, latCol, lonCol, cellDeg)
+      .persist()
+    try {
+      val mal = withCells
+        .agg(max(abs(col(latCol).cast("double")))).head() match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+      withCells.write.mode("append")
+        .partitionBy("lat_cell", "lon_cell")
+        .parquet(s"$path/cells")
+      if (mal > storedMal) {
+        import spark.implicits._
+        Seq((cellDeg, mal, latCol, lonCol, Version))
+          .toDF("cell_deg", "max_abs_lat", "lat_col", "lon_col", "version")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+      }
+    } finally withCells.unpersist(blocking = false)
+  }
+
   private def cfgOf(spark: SparkSession,
                     path: String): (Double, Double, String, String) = {
     val row = spark.read.parquet(s"$path/config").head()

@@ -1,6 +1,6 @@
 package graft.stat
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,69 @@ object Drift {
         sum(when(col("__dv").isNotNull,
           abs(col("__fa") - col("__fb")) * col("__dv"))
           .otherwise(lit(0.0))).as("w1"))
+  }
+
+  /** Energy distance between two groups of a 1-D column — the
+    * second distribution-drift statistic next to [[wasserstein1Pairs]]
+    * (energy distance is zero IFF the distributions are equal and
+    * powers the energy two-sample test):
+    *
+    *   E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+    *
+    * (V-statistic convention: all n·m / n² / m² ordered pairs,
+    * diagonals included). In 1-D every pairwise-|difference| sum folds
+    * over the sorted distinct-value frame: for a value v,
+    * Σ_j |v − y_j| = v·C≤ − S≤ + (S − S≤) − v·(C − C≤) with C/S the
+    * cumulative count/sum of the other side — so the O(n·m) pair sums
+    * compute in one [[graft.util.RangeCum]] pass over DISTINCT values,
+    * never a pair join. On integer-valued columns every cumulative is
+    * an exact-integer double and the fold is bit-deterministic.
+    * Returns ONE row: (n_a, n_b, e_cross, e_within_a, e_within_b,
+    * energy) with the e_* already normalized per pair; either group
+    * empty yields nulls. */
+  def energyDistance(df: DataFrame, valueCol: String, groupCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val cells = df
+      .filter(x.isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(x.as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1.0).otherwise(0.0))
+        .as("__ca"),
+        sum(when(col(groupCol) === groupB, 1.0).otherwise(0.0))
+          .as("__cb"))
+      .withColumn("__sa", col("__v") * col("__ca"))
+      .withColumn("__sb", col("__v") * col("__cb"))
+    val cum = graft.util.RangeCum.cumSum(cells, Nil, "__v",
+      Seq("__ca", "__cb", "__sa", "__sb"))
+    val tot = cells.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+      sum("__sa").as("__ta"), sum("__sb").as("__tb"))
+    val j = cum.crossJoin(broadcast(tot))
+    // sum of |v - w| over the OTHER side's points w, for one row's v
+    def absSumVs(cle: Column, sle: Column, cTot: Column,
+                 sTot: Column): Column =
+      col("__v") * cle - sle + (sTot - sle) - col("__v") * (cTot - cle)
+    val agg = j.agg(
+      first(col("__na")).as("__fna"), first(col("__nb")).as("__fnb"),
+      sum(col("__ca") * absSumVs(col("__cum___cb"), col("__cum___sb"),
+        col("__nb"), col("__tb"))).as("__sxy"),
+      sum(col("__ca") * absSumVs(col("__cum___ca"), col("__cum___sa"),
+        col("__na"), col("__ta"))).as("__sxx"),
+      sum(col("__cb") * absSumVs(col("__cum___cb"), col("__cum___sb"),
+        col("__nb"), col("__tb"))).as("__syy"))
+    val na = col("__fna"); val nb = col("__fnb")
+    val ok = na > 0 && nb > 0
+    agg
+      .withColumn("n_a", na.cast("long"))
+      .withColumn("n_b", nb.cast("long"))
+      .withColumn("e_cross", when(ok, col("__sxy") / (na * nb)))
+      .withColumn("e_within_a", when(ok, col("__sxx") / (na * na)))
+      .withColumn("e_within_b", when(ok, col("__syy") / (nb * nb)))
+      .withColumn("energy",
+        when(ok, lit(2.0) * (col("__sxy") / (na * nb)) -
+          col("__sxx") / (na * na) - col("__syy") / (nb * nb)))
+      .select("n_a", "n_b", "e_cross", "e_within_a", "e_within_b",
+        "energy")
   }
 
   /** Grid-approximated pairwise W₁ for continuous value columns at

@@ -564,6 +564,45 @@ class StatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative"))
   }
 
+  test("quantilesByCounts matches the buffering exact percentile bit-for-bit") {
+    import spark.implicits._
+    // ragged group sizes, ties, and a continuous-ish column
+    val rows = Seq("a" -> 7, "b" -> 12, "c" -> 1).flatMap { case (g, n) =>
+      (1 to n).map(i => (g, (i * 37 % n).toDouble + i * 0.25))
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.agg.Stats.quantilesByCounts(df, "v", Seq("g"), ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(r.getDouble).toSeq).toMap
+    def seqQuantile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val r = p * (s.size - 1)
+      val lo = s(r.toInt)
+      val hi = s(math.min(r.toInt + 1, s.size - 1))
+      lo + (hi - lo) * (r - math.floor(r))
+    }
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val vals = xs.map(_._2)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        assert(got(g)(i) == seqQuantile(vals, p), s"group $g p=$p")
+      }
+    }
+    // and against the house buffering aggregate on the same data
+    val viaBuffer = df.groupBy("g").agg(
+      graft.expr.ExactPercentile.of(col("v"), ps).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { case (g, qs) =>
+      qs.zip(viaBuffer(g)).foreach { case (a, b) => assert(a == b) }
+    }
+    intercept[IllegalArgumentException] {
+      graft.agg.Stats.quantilesByCounts(df, "v", Seq("g"), Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.agg.Stats.quantilesByCounts(df, "v", Seq("g"), Nil)
+    }
+  }
+
   test("weightedMoments: frequency-weight identity and Kish n_eff") {
     import spark.implicits._
     // weights as frequencies: w=2 on x=1 plus w=1 on x=4 must equal the

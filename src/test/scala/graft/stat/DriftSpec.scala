@@ -63,4 +63,29 @@ class DriftSpec extends SparkSpec {
     assert(Drift.wasserstein1PairsBinned(one, "v", "g").head()
       .getDouble(4) == 0.0)
   }
+
+  test("energyDistance matches the brute pairwise V-statistic") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 2.0, 5.0, 7.0)
+    val ys = Seq(2.0, 3.0, 9.0)
+    val df = (xs.map(("x", _)) ++ ys.map(("y", _))).toDF("g", "v")
+    val got = Drift.energyDistance(df, "v", "g", "x", "y").head()
+    def pairMean(a: Seq[Double], b: Seq[Double]): Double =
+      (for { u <- a; w <- b } yield math.abs(u - w)).sum / (a.size * b.size)
+    val exy = pairMean(xs, ys)
+    val exx = pairMean(xs, xs)
+    val eyy = pairMean(ys, ys)
+    assert(got.getLong(0) == 5L && got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - exy) < 1e-12)
+    assert(math.abs(got.getDouble(3) - exx) < 1e-12)
+    assert(math.abs(got.getDouble(4) - eyy) < 1e-12)
+    assert(math.abs(got.getDouble(5) - (2 * exy - exx - eyy)) < 1e-12)
+    // identical distributions: energy 0 exactly (integer values)
+    val same = (xs.map(("x", _)) ++ xs.map(("y", _))).toDF("g", "v")
+    assert(Drift.energyDistance(same, "v", "g", "x", "y").head()
+      .getDouble(5) == 0.0)
+    // empty side -> nulls
+    val solo = xs.map(("x", _)).toDF("g", "v")
+    assert(Drift.energyDistance(solo, "v", "g", "x", "y").head().isNullAt(5))
+  }
 }
