@@ -10673,6 +10673,82 @@ object Queries {
              FROM j WHERE dist_m <= 300000.0
              ORDER BY s_suppkey, c_custkey""")),
 
+    // ---- DeLong correlated-AUC test ----------------------------------------
+    // two scorers on the same rows; placements replay over the distinct-
+    // score cumulative frame (mid-tie convention), var chain term-aligned
+    QueryDef("q_delong",
+      (s, d) => graft.eval.BinaryMetrics.deLongTest(
+          lineitem(s, d)
+            .filter(col("l_orderkey").isNotNull &&
+              col("l_linenumber").isNotNull &&
+              col("l_returnflag").isNotNull && col("l_discount").isNotNull &&
+              col("l_tax").isNotNull)
+            .withColumn("rid",
+              col("l_orderkey") * 8 + col("l_linenumber"))
+            .withColumn("y", (col("l_returnflag") === "R").cast("double")),
+          "rid", "y", "l_discount", "l_tax")
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc_1"), 6).as("auc_1"),
+          round(col("auc_2"), 6).as("auc_2"),
+          round(col("var_diff"), 10).as("var_diff"),
+          round(col("z_stat"), 6).as("z_stat")),
+      Some("""WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+               (l_returnflag = 'R')::INT::DOUBLE AS y,
+               l_discount::DOUBLE AS s1, l_tax::DOUBLE AS s2
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+             b1 AS (SELECT s1 AS s, count(*)::DOUBLE AS n, sum(y) AS p
+               FROM r GROUP BY 1),
+             c1 AS (SELECT s, p, n - p AS m, sum(p) OVER w AS cp,
+               sum(n - p) OVER w AS cm FROM b1 WINDOW w AS (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             t1 AS (SELECT sum(p) AS np, sum(n - p) AS nm FROM b1),
+             pl1 AS (SELECT s, (cm - m + m / 2) / nm AS v10,
+               (np - cp + p / 2) / np AS v01 FROM c1, t1),
+             j1 AS (SELECT id, y, CASE WHEN y = 1.0 THEN v10 ELSE v01 END
+               AS v1 FROM r JOIN pl1 ON r.s1 = pl1.s),
+             b2 AS (SELECT s2 AS s, count(*)::DOUBLE AS n, sum(y) AS p
+               FROM r GROUP BY 1),
+             c2 AS (SELECT s, p, n - p AS m, sum(p) OVER w AS cp,
+               sum(n - p) OVER w AS cm FROM b2 WINDOW w AS (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             t2 AS (SELECT sum(p) AS np, sum(n - p) AS nm FROM b2),
+             pl2 AS (SELECT s, (cm - m + m / 2) / nm AS v10,
+               (np - cp + p / 2) / np AS v01 FROM c2, t2),
+             j2 AS (SELECT id, CASE WHEN y = 1.0 THEN v10 ELSE v01 END
+               AS v2 FROM r JOIN pl2 ON r.s2 = pl2.s),
+             j AS (SELECT j1.id, j1.y, v1, v2 FROM j1
+               JOIN j2 ON j1.id = j2.id),
+             a AS (SELECT
+               sum(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END) AS n1,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE 1.0 END) AS n0,
+               sum(CASE WHEN y = 1.0 THEN v1 ELSE 0.0 END) AS s1p,
+               sum(CASE WHEN y = 1.0 THEN v2 ELSE 0.0 END) AS s2p,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE v1 END) AS s1n,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE v2 END) AS s2n,
+               sum(CASE WHEN y = 1.0 THEN v1 * v1 ELSE 0.0 END) AS q11p,
+               sum(CASE WHEN y = 1.0 THEN v2 * v2 ELSE 0.0 END) AS q22p,
+               sum(CASE WHEN y = 1.0 THEN v1 * v2 ELSE 0.0 END) AS q12p,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE v1 * v1 END) AS q11n,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE v2 * v2 END) AS q22n,
+               sum(CASE WHEN y = 1.0 THEN 0.0 ELSE v1 * v2 END) AS q12n
+               FROM j),
+             v AS (SELECT n1, n0, s1p, s2p,
+               ((q11p - s1p * s1p / n1) / (n1 - 1) +
+                (q22p - s2p * s2p / n1) / (n1 - 1) -
+                2.0 * ((q12p - s1p * s2p / n1) / (n1 - 1))) / n1 +
+               ((q11n - s1n * s1n / n0) / (n0 - 1) +
+                (q22n - s2n * s2n / n0) / (n0 - 1) -
+                2.0 * ((q12n - s1n * s2n / n0) / (n0 - 1))) / n0 AS vd
+               FROM a)
+             SELECT n1::BIGINT AS n_pos, n0::BIGINT AS n_neg,
+               round(s1p / n1, 6) AS auc_1, round(s2p / n1, 6) AS auc_2,
+               round(vd, 10) AS var_diff,
+               round(CASE WHEN vd > 0
+                 THEN (s1p / n1 - s2p / n1) / sqrt(vd) END, 6) AS z_stat
+             FROM v""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

@@ -585,4 +585,102 @@ object BinaryMetrics {
       .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
     new BinaryClassificationMetrics(rdd, numBins)
   }
+
+  /** Per-row DeLong placements for one score column: each POSITIVE
+    * gets V10 = (negatives below + ½·tied negatives)/n₀, each NEGATIVE
+    * gets V01 = (positives above + ½·tied positives)/n₁ — the
+    * structural components whose means are the AUC and whose
+    * (co)variances give the DeLong AUC variance. The corpus folds to
+    * the distinct-score frame, [[graft.util.RangeCum]] cums the
+    * per-score class counts (exact integers — bit-deterministic), and
+    * the placements join back to the rows on the SCORE key (a
+    * distinct-value-sized join side). Returns `df`'s `idCol`, the
+    * label (as double), and `v` (the placement for the row's own
+    * class). */
+  private def placements(df: DataFrame, idCol: String, scoreCol: String,
+                         labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val rows = df.na.drop(Seq(idCol, scoreCol, labelCol))
+      .select(col(idCol).as("__id"), s.as("__s"), y.as("__y"))
+    val byScore = rows.groupBy("__s")
+      .agg(count(lit(1)).cast("double").as("__n"), sum("__y").as("__p"))
+      .withColumn("__m", col("__n") - col("__p"))
+    val cum = graft.util.RangeCum.cumSum(byScore, Nil, "__s",
+      Seq("__p", "__m"))
+    val tot = byScore.agg(sum("__p").as("__np"), sum("__m").as("__nm"))
+    val placed = cum.crossJoin(broadcast(tot))
+      // negatives strictly below + half the tied negatives, over n0
+      .withColumn("__v10",
+        (col("__cum___m") - col("__m") + col("__m") / 2) / col("__nm"))
+      // positives strictly above + half the tied positives, over n1
+      .withColumn("__v01",
+        (col("__np") - col("__cum___p") + col("__p") / 2) / col("__np"))
+      .select("__s", "__v10", "__v01")
+    rows.join(placed, "__s")
+      .select(col("__id"), col("__y"),
+        when(col("__y") === 1.0, col("__v10"))
+          .otherwise(col("__v01")).as("v"))
+  }
+
+  /** DeLong's test for the difference of two correlated AUCs — the two
+    * score columns are evaluated on the SAME rows, so the placement
+    * covariances must enter the variance (treating the AUCs as
+    * independent overstates significance; DeLong et al. 1988):
+    *
+    *   Var(Â₁ − Â₂) = (S10,11 + S10,22 − 2·S10,12)/n₁ +
+    *                  (S01,11 + S01,22 − 2·S01,12)/n₀
+    *
+    * with S the sample (co)variances of the per-row placements
+    * ([[placements]]). Two distinct-score cumulative passes, one
+    * id-keyed join of the two placement frames, one aggregate folding
+    * every sum the statistic needs. Returns ONE row: (n_pos, n_neg,
+    * auc_1, auc_2, var_diff, z_stat); a degenerate variance (identical
+    * scores) yields null z. The normal p is
+    * [[graft.stat.InferenceTests.mannWhitneyPValue]] on z. */
+  def deLongTest(df: DataFrame, idCol: String, labelCol: String,
+                 score1Col: String, score2Col: String): DataFrame = {
+    val p1 = placements(df, idCol, score1Col, labelCol)
+      .select(col("__id"), col("__y"), col("v").as("__v1"))
+    val p2 = placements(df, idCol, score2Col, labelCol)
+      .select(col("__id").as("__id2"), col("v").as("__v2"))
+    val joined = p1.join(p2, col("__id") === col("__id2"))
+    def cls(yv: Double) = when(col("__y") === yv, 1.0).otherwise(0.0)
+    val agg = joined.agg(
+      sum(cls(1.0)).as("__n1"), sum(cls(0.0)).as("__n0"),
+      sum(cls(1.0) * col("__v1")).as("__s1p"),
+      sum(cls(1.0) * col("__v2")).as("__s2p"),
+      sum(cls(0.0) * col("__v1")).as("__s1n"),
+      sum(cls(0.0) * col("__v2")).as("__s2n"),
+      sum(cls(1.0) * col("__v1") * col("__v1")).as("__q11p"),
+      sum(cls(1.0) * col("__v2") * col("__v2")).as("__q22p"),
+      sum(cls(1.0) * col("__v1") * col("__v2")).as("__q12p"),
+      sum(cls(0.0) * col("__v1") * col("__v1")).as("__q11n"),
+      sum(cls(0.0) * col("__v2") * col("__v2")).as("__q22n"),
+      sum(cls(0.0) * col("__v1") * col("__v2")).as("__q12n"))
+    val n1 = col("__n1"); val n0 = col("__n0")
+    // sample covariance over the positive placements: (Σab − ΣaΣb/n)/(n−1)
+    def covP(qab: Column, sa: Column, sb: Column) =
+      (qab - sa * sb / n1) / (n1 - 1)
+    def covN(qab: Column, sa: Column, sb: Column) =
+      (qab - sa * sb / n0) / (n0 - 1)
+    val varDiff =
+      (covP(col("__q11p"), col("__s1p"), col("__s1p")) +
+        covP(col("__q22p"), col("__s2p"), col("__s2p")) -
+        lit(2.0) * covP(col("__q12p"), col("__s1p"), col("__s2p"))) / n1 +
+      (covN(col("__q11n"), col("__s1n"), col("__s1n")) +
+        covN(col("__q22n"), col("__s2n"), col("__s2n")) -
+        lit(2.0) * covN(col("__q12n"), col("__s1n"), col("__s2n"))) / n0
+    agg
+      .withColumn("n_pos", n1.cast("long"))
+      .withColumn("n_neg", n0.cast("long"))
+      .withColumn("auc_1", col("__s1p") / n1)
+      .withColumn("auc_2", col("__s2p") / n1)
+      .withColumn("var_diff",
+        when(n1 >= 2 && n0 >= 2, varDiff))
+      .withColumn("z_stat",
+        when(n1 >= 2 && n0 >= 2 && varDiff > 0,
+          (col("__s1p") / n1 - col("__s2p") / n1) / sqrt(varDiff)))
+      .select("n_pos", "n_neg", "auc_1", "auc_2", "var_diff", "z_stat")
+  }
 }
