@@ -282,4 +282,79 @@ class EmptyInputSpec extends SparkSpec {
       emptyNum.select(col("g").as("arm"), col("x").as("pre"),
         col("y").as("post")), "arm", "pre", "post").count() == 0)
   }
+
+  test("round-10 tier tolerates empty input") {
+    import graft.stat.InferenceTests
+    // inference: one-row aggregates degrade to null stats, cell ops to 0
+    assert(InferenceTests.kruskalWallis(emptyNum, "x", "g").head()
+      .isNullAt(3))
+    assert(InferenceTests.brownForsythe(emptyNum, "x", "g").head()
+      .isNullAt(6))
+    assert(InferenceTests.jarqueBera(emptyNum, "x").head().isNullAt(3))
+    assert(InferenceTests.cohensD(emptyNum, "x", "g").count() == 0)
+    assert(InferenceTests.kendallTauB(emptyNum, "x", "y").head()
+      .isNullAt(4))
+    assert(InferenceTests.mcnemar(
+      emptyNum.select(col("x").as("a"), col("y").as("b")), "a", "b")
+      .head().isNullAt(5))
+    assert(InferenceTests.multipleTestAdjust(
+      emptyNum.select(col("x").as("p"), col("g").as("id")),
+      "p", Seq("id")).count() == 0)
+    // fleissKappa's equal-design probe has nothing to verify on empty
+    // input — the refuse message names the design, not an NPE
+    intercept[IllegalArgumentException] {
+      InferenceTests.fleissKappa(emptyNum, "g", "x")
+    }
+    // causal / eval
+    assert(graft.stat.Experiment.diffInDiff(
+      emptyNum.select(col("x").as("t"), col("y").as("p"),
+        lit(1.0).as("v")), "t", "p", "v").head().isNullAt(8))
+    assert(graft.stat.Experiment.ipwAte(
+      emptyNum.select(col("x").as("t"), col("y").as("v"),
+        lit(0.5).as("e")), "t", "v", "e").head().isNullAt(5))
+    assert(graft.eval.ForecastEval.forecastEval(
+      emptyNum, "x", "y").head().getLong(0) == 0L)
+    assert(graft.eval.BinaryMetrics.deLongTest(
+      emptyNum.select(col("x").as("id"), lit(1.0).as("y"),
+        col("x").as("s1"), col("y").as("s2")), "id", "y", "s1", "s2")
+      .head().isNullAt(5))
+    // time series / drift
+    assert(graft.events.TimeSeries.pacf(
+      emptyNum.select(col("g"), current_timestamp().as("ts"),
+        col("x").cast("long").as("tie"), col("y").as("v")),
+      Seq("g"), "ts", "tie", "v", maxLag = 2).count() == 0)
+    assert(graft.events.TimeSeries.crossCorrelation(
+      emptyNum.select(col("x").cast("long").as("i"), col("y").as("a"),
+        col("y").as("b")), Nil, "i", "a", "b", 2).count() == 0)
+    assert(graft.events.TimeSeries.bursts(
+      emptyNum.select(col("g"), col("x").cast("long").as("i"),
+        col("y").as("c")), Seq("g"), "i", "c").count() == 0)
+    assert(graft.stat.Drift.energyDistance(emptyNum, "x", "g", "a", "b")
+      .head().isNullAt(5))
+    // baskets / geo / sampling / profiles
+    assert(graft.pipeline.Basket.pairRules(
+      emptyDocs.select(col("doc_id").as("b"), col("text").as("i")),
+      "b", "i", minCount = 1).count() == 0)
+    assert(graft.pipeline.Geo.radiusJoin(
+      emptyNum.select(col("x").as("plat"), col("y").as("plon")),
+      emptyNum.select(col("x").as("qlat"), col("y").as("qlon")),
+      "plat", "plon", "qlat", "qlon", 1000.0, 4.0).count() == 0)
+    assert(graft.pipeline.Sampling.neymanAllocation(
+      emptyNum, "g", "x", 10).count() == 0)
+    assert(graft.agg.Stats.weightedMoments(emptyNum, "x", "y").head()
+      .isNullAt(2))
+    assert(graft.agg.Stats.quantilesByCounts(
+      emptyNum, "x", Seq("g"), Seq(0.5)).count() == 0)
+    assert(graft.agg.Stats.simpsonCheck(emptyNum, "x", "y", "g")
+      .count() == 0)
+    assert(graft.agg.Stats.boxCoxFit(emptyNum, "x").count() == 9)
+    assert(graft.clean.Expectations.nullPatterns(
+      emptyNum, Seq("x")).count() == 0)
+    assert(graft.pipeline.Dedup.dupSizeHistogram(emptyDocs, "text")
+      .count() == 0)
+    assert(graft.events.Transitions.sessionPaths(
+      emptyNum.select(col("g").as("u"), col("x").cast("long").as("ts"),
+        col("y").cast("long").as("tie"), col("g").as("t")),
+      Seq("u"), "ts", "tie", "t", gap = 10L).count() == 0)
+  }
 }
