@@ -10692,7 +10692,7 @@ object Queries {
           round(col("auc_2"), 6).as("auc_2"),
           round(col("var_diff"), 10).as("var_diff"),
           round(col("z_stat"), 6).as("z_stat")),
-      Some("""WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+      Some("""WITH r AS (SELECT
                (l_returnflag = 'R')::INT::DOUBLE AS y,
                l_discount::DOUBLE AS s1, l_tax::DOUBLE AS s2
                FROM lineitem WHERE l_orderkey IS NOT NULL
@@ -10706,8 +10706,6 @@ object Queries {
              t1 AS (SELECT sum(p) AS np, sum(n - p) AS nm FROM b1),
              pl1 AS (SELECT s, (cm - m + m / 2) / nm AS v10,
                (np - cp + p / 2) / np AS v01 FROM c1, t1),
-             j1 AS (SELECT id, y, CASE WHEN y = 1.0 THEN v10 ELSE v01 END
-               AS v1 FROM r JOIN pl1 ON r.s1 = pl1.s),
              b2 AS (SELECT s2 AS s, count(*)::DOUBLE AS n, sum(y) AS p
                FROM r GROUP BY 1),
              c2 AS (SELECT s, p, n - p AS m, sum(p) OVER w AS cp,
@@ -10716,10 +10714,11 @@ object Queries {
              t2 AS (SELECT sum(p) AS np, sum(n - p) AS nm FROM b2),
              pl2 AS (SELECT s, (cm - m + m / 2) / nm AS v10,
                (np - cp + p / 2) / np AS v01 FROM c2, t2),
-             j2 AS (SELECT id, CASE WHEN y = 1.0 THEN v10 ELSE v01 END
-               AS v2 FROM r JOIN pl2 ON r.s2 = pl2.s),
-             j AS (SELECT j1.id, j1.y, v1, v2 FROM j1
-               JOIN j2 ON j1.id = j2.id),
+             j AS (SELECT r.y,
+               CASE WHEN r.y = 1.0 THEN pl1.v10 ELSE pl1.v01 END AS v1,
+               CASE WHEN r.y = 1.0 THEN pl2.v10 ELSE pl2.v01 END AS v2
+               FROM r JOIN pl1 ON r.s1 = pl1.s
+                 JOIN pl2 ON r.s2 = pl2.s),
              a AS (SELECT
                sum(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END) AS n1,
                sum(CASE WHEN y = 1.0 THEN 0.0 ELSE 1.0 END) AS n0,

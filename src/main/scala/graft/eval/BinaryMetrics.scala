@@ -586,41 +586,30 @@ object BinaryMetrics {
     new BinaryClassificationMetrics(rdd, numBins)
   }
 
-  /** Per-row DeLong placements for one score column: each POSITIVE
-    * gets V10 = (negatives below + ½·tied negatives)/n₀, each NEGATIVE
-    * gets V01 = (positives above + ½·tied positives)/n₁ — the
-    * structural components whose means are the AUC and whose
-    * (co)variances give the DeLong AUC variance. The corpus folds to
-    * the distinct-score frame, [[graft.util.RangeCum]] cums the
-    * per-score class counts (exact integers — bit-deterministic), and
-    * the placements join back to the rows on the SCORE key (a
-    * distinct-value-sized join side). Returns `df`'s `idCol`, the
-    * label (as double), and `v` (the placement for the row's own
-    * class). */
-  private def placements(df: DataFrame, idCol: String, scoreCol: String,
-                         labelCol: String): DataFrame = {
-    val s = col(scoreCol).cast("double")
-    val y = col(labelCol).cast("double")
-    val rows = df.na.drop(Seq(idCol, scoreCol, labelCol))
-      .select(col(idCol).as("__id"), s.as("__s"), y.as("__y"))
-    val byScore = rows.groupBy("__s")
+  /** DeLong placement table for one score column: per DISTINCT score,
+    * V10 = (negatives below + ½·tied negatives)/n₀ and
+    * V01 = (positives above + ½·tied positives)/n₁ — the structural
+    * components whose means are the AUC and whose (co)variances give
+    * the DeLong AUC variance. The corpus folds to the distinct-score
+    * frame and [[graft.util.RangeCum]] cums the per-score class counts
+    * (exact integers — bit-deterministic); the caller joins this table
+    * back on the score key (broadcastable whenever scores repeat). */
+  private def placementTable(rows: DataFrame, scoreCol: String,
+                             suffix: String): DataFrame = {
+    val byScore = rows.groupBy(col(scoreCol).as(s"__ps$suffix"))
       .agg(count(lit(1)).cast("double").as("__n"), sum("__y").as("__p"))
       .withColumn("__m", col("__n") - col("__p"))
-    val cum = graft.util.RangeCum.cumSum(byScore, Nil, "__s",
+    val cum = graft.util.RangeCum.cumSum(byScore, Nil, s"__ps$suffix",
       Seq("__p", "__m"))
     val tot = byScore.agg(sum("__p").as("__np"), sum("__m").as("__nm"))
-    val placed = cum.crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(tot))
       // negatives strictly below + half the tied negatives, over n0
-      .withColumn("__v10",
+      .withColumn(s"__v10_$suffix",
         (col("__cum___m") - col("__m") + col("__m") / 2) / col("__nm"))
       // positives strictly above + half the tied positives, over n1
-      .withColumn("__v01",
+      .withColumn(s"__v01_$suffix",
         (col("__np") - col("__cum___p") + col("__p") / 2) / col("__np"))
-      .select("__s", "__v10", "__v01")
-    rows.join(placed, "__s")
-      .select(col("__id"), col("__y"),
-        when(col("__y") === 1.0, col("__v10"))
-          .otherwise(col("__v01")).as("v"))
+      .select(s"__ps$suffix", s"__v10_$suffix", s"__v01_$suffix")
   }
 
   /** DeLong's test for the difference of two correlated AUCs — the two
@@ -632,19 +621,33 @@ object BinaryMetrics {
     *                  (S01,11 + S01,22 − 2·S01,12)/n₀
     *
     * with S the sample (co)variances of the per-row placements
-    * ([[placements]]). Two distinct-score cumulative passes, one
-    * id-keyed join of the two placement frames, one aggregate folding
+    * ([[placementTable]]). Two distinct-score cumulative passes whose
+    * tables join back onto ONE base pass on the score keys (broadcast
+    * when scores repeat — never an id-keyed self-join of two full
+    * placement frames, which shuffled 2× the corpus and measured 25×
+    * at 100× data before this restructuring), then one aggregate folds
     * every sum the statistic needs. Returns ONE row: (n_pos, n_neg,
     * auc_1, auc_2, var_diff, z_stat); a degenerate variance (identical
     * scores) yields null z. The normal p is
-    * [[graft.stat.InferenceTests.mannWhitneyPValue]] on z. */
+    * [[graft.stat.InferenceTests.mannWhitneyPValue]] on z. `idCol` is
+    * retained in the signature as the row-identity contract (the two
+    * scores MUST be per-row paired for the covariance to mean
+    * anything) and for null-dropping. */
   def deLongTest(df: DataFrame, idCol: String, labelCol: String,
                  score1Col: String, score2Col: String): DataFrame = {
-    val p1 = placements(df, idCol, score1Col, labelCol)
-      .select(col("__id"), col("__y"), col("v").as("__v1"))
-    val p2 = placements(df, idCol, score2Col, labelCol)
-      .select(col("__id").as("__id2"), col("v").as("__v2"))
-    val joined = p1.join(p2, col("__id") === col("__id2"))
+    val y = col(labelCol).cast("double")
+    val rows = df.na.drop(Seq(idCol, labelCol, score1Col, score2Col))
+      .select(col(score1Col).cast("double").as("__s1"),
+        col(score2Col).cast("double").as("__s2"), y.as("__y"))
+    val t1 = placementTable(rows, "__s1", "1")
+    val t2 = placementTable(rows, "__s2", "2")
+    val joined = rows
+      .join(t1, col("__s1") === col("__ps1"))
+      .join(t2, col("__s2") === col("__ps2"))
+      .withColumn("__v1", when(col("__y") === 1.0, col("__v10_1"))
+        .otherwise(col("__v01_1")))
+      .withColumn("__v2", when(col("__y") === 1.0, col("__v10_2"))
+        .otherwise(col("__v01_2")))
     def cls(yv: Double) = when(col("__y") === yv, 1.0).otherwise(0.0)
     val agg = joined.agg(
       sum(cls(1.0)).as("__n1"), sum(cls(0.0)).as("__n0"),
