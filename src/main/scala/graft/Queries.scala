@@ -10748,6 +10748,123 @@ object Queries {
                  THEN (s1p / n1 - s2p / n1) / sqrt(vd) END, 6) AS z_stat
              FROM v""")),
 
+    // ---- Cochran's Q (k paired binary treatments) ---------------------------
+    // complete blocks: orders whose line numbers are exactly {1,2,3,4}
+    QueryDef("q_cochran_q",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_orderkey").isNotNull &&
+            col("l_linenumber").isNotNull && col("l_returnflag").isNotNull)
+        val blocks = li.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("__c"),
+            countDistinct("l_linenumber").as("__dl"),
+            max("l_linenumber").as("__mx"), min("l_linenumber").as("__mn"))
+          .filter(col("__c") === 4 && col("__dl") === 4 &&
+            col("__mx") === 4 && col("__mn") === 1)
+          .select("l_orderkey")
+        graft.stat.InferenceTests.cochranQ(
+            li.join(blocks, "l_orderkey")
+              .withColumn("y", (col("l_returnflag") === "R").cast("int")),
+            "l_orderkey", "l_linenumber", "y")
+          .select(col("n_items"), col("k"), col("dof"),
+            round(col("q_stat"), 6).as("q_stat"))
+      },
+      Some("""WITH ok AS (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                 AND l_returnflag IS NOT NULL
+               GROUP BY 1 HAVING count(*) = 4
+                 AND count(DISTINCT l_linenumber) = 4
+                 AND max(l_linenumber) = 4 AND min(l_linenumber) = 1),
+             r AS (SELECT li.l_orderkey AS i, li.l_linenumber AS t,
+               (li.l_returnflag = 'R')::INT::DOUBLE AS y
+               FROM lineitem li JOIN ok USING (l_orderkey)),
+             pi AS (SELECT i, sum(y) AS rr FROM r GROUP BY 1),
+             ti AS (SELECT count(*)::BIGINT AS n_items, sum(rr) AS tt,
+               sum(rr * rr) AS r2 FROM pi),
+             cj AS (SELECT t, sum(y) AS c FROM r GROUP BY 1),
+             a AS (SELECT sum((c - tt / 4) * (c - tt / 4)) AS num,
+               any_value(n_items) AS n_items, any_value(tt) AS tt,
+               any_value(r2) AS r2 FROM cj, ti)
+             SELECT n_items, 4::BIGINT AS k, 3::BIGINT AS dof,
+               round(CASE WHEN 4.0 * tt - r2 > 0
+                 THEN 12.0 * num / (4.0 * tt - r2) END, 6) AS q_stat
+             FROM a""")),
+
+    // ---- Mantel-Haenszel pooled odds ratio ----------------------------------
+    QueryDef("q_mantel_haenszel",
+      (s, d) => graft.stat.InferenceTests.mantelHaenszel(
+          lineitem(s, d)
+            .filter(col("l_returnflag").isNotNull &&
+              col("l_discount").isNotNull && col("l_tax").isNotNull)
+            .withColumn("t", (col("l_discount") > 0.05).cast("int"))
+            .withColumn("y", (col("l_tax") > 0.04).cast("int")),
+          "l_returnflag", "t", "y")
+        .select(col("n"), col("n_strata"),
+          round(col("or_crude"), 6).as("or_crude"),
+          round(col("or_mh"), 6).as("or_mh")),
+      Some("""WITH d AS (SELECT l_returnflag AS s,
+               (l_discount > 0.05)::INT AS t, (l_tax > 0.04)::INT AS y
+               FROM lineitem WHERE l_returnflag IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+             st AS (SELECT s,
+               sum(CASE WHEN t = 1 AND y = 1 THEN 1.0 ELSE 0.0 END) AS a,
+               sum(CASE WHEN t = 1 AND y = 0 THEN 1.0 ELSE 0.0 END) AS b,
+               sum(CASE WHEN t = 0 AND y = 1 THEN 1.0 ELSE 0.0 END) AS c,
+               sum(CASE WHEN t = 0 AND y = 0 THEN 1.0 ELSE 0.0 END) AS dd
+               FROM d GROUP BY 1),
+             p AS (SELECT sum(a + b + c + dd)::BIGINT AS n,
+               count(*)::BIGINT AS n_strata,
+               sum(a * dd / (a + b + c + dd)) AS mh_num,
+               sum(b * c / (a + b + c + dd)) AS mh_den,
+               sum(a) AS ca, sum(b) AS cb, sum(c) AS cc, sum(dd) AS cd
+               FROM st)
+             SELECT n, n_strata,
+               round(CASE WHEN cb * cc > 0 THEN ca * cd / (cb * cc) END, 6)
+                 AS or_crude,
+               round(CASE WHEN mh_den > 0 THEN mh_num / mh_den END, 6)
+                 AS or_mh
+             FROM p""")),
+
+    // ---- Cronbach's alpha ----------------------------------------------------
+    // three deterministically-correlated "items" around l_quantity so
+    // the statistic lands in its meaningful (near-1) regime
+    QueryDef("q_cronbach",
+      (s, d) => Stats.cronbachAlpha(
+          lineitem(s, d)
+            .filter(col("l_quantity").isNotNull &&
+              col("l_linenumber").isNotNull && col("l_suppkey").isNotNull)
+            .withColumn("i1", col("l_quantity").cast("double"))
+            .withColumn("i2",
+              col("l_quantity") + col("l_linenumber").cast("double"))
+            .withColumn("i3",
+              col("l_quantity") + (col("l_suppkey") % 7).cast("double")),
+          Seq("i1", "i2", "i3"))
+        .select(col("n"), col("k"),
+          round(col("sum_item_var"), 6).as("sum_item_var"),
+          round(col("total_var"), 6).as("total_var"),
+          round(col("alpha"), 6).as("alpha")),
+      Some("""WITH d AS (SELECT l_quantity::DOUBLE AS i1,
+               l_quantity + l_linenumber::DOUBLE AS i2,
+               l_quantity + (l_suppkey % 7)::DOUBLE AS i3
+               FROM lineitem WHERE l_quantity IS NOT NULL
+                 AND l_linenumber IS NOT NULL AND l_suppkey IS NOT NULL),
+             a AS (SELECT count(*)::DOUBLE AS n,
+               sum(i1 + i2 + i3) AS st,
+               sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS sst,
+               sum(i1) AS s1, sum(i1 * i1) AS ss1,
+               sum(i2) AS s2, sum(i2 * i2) AS ss2,
+               sum(i3) AS s3, sum(i3 * i3) AS ss3 FROM d),
+             v AS (SELECT n,
+               (ss1 - s1 * s1 / n) / (n - 1) +
+               (ss2 - s2 * s2 / n) / (n - 1) +
+               (ss3 - s3 * s3 / n) / (n - 1) AS siv,
+               (sst - st * st / n) / (n - 1) AS tv FROM a)
+             SELECT n::BIGINT AS n, 3 AS k, round(siv, 6) AS sum_item_var,
+               round(tv, 6) AS total_var,
+               round(CASE WHEN tv > 0
+                 THEN 1.5 * (1.0 - siv / tv) END, 6) AS alpha
+             FROM v""")),
+
     // ---- Box-Cox lambda selection ------------------------------------------
     // loglik compared PER ROW (magnitude ~10, engine diff ~1e-10 — the
     // scaled-statistic discipline); is_best pins the grid argmax

@@ -1051,6 +1051,45 @@ object Stats {
           log(col("total") / col("n"))).as("theil")): _*)
   }
 
+  /** Cronbach's alpha — internal consistency of k item columns scored
+    * on the same rows (does a rubric/label-ensemble measure ONE
+    * construct): α = k/(k−1)·(1 − Σᵢ varᵢ / var(Σᵢ itemᵢ)). Variances
+    * are the explicit raw-sums chains (not the builtin aggregate, whose
+    * accumulation order differs between engines) over rows complete in
+    * ALL items (listwise deletion — the standard convention). ONE
+    * aggregate carries every per-item sum plus the row-total sums.
+    * Returns ONE row: (n, k, sum_item_var, total_var, alpha); a
+    * zero-variance total yields null alpha. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2,
+      s"cronbachAlpha needs >= 2 item columns, got ${itemCols.size}")
+    val clean = df.na.drop(itemCols)
+    val total = itemCols.map(c => col(c).cast("double")).reduce(_ + _)
+    val aggs = Seq(count(lit(1)).cast("double").as("__n"),
+      sum(total).as("__st"), sum(total * total).as("__sst")) ++
+      itemCols.zipWithIndex.flatMap { case (c, i) =>
+        val x = col(c).cast("double")
+        Seq(sum(x).as(s"__s_$i"), sum(x * x).as(s"__ss_$i"))
+      }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n")
+    def v(s: Column, ss: Column) = (ss - s * s / n) / (n - 1)
+    val sumItemVar = itemCols.indices
+      .map(i => v(col(s"__s_$i"), col(s"__ss_$i")))
+      .reduce(_ + _)
+    val totalVar = v(col("__st"), col("__sst"))
+    val k = itemCols.size
+    one
+      .withColumn("n", n.cast("long"))
+      .withColumn("k", lit(k))
+      .withColumn("sum_item_var", when(n >= 2, sumItemVar))
+      .withColumn("total_var", when(n >= 2, totalVar))
+      .withColumn("alpha",
+        when(n >= 2 && totalVar > 0,
+          lit(k.toDouble / (k - 1)) * (lit(1.0) - sumItemVar / totalVar)))
+      .select("n", "k", "sum_item_var", "total_var", "alpha")
+  }
+
   /** Exact per-group quantiles WITHOUT per-group buffers: fold to the
     * (keys, value) count frame, [[graft.util.RangeCum]] the counts in
     * value order within each key, and for every requested p pick the

@@ -504,6 +504,103 @@ object InferenceTests {
         min(least(lit(1.0), p * m / col("rank"))).over(wDown))
   }
 
+  /** Cochran's Q for k paired binary treatments (the k-treatment
+    * generalization of [[mcnemar]] — did ANY of k filter variants /
+    * model versions move the binary outcome on the same items):
+    *
+    *   Q = k(k−1)·Σ_j (C_j − T/k)² / (k·T − Σ_i R_i²)
+    *
+    * with C_j the per-treatment success totals, R_i the per-item
+    * success totals, T = ΣC_j; Q ~ χ²(k−1) under H₀. Requires the
+    * COMPLETE block design — every item observed under every treatment
+    * exactly once — probed in one bounded aggregate and REFUSED
+    * otherwise. One corpus aggregate to the (item, treatment) outcome
+    * frame, one item-keyed fold for ΣR², one treatment-keyed fold for
+    * the C_j sum — frames bounded by items/treatments. Returns ONE
+    * row: (n_items, k, dof, q_stat); an all-equal outcome column
+    * (denominator 0) yields null Q. p via [[chiSquarePValue]]. */
+  def cochranQ(df: DataFrame, itemCol: String, treatCol: String,
+               outcomeCol: String): DataFrame = {
+    val y = col(outcomeCol).cast("double")
+    val cells = df.na.drop(Seq(itemCol, treatCol, outcomeCol))
+      .groupBy(col(itemCol).as("__i"), col(treatCol).as("__t"))
+      .agg(count(lit(1)).as("__dup"), sum(y).as("__y"))
+      .persist() // design probe + both folds read it
+    val design = cells.agg(
+      max("__dup").as("maxDup"),
+      countDistinct("__t").as("k"),
+      count(lit(1)).as("cells"),
+      countDistinct("__i").as("items")).head()
+    require(design.getLong(0) <= 1,
+      "cochranQ: an (item, treatment) pair is observed more than once — " +
+        "the design needs exactly one outcome per pair")
+    val k = design.getLong(1)
+    require(k >= 2, s"cochranQ: needs >= 2 treatments, got $k")
+    require(design.getLong(2) == k * design.getLong(3),
+      s"cochranQ: incomplete block design (${design.getLong(2)} cells " +
+        s"for ${design.getLong(3)} items × $k treatments) — every item " +
+        "must be observed under every treatment; filter items first")
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__y").as("__r"))
+      .agg(count(lit(1)).as("n_items"), sum("__r").as("__tsum"),
+        sum(col("__r") * col("__r")).as("__r2"))
+    val perTreat = cells.groupBy("__t").agg(sum("__y").as("__cj"))
+      .crossJoin(broadcast(perItem))
+      .agg(first("n_items").as("n_items"), first("__tsum").as("__tsum"),
+        first("__r2").as("__r2"),
+        sum((col("__cj") - col("__tsum") / k) *
+          (col("__cj") - col("__tsum") / k)).as("__num"))
+    val denom = lit(k.toDouble) * col("__tsum") - col("__r2")
+    perTreat
+      .withColumn("k", lit(k))
+      .withColumn("dof", lit(k - 1))
+      .withColumn("q_stat",
+        when(denom > 0, lit(k.toDouble * (k - 1)) * col("__num") / denom))
+      .select("n_items", "k", "dof", "q_stat")
+  }
+
+  /** Mantel-Haenszel pooled odds ratio across stratified 2×2 tables —
+    * the confounder-adjusted effect estimate (does treatment associate
+    * with outcome AFTER stratifying on the confounder), the categorical
+    * sibling of [[graft.stat.Experiment.diffInDiff]]:
+    *
+    *   OR_MH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s)
+    *
+    * over per-stratum cells a = (t=1,y=1), b = (t=1,y=0), c = (t=0,y=1),
+    * d = (t=0,y=0). One hash aggregate keyed on the stratum folds the
+    * corpus to the cell frame; one scalar fold pools. Also emits the
+    * crude (unstratified) OR so confounding is visible as crude ≠ MH.
+    * Returns ONE row: (n, n_strata, or_crude, or_mh); zero cross
+    * products (an empty diagonal) yield nulls. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, treatCol: String,
+                     outcomeCol: String): DataFrame = {
+    val t = col(treatCol).cast("int")
+    val y = col(outcomeCol).cast("int")
+    val clean = df.na.drop(Seq(stratumCol, treatCol, outcomeCol))
+    def cell(tv: Int, yv: Int) =
+      sum(when(t === tv && y === yv, 1.0).otherwise(0.0))
+    val strata = clean
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(cell(1, 1).as("__a"), cell(1, 0).as("__b"),
+        cell(0, 1).as("__c"), cell(0, 0).as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+    val pooled = strata.agg(
+      sum("__n").cast("long").as("n"),
+      count(lit(1)).as("n_strata"),
+      sum(col("__a") * col("__d") / col("__n")).as("__mhNum"),
+      sum(col("__b") * col("__c") / col("__n")).as("__mhDen"),
+      sum("__a").as("__A"), sum("__b").as("__B"),
+      sum("__c").as("__C"), sum("__d").as("__D"))
+    pooled
+      .withColumn("or_crude",
+        when(col("__B") * col("__C") > 0,
+          col("__A") * col("__D") / (col("__B") * col("__C"))))
+      .withColumn("or_mh",
+        when(col("__mhDen") > 0, col("__mhNum") / col("__mhDen")))
+      .select("n", "n_strata", "or_crude", "or_mh")
+  }
+
   /** Two-sided p-values for the statistics above (CDF-dependent, so
     * spec-pinned rather than oracle-replayed — the Welch/propTest
     * precedent). */

@@ -564,6 +564,35 @@ class StatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative"))
   }
 
+  test("cronbachAlpha matches the variance identity on a known scale") {
+    import spark.implicits._
+    val rows = Seq(
+      (2.0, 3.0, 2.0), (4.0, 4.0, 5.0), (6.0, 7.0, 6.0), (8.0, 8.0, 9.0),
+      (1.0, 2.0, 1.0))
+    val got = graft.agg.Stats.cronbachAlpha(
+      rows.toDF("a", "b", "c"), Seq("a", "b", "c")).head()
+    def varS(xs: Seq[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    val items = Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val siv = items.map(varS).sum
+    val tv = varS(rows.map(r => r._1 + r._2 + r._3))
+    val alpha = 1.5 * (1 - siv / tv)
+    assert(got.getLong(0) == 5L && got.getInt(1) == 3)
+    assert(math.abs(got.getDouble(2) - siv) < 1e-10)
+    assert(math.abs(got.getDouble(3) - tv) < 1e-10)
+    assert(math.abs(got.getDouble(4) - alpha) < 1e-10)
+    assert(alpha > 0.9) // strongly parallel items
+    // zero-variance total (constant rows): null alpha; < 2 items refuses
+    val const = graft.agg.Stats.cronbachAlpha(
+      Seq((1.0, 1.0), (1.0, 1.0)).toDF("a", "b"), Seq("a", "b")).head()
+    assert(const.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      graft.agg.Stats.cronbachAlpha(rows.toDF("a", "b", "c"), Seq("a"))
+    }
+  }
+
   test("quantilesByCounts matches the buffering exact percentile bit-for-bit") {
     import spark.implicits._
     // ragged group sizes, ties, and a continuous-ish column

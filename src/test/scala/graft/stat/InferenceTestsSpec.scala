@@ -356,6 +356,59 @@ class InferenceTestsSpec extends SparkSpec {
     }
   }
 
+  test("cochranQ matches the hand-worked complete-block statistic") {
+    import spark.implicits._
+    // 4 items x 3 treatments with known totals
+    val rows = Seq(
+      (1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 0), (2, "c", 0),
+      (3, "a", 1), (3, "b", 1), (3, "c", 1),
+      (4, "a", 0), (4, "b", 0), (4, "c", 0))
+    val got = InferenceTests.cochranQ(rows.toDF("i", "t", "y"),
+      "i", "t", "y").head()
+    // C = (3, 2, 1), T = 6, R = (2, 1, 3, 0), sum R^2 = 14
+    // Q = 3*2 * sum((C - 2)^2) / (3*6 - 14) = 6 * 2 / 4 = 3
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L &&
+      got.getLong(2) == 2L)
+    assert(math.abs(got.getDouble(3) - 3.0) < 1e-12)
+    // incomplete block refuses; duplicate observation refuses
+    val incomplete = rows.filterNot(r => r._1 == 4 && r._2 == "c")
+    val e = intercept[IllegalArgumentException] {
+      InferenceTests.cochranQ(incomplete.toDF("i", "t", "y"), "i", "t", "y")
+    }
+    assert(e.getMessage.contains("incomplete"))
+    intercept[IllegalArgumentException] {
+      InferenceTests.cochranQ((rows :+ ((1, "a", 0))).toDF("i", "t", "y"),
+        "i", "t", "y")
+    }
+    // all-zero outcomes: denominator 0 -> null Q
+    val zeros = rows.map { case (i, t, _) => (i, t, 0) }
+    assert(InferenceTests.cochranQ(zeros.toDF("i", "t", "y"), "i", "t", "y")
+      .head().isNullAt(3))
+  }
+
+  test("mantelHaenszel pools per-stratum odds and exposes confounding") {
+    import spark.implicits._
+    // classic confounded pair of 2x2 tables: within each stratum the
+    // odds ratio is exactly 1, but the crude table suggests an effect
+    val s1 = Seq.fill(40)(("s1", 1, 1)) ++ Seq.fill(10)(("s1", 1, 0)) ++
+      Seq.fill(20)(("s1", 0, 1)) ++ Seq.fill(5)(("s1", 0, 0))
+    val s2 = Seq.fill(5)(("s2", 1, 1)) ++ Seq.fill(20)(("s2", 1, 0)) ++
+      Seq.fill(10)(("s2", 0, 1)) ++ Seq.fill(40)(("s2", 0, 0))
+    val got = InferenceTests.mantelHaenszel(
+      (s1 ++ s2).toDF("s", "t", "y"), "s", "t", "y").head()
+    assert(got.getLong(0) == 150L && got.getLong(1) == 2L)
+    // each stratum: OR = (40*5)/(10*20) = 1 and (5*40)/(20*10) = 1
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-12) // or_mh
+    // crude: A=45 B=30 C=30 D=45 -> OR = 2.25, visibly confounded
+    assert(math.abs(got.getDouble(2) - 2.25) < 1e-12)
+    // empty diagonal yields null crude OR
+    val deg = InferenceTests.mantelHaenszel(
+      Seq(("s", 1, 1), ("s", 0, 0)).toDF("s", "t", "y"), "s", "t", "y")
+      .head()
+    assert(deg.isNullAt(2) && deg.isNullAt(3))
+  }
+
   test("chiSquarePValue matches commons-math chi-square test") {
     import spark.implicits._
     val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
