@@ -531,6 +531,8 @@ object InferenceTests {
       countDistinct("__t").as("k"),
       count(lit(1)).as("cells"),
       countDistinct("__i").as("items")).head()
+    require(!design.isNullAt(0),
+      "cochranQ: empty input — no (item, treatment) observations")
     require(design.getLong(0) <= 1,
       "cochranQ: an (item, treatment) pair is observed more than once — " +
         "the design needs exactly one outcome per pair")

@@ -305,6 +305,17 @@ class EmptyInputSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InferenceTests.fleissKappa(emptyNum, "g", "x")
     }
+    // cochranQ's k >= 2 probe likewise refuses informatively on empty
+    intercept[IllegalArgumentException] {
+      InferenceTests.cochranQ(
+        emptyNum.select(col("g").as("i"), col("x").as("t"),
+          col("y").as("yy")), "i", "t", "yy")
+    }
+    assert(InferenceTests.mantelHaenszel(
+      emptyNum.select(col("g").as("s"), col("x").as("t"),
+        col("y").as("yy")), "s", "t", "yy").head().isNullAt(3))
+    assert(graft.agg.Stats.cronbachAlpha(emptyNum, Seq("x", "y")).head()
+      .isNullAt(4))
     // causal / eval
     assert(graft.stat.Experiment.diffInDiff(
       emptyNum.select(col("x").as("t"), col("y").as("p"),
