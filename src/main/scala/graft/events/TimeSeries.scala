@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
@@ -167,23 +167,30 @@ object TimeSeries {
     *
     * (inner sums accumulated in ascending j — the op order an oracle
     * unrolls term-for-term). The distributed work IS the acf pass; the
-    * recursion itself runs driver-side over the collected
-    * (#keys × maxLag) acf frame — bounded by `maxKeys`, the same
-    * driver-scale contract as the strata collects. A null ρ (zero
-    * variance) nulls that key's pacf from the first affected lag on.
+    * recursion runs INSIDE the executors via flatMapGroups over the
+    * already-keyed acf frame — per-group state is exactly maxLag
+    * (lag, ρ) pairs plus the φ coefficient array, so key cardinality
+    * is unbounded (no driver collect, no maxKeys refuse). Groups are
+    * keyed by the JSON-serialized key struct (injective for a fixed
+    * schema), so arbitrary key column types group correctly without a
+    * per-type encoder. A null ρ (zero variance) nulls that key's pacf
+    * from the first affected lag on.
     * Returns (keys…, lag, pacf) for lag = 1..maxLag. */
   def pacf(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
-           valueCol: String, maxLag: Int, maxKeys: Int = 100000): DataFrame = {
-    val spark = df.sparkSession
-    val rho = acf(df, keys, tsCol, tieCol, valueCol, maxLag)
-      .select(keys.map(col) :+ col("lag") :+ col("acf"): _*)
-      .collect()
-    require(rho.length <= maxKeys.toLong * maxLag,
-      s"pacf: ${rho.length} (key, lag) acf rows exceed maxKeys=$maxKeys × " +
-        s"maxLag=$maxLag — the Durbin-Levinson recursion is driver-side")
+           valueCol: String, maxLag: Int): DataFrame = {
     val k = keys.length
-    val byKey = rho.groupBy(r => (0 until k).map(r.get).toSeq)
-    val out = byKey.toSeq.flatMap { case (keyVals, rows) =>
+    val keySchema = StructType(keys.map(c =>
+      StructField(c, df.schema(c).dataType)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("lag", IntegerType), StructField("pacf", DoubleType)))
+    val rho = acf(df, keys, tsCol, tieCol, valueCol, maxLag)
+      .select(keys.map(col) ++ Seq(col("lag"), col("acf"),
+        to_json(struct(keys.map(col): _*)).as("__gk")): _*)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    rho.groupByKey(_.getString(k + 2))(Encoders.STRING).flatMapGroups {
+      (_: String, it: Iterator[Row]) =>
+      val rows = it.toArray
+      val keyVals = (0 until k).map(rows.head.get)
       val rhoMap = rows.map(r => r.getInt(k) -> (
         if (r.isNullAt(k + 1)) None else Some(r.getDouble(k + 1)))).toMap
       // phi(k-1) coefficients, built up lag by lag; None poisons onward
@@ -221,14 +228,8 @@ object TimeSeries {
           }
         Row.fromSeq(keyVals ++ Seq(lag,
           pk.map(java.lang.Double.valueOf).orNull))
-      }
+      }.iterator
     }
-    val keySchema = StructType(keys.map(c =>
-      StructField(c, df.schema(c).dataType)))
-    val schema = StructType(keySchema.fields ++ Seq(
-      StructField("lag", IntegerType), StructField("pacf", DoubleType)))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Cross-correlation function between two ALIGNED series per key:

@@ -40,13 +40,15 @@ object Dedup {
     * "fuzzy-exact" key): lowercase, every non-[a-z0-9-whitespace] char →
     * space, whitespace runs collapsed, ends trimmed. Catches the
     * re-crawl/re-render duplicates exact dedup misses (case, punctuation,
-    * spacing churn) while staying a pure column expression — codegen'd,
-    * pushes through the same one-shuffle plan as [[exact]]. Deliberately
-    * drops accents/non-ASCII letters to spaces; pipe through
-    * `graft.expr.RemoveAccents` first when accented text must survive. */
-  val normalizeText: Column => Column = c =>
-    trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    * spacing churn) while staying a pure column expression — a native
+    * single-pass codegen'd [[graft.expr.NormalizeText]] (byte-identical
+    * to the lower→regexp→regexp→trim chain it replaced, which paid two
+    * full regex scans per document and was the measured per-row CPU
+    * wall of this family), pushing through the same one-shuffle plan as
+    * [[exact]]. Deliberately drops accents/non-ASCII letters to spaces;
+    * pipe through `graft.expr.RemoveAccents` first when accented text
+    * must survive. */
+  val normalizeText: Column => Column = c => graft.expr.NormalizeText.of(c)
 
   /** [[exact]] over the normalized form: keep the min-id row per
     * canonical text, with the surviving row's ORIGINAL text and the
