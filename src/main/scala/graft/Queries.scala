@@ -2240,12 +2240,54 @@ object Queries {
              WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8
              ORDER BY id_a, id_b""")),
 
-    // ---- SimHash near-dup (engine-specific hash — rows-only check) --------
+    // ---- SimHash near-dup over the ENGINE hash (xxhash64 basis) -----------
+    // The production signature basis isn't DuckDB-replayable, so the gate
+    // contract brute-forces the SAME recall-mode semantics directly from
+    // the engine signatures IN-QUERY: with chunks=4 < maxHamming+1 the
+    // machinery's output is exactly {a<b : hamming(sig_a,sig_b) <= 8 AND
+    // the pair shares >= 1 of the 4 16-bit signature chunks} — both
+    // predicates are pure functions of the signatures, so a guarded n²
+    // cross join replays them and the full-outer mismatch count must be
+    // zero (ids AND hamming values). DuckDB replays n_docs and the proven
+    // flag. gateOnly: the harness is the n² join, not the operator — the
+    // machinery's benched cost row is q_simhash (same chunk-bucket path,
+    // md5 basis, strictly higher per-token cost).
     QueryDef("q_simhash_dedup",
-      (s, d) => graft.pipeline.Dedup.simhashDedup(documents(s, d),
-          "doc_id", "text", maxHamming = 8)
-        .orderBy("id_a", "id_b"),
-      None),
+      (s, d) => {
+        val sigs = documents(s, d).na.drop(Seq("doc_id", "text"))
+          .select(col("doc_id").cast("long").as("__id"),
+            graft.pipeline.Dedup.simhash(col("text")).as("__sig"))
+          .na.drop(Seq("__sig"))
+        val machine = graft.pipeline.Dedup.simhashPairsFromSig(sigs,
+          maxHamming = 8, chunks = 4)
+        val a = sigs.select(col("__id").as("__ia"), col("__sig").as("__sa"))
+        val b = sigs.select(col("__id").as("__ib"), col("__sig").as("__sb"))
+        val shareChunk = (0 until 4).map { i =>
+          val lo = i * 16
+          (shiftrightunsigned(col("__sa"), lo).bitwiseAND(lit(0xffffL))) ===
+            (shiftrightunsigned(col("__sb"), lo).bitwiseAND(lit(0xffffL)))
+        }.reduce(_ || _)
+        val brute = a.join(b, col("__ia") < col("__ib"))
+          .filter(graft.pipeline.Dedup.hammingDist(
+            col("__sa"), col("__sb")) <= 8 && shareChunk)
+          .select(col("__ia").as("__ba"), col("__ib").as("__bb"),
+            graft.pipeline.Dedup.hammingDist(col("__sa"), col("__sb"))
+              .as("__bh"))
+        val mism = machine.join(brute,
+            col("id_a") === col("__ba") && col("id_b") === col("__bb") &&
+              col("hamming") === col("__bh"), "full_outer")
+          .filter(col("id_a").isNull || col("__ba").isNull)
+          .agg(count(lit(1)).as("__mism"))
+        sigs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(mism)
+          .select(col("n_docs"), (col("__mism") === 0)
+            .as("machinery_equals_brute"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_docs,
+             true AS machinery_equals_brute
+             FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+               AND trim(text) <> ''"""),
+      gateOnly = true),
 
     // ---- SimHash EXACT Hamming-ball contract (hash-green) -----------------
     // signatures from md5 token hashes (simhashMd5 — first 16 hex chars of
@@ -2331,16 +2373,39 @@ object Queries {
     // single-table floor. Signature width from lshBitsFor (resolves to the
     // spec'd bits=4 at sf0.1 and below; scales the cell count past that —
     // the sf10 lesson).
+    // Hash-green since r11 via the q_embedding_dedup_lsh contract shape:
+    // every emitted pair is exact-verified in the operator, so the output
+    // must be a SUBSET of the exact all-pairs set — n_exact_pairs +
+    // FP-freedom are engine-independent and DuckDB-replayable. Stays
+    // benched (unlike the single-table gate row): the bench number now
+    // prices operator + harness — the harness is the same allPairsCosine
+    // q_embedding_pairs already prices alone, so the operator's own cost
+    // is recoverable by subtraction. Recall is RecallSpec-measured.
     QueryDef("q_embedding_dedup_lsh_mt",
       (s, d) => {
         val e = embeddings(s, d)
-        graft.pipeline.Dedup.embeddingDedup(e,
-            "vec_id", "embedding", dim = 64, threshold = 0.4,
-            bits = graft.pipeline.Dedup.lshBitsFor(e.count()),
-            tables = 4)
-          .orderBy("id_a", "id_b")
+        val lsh = graft.pipeline.Dedup.embeddingDedup(e,
+          "vec_id", "embedding", dim = 64, threshold = 0.4,
+          bits = graft.pipeline.Dedup.lshBitsFor(e.count()),
+          tables = 4)
+        val exact = graft.pipeline.Similarity.allPairsCosine(e,
+          "vec_id", "embedding", 0.4)
+          .select(col("id_a").as("__ea"), col("id_b").as("__eb"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(lsh.join(exact,
+              col("id_a") === col("__ea") && col("id_b") === col("__eb"),
+              "left_anti")
+            .agg(count(lit(1)).as("__fp")))
+          .select(col("n_exact_pairs"), (col("__fp") === 0)
+            .as("no_false_positives"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+             p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+             SELECT count(*)::BIGINT AS n_exact_pairs,
+               true AS no_false_positives FROM p""")),
 
     // ---- distributed Lloyd k-means (cluster sizes after one update) -------
     // init = the k lowest-id vectors (deterministic); the oracle replays
@@ -2520,17 +2585,57 @@ object Queries {
              SELECT vec_id, nid, round(cos, 6) AS cos, rank
              FROM r WHERE rank <= 5 ORDER BY vec_id, rank""")),
 
-    // LSH-bucketed kNN graph: the scale path (rows-only — bucket-local
-    // neighborhoods are engine-specific; SimilaritySpec pins per-bucket
-    // exactness and measured recall vs the exact tier)
+    // LSH-bucketed kNN graph: the scale path. Hash-green since r11 via the
+    // pqContract pattern, per (node, rank): the LSH list at any rank is
+    // drawn from a subset of the node's neighbors under the SAME ordering
+    // (cos desc, nid asc), so its rank-r cosine is dominated by the exact
+    // kNN's rank-r cosine (order statistics of a subset) — and every
+    // returned edge's cosine is re-derived from the base vectors in-query
+    // and must equal the reported value (also proving nid ∈ corpus).
+    // exact_cos is the per-rank value DuckDB replays; absent LSH ranks
+    // (dry buckets) pass both flags vacuously. Recall is
+    // SimilaritySpec-measured vs the exact tier.
     QueryDef("q_knn_graph_lsh",
-      (s, d) => graft.pipeline.Similarity.knnGraph(
-          embeddings(s, d), "vec_id", "embedding", dim = 64, k = 5,
-          bits = 4, tables = 4)
-        .select(col("vec_id"), col("nid"), round(col("cos"), 6).as("cos"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("vec_id", "rank"),
-      None),
+      (s, d) => {
+        val e = embeddings(s, d)
+        val lsh = graft.pipeline.Similarity.knnGraph(e,
+            "vec_id", "embedding", dim = 64, k = 5, bits = 4, tables = 4)
+          .select(col("vec_id"), col("nid").as("__lnid"),
+            col("cos").as("__lcos"), col("rank"))
+        val ev = e.na.drop(Seq("vec_id", "embedding"))
+          .select(col("vec_id").as("__vid"),
+            transform(col("embedding"), _.cast("double")).as("__v"))
+        val rescored = lsh
+          .join(ev.select(col("__vid").as("__a"), col("__v").as("__va")),
+            col("vec_id") === col("__a"), "left")
+          .join(ev.select(col("__vid").as("__b"), col("__v").as("__vb")),
+            col("__lnid") === col("__b"), "left")
+          .withColumn("__rcos",
+            graft.pipeline.Dedup.cosine(col("__va"), col("__vb")))
+          .select(col("vec_id"), col("rank"), col("__lcos"), col("__rcos"))
+        graft.pipeline.Similarity.knnGraphExact(e,
+            "vec_id", "embedding", k = 5)
+          .join(rescored, Seq("vec_id", "rank"), "left")
+          .select(col("vec_id"), col("rank").cast("long").as("rank"),
+            round(col("cos"), 6).as("exact_cos"),
+            (col("__lcos").isNull ||
+              col("__lcos") <= col("cos") + lit(1e-9)).as("lsh_le_exact"),
+            (col("__lcos").isNull || (col("__rcos").isNotNull &&
+              abs(col("__rcos") - col("__lcos")) <= lit(1e-9)))
+              .as("lsh_cos_exact"))
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+               list_cosine_similarity(a.v, b.v) AS cos
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             r AS (SELECT vec_id, cos, row_number() OVER
+               (PARTITION BY vec_id ORDER BY cos DESC, nid) AS rank FROM p)
+             SELECT vec_id, rank, round(cos, 6) AS exact_cos,
+               true AS lsh_le_exact, true AS lsh_cos_exact
+             FROM r WHERE rank <= 5 ORDER BY vec_id, rank""")),
 
     // ---- similarity search: brute-force cosine top-k ----------------------
     QueryDef("q_sim_topk",
@@ -6990,19 +7095,75 @@ object Queries {
                round(corr(rq, rd), 6) AS qty_disc,
                round(corr(rp, rd), 6) AS price_disc FROM r""")),
 
-    // ---- KS test / t-test p-values (JVM distributions — rows-only) --------
+    // ---- KS test WITH p-value (hash-green via the shared series chain) ----
+    // The commons-math exact Kolmogorov CDF has no DuckDB replay, so the
+    // p-value emitted here is the ASYMPTOTIC Kolmogorov series
+    //   p = 2 Σ_{j=1..100} (−1)^{j−1} exp(−2 j² z²),  z = √n · D
+    // evaluated as the IDENTICAL literal op chain in BOTH engines (the
+    // q_srm Wilson–Hilferty precedent): Spark folds it with
+    // aggregate(sequence(...)), DuckDB with list_sum(list_transform(...)),
+    // both from the engine's own UNROUNDED D — term-order and arithmetic
+    // shape match, so round-6 compares exactly. The distributed machinery
+    // under test is still ksTestMulti's one-sort multi-CDF sup fold. The
+    // third row samples l_discount (n≈113 at sf0.01) so the p is
+    // NON-trivial at the gate SF, not just the ≈0 of the full-table fits;
+    // the JVM exact-CDF p (untestable here) is pinned against this same
+    // series for large n inside StatTests.ksPValue.
     QueryDef("q_ks_test",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        // both distributions tested from ONE distributed sort
-        graft.stat.StatTests.ksTestMulti(lineitem(s, d), "l_extendedprice",
-            Seq(("uniform", "uniform", Seq(0.0, 110000.0)),
-              ("norm01", "norm", Seq(0.0, 1.0))))
-          .map { case (label, r) => (label, r.statistic, r.pValue) }
-          .toDF("dist", "statistic", "p_value")
+        val li = lineitem(s, d)
+        val full = graft.stat.StatTests.ksTestMulti(li, "l_extendedprice",
+          Seq(("exp30000", "exp", Seq(30000.0)),
+            ("uniform", "uniform", Seq(0.0, 110000.0))))
+        val nFull = li.filter(col("l_extendedprice").isNotNull).count()
+        val samp = li.filter(col("l_orderkey") % 601 === 0)
+        val sampKs = graft.stat.StatTests.ksTestMulti(samp, "l_discount",
+          Seq(("uniform_disc_sample", "uniform", Seq(0.0, 0.1))))
+        val nSamp = samp.filter(col("l_discount").isNotNull).count()
+        val rows = full.map { case (l, r) => (l, r.statistic, nFull) } ++
+          sampKs.map { case (l, r) => (l, r.statistic, nSamp) }
+        rows.toDF("dist", "__stat", "n")
+          .withColumn("__z", sqrt(col("n")) * col("__stat"))
+          .select(col("dist"), col("n"),
+            round(col("__stat"), 6).as("ks_stat"),
+            round(least(lit(1.0), greatest(lit(0.0), lit(2.0) * expr(
+              "aggregate(sequence(1, 100), cast(0.0 as double), (acc, j) " +
+                "-> acc + (case when j % 2 = 1 then 1.0D else -1.0D end) " +
+                "* exp(-2.0D * j * j * __z * __z))"))), 6).as("p_asym"))
+          .orderBy("dist")
       },
-      None),
+      Some("""WITH s AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+             r AS (SELECT v, (row_number() OVER (ORDER BY v))::DOUBLE AS i,
+               (count(*) OVER ())::DOUBLE AS n FROM s),
+             d AS (SELECT max(n)::BIGINT AS n,
+               max(greatest(abs((1 - exp(-v / 30000.0)) - (i - 1) / n),
+                 abs((1 - exp(-v / 30000.0)) - i / n))) AS exp_d,
+               max(greatest(
+                 abs(least(greatest(v / 110000.0, 0), 1) - (i - 1) / n),
+                 abs(least(greatest(v / 110000.0, 0), 1) - i / n))) AS uni_d
+               FROM r),
+             s2 AS (SELECT l_discount::DOUBLE AS v FROM lineitem
+               WHERE l_orderkey % 601 = 0 AND l_discount IS NOT NULL),
+             r2 AS (SELECT v, (row_number() OVER (ORDER BY v))::DOUBLE AS i,
+               (count(*) OVER ())::DOUBLE AS n FROM s2),
+             d2 AS (SELECT max(n)::BIGINT AS n,
+               max(greatest(
+                 abs(least(greatest(v / 0.1, 0), 1) - (i - 1) / n),
+                 abs(least(greatest(v / 0.1, 0), 1) - i / n))) AS uni_d
+               FROM r2),
+             raw AS (SELECT 'exp30000' AS dist, n, exp_d AS stat FROM d
+               UNION ALL SELECT 'uniform', n, uni_d FROM d
+               UNION ALL SELECT 'uniform_disc_sample', n, uni_d FROM d2),
+             z AS (SELECT dist, n, stat, sqrt(n) * stat AS zz FROM raw)
+             SELECT dist, n, round(stat, 6) AS ks_stat,
+               round(least(1.0, greatest(0.0, 2.0 * list_sum(list_transform(
+                 generate_series(1, 100), j ->
+                 (CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END) *
+                 exp(-2.0 * j * j * zz * zz))))), 6) AS p_asym
+             FROM z ORDER BY dist""")),
 
     // the full t-test matrix machinery runs (summaries → driver pairs →
     // commons-math p-values) but the driver row emits the SQL-expressible
