@@ -81,13 +81,25 @@ final case class HandyFrame(df: DataFrame, state: HandyState = HandyState()) {
 
   /** Record the response/label column; non-continuous response implies
     * classification and materializes the distinct class labels
-    * (reference dataframe.py:475-484). */
-  def setResponse(col: String): HandyFrame = {
+    * (reference dataframe.py:475-484). The label set is a DRIVER
+    * collect, so it is probe-guarded: a limit-(maxClasses+1) distinct
+    * probe refuses a continuous-ish response (ids, free text
+    * misclassified as categorical) BEFORE anything unbounded is pulled
+    * to the driver — the same probe-and-refuse contract as the strata
+    * and window-family guards. */
+  def setResponse(col: String, maxClasses: Int = 10000): HandyFrame = {
     require(schema.fieldNames.contains(col), s"unknown column $col")
     val isCont = continuousCols.contains(col)
     val classes =
       if (isCont) None
-      else Some(df.select(col).distinct().collect().map(_.get(0)).toSeq)
+      else {
+        val probe = df.select(col).distinct().limit(maxClasses + 1).collect()
+        require(probe.length <= maxClasses,
+          s"setResponse: column $col has more than maxClasses=$maxClasses " +
+            "distinct labels — not a classification response; declare it " +
+            "continuous or raise maxClasses")
+        Some(probe.map(_.get(0)).toSeq)
+      }
     copy(state = state.copy(responseCol = Some(col), classes = classes))
   }
 

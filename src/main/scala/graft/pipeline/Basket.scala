@@ -33,11 +33,14 @@ object Basket {
     * (item_a, item_b, n_a, n_b, n_ab, n_baskets, oversized_baskets,
     * support, conf_a_b, conf_b_a, lift). Counts are exact longs;
     * support/confidence/lift are the standard ratios (float only at
-    * the final division). `n_a`/`n_b` count baskets containing the
-    * item among ALL baskets (marginals are not subject to the pairing
-    * cap), so lift is exact even when oversized baskets were skipped
-    * for pairing — the skip only loses their JOINT counts, and the
-    * `oversized_baskets` column makes that visible. */
+    * the final division). `n_a`/`n_b`/`n_baskets` count over ALL
+    * baskets (marginals are not subject to the pairing cap), but
+    * `n_ab` excludes pairs inside baskets larger than `maxBasketSize`
+    * — so when `oversized_baskets` > 0 the ratios built on n_ab
+    * (support, confidence, lift) are LOWER BOUNDS on their all-basket
+    * values, not exact; the `oversized_baskets` column makes the skip
+    * visible so callers can raise the cap (or exact-dedup the
+    * degenerate mega-baskets first) when bounds aren't enough. */
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
                 minCount: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
     require(minCount >= 1, s"pairRules: minCount must be >= 1, got $minCount")
@@ -46,7 +49,11 @@ object Basket {
     val bi = df.na.drop(Seq(basketCol, itemCol))
       .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
-      .persist() // marginals, sizes, and the pair join all read it
+      // marginals, sizes, and the pair join all read this cache; the
+      // returned rule plan is lazy, so there is no sound in-method
+      // unpersist point (Components lifetime note) — entry stays until
+      // LRU eviction; looping callers can clearCache() between batches
+      .persist()
     val nBaskets = bi.select("__basket").distinct().count()
     val sizes = bi.groupBy("__basket")
       .agg(count(lit(1)).as("__sz"))

@@ -32,17 +32,27 @@ import org.apache.spark.sql.functions._
 object GeoIndex {
 
   private val Version = 2
-  private val KeyBase = 100000L // lon cells < 10^5 for every legal cellDeg
+  private val KeyBase = 100000L // lon-cell count enforced < KeyBase below
 
   private def cellKey(latCell: org.apache.spark.sql.Column,
                       lonCell: org.apache.spark.sql.Column) =
     latCell.cast("long") * KeyBase + lonCell.cast("long")
 
   private def withKey(df: DataFrame, latCol: String, lonCol: String,
-                      cellDeg: Double): DataFrame =
+                      cellDeg: Double): DataFrame = {
+    // cell_key injectivity needs lon cells (360/cellDeg) < KeyBase —
+    // Geo.withCells only requires cellDeg to divide 360, so a sub-0.0036°
+    // grid would silently alias keys: results would stay correct (the
+    // exact haversine filter runs after the key join) but the collisions
+    // would defeat the row-group pruning the key exists for. Refuse.
+    require(360.0 / cellDeg < KeyBase,
+      s"GeoIndex: cellDeg=$cellDeg yields ${(360.0 / cellDeg).toLong} " +
+        s"longitude cells >= KeyBase=$KeyBase — cell_key would alias; " +
+        "use a coarser grid")
     Geo.withCells(df, latCol, lonCol, cellDeg)
       .withColumn("cell_key", cellKey(col("lat_cell"), col("lon_cell")))
       .drop("lat_cell", "lon_cell")
+  }
 
   private def maxAbsLat(df: DataFrame, c: String): Double =
     df.agg(max(abs(col(c).cast("double")))).head() match {

@@ -175,8 +175,11 @@ object Experiment {
     * and its standard error from the four-cell variance sum
     * SE = √(Σ s²_cell/n_cell) — exact for the cell-means estimator
     * (equivalently the OLS interaction coefficient with
-    * heteroscedasticity-by-cell). Any empty cell yields null estimate:
-    * a missing cell means the design ran off the rails, not zero.
+    * heteroscedasticity-by-cell). Any EMPTY cell yields null `did`
+    * (a missing cell means the design ran off the rails, not zero);
+    * `se` additionally needs every cell at n >= 2 — a singleton cell
+    * has a defined mean but no sample variance, so `did` is reported
+    * and `se` alone is null there.
     *
     * Scale shape: ONE hash aggregate folds the corpus to the 4 cells
     * (conditional sums — no pivot, no second scan); everything after is
@@ -204,7 +207,10 @@ object Experiment {
         (n - 1) / n
     }
     val allCells = Seq("tpre", "tpost", "cpre", "cpost")
-    val nonEmpty = allCells.map(sfx => col(s"n_$sfx") > 1).reduce(_ && _)
+    // the cell-means DiD point estimate is defined from n = 1 per cell;
+    // only the SE needs the sample variances (n >= 2 per cell)
+    val nonEmpty = allCells.map(sfx => col(s"n_$sfx") > 0).reduce(_ && _)
+    val seDefined = allCells.map(sfx => col(s"n_$sfx") > 1).reduce(_ && _)
     val est = (mean("tpost") - mean("tpre")) -
       (mean("cpost") - mean("cpre"))
     val se = sqrt(v("tpost") + v("tpre") + v("cpost") + v("cpre"))
@@ -214,7 +220,7 @@ object Experiment {
       .withColumn("mean_cpre", when(col("n_cpre") > 0, mean("cpre")))
       .withColumn("mean_cpost", when(col("n_cpost") > 0, mean("cpost")))
       .withColumn("did", when(nonEmpty, est))
-      .withColumn("se", when(nonEmpty, se))
+      .withColumn("se", when(seDefined, se))
       .select("n_tpre", "n_tpost", "n_cpre", "n_cpost",
         "mean_tpre", "mean_tpost", "mean_cpre", "mean_cpost", "did", "se")
   }

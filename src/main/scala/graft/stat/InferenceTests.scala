@@ -343,7 +343,12 @@ object InferenceTests {
     val cells = df.na.drop(Seq(aCol, bCol))
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__n"))
-      .persist() // the guard count below and all four readers reuse it
+      // the guard count below and all four readers reuse this cache; the
+      // result is lazy and still reads it, so there is no sound in-method
+      // unpersist point (Components/ngramJaccard lifetime note) — the
+      // entry stays until LRU eviction; looping callers can
+      // spark.catalog.clearCache() between calls
+      .persist()
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"kendallTauB: $nCells distinct ($aCol, $bCol) cells exceed " +
@@ -407,7 +412,10 @@ object InferenceTests {
     val cells = df.na.drop(Seq(itemCol, labelCol))
       .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
       .agg(count(lit(1)).cast("double").as("__c"))
-      .persist() // the design probe and all three folds read it
+      // design probe + all three folds read this cache; lazy result =>
+      // no sound in-method unpersist point (same lifetime note as
+      // kendallTauB above)
+      .persist()
     val perItem = cells.groupBy("__i")
       .agg(sum("__c").as("__n"), sum(col("__c") * col("__c")).as("__c2"))
     val design = perItem.agg(min("__n").as("lo"), max("__n").as("hi")).head()
@@ -483,6 +491,9 @@ object InferenceTests {
                          maxTests: Int = 1000000): DataFrame = {
     require(tieCols.nonEmpty,
       "multipleTestAdjust needs tie-break columns for a total order")
+    // the guard count and the returned windowed plan both read `clean`;
+    // the result is lazy, so there is no sound in-method unpersist point
+    // (Components lifetime note) — entry stays until LRU eviction
     val clean = df.na.drop(pCol +: tieCols).persist()
     val m = clean.count()
     require(m <= maxTests,
@@ -525,7 +536,10 @@ object InferenceTests {
     val cells = df.na.drop(Seq(itemCol, treatCol, outcomeCol))
       .groupBy(col(itemCol).as("__i"), col(treatCol).as("__t"))
       .agg(count(lit(1)).as("__dup"), sum(y).as("__y"))
-      .persist() // design probe + both folds read it
+      // design probe + both folds read this cache; lazy result => no
+      // sound in-method unpersist point (same lifetime note as
+      // kendallTauB above)
+      .persist()
     val design = cells.agg(
       max("__dup").as("maxDup"),
       countDistinct("__t").as("k"),

@@ -40,6 +40,21 @@ class CoreSpec extends SparkSpec {
     assert(!cont.state.isClassification)
   }
 
+  test("setResponse probe-refuses a continuous-ish string label set") {
+    import spark.implicits._
+    // a string column with one label per row — an id misdeclared as a
+    // response must refuse BEFORE an unbounded driver collect
+    val wide = spark.range(100)
+      .selectExpr("cast(id as string) as label").as[String].toDF("label")
+    val e = intercept[IllegalArgumentException] {
+      wide.toHandy.setResponse("label", maxClasses = 50)
+    }
+    assert(e.getMessage.contains("maxClasses"))
+    // at exactly the bound it still materializes the full class set
+    val ok = wide.toHandy.setResponse("label", maxClasses = 100)
+    assert(ok.state.classes.get.size == 100)
+  }
+
   test("cols façade: type-alias selectors and stats") {
     val hf = df.toHandy
     val m = hf.cols("continuous").mean().head()

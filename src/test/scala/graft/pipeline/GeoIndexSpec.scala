@@ -83,4 +83,15 @@ class GeoIndexSpec extends SparkSpec {
     assert(GeoIndex.radiusQuery(eq, "qlat", "qlon", 10000.0, path)
       .count() == 0)
   }
+
+  test("write refuses a grid too fine for cell_key injectivity") {
+    import spark.implicits._
+    val pts = Seq((1L, 70.0, 10.0)).toDF("pid", "plat", "plon")
+    // 0.001 divides 360 (passes Geo.withCells) but yields 360000 lon
+    // cells >= KeyBase=100000 — keys would alias and defeat pruning
+    val e = intercept[IllegalArgumentException] {
+      GeoIndex.write(pts, "pid", "plat", "plon", 0.001, tmp())
+    }
+    assert(e.getMessage.contains("cell_key would alias"))
+  }
 }

@@ -147,6 +147,14 @@ class ExperimentSpec extends SparkSpec {
       rows.filterNot(r => r._1 == 1 && r._2 == 1).toDF("t", "p", "y"),
       "t", "p", "y").head()
     assert(missing.isNullAt(8) && missing.isNullAt(9))
+    // a SINGLETON cell: the cell-means point estimate is defined (n=1
+    // means exist), only the SE nulls (no sample variance at n=1)
+    val singleton = Experiment.diffInDiff(
+      (rows.filterNot(r => r._1 == 1 && r._2 == 1) :+ (1, 1, 25.0))
+        .toDF("t", "p", "y"), "t", "p", "y").head()
+    assert(singleton.getLong(1) == 1L)
+    assert(math.abs(singleton.getDouble(8) - 3.0) < 1e-12) // did defined
+    assert(singleton.isNullAt(9))                          // se null
   }
 
   test("ipwAte: HT and Hajek agree on balanced uniform propensities") {
