@@ -6053,6 +6053,67 @@ object Queries {
                  RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING))
              ORDER BY event_id""")),
 
+    // ---- sketch-tier robust baseline: bounded-state scale path -------------
+    // rollingRobustZscoreSketch replaces the exact window percentile's
+    // per-row frame buffer with a CountHist window sketch (bins+2 longs of
+    // state). The sketch quantile is deterministic but not cheaply SQL-
+    // replayable per frame, so the gate contract proves its per-quantile
+    // bound IN-QUERY against the exact order-statistic bracket
+    // [x_(floor(r)+1), x_(floor(r)+2)] of every frame (collect_list
+    // harness — verification cost, not the operator): the sketch median
+    // must sit within bracket +/- 2*cellWidth, the IQR within the two
+    // quartile brackets +/- 4*cellWidth, and no baseline mass may fall
+    // outside [lo, hi]. DuckDB replays the frame counts + proven flags.
+    QueryDef("q_rolling_robust_sketch",
+      (s, d) => {
+        val lo = 0.0; val hi = 1000.0; val bins = 1000
+        val width = (hi - lo) / bins
+        val sk = graft.events.Rolling.rollingRobustZscoreSketch(
+          events(s, d), Seq("user_id"), "ts", "value",
+          windowSec = 3600L, lo, hi, bins, threshold = 2.5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("__tss")).rangeBetween(-3599, -1)
+        val withArr = sk.withColumn("__tss", col("ts").cast("long"))
+          .withColumn("__arr", sort_array(
+            collect_list(col("value").cast("double")).over(w)))
+          .withColumn("__n", size(col("__arr")))
+        def bracket(p: Double): (org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column) = {
+          val i = floor((col("__n") - 1) * p).cast("int")
+          (element_at(col("__arr"), greatest(i + 1, lit(1))),
+            element_at(col("__arr"),
+              greatest(least(i + lit(2), col("__n")), lit(1))))
+        }
+        val (mLo, mHi) = bracket(0.5)
+        val (q1Lo, q1Hi) = bracket(0.25)
+        val (q3Lo, q3Hi) = bracket(0.75)
+        val medDefined = col("baseline_median").isNotNull
+        withArr.agg(
+          count(lit(1)).as("n_events"),
+          sum(when(medDefined, 1L).otherwise(0L)).as("n_with_baseline"),
+          (sum(when(medDefined &&
+              (col("baseline_median") < mLo - lit(2 * width) ||
+                col("baseline_median") > mHi + lit(2 * width)), 1L)
+            .otherwise(0L)) === 0).as("median_bracketed"),
+          (sum(when(col("baseline_iqr").isNotNull &&
+              (col("baseline_iqr") < q3Lo - q1Hi - lit(4 * width) ||
+                col("baseline_iqr") > q3Hi - q1Lo + lit(4 * width)), 1L)
+            .otherwise(0L)) === 0).as("iqr_bracketed"),
+          (sum(col("baseline_below") + col("baseline_above")) === 0)
+            .as("all_in_range"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_events,
+               sum(CASE WHEN cnt >= 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_with_baseline,
+               true AS median_bracketed, true AS iqr_bracketed,
+               true AS all_in_range
+             FROM (SELECT count(value) OVER w AS cnt
+               FROM (SELECT user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+               WINDOW w AS (PARTITION BY user_id ORDER BY tss
+                 RANGE BETWEEN 3599 PRECEDING AND 1 PRECEDING))""")),
+
     // ---- per-key gap / outage report ---------------------------------------
     // all gaps are exact micros longs; only the avg is a division
     QueryDef("q_gap_report",

@@ -1,11 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage decomposition for the query under diagnosis (scratch —
-  * contents change per investigation). */
+  * contents change per investigation). Currently: the rolling robust
+  * baseline tiers — exact window percentile vs CountHist window sketch —
+  * timed op-only (no verification harness) for the decade table. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -28,38 +29,23 @@ object Scratch {
       println(f"$name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    val minLen = 60
-    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .na.drop(Seq("doc_id", "text"))
-      .select(col("doc_id").cast("long").as("__id"), col("text").as("__t"))
-    def wins = docs.filter(length(col("__t")) >= minLen)
-      .select(col("__id"),
-        explode(sequence(lit(1L),
-          (length(col("__t")) - lit(minLen - 1)).cast("long"))).as("__pos"),
-        col("__t"))
-      .select(col("__id"), col("__pos"),
-        col("__t").substr(col("__pos").cast("int"), lit(minLen)).as("__sub"))
+    def events = {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+    }
 
-    time("windows")(wins)
-    time("winhash")(wins.select(xxhash64(col("__sub")).as("__h")))
-    def dupH = wins.select(xxhash64(col("__sub")).as("__h"))
-      .groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select("__h")
-    time("dupH")(dupH)
-    def cand = wins.withColumn("__h", xxhash64(col("__sub"))).join(dupH, "__h")
-    time("cand")(cand)
-    val bySub = Window.partitionBy("__sub")
-    def removed = cand
-      .withColumn("__n", count(lit(1)).over(bySub))
-      .withColumn("__own",
-        min(struct(col("__id").as("i"), col("__pos").as("p"))).over(bySub))
-      .filter(col("__n") >= 2 &&
-        !(col("__own.i") === col("__id") && col("__own.p") === col("__pos")))
-      .select("__id", "__pos")
-    time("removed")(removed)
-    time("spans")(graft.pipeline.SubstringDedup.repeatedSubstringSpans(
-      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
-      "doc_id", "text", minLen))
-    spark.stop()
+    time("robust_exact")(graft.events.Rolling.rollingRobustZscore(
+      events, Seq("user_id"), "ts", "value", windowSec = 3600L,
+      threshold = 2.5))
+    time("robust_sketch")(graft.events.Rolling.rollingRobustZscoreSketch(
+      events, Seq("user_id"), "ts", "value", windowSec = 3600L,
+      lo = 0.0, hi = 1000.0, bins = 1000, threshold = 2.5))
   }
 }

@@ -228,4 +228,76 @@ class RollingSpec extends SparkSpec {
       .collect().toMap
     assert(got(50L).isEmpty) // constant baseline: IQR 0 -> null
   }
+
+  test("rollingRobustZscoreSketch: every sketch quantile brackets the " +
+      "exact frame's order statistics within 2*cellWidth") {
+    import spark.implicits._
+    // deterministic pseudo-random values in [0, 100): hash-mixed index
+    val df = spark.range(600)
+      .selectExpr("id % 3 as k", "cast(10 * (id / 3) as long) as tss",
+        "cast(pmod(hash(id * 2654435761), 10000) as double) / 100.0 as v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val lo = 0.0; val hi = 100.0; val bins = 200
+    val width = (hi - lo) / bins
+    val winSec = 300L
+    val sk = Rolling.rollingRobustZscoreSketch(df, Seq("k"), "ts", "v",
+        winSec, lo, hi, bins, threshold = 2.5)
+      .select("k", "tss", "baseline_median", "baseline_iqr",
+        "baseline_below", "baseline_above")
+      .as[(Long, Long, Option[Double], Option[Double], Long, Long)]
+      .collect()
+    assert(sk.nonEmpty)
+    // driver-side exact frames over the same small fixture: the sketch's
+    // contract is per-QUANTILE — the estimate lies within 2*width of the
+    // order-statistic bracket [x_(floor(r)+1), x_(floor(r)+2)] the exact
+    // type-7 quantile interpolates inside (interpolation itself can sit
+    // anywhere in the bracket when the frame is sparse, so the honest
+    // envelope is bracket +/- 2*width, not exact +/- 2*width)
+    val rows = df.select("k", "tss", "v")
+      .as[(Long, Long, Double)].collect()
+    def frame(k: Long, tss: Long): Array[Double] = rows
+      .filter(r => r._1 == k && r._2 >= tss - (winSec - 1) && r._2 < tss)
+      .map(_._3).sorted
+    def bracket(xs: Array[Double], p: Double): (Double, Double) = {
+      val r = p * (xs.length - 1)
+      val i = math.floor(r).toInt
+      (xs(i), xs(math.min(i + 1, xs.length - 1)))
+    }
+    var checked = 0
+    sk.foreach { case (k, tss, med, iqr, below, above) =>
+      assert(below == 0L && above == 0L) // range covers all values
+      val xs = frame(k, tss)
+      assert(med.isDefined == xs.nonEmpty, s"($k,$tss) med definedness")
+      med.foreach { m =>
+        val (blo, bhi) = bracket(xs, 0.5)
+        assert(m >= blo - 2 * width - 1e-9 && m <= bhi + 2 * width + 1e-9,
+          s"($k,$tss) sketch median $m outside [$blo, $bhi] +/- 2*width")
+        checked += 1
+      }
+      iqr.foreach { v =>
+        val (q1lo, q1hi) = bracket(xs, 0.25)
+        val (q3lo, q3hi) = bracket(xs, 0.75)
+        val lo_ = q3lo - q1hi - 4 * width - 1e-9
+        val hi_ = q3hi - q1lo + 4 * width + 1e-9
+        assert(v >= lo_ && v <= hi_,
+          s"($k,$tss) sketch IQR $v outside [$lo_, $hi_]")
+      }
+    }
+    assert(checked > 150) // the envelope was actually exercised
+  }
+
+  test("rollingRobustZscoreSketch: out-of-range baseline mass is " +
+      "surfaced, not silently dropped into the quantiles") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 20L, 6.0), (1L, 30L, 7.0),
+      (1L, 40L, 8.0), (1L, 50L, 999.0), (1L, 60L, 7.5))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Rolling.rollingRobustZscoreSketch(df, Seq("k"), "ts", "v",
+        windowSec = 3600L, lo = 0.0, hi = 10.0, bins = 100)
+      .select("tss", "baseline_above")
+      .as[(Long, Long)].collect().toMap
+    assert(got(60L) == 1L) // the 999 landed above the range and is visible
+    assert(got(50L) == 0L)
+  }
 }
