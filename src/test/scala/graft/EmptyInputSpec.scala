@@ -368,4 +368,18 @@ class EmptyInputSpec extends SparkSpec {
         col("y").cast("long").as("tie"), col("g").as("t")),
       Seq("u"), "ts", "tie", "t", gap = 10L).count() == 0)
   }
+
+  test("round-11 additions tolerate empty input") {
+    // sketch-tier rolling robust baseline: empty stream -> empty result
+    assert(graft.events.Rolling.rollingRobustZscoreSketch(
+      emptyNum.select(col("g"), current_timestamp().as("ts"),
+        col("x").as("v")),
+      Seq("g"), "ts", "v", windowSec = 60L,
+      lo = 0.0, hi = 100.0, bins = 10).count() == 0)
+    // HistQuantiles over zero rows: tallies zero, quantiles null
+    val hq = emptyNum.agg(graft.expr.HistQuantiles.of(
+      col("x"), 0.0, 1.0, 4, Seq(0.5)).as("sk"))
+      .select(col("sk.n"), col("sk.quantiles")).head()
+    assert(hq.getLong(0) == 0L && hq.isNullAt(1))
+  }
 }
