@@ -8881,6 +8881,31 @@ object Queries {
              WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92
              ORDER BY 1, 2""")),
 
+    // ---- sorted-neighborhood near-dup pairs (SNM, multi-pass ER) ----------
+    // the adjacency-in-sort companion to q_jw_pairs' prefix blocking:
+    // global rank over (lower(name), id) via the RangeCum partition-offset
+    // scaffold (no single-partition window), rank-gap <= window-1 pairs
+    // exact-scored with the native JW expression. Deterministic pair set
+    // (id tie-break), so the oracle replays rank + join + score whole
+    QueryDef("q_sorted_neighborhood",
+      (s, d) => graft.pipeline.FuzzyJoin.sortedNeighborhood(
+          s.read.parquet(s"$d/part.parquet"),
+          "p_partkey", "p_name", keyCol = lower(col("__s")),
+          window = 6, minSim = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH s AS (SELECT p_partkey AS id, p_name AS str,
+               lower(p_name) AS k FROM part
+               WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+             r AS (SELECT id, str,
+               row_number() OVER (ORDER BY k, id) AS rk FROM s),
+             p AS (SELECT a.id AS ia, b.id AS ib,
+               jaro_winkler_similarity(a.str, b.str) AS jw
+               FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5)
+             SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+               round(jw, 6) AS jw
+             FROM p WHERE jw >= 0.9 ORDER BY id_a, id_b""")),
+
     // ---- hybrid retrieval: reciprocal rank fusion --------------------------
     // lexical run (BM25, spark/join terms) fused with a semantic run
     // (embedding cosine vs vec 0) — the RAG hybrid-search shape. Ranks are

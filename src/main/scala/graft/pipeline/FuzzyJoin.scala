@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Approximate string join: all pairs within Levenshtein edit distance
@@ -260,6 +260,56 @@ object FuzzyJoin {
         graft.expr.JaroWinkler.winkler(col("__sa"), col("__sb")))
       .filter(col("jw") >= minSim)
       .select("id_a", "id_b", "jw")
+  }
+
+  /** Sorted-neighborhood near-dup pairs (SNM — the classic ER pass that
+    * complements [[jaroWinklerPairs]]' prefix blocking): rows are
+    * range-sorted by (`keyCol`, id) and every pair within `window`
+    * positions of each other is exact-scored with the native
+    * Jaro-Winkler expression; pairs scoring ≥ `minSim` are emitted as
+    * (id_a, id_b, jw) with id_a < id_b. Because candidacy is
+    * ADJACENCY-in-sort, not key equality, SNM recovers pairs whose keys
+    * differ slightly everywhere (the typo-in-first-char case prefix
+    * blocking discards by construction) — run it keyed on a sorted-chars
+    * or phonetic key and union with the prefix-blocked pass for the
+    * standard multi-pass ER recall recipe.
+    *
+    * Scale shape: ONE range-sort shuffle; the global rank comes from the
+    * [[graft.util.RangeCum]] partition-offset scaffold (integer counts —
+    * bit-exact, no single-partition window), then a (window−1)-way rank
+    * explode equi-joins rank r against r+j — a co-partitioned int-key
+    * hash join whose pair mass is n·(window−1), LINEAR in the corpus
+    * (the whole point vs block²). Scoring stays in whole-stage codegen.
+    * Deterministic end to end: ties in `keyCol` break on the id, so the
+    * pair set is a pure function of the data. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+                         keyCol: Column, window: Int,
+                         minSim: Double): DataFrame = {
+    require(window >= 2 && window <= 1000,
+      s"sortedNeighborhood: window must be in [2,1000], got $window")
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"sortedNeighborhood: minSim must be in (0,1], got $minSim")
+    val keyed = prep(df, idCol, strCol)
+      .withColumn("__key", keyCol.cast("string"))
+      .na.drop(Seq("__key"))
+      .withColumn("__ord", struct(col("__key"), col("__id")))
+      .withColumn("__one", lit(1.0))
+    val ranked = graft.util.RangeCum
+      .cumSum(keyed, Nil, "__ord", Seq("__one"))
+      .withColumn("__rank", col("__cum___one").cast("long"))
+      .select("__id", "__s", "__rank")
+    val probes = ranked
+      .withColumn("__j", explode(array((1 until window).map(lit): _*)))
+      .select(col("__id").as("__ida"), col("__s").as("__sa"),
+        (col("__rank") + col("__j")).as("__trank"))
+    val targets = ranked.select(col("__id").as("__idb"),
+      col("__s").as("__sb"), col("__rank").as("__trank"))
+    probes.join(targets, "__trank")
+      .withColumn("jw",
+        graft.expr.JaroWinkler.winkler(col("__sa"), col("__sb")))
+      .filter(col("jw") >= minSim)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("jw"))
   }
 
   /** Survivorship (golden record): collapse each entity cluster to ONE

@@ -186,4 +186,43 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       FuzzyJoin.survivorship(df, "cluster", "id", "prio", Seq.empty))
   }
+
+  test("sortedNeighborhood pairs only within the rank window and " +
+      "recovers the typo-in-first-char pair prefix blocking discards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "smith"/"smyth" prefix-block apart at blockLen 3, but a
+    // sorted-chars key puts them adjacent
+    val df = Seq(
+      (1L, "smith"), (2L, "smyth"),
+      (3L, "aaaa"), (4L, "zzzz"))
+      .toDF("id", "name")
+    val sortedChars = concat_ws("",
+      array_sort(split(col("__s"), "")))
+    val snm = FuzzyJoin.sortedNeighborhood(df, "id", "name",
+        keyCol = sortedChars, window = 2, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.contains((1L, 2L)))
+    // the prefix-blocked pass misses it (different 3-char prefixes)
+    val blocked = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        minSim = 0.8, blockLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!blocked.contains((1L, 2L)))
+    // window = 2 means ONLY rank-adjacent pairs: with 8 sorted rows,
+    // no pair can skip over an intermediate rank
+    val seq = (1 to 8).map(i => (i.toLong, "row" + i))
+    val adj = FuzzyJoin.sortedNeighborhood(seq.toDF("id", "name"),
+        "id", "name", keyCol = col("__s"), window = 2, minSim = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adj == (1 to 7).map(i => (i.toLong, i + 1L)).toSet)
+    // windows wider than adjacency reach exactly rank-gap <= w-1
+    val w3 = FuzzyJoin.sortedNeighborhood(seq.toDF("id", "name"),
+        "id", "name", keyCol = col("__s"), window = 3, minSim = 0.01)
+      .count()
+    assert(w3 == 7 + 6) // gaps 1 and 2
+    intercept[IllegalArgumentException](
+      FuzzyJoin.sortedNeighborhood(df, "id", "name", col("__s"), 1, 0.5))
+    intercept[IllegalArgumentException](
+      FuzzyJoin.sortedNeighborhood(df, "id", "name", col("__s"), 2, 0.0))
+  }
 }
