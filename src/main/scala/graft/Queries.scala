@@ -8906,6 +8906,56 @@ object Queries {
                round(jw, 6) AS jw
              FROM p WHERE jw >= 0.9 ORDER BY id_a, id_b""")),
 
+    // ---- multi-pass ER: prefix + SNM passes unioned, closed, labeled ------
+    // the standard recipe end-to-end as ONE verified pipeline: prefix-
+    // blocked JW pairs ∪ sorted-neighborhood pairs (each covering the
+    // other's blind spot) → transitive closure → per-entity sizes. Both
+    // passes score lowered names so the oracle's jaro_winkler_similarity
+    // replays them; the closure replays as the recursive min-label CTE
+    // (q_entity_clusters pattern); singletons self-label
+    QueryDef("q_er_multipass",
+      (s, d) => {
+        val parts = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_size") <= 3)
+          .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+        val blk = graft.pipeline.FuzzyJoin.jaroWinklerPairs(parts,
+          "p_partkey", "nm", minSim = 0.94, blockLen = 4)
+        val snm = graft.pipeline.FuzzyJoin.sortedNeighborhood(parts,
+          "p_partkey", "nm", keyCol = col("__s"), window = 4,
+          minSim = 0.94)
+        graft.pipeline.FuzzyJoin.multiPassClusters(parts,
+            "p_partkey", "nm", Seq(blk, snm))
+          .groupBy("entity")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("entity")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT p_partkey AS id,
+               lower(p_name) AS nm FROM part
+               WHERE p_size <= 3 AND p_partkey IS NOT NULL
+                 AND p_name IS NOT NULL),
+             blk AS (SELECT a.id AS ia, b.id AS ib FROM s a JOIN s b
+               ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4) AND a.id < b.id
+               WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.94),
+             rr AS (SELECT id, nm,
+               row_number() OVER (ORDER BY nm, id) AS rk FROM s),
+             snm AS (SELECT a.id AS ia, b.id AS ib FROM rr a JOIN rr b
+               ON b.rk - a.rk BETWEEN 1 AND 3
+               WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.94),
+             p AS (SELECT least(ia, ib) AS u, greatest(ia, ib) AS v
+               FROM blk
+               UNION SELECT least(ia, ib), greatest(ia, ib) FROM snm),
+             edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+             reach(id, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.v),
+             lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+             SELECT coalesce(lab.component, s.id)::BIGINT AS entity,
+               count(*)::BIGINT AS n_members
+             FROM s LEFT JOIN lab ON lab.id = s.id
+             GROUP BY 1 ORDER BY entity""")),
+
     // ---- hybrid retrieval: reciprocal rank fusion --------------------------
     // lexical run (BM25, spark/join terms) fused with a semantic run
     // (embedding cosine vs vec 0) — the RAG hybrid-search shape. Ranks are

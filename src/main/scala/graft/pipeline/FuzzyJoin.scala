@@ -312,6 +312,34 @@ object FuzzyJoin {
         greatest(col("__ida"), col("__idb")).as("id_b"), col("jw"))
   }
 
+  /** Multi-pass entity resolution: union the pair sets of several
+    * blocking passes (each a (id_a, id_b, …) frame from
+    * [[jaroWinklerPairs]], [[sortedNeighborhood]], [[fuzzyPairs]], or
+    * any custom candidate generator), orient + dedup them, close the
+    * union transitively, and label every row of the corpus — the
+    * standard ER recipe where each pass covers a failure mode the
+    * others miss (prefix blocking vs adjacency-in-sort vs q-gram
+    * pruning). Rows matched by no pass are their own entity. Returns
+    * (id, entity) with entity = the component's minimum id
+    * ([[Components.connectedComponents]]' label convention).
+    *
+    * Scale shape: the passes' own shuffles + ONE distinct fold of the
+    * oriented union + the O(log n)-round CC — nothing here re-scans the
+    * corpus beyond the id projection that attaches labels. */
+  def multiPassClusters(df: DataFrame, idCol: String, strCol: String,
+                        passes: Seq[DataFrame]): DataFrame = {
+    require(passes.nonEmpty, "multiPassClusters needs at least one pass")
+    val pairs = passes.map(_.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")))
+      .reduce(_ unionByName _)
+    val labels = Components.connectedComponents(pairs)
+    df.na.drop(Seq(idCol, strCol))
+      .select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+  }
+
   /** Survivorship (golden record): collapse each entity cluster to ONE
     * record, picking every attribute independently from the cluster's
     * best row for THAT attribute — non-null beats null, then higher

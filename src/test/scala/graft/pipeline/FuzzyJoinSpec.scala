@@ -225,4 +225,21 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       FuzzyJoin.sortedNeighborhood(df, "id", "name", col("__s"), 2, 0.0))
   }
+  test("multiPassClusters: chains crossing pass boundaries merge into " +
+      "one entity; unmatched rows self-label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("id", "name")
+    // pass A links 1-2; pass B links 2-3 (reversed orientation on
+    // purpose — multiPassClusters must orient before closing)
+    val passA = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val passB = Seq((3L, 2L)).toDF("id_a", "id_b")
+    val got = FuzzyJoin.multiPassClusters(df, "id", "name",
+        Seq(passA, passB))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    intercept[IllegalArgumentException](
+      FuzzyJoin.multiPassClusters(df, "id", "name", Seq.empty))
+  }
 }
