@@ -381,5 +381,15 @@ class EmptyInputSpec extends SparkSpec {
       col("x"), 0.0, 1.0, 4, Seq(0.5)).as("sk"))
       .select(col("sk.n"), col("sk.quantiles")).head()
     assert(hq.getLong(0) == 0L && hq.isNullAt(1))
+    // ER round-11 additions
+    val emptyIdName = emptyNum.select(
+      col("x").cast("long").as("id"), col("g").as("name"))
+    assert(graft.pipeline.FuzzyJoin.sortedNeighborhood(
+      emptyIdName, "id", "name", col("__s"), window = 3,
+      minSim = 0.5).count() == 0)
+    assert(graft.pipeline.FuzzyJoin.multiPassClusters(
+      emptyIdName, "id", "name",
+      Seq(emptyIdName.select(col("id").as("id_a"),
+        col("id").as("id_b")))).count() == 0)
   }
 }

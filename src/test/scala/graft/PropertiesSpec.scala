@@ -546,4 +546,37 @@ class PropertiesSpec extends SparkSpec {
     assert(ok)
     assert(kept.filter($"s" === "C").count() == 0)
   }
+
+  test("property: NormalizeText equals the regex chain on random " +
+      "unicode, driver-evaluated per case") {
+    // driver-side replica of the exact chain NormalizeText replaced:
+    // UTF8String.toLowerCase is the same routine Spark's lower() calls
+    // under UTF8_BINARY; regexp_replace is Java regex; trim strips
+    // 0x20 only (after \s+ collapse all boundary whitespace IS 0x20)
+    import org.apache.spark.unsafe.types.UTF8String
+    def chainRef(s: String): String = {
+      val lowered = UTF8String.fromString(s).toLowerCase.toString
+      val r2 = lowered.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ")
+      var a = 0; var b = r2.length
+      while (a < b && r2.charAt(a) == ' ') a += 1
+      while (b > a && r2.charAt(b - 1) == ' ') b -= 1
+      r2.substring(a, b)
+    }
+    def norm(s: String): String =
+      graft.expr.NormalizeText.normalize(UTF8String.fromString(s)).toString
+    // char pool biased toward the decision boundaries: case pairs,
+    // digits, every Java-\s member, non-\s whitespace lookalikes,
+    // combining marks, case-expanding letters, astral pairs
+    val pool: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r').map(_.toString),
+      Gen.oneOf("\u00a0", "\u200b", "\u0130", "\u212a", "\u1e9e",
+        "\u00c5", "\u0301", "\uff41", "\uff12", "\ud83d\ude00",
+        "\uD83D" /* lone high surrogate */, "!", "-", "_", "."))
+    val strings: Gen[String] = Gen.listOfN(32, pool).map(_.mkString)
+    for (s <- samples(strings, 200) ++ Seq("", " ", "İİ", "A"))
+      assert(norm(s) == chainRef(s),
+        s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+  }
 }
