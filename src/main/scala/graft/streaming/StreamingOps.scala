@@ -173,6 +173,76 @@ object StreamingOps {
       }
   }
 
+  /** Per-key CountHist sketch state for [[streamingRobustZscore]] —
+    * bins+2 longs regardless of arrival count. */
+  final case class RobustState(lo: Double, hi: Double,
+                               below: Long, above: Long,
+                               counts: Array[Long])
+
+  /** One emitted robust score: the key's pre-update sketch median/IQR
+    * and the 0.7413·IQR-scaled z. */
+  final case class RobustZOut(key: String, ts: Long, tie: Long,
+                              value: Double, median: Option[Double],
+                              iqr: Option[Double], z: Option[Double],
+                              isAnomaly: Boolean)
+
+  /** STREAMING robust anomaly flags against each key's ENTIRE history —
+    * the median/IQR sibling of [[streamingZscore]] (one earlier burst
+    * inflates a Welford stddev baseline and MASKS the next; quartiles
+    * shrug it off) and the streaming face of
+    * [[graft.events.Rolling.rollingRobustZscoreSketch]]: each event
+    * scores robust_z = (x − median)/(0.7413·IQR) from the key's
+    * CountHist sketch BEFORE folding in, with the same n ≥ 4 +
+    * positive-IQR gate and the 2·cellWidth-per-quantile estimate bound
+    * as the batch tiers. State per key is bins+2 longs — bounded by key
+    * cardinality, never by volume. Out-of-range values still update the
+    * below/above tallies (and score null — the sketch can't place
+    * them); size [lo, hi] to the value domain. In-batch rows apply in
+    * (ts, tie) order; arrival order stands in for event time across
+    * batches, like [[streamingZscore]]. */
+  def streamingRobustZscore(stream: Dataset[ZRow], lo: Double, hi: Double,
+                            bins: Int, threshold: Double = 3.5)
+      : Dataset[RobustZOut] = {
+    require(bins > 0 && lo < hi,
+      s"streamingRobustZscore: need bins > 0 and lo < hi ([$lo,$hi]×$bins)")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.key)
+      .flatMapGroupsWithState[RobustState, RobustZOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ZRow],
+         state: GroupState[RobustState]) =>
+          val s = state.getOption.getOrElse(
+            RobustState(lo, hi, 0L, 0L, new Array[Long](bins)))
+          // work on a Sketch view of the state (shared counts array)
+          val sk = new graft.agg.CountHist.Sketch(s.lo, s.hi,
+            s.counts.length)
+          java.lang.System.arraycopy(s.counts, 0, sk.counts, 0,
+            s.counts.length)
+          sk.below = s.below; sk.above = s.above
+          val out = rows.toArray.sortBy(r => (r.ts, r.tie)).map { r =>
+            val n = sk.n
+            val (med, iqr) =
+              if (n >= 1) {
+                val m = sk.quantile(0.5)
+                val i = sk.quantile(0.75) - sk.quantile(0.25)
+                (Some(m), Some(i))
+              } else (None, None)
+            val z =
+              if (n >= 4 && iqr.exists(_ > 0.0))
+                Some((r.value - med.get) / (0.7413 * iqr.get))
+              else None
+            if (!r.value.isNaN) sk.add(r.value)
+            RobustZOut(key, r.ts, r.tie, r.value, med, iqr, z,
+              z.exists(v => math.abs(v) > threshold))
+          }
+          state.update(RobustState(s.lo, s.hi, sk.below, sk.above,
+            sk.counts))
+          out.iterator
+      }
+  }
+
   /** Sliding (overlapping) event-time windows — the streaming mirror of
     * `events.Rolling.rollingAggCoarse`: every event lands in
     * window/slide overlapping buckets, so each emitted row is the count/

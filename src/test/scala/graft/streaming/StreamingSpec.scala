@@ -662,6 +662,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRobustZscore: pre-update sketch baseline, burst does " +
+      "not mask the next burst, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.ZRow]
+    val sz = StreamingOps.streamingRobustZscore(input.toDS(),
+      lo = 0.0, hi = 1000.0, bins = 1000, threshold = 3.5)
+    val q = sz.writeStream.format("memory")
+      .queryName("srz").outputMode("update").start()
+    try {
+      // baseline 10,10,10,12 then a 900 burst, then a 200 burst: the
+      // ROBUST baseline still flags 200 (median/IQR ignore the 900;
+      // a Welford baseline's sd would have exploded)
+      val rows = Seq(("a", 10L, 1L, 10.0), ("a", 20L, 2L, 10.0),
+        ("a", 30L, 3L, 10.0), ("a", 40L, 4L, 12.0),
+        ("a", 50L, 5L, 900.0))
+      input.addData(rows.map(r =>
+        StreamingOps.ZRow(r._1, r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      input.addData(StreamingOps.ZRow("a", 60L, 6L, 200.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT tie, median, iqr, z, isAnomaly FROM srz").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // warm-up: < 4 prior events -> null z, never flagged
+      assert(got(1L).isNullAt(3) && !got(1L).getBoolean(4))
+      assert(got(4L).isNullAt(3) && !got(4L).getBoolean(4))
+      // the 900 burst scores against {10,10,10,12}: IQR bound by the
+      // sketch cell width (cells are 1-wide, all mass in 2 cells)
+      assert(got(5L).getBoolean(4), "first burst must flag")
+      // driver replay with the SAME sketch ops = exact parity
+      val ref = new graft.agg.CountHist.Sketch(0.0, 1000.0, 1000)
+      Seq(10.0, 10.0, 10.0, 12.0, 900.0).foreach(ref.add)
+      val expMed = ref.quantile(0.5)
+      val expIqr = ref.quantile(0.75) - ref.quantile(0.25)
+      val r6 = got(6L)
+      assert(r6.getDouble(1) == expMed && r6.getDouble(2) == expIqr)
+      val expZ = (200.0 - expMed) / (0.7413 * expIqr)
+      assert(math.abs(r6.getDouble(3) - expZ) < 1e-12)
+      assert(r6.getBoolean(4), "second burst flags despite the first " +
+        "being in-state — the robust baseline is not masked")
+    } finally q.stop()
+  }
+
   test("windowedQuantiles: sketch merges across micro-batches, equals batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
