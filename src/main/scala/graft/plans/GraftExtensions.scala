@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.exactPercentileDescriptor)
     ext.injectFunction(GraftExtensions.removeAccentsDescriptor)
+    ext.injectFunction(GraftExtensions.normalizeTextDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.jaroDescriptor)
@@ -79,6 +80,16 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 1, "usage: remove_accents(col)")
       graft.expr.RemoveAccents(exprs.head)
+    })
+
+  val normalizeTextDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("normalize_text"),
+    new ExpressionInfo(classOf[graft.expr.NormalizeText].getName,
+      "normalize_text"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: normalize_text(col)")
+      graft.expr.NormalizeText(exprs.head)
     })
 
   /** Engine Column-builders surfaced as one-arg SQL functions: any

@@ -55,6 +55,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("cafe0", "cafe1", "cafe2"))
   }
 
+  test("normalize_text is callable from SQL and stays in codegen") {
+    val r = spark.sql("SELECT normalize_text('  Hello, WORLD!!  42 ')")
+      .head()
+    assert(r.getString(0) == "hello world 42")
+    assert(spark.sql("SELECT normalize_text(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    val codegen = spark.range(3)
+      .selectExpr("normalize_text(concat('Doc#', id, '!'))")
+    val plan = codegen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [normalize_text"), plan)
+    assert(codegen.collect().map(_.getString(0)).toSeq ==
+      Seq("doc 0", "doc 1", "doc 2"))
+  }
+
   test("graft_dot matches the HOF fold bit-for-bit and stays in codegen") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
