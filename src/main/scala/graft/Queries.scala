@@ -2853,6 +2853,41 @@ object Queries {
                + stop_score) / 4.0, 6) AS quality
              FROM c ORDER BY doc_id""")),
 
+    // ---- per-document n-gram novelty vs a standing corpus ------------------
+    // novelty = fraction of a batch doc's DISTINCT 3-grams absent from
+    // the corpus gram set — the "is this re-crawl new text?" curation
+    // signal. BOTH sides corpus-sized: no broadcast, one gram-keyed
+    // co-partitioned left join (8-byte hash keys engine-side; the oracle
+    // joins the shingle STRINGS — counts agree absent 64-bit collisions,
+    // the shingled() contract). novelty is one exact-long division →
+    // compares UNROUNDED (avg_gap precedent)
+    QueryDef("q_ngram_novelty",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.pipeline.Decontaminate.ngramNovelty(
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 5 =!= 0), "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+               FROM tok),
+             cg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 <> 0),
+             b AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0)
+             SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN cg.s IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel,
+               sum(CASE WHEN cg.s IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) AS novelty
+             FROM b LEFT JOIN cg ON b.s = cg.s
+             GROUP BY 1 ORDER BY doc_id""")),
+
     // ---- benchmark decontamination -----------------------------------------
     // Standard eval-leakage guard: drop training docs sharing any word
     // n-gram with a benchmark set (GPT-3 used 13-grams; 4 here so the

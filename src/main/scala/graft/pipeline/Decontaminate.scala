@@ -30,6 +30,46 @@ object Decontaminate {
       .select(col("sh")).distinct()
   }
 
+  /** Per-document n-gram NOVELTY of a batch against a standing corpus:
+    * (id, n_grams, n_novel, novelty) where n_grams counts the doc's
+    * DISTINCT word n-grams and novelty = n_novel/n_grams is the
+    * fraction absent from the corpus's distinct gram set — the
+    * "is this re-crawl actually new text?" curation signal that sits
+    * between exact/near dedup (whole-doc granularity) and
+    * decontamination (benchmark-sized reference). Novelty 1.0 = fully
+    * new; ~0 = the doc is stitched from text the corpus already has
+    * even if no single document near-matches it.
+    *
+    * Scale shape: UNLIKE [[contaminated]], the reference side here is
+    * corpus-sized, so nothing broadcasts — the corpus gram set is one
+    * hash aggregate on the 8-byte gram key (map-side combine collapses
+    * each partition's duplicates before the shuffle) and the membership
+    * test is a gram-keyed LEFT join of two co-partitioned streams, then
+    * one per-doc fold. For a STANDING corpus screened repeatedly,
+    * persist the distinct gram frame once (parquet, sorted by gram) and
+    * append new batches' grams — the TextIndex/Bloom screen-then-append
+    * amortization; this method prices the from-scratch pass. */
+  def ngramNovelty(batch: DataFrame, idCol: String, textCol: String,
+                   corpus: DataFrame, corpusTextCol: String,
+                   n: Int = 4): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be >= 1, got $n")
+    val corpusGrams = Dedup.shingled(
+        corpus.select(col(corpusTextCol))
+          .withColumn("__cid", monotonically_increasing_id()),
+        "__cid", corpusTextCol, n)
+      .select(col("sh")).distinct()
+      .withColumn("__seen", lit(1))
+    Dedup.shingled(batch, idCol, textCol, n)
+      .join(corpusGrams, Seq("sh"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        // one division of two exact longs — correctly rounded, so it
+        // compares UNROUNDED across engines (avg_gap precedent)
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** (id, overlap) for every document sharing at least one word n-gram
     * with the benchmark set; `overlap` counts the distinct shared
     * n-grams. Documents with no overlap are absent. */

@@ -1035,6 +1035,38 @@ class PipelineSpec extends SparkSpec {
     assert(kept2 == Set(2L, 4L))
   }
 
+  test("ngramNovelty: hand-checked novel fractions; fully-seen and " +
+      "fully-new docs hit the endpoints") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "a b c d e"),       // grams: "a b c","b c d","c d e"
+      (11L, "x y z")            // gram: "x y z"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d"),          // "a b c","b c d" -> both seen: novelty 0
+      (2L, "p q r s"),          // "p q r","q r s" -> both new: novelty 1
+      (3L, "c d e f"),          // "c d e" seen, "d e f" new -> 0.5
+      (4L, "x y")               // short text: gram "x y" (< n) -> new
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.ngramNovelty(batch, "doc_id", "text",
+        corpus, "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 0.0),
+      (2L, 2L, 2L, 1.0),
+      (3L, 2L, 1L, 0.5),
+      (4L, 1L, 1L, 1.0)))
+    // empty corpus: everything is novel
+    val emptyCorpus = corpus.filter(col("doc_id") < 0)
+    val all = Decontaminate.ngramNovelty(batch, "doc_id", "text",
+      emptyCorpus, "text", n = 3)
+    assert(all.collect().forall(_.getDouble(3) == 1.0))
+    intercept[IllegalArgumentException](
+      Decontaminate.ngramNovelty(batch, "doc_id", "text", corpus,
+        "text", n = 0))
+  }
+
   test("semantic decontamination flags embedding-space benchmark overlap") {
     import spark.implicits._
     def vf(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
