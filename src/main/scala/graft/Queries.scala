@@ -2861,10 +2861,10 @@ object Queries {
     // joins the shingle STRINGS — counts agree absent 64-bit collisions,
     // the shingled() contract). novelty is one exact-long division →
     // compares UNROUNDED (avg_gap precedent)
-    QueryDef("q_ngram_novelty",
+    QueryDef("q_novelty_vs_corpus",
       (s, d) => {
         val docs = documents(s, d)
-        graft.pipeline.Decontaminate.ngramNovelty(
+        graft.pipeline.Decontaminate.noveltyAgainst(
             docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
             docs.filter(col("doc_id") % 5 =!= 0), "text", n = 3)
           .orderBy("doc_id")

@@ -49,10 +49,10 @@ object Decontaminate {
     * persist the distinct gram frame once (parquet, sorted by gram) and
     * append new batches' grams — the TextIndex/Bloom screen-then-append
     * amortization; this method prices the from-scratch pass. */
-  def ngramNovelty(batch: DataFrame, idCol: String, textCol: String,
+  def noveltyAgainst(batch: DataFrame, idCol: String, textCol: String,
                    corpus: DataFrame, corpusTextCol: String,
                    n: Int = 4): DataFrame = {
-    require(n >= 1, s"ngramNovelty: n must be >= 1, got $n")
+    require(n >= 1, s"noveltyAgainst: n must be >= 1, got $n")
     val corpusGrams = Dedup.shingled(
         corpus.select(col(corpusTextCol))
           .withColumn("__cid", monotonically_increasing_id()),

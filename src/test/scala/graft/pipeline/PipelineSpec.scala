@@ -1035,7 +1035,7 @@ class PipelineSpec extends SparkSpec {
     assert(kept2 == Set(2L, 4L))
   }
 
-  test("ngramNovelty: hand-checked novel fractions; fully-seen and " +
+  test("noveltyAgainst: hand-checked novel fractions; fully-seen and " +
       "fully-new docs hit the endpoints") {
     import spark.implicits._
     val corpus = Seq(
@@ -1048,7 +1048,7 @@ class PipelineSpec extends SparkSpec {
       (3L, "c d e f"),          // "c d e" seen, "d e f" new -> 0.5
       (4L, "x y")               // short text: gram "x y" (< n) -> new
     ).toDF("doc_id", "text")
-    val got = Decontaminate.ngramNovelty(batch, "doc_id", "text",
+    val got = Decontaminate.noveltyAgainst(batch, "doc_id", "text",
         corpus, "text", n = 3)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -1059,11 +1059,11 @@ class PipelineSpec extends SparkSpec {
       (4L, 1L, 1L, 1.0)))
     // empty corpus: everything is novel
     val emptyCorpus = corpus.filter(col("doc_id") < 0)
-    val all = Decontaminate.ngramNovelty(batch, "doc_id", "text",
+    val all = Decontaminate.noveltyAgainst(batch, "doc_id", "text",
       emptyCorpus, "text", n = 3)
     assert(all.collect().forall(_.getDouble(3) == 1.0))
     intercept[IllegalArgumentException](
-      Decontaminate.ngramNovelty(batch, "doc_id", "text", corpus,
+      Decontaminate.noveltyAgainst(batch, "doc_id", "text", corpus,
         "text", n = 0))
   }
 
