@@ -11228,8 +11228,19 @@ object Queries {
              FROM r ORDER BY lambda"""))
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // A duplicated QueryDef name silently SHADOWS the earlier row in the
+  // Maps below (fn and oracle together, so the gate still "passes" while
+  // a query vanishes) — fail loudly at first use instead (the round-11
+  // q_ngram_novelty collision lesson).
+  private lazy val nameGuard: Unit = {
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate QueryDef names: ${dups.mkString(", ")}")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    nameGuard
     defs.map(q => q.name -> q.fn).toMap
+  }
   /** Bench subset: everything except the gate-only verification rows. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     defs.filterNot(_.gateOnly).map(q => q.name -> q.fn).toMap

@@ -258,4 +258,11 @@ class RegressionSpec extends SparkSpec {
     // for sub-threshold unions.
     assert(spark.conf.get("spark.graft.rewriteStrataUnion", "false") == "false")
   }
+
+  test("QueryDef names are unique — a duplicate would silently shadow " +
+      "the earlier row in the gate maps") {
+    // the guard fires inside queries(); touching it is the assertion
+    assert(Queries.queries.size == Queries.defs.size)
+    assert(Queries.defs.map(_.name).distinct.size == Queries.defs.size)
+  }
 }
