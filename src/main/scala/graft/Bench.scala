@@ -166,20 +166,33 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
-    // band check: flag rows outside their recorded steady-state band so a
-    // real regression is separable from the documented ±2x per-row noise.
-    // Observations are first divided by the run's calibration factor
-    // (median observed/ref over calibrationRefs) so whole-container speed
-    // shifts don't fire — or mask — per-row bands.
+    // band check: flag rows above their recorded steady-state CEILING so
+    // a real regression is separable from the documented ±2x per-row
+    // noise. Observations are first divided by the run's calibration
+    // factor (median observed/ref over calibrationRefs) so whole-container
+    // speed shifts don't fire — or mask — per-row bands. Floors are
+    // ADVISORY (r11 band-hygiene lesson: q_mann_kendall fired out_of_band
+    // for running FASTER than any prior observation — an improvement
+    // polluting the regression signal): a row below its floor is recorded
+    // under below_floor so the band table can be re-based, but never
+    // joins out_of_band.
     val calib = calibrationFactor(results)
     val outOfBand = results.flatMap { case (k, v) =>
       val vn = v / calib
-      bands.get(k).collect { case (lo, hi) if vn < lo || vn > hi =>
+      bands.get(k).collect { case (lo, hi) if vn > hi =>
+        k -> s"""{"sec":${fmt(v)},"normalized":${fmt(vn)},"band":[$lo,$hi]}""" }
+    }
+    val belowFloor = results.flatMap { case (k, v) =>
+      val vn = v / calib
+      bands.get(k).collect { case (lo, hi) if vn < lo =>
         k -> s"""{"sec":${fmt(v)},"normalized":${fmt(vn)},"band":[$lo,$hi]}""" }
     }
     val bandJson = outOfBand
       .map { case (k, j) => "\"" + k + "\":" + j }
       .mkString(""","out_of_band":{""", ",", "}") +
+      belowFloor
+        .map { case (k, j) => "\"" + k + "\":" + j }
+        .mkString(""","below_floor":{""", ",", "}") +
       s""","banded_rows":${bands.size},"calibration_factor":${fmt(calib)}"""
     // Full per-query detail goes to a file: with 90+ queries the one-line
     // map exceeds the harness's 2000-char output tail, which truncated the

@@ -1013,10 +1013,16 @@ object Dedup {
     * hashes. One pass per row in a deterministic Scala UDF — the 64-way
     * HOF-aggregate formulation would re-walk the token array per bit;
     * the closure walks it once. xxhash64 keeps it consistent with the
-    * engine's other fingerprints. */
+    * engine's other fingerprints. Null text or a token-less
+    * (all-whitespace) text → null signature (`na.drop`-able), the same
+    * contract as [[simhashMd5]] — without it a whitespace-only doc would
+    * get the signature of the single empty token and silently join the
+    * candidate stream while token-derived oracles never see it. */
   val simhash: Column => Column = {
-    val f = udf { tokens: Seq[String] =>
-      if (tokens == null) null.asInstanceOf[java.lang.Long] // null text → null
+    val f = udf { raw: Seq[String] =>
+      // drop empty tokens (split of a whitespace-only string yields [""])
+      val tokens = if (raw == null) null else raw.filter(_.nonEmpty)
+      if (tokens == null || tokens.isEmpty) null.asInstanceOf[java.lang.Long]
       else {
         val counts = new Array[Int](64)
         tokens.foreach { t =>

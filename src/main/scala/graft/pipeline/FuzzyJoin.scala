@@ -229,37 +229,100 @@ object FuzzyJoin {
     * scorer demotes). Recall contract: a pair differing inside the
     * first `blockLen` chars is NOT examined, however similar — callers
     * wanting typo-in-first-char recall should union a second pass
-    * blocked on a different key (e.g. a sorted-chars key).
+    * blocked on a different key (e.g. [[sortedNeighborhood]]).
     *
-    * Scale shape: one shuffle on the block key; pair mass is Σ block².
-    * Blocks larger than `maxBlock` rows are SKIPPED entirely (bounded
-    * worst case, same contract as Dedup.maxBucket — a block that big
-    * means the key doesn't discriminate, e.g. a boilerplate prefix; use
-    * a longer `blockLen` instead of raising the cap). Scoring runs in
-    * whole-stage codegen via the native [[graft.expr.JaroWinkler]]
-    * expression — the candidate stream never leaves the fused loop.
-    * Returns (id_a, id_b, jw) with id_a < id_b. */
+    * Scale shape: one shuffle on the block key; pair mass is Σ block² —
+    * QUADRATIC in the corpus when the `blockLen` prefix stops
+    * discriminating (boilerplate prefixes, a vocabulary-limited first
+    * word). Two defenses, both data-driven and deterministic:
+    *
+    *  - `escalateLen` (> `blockLen`): blocks larger than `maxBlock` rows
+    *    RE-BLOCK on the first `escalateLen` characters instead of being
+    *    dropped — pairs inside a crowded block now additionally need the
+    *    longer shared prefix. This keeps pair mass ≤ n·maxBlock (linear,
+    *    cap-bounded) while only demanding extra prefix agreement where
+    *    the short key failed. The composite (short, long) key never
+    *    crosses level-1 blocks, so escalation is purely a refinement.
+    *  - blocks still over `maxBlock` AFTER escalation (or with
+    *    escalation off) are SKIPPED — and the skip is DATA, not
+    *    documentation: [[jaroWinklerSkippedBlocks]] computes exactly the
+    *    dropped (block, level, n_rows) set so recall loss is auditable
+    *    (the TextIndex skipped-bucket precedent).
+    *
+    * Scoring runs in whole-stage codegen via the native
+    * [[graft.expr.JaroWinkler]] expression — the candidate stream never
+    * leaves the fused loop. Returns (id_a, id_b, jw) with id_a < id_b. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        minSim: Double, blockLen: Int = 2,
-                       maxBlock: Int = 100000): DataFrame = {
+                       maxBlock: Int = 100000,
+                       escalateLen: Int = 0): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
       s"minSim must be in (0,1], got $minSim")
-    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
-    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
-    val strs = prep(df, idCol, strCol)
-      .withColumn("__blk", substring(col("__s"), 1, blockLen))
-    val sizes = strs.groupBy("__blk").agg(count(lit(1)).as("__bn"))
-    val kept = strs.join(sizes, "__blk").filter(col("__bn") <= maxBlock)
-    val a = kept.select(col("__blk"), col("__id").as("id_a"),
-      col("__s").as("__sa"))
-    val b = kept.select(col("__blk"), col("__id").as("id_b"),
-      col("__s").as("__sb"))
-    a.join(b, Seq("__blk"))
+    val kept = jwBlocked(df, idCol, strCol, blockLen, maxBlock,
+      escalateLen).filter(col("__bn") <= maxBlock)
+    val a = kept.select(col("__blk1"), col("__blk2"),
+      col("__id").as("id_a"), col("__s").as("__sa"))
+    val b = kept.select(col("__blk1"), col("__blk2"),
+      col("__id").as("id_b"), col("__s").as("__sb"))
+    a.join(b, Seq("__blk1", "__blk2"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jw",
         graft.expr.JaroWinkler.winkler(col("__sa"), col("__sb")))
       .filter(col("jw") >= minSim)
       .select("id_a", "id_b", "jw")
+  }
+
+  /** The blocks [[jaroWinklerPairs]] (same arguments) SKIPS — every
+    * (block, level, n_rows) whose pair mass was dropped by the
+    * `maxBlock` cap, so the recall loss is an auditable report instead
+    * of a silent subtraction. `block` is the key actually used (the
+    * `blockLen` prefix at level 1, the `escalateLen` prefix at level 2);
+    * an empty frame means the pairs output examined every candidate the
+    * blocking contract defines. Pure function of the data — the same
+    * deterministic size predicate the pairs path evaluates. */
+  def jaroWinklerSkippedBlocks(df: DataFrame, idCol: String,
+                               strCol: String, blockLen: Int = 2,
+                               maxBlock: Int = 100000,
+                               escalateLen: Int = 0): DataFrame =
+    jwBlocked(df, idCol, strCol, blockLen, maxBlock, escalateLen)
+      .filter(col("__bn") > maxBlock)
+      .groupBy(col("__level").as("level"),
+        when(col("__level") === 1, col("__blk1")).otherwise(col("__blk2"))
+          .as("block"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select("block", "level", "n_rows")
+
+  /** Shared blocking scaffold: rows keyed by (__blk1, __blk2) with the
+    * FINAL block's size in __bn and the level that produced it in
+    * __level. With escalation off __blk2 is '' and __bn is the level-1
+    * size; with escalation on, rows of over-cap level-1 blocks carry the
+    * escalateLen prefix in __blk2 and __bn is the (blk1, blk2) sub-block
+    * size — a uniform `__bn <= maxBlock` keep-filter on either shape. */
+  private def jwBlocked(df: DataFrame, idCol: String, strCol: String,
+                        blockLen: Int, maxBlock: Int,
+                        escalateLen: Int): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    require(escalateLen == 0 || escalateLen > blockLen,
+      s"escalateLen must be 0 (off) or > blockLen, got $escalateLen")
+    val strs = prep(df, idCol, strCol)
+      .withColumn("__blk1", substring(col("__s"), 1, blockLen))
+    val sizes1 = strs.groupBy("__blk1").agg(count(lit(1)).as("__bn1"))
+    val j = strs.join(sizes1, "__blk1")
+    if (escalateLen == 0)
+      j.withColumn("__blk2", lit(""))
+        .withColumn("__bn", col("__bn1"))
+        .withColumn("__level", lit(1))
+    else {
+      val keyed = j.withColumn("__blk2",
+        when(col("__bn1") > maxBlock,
+          substring(col("__s"), 1, escalateLen)).otherwise(lit("")))
+      val sizes2 = keyed.groupBy("__blk1", "__blk2")
+        .agg(count(lit(1)).as("__bn"))
+      keyed.join(sizes2, Seq("__blk1", "__blk2"))
+        .withColumn("__level",
+          when(col("__bn1") > maxBlock, lit(2)).otherwise(lit(1)))
+    }
   }
 
   /** Sorted-neighborhood near-dup pairs (SNM — the classic ER pass that

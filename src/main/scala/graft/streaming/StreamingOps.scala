@@ -195,11 +195,14 @@ object StreamingOps {
     * CountHist sketch BEFORE folding in, with the same n ≥ 4 +
     * positive-IQR gate and the 2·cellWidth-per-quantile estimate bound
     * as the batch tiers. State per key is bins+2 longs — bounded by key
-    * cardinality, never by volume. Out-of-range values still update the
-    * below/above tallies (and score null — the sketch can't place
-    * them); size [lo, hi] to the value domain. In-batch rows apply in
-    * (ts, tie) order; arrival order stands in for event time across
-    * batches, like [[streamingZscore]]. */
+    * cardinality, never by volume. Out-of-range values ARE scored —
+    * against the pre-update in-range baseline, which is exactly what a
+    * caller wants (a value outside the sketch's domain is the most
+    * anomalous kind) — and then update only the below/above tallies;
+    * size [lo, hi] to the NORMAL value domain. NaN inputs score None
+    * (isAnomaly false) and leave the sketch untouched. In-batch rows
+    * apply in (ts, tie) order; arrival order stands in for event time
+    * across batches, like [[streamingZscore]]. */
   def streamingRobustZscore(stream: Dataset[ZRow], lo: Double, hi: Double,
                             bins: Int, threshold: Double = 3.5)
       : Dataset[RobustZOut] = {
@@ -230,7 +233,7 @@ object StreamingOps {
                 (Some(m), Some(i))
               } else (None, None)
             val z =
-              if (n >= 4 && iqr.exists(_ > 0.0))
+              if (n >= 4 && iqr.exists(_ > 0.0) && !r.value.isNaN)
                 Some((r.value - med.get) / (0.7413 * iqr.get))
               else None
             if (!r.value.isNaN) sk.add(r.value)

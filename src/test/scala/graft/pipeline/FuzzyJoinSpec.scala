@@ -144,6 +144,55 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((100L, 101L))) // the AA block (50 > 10) is gone
   }
 
+  test("jaroWinklerSkippedBlocks: the dropped blocks (and ONLY them) " +
+      "surface as data, mirroring what the pairs pass excluded") {
+    val big = (1L to 50L).map(i => i -> s"AA-common-$i")
+    val small = Seq(100L -> "ZZ-rare-1", 101L -> "ZZ-rare-2")
+    val df = (big ++ small).toDF("id", "name")
+    val rep = FuzzyJoin.jaroWinklerSkippedBlocks(df, "id", "name",
+        blockLen = 2, maxBlock = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("AA", 1, 50L)))
+    // under-cap corpus -> empty report
+    assert(FuzzyJoin.jaroWinklerSkippedBlocks(small.toDF("id", "name"),
+      "id", "name", blockLen = 2, maxBlock = 10).count() === 0L)
+  }
+
+  test("escalation: over-cap blocks re-block on the longer prefix " +
+      "instead of dropping; long-prefix pairs survive, cross-sub-block " +
+      "pairs do not; still-over-cap sub-blocks skip and report level 2") {
+    // one crowded 2-char block "AA" (12 rows > cap 4) containing two
+    // 6-char sub-families; a small "ZZ" block untouched by escalation
+    val famX = (1L to 6L).map(i => i -> s"AAAXX-$i")
+    val famY = (11L to 16L).map(i => i -> s"AAAYY-$i")
+    val zz = Seq(100L -> "ZZ-rare-1", 101L -> "ZZ-rare-2")
+    val df = (famX ++ famY ++ zz).toDF("id", "name")
+    val got = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        minSim = 0.5, blockLen = 2, maxBlock = 6, escalateLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-sub-family pairs survive escalation (6-char prefixes agree)
+    assert(got.contains((1L, 2L)) && got.contains((11L, 12L)))
+    // cross-sub-family pairs need the 6-char prefix now -> excluded
+    assert(!got.exists(p => p._1 <= 6L && p._2 >= 11L))
+    // the small block never escalated
+    assert(got.contains((100L, 101L)))
+    // escalated sub-blocks exactly at the cap are kept: nothing skipped
+    assert(FuzzyJoin.jaroWinklerSkippedBlocks(df, "id", "name",
+      blockLen = 2, maxBlock = 6, escalateLen = 6).count() === 0L)
+    // a sub-block still over the cap skips and reports at level 2
+    val rep2 = FuzzyJoin.jaroWinklerSkippedBlocks(df, "id", "name",
+        blockLen = 2, maxBlock = 4, escalateLen = 6)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(rep2 == Set(("AAAXX-", 2, 6L), ("AAAYY-", 2, 6L)))
+    val got2 = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        minSim = 0.5, blockLen = 2, maxBlock = 4, escalateLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((100L, 101L)))
+    intercept[IllegalArgumentException](FuzzyJoin.jaroWinklerPairs(
+      df, "id", "name", 0.5, blockLen = 4, maxBlock = 4, escalateLen = 3))
+  }
+
   test("null ids/strings dropped; maxDist/q validated") {
     val df = Seq((java.lang.Long.valueOf(1L), "abc"),
       (java.lang.Long.valueOf(2L), null),
