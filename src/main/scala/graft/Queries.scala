@@ -8988,6 +8988,80 @@ object Queries {
                round(jw, 6) AS jw
              FROM p WHERE jw >= 0.9 ORDER BY id_a, id_b""")),
 
+    // ---- raw-corpus ingestion: JSONL round-trip ----------------------------
+    // the pipeline's missing FIRST stage (r11 VERDICT #6): documents
+    // serialized to newline-delimited JSON on disk, read back through
+    // Ingest.readJsonl with bounded-sample schema inference + PERMISSIVE
+    // policy, compared row-for-row against the parquet source — a
+    // lossless round-trip pins the reader end to end (types, escaping,
+    // unicode) with the oracle reading the untouched parquet side
+    QueryDef("q_jsonl_read",
+      (s, d) => {
+        val path =
+          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_jsonl"
+        documents(s, d).write.mode("overwrite").json(path)
+        graft.sources.Ingest.readJsonl(s, path)
+          .select("doc_id", "lang", "n_chars", "source", "text")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, source, text
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- JSONL corrupt-record policy (gzip shards) --------------------------
+    // a deterministic doc_id % 37 slice of lines is written BROKEN (junk
+    // prefix) into gzip-compressed shards; PERMISSIVE + corruptReport
+    // must surface exactly that slice as n_corrupt, and a DROPMALFORMED
+    // re-read must keep exactly the complement — malformed input as
+    // auditable DATA, the engine-wide silent-cap rule. count(doc_id)
+    // (not count(*)) forces the DROPMALFORMED scan to actually parse
+    // (an empty required schema lets the JSON reader count raw lines)
+    QueryDef("q_jsonl_corrupt",
+      (s, d) => {
+        val path =
+          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_jsonl_gz"
+        val docs = documents(s, d)
+        val line = to_json(struct(docs.columns.map(col): _*))
+        docs.select(
+            when(pmod(col("doc_id"), lit(37)) === 0,
+              concat(lit("{oops "), line)).otherwise(line).as("value"))
+          .write.mode("overwrite").option("compression", "gzip").text(path)
+        val schema = Some(docs.schema)
+        val rep = graft.sources.Ingest.corruptReport(
+          graft.sources.Ingest.readJsonl(s, path, schema))
+        val dropped = graft.sources.Ingest
+          .readJsonl(s, path, schema, mode = "DROPMALFORMED")
+          .agg(count(col("doc_id")).as("n_dropmalformed"))
+        rep.crossJoin(dropped)
+      },
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_corrupt,
+             sum(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_good,
+             sum(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropmalformed
+             FROM documents""")),
+
+    // ---- text-shard ingestion: one doc per line, id = (file, offset) ------
+    // documents written as raw text shards and read back through
+    // Ingest.readTextDocs; the byte-offset ids aren't replayable on the
+    // parquet side, so the gate pins them STRUCTURALLY (distinct ids =
+    // rows, as one cross-joined flag every row carries) while the text
+    // payload round-trips exactly against the parquet source
+    QueryDef("q_text_read",
+      (s, d) => {
+        val path =
+          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_text"
+        documents(s, d).select(col("text"))
+          .write.mode("overwrite").text(path)
+        val docs = graft.sources.Ingest.readTextDocs(s, path)
+        val uniq = docs.agg((count(lit(1)) ===
+          countDistinct(col("file"), col("offset"))).as("ids_unique"))
+        docs.select("text").crossJoin(uniq).orderBy("text")
+      },
+      Some("""SELECT text, true AS ids_unique
+             FROM documents ORDER BY text""")),
+
     // ---- multi-pass ER: prefix + SNM passes unioned, closed, labeled ------
     // the standard recipe end-to-end as ONE verified pipeline: prefix-
     // blocked JW pairs ∪ sorted-neighborhood pairs (each covering the
