@@ -250,6 +250,8 @@ object Clustering {
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val centers = kmeansFit(df, idCol, vecCol, k, iters)
     val bc = spark.sparkContext.broadcast(centers)
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "semDedup.skippedClusters", spark)
     vecsOf(df, idCol, vecCol).flatMap { case (id, v) =>
       var n = 0.0
       var i = 0
@@ -258,7 +260,7 @@ object Clustering {
     }.groupByKey(_._1).flatMapGroups { (_, it) =>
       val limit = if (maxCluster == Int.MaxValue) Int.MaxValue else maxCluster + 1
       val rows = it.take(limit).toArray.sortBy(_._2)
-      if (rows.length > maxCluster) Iterator.empty
+      if (rows.length > maxCluster) { skipAcc.add(1L); Iterator.empty }
       else {
         val out = Array.newBuilder[(Long, Long, Double)]
         var i = 0

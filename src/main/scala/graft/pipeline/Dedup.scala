@@ -307,12 +307,14 @@ object Dedup {
                                 maxPostingList: Int = Int.MaxValue): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "pairsByKey.skippedPostingLists", spark)
     keyed.groupByKey(_._1).flatMapGroups { (_, it) =>
       // cap + 1 would overflow at the unbounded default — saturate instead
       val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
                   else maxPostingList + 1
       val ids = it.map(_._2).take(limit).toArray
-      if (ids.length > maxPostingList) Iterator.empty
+      if (ids.length > maxPostingList) { skipAcc.add(1L); Iterator.empty }
       else {
         java.util.Arrays.sort(ids)
         val out = Array.newBuilder[(Long, Long)]
@@ -1154,13 +1156,15 @@ object Dedup {
           (key, id, sh)
         }
       }
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "simhash.skippedBuckets", spark)
     chunked.groupByKey(_._1).flatMapGroups { (_, it) =>
       // maxBucket bounds the materialized posting list: an over-cap chunk
       // bucket means a degenerate near-identical mass (exact-dedup it
       // first) and is skipped rather than OOMing the executor
       val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
       val rows = it.take(limit).toArray.sortBy(_._2)
-      if (rows.length > maxBucket) Iterator.empty
+      if (rows.length > maxBucket) { skipAcc.add(1L); Iterator.empty }
       else {
       val out = Array.newBuilder[(Long, Long, Int)]
       var i = 0
@@ -1329,11 +1333,13 @@ object Dedup {
           }
         }
       }
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "embeddingLsh.skippedBuckets", spark)
     val pairs = assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
       // see simhashDedup: cap bounds per-bucket materialization
       val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
       val rows = it.take(limit).toArray.sortBy(_._2)
-      if (rows.length > maxBucket) Iterator.empty
+      if (rows.length > maxBucket) { skipAcc.add(1L); Iterator.empty }
       else {
       val out = Array.newBuilder[(Long, Long, Double)]
       var i = 0
@@ -1427,12 +1433,14 @@ object Dedup {
           }
         }
       }
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "embeddingLshAgainst.skippedBuckets", spark)
     val pairs = assign(batch, isBatch = true)
       .union(assign(corpus, isBatch = false))
       .groupByKey(_._1).flatMapGroups { (_, it) =>
         val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
         val rows = it.take(limit).toArray
-        if (rows.length > maxBucket) Iterator.empty
+        if (rows.length > maxBucket) { skipAcc.add(1L); Iterator.empty }
         else {
           val (bs, cs) = rows.partition(_._2)
           val out = Array.newBuilder[(Long, Long, Double)]

@@ -113,6 +113,8 @@ object FuzzyJoin {
                            maxPostingList: Int): DataFrame = {
     val spark = pre.sparkSession
     import spark.implicits._
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "fuzzyPairs.skippedPostingLists", spark)
     pre.select("gram", "ord", "id", "len", "side")
       .as[(String, Int, Long, Int, Int)]
       .groupByKey(r => (r._1, r._2))
@@ -120,7 +122,7 @@ object FuzzyJoin {
         val limit = if (maxPostingList == Int.MaxValue) Int.MaxValue
                     else maxPostingList + 1
         val rows = it.take(limit).toArray
-        if (rows.length > maxPostingList) Iterator.empty
+        if (rows.length > maxPostingList) { skipAcc.add(1L); Iterator.empty }
         else if (cross) {
           val lefts = rows.filter(_._5 == 0)
           val rights = rows.filter(_._5 == 1)

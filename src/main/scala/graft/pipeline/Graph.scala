@@ -262,6 +262,8 @@ object Graph {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     val spark = edges.sparkSession
     import spark.implicits._
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "coOccurrence.skippedVertices", spark)
     edges.na.drop(Seq(srcCol, dstCol))
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -270,7 +272,7 @@ object Graph {
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val dsts = it.map(_._2).toArray
-        if (dsts.length > maxDegree) Iterator.empty
+        if (dsts.length > maxDegree) { skipAcc.add(1L); Iterator.empty }
         else {
           java.util.Arrays.sort(dsts)
           val out = Array.newBuilder[(Long, Long)]

@@ -772,6 +772,8 @@ object Similarity {
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(tables)(t => Dedup.hyperplanes(sigBits, dim, t)))
     val kk = k
+    val skipAcc = graft.util.SkipMetrics.counter(
+      "knnGraph.skippedBuckets", spark)
     val bucketTopK = clean
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))
       .as[(Long, Array[Double])]
@@ -799,7 +801,7 @@ object Similarity {
       .groupByKey(_._1).flatMapGroups { (_, it) =>
         val limit = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket + 1
         val rows = it.take(limit).toArray
-        if (rows.length > maxBucket) Iterator.empty
+        if (rows.length > maxBucket) { skipAcc.add(1L); Iterator.empty }
         else rows.iterator.flatMap { case (_, id, v, n2) =>
           val top = new TopK(kk)
           rows.foreach { case (_, nid, nv, nn2) =>

@@ -265,6 +265,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trailingCounts maxState is a documented GRACEFUL FLOOR (the " +
+      "silent-cap waiver): over-rate keys degrade to a floor count, " +
+      "never drop events or grow state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = StreamingOps.trailingCounts(input.toDS(),
+      windowSec = 3600L, maxState = 3)
+    val q = counts.writeStream.format("memory")
+      .queryName("tc_cap").outputMode("update").start()
+    try {
+      input.addData(("u", 10L), ("u", 20L), ("u", 30L), ("u", 40L),
+        ("u", 50L))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT ts, nWin FROM tc_cap")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // true trailing counts are 1..5; with 3 retained timestamps the
+      // 4th/5th events floor at 3 — a lower bound, and EVERY event still
+      // emits a row (dropping work here would lose events, not pairs —
+      // the cap trades count exactness for bounded state instead)
+      assert(r == Map(10L -> 1L, 20L -> 2L, 30L -> 3L, 40L -> 3L,
+        50L -> 3L))
+    } finally q.stop()
+  }
+
   test("slidingCounts emits overlapping window buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
