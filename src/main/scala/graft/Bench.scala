@@ -64,7 +64,18 @@ object Bench {
     "q_fuzzy_cross"        -> (1.30, 2.79),
     "q_geo_append"         -> (1.40, 3.43),
     "q_delong"             -> (1.13, 2.67),
-    "q_keep_best_cc"       -> (1.25, 3.48))
+    "q_keep_best_cc"       -> (1.25, 3.48),
+    // ---- round-12 bands: the remaining >= 1.5 s rows (VERDICT r11 #3) ----
+    // three normalized observations each (r10 driver /0.855, r11 driver
+    // /0.906, r12 idle best-of-4 campaign /0.83 — NOTES r12 drifter
+    // table); lo = 0.7*min, hi = 1.35*max, same convention as the r11
+    // block. Floors are advisory post-r12 (below_floor), so lo only
+    // feeds re-basing.
+    "q_wasserstein_binned" -> (1.05, 2.67),
+    "q_cc_split"           -> (1.16, 2.50),
+    "q_dedup_cc_keep"      -> (1.16, 2.69),
+    "q_geo_index"          -> (0.97, 2.86),
+    "q_corr_spearman"      -> (1.03, 2.54))
 
   /** Container-speed calibration references (seconds at sf0.1): the
     * r9 driver-run steady values (BENCH_r09/BENCH_FULL) for ten
