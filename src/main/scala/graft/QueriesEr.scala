@@ -394,6 +394,75 @@ private[graft] object QueriesEr {
       Some("""SELECT text, true AS ids_unique
              FROM documents ORDER BY text""")),
 
+    // ---- CSV ingestion round-trip (the reference's own test format) -------
+    // customer serialized to headered CSV and read back through
+    // Ingest.readCsv with bounded-sample schema INFERENCE (no explicit
+    // schema — the gate pins that inference recovers the numeric/string
+    // types well enough to round-trip every value); oracle reads the
+    // untouched parquet side. c_comment carries commas — quoting must
+    // survive the trip
+    QueryDef("q_csv_read",
+      (s, d) => {
+        val path =
+          s"/tmp/graft_ingest/${new java.io.File(d).getName}/cust_csv"
+        s.read.parquet(s"$d/customer.parquet")
+          .write.mode("overwrite").option("header", true).csv(path)
+        // inference picks the narrowest integer type that fits the
+        // sample — cast the keys back to the parquet side's widths so
+        // the value compare sees identical types at every SF
+        graft.sources.Ingest.readCsv(s, path)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_name"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"),
+            col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+             FROM customer ORDER BY c_custkey""")),
+
+    // ---- CSV corrupt-record policy ------------------------------------------
+    // a deterministic c_custkey % 41 slice of lines is written with a
+    // broken arity (single junk field); PERMISSIVE + corruptReport must
+    // count exactly that slice, DROPMALFORMED exactly the complement —
+    // same damage-as-data contract as q_jsonl_corrupt, on the CSV parser
+    QueryDef("q_csv_corrupt",
+      (s, d) => {
+        val path =
+          s"/tmp/graft_ingest/${new java.io.File(d).getName}/cust_csv_bad"
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val line = concat_ws(",", col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+        cust.select(
+            when(pmod(col("c_custkey"), lit(41)) === 0, lit("garbage"))
+              .otherwise(line).as("value"))
+          .write.mode("overwrite").text(path)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_acctbal",
+            org.apache.spark.sql.types.DoubleType)))
+        val rep = graft.sources.Ingest.corruptReport(
+          graft.sources.Ingest.readCsv(s, path, Some(schema),
+            header = false))
+        val dropped = graft.sources.Ingest.readCsv(s, path, Some(schema),
+            header = false, mode = "DROPMALFORMED")
+          .agg(count(col("c_custkey")).as("n_dropmalformed"))
+        rep.crossJoin(dropped)
+      },
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_corrupt,
+             sum(CASE WHEN c_custkey % 41 <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_good,
+             sum(CASE WHEN c_custkey % 41 <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropmalformed
+             FROM customer""")),
+
     // ---- multi-pass ER: prefix + SNM passes unioned, closed, labeled ------
     // the standard recipe end-to-end as ONE verified pipeline: prefix-
     // blocked JW pairs ∪ sorted-neighborhood pairs (each covering the

@@ -116,6 +116,53 @@ object Ingest {
         coalesce(sum("__n") - sum("__c"), lit(0L)).as("n_good"))
   }
 
+  /** Infer a CSV schema from a bounded sample — the CSV face of
+    * [[inferJsonlSchema]] (Spark's `inferSchema` option re-scans the
+    * whole input; this stays O(sampleN)). `header = true` reads column
+    * names from the first line. */
+  def inferCsvSchema(spark: SparkSession, path: String,
+                     header: Boolean = true, delimiter: String = ",",
+                     sampleN: Int = 10000): StructType = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    import spark.implicits._
+    val sample: Dataset[String] =
+      spark.read.text(path).limit(sampleN + (if (header) 1 else 0))
+        .as[String]
+    spark.read
+      .option("header", header).option("delimiter", delimiter)
+      .option("inferSchema", true)
+      .csv(sample).schema
+  }
+
+  /** Read CSV with the same explicit corrupt-record policy surface as
+    * [[readJsonl]] — the reference's own test-data format
+    * (reference conftest.py:13 reads CSV), completing the ingestion
+    * trio (JSONL / text / CSV). Schema `None` → bounded-sample
+    * inference; PERMISSIVE appends `corruptCol` carrying unparseable
+    * lines (wrong arity, type mismatch); DROPMALFORMED/FAILFAST as in
+    * Spark. Compression by extension, one scan, pushdown-friendly. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = None,
+              header: Boolean = true, delimiter: String = ",",
+              mode: String = "PERMISSIVE",
+              corruptCol: String = "_corrupt_record",
+              sampleN: Int = 10000): DataFrame = {
+    require(Modes.contains(mode),
+      s"readCsv: mode must be one of ${Modes.mkString("/")}, got $mode")
+    val base = schema.getOrElse(
+      inferCsvSchema(spark, path, header, delimiter, sampleN))
+    val full =
+      if (mode == "PERMISSIVE" && !base.fieldNames.contains(corruptCol))
+        base.add(StructField(corruptCol, StringType, nullable = true))
+      else base
+    spark.read
+      .schema(full)
+      .option("header", header).option("delimiter", delimiter)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+  }
+
   /** Read newline-delimited text as one document per line with an EXACT,
     * partitioning-independent identity: (file, byte offset of the line's
     * first byte) straight from Hadoop's TextInputFormat reader. No

@@ -86,6 +86,35 @@ class IngestSpec extends SparkSpec {
       Seq(10L, 11L, 12L))
   }
 
+  test("readCsv: bounded-sample inference, type-mismatch lines are the " +
+      "corrupt trigger (short arity fills nulls — CSV semantics), " +
+      "DROPMALFORMED drops exactly the unparseable rows") {
+    val dir = tmpDir()
+    writeLines(dir, "a.csv", Seq(
+      "id,name,score",
+      "1,alpha,0.5",
+      "garbage-not-a-long,beta,0.7", // type mismatch on id -> corrupt
+      "3,gamma",                     // short arity -> nulls, NOT corrupt
+      "4,delta,2.5"))
+    val inferred = Ingest.inferCsvSchema(spark, dir)
+    assert(inferred("score").dataType === DoubleType)
+    val schema = Some(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType))))
+    val perm = Ingest.readCsv(spark, dir, schema)
+    val rep = Ingest.corruptReport(perm).as[(Long, Long, Long)]
+      .collect().head
+    assert(rep === ((4L, 1L, 3L))) // the short row is GOOD per CSV rules
+    assert(perm.filter(col("id") === 3L).select("score")
+      .collect().head.isNullAt(0))
+    val dropped = Ingest.readCsv(spark, dir, schema,
+      mode = "DROPMALFORMED")
+    assert(dropped.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      Ingest.readCsv(spark, dir, schema, mode = "BOGUS"))
+  }
+
   test("readTextDocs: one doc per line, (file, offset) ids exact and " +
       "unique, offsets restore in-file order across multiple shards") {
     val dir = tmpDir()
