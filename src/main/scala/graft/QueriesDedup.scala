@@ -1103,8 +1103,16 @@ private[graft] object QueriesDedup {
           .select(col("doc_id").cast("long").as("__id"),
             graft.pipeline.Dedup.simhashMd5(col("text")).as("__sig"))
           .na.drop(Seq("__sig"))
+        // maxHamming=3/chunks=4 keeps the pigeonhole EXACT (chunks >=
+        // h+1) on 16-bit chunk keys — buckets stay ~n/65536 rows at any
+        // corpus. The r12 sf10d full-suite run caught the previous
+        // maxHamming=8/chunks=9 setting: 7-bit chunk keys collapse to
+        // 128 buckets per position, ~4k-row buckets at 500k docs, and
+        // the O(bucket^2) scorer ran for HOURS. Radius 3 is also the
+        // production near-dup setting; the wider-radius machinery stays
+        // spec'd via q_simhash_dedup's n^2-replay contract.
         graft.pipeline.Dedup.simhashPairsFromSig(sigs,
-            maxHamming = 8, chunks = 9)
+            maxHamming = 3, chunks = 4)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH tok AS (SELECT doc_id,
@@ -1121,7 +1129,7 @@ private[graft] object QueriesDedup {
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             WHERE bit_count(xor(a.sig, b.sig)) <= 8
+             WHERE bit_count(xor(a.sig, b.sig)) <= 3
              ORDER BY id_a, id_b""")),
 
     // ---- embedding cosine near-dup: exact pairs ---------------------------

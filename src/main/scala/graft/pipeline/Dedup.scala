@@ -1100,9 +1100,17 @@ object Dedup {
     * complete, so the output is EXACTLY the Hamming ball — what the
     * q_simhash oracle contract checks. A `maxHamming` beyond that bound
     * trades recall for chunk width: pick `chunks >= maxHamming + 1` for
-    * exactness (e.g. 9 chunks for maxHamming=8 — ~7-bit chunk buckets,
-    * so only viable after exact-dedup collapses identical mass), or keep
-    * wide chunks and accept pigeonhole recall. */
+    * exactness, or keep wide chunks and accept pigeonhole recall.
+    *
+    * SCALE WALL (measured, r12 sf10d full-suite run): the chunk key is
+    * 64/chunks bits wide, so buckets average n / 2^(64/chunks) rows and
+    * the per-bucket verify is O(bucket²). chunks=4 (16-bit keys) is
+    * scale-safe to ~10⁸ rows; chunks=9 (7-bit keys → 128 buckets per
+    * position) degenerates at ~10⁵ docs — 500k sf10d docs gave ~4k-row
+    * buckets and an hours-long scorer. Size chunks so
+    * 64/chunks ≳ log₂(n) + 4, exact-dedup identical mass first, and
+    * let `maxBucket` (surfaced via SkipMetrics `simhash.skippedBuckets`)
+    * bound the worst case. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1 << 20,
                    chunks: Int = 4): DataFrame = {
