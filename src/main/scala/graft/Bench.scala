@@ -123,13 +123,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // decade-suite knobs (r12 VERDICT #3 — one long-lived JVM running
+    // 350+ queries' shuffles filled 60 GB of /tmp before the
+    // ContextCleaner's GC-driven reclaim caught up at sf10d):
+    //  - SPARK_GRAFT_ONLY=<a,b,c> benches only the named rows, so a big
+    //    run can be SLICED across separate JVM invocations;
+    //  - SPARK_GRAFT_PERIODIC_GC=<e.g. 5min> enables Spark's periodic
+    //    driver GC so shuffle files are reclaimed on a clock, not only
+    //    when the driver happens to collect.
+    // Both unset in driver runs — the sf0.1 bench is byte-identical.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    val spark = sys.env.get("SPARK_GRAFT_PERIODIC_GC")
+      .fold(builder)(v => builder.config("spark.cleaner.periodicGC.interval", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JIT/codegen paths so the first measured query doesn't
@@ -152,7 +165,9 @@ object Bench {
     // benchQueries = all driver queries minus the gate-only verification
     // rows (their cost is the exact-check harness, not the operator; each
     // has an operator-cost twin that IS in this set)
-    val results = Queries.benchQueries.map { case (name, fn) =>
+    val results = Queries.benchQueries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // isolate queries from each other's leftover cache entries: numbers
       // must not depend on Map iteration order or on another query having
       // pre-warmed a shared pipeline, and accumulated blocks would
@@ -204,7 +219,13 @@ object Bench {
       belowFloor
         .map { case (k, j) => "\"" + k + "\":" + j }
         .mkString(""","below_floor":{""", ",", "}") +
-      s""","banded_rows":${bands.size},"calibration_factor":${fmt(calib)}"""
+      s""","banded_rows":${bands.size},"calibration_factor":${fmt(calib)}""" +
+      // did any bounded cap fire during this bench run? Normally {} —
+      // recorded per run instead of being a value a caller must remember
+      // to pull (VERDICT r12 #4). At-least-once accumulator semantics.
+      graft.util.SkipMetrics.nonZero()
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","skips":{""", ",", "}")
     // Full per-query detail goes to a file: with 90+ queries the one-line
     // map exceeds the harness's 2000-char output tail, which truncated the
     // line mid-JSON and left it unparseable in rounds 1-4. The printed line

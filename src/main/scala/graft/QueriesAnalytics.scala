@@ -277,11 +277,15 @@ private[graft] object QueriesAnalytics {
           lineitem(s, d), "l_orderkey", "l_suppkey", minCount = 3)
         .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
           col("n_ab"), col("n_baskets"), col("oversized_baskets"),
+          col("excluded_items"),
           round(col("support"), 6).as("support"),
           round(col("conf_a_b"), 6).as("conf_a_b"),
           round(col("conf_b_a"), 6).as("conf_b_a"),
           round(col("lift"), 6).as("lift"))
         .orderBy("item_a", "item_b"),
+      // excluded_items replays as literal 0: the stop-list is off
+      // (maxItemDf = MaxValue), and the A-priori prune is output-
+      // invariant by theorem — the oracle is the UNPRUNED computation
       Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
                FROM lineitem WHERE l_orderkey IS NOT NULL
                  AND l_suppkey IS NOT NULL),
@@ -297,12 +301,57 @@ private[graft] object QueriesAnalytics {
              mg AS (SELECT i, count(*)::BIGINT AS c FROM bi GROUP BY 1)
              SELECT item_a, item_b, ma.c AS n_a, mb.c AS n_b, n_ab,
                nb.n::BIGINT AS n_baskets, ovs.o::BIGINT AS oversized_baskets,
+               0::BIGINT AS excluded_items,
                round(n_ab::DOUBLE / nb.n, 6) AS support,
                round(n_ab::DOUBLE / ma.c, 6) AS conf_a_b,
                round(n_ab::DOUBLE / mb.c, 6) AS conf_b_a,
                round(n_ab::DOUBLE * nb.n / (ma.c::DOUBLE * mb.c), 6) AS lift
              FROM pr JOIN mg ma ON pr.item_a = ma.i
                JOIN mg mb ON pr.item_b = mb.i, nb, ovs
+             ORDER BY 1, 2""")),
+
+    // head-item stop-list variant: suppliers in more than maxItemDf
+    // baskets are excluded from pairing (excluded_items surfaces the
+    // count); surviving pairs are EXACT (dropping an item never changes
+    // another pair's co-occurrence) — the oracle replays the df filter
+    // verbatim. maxItemDf sized so the stop-list FIRES at sf0.01 (the
+    // q_jw_skipped precedent: a cap row must exercise the cap).
+    QueryDef("q_basket_stoplist",
+      (s, d) => graft.pipeline.Basket.pairRules(
+          lineitem(s, d), "l_orderkey", "l_suppkey", minCount = 3,
+          maxItemDf = 40L)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), col("n_baskets"), col("oversized_baskets"),
+          col("excluded_items"),
+          round(col("support"), 6).as("support"),
+          round(col("conf_a_b"), 6).as("conf_a_b"),
+          round(col("conf_b_a"), 6).as("conf_b_a"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b"),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_suppkey IS NOT NULL),
+             nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+             sz AS (SELECT b, count(*) AS s FROM bi GROUP BY 1),
+             ovs AS (SELECT count(*) AS o FROM sz WHERE s > 1000),
+             mg AS (SELECT i, count(*)::BIGINT AS c FROM bi GROUP BY 1),
+             exc AS (SELECT count(*) AS e FROM mg WHERE c > 40),
+             ok AS (SELECT bi.b, bi.i FROM bi JOIN sz ON bi.b = sz.b
+               JOIN mg ON bi.i = mg.i
+               WHERE sz.s <= 1000 AND mg.c <= 40),
+             pr AS (SELECT x.i AS item_a, y.i AS item_b,
+               count(*)::BIGINT AS n_ab
+               FROM ok x JOIN ok y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 3)
+             SELECT item_a, item_b, ma.c AS n_a, mb.c AS n_b, n_ab,
+               nb.n::BIGINT AS n_baskets, ovs.o::BIGINT AS oversized_baskets,
+               exc.e::BIGINT AS excluded_items,
+               round(n_ab::DOUBLE / nb.n, 6) AS support,
+               round(n_ab::DOUBLE / ma.c, 6) AS conf_a_b,
+               round(n_ab::DOUBLE / mb.c, 6) AS conf_b_a,
+               round(n_ab::DOUBLE * nb.n / (ma.c::DOUBLE * mb.c), 6) AS lift
+             FROM pr JOIN mg ma ON pr.item_a = ma.i
+               JOIN mg mb ON pr.item_b = mb.i, nb, ovs, exc
              ORDER BY 1, 2""")),
 
     // ---- difference-in-differences -----------------------------------------
@@ -934,8 +983,7 @@ private[graft] object QueriesAnalytics {
           .withColumn("qlon",
             (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
           .select("s_suppkey", "qlat", "qlon")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-geoindex").toString
+        val path = graft.util.Scratch.dir("graft-q-geoindex")
         graft.pipeline.GeoIndex.write(pts, "c_custkey", "plat", "plon",
           cellDeg = 4.0, path, overwrite = true)
         graft.pipeline.GeoIndex.radiusQuery(qs, "qlat", "qlon",
@@ -1124,8 +1172,7 @@ private[graft] object QueriesAnalytics {
           .withColumn("qlon",
             (col("s_suppkey") * 104243 % 36000) / lit(100.0) - 180.0)
           .select("s_suppkey", "qlat", "qlon")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-geoappend").toString
+        val path = graft.util.Scratch.dir("graft-q-geoappend")
         graft.pipeline.GeoIndex.write(
           pts.filter(col("c_custkey") % 3 =!= 0), "c_custkey",
           "plat", "plon", cellDeg = 4.0, path, overwrite = true)

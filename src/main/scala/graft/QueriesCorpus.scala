@@ -147,8 +147,7 @@ private[graft] object QueriesCorpus {
         val docs = documents(s, d).select("doc_id", "text")
         val batch = docs.filter(col("doc_id") % 5 === 0)
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-substridx").toString
+        val path = graft.util.Scratch.dir("graft-q-substridx")
         graft.pipeline.SubstrIndex.write(corpus, "doc_id", "text", path,
           minLen = 60)
         graft.pipeline.SubstrIndex.spansAgainst(batch, "doc_id", "text",
@@ -393,8 +392,7 @@ private[graft] object QueriesCorpus {
       (s, d) => {
         implicit val sp: SparkSession = s
         val li = lineitem(s, d)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-histsketch").toString
+        val path = graft.util.Scratch.dir("graft-q-histsketch")
         graft.agg.CountHist.write(graft.agg.CountHist.sketchCol(
           li.filter(col("l_orderkey") % 2 === 0),
           "l_extendedprice", 900.0, 105000.0, 64), path)
@@ -428,8 +426,7 @@ private[graft] object QueriesCorpus {
       (s, d) => {
         implicit val sp: SparkSession = s
         val li = lineitem(s, d)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-hllsketch").toString
+        val path = graft.util.Scratch.dir("graft-q-hllsketch")
         graft.agg.DistinctSketch.write(graft.agg.DistinctSketch.sketchCol(
           li.filter(col("l_orderkey") % 2 === 0), "l_partkey"), path)
         graft.agg.DistinctSketch.append(

@@ -238,8 +238,7 @@ private[graft] object QueriesCuration {
         val corpus = e.filter(col("vec_id") =!= 0)
         val (index, ivfC, cb) = graft.pipeline.Quantize.ivfPqIndex(corpus,
           "vec_id", "embedding", nCells = 16, m = 16, ksub = 256)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-pqpersist").toString
+        val path = graft.util.Scratch.dir("graft-q-pqpersist")
         graft.pipeline.Quantize.writeIvfPq(index, ivfC, cb, "vec_id", path)
         val (index2, ivfC2, cb2) = graft.pipeline.Quantize.readIvfPq(path, "vec_id")
         def top(ix: DataFrame, cs: Array[Array[Double]],

@@ -90,8 +90,7 @@ private[graft] object QueriesDedup {
         val e = embeddings(s, d)
         val batchE = e.filter(col("vec_id") % 5 === 0)
         val corpusE = e.filter(col("vec_id") % 5 =!= 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-vecindex").toString
+        val path = graft.util.Scratch.dir("graft-q-vecindex")
         graft.pipeline.VecIndex.write(corpusE, "vec_id", "embedding",
           dim = 64, path, bits = 4, tables = 4)
         val indexed = graft.pipeline.VecIndex.dedupAgainst(
@@ -201,8 +200,7 @@ private[graft] object QueriesDedup {
         val docs = documents(s, d)
         val batch = docs.filter(col("doc_id") % 5 === 0)
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q-textindex").toString
+        val path = graft.util.Scratch.dir("graft-q-textindex")
         graft.pipeline.TextIndex.write(corpus, "doc_id", "text", path)
         val indexed = graft.pipeline.TextIndex.dedupAgainst(
           batch, "doc_id", "text", path, threshold = 0.5)

@@ -330,7 +330,8 @@ private[graft] object QueriesEr {
     QueryDef("q_jsonl_read",
       (s, d) => {
         val path =
-          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_jsonl"
+          graft.util.Scratch.named(
+          s"graft_ingest/${new java.io.File(d).getName}/docs_jsonl")
         documents(s, d).write.mode("overwrite").json(path)
         graft.sources.Ingest.readJsonl(s, path)
           .select("doc_id", "lang", "n_chars", "source", "text")
@@ -350,7 +351,8 @@ private[graft] object QueriesEr {
     QueryDef("q_jsonl_corrupt",
       (s, d) => {
         val path =
-          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_jsonl_gz"
+          graft.util.Scratch.named(
+          s"graft_ingest/${new java.io.File(d).getName}/docs_jsonl_gz")
         val docs = documents(s, d)
         val line = to_json(struct(docs.columns.map(col): _*))
         docs.select(
@@ -383,7 +385,8 @@ private[graft] object QueriesEr {
     QueryDef("q_text_read",
       (s, d) => {
         val path =
-          s"/tmp/graft_ingest/${new java.io.File(d).getName}/docs_text"
+          graft.util.Scratch.named(
+          s"graft_ingest/${new java.io.File(d).getName}/docs_text")
         documents(s, d).select(col("text"))
           .write.mode("overwrite").text(path)
         val docs = graft.sources.Ingest.readTextDocs(s, path)
@@ -404,7 +407,8 @@ private[graft] object QueriesEr {
     QueryDef("q_csv_read",
       (s, d) => {
         val path =
-          s"/tmp/graft_ingest/${new java.io.File(d).getName}/cust_csv"
+          graft.util.Scratch.named(
+          s"graft_ingest/${new java.io.File(d).getName}/cust_csv")
         s.read.parquet(s"$d/customer.parquet")
           .write.mode("overwrite").option("header", true).csv(path)
         // inference picks the narrowest integer type that fits the
@@ -430,7 +434,8 @@ private[graft] object QueriesEr {
     QueryDef("q_csv_corrupt",
       (s, d) => {
         val path =
-          s"/tmp/graft_ingest/${new java.io.File(d).getName}/cust_csv_bad"
+          graft.util.Scratch.named(
+          s"graft_ingest/${new java.io.File(d).getName}/cust_csv_bad")
         val cust = s.read.parquet(s"$d/customer.parquet")
           .select("c_custkey", "c_name", "c_acctbal")
         val line = concat_ws(",", col("c_custkey"), col("c_name"),

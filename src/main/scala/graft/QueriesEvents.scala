@@ -163,8 +163,7 @@ private[graft] object QueriesEvents {
     // sum/mean/variance carry reduce-order ulps -> round(6)
     QueryDef("q_agg_index",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_aggidx").toString
+        val tmp = graft.util.Scratch.dir("graft_aggidx")
         val ev = events(s, d)
         graft.pipeline.AggIndex.write(
           ev.filter(col("event_id") % 2 === 0),

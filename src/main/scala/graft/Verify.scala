@@ -47,6 +47,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end-of-run damage report: did any bounded cap fire during the gate?
+    // Recorded as data per run (VERDICT r12 #4 — SkipMetrics was
+    // pull-only), normally {}. Accumulator caveat applies: at-least-once
+    // upper bounds, reliable as a zero/non-zero signal.
+    val skips = graft.util.SkipMetrics.nonZero()
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/skips.json"), skips)
+    println(s"[verify] skips: $skips")
     spark.stop()
   }
 }

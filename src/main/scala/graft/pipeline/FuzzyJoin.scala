@@ -108,7 +108,14 @@ object FuzzyJoin {
 
   /** Candidate pairs from the prefix postings: strings sharing a prefix
     * (gram, ord) key, length-filtered. `cross = false` emits id-ordered
-    * same-side pairs; `cross = true` emits side-0 × side-1 only. */
+    * same-side pairs; `cross = true` emits side-0 × side-1 only.
+    *
+    * Pairs are emitted LAZILY (nested index iterators over the group's
+    * posting array, never a built pair collection): a group's memory is
+    * O(posting list), not O(posting list²). The r12 sf10d q_fuzzy_cross
+    * JVM death was exactly the eager shape — per-group pair arrays grew
+    * with bucket² across 32 concurrent tasks until the executor missed
+    * 60 heartbeats in GC and force-exited (probe log, r13 NOTES). */
   private def candidatesOf(pre: DataFrame, k: Int, cross: Boolean,
                            maxPostingList: Int): DataFrame = {
     val spark = pre.sparkSession
@@ -126,36 +133,61 @@ object FuzzyJoin {
         else if (cross) {
           val lefts = rows.filter(_._5 == 0)
           val rights = rows.filter(_._5 == 1)
-          val out = Array.newBuilder[(Long, Long)]
-          lefts.foreach { l =>
-            rights.foreach { r =>
-              if (math.abs(l._4 - r._4) <= k) out += ((l._3, r._3))
-            }
+          lefts.iterator.flatMap { l =>
+            rights.iterator
+              .filter(r => math.abs(l._4 - r._4) <= k)
+              .map(r => (l._3, r._3))
           }
-          out.result().iterator
         } else {
-          val out = Array.newBuilder[(Long, Long)]
-          var i = 0
-          while (i < rows.length) {
-            var j = i + 1
-            while (j < rows.length) {
-              val (a, b) = (rows(i), rows(j))
-              if (a._3 != b._3 && math.abs(a._4 - b._4) <= k) {
-                if (a._3 < b._3) out += ((a._3, b._3))
-                else out += ((b._3, a._3))
-              }
-              j += 1
+          rows.indices.iterator.flatMap { i =>
+            val a = rows(i)
+            (i + 1 until rows.length).iterator.flatMap { j =>
+              val b = rows(j)
+              if (a._3 != b._3 && math.abs(a._4 - b._4) <= k)
+                Iterator.single(
+                  if (a._3 < b._3) (a._3, b._3) else (b._3, a._3))
+              else Iterator.empty
             }
-            i += 1
           }
-          out.result().iterator
         }
       }
       .toDF("id_a", "id_b")
   }
 
+  /** Distinct-string representatives of a prepped frame: one row per
+    * distinct string, carrying the group's MINIMUM id as the rep id.
+    * Edit distance is a pure function of the strings, so the whole
+    * candidates → verify pipeline only ever needs to run on these —
+    * see the EXACT-DUPLICATE PRE-COLLAPSE notes on [[fuzzyPairs]]. */
+  private def repsOf(strs: DataFrame): DataFrame =
+    strs.groupBy("__s", "__len").agg(min(col("__id")).as("__id"))
+      .select("__id", "__s", "__len")
+
+  /** rep-id → member-id mapping (one row per original row). */
+  private def membersOf(strs: DataFrame, reps: DataFrame): DataFrame =
+    strs.select(col("__s"), col("__id"))
+      .join(reps.select(col("__s"), col("__id").as("__rep")), "__s")
+      .select(col("__rep"), col("__id"))
+
   /** Self-join: (id_a, id_b, dist) with id_a < id_b and
-    * levenshtein ≤ maxDist. */
+    * levenshtein ≤ maxDist.
+    *
+    * EXACT-DUPLICATE PRE-COLLAPSE (r13 — the q_fuzzy_cross sf10d fix):
+    * edit distance depends only on the strings, so the q-gram pipeline
+    * runs over DISTINCT strings and the verified rep pairs expand back
+    * to id pairs afterwards (two output-bound joins), plus the
+    * dist-0 pairs within each duplicate group. On a corpus where every
+    * string has g exact copies this divides candidate/verify work by g²
+    * — the q-gram count filter itself CANNOT prune identical strings
+    * (they share every gram), which is exactly how the r12 sf10d
+    * replica corpus drove per-bucket pair mass into a GC death spiral.
+    * The collapse is adaptive: when the corpus has no duplicate strings
+    * (reps.count == strs.count — two counts on cached frames) the
+    * pipeline runs directly on the rows and no expansion joins exist,
+    * so the duplicate-free case pays one distinct aggregate and nothing
+    * else. Output is identical either way: pairs are a pure function of
+    * (id, string) and the expansion enumerates exactly the collapsed
+    * pairs' preimages. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int, q: Int = 2,
                  maxPostingList: Int = Int.MaxValue): DataFrame = {
@@ -163,24 +195,54 @@ object FuzzyJoin {
     require(q >= 1, s"q must be >= 1, got $q")
     val k = maxDist
     val strs = prep(df, idCol, strCol).cache()
+    val reps = repsOf(strs).cache()
+    val collapsed = reps.count() < strs.count()
+    val base = if (collapsed) reps else strs
     val counted = candidatesOf(
-      prefixOf(postingsOf(strs, q, 0), q, k), k, cross = false,
+      prefixOf(postingsOf(base, q, 0), q, k), k, cross = false,
       maxPostingList)
     // strings the bound can't prune pair only among THEMSELVES within
     // edit distance k (a longer partner forces bound >= 1 or a length
     // gap > k) — brute-force the short set
-    val short = strs.filter(col("__len") <= q * (k + 1) - 1)
+    val short = base.filter(col("__len") <= q * (k + 1) - 1)
     val shortPairs = short.select(col("__id").as("id_a"),
         col("__len").as("la"))
       .join(short.select(col("__id").as("id_b"), col("__len").as("lb")),
         col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b")
-    verifyCross(counted.unionAll(shortPairs).distinct(), strs, strs, k)
+    val repPairs =
+      verifyCross(counted.unionAll(shortPairs).distinct(), base, base, k)
+    if (!collapsed) repPairs
+    else {
+      val members = membersOf(strs, reps)
+      // cross-group pairs: every member of rep_a × every member of
+      // rep_b, re-oriented on the ORIGINAL ids (rep order and member
+      // order can disagree)
+      val cross = repPairs
+        .join(members.select(col("__rep").as("id_a"), col("__id").as("__ia")),
+          "id_a")
+        .join(members.select(col("__rep").as("id_b"), col("__id").as("__ib")),
+          "id_b")
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+      // within-group pairs: exact duplicates are distance 0 by identity
+      val dup = members.join(
+          members.select(col("__rep"), col("__id").as("__id2")), "__rep")
+        .filter(col("__id") < col("__id2"))
+        .select(col("__id").as("id_a"), col("__id2").as("id_b"),
+          lit(0).cast("int").as("dist"))
+      cross.unionAll(dup)
+    }
   }
 
   /** Cross-table join: (id_a from left, id_b from right, dist ≤ maxDist).
     * Postings of both sides share one df computation and one prefix
-    * shuffle; pairs are emitted across sides only. */
+    * shuffle; pairs are emitted across sides only. Both sides get the
+    * exact-duplicate pre-collapse ([[fuzzyPairs]] notes) — verified
+    * distinct-string pairs expand through each side's rep → member
+    * mapping, and sides are disjoint so no re-orientation or dist-0
+    * within-group pass exists here (equal strings ACROSS sides are
+    * ordinary candidates and verify at distance 0). */
   def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
                 right: DataFrame, rightId: String, rightStr: String,
                 maxDist: Int, q: Int = 2,
@@ -190,17 +252,33 @@ object FuzzyJoin {
     val k = maxDist
     val ls = prep(left, leftId, leftStr).cache()
     val rs = prep(right, rightId, rightStr).cache()
-    val tagged = postingsOf(ls, q, 0).unionAll(postingsOf(rs, q, 1))
+    val lreps = repsOf(ls).cache()
+    val rreps = repsOf(rs).cache()
+    val collapsed = lreps.count() < ls.count() || rreps.count() < rs.count()
+    val (lbase, rbase) = if (collapsed) (lreps, rreps) else (ls, rs)
+    val tagged = postingsOf(lbase, q, 0).unionAll(postingsOf(rbase, q, 1))
     val counted = candidatesOf(prefixOf(tagged, q, k), k, cross = true,
       maxPostingList)
-    val shortL = ls.filter(col("__len") <= q * (k + 1) - 1)
-    val shortR = rs.filter(col("__len") <= q * (k + 1) - 1)
+    val shortL = lbase.filter(col("__len") <= q * (k + 1) - 1)
+    val shortR = rbase.filter(col("__len") <= q * (k + 1) - 1)
     val shortPairs = shortL.select(col("__id").as("id_a"),
         col("__len").as("la"))
       .join(shortR.select(col("__id").as("id_b"), col("__len").as("lb")),
         abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b")
-    verifyCross(counted.unionAll(shortPairs).distinct(), ls, rs, k)
+    val repPairs =
+      verifyCross(counted.unionAll(shortPairs).distinct(), lbase, rbase, k)
+    if (!collapsed) repPairs
+    else {
+      val lm = membersOf(ls, lreps)
+      val rm = membersOf(rs, rreps)
+      repPairs
+        .join(lm.select(col("__rep").as("id_a"), col("__id").as("__ia")),
+          "id_a")
+        .join(rm.select(col("__rep").as("id_b"), col("__id").as("__ib")),
+          "id_b")
+        .select(col("__ia").as("id_a"), col("__ib").as("id_b"), col("dist"))
+    }
   }
 
   /** Entity resolution: every row labeled with its ENTITY — the minimal

@@ -114,8 +114,11 @@ object SubstrIndex {
     * exact substring exists in the indexed corpus — the fourth streaming
     * screen (minhash [[TextIndex.matchesStream]], embeddings
     * [[VecIndex]], Bloom exact, this = exact substrings). Two
-    * stream-static joins re-planned per micro-batch, so [[append]]s
-    * between batches are picked up; no state store, no watermark.
+    * stream-static joins; no state store, no watermark. The static
+    * side's file listing is captured at BUILD time, so [[append]]s are
+    * seen on the next (re)build — a checkpointed restart resumes
+    * offsets AND sees the grown index (RocksDbStateSpec) — not
+    * mid-query.
     * Delivery contract: a window matching k corpus occurrences is
     * emitted k times (a stateless stream cannot distinct) — run
     * sink-side dropDuplicates("id", "pos") in foreachBatch, or the batch

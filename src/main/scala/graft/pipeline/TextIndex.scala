@@ -208,8 +208,11 @@ object TextIndex {
     * broadcasts a driver-collected index (fast stateless filter, ~2M-doc
     * ceiling); this one is two STREAM-STATIC inner joins (bands, then
     * hashes) against the parquet index — no driver ceiling, no state
-    * store, no watermark, and the static side is re-planned per
-    * micro-batch so index [[append]]s between batches are picked up.
+    * store, no watermark. The static side's FILE LISTING is captured
+    * when this screen is BUILT (InMemoryFileIndex lists once), so
+    * [[append]]s land on the next (re)build — e.g. a checkpointed
+    * restart, which replays no old rows and sees the grown index
+    * (RocksDbStateSpec pins exactly that) — not mid-query.
     *
     * Delivery contract: a pair colliding in k bands is emitted k times
     * (deduplicating inside the stream would need a stateful distinct;

@@ -246,8 +246,11 @@ object VecIndex {
     * the semantic companion of [[TextIndex.matchesStream]]. One stateless
     * stream-static inner join (stream signatures ⋈ buckets) with the
     * codegen'd cosine filter in the same stage: no driver ceiling, no
-    * state store, and the static side is re-planned per micro-batch so
-    * [[append]]s between batches are picked up.
+    * state store. The static side's file listing is captured at BUILD
+    * time, so [[append]]s are seen on the next (re)build — a
+    * checkpointed restart resumes offsets and sees the grown index
+    * (the TextIndex/SubstrIndex RocksDbStateSpec contract) — not
+    * mid-query.
     *
     * Delivery contract: a pair within threshold in k tables is emitted k
     * times (a stateless stream cannot distinct; at-least-once per

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * newline-delimited text, not parquet. The reference only ever reads
   * CSV in its tests (reference conftest.py:13); this tier is the
   * extension a production corpus needs, built on Spark's own JSON/text
-  * data sources so compression codecs (.gz, .zst, .bz2 …) resolve from
+  * data sources so compression codecs (.gz, .bz2 always; .zst when
+  * libhadoop carries zstd — see [[readJsonl]]) resolve from
   * file extensions and splits/partition sizing follow
   * `spark.sql.files.maxPartitionBytes` like any other scan.
   *
@@ -57,9 +58,12 @@ object Ingest {
     *    matters (it usually does).
     *  - `mode = "FAILFAST"`: first malformed line kills the scan.
     *
-    * Compression is by extension (.gz, .zst, .bz2 …) per Hadoop codec
-    * resolution — a mixed directory of plain and compressed shards reads
-    * fine. One scan, no shuffle; filters/pruning push into the scan as
+    * Compression is by extension per Hadoop codec resolution — a mixed
+    * directory of plain and compressed shards reads fine. .gz and .bz2
+    * are always available; .zst resolves ONLY when libhadoop was built
+    * with zstd support (this sandbox's was not — IngestSpec probes and
+    * skips; parquet zstd is unaffected, it uses zstd-jni, not the Hadoop
+    * codec). One scan, no shuffle; filters/pruning push into the scan as
     * with any DataSource. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: Option[StructType] = None,
@@ -83,31 +87,42 @@ object Ingest {
       .json(path)
   }
 
-  /** Reduce a PERMISSIVE [[readJsonl]] frame to ONE damage row:
-    * (n_rows, n_corrupt, n_good). A corrupt-column-only scan from a raw
-    * JSON source is disallowed by Spark (UNSUPPORTED_FEATURE.QUERY_ONLY_
-    * CORRUPT_RECORD_COLUMN — the relation can't prove corruption without
-    * parsing a data field), and a plain aggregate PRUNES any data column
-    * we project down to exactly that illegal shape; the documented
-    * workaround is .cache(), which is wrong at corpus scale. Instead the
-    * count runs as a typed per-partition fold over (first data field,
-    * corrupt field) — the object deserializer pins both columns into the
-    * required schema, one pass, one tiny (n, c) row per partition, no
-    * cache. */
+  /** Reduce a PERMISSIVE [[readJsonl]]/[[readCsv]] frame to ONE damage
+    * row: (n_rows, n_corrupt, n_good). A corrupt-column-only scan from a
+    * raw JSON/CSV source is disallowed by Spark (UNSUPPORTED_FEATURE.
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN — the relation can't prove
+    * corruption without parsing a data field), and a plain aggregate
+    * PRUNES any data column we project down to exactly that illegal
+    * shape; the documented workaround is .cache(), which is wrong at
+    * corpus scale. Instead the count runs as a typed per-partition fold
+    * — the object deserializer pins the projection into the required
+    * schema, one pass, one tiny (n, c) row per partition, no cache.
+    *
+    * The fold projects ALL data columns, not just the first: CSV column
+    * pruning (spark.sql.csv.parser.columnPruning, default on) parses
+    * only the projected columns, so a record malformed ONLY in an
+    * unprojected column would never be flagged corrupt under a
+    * one-column projection and the report would undercount (r12 ADVICE
+    * finding). Full projection makes the parser exercise the whole
+    * schema — the report counts malformation under the SCHEMA, which is
+    * the contract a damage report wants. (JSON parses the whole line
+    * regardless; the full projection costs it nothing extra beyond
+    * column decode.) */
   def corruptReport(df: DataFrame,
                     corruptCol: String = "_corrupt_record"): DataFrame = {
     require(df.schema.fieldNames.contains(corruptCol),
       s"corruptReport: no $corruptCol column — read with PERMISSIVE")
-    val dataCol = df.schema.fieldNames.find(_ != corruptCol).getOrElse(
-      throw new IllegalArgumentException(
-        "corruptReport: frame has only the corrupt column"))
+    val dataCols = df.schema.fieldNames.filterNot(_ == corruptCol)
+    require(dataCols.nonEmpty,
+      "corruptReport: frame has only the corrupt column")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(dataCol).cast("string"), col(corruptCol))
+    val corruptIdx = dataCols.length
+    df.select(dataCols.map(col).toIndexedSeq :+ col(corruptCol): _*)
       .mapPartitions { it =>
         var n = 0L
         var c = 0L
-        it.foreach { r => n += 1; if (!r.isNullAt(1)) c += 1 }
+        it.foreach { r => n += 1; if (!r.isNullAt(corruptIdx)) c += 1 }
         Iterator((n, c))
       }
       .toDF("__n", "__c")
@@ -118,20 +133,54 @@ object Ingest {
 
   /** Infer a CSV schema from a bounded sample — the CSV face of
     * [[inferJsonlSchema]] (Spark's `inferSchema` option re-scans the
-    * whole input; this stays O(sampleN)). `header = true` reads column
-    * names from the first line. */
+    * whole input; this stays O(sampleN)).
+    *
+    * `header = true` reads column names from the DETERMINISTIC header:
+    * the first line (byte offset 0) of the lexicographically first file,
+    * via the same (file, offset) identity [[readTextDocs]] uses — NOT
+    * "the first row limit() happens to return", which Spark does not
+    * order (r12 ADVICE finding: over a multi-file directory the old
+    * sample could pick another shard's line as the header, mis-naming
+    * every column). Each shard's own header line is then filtered out
+    * of the type-inference sample by text equality, so repeated headers
+    * in a multi-file directory can no longer demote numeric columns to
+    * string. (A data row that happens to equal the header byte-for-byte
+    * is also dropped — from a bounded SAMPLE feeding inference, not from
+    * any read.) Names come from a one-line CSV parse of the header (so
+    * quoting/escapes follow CSV rules); types from inference over the
+    * filtered sample. */
   def inferCsvSchema(spark: SparkSession, path: String,
                      header: Boolean = true, delimiter: String = ",",
                      sampleN: Int = 10000): StructType = {
     require(sampleN > 0, s"sampleN must be positive, got $sampleN")
     import spark.implicits._
-    val sample: Dataset[String] =
-      spark.read.text(path).limit(sampleN + (if (header) 1 else 0))
-        .as[String]
-    spark.read
-      .option("header", header).option("delimiter", delimiter)
-      .option("inferSchema", true)
-      .csv(sample).schema
+    if (!header) {
+      val sample: Dataset[String] =
+        spark.read.text(path).limit(sampleN).as[String]
+      spark.read
+        .option("header", false).option("delimiter", delimiter)
+        .option("inferSchema", true)
+        .csv(sample).schema
+    } else {
+      val lines = readTextDocs(spark, path)
+      val headerText = lines.orderBy("file", "offset")
+        .select("text").as[String].head()
+      val sample: Dataset[String] = lines
+        .filter(col("text") =!= lit(headerText))
+        .limit(sampleN).select("text").as[String]
+      // re-attach the deterministic header as the union's FIRST
+      // partition (a 1-row local dataset; union concatenates partitions
+      // in operand order and the CSV reader takes its header from the
+      // first row), then let Spark's own header-based inference name and
+      // type the columns — names follow CSV quoting rules, ragged
+      // sample rows follow CSV fill/parse rules, nothing is re-split by
+      // hand
+      val withHeader = Seq(headerText).toDS().union(sample)
+      spark.read
+        .option("header", true).option("delimiter", delimiter)
+        .option("inferSchema", true)
+        .csv(withHeader).schema
+    }
   }
 
   /** Read CSV with the same explicit corrupt-record policy surface as
@@ -140,7 +189,14 @@ object Ingest {
     * trio (JSONL / text / CSV). Schema `None` → bounded-sample
     * inference; PERMISSIVE appends `corruptCol` carrying unparseable
     * lines (wrong arity, type mismatch); DROPMALFORMED/FAILFAST as in
-    * Spark. Compression by extension, one scan, pushdown-friendly. */
+    * Spark. Compression by extension, one scan, pushdown-friendly.
+    *
+    * CSV column-pruning caveat (spark.sql.csv.parser.columnPruning,
+    * default on): malformation is judged against the PROJECTED columns
+    * only — under DROPMALFORMED, a query that selects one column keeps
+    * rows that are malformed only in unprojected columns. Project every
+    * column (or take corruptReport's complement, which pins the full
+    * schema) when the whole-schema drop count is what you mean. */
   def readCsv(spark: SparkSession, path: String,
               schema: Option[StructType] = None,
               header: Boolean = true, delimiter: String = ",",

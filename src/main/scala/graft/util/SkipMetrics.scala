@@ -16,8 +16,13 @@ import org.apache.spark.util.LongAccumulator
   *   assert(SkipMetrics.value("simhash.skippedBuckets") == 0)
   * }}}
   *
-  * Counters register lazily per (SparkContext, name) and also appear in
-  * the Spark UI/event log as `graft.skip.<name>`. ACCUMULATOR SEMANTICS
+  * Counters register per (SparkContext, name) — keyed on the owning
+  * context's applicationId, so a counter created under a stopped
+  * SparkSession is never handed to a new one (an accumulator registered
+  * with a dead context silently stops flowing updates, and an "assert
+  * nothing dropped" check would pass falsely — r12 ADVICE finding; the
+  * common shape is test suites that cycle sessions). They appear in the
+  * Spark UI/event log as `graft.skip.<name>`. ACCUMULATOR SEMANTICS
   * (same contract as Dedup.minhashCandidatesAgainstCounted): updates
   * happen inside transformations, so values are AT-LEAST-ONCE upper
   * bounds — task retries and speculation can over-count, and a counter
@@ -30,30 +35,45 @@ import org.apache.spark.util.LongAccumulator
   * a bounded `take(cap + 1)`, so a true row count is never observed. */
 object SkipMetrics {
 
-  private val counters =
-    new java.util.concurrent.ConcurrentHashMap[String, LongAccumulator]()
+  private val counters = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), LongAccumulator]()
 
-  /** The accumulator for `name`, created on first use. Call from the
-    * driver while building the plan and capture the returned val in the
-    * task closure. */
+  /** The accumulator for `name` under `spark`'s context, created on
+    * first use. Call from the driver while building the plan and capture
+    * the returned val in the task closure. */
   def counter(name: String, spark: SparkSession): LongAccumulator =
-    counters.computeIfAbsent(name,
-      n => spark.sparkContext.longAccumulator(s"graft.skip.$n"))
+    counters.computeIfAbsent(
+      (spark.sparkContext.applicationId, name),
+      k => spark.sparkContext.longAccumulator(s"graft.skip.${k._2}"))
 
-  /** Current value (0 if the counter was never created). Read AFTER an
-    * action has materialized the operator's output. */
-  def value(name: String): Long =
-    Option(counters.get(name)).map(_.value.longValue).getOrElse(0L)
+  /** Current value of `name` summed across contexts it was registered
+    * under this JVM (0 if never created). In a normal run exactly one
+    * context exists; after a session cycle the dead context's
+    * accumulator keeps its last value, which is the honest total for
+    * "did anything get dropped in this JVM". Read AFTER an action has
+    * materialized the operator's output. */
+  def value(name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.iterator
+      .collect { case ((_, n), a) if n == name => a.value.longValue }
+      .sum
+  }
 
-  /** Reset one counter (e.g. between pipeline stages sharing a session). */
-  def reset(name: String): Unit =
-    Option(counters.get(name)).foreach(_.reset())
+  /** Reset one counter across contexts (e.g. between pipeline stages
+    * sharing a session). */
+  def reset(name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.foreach { case ((_, n), a) if n == name => a.reset()
+                               case _ => }
+  }
 
-  /** All non-zero counters, for a one-line end-of-run damage report. */
+  /** All non-zero counters (name → value summed across contexts), for a
+    * one-line end-of-run damage report. */
   def nonZero(): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     counters.asScala.iterator
-      .map { case (k, a) => k -> a.value.longValue }
+      .map { case ((_, n), a) => n -> a.value.longValue }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
       .filter(_._2 != 0L).toMap
   }
 }

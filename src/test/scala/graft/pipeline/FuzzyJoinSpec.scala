@@ -68,6 +68,49 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("exact-duplicate pre-collapse: fuzzyPairs == brute on a dup-heavy " +
+      "corpus (dist-0 within groups, cross-group expansion, ordering)") {
+    // replica-corpus shape (the r12 sf10d q_fuzzy_cross killer): every
+    // string carries exact copies; ids deliberately interleave so the
+    // rep id (min) is sometimes NOT the smaller member of a pair and
+    // the least/greatest re-orientation is exercised
+    val dups = Seq(
+      10L -> "alpha-node-17", 3L -> "alpha-node-17", 21L -> "alpha-node-17",
+      5L -> "alpha-node-18", 30L -> "alpha-node-18",
+      7L -> "beta-node-17",
+      2L -> "ab", 40L -> "ab", 8L -> "a")
+    val df = dups.toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val want = (for {
+        (ia, sa) <- dups; (ib, sb) <- dups
+        if ia < ib
+        d = lev(sa, sb)
+        if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = FuzzyJoin.fuzzyPairs(df, "id", "name", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("exact-duplicate pre-collapse: fuzzyJoin == brute with dups on " +
+      "both sides (equal strings across sides verify at dist 0)") {
+    val l = Seq(1L -> "alpha-node-17", 2L -> "alpha-node-17",
+      3L -> "alpha-node-18", 4L -> "ab")
+    val r = Seq(100L -> "lpha-node-17", 101L -> "lpha-node-17",
+      102L -> "alpha-node-17", 103L -> "b", 104L -> "b")
+    val got = FuzzyJoin.fuzzyJoin(l.toDF("id", "name"), "id", "name",
+        r.toDF("rid", "rname"), "rid", "rname", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, sa) <- l; (ib, sb) <- r
+      d = lev(sa, sb)
+      if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 0)) // the dist-0 cross-side class fires
+  }
+
   test("maxPostingList skips over-cap keys (bounded, recall documented)") {
     // every string shares gram ("aa",0): cap 2 < 4 strings kills the key;
     // the pairs survive only if another under-cap gram finds them

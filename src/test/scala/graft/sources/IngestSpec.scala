@@ -86,15 +86,16 @@ class IngestSpec extends SparkSpec {
       Seq(10L, 11L, 12L))
   }
 
-  test("readCsv: bounded-sample inference, type-mismatch lines are the " +
-      "corrupt trigger (short arity fills nulls — CSV semantics), " +
-      "DROPMALFORMED drops exactly the unparseable rows") {
+  test("readCsv: bounded-sample inference; corruptReport judges the " +
+      "FULL schema (type mismatch AND short arity both malformed), " +
+      "while a pruned single-column DROPMALFORMED read keeps rows whose " +
+      "projected column parsed — the documented pruning caveat") {
     val dir = tmpDir()
     writeLines(dir, "a.csv", Seq(
       "id,name,score",
       "1,alpha,0.5",
       "garbage-not-a-long,beta,0.7", // type mismatch on id -> corrupt
-      "3,gamma",                     // short arity -> nulls, NOT corrupt
+      "3,gamma",                     // short arity -> malformed (full schema)
       "4,delta,2.5"))
     val inferred = Ingest.inferCsvSchema(spark, dir)
     assert(inferred("score").dataType === DoubleType)
@@ -104,15 +105,83 @@ class IngestSpec extends SparkSpec {
     val perm = Ingest.readCsv(spark, dir, schema)
     val rep = Ingest.corruptReport(perm).as[(Long, Long, Long)]
       .collect().head
-    assert(rep === ((4L, 1L, 3L))) // the short row is GOOD per CSV rules
+    // BOTH damaged rows count under the full schema — a one-column
+    // projection would have read (4, 1, 3), missing the short row
+    assert(rep === ((4L, 2L, 2L)))
+    // PERMISSIVE still fills the short row's parsed prefix (id = 3)
     assert(perm.filter(col("id") === 3L).select("score")
       .collect().head.isNullAt(0))
+    // the pruning caveat, demonstrated: DROPMALFORMED with only `id`
+    // consumed keeps row 3 (id parsed fine) — malformation is judged
+    // against PROJECTED columns, per the readCsv scaladoc
     val dropped = Ingest.readCsv(spark, dir, schema,
       mode = "DROPMALFORMED")
     assert(dropped.select("id").as[Long].collect().sorted.toSeq ===
       Seq(1L, 3L, 4L))
     intercept[IllegalArgumentException](
       Ingest.readCsv(spark, dir, schema, mode = "BOGUS"))
+  }
+
+  test("zstd shards read by extension IF libhadoop carries zstd " +
+      "(skip-with-message otherwise — the scaladoc's codec contract)") {
+    val zstdAvailable =
+      try {
+        val k = Class.forName("org.apache.hadoop.io.compress.ZStandardCodec")
+        val codec = org.apache.hadoop.util.ReflectionUtils.newInstance(
+          k, spark.sparkContext.hadoopConfiguration)
+        val bos = new java.io.ByteArrayOutputStream()
+        val os = k.getMethod("createOutputStream", classOf[java.io.OutputStream])
+          .invoke(codec, bos).asInstanceOf[java.io.OutputStream]
+        os.write("probe".getBytes); os.close(); true
+      } catch { case _: Throwable => false }
+    assume(zstdAvailable, "libhadoop built without zstd support in this " +
+      "sandbox — .zst text/JSONL shards cannot resolve (parquet zstd is " +
+      "separate, via zstd-jni); codec contract documented in Ingest")
+    val dir = tmpDir()
+    Seq("""{"id": 20}""", """{"id": 21}""").toDF("value")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").text(s"$dir/zst")
+    val got = Ingest.readJsonl(spark, s"$dir/zst",
+      Some(StructType(Seq(StructField("id", LongType)))))
+    assert(got.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(20L, 21L))
+  }
+
+  test("inferCsvSchema over a MULTI-FILE directory: header comes from " +
+      "the lexicographically first file's first line, and other shards' " +
+      "header lines don't demote numeric columns (r12 ADVICE)") {
+    val dir = tmpDir()
+    // two headered shards; any limit()-order sample that treated shard
+    // b's header line as data would demote id/score to string, and a
+    // sample whose first row came from shard b would mis-name columns
+    writeLines(dir, "a.csv", Seq("id,name,score", "1,alpha,0.5"))
+    writeLines(dir, "b.csv", Seq("id,name,score", "2,beta,1.5",
+      "3,gamma,2.5"))
+    val inferred = Ingest.inferCsvSchema(spark, dir)
+    assert(inferred.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(inferred("id").dataType === IntegerType ||
+      inferred("id").dataType === LongType)
+    assert(inferred("score").dataType === DoubleType)
+    val got = Ingest.readCsv(spark, dir)
+    assert(got.filter(col("name").isin("alpha", "beta", "gamma")).count()
+      === 3L)
+  }
+
+  test("corruptReport judges the FULL schema: a row malformed only in " +
+      "the LAST column still counts corrupt (column pruning would hide " +
+      "it under a one-column projection — r12 ADVICE)") {
+    val dir = tmpDir()
+    writeLines(dir, "a.csv", Seq(
+      "1,alpha,0.5",
+      "2,beta,not-a-double", // only column 3 is malformed
+      "3,gamma,2.5"))
+    val schema = Some(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType))))
+    val perm = Ingest.readCsv(spark, dir, schema, header = false)
+    val rep = Ingest.corruptReport(perm).as[(Long, Long, Long)]
+      .collect().head
+    assert(rep === ((3L, 1L, 2L))) // row 2 flagged despite id parsing fine
   }
 
   test("readTextDocs: one doc per line, (file, offset) ids exact and " +

@@ -208,4 +208,99 @@ class RocksDbStateSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  // ---- stream-static index screens (r12 VERDICT #8) ------------------------
+  // TextIndex.matchesStream / SubstrIndex.matchesStream are STATELESS
+  // joins, so the kill/restart contract is different from the
+  // flatMapGroupsWithState shapes above: nothing needs restoring except
+  // the source OFFSETS — the post-restart batch must (a) process only
+  // NEW data (batch-1 rows must not re-emit: offsets came back from the
+  // RocksDB-provider checkpoint) and (b) see index APPENDS made while
+  // the query was down. (b) requires the restart to REBUILD the screen
+  // — a real restart is a new driver, which is what rebuilds here; the
+  // static side's parquet file listing is captured at build time
+  // (writing this spec caught the old scaladoc claiming mid-query
+  // append pickup, which the experiment disproved — docs fixed).
+
+  test("TextIndex.matchesStream under RocksDB: restart resumes offsets " +
+      "and a rebuilt screen sees an index append made across the kill") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = ckptDir() + "_textidx"
+    val doc1 = "the quick brown fox jumps over the lazy dog again and again"
+    val doc2 = "rocksdb checkpoint recovery keeps offsets not join state here"
+    graft.pipeline.TextIndex.write(
+      Seq(1L -> doc1).toDF("id", "text"), "id", "text", path)
+    val input = MemoryStream[(Long, String)]
+    def screen() = graft.pipeline.TextIndex.matchesStream(
+        input.toDS().toDF("id", "text"), "id", "text", path)
+      .select("id_a", "id_b").as[(Long, Long)]
+    withRocksDb {
+      val ckpt = ckptDir()
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start(out: Dataset[(Long, Long)]) = out.writeStream
+        .foreachBatch { (df: Dataset[(Long, Long)], _: Long) =>
+          df.collect().foreach(sink.add)
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start(screen())
+      try { input.addData(10L -> doc1); q1.processAllAvailable() }
+      finally q1.stop()
+      import scala.jdk.CollectionConverters._
+      assert(sink.iterator().asScala.toSet === Set(10L -> 1L))
+      sink.clear()
+      // grow the index WHILE THE QUERY IS DOWN; batch 2 only matches it
+      graft.pipeline.TextIndex.append(
+        Seq(2L -> doc2).toDF("id", "text"), "id", "text", path)
+      val q2 = start(screen()) // restart = new driver = rebuilt plan
+      try {
+        input.addData(20L -> doc2)
+        q2.processAllAvailable()
+        val got = sink.iterator().asScala.toSet
+        // (20, 2) = the appended doc was picked up; no (10, 1) = batch 1
+        // was NOT reprocessed (offsets restored from the checkpoint)
+        assert(got === Set(20L -> 2L))
+      } finally q2.stop()
+    }
+  }
+
+  test("SubstrIndex.matchesStream under RocksDB: restart resumes " +
+      "offsets and a rebuilt screen sees an index append") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = ckptDir() + "_substridx"
+    val c1 = "AAAA-SHARED-WINDOW-ONE padding so the doc is long enough"
+    val c2 = "BBBB-OTHER-WINDOW-TWO different corpus content entirely"
+    graft.pipeline.SubstrIndex.write(
+      Seq(1L -> c1).toDF("id", "text"), "id", "text", path, minLen = 12)
+    val input = MemoryStream[(Long, String)]
+    def screen() = graft.pipeline.SubstrIndex.matchesStream(
+        input.toDS().toDF("id", "text"), "id", "text", path)
+      .select("id", "cid").as[(Long, Long)]
+    withRocksDb {
+      val ckpt = ckptDir()
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start(out: Dataset[(Long, Long)]) = out.writeStream
+        .foreachBatch { (df: Dataset[(Long, Long)], _: Long) =>
+          df.collect().foreach(sink.add)
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start(screen())
+      try {
+        input.addData(10L -> "prefix AAAA-SHARED-WINDOW-ONE suffix")
+        q1.processAllAvailable()
+      } finally q1.stop()
+      import scala.jdk.CollectionConverters._
+      assert(!sink.isEmpty)
+      assert(sink.iterator().asScala.forall(_ == (10L -> 1L)))
+      sink.clear()
+      graft.pipeline.SubstrIndex.append(
+        Seq(2L -> c2).toDF("id", "text"), "id", "text", path)
+      val q2 = start(screen())
+      try {
+        input.addData(20L -> "xx BBBB-OTHER-WINDOW-TWO yy")
+        q2.processAllAvailable()
+        val got = sink.iterator().asScala.toSet
+        assert(got === Set(20L -> 2L)) // appended doc seen; batch 1 not replayed
+      } finally q2.stop()
+    }
+  }
 }

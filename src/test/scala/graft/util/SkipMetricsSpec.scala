@@ -26,7 +26,13 @@ class SkipMetricsSpec extends SparkSpec {
 
   test("fuzzyPairs over-cap posting list fires " +
       "fuzzyPairs.skippedPostingLists") {
-    val names = (1L to 30L).map(i => (i, "shared-prefix-name"))
+    // DISTINCT strings (identical ones would be pre-collapsed to one rep
+    // before the posting stage — the r13 fuzzy dedup fix) sharing a long
+    // common part: the common grams have df 30, the two tail grams df
+    // ~1, so every prefix keeps both tail grams plus the SAME lowest-
+    // (gram, ord) common gram — a 30-row posting list, over cap 5
+    val names = (1L to 30L).map(i => (i,
+        s"shared-prefix-nm${('a' + (i % 26)).toChar}${('a' + (i / 26)).toChar}"))
       .toDF("id", "name")
     SkipMetrics.reset("fuzzyPairs.skippedPostingLists")
     graft.pipeline.FuzzyJoin.fuzzyPairs(names, "id", "name",
