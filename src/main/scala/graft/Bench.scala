@@ -55,7 +55,10 @@ object Bench {
     // a regressed ref instead shows up as an outlier ratio against the
     // other nine in the campaign table.
     "q_curation_funnel_substr" -> (4.33, 10.98),
-    "q_basket_rules"       -> (1.95, 6.89),
+    // re-based r13: the fused collect_list plan + A-priori prune moved
+    // the steady state 2.9 -> ~1.2-1.4 s (normalized 1.14 driver-style
+    // bench, 1.23 idle best-of-4); lo = 0.7*min, hi = 1.35*max
+    "q_basket_rules"       -> (0.80, 1.66),
     "q_mann_kendall"       -> (0.79, 5.01),
     "q_dsir_sample"        -> (1.26, 4.00),
     "q_substr_fraction"    -> (1.87, 3.83),
@@ -126,14 +129,19 @@ object Bench {
     // decade-suite knobs (r12 VERDICT #3 — one long-lived JVM running
     // 350+ queries' shuffles filled 60 GB of /tmp before the
     // ContextCleaner's GC-driven reclaim caught up at sf10d):
-    //  - SPARK_GRAFT_ONLY=<a,b,c> benches only the named rows, so a big
-    //    run can be SLICED across separate JVM invocations;
+    //  - SPARK_GRAFT_ONLY=<a,b,c> benches only the named rows;
+    //  - SPARK_GRAFT_SLICE=i/n benches the i-th (0-based) of n slices of
+    //    the sorted query names — a big run SLICED across separate JVM
+    //    invocations with no hand-maintained name lists;
     //  - SPARK_GRAFT_PERIODIC_GC=<e.g. 5min> enables Spark's periodic
     //    driver GC so shuffle files are reclaimed on a clock, not only
     //    when the driver happens to collect.
-    // Both unset in driver runs — the sf0.1 bench is byte-identical.
+    // All unset in driver runs — the sf0.1 bench is byte-identical.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").filter(_.nonEmpty).toSet)
+    val slice = sys.env.get("SPARK_GRAFT_SLICE").map { s =>
+      val Array(i, n) = s.split("/").map(_.toInt); (i, n)
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -165,8 +173,13 @@ object Bench {
     // benchQueries = all driver queries minus the gate-only verification
     // rows (their cost is the exact-check harness, not the operator; each
     // has an operator-cost twin that IS in this set)
+    val sliceNames = slice.map { case (i, n) =>
+      Queries.benchQueries.keys.toSeq.sorted.zipWithIndex
+        .collect { case (q, ix) if ix % n == i => q }.toSet
+    }
     val results = Queries.benchQueries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && sliceNames.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // isolate queries from each other's leftover cache entries: numbers
       // must not depend on Map iteration order or on another query having

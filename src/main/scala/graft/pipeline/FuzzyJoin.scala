@@ -155,19 +155,57 @@ object FuzzyJoin {
   }
 
   /** Distinct-string representatives of a prepped frame: one row per
-    * distinct string, carrying the group's MINIMUM id as the rep id.
-    * Edit distance is a pure function of the strings, so the whole
-    * candidates → verify pipeline only ever needs to run on these —
-    * see the EXACT-DUPLICATE PRE-COLLAPSE notes on [[fuzzyPairs]]. */
-  private def repsOf(strs: DataFrame): DataFrame =
-    strs.groupBy("__s", "__len").agg(min(col("__id")).as("__id"))
-      .select("__id", "__s", "__len")
+    * distinct string, carrying the group's MINIMUM id as the rep id
+    * and the group size. Edit distance is a pure function of the
+    * strings, so the whole candidates → verify pipeline only ever
+    * needs to run on these — see the EXACT-DUPLICATE PRE-COLLAPSE
+    * notes on [[fuzzyPairs]]. Returns (reps, anyDuplicates) with the
+    * dup test folded into the SAME cached aggregate (one job, not a
+    * strs.count + reps.count pair). */
+  private def repsOf(strs: DataFrame): (DataFrame, Boolean) = {
+    val reps = strs.groupBy("__s", "__len")
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__g"))
+      .cache()
+    val anyDups = reps.filter(col("__g") > 1).limit(1).count() > 0
+    (reps.select("__id", "__s", "__len"), anyDups)
+  }
 
   /** rep-id → member-id mapping (one row per original row). */
   private def membersOf(strs: DataFrame, reps: DataFrame): DataFrame =
     strs.select(col("__s"), col("__id"))
       .join(reps.select(col("__s"), col("__id").as("__rep")), "__s")
       .select(col("__rep"), col("__id"))
+
+  /** Shared self-join scaffold: prepped rows, reps, whether the corpus
+    * collapsed, and the VERIFIED pair frame — at rep level when
+    * collapsed (one row per distinct-string pair, the small frame both
+    * [[fuzzyPairs]]' expansion and [[entityClusters]]' rep-level CC
+    * consume), at row level otherwise. */
+  private def selfRepPairs(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int, q: Int, maxPostingList: Int)
+      : (DataFrame, DataFrame, Boolean, DataFrame) = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val k = maxDist
+    val strs = prep(df, idCol, strCol).cache()
+    val (reps, collapsed) = repsOf(strs)
+    val base = if (collapsed) reps else strs
+    val counted = candidatesOf(
+      prefixOf(postingsOf(base, q, 0), q, k), k, cross = false,
+      maxPostingList)
+    // strings the bound can't prune pair only among THEMSELVES within
+    // edit distance k (a longer partner forces bound >= 1 or a length
+    // gap > k) — brute-force the short set
+    val short = base.filter(col("__len") <= q * (k + 1) - 1)
+    val shortPairs = short.select(col("__id").as("id_a"),
+        col("__len").as("la"))
+      .join(short.select(col("__id").as("id_b"), col("__len").as("lb")),
+        col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
+      .select("id_a", "id_b")
+    val verified =
+      verifyCross(counted.unionAll(shortPairs).distinct(), base, base, k)
+    (strs, reps, collapsed, verified)
+  }
 
   /** Self-join: (id_a, id_b, dist) with id_a < id_b and
     * levenshtein ≤ maxDist.
@@ -182,39 +220,32 @@ object FuzzyJoin {
     * (they share every gram), which is exactly how the r12 sf10d
     * replica corpus drove per-bucket pair mass into a GC death spiral.
     * The collapse is adaptive: when the corpus has no duplicate strings
-    * (reps.count == strs.count — two counts on cached frames) the
-    * pipeline runs directly on the rows and no expansion joins exist,
-    * so the duplicate-free case pays one distinct aggregate and nothing
-    * else. Output is identical either way: pairs are a pure function of
-    * (id, string) and the expansion enumerates exactly the collapsed
-    * pairs' preimages. */
+    * (any group size > 1, read off the SAME cached rep aggregate — one
+    * job) the pipeline runs directly on the rows and no expansion joins
+    * exist, so the duplicate-free case pays one distinct aggregate and
+    * nothing else. Output is identical either way: pairs are a pure
+    * function of (id, string) and the expansion enumerates exactly the
+    * collapsed pairs' preimages. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int, q: Int = 2,
                  maxPostingList: Int = Int.MaxValue): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    require(q >= 1, s"q must be >= 1, got $q")
-    val k = maxDist
-    val strs = prep(df, idCol, strCol).cache()
-    val reps = repsOf(strs).cache()
-    val collapsed = reps.count() < strs.count()
-    val base = if (collapsed) reps else strs
-    val counted = candidatesOf(
-      prefixOf(postingsOf(base, q, 0), q, k), k, cross = false,
-      maxPostingList)
-    // strings the bound can't prune pair only among THEMSELVES within
-    // edit distance k (a longer partner forces bound >= 1 or a length
-    // gap > k) — brute-force the short set
-    val short = base.filter(col("__len") <= q * (k + 1) - 1)
-    val shortPairs = short.select(col("__id").as("id_a"),
-        col("__len").as("la"))
-      .join(short.select(col("__id").as("id_b"), col("__len").as("lb")),
-        col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
-      .select("id_a", "id_b")
-    val repPairs =
-      verifyCross(counted.unionAll(shortPairs).distinct(), base, base, k)
-    if (!collapsed) repPairs
+    val (strs, reps, collapsed, verified) =
+      selfRepPairs(df, idCol, strCol, maxDist, q, maxPostingList)
+    if (!collapsed) verified
     else {
-      val members = membersOf(strs, reps)
+      // OPTIMIZATION BARRIER (r13 sf10d jstack finding): without it the
+      // planner is free to move the levenshtein verify filter into the
+      // same fused stage as the member-expansion joins, re-scoring per
+      // EXPANDED row (×g² per pair — 100% of stack samples sat in
+      // levenshteinDistance at sf10d). Caching the rep-level pair set
+      // (tiny: one row per verified DISTINCT-string pair) pins "verify
+      // once at rep level, then expand" as plan structure, not hope.
+      val repPairs = verified.cache()
+      // members feeds FOUR join legs below (two expansion sides, two
+      // dup-pair sides) — cache it or each leg recomputes the
+      // strs ⋈ reps join (the r13 sf1d probe measured the recompute at
+      // ~4x the useful work; the ngramJaccard two-consumer lesson)
+      val members = membersOf(strs, reps).cache()
       // cross-group pairs: every member of rep_a × every member of
       // rep_b, re-oriented on the ORIGINAL ids (rep order and member
       // order can disagree)
@@ -252,9 +283,9 @@ object FuzzyJoin {
     val k = maxDist
     val ls = prep(left, leftId, leftStr).cache()
     val rs = prep(right, rightId, rightStr).cache()
-    val lreps = repsOf(ls).cache()
-    val rreps = repsOf(rs).cache()
-    val collapsed = lreps.count() < ls.count() || rreps.count() < rs.count()
+    val (lreps, lDups) = repsOf(ls)
+    val (rreps, rDups) = repsOf(rs)
+    val collapsed = lDups || rDups
     val (lbase, rbase) = if (collapsed) (lreps, rreps) else (ls, rs)
     val tagged = postingsOf(lbase, q, 0).unionAll(postingsOf(rbase, q, 1))
     val counted = candidatesOf(prefixOf(tagged, q, k), k, cross = true,
@@ -266,10 +297,13 @@ object FuzzyJoin {
       .join(shortR.select(col("__id").as("id_b"), col("__len").as("lb")),
         abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b")
-    val repPairs =
+    val verified =
       verifyCross(counted.unionAll(shortPairs).distinct(), lbase, rbase, k)
-    if (!collapsed) repPairs
+    if (!collapsed) verified
     else {
+      // same optimization barrier as fuzzyPairs: verify at rep level
+      // ONCE, never inside the expansion stage
+      val repPairs = verified.cache()
       val lm = membersOf(ls, lreps)
       val rm = membersOf(rs, rreps)
       repPairs
@@ -284,19 +318,41 @@ object FuzzyJoin {
   /** Entity resolution: every row labeled with its ENTITY — the minimal
     * id of its transitive edit-distance-≤k cluster ("Acme Corp" ~
     * "Acme Corp." ~ "Acme Corp,." chain into one entity even when the
-    * endpoints are > k apart). [[fuzzyPairs]] builds the match graph,
-    * [[Components.connectedComponents]] closes it; rows matching nothing
-    * are their own entity. Returns (id, entity). */
+    * endpoints are > k apart). The [[fuzzyPairs]] pipeline builds the
+    * match graph, [[Components.connectedComponents]] closes it; rows
+    * matching nothing are their own entity. Returns (id, entity).
+    *
+    * On a collapsed corpus ([[fuzzyPairs]]' exact-duplicate
+    * pre-collapse) the closure runs AT REP LEVEL — the g²-expanded id
+    * pairs are never materialized, because the expansion adds no
+    * connectivity: a duplicate group is one node, every member shares
+    * its rep's component, and since each rep is its group's MINIMUM id,
+    * the component's min rep id IS the min member id (the label
+    * contract). A rep in no verified pair labels its whole group with
+    * the rep itself — which is exactly "min id of the exact-duplicate
+    * cluster" for multi-member groups and "own id" for true singletons.
+    * CC input shrinks from Σg² pairs to distinct-string pairs (sf10d:
+    * 140M → 13.5k edges). */
   def entityClusters(df: DataFrame, idCol: String, strCol: String,
                      maxDist: Int, q: Int = 2,
                      maxPostingList: Int = Int.MaxValue): DataFrame = {
-    val pairs = fuzzyPairs(df, idCol, strCol, maxDist, q, maxPostingList)
-      .select("id_a", "id_b")
-    val labels = Components.connectedComponents(pairs)
-    df.na.drop(Seq(idCol, strCol))
-      .select(col(idCol).cast("long").as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+    val (strs, reps, collapsed, verified) =
+      selfRepPairs(df, idCol, strCol, maxDist, q, maxPostingList)
+    if (!collapsed) {
+      val labels = Components.connectedComponents(
+        verified.select("id_a", "id_b"))
+      strs.select(col("__id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("entity"))
+    } else {
+      val labels = Components.connectedComponents(
+        verified.select("id_a", "id_b"))
+      membersOf(strs, reps)
+        .join(labels, col("__rep") === col("id"), "left")
+        .select(col("__id").as("id"),
+          coalesce(col("component"), col("__rep")).as("entity"))
+    }
   }
 
   /** Jaro-Winkler scored pairs (score ≥ `minSim`) under PREFIX BLOCKING:

@@ -152,6 +152,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("entityClusters on a dup-heavy corpus: rep-level closure equals " +
+      "brute union-find over row-level pairs (chains through dup groups, " +
+      "multi-member groups label at min id, true singletons self-label)") {
+    // group dups + a chain crossing groups: aaaa(x3) ~ aaab(x2) ~ aabb;
+    // ids interleaved so min-id labels are exercised; zzzz is a dup
+    // group matching nothing (entity = min member), "q" a true singleton
+    val rows = Seq(9L -> "aaaa", 2L -> "aaaa", 30L -> "aaaa",
+      5L -> "aaab", 11L -> "aaab", 7L -> "aabb",
+      40L -> "zzzzzz", 13L -> "zzzzzz", 50L -> "q")
+    val got = FuzzyJoin.entityClusters(rows.toDF("id", "name"),
+        "id", "name", maxDist = 1)
+      .as[(Long, Long)].collect().toMap
+    // brute: union-find over all row pairs with lev <= 1
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+          if lev(sa, sb) <= 1 } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map(r => r._1 -> find(r._1)).toMap
+    assert(got === want)
+    assert(got(40L) == 13L && got(50L) == 50L) // dup group min; singleton
+  }
+
   test("jaroWinklerPairs == same-block brute force; blocking is the " +
       "only recall cut") {
     val rows = Seq(1L -> "MARTHA", 2L -> "MARHTA", 3L -> "MARTHA K",
