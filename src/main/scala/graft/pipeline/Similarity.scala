@@ -143,9 +143,14 @@ object Similarity {
     * before the O(n²) compute hurt. The bound is checked with a
     * `limit(maxRows+1).count()` probe — a partial scan that short-circuits
     * — BEFORE any collect. Callers above the bound belong on
-    * `Dedup.embeddingDedup`. */
+    * `Dedup.embeddingDedup`. The 65536 default sizes the WORST allowed
+    * corpus at ~2×10⁹ pair evaluations ≈ a minute on 32 threads — the
+    * most an exact "small-corpus baseline" should silently accept (the
+    * old 200k default let the r13 sf10d decade suite run a 2×10¹⁰-pair
+    * brute row for 40+ minutes instead of refusing; at decade scale the
+    * refusal IS the contract, the q_margin_mine precedent). */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, maxRows: Int = 200000): DataFrame = {
+                     threshold: Double, maxRows: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"),
@@ -617,7 +622,7 @@ object Similarity {
     * small-corpus baseline and oracle anchor; [[knnGraph]] is the
     * LSH-bucketed scale path. */
   def knnGraphExact(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                    maxRows: Int = 200000): DataFrame = {
+                    maxRows: Int = 65536): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     requireIntegralId(df, idCol, "knnGraphExact")
     val spark = df.sparkSession
@@ -668,7 +673,7 @@ object Similarity {
     * [[hardNegatives]] is the LSH scale path. */
   def hardNegativesExact(df: DataFrame, idCol: String, vecCol: String,
                          labelCol: String, k: Int,
-                         maxRows: Int = 200000): DataFrame = {
+                         maxRows: Int = 65536): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     requireIntegralId(df, idCol, "hardNegativesExact")
     graft.util.Errors.context("hardNegativesExact",
