@@ -26,13 +26,18 @@ private[graft] object QueriesEr {
     // each supplier name scored against its successor's name and a
     // char-dropped mutation of itself; the oracle is DuckDB's own
     // jaro_similarity / jaro_winkler_similarity — a genuine independent
-    // implementation of the same standard, agreeing under round(6)
+    // implementation of the same standard, agreeing under round(6).
+    // Successor lookup via RangeLead (distributed range-sort handoff) —
+    // an ORDER BY-only window here would funnel the whole supplier
+    // table through one partition (s_suppkey is unique, so the result
+    // is bit-identical to SQL lead)
     QueryDef("q_jaro",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.orderBy("s_suppkey")
-        val sup = s.read.parquet(s"$d/supplier.parquet")
-          .select(col("s_suppkey"), col("s_name"))
-          .withColumn("next_name", lead("s_name", 1).over(w))
+        val sup = graft.util.RangeLead.lead1(
+            s.read.parquet(s"$d/supplier.parquet")
+              .select(col("s_suppkey"), col("s_name")),
+            Seq("s_suppkey"), Seq("s_name"))
+          .withColumnRenamed("__lead_s_name", "next_name")
           .withColumn("mut_name",
             concat(substring(col("s_name"), 1, 2),
               substring(col("s_name"), 4, 1000000)))
