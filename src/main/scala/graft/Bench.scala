@@ -194,6 +194,9 @@ object Bench {
       // queries in one 8 GB JVM otherwise degrade the late queries
       System.gc()
       val r1 = once(fn); val r2 = once(fn)
+      // stderr progress marker so a long (decade-campaign) run is
+      // observable mid-flight; stdout stays the single JSON line
+      System.err.println(f"[bench] $name ${math.min(r1, r2)}%.2fs")
       // Adaptive third run: when the two timed runs disagree badly, BOTH
       // may have been contaminated (a GC pause or competing load hitting
       // run 2 after a cold run 1) — the round-5 q_pack_greedy "4.2x

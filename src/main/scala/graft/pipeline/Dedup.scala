@@ -317,14 +317,14 @@ object Dedup {
       if (ids.length > maxPostingList) { skipAcc.add(1L); Iterator.empty }
       else {
         java.util.Arrays.sort(ids)
-        val out = Array.newBuilder[(Long, Long)]
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
-          i += 1
+        // pairs stream from lazy nested iterators — per-group memory is
+        // O(f), not O(f²) (the FuzzyJoin.candidatesOf GC-death lesson: an
+        // eagerly-built pair Array for an f-frequent key is f²/2 tuples
+        // held live per task, ×32 concurrent tasks)
+        ids.indices.iterator.flatMap { i =>
+          val a = ids(i)
+          (i + 1 until ids.length).iterator.map(j => (a, ids(j)))
         }
-        out.result().iterator
       }
     }.toDF("id_a", "id_b")
   }
@@ -400,7 +400,8 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Option[DataFrame] = None,
                    maxDf: Int = Int.MaxValue,
-                   maxDfFraction: Double = 1.0): DataFrame = {
+                   maxDfFraction: Double = 1.0,
+                   maxPairMass: Long = 2000000000L): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     // the candidate frame is consumed TWICE below (the id semi-join and the
@@ -441,6 +442,25 @@ object Dedup {
       case None =>
         val spark = sh.sparkSession
         import spark.implicits._
+        // pair-mass guard on the EXACT all-pairs path: an f-frequent
+        // shingle emits f·(f−1)/2 pairs, so Σ_s f_s² is the row count of
+        // the aggregation below — measurable for one cheap agg over the
+        // (cached) posting frame BEFORE committing to it. A small shared
+        // vocabulary makes this quadratic in corpus size no matter how
+        // the pairs are generated (the sf10d finding: 3-gram jaccard over
+        // 500k synthetic docs = 30k distinct shingles, mean df ≈ 850,
+        // 12.5 BILLION pairs — hours of hash-agg, twice, in one bench
+        // row). Past the cap this refuses loudly: a silent skip would
+        // change an exact join's output; the scale paths are the df
+        // stop-list (maxDf / maxDfFraction) or minhash candidates.
+        val mass = sh.groupBy("sh").agg(count(lit(1)).as("__f"))
+          .agg(coalesce(sum(col("__f") * (col("__f") - 1)), lit(0L))
+            .as("__mass")).head().getLong(0) / 2
+        require(mass <= maxPairMass,
+          s"ngramJaccard: exact all-pairs mass $mass exceeds " +
+            s"maxPairMass=$maxPairMass — stop-list boilerplate shingles " +
+            "(maxDf / maxDfFraction), pass minhash candidates, or raise " +
+            "maxPairMass if you really want the quadratic join")
         pairsByKey(sh.select(col("sh"), col(idCol).cast("long"))
             .as[(Long, Long)])
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))

@@ -311,6 +311,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(stopped.head.getAs[Double]("jaccard") - 4.0 / 6.0) < 1e-12)
   }
 
+  test("ngramJaccard pair-mass guard refuses the exact path past maxPairMass") {
+    import spark.implicits._
+    // every doc shares one unigram -> f = 12, mass = 66 pairs
+    val corpus = (0L until 12L).map(i => (i, s"shared word$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(corpus, "doc_id", "text", 1, maxPairMass = 65L)
+        .count()
+    }
+    assert(e.getMessage.contains("maxPairMass"))
+    // at the exact boundary the join runs unchanged
+    assert(Dedup.ngramJaccard(corpus, "doc_id", "text", 1,
+      maxPairMass = 66L).filter(col("jaccard") > 0).count() == 66)
+    // the mass is measured AFTER the stop-list: cutting the shared
+    // shingle leaves nothing over the cap, so the same tiny budget passes
+    assert(Dedup.ngramJaccard(corpus, "doc_id", "text", 1, maxDf = 4,
+      maxPairMass = 65L).filter(col("jaccard") > 0).count() == 0)
+  }
+
   test("ngramContainment flags a quoted subset jaccard misses; containedDocs keeps the superset") {
     import spark.implicits._
     // doc 1 = doc 0's text fully quoted inside a longer doc: containment
