@@ -120,13 +120,20 @@ private[graft] object QueriesEmbed {
       gateOnly = true),
 
     // operator-cost twin of q_semdedup: cluster + within-cluster exact
-    // cosine alone, no all-pairs harness
+    // cosine alone, no all-pairs harness. k tracks corpus size (kFor —
+    // fixed k=8 makes within-cluster pair mass probes·n²/8, 10 BILLION
+    // cosines at the 100× corpus; kFor resolves to the same k=8 at
+    // sf0.1 and below, so gate-era numbers are untouched)
     QueryDef("q_semdedup_op",
-      (s, d) => graft.pipeline.Clustering.semDedup(
-          embeddings(s, d), "vec_id", "embedding", k = 8,
-          threshold = 0.45, iters = 2, probes = 2)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val e = embeddings(s, d)
+        val k = graft.pipeline.Clustering.kFor(e.count())
+        graft.pipeline.Clustering.semDedup(
+            e, "vec_id", "embedding", k,
+            threshold = 0.45, iters = 2, probes = 2)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // ---- per-group embedding mean-pool (chunk→doc rollup) -----------------

@@ -235,6 +235,26 @@ object Clustering {
     * downstream. `maxCluster` caps the per-cluster posting list like the
     * LSH buckets: an over-cap cluster (degenerate mass) is skipped rather
     * than OOMing an executor — raise k instead. */
+  /** Cluster-count selector for [[semDedup]]: enough clusters that the
+    * EXPECTED cluster holds ~`targetClusterSize` vectors
+    * (`k = ceil(n / targetClusterSize)`, floored at `minK`). SemDeDup's
+    * within-cluster comparison is exact all-pairs, so pair mass is
+    * ~`probes·n²/k` — a FIXED k makes the operator quadratic in corpus
+    * size (the sf10d campaign finding: k=8 over 200k vectors = 10
+    * BILLION cosine evaluations in 16 tasks, a stalled bench row),
+    * while k tracking n keeps it at `probes·n·targetClusterSize`,
+    * linear. Same sizing-rule shape as
+    * [[graft.pipeline.Dedup.lshBitsFor]]; recall shifts with k (smaller
+    * cells split more true pairs across boundaries — compensate with
+    * `probes`, RecallSpec measures the curve). */
+  def kFor(n: Long, targetClusterSize: Int = 1000, minK: Int = 8): Int = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    require(minK >= 1, s"minK must be >= 1, got $minK")
+    math.max(minK,
+      math.ceil(n.toDouble / targetClusterSize).toInt)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
                threshold: Double, iters: Int = 2, probes: Int = 1,
                maxCluster: Int = 1 << 20): DataFrame = {

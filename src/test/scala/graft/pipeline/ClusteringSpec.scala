@@ -64,6 +64,19 @@ class ClusteringSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("kFor tracks corpus size: minK floor at gate scales, ceil above") {
+    // gate-era corpora stay at the floor (the q_semdedup harness contract
+    // and the benched row's historical numbers depend on k=8 there)
+    assert(Clustering.kFor(200) == 8)
+    assert(Clustering.kFor(2000) == 8)
+    assert(Clustering.kFor(8000) == 8)
+    // past the floor, expected cluster size stays ~targetClusterSize
+    assert(Clustering.kFor(8001) == 9)
+    assert(Clustering.kFor(200000) == 200)
+    assert(Clustering.kFor(200000, targetClusterSize = 4000) == 50)
+    intercept[IllegalArgumentException](Clustering.kFor(10, 0))
+  }
+
   test("empty clusters keep their previous center (no NaN poisoning)") {
     import spark.implicits._
     // k = 3 over 3 points, two of them identical: one seed never wins rows
