@@ -503,8 +503,17 @@ object InferenceTests {
     val orderCols = p.asc +: tieCols.map(col(_).asc)
     val wUp = Window.orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDown = Window.orderBy(orderCols: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // BH's suffix-min is a PREFIX-min over the exactly-reversed total
+    // order (every order column flipped — (p, ties) is a total order, so
+    // the row sets agree rank-for-rank). The direct form — a
+    // (currentRow, unboundedFollowing) frame — is NOT a running
+    // aggregate in Spark: UnboundedFollowingWindowFunctionFrame
+    // re-scans the remaining rows per output row, O(m²) min evaluations
+    // (measured: 200k hypotheses = 4e10 evals, 184 s; this form is two
+    // linear scans of the sorted frame)
+    val wDownRev = Window
+      .orderBy(p.desc +: tieCols.map(col(_).desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = clean
       .withColumn("rank", row_number().over(Window.orderBy(orderCols: _*)))
     ranked
@@ -512,7 +521,7 @@ object InferenceTests {
       .withColumn("p_holm",
         max(least(lit(1.0), p * (lit(m) - col("rank") + 1))).over(wUp))
       .withColumn("p_bh",
-        min(least(lit(1.0), p * m / col("rank"))).over(wDown))
+        min(least(lit(1.0), p * m / col("rank"))).over(wDownRev))
   }
 
   /** Cochran's Q for k paired binary treatments (the k-treatment
