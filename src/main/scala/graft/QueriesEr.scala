@@ -200,23 +200,33 @@ private[graft] object QueriesEr {
              ORDER BY query_id, mmr_rank""")),
 
     // ---- embedding drift: cosine histogram vs a reference sample ----------
-    // every 50th vector is the broadcast reference; the rest stream
+    // every M-th vector is the broadcast reference panel; the rest stream
     // through a broadcast-nested-loop + bins-bounded aggregate. Cosines
     // round to 6 decimals BEFORE binning so the bin edges replay across
-    // engines; bin edges are the identical (-1 + 2·b/B) arithmetic
+    // engines; bin edges are the identical (-1 + 2·b/B) arithmetic.
+    // M tracks corpus size (max(50, n/500) — a FIXED modulus makes the
+    // reference a fixed FRACTION of the corpus, so the cross mass is
+    // 0.02·n², quadratic: 784M cosines / 46 s at the 100× corpus; a
+    // ~500-row panel keeps it n·500, linear, which is also the real
+    // drift-detection semantic — the reference snapshot doesn't grow
+    // with the corpus being screened). M resolves to 50 at every gate
+    // SF, and the oracle replays the SAME count-derived modulus via a
+    // scalar subquery, so the row stays hash-exact at ANY scale.
     QueryDef("q_cos_drift",
       (s, d) => {
         val e = embeddings(s, d)
+        val m = math.max(50L, e.count() / 500L)
         graft.pipeline.Similarity.cosineHistogram(
-            e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-            e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            e.filter(col("vec_id") % m =!= 0), "vec_id", "embedding",
+            e.filter(col("vec_id") % m === 0), "vec_id", "embedding",
             bins = 20)
           .orderBy("bin")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                  FROM embeddings),
-             r AS (SELECT v FROM e WHERE vec_id % 50 = 0),
-             c AS (SELECT v FROM e WHERE vec_id % 50 != 0),
+             mm AS (SELECT greatest(50, count(*) // 500) AS m FROM e),
+             r AS (SELECT v FROM e, mm WHERE vec_id % m = 0),
+             c AS (SELECT v FROM e, mm WHERE vec_id % m != 0),
              p AS (SELECT least(floor(
                  (round(list_cosine_similarity(c.v, r.v), 6) + 1.0)
                    / 2.0 * 20), 19)::INT AS bin
