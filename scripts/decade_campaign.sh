@@ -14,6 +14,10 @@
 set -e
 SFDIR="$1"; TAG="$2"; N="${3:-3}"
 CLASSES="${4:-$(dirname "$0")/../target/scala-2.13/classes}"
+# Resolve to an absolute path: each slice runs java after `cd` into its
+# scratch dir, so a relative classesDir (including the default when the
+# script is invoked by relative path) would ClassNotFound every slice.
+CLASSES=$(cd "$CLASSES" && pwd)
 CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 MEM="${JRUN_MEM:-80g}"
 ROOT=/tmp/bench_campaign_$TAG
@@ -39,23 +43,33 @@ for i in $(seq 0 $((N-1))); do
     --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench > bench_line.txt 2> bench_err.log \
-    || { echo "slice $i FAILED rc=$?"; tail -40 bench_err.log; }
+    || { echo "slice $i FAILED rc=$?"; tail -40 bench_err.log; touch FAILED; }
   echo "=== slice $i/$N done  $(date -u +%H:%M:%S) ==="
 done
 python3 - "$ROOT" "$N" "$SFDIR" > "/tmp/bench_${TAG}.json" <<'EOF'
 import json, sys, os
 root, n, sf = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-q, skips, oob = {}, {}, {}
+q, skips, oob, failed = {}, {}, {}, []
 for i in range(n):
-    p = os.path.join(root, f"slice{i}", "BENCH_FULL.json")
-    if not os.path.exists(p):
-        continue
+    d0 = os.path.join(root, f"slice{i}")
+    p = os.path.join(d0, "BENCH_FULL.json")
+    # A slice with a FAILED marker or a missing artifact must be visible
+    # in the merged JSON itself — a partial campaign is not a zero-skip run.
+    if os.path.exists(os.path.join(d0, "FAILED")) or not os.path.exists(p):
+        failed.append(f"slice{i}")
+        if not os.path.exists(p):
+            continue
     d = json.load(open(p))
     q.update(d.get("queries", {}))
     skips.update(d.get("skips", {}))
     oob.update(d.get("out_of_band", {}))
 print(json.dumps({"metric": "total", "value": round(sum(q.values()), 3),
                   "unit": "sec", "n_queries": len(q), "sf": sf,
+                  "failed_slices": failed,
                   "out_of_band": oob, "skips": skips, "queries": q}))
 EOF
-echo "merged -> /tmp/bench_${TAG}.json"
+if grep -q '"failed_slices": \[\]' "/tmp/bench_${TAG}.json"; then
+  echo "merged -> /tmp/bench_${TAG}.json"
+else
+  echo "merged WITH FAILED SLICES -> /tmp/bench_${TAG}.json"; exit 1
+fi

@@ -387,7 +387,13 @@ object Dedup {
     * the cache manager until LRU eviction (the result is lazy, so there is
     * no sound place to unpersist inside this method); long-lived sessions
     * doing many dedup calls can `spark.catalog.clearCache()` between
-    * batches. */
+    * batches.
+    *
+    * EAGER on the exact path: without `candidates` (and with
+    * `maxDfFraction < 1`) this method runs Spark jobs at CALL time — the
+    * pair-mass guard (and the fractional-df doc count) must aggregate the
+    * posting frame before the returned plan exists, so the shingling pass
+    * executes even if the caller never materializes the result. */
   /** `maxDfFraction` is the SCALE-STABLE form of the df cut: shingles in
     * more than `maxDfFraction` of the documents being shingled (the whole
     * corpus, or the candidate-pair docs when `candidates` is given) are
@@ -453,10 +459,17 @@ object Dedup {
         // row). Past the cap this refuses loudly: a silent skip would
         // change an exact join's output; the scale paths are the df
         // stop-list (maxDf / maxDfFraction) or minhash candidates.
+        // decimal(38,0) accumulation: a Long sum of f·(f−1) is non-ANSI
+        // and wraps silently past ~9.2e18 (plausible at petabyte corpora
+        // with heavy shingle reuse), which would BYPASS the guard; the
+        // decimal sum is exact at any scale
         val mass = sh.groupBy("sh").agg(count(lit(1)).as("__f"))
-          .agg(coalesce(sum(col("__f") * (col("__f") - 1)), lit(0L))
-            .as("__mass")).head().getLong(0) / 2
-        require(mass <= maxPairMass,
+          .agg(coalesce(
+            sum(col("__f").cast("decimal(38,0)") * (col("__f") - 1)),
+            lit(0L).cast("decimal(38,0)")).as("__mass"))
+          .head().getDecimal(0).toBigInteger
+          .divide(java.math.BigInteger.valueOf(2))
+        require(mass.compareTo(java.math.BigInteger.valueOf(maxPairMass)) <= 0,
           s"ngramJaccard: exact all-pairs mass $mass exceeds " +
             s"maxPairMass=$maxPairMass — stop-list boilerplate shingles " +
             "(maxDf / maxDfFraction), pass minhash candidates, or raise " +

@@ -495,10 +495,21 @@ object InferenceTests {
     // the result is lazy, so there is no sound in-method unpersist point
     // (Components lifetime note) — entry stays until LRU eviction
     val clean = df.na.drop(pCol +: tieCols).persist()
-    val m = clean.count()
+    val counts = clean.agg(count(lit(1)).as("__m"),
+      count_distinct(struct((pCol +: tieCols).map(col): _*)).as("__md")).head()
+    val m = counts.getLong(0)
     require(m <= maxTests,
       s"multipleTestAdjust: $m hypotheses exceed maxTests=$maxTests — " +
         "the correction frame must stay window-sized")
+    // the prefix-min-over-reversed-order rewrite of BH's suffix-min is
+    // exact ONLY under a total order: with duplicate (p, ties) rows the
+    // first tied row in the reversed order would miss its peers' smaller
+    // p·m/rank values. Enforce the documented uniqueness contract rather
+    // than silently skewing rejections.
+    require(counts.getLong(1) == m,
+      s"multipleTestAdjust: (p, tie columns) is not a unique key " +
+        s"(${counts.getLong(1)} distinct of $m rows) — tieCols must make " +
+        "the hypothesis order total for a replayable correction")
     val p = col(pCol).cast("double")
     val orderCols = p.asc +: tieCols.map(col(_).asc)
     val wUp = Window.orderBy(orderCols: _*)

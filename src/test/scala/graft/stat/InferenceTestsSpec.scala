@@ -354,6 +354,13 @@ class InferenceTestsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InferenceTests.multipleTestAdjust(df, "p", Nil)
     }
+    // duplicate (p, ties) rows break the reversed-order prefix-min
+    // equivalence — the uniqueness contract must refuse, not skew
+    val dup = Seq((1, 0.01), (1, 0.01), (2, 0.2)).toDF("id", "p")
+    val e = intercept[IllegalArgumentException] {
+      InferenceTests.multipleTestAdjust(dup, "p", Seq("id"))
+    }
+    assert(e.getMessage.contains("unique"))
   }
 
   test("cochranQ matches the hand-worked complete-block statistic") {
