@@ -248,11 +248,14 @@ object CountHist {
     require(sk.below == 0L && sk.above == 0L,
       s"quantileCheck: out-of-range mass (below=${sk.below}, above=${sk.above}) " +
         "— the exact quantile and the sketch would rank different populations")
-    // one single-pass typed aggregate for ALL percentiles (the builtin
-    // `percentile` re-aggregates per requested p — measured 7 s vs <1 s
-    // at sf0.1)
-    val exact = df.agg(graft.expr.ExactPercentile.of(col(valueCol), ps))
-      .head().getSeq[Double](0)
+    // ALL percentiles in one shared sort pass (SortedQuantiles — the
+    // builtin `percentile` re-aggregates per requested p, measured 7 s
+    // vs <1 s at sf0.1; the buffering aggregate was the q_hist_quantile
+    // funnel at 100×)
+    val exact = SortedQuantiles
+      .globalArray(df, col(valueCol), ps)
+      .getOrElse(throw new IllegalArgumentException(
+        s"quantileCheck: $valueCol has no non-null values"))
     ps.zipWithIndex.map { case (p, i) =>
       val ex = exact(i)
       (p, ex, math.abs(sk.quantile(p) - ex) <= 2.0 * sk.width + 1e-9)

@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   * shuffle keyed on the (low-cardinality) strata and never materialize more
   * than #groups rows on the driver.
   *
-  * Percentiles come in two flavors:
-  *  - `percentileExact` — Catalyst `percentile` (exact, interpolated); used
-  *    by the oracle-checked queries because it matches DuckDB
-  *    `quantile_cont` bit-for-bit on the same data.
+  * Percentiles come in three flavors:
+  *  - `percentileExact` — exact interpolated quantiles on the shared
+  *    range-sort cell path ([[SortedQuantiles]] — memory one row
+  *    everywhere); matches DuckDB `quantile_cont` bit-for-bit on the
+  *    same data, and scale-safe: per-group state never grows with rows.
+  *  - `percentileExactBuffered` — the primitive-buffer
+  *    TypedImperativeAggregate twin (graft.expr.ExactPercentile) for
+  *    SMALL frames and the parity spec; per-group memory O(values).
   *  - `percentileApprox` — `approx_percentile` (GK sketch, reference
-  *    dataframe.py:748-756 semantics: accuracy = 1/precision); the 100-TB
-  *    path — mergeable sketch, bounded memory.
+  *    dataframe.py:748-756 semantics: accuracy = 1/precision) —
+  *    mergeable sketch, bounded memory, when rank-ε cuts are enough.
   */
 /** Range partitioner over precomputed double boundaries (ascending).
   * getPartition is the first slot whose upper bound is >= the key, so all
@@ -75,12 +79,33 @@ object Stats {
     grouped(df, strata).agg(mean(col(cols.head)).as(cols.head),
       cols.tail.map(c => mean(col(c)).as(c)): _*)
 
-  /** Exact interpolated percentiles (one pass, all columns × all ps) via
-    * the engine's primitive-buffer TypedImperativeAggregate
-    * (graft.expr.ExactPercentile) — ~10× faster than Spark's boxed-map
-    * `percentile` on mostly-distinct numeric columns. */
+  /** Exact interpolated percentiles (all columns × all ps in one shared
+    * sort pass) via [[SortedQuantiles]] — the range-sort + cell-count
+    * path whose memory is one row everywhere, replacing the buffering
+    * TypedImperativeAggregate funnel (per-group state O(group values) —
+    * an executor-memory wall at 100-TB group sizes). Bit-identical to
+    * [[percentileExactBuffered]] (SortedQuantilesSpec). Groups where
+    * every requested column is entirely null are omitted (the buffered
+    * groupBy would emit them with all-null outputs); no in-engine gate
+    * query has such groups. */
   def percentileExact(df: DataFrame, cols: Seq[String], ps: Seq[Double],
                       strata: Seq[String] = Nil): DataFrame = {
+    val q = SortedQuantiles.of(df, strata,
+      cols.map(c => SortedQuantiles.Req(s"__ps_$c", col(c), ps)))
+    val unpack = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
+      yield element_at(col(s"__ps_$c"), i + 1).as(s"${c}_p${(p * 100).toInt}"))
+    q.select(unpack: _*)
+  }
+
+  /** The buffering-aggregate twin of [[percentileExact]]
+    * (graft.expr.ExactPercentile, primitive double buffers — ~10× faster
+    * than Spark's boxed-map `percentile`): the right shape for SMALL
+    * frames (bootstrap means, per-user summaries) where a range-sort
+    * pass is overhead, and the parity anchor SortedQuantilesSpec pins
+    * the sorted path against. Per-group memory O(group values) — do not
+    * point it at raw-corpus-scale groups. */
+  def percentileExactBuffered(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                              strata: Seq[String] = Nil): DataFrame = {
     val aggs = cols.map(c =>
       graft.expr.ExactPercentile.of(col(c), ps).as(s"__ps_$c"))
     val unpack = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
@@ -143,10 +168,18 @@ object Stats {
       Seq(
         sum((col(c) < v).cast("long")).as(s"__lt_${c}_$i"),
         sum((col(c) <= v).cast("long")).as(s"__le_${c}_$i"))
-    }).flatten ++ cols.flatMap { c => Seq(
-      first(col(s"__n_$c")).as(s"__n_$c"),
-      graft.expr.ExactPercentile.of(col(c), ps).as(s"__pe_$c"))
+    }).flatten ++ cols.map { c =>
+      first(col(s"__n_$c")).as(s"__n_$c")
     }
+    // exact values ride the shared sort path (SortedQuantiles), NOT a
+    // buffering aggregate inside pass 2 — this row's exact twin was the
+    // q_median_approx funnel at 100× scale
+    val exact = SortedQuantiles.of(df, strata,
+      cols.map(c => SortedQuantiles.Req(s"__pe_$c", col(c), ps)))
+    val pass2 = grouped(joined, strata).agg(pass2Aggs.head, pass2Aggs.tail: _*)
+    val withExact =
+      if (strata.isEmpty) pass2.crossJoin(broadcast(exact))
+      else joinOnStrata(pass2, exact, strata, bcastRight = true)
     val out = strata.map(col) ++ (for { c <- cols; (p, i) <- ps.zipWithIndex }
       yield {
         val n = col(s"__n_$c").cast("double")
@@ -158,8 +191,7 @@ object Stats {
             (col(s"__le_${c}_$i").cast("double") >= target - slack))
             .as(s"${c}_p${(p * 100).toInt}_ok"))
       }).flatten
-    grouped(joined, strata).agg(pass2Aggs.head, pass2Aggs.tail: _*)
-      .select(out: _*)
+    withExact.select(out: _*)
   }
 
   /** Oracle-visible approximation contract for HLL++: exact distinct count
@@ -540,7 +572,7 @@ object Stats {
   /** PSI over REFERENCE-QUANTILE bins — the variant for skewed features,
     * where equal-width bins would park most mass in one bin and blind the
     * score: bin edges are the reference's exact i/bins percentiles
-    * (custom [[graft.expr.ExactPercentile]], quantile_cont semantics),
+    * ([[SortedQuantiles]] shared sort path, quantile_cont semantics),
     * rounded to 6 decimals so the binning decision is engine-exact, and
     * each value's bin is the count of edges strictly below it. Duplicate
     * edges (heavy ties) merge bins; eps smoothing absorbs the resulting
@@ -551,12 +583,9 @@ object Stats {
     require(bins >= 2 && bins <= 64, s"psiQuantile needs 2..64 bins, got $bins")
     graft.util.Errors.context("psiQuantile", Seq(c)) {
     val probs = (1 until bins).map(_.toDouble / bins)
-    val row = ref.na.drop(Seq(c))
-      .agg(graft.expr.ExactPercentile.of(col(c).cast("double"), probs).as("__e"))
-      .head()
     val edges: Seq[Double] =
-      if (row.isNullAt(0)) Nil
-      else row.getSeq[Double](0).map(e =>
+      SortedQuantiles.globalArray(ref.na.drop(Seq(c)),
+        col(c).cast("double"), probs).getOrElse(Nil).map(e =>
         BigDecimal(e).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
           .toDouble)
     val binExpr =
@@ -925,14 +954,14 @@ object Stats {
     * data itself. Quantiles are exact ([[graft.expr.ExactPercentile]],
     * quantile_cont interpolation), so the cut points replay in SQL.
     *
-    * Scale shape: one keyed percentile aggregate, one broadcast-
-    * friendly join back, one final keyed aggregate. The DEFAULT cut is
-    * exact ([[graft.expr.ExactPercentile]] — a TypedImperativeAggregate
-    * whose buffers hold every group value; with few groups the final
-    * merge has parallelism = group count, measured 26× at a 100×
-    * scale-up). For full-scale corpora pass `accuracy > 0`: the cuts
-    * come from `approx_percentile` (GK sketch, bounded memory, rank
-    * error ≤ n/accuracy) and only the cut POINTS are approximate — the
+    * Scale shape: one keyed percentile pass, one broadcast-friendly
+    * join back, one final keyed aggregate. The DEFAULT cut is exact via
+    * the shared sort path ([[SortedQuantiles]] — no per-group buffers;
+    * the former buffering aggregate measured 26× at a 100× scale-up
+    * because the final merge's parallelism was the group count).
+    * `accuracy > 0` switches the cuts to `approx_percentile` (GK
+    * sketch, bounded memory, rank error ≤ n/accuracy) and only the cut
+    * POINTS are approximate — the
     * means are still exact aggregates of the values each side of them.
     * Output: (groups…, n, mean, trimmed_mean, winsorized_mean, q_lo,
     * q_hi). */
@@ -945,15 +974,19 @@ object Stats {
     val v = col(valueCol).cast("double")
     val base = df.na.drop(groups :+ valueCol)
       .select(gc :+ v.as("__x"): _*)
-    val pctl =
+    // exact cuts ride the shared sort path (no per-group buffers);
+    // approx cuts stay the mergeable GK sketch
+    val cuts =
       if (accuracy == 0)
-        graft.expr.ExactPercentile.of(col("__x"), Seq(p, 1.0 - p))
-      else percentile_approx(col("__x"),
-        array(lit(p), lit(1.0 - p)), lit(accuracy))
-    val cuts = base.groupBy(gc: _*)
-      .agg(pctl.as("__q"))
-      .select(gc ++ Seq(col("__q").getItem(0).as("q_lo"),
-        col("__q").getItem(1).as("q_hi")): _*)
+        SortedQuantiles.of(base, groups,
+            Seq(SortedQuantiles.Req("__q", col("__x"), Seq(p, 1.0 - p))))
+          .select(gc ++ Seq(col("__q").getItem(0).as("q_lo"),
+            col("__q").getItem(1).as("q_hi")): _*)
+      else base.groupBy(gc: _*)
+        .agg(percentile_approx(col("__x"),
+          array(lit(p), lit(1.0 - p)), lit(accuracy)).as("__q"))
+        .select(gc ++ Seq(col("__q").getItem(0).as("q_lo"),
+          col("__q").getItem(1).as("q_hi")): _*)
     // winsorized mean by EXACT DECOMPOSITION — clamped-sum =
     // in-range sum + n_below·q_lo + n_above·q_hi — rather than
     // averaging per-row clamped values: mathematically identical, but

@@ -33,9 +33,12 @@ object Clean {
           val r = df.agg(cols.head -> "avg", cols.tail.map(_ -> "avg"): _*).head()
           cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
         case Median =>
-          val aggs = cols.map(c =>
-            element_at(graft.expr.ExactPercentile.of(col(c), Seq(0.5)), 1).as(c))
-          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          // shared sort path — one pass for every column, no per-group
+          // buffers (graft.agg.SortedQuantiles)
+          val r = graft.agg.SortedQuantiles.of(df, Nil,
+              cols.map(c => graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5))))
+            .select(cols.map(c => element_at(col(s"__m_$c"), 1).as(c)): _*)
+            .head()
           cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
         case Mode =>
           cols.map(c => c -> graft.agg.Stats.mode(df, c).head().get(0)).toMap
@@ -57,10 +60,18 @@ object Clean {
             .agg(avg(cols.head).as(cols.head),
               cols.tail.map(c => avg(c).as(c)): _*)
         case Median =>
-          def med(c: String) =
-            element_at(graft.expr.ExactPercentile.of(col(c), Seq(0.5)), 1).as(c)
-          sf.bucketed.groupBy(sc.map(col): _*)
-            .agg(med(cols.head), cols.tail.map(med): _*)
+          // shared sort path; strata where EVERY column is all-null are
+          // re-attached via the distinct-strata universe (null key
+          // groups are dropped by the na.drop(sc) below either way —
+          // matching the old grouped-agg behavior on the rows that
+          // survive into the CASE chain)
+          val q = graft.agg.SortedQuantiles.of(sf.bucketed, sc,
+            cols.map(c => graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5))))
+          val uni = sf.bucketed.na.drop(sc)
+            .select(sc.map(col): _*).distinct()
+          uni.join(q, sc, "left")
+            .select(sc.map(col) ++
+              cols.map(c => element_at(col(s"__m_$c"), 1).as(c)): _*)
         case Mode =>
           // full outer: a stratum that is all-null for ONE column must still
           // carry the other columns' modes (its own fill value stays null,
@@ -102,20 +113,38 @@ object Clean {
 
   /** Tukey fences per column (and stratum): lfence = q1 − k·IQR,
     * ufence = q3 + k·IQR (reference `_calc_fences`, dataframe.py:332-351).
-    * One agg computing both quantiles for every column. Uses EXACT
-    * percentiles by default (oracle-parity); `approx=true` switches to the
-    * mergeable-sketch approx_percentile for the 100-TB path. */
+    * Both quantiles for every column share ONE pass. EXACT percentiles
+    * by default via the shared sort path (graft.agg.SortedQuantiles —
+    * scale-safe, no per-group buffers); `approx=true` switches to the
+    * mergeable-sketch approx_percentile when a rank-ε cut is enough. */
   def calcFences(df: DataFrame, cols: Seq[String], k: Double = 1.5,
                  strata: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
-    // array-form percentile: ONE aggregation buffer per column
-    val aggs = cols.map { c =>
-      val e =
-        if (approx) expr(s"approx_percentile($c, array(0.25, 0.75), 10000)")
-        else graft.expr.ExactPercentile.of(col(c), Seq(0.25, 0.75))
-      e.as(s"__q_$c")
-    }
-    df.groupBy(strata.map(col): _*)
-      .agg(count(lit(1)).as("n"), aggs: _*)
+    val withQ =
+      if (approx) {
+        // mergeable GK sketches: ONE bounded buffer per column
+        val aggs = cols.map(c =>
+          expr(s"approx_percentile($c, array(0.25, 0.75), 10000)").as(s"__q_$c"))
+        df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("n"), aggs: _*)
+      } else {
+        // exact quantiles ride the shared sort path (graft.agg
+        // .SortedQuantiles — no per-group buffers); group counts come
+        // from a cheap grouped count whose universe (ALL groups, even
+        // all-null-column ones) left-joins the quantile frame back on,
+        // preserving the old grouped-agg output exactly
+        val q = graft.agg.SortedQuantiles.of(df, strata,
+          cols.map(c => graft.agg.SortedQuantiles.Req(s"__q_$c", col(c), Seq(0.25, 0.75))))
+        val counts = df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("n"))
+        if (strata.isEmpty) counts.crossJoin(broadcast(q))
+        else {
+          val renamed = strata.foldLeft(q)((d, s) =>
+            d.withColumnRenamed(s, s"__q_k_$s"))
+          val cond = strata.map(s =>
+            counts(s) <=> renamed(s"__q_k_$s")).reduce(_ && _)
+          counts.join(broadcast(renamed), cond, "left")
+            .drop(strata.map(s => s"__q_k_$s"): _*)
+        }
+      }
+    withQ
       .select((strata.map(col) :+ col("n")) ++ cols.flatMap { c =>
         val q1 = element_at(col(s"__q_$c"), 1)
         val q3 = element_at(col(s"__q_$c"), 2)
@@ -179,8 +208,9 @@ object Clean {
     * MAD = median(|x − median|) and 1.4826 scales MAD to σ under
     * normality, so k has the familiar "k sigmas" reading while a 50%
     * contamination breakdown keeps the bounds sane where extreme
-    * outliers drag q1/q3 themselves. Two exact-percentile aggregations
-    * (the MAD needs the median first — irreducibly two passes); output
+    * outliers drag q1/q3 themselves. Two exact-percentile passes over
+    * the shared sort path (the MAD needs the median first —
+    * irreducibly two passes); output
     * one row per column: (column, median, mad, lfence, ufence). */
   def calcMadFences(df: DataFrame, cols: Seq[String],
                     k: Double = 3.0): DataFrame = {
@@ -188,15 +218,14 @@ object Clean {
     val spark = df.sparkSession
     import spark.implicits._
     graft.util.Errors.context("calcMadFences", cols) {
-      val medAggs = cols.map(c =>
-        graft.expr.ExactPercentile.of(col(c), Seq(0.5)).as(s"__m_$c"))
-      val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
+      val medRow = graft.agg.SortedQuantiles.of(df, Nil,
+        cols.map(c => graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5)))).head()
       val med = cols.zipWithIndex.map { case (c, i) =>
         c -> medRow.getSeq[Double](i)(0)
       }.toMap
-      val madAggs = cols.map(c => graft.expr.ExactPercentile
-        .of(abs(col(c) - lit(med(c))), Seq(0.5)).as(s"__d_$c"))
-      val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
+      val madRow = graft.agg.SortedQuantiles.of(df, Nil,
+        cols.map(c => graft.agg.SortedQuantiles.Req(s"__d_$c",
+          abs(col(c) - lit(med(c))), Seq(0.5)))).head()
       cols.zipWithIndex.map { case (c, i) =>
         val m = med(c)
         val mad = madRow.getSeq[Double](i)(0)

@@ -170,11 +170,10 @@ object StratifiedFrame {
       case q @ Quantile(c, n, exact) =>
         val ps = Array.tabulate(n + 1)(i => i.toDouble / n)
         val fitted =
-          if (exact) {
-            val r = df.agg(graft.expr.ExactPercentile.of(col(c), ps.toSeq)).head()
-            if (r.isNullAt(0)) Array.empty[Double]
-            else r.getSeq[Double](0).toArray
-          } else df.stat.approxQuantile(c, ps, 0.01) // empty when no data
+          if (exact) graft.agg.SortedQuantiles
+            .globalArray(df, col(c), ps.toSeq) // shared sort path
+            .fold(Array.empty[Double])(_.toArray)
+          else df.stat.approxQuantile(c, ps, 0.01) // empty when no data
         q.colName -> (if (fitted.length < 2) Array.empty[Double] else fitted)
     }.toMap
 

@@ -38,7 +38,24 @@ object RangeCum {
     * `__cum_<c> − <c>`. Input column set is preserved. */
   def cumSum(df: DataFrame, keys: Seq[String], orderCol: String,
              sumCols: Seq[String], ascending: Boolean = true,
-             maxDriverEntries: Int = 4000000): DataFrame = {
+             maxDriverEntries: Int = 4000000): DataFrame =
+    cumSumWithTotals(df, keys, orderCol, sumCols, ascending,
+      maxDriverEntries)._1
+
+  /** [[cumSum]] plus the PER-KEY GRAND TOTALS as a second (tiny, driver-
+    * built) DataFrame — schema (keys…, `__tot_<c>` double per sum
+    * column). The totals fall out of pass 1's per-(partition, key)
+    * subtotal fold for free, so callers that need "running sum AND group
+    * total" (the exact-quantile pick, ECDF normalization) get both
+    * without a second cluster pass or a persist; the totals frame is
+    * O(#keys) rows and broadcast-join material by construction.
+    *
+    * NOTE this method (like cumSum) is EAGER: pass 1 runs Spark jobs at
+    * call time (sort + subtotal collect), not at first action on the
+    * returned frames. */
+  def cumSumWithTotals(df: DataFrame, keys: Seq[String], orderCol: String,
+                       sumCols: Seq[String], ascending: Boolean = true,
+                       maxDriverEntries: Int = 4000000): (DataFrame, DataFrame) = {
     require(sumCols.nonEmpty, "RangeCum.cumSum needs at least one sum column")
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
@@ -111,6 +128,21 @@ object RangeCum {
         Row.fromSeq(r.toSeq ++ run.toSeq)
       }
     }
-    spark.createDataFrame(out, outSchema)
+    val cum = spark.createDataFrame(out, outSchema)
+    // grand totals per key: one more fold over the ALREADY-COLLECTED
+    // subtotal array — no cluster work
+    val totSchema = StructType(keyIdx.map(schema.fields(_)) ++
+      sumCols.map(c => StructField(s"__tot_$c", DoubleType, nullable = false)))
+    val totRows = subtotals.groupBy(_._2).map { case (k, entries) =>
+      val tot = new Array[Double](sumIdx.length)
+      entries.foreach { case (_, _, t) =>
+        var i = 0
+        while (i < sumIdx.length) { tot(i) += t(i); i += 1 }
+      }
+      Row.fromSeq(k ++ tot.toSeq)
+    }.toSeq
+    val totals = spark.createDataFrame(
+      spark.sparkContext.parallelize(totRows, 1), totSchema)
+    (cum, totals)
   }
 }
