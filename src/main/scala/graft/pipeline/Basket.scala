@@ -84,13 +84,14 @@ object Basket {
       .distinct()
       // marginals and the basket aggregate both read this cache; the
       // returned rule plan is lazy, so there is no sound in-method
-      // unpersist point (Components lifetime note) — entry stays until
-      // LRU eviction; looping callers can clearCache() between batches
-      .persist()
+      // unpersist point (Components lifetime note) — lifecycle is the
+      // bounded CacheRegistry FIFO; looping callers can also
+      // CacheRegistry.clear() between batches
+      .transform(graft.util.CacheRegistry.cached("basket.bi", _))
     // all-basket marginals (df of each item) — drive both the A-priori
     // prune decision and the final n_a/n_b joins
-    val marg = bi.groupBy("__item").agg(count(lit(1)).as("__cnt"))
-      .persist()
+    val marg = graft.util.CacheRegistry.cached("basket.marg",
+      bi.groupBy("__item").agg(count(lit(1)).as("__cnt")))
     val excludedItems =
       if (maxItemDf == Long.MaxValue) 0L
       else marg.filter(col("__cnt") > maxItemDf).count()
@@ -119,7 +120,7 @@ object Basket {
       .agg(count(lit(1)).as("__sz"),
         sort_array(collect_list(when(col("__k"), col("__item"))))
           .as("__items"))
-      .persist()
+      .transform(graft.util.CacheRegistry.cached("basket.basketAgg", _))
     val nBaskets = basketAgg.count()
     val oversized = basketAgg.filter(col("__sz") > maxBasketSize).count()
     // local pair generation: for each survivor array, item i pairs with

@@ -469,11 +469,12 @@ object Dedup {
             lit(0L).cast("decimal(38,0)")).as("__mass"))
           .head().getDecimal(0).toBigInteger
           .divide(java.math.BigInteger.valueOf(2))
-        require(mass.compareTo(java.math.BigInteger.valueOf(maxPairMass)) <= 0,
-          s"ngramJaccard: exact all-pairs mass $mass exceeds " +
-            s"maxPairMass=$maxPairMass — stop-list boilerplate shingles " +
-            "(maxDf / maxDfFraction), pass minhash candidates, or raise " +
-            "maxPairMass if you really want the quadratic join")
+        if (mass.compareTo(java.math.BigInteger.valueOf(maxPairMass)) > 0)
+          graft.util.SkipMetrics.refuse("ngramJaccard", df.sparkSession,
+            s"ngramJaccard: exact all-pairs mass $mass exceeds " +
+              s"maxPairMass=$maxPairMass — stop-list boilerplate shingles " +
+              "(maxDf / maxDfFraction), pass minhash candidates, or raise " +
+              "maxPairMass if you really want the quadratic join")
         pairsByKey(sh.select(col("sh"), col(idCol).cast("long"))
             .as[(Long, Long)])
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
@@ -913,11 +914,12 @@ object Dedup {
     val indexable = corpus.na.drop(Seq(textCol))
     val probeLimit = if (maxDocs == Int.MaxValue) maxDocs else maxDocs + 1
     val probe = indexable.limit(probeLimit).count()
-    require(probe <= maxDocs,
-      s"buildTextScreenIndex collects the corpus shingle sets to the " +
-        s"driver and refuses corpora above maxDocs=$maxDocs indexable " +
-        s"rows; this input has more. Screen per micro-batch with " +
-        s"foreachBatch + textNewRows, or raise maxDocs deliberately.")
+    if (probe > maxDocs)
+      graft.util.SkipMetrics.refuse("buildTextScreenIndex", spark,
+        s"buildTextScreenIndex collects the corpus shingle sets to the " +
+          s"driver and refuses corpora above maxDocs=$maxDocs indexable " +
+          s"rows; this input has more. Screen per micro-batch with " +
+          s"foreachBatch + textNewRows, or raise maxDocs deliberately.")
     val (ma, mb) = mixers(numHashes)
     val rows = indexable
       .select(col(textCol)).as[String]

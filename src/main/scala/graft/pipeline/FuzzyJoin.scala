@@ -163,9 +163,9 @@ object FuzzyJoin {
     * dup test folded into the SAME cached aggregate (one job, not a
     * strs.count + reps.count pair). */
   private def repsOf(strs: DataFrame): (DataFrame, Boolean) = {
-    val reps = strs.groupBy("__s", "__len")
-      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__g"))
-      .cache()
+    val reps = graft.util.CacheRegistry.cached("fuzzy.reps",
+      strs.groupBy("__s", "__len")
+        .agg(min(col("__id")).as("__id"), count(lit(1)).as("__g")))
     val anyDups = reps.filter(col("__g") > 1).limit(1).count() > 0
     (reps.select("__id", "__s", "__len"), anyDups)
   }
@@ -187,7 +187,8 @@ object FuzzyJoin {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val k = maxDist
-    val strs = prep(df, idCol, strCol).cache()
+    val strs = graft.util.CacheRegistry.cached("fuzzy.strs",
+      prep(df, idCol, strCol))
     val (reps, collapsed) = repsOf(strs)
     val base = if (collapsed) reps else strs
     val counted = candidatesOf(
@@ -240,12 +241,13 @@ object FuzzyJoin {
       // levenshteinDistance at sf10d). Caching the rep-level pair set
       // (tiny: one row per verified DISTINCT-string pair) pins "verify
       // once at rep level, then expand" as plan structure, not hope.
-      val repPairs = verified.cache()
+      val repPairs = graft.util.CacheRegistry.cached("fuzzy.repPairs", verified)
       // members feeds FOUR join legs below (two expansion sides, two
       // dup-pair sides) — cache it or each leg recomputes the
       // strs ⋈ reps join (the r13 sf1d probe measured the recompute at
       // ~4x the useful work; the ngramJaccard two-consumer lesson)
-      val members = membersOf(strs, reps).cache()
+      val members = graft.util.CacheRegistry.cached("fuzzy.members",
+        membersOf(strs, reps))
       // cross-group pairs: every member of rep_a × every member of
       // rep_b, re-oriented on the ORIGINAL ids (rep order and member
       // order can disagree)
@@ -281,8 +283,10 @@ object FuzzyJoin {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val k = maxDist
-    val ls = prep(left, leftId, leftStr).cache()
-    val rs = prep(right, rightId, rightStr).cache()
+    val ls = graft.util.CacheRegistry.cached("fuzzy.ls",
+      prep(left, leftId, leftStr))
+    val rs = graft.util.CacheRegistry.cached("fuzzy.rs",
+      prep(right, rightId, rightStr))
     val (lreps, lDups) = repsOf(ls)
     val (rreps, rDups) = repsOf(rs)
     val collapsed = lDups || rDups
@@ -303,7 +307,7 @@ object FuzzyJoin {
     else {
       // same optimization barrier as fuzzyPairs: verify at rep level
       // ONCE, never inside the expansion stage
-      val repPairs = verified.cache()
+      val repPairs = graft.util.CacheRegistry.cached("fuzzy.repPairs", verified)
       val lm = membersOf(ls, lreps)
       val rm = membersOf(rs, rreps)
       repPairs

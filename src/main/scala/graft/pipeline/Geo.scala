@@ -80,10 +80,27 @@ object Geo {
     * BOTH inputs is probed in one small aggregate per side; violating
     * the bound is a refuse, not a recall loss — the oracle contract is
     * exactness, and the caller's fix is a bigger cellDeg or a latitude
-    * cap. */
+    * cap.
+    *
+    * Pair-mass guard (the ngramJaccard maxPairMass precedent): the
+    * radius join's output is bounded only by geometry — a fixed radius
+    * over a denser corpus grows output quadratically (the sf10d
+    * q_geo_join adjudication measured ~2.6e8 pairs from a 300 km
+    * radius). Before the join runs, the EXACT candidate mass — Σ over
+    * matching cells of |points_cell|·|query-block_cell|, computable
+    * from two cheap per-cell count aggregates because the join is an
+    * equi-join on the cell key — is measured (decimal-exact), and past
+    * `maxPairMass` the call refuses loudly (SkipMetrics
+    * `radiusJoin.refused`) with the measured number in the message:
+    * shrink the radius, partition by region, or raise the budget
+    * deliberately. The estimate is ≥ the post-distance-filter output by
+    * construction. `maxPairMass = Long.MaxValue` skips the measurement
+    * entirely. NOTE the guard makes this method eager (two count
+    * aggregates run at plan-construction time). */
   def radiusJoin(points: DataFrame, queries: DataFrame,
                  pLat: String, pLon: String, qLat: String, qLon: String,
-                 radiusMeters: Double, cellDeg: Double): DataFrame = {
+                 radiusMeters: Double, cellDeg: Double,
+                 maxPairMass: Long = 2000000000L): DataFrame = {
     require(radiusMeters > 0, s"Geo.radiusJoin: radius must be > 0")
     val nLon = lonCells(cellDeg)
     def maxAbsLat(df: DataFrame, c: String): Double =
@@ -109,6 +126,29 @@ object Geo {
       .withColumn("__q_lon_cell",
         ((col("__q_lon_cell") + col("__dlon")) % nLon + nLon) % nLon)
       .drop("__dlat", "__dlon")
+    if (maxPairMass != Long.MaxValue) {
+      // exact candidate mass of the cell equi-join below: Σ_cell
+      // |P_cell|·|Q_block_cell| (q is already the 9×-exploded block
+      // frame). decimal(38,0) so a petabyte-scale mass can't wrap a
+      // Long and bypass the refuse (the ngramJaccard lesson).
+      val pc = p.groupBy("__p_lat_cell", "__p_lon_cell")
+        .agg(count(lit(1)).as("__pc"))
+      val qc = q.groupBy("__q_lat_cell", "__q_lon_cell")
+        .agg(count(lit(1)).as("__qc"))
+      val mass = pc.join(qc,
+          pc("__p_lat_cell") === qc("__q_lat_cell") &&
+            pc("__p_lon_cell") === qc("__q_lon_cell"))
+        .agg(coalesce(
+          sum(col("__pc").cast("decimal(38,0)") * col("__qc")),
+          lit(0L).cast("decimal(38,0)")).as("__mass"))
+        .head().getDecimal(0).toBigInteger
+      if (mass.compareTo(java.math.BigInteger.valueOf(maxPairMass)) > 0)
+        graft.util.SkipMetrics.refuse("radiusJoin", points.sparkSession,
+          s"Geo.radiusJoin: candidate pair mass $mass (cell-grid measured) " +
+            s"exceeds maxPairMass=$maxPairMass — a fixed $radiusMeters m " +
+            "radius over this density is output-bound; shrink the radius, " +
+            "partition by region, or raise maxPairMass deliberately")
+    }
     val dist = haversineMeters(col(pLat), col(pLon), col(qLat), col(qLon))
     p.join(q,
         col("__p_lat_cell") === col("__q_lat_cell") &&
@@ -126,9 +166,10 @@ object Geo {
   def nearestJoin(points: DataFrame, queries: DataFrame,
                   pLat: String, pLon: String, qLat: String, qLon: String,
                   queryKey: String, tieCol: String,
-                  radiusMeters: Double, cellDeg: Double): DataFrame = {
+                  radiusMeters: Double, cellDeg: Double,
+                  maxPairMass: Long = 2000000000L): DataFrame = {
     val joined = radiusJoin(points, queries, pLat, pLon, qLat, qLon,
-      radiusMeters, cellDeg)
+      radiusMeters, cellDeg, maxPairMass)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(queryKey)
       .orderBy(col("dist_m").asc, col(tieCol).asc)

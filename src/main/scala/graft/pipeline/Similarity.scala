@@ -159,7 +159,7 @@ object Similarity {
     // deliberately disable the guard
     val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
     val probe = df.limit(probeLimit).count()
-    require(probe <= maxRows,
+    if (probe > maxRows) graft.util.SkipMetrics.refuse("allPairsCosine", spark,
       s"allPairsCosine is the exact small-corpus baseline (driver collect + " +
         s"O(n^2) compute) and refuses corpora above maxRows=$maxRows rows; " +
         s"this input has more. Use Dedup.embeddingDedup (hyperplane-LSH " +
@@ -362,11 +362,12 @@ object Similarity {
         if (side == "A") idColA else idColB,
         if (side == "A") vecColA else vecColB))
       val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
-      require(clean.limit(probeLimit).count() <= maxRows,
-        s"marginMatches is the exact brute-force miner (|A|x|B| pair " +
-          s"frame) and refuses side $side above maxRows=$maxRows rows; " +
-          s"restrict candidates with an IVF/LSH pass first, or raise " +
-          s"maxRows deliberately.")
+      if (clean.limit(probeLimit).count() > maxRows)
+        graft.util.SkipMetrics.refuse("marginMatches", df.sparkSession,
+          s"marginMatches is the exact brute-force miner (|A|x|B| pair " +
+            s"frame) and refuses side $side above maxRows=$maxRows rows; " +
+            s"restrict candidates with an IVF/LSH pass first, or raise " +
+            s"maxRows deliberately.")
       clean
     }
     val ca = guard(a, "A").select(col(idColA).cast("long").as("id_a"),
@@ -631,9 +632,10 @@ object Similarity {
       .select(col(idCol).cast("long"),
         asDouble(col(vecCol))).as[(Long, Array[Double])]
     val probeLimit = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
-    require(df.limit(probeLimit).count() <= maxRows,
-      s"knnGraphExact is the exact O(n^2) baseline and refuses corpora " +
-        s"above maxRows=$maxRows rows; use knnGraph (LSH) for large corpora.")
+    if (df.limit(probeLimit).count() > maxRows)
+      graft.util.SkipMetrics.refuse("knnGraphExact", spark,
+        s"knnGraphExact is the exact O(n^2) baseline and refuses corpora " +
+          s"above maxRows=$maxRows rows; use knnGraph (LSH) for large corpora.")
     val withNorm = vecs.collect().map { case (id, v) =>
       var n2 = 0.0; var i = 0
       while (i < v.length) { n2 += v(i) * v(i); i += 1 }

@@ -59,6 +59,16 @@ object SkipMetrics {
       .sum
   }
 
+  /** Loud-refuse twin of the skip counters (r13 VERDICT #8): increment
+    * `<op>.refused` and throw IllegalArgumentException — so a guard
+    * that fires deep inside a larger pipeline leaves a mark in the
+    * end-of-run skips/nonZero line, not only in the exception text.
+    * Driver-side accumulator add: visible immediately. */
+  def refuse(op: String, spark: SparkSession, message: => String): Nothing = {
+    counter(s"$op.refused", spark).add(1L)
+    throw new IllegalArgumentException(message)
+  }
+
   /** Reset one counter across contexts (e.g. between pipeline stages
     * sharing a session). */
   def reset(name: String): Unit = {

@@ -79,6 +79,40 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("radiusJoin pair-mass guard: measured candidate mass >= actual " +
+    "output, refuses past the budget, and increments radiusJoin.refused") {
+    import spark.implicits._
+    // a dense cluster near (10, 10): every pair is in radius, so the
+    // output is substantial and the mass bound is exercised for real
+    val pts = (1 to 60).map { i =>
+      (i.toLong, 10.0 + (i % 7) * 0.2, 10.0 + (i % 5) * 0.2)
+    }.toDF("pid", "plat", "plon")
+    val qs = (1 to 15).map { i =>
+      (i.toLong, 10.0 + (i % 4) * 0.2, 10.0 + (i % 3) * 0.2)
+    }.toDF("qid", "qlat", "qlon")
+    val actual = Geo.radiusJoin(pts, qs, "plat", "plon", "qlat", "qlon",
+      radiusMeters = 300000.0, cellDeg = 4.0).count()
+    // budget of 1 candidate pair must refuse (some cell overlaps exist:
+    // actual > 0 here), and the message carries the measured mass —
+    // which must be >= the post-filter output
+    assert(actual > 0)
+    graft.util.SkipMetrics.reset("radiusJoin.refused")
+    val e = intercept[IllegalArgumentException] {
+      Geo.radiusJoin(pts, qs, "plat", "plon", "qlat", "qlon",
+        radiusMeters = 300000.0, cellDeg = 4.0, maxPairMass = 1L)
+    }
+    assert(e.getMessage.contains("candidate pair mass"))
+    assert(graft.util.SkipMetrics.value("radiusJoin.refused") === 1L)
+    val measured = "candidate pair mass (\\d+)".r
+      .findFirstMatchIn(e.getMessage).get.group(1).toLong
+    assert(measured >= actual,
+      s"cell-grid estimate $measured must bound the output $actual")
+    // Long.MaxValue disables the measurement entirely (lazy again)
+    assert(Geo.radiusJoin(pts, qs, "plat", "plon", "qlat", "qlon",
+      radiusMeters = 300000.0, cellDeg = 4.0,
+      maxPairMass = Long.MaxValue).count() === actual)
+  }
+
   test("nearestJoin picks the closest point with a deterministic tie break") {
     import spark.implicits._
     val pts = Seq((1L, 10.0, 20.0), (2L, 10.0, 20.5), (3L, 10.0, 21.5))

@@ -83,6 +83,27 @@ class SkipMetricsSpec extends SparkSpec {
     assert(SkipMetrics.value("semDedup.skippedClusters") > 0L)
   }
 
+  test("refuse guards increment <op>.refused before throwing (r13 #8)") {
+    val vecs = (1L to 50L).map(i =>
+      (i, Array(1.0f, 0.001f * i))).toDF("id", "vec")
+    SkipMetrics.reset("allPairsCosine.refused")
+    intercept[IllegalArgumentException](graft.pipeline.Similarity
+      .allPairsCosine(vecs, "id", "vec", threshold = 0.9, maxRows = 10))
+    assert(SkipMetrics.value("allPairsCosine.refused") === 1L)
+    SkipMetrics.reset("knnGraphExact.refused")
+    intercept[IllegalArgumentException](graft.pipeline.Similarity
+      .knnGraphExact(vecs, "id", "vec", k = 3, maxRows = 10))
+    assert(SkipMetrics.value("knnGraphExact.refused") === 1L)
+    SkipMetrics.reset("ngramJaccard.refused")
+    val docs = (1L to 40L).map(i => (i, "the same tokens in every doc"))
+      .toDF("id", "text")
+    intercept[IllegalArgumentException](graft.pipeline.Dedup
+      .ngramJaccard(docs, "id", "text", n = 3, maxPairMass = 5L).count())
+    assert(SkipMetrics.value("ngramJaccard.refused") === 1L)
+    // a refuse shows in the end-of-run damage report
+    assert(SkipMetrics.nonZero().contains("ngramJaccard.refused"))
+  }
+
   test("nonZero lists only fired counters; unknown names read 0") {
     assert(SkipMetrics.value("never.created") === 0L)
     SkipMetrics.reset("simhash.skippedBuckets")
