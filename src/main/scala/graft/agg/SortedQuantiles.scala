@@ -58,7 +58,41 @@ object SortedQuantiles {
     * expression (it is cast to double, the ExactPercentile contract). */
   final case class Req(name: String, value: Column, ps: Seq[Double])
 
-  def of(df: DataFrame, keys: Seq[String], reqs: Seq[Req]): DataFrame = {
+  def of(df: DataFrame, keys: Seq[String], reqs: Seq[Req]): DataFrame =
+    ofCounts(cellsOf(df, keys, reqs), keys, reqs)
+
+  /** The melt + cell fold alone — rows (keys…, `__qc` request index,
+    * `__v` double, `__c` double count), ONE corpus scan for every
+    * request. Exposed so callers that post-process cells (derive a
+    * second request's cells, count ranks against a threshold) can share
+    * the scan; feed the result (or a derivation) to [[ofCounts]]. */
+  private[graft] def cellsOf(df: DataFrame, keys: Seq[String],
+                             reqs: Seq[Req]): DataFrame = {
+    require(reqs.nonEmpty, "SortedQuantiles: no requests")
+    val kcols = keys.map(col)
+    // 1. melt — one scan, one struct per request, explode + null filter
+    val projected = df.select(kcols ++ reqs.zipWithIndex.map {
+      case (r, j) => r.value.cast("double").as(s"__v_$j")
+    }: _*)
+    val melted = projected
+      .select(kcols :+ explode(array(reqs.indices.map(j =>
+        struct(lit(j).as("__qc"), col(s"__v_$j").as("__v"))): _*)).as("__s"): _*)
+      .select(kcols ++ Seq(col("__s.__qc").as("__qc"), col("__s.__v").as("__v")): _*)
+      .where(col("__v").isNotNull)
+    // 2. distinct-cell counts (double counts: RangeCum's integer-double
+    // determinism contract)
+    melted.groupBy((kcols :+ col("__qc") :+ col("__v")): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+  }
+
+  /** The pick machinery over a PRE-AGGREGATED cell frame — rows
+    * (keys…, `__qc` int request index into `reqs`, `__v` double value,
+    * `__c` double integer-valued count). Callers that can derive one
+    * request's cells from another's (calcMadFences: |x − median| cell
+    * counts fold straight off the value cell counts) skip re-scanning
+    * the corpus entirely. Same output/parity contract as [[of]]. */
+  private[graft] def ofCounts(cells: DataFrame, keys: Seq[String],
+                              reqs: Seq[Req]): DataFrame = {
     require(reqs.nonEmpty, "SortedQuantiles: no requests")
     reqs.foreach { r =>
       require(r.ps.nonEmpty, s"SortedQuantiles: request ${r.name} has no ps")
@@ -69,24 +103,23 @@ object SortedQuantiles {
       "SortedQuantiles: request names must be distinct")
     val kcols = keys.map(col)
 
-    // 1. melt — one scan, one struct per request, explode + null filter
-    val projected = df.select(kcols ++ reqs.zipWithIndex.map {
-      case (r, j) => r.value.cast("double").as(s"__v_$j")
-    }: _*)
-    val melted = projected
-      .select(kcols :+ explode(array(reqs.indices.map(j =>
-        struct(lit(j).as("__qc"), col(s"__v_$j").as("__v"))): _*)).as("__s"): _*)
-      .select(kcols ++ Seq(col("__s.__qc").as("__qc"), col("__s.__v").as("__v")): _*)
-      .where(col("__v").isNotNull)
-
-    // 2. distinct-cell counts (double counts: RangeCum's integer-double
-    // determinism contract)
-    val cells = melted.groupBy((kcols :+ col("__qc") :+ col("__v")): _*)
-      .agg(count(lit(1)).cast("double").as("__c"))
-
-    // 3. running + total counts in value order within (keys, request)
-    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
-      cells, keys :+ "__qc", "__v", Seq("__c"))
+    // 3. running + total counts in value order within (keys, request).
+    // The cell frame is persisted THROUGH pass 1 only: the range
+    // exchange's boundary sampling executes its child once more than
+    // the shuffle write does — against an uncached 100-TB melt that is
+    // a second full corpus scan (measured 37 s → ~half on q_mad_fences
+    // at 100×). Pass 2 and the pick below reuse the range-shuffle
+    // files, so the cache can drop as soon as pass 1 has collected.
+    // A caller that ALREADY persisted the cell frame (calcMadFences
+    // reuses it to derive the deviation cells) owns its lifecycle —
+    // persisting/unpersisting here would drop its cache mid-use.
+    val callerOwned =
+      cells.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cellsCached = if (callerOwned) cells else cells.persist()
+    val (cum, totals) =
+      try graft.util.RangeCum.cumSumWithTotals(
+        cellsCached, keys :+ "__qc", "__v", Seq("__c"))
+      finally if (!callerOwned) cellsCached.unpersist(blocking = false)
 
     // broadcast the (tiny) totals back onto the cell stream; null-safe
     // on the key columns — null strata are groups

@@ -208,30 +208,45 @@ object Clean {
     * MAD = median(|x − median|) and 1.4826 scales MAD to σ under
     * normality, so k has the familiar "k sigmas" reading while a 50%
     * contamination breakdown keeps the bounds sane where extreme
-    * outliers drag q1/q3 themselves. Two exact-percentile passes over
-    * the shared sort path (the MAD needs the median first —
-    * irreducibly two passes); output
-    * one row per column: (column, median, mad, lfence, ufence). */
+    * outliers drag q1/q3 themselves. The MAD needs the median first —
+    * irreducibly two quantile passes — but only the FIRST scans the
+    * corpus: |·−m| is a pure function of the cell VALUE, so a value
+    * cell (v, c) maps to a deviation cell (|v−m|, c) and colliding
+    * cells re-aggregate; pass 2 range-sorts the tiny cell frame only.
+    * Output one row per column:
+    * (column, median, mad, lfence, ufence). */
   def calcMadFences(df: DataFrame, cols: Seq[String],
                     k: Double = 3.0): DataFrame = {
     require(cols.nonEmpty, "calcMadFences needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
     graft.util.Errors.context("calcMadFences", cols) {
-      val medRow = graft.agg.SortedQuantiles.of(df, Nil,
-        cols.map(c => graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5)))).head()
-      val med = cols.zipWithIndex.map { case (c, i) =>
-        c -> medRow.getSeq[Double](i)(0)
-      }.toMap
-      val madRow = graft.agg.SortedQuantiles.of(df, Nil,
-        cols.map(c => graft.agg.SortedQuantiles.Req(s"__d_$c",
-          abs(col(c) - lit(med(c))), Seq(0.5)))).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        val m = med(c)
-        val mad = madRow.getSeq[Double](i)(0)
-        val spread = k * 1.4826 * mad
-        (c, m, mad, m - spread, m + spread)
-      }.toDF("col_name", "median", "mad", "lfence", "ufence")
+      val medReqs = cols.map(c =>
+        graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5)))
+      val cells = graft.agg.SortedQuantiles.cellsOf(df, Nil, medReqs).persist()
+      try {
+        val medRow =
+          graft.agg.SortedQuantiles.ofCounts(cells, Nil, medReqs).head()
+        val med = cols.zipWithIndex.map { case (c, i) =>
+          c -> medRow.getSeq[Double](i)(0)
+        }.toMap
+        val medByQc = element_at(
+          array(cols.map(c => lit(med(c))): _*), col("__qc") + 1)
+        val devCells = cells
+          .withColumn("__v", abs(col("__v") - medByQc))
+          .groupBy(col("__qc"), col("__v"))
+          .agg(sum(col("__c")).as("__c"))
+        val madReqs = cols.map(c =>
+          graft.agg.SortedQuantiles.Req(s"__d_$c", col(c), Seq(0.5)))
+        val madRow =
+          graft.agg.SortedQuantiles.ofCounts(devCells, Nil, madReqs).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          val m = med(c)
+          val mad = madRow.getSeq[Double](i)(0)
+          val spread = k * 1.4826 * mad
+          (c, m, mad, m - spread, m + spread)
+        }.toDF("col_name", "median", "mad", "lfence", "ufence")
+      } finally cells.unpersist(blocking = false)
     }
   }
 

@@ -75,6 +75,26 @@ class SortedQuantilesSpec extends SparkSpec {
     assertSameRows(a, b, Nil)
   }
 
+  test("calcMadFences cell-derived MAD: bit-identical to brute two-pass ExactPercentile") {
+    // the r14 rework folds |x − median| cells off the VALUE cells (no
+    // second corpus scan); pin it against the buffering aggregate's
+    // direct two-pass form on ties + nulls + a near-continuous column
+    val out = graft.clean.Clean.calcMadFences(messy, Seq("cont", "tied"), k = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("cont", "tied").foreach { c =>
+      val med = messy.agg(element_at(
+        graft.expr.ExactPercentile.of(col(c), Seq(0.5)), 1)).head().getDouble(0)
+      val mad = messy.agg(element_at(
+        graft.expr.ExactPercentile.of(abs(col(c) - lit(med)), Seq(0.5)), 1))
+        .head().getDouble(0)
+      val r = out(c)
+      assert(bits(r.getDouble(1)) == bits(med), s"$c median")
+      assert(bits(r.getDouble(2)) == bits(mad), s"$c mad")
+      assert(bits(r.getDouble(3)) == bits(med - 2.0 * 1.4826 * mad), s"$c lfence")
+      assert(bits(r.getDouble(4)) == bits(med + 2.0 * 1.4826 * mad), s"$c ufence")
+    }
+  }
+
   test("all-null column in one group yields a null array for that request only") {
     val out = SortedQuantiles.of(messy, Seq("s"), Seq(
       SortedQuantiles.Req("__qa", col("only_a"), Seq(0.5)),

@@ -328,6 +328,11 @@ class PipelineSpec extends SparkSpec {
     // shingle leaves nothing over the cap, so the same tiny budget passes
     assert(Dedup.ngramJaccard(corpus, "doc_id", "text", 1, maxDf = 4,
       maxPairMass = 65L).filter(col("jaccard") > 0).count() == 0)
+    // df-bound probe (r14): when postings·(maxDf−1)/2 exceeds the budget
+    // the EXACT measurement decides — here bound 12·3/2 = 18 > 10 but the
+    // true stop-listed mass is 0, so the join must run, not refuse
+    assert(Dedup.ngramJaccard(corpus, "doc_id", "text", 1, maxDf = 4,
+      maxPairMass = 10L).filter(col("jaccard") > 0).count() == 0)
   }
 
   test("ngramContainment flags a quoted subset jaccard misses; containedDocs keeps the superset") {
