@@ -189,6 +189,7 @@ object Bench {
       // still share caches — min() stays the steady-state number.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.CacheRegistry.clear() // queue refs; blocks already gone above
       // nudge the ContextCleaner: accumulated broadcast/shuffle state is
       // only released after a driver GC collects the references; 90
       // queries in one 8 GB JVM otherwise degrade the late queries

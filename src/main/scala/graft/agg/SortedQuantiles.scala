@@ -104,22 +104,16 @@ object SortedQuantiles {
     val kcols = keys.map(col)
 
     // 3. running + total counts in value order within (keys, request).
-    // The cell frame is persisted THROUGH pass 1 only: the range
-    // exchange's boundary sampling executes its child once more than
-    // the shuffle write does — against an uncached 100-TB melt that is
-    // a second full corpus scan (measured 37 s → ~half on q_mad_fences
-    // at 100×). Pass 2 and the pick below reuse the range-shuffle
-    // files, so the cache can drop as soon as pass 1 has collected.
-    // A caller that ALREADY persisted the cell frame (calcMadFences
-    // reuses it to derive the deviation cells) owns its lifecycle —
-    // persisting/unpersisting here would drop its cache mid-use.
-    val callerOwned =
-      cells.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val cellsCached = if (callerOwned) cells else cells.persist()
-    val (cum, totals) =
-      try graft.util.RangeCum.cumSumWithTotals(
-        cellsCached, keys :+ "__qc", "__v", Seq("__c"))
-      finally if (!callerOwned) cellsCached.unpersist(blocking = false)
+    // NOTE the cell frame is executed twice here (the range exchange's
+    // boundary sampling runs its child once more than the shuffle
+    // write) — a caller whose cells are expensive or reused downstream
+    // should persist them BEFORE calling (calcMadFences and the
+    // CacheRegistry users do); an unconditional persist here measured
+    // NET-NEGATIVE for one-shot callers with near-continuous columns
+    // (q_fence_cap 3.4 → 9.1 s at 100×: materializing a ~10M-cell cache
+    // costs more than re-running the codegen melt+fold).
+    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+      cells, keys :+ "__qc", "__v", Seq("__c"))
 
     // broadcast the (tiny) totals back onto the cell stream; null-safe
     // on the key columns — null strata are groups

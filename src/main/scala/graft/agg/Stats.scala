@@ -155,27 +155,48 @@ object Stats {
     val eps = precision
     val acc = math.max(1, math.round(1.0 / precision)).toInt
     val psSql = ps.mkString("array(", ", ", ")")
-    val pass1Aggs = cols.flatMap { c => Seq(
-      expr(s"approx_percentile($c, $psSql, $acc)").as(s"__pa_$c"),
-      count(col(c)).as(s"__n_$c")) // non-null count: the sketch's universe
+    val pass1Aggs = cols.map { c =>
+      expr(s"approx_percentile($c, $psSql, $acc)").as(s"__pa_$c")
     }
     val pass1 = grouped(df, strata).agg(pass1Aggs.head, pass1Aggs.tail: _*)
-    val joined =
-      if (strata.isEmpty) df.crossJoin(broadcast(pass1))
-      else joinOnStrata(df, pass1, strata, bcastRight = true)
-    val pass2Aggs = (for { c <- cols; (p, i) <- ps.zipWithIndex } yield {
-      val v = element_at(col(s"__pa_$c"), i + 1)
-      Seq(
-        sum((col(c) < v).cast("long")).as(s"__lt_${c}_$i"),
-        sum((col(c) <= v).cast("long")).as(s"__le_${c}_$i"))
-    }).flatten ++ cols.map { c =>
-      first(col(s"__n_$c")).as(s"__n_$c")
-    }
     // exact values ride the shared sort path (SortedQuantiles), NOT a
     // buffering aggregate inside pass 2 — this row's exact twin was the
-    // q_median_approx funnel at 100× scale
-    val exact = SortedQuantiles.of(df, strata,
-      cols.map(c => SortedQuantiles.Req(s"__pe_$c", col(c), ps)))
+    // q_median_approx funnel at 100× scale. The rank counts below reuse
+    // the SAME cell frame: count(x < v) is a sum of cell counts over
+    // cells with __v < v, so pass 2 aggregates the (tiny, cached) cells
+    // instead of re-scanning the corpus — two corpus scans total (the
+    // GK sketch pass and the cell fold), was three. The cell cache is
+    // consumed by the returned lazy plan, hence CacheRegistry lifecycle
+    // (the fuzzy/basket convention), not an in-method unpersist.
+    val reqs = cols.map(c => SortedQuantiles.Req(s"__pe_$c", col(c), ps))
+    val cells = graft.util.CacheRegistry.cached("percentileApproxCheck.cells",
+      SortedQuantiles.cellsOf(df, strata, reqs))
+    val exact = SortedQuantiles.ofCounts(cells, strata, reqs)
+    val joined =
+      if (strata.isEmpty) cells.crossJoin(broadcast(pass1))
+      else joinOnStrata(cells, pass1, strata, bcastRight = true)
+    val colIdx = cols.zipWithIndex.toMap
+    val pass2Aggs = (for { c <- cols; (p, i) <- ps.zipWithIndex } yield {
+      val v = element_at(col(s"__pa_$c"), i + 1)
+      val j = colIdx(c)
+      // inner when: a cell whose value fails the comparison contributes
+      // 0 (the old per-row sum counted a false comparison as 0); a NULL
+      // sketch value only occurs when the column has no cells at all,
+      // where the outer when never fires and the sum stays null — both
+      // match the per-row form's null propagation
+      Seq(
+        sum(when(col("__qc") === j,
+            when(col("__v") < v, col("__c")).otherwise(lit(0.0))))
+          .cast("long").as(s"__lt_${c}_$i"),
+        sum(when(col("__qc") === j,
+            when(col("__v") <= v, col("__c")).otherwise(lit(0.0))))
+          .cast("long").as(s"__le_${c}_$i"))
+    }).flatten ++ cols.map { c =>
+      // non-null count (the sketch's universe): cells exclude nulls, so
+      // the per-column cell-count sum IS count(col(c))
+      sum(when(col("__qc") === colIdx(c), col("__c")))
+        .cast("long").as(s"__n_$c")
+    }
     val pass2 = grouped(joined, strata).agg(pass2Aggs.head, pass2Aggs.tail: _*)
     val withExact =
       if (strata.isEmpty) pass2.crossJoin(broadcast(exact))
@@ -975,11 +996,23 @@ object Stats {
     val base = df.na.drop(groups :+ valueCol)
       .select(gc :+ v.as("__x"): _*)
     // exact cuts ride the shared sort path (no per-group buffers);
-    // approx cuts stay the mergeable GK sketch
+    // approx cuts stay the mergeable GK sketch. BOTH branches fold
+    // pass 2 over the distinct-value CELL frame rather than re-scanning
+    // the corpus: every sum/count below is a cell-count-weighted fold
+    // (sum x = Σ v·c, counts = Σ c over the predicate's cells), so the
+    // corpus is read once for the cells (plus once for the GK sketch in
+    // approx mode). Float caveat: Σ v·c groups equal values into one
+    // multiply instead of c additions — a (deterministic) change of
+    // summation order, which the scaladoc already excludes from any bit
+    // contract for continuous columns; integer-valued columns (the
+    // oracle rows) are exact in any order. The cell cache is consumed
+    // by the returned lazy plan → CacheRegistry lifecycle.
+    val reqs = Seq(SortedQuantiles.Req("__q", col("__x"), Seq(p, 1.0 - p)))
+    val cells = graft.util.CacheRegistry.cached("robustMean.cells",
+      SortedQuantiles.cellsOf(base, groups, reqs))
     val cuts =
       if (accuracy == 0)
-        SortedQuantiles.of(base, groups,
-            Seq(SortedQuantiles.Req("__q", col("__x"), Seq(p, 1.0 - p))))
+        SortedQuantiles.ofCounts(cells, groups, reqs)
           .select(gc ++ Seq(col("__q").getItem(0).as("q_lo"),
             col("__q").getItem(1).as("q_hi")): _*)
       else base.groupBy(gc: _*)
@@ -994,15 +1027,18 @@ object Stats {
     // integer-valued columns the whole row replays BIT-FOR-BIT in any
     // engine (a per-row clamped avg() mixes quantile fractions into
     // the accumulation and goes sum-order-dependent)
-    base.join(cuts, groups)
+    val inRange = col("__v") >= col("q_lo") && col("__v") <= col("q_hi")
+    cells.join(broadcast(cuts), groups)
       .groupBy(gc: _*)
-      .agg(count(lit(1)).as("n"), sum("__x").as("__s"),
-        sum(when(col("__x") >= col("q_lo") &&
-          col("__x") <= col("q_hi"), col("__x"))).as("__ts"),
-        count(when(col("__x") >= col("q_lo") &&
-          col("__x") <= col("q_hi"), lit(1))).as("__tn"),
-        count(when(col("__x") < col("q_lo"), lit(1))).as("__nlo"),
-        count(when(col("__x") > col("q_hi"), lit(1))).as("__nhi"),
+      .agg(sum(col("__c")).cast("long").as("n"),
+        sum(col("__v") * col("__c")).as("__s"),
+        sum(when(inRange, col("__v") * col("__c"))).as("__ts"),
+        sum(when(inRange, col("__c")).otherwise(lit(0.0)))
+          .cast("long").as("__tn"),
+        sum(when(col("__v") < col("q_lo"), col("__c")).otherwise(lit(0.0)))
+          .cast("long").as("__nlo"),
+        sum(when(col("__v") > col("q_hi"), col("__c")).otherwise(lit(0.0)))
+          .cast("long").as("__nhi"),
         first("q_lo").as("q_lo"), first("q_hi").as("q_hi"))
       .select(gc ++ Seq(col("n"),
         (col("__s") / col("n")).as("mean"),

@@ -177,28 +177,54 @@ object Clean {
   }
 
   /** Count of Tukey outliers per column, optionally per stratum
-    * (reference `outliers`, dataframe.py:544-576). Fences are learned in a
-    * first (tiny-result) agg; counting is ONE scan with the fences either
-    * inlined as literals (global) or broadcast-joined on strata keys. */
+    * (reference `outliers`, dataframe.py:544-576). The fences AND the
+    * counting share ONE corpus scan: both derive from the distinct-value
+    * cell frame (fences via the sort-based exact quantiles, counts as a
+    * cell-count-weighted fold over the out-of-range cells) — the corpus
+    * itself is never read a second time. The cell cache is consumed by
+    * the returned lazy plan → CacheRegistry lifecycle. */
   def outlierCounts(df: DataFrame, cols: Seq[String], k: Double = 1.5,
                     strata: Seq[String] = Nil): DataFrame = {
-    val fences = calcFences(df, cols, k, strata)
+    val reqs = cols.map(c =>
+      graft.agg.SortedQuantiles.Req(s"__q_$c", col(c), Seq(0.25, 0.75)))
+    val cells = graft.util.CacheRegistry.cached("outlierCounts.cells",
+      graft.agg.SortedQuantiles.cellsOf(df, strata, reqs))
+    val q = graft.agg.SortedQuantiles.ofCounts(cells, strata, reqs)
+    val colIdx = cols.zipWithIndex.toMap
+    // a cell failing the fence test contributes 0 (the per-row sum
+    // counted a false comparison as 0); a column with no cells in a
+    // group sums to null — both match the raw-scan form
+    def outAgg(c: String, lo: Column, hi: Column) =
+      sum(when(col("__qc") === colIdx(c),
+          when(col("__v") < lo || col("__v") > hi, col("__c"))
+            .otherwise(lit(0.0))))
+        .cast("long").as(c)
     if (strata.isEmpty) {
-      val row = fences.head()
+      val row = q.head()
       val aggs = cols.map { c =>
-        val lo = row.getAs[Double](s"${c}_lfence")
-        val hi = row.getAs[Double](s"${c}_ufence")
-        sum((col(c) < lit(lo) || col(c) > lit(hi)).cast("long")).as(c)
+        // a null array = no non-null values for c, hence no cells with
+        // its __qc either: null bounds keep the count null (old form)
+        Option(row.getSeq[Double](row.fieldIndex(s"__q_$c"))) match {
+          case Some(arr) =>
+            val (q1, q3) = (arr(0), arr(1))
+            val iqr = q3 - q1
+            outAgg(c, lit(q1 - k * iqr), lit(q3 + k * iqr))
+          case None =>
+            outAgg(c, lit(null).cast("double"), lit(null).cast("double"))
+        }
       }
-      df.agg(aggs.head, aggs.tail: _*)
+      cells.agg(aggs.head, aggs.tail: _*)
     } else {
-      val fsel = strata.map(col) ++ cols.flatMap(c =>
-        Seq(col(s"${c}_lfence"), col(s"${c}_ufence")))
-      val joined = df.join(broadcast(fences.select(fsel: _*)), strata)
-      val aggs = cols.map { c =>
-        sum((col(c) < col(s"${c}_lfence") || col(c) > col(s"${c}_ufence"))
-          .cast("long")).as(c)
-      }
+      val fences = q.select(strata.map(col) ++ cols.flatMap { c =>
+        val q1 = element_at(col(s"__q_$c"), 1)
+        val q3 = element_at(col(s"__q_$c"), 2)
+        val iqr = q3 - q1
+        Seq((q1 - lit(k) * iqr).as(s"${c}_lfence"),
+          (q3 + lit(k) * iqr).as(s"${c}_ufence"))
+      }: _*)
+      val joined = cells.join(broadcast(fences), strata)
+      val aggs = cols.map(c =>
+        outAgg(c, col(s"${c}_lfence"), col(s"${c}_ufence")))
       joined.groupBy(strata.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
   }
@@ -221,46 +247,65 @@ object Clean {
     val spark = df.sparkSession
     import spark.implicits._
     graft.util.Errors.context("calcMadFences", cols) {
-      val medReqs = cols.map(c =>
-        graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5)))
-      val cells = graft.agg.SortedQuantiles.cellsOf(df, Nil, medReqs).persist()
-      try {
-        val medRow =
-          graft.agg.SortedQuantiles.ofCounts(cells, Nil, medReqs).head()
-        val med = cols.zipWithIndex.map { case (c, i) =>
-          c -> medRow.getSeq[Double](i)(0)
-        }.toMap
-        val medByQc = element_at(
-          array(cols.map(c => lit(med(c))): _*), col("__qc") + 1)
-        val devCells = cells
-          .withColumn("__v", abs(col("__v") - medByQc))
-          .groupBy(col("__qc"), col("__v"))
-          .agg(sum(col("__c")).as("__c"))
-        val madReqs = cols.map(c =>
-          graft.agg.SortedQuantiles.Req(s"__d_$c", col(c), Seq(0.5)))
-        val madRow =
-          graft.agg.SortedQuantiles.ofCounts(devCells, Nil, madReqs).head()
-        cols.zipWithIndex.map { case (c, i) =>
-          val m = med(c)
-          val mad = madRow.getSeq[Double](i)(0)
-          val spread = k * 1.4826 * mad
-          (c, m, mad, m - spread, m + spread)
-        }.toDF("col_name", "median", "mad", "lfence", "ufence")
-      } finally cells.unpersist(blocking = false)
+      val cells = graft.agg.SortedQuantiles
+        .cellsOf(df, Nil, madCellReqs(cols)).persist()
+      try madFenceTuples(cells, cols, k)
+        .toDF("col_name", "median", "mad", "lfence", "ufence")
+      finally cells.unpersist(blocking = false)
+    }
+  }
+
+  private def madCellReqs(cols: Seq[String]) = cols.map(c =>
+    graft.agg.SortedQuantiles.Req(s"__m_$c", col(c), Seq(0.5)))
+
+  /** Median/MAD/fence tuples off a pre-built value-cell frame — both
+    * quantile passes run over cells only (the deviation cells fold off
+    * the value cells), so a caller that also needs the cells afterwards
+    * (madOutlierCounts counts against them) pays ONE corpus scan. */
+  private def madFenceTuples(cells: DataFrame, cols: Seq[String], k: Double)
+      : Seq[(String, Double, Double, Double, Double)] = {
+    val medRow = graft.agg.SortedQuantiles
+      .ofCounts(cells, Nil, madCellReqs(cols)).head()
+    val med = cols.zipWithIndex.map { case (c, i) =>
+      c -> medRow.getSeq[Double](i)(0)
+    }.toMap
+    val medByQc = element_at(
+      array(cols.map(c => lit(med(c))): _*), col("__qc") + 1)
+    val devCells = cells
+      .withColumn("__v", abs(col("__v") - medByQc))
+      .groupBy(col("__qc"), col("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    val madReqs = cols.map(c =>
+      graft.agg.SortedQuantiles.Req(s"__d_$c", col(c), Seq(0.5)))
+    val madRow =
+      graft.agg.SortedQuantiles.ofCounts(devCells, Nil, madReqs).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val m = med(c)
+      val mad = madRow.getSeq[Double](i)(0)
+      val spread = k * 1.4826 * mad
+      (c, m, mad, m - spread, m + spread)
     }
   }
 
   /** Count of median/MAD outliers per column — [[outlierCounts]]'s robust
-    * sibling: fences learned in the two tiny-result aggs above, counting
-    * is ONE scan with the bounds inlined as literals. */
+    * sibling. Fences AND counting share one value-cell frame, so the
+    * corpus is scanned ONCE (the counting is a cell-count-weighted fold
+    * with the bounds inlined as literals; the returned plan consumes the
+    * cell cache → CacheRegistry lifecycle). */
   def madOutlierCounts(df: DataFrame, cols: Seq[String],
                        k: Double = 3.0): DataFrame = {
-    val fences = calcMadFences(df, cols, k).collect()
-      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val cells = graft.util.CacheRegistry.cached("madOutlierCounts.cells",
+      graft.agg.SortedQuantiles.cellsOf(df, Nil, madCellReqs(cols)))
+    val fences = madFenceTuples(cells, cols, k)
+      .map(t => t._1 -> (t._4, t._5)).toMap
+    val colIdx = cols.zipWithIndex.toMap
     val aggs = cols.map { c =>
       val (lo, hi) = fences(c)
-      sum((col(c) < lit(lo) || col(c) > lit(hi)).cast("long")).as(c)
+      sum(when(col("__qc") === colIdx(c),
+          when(col("__v") < lit(lo) || col("__v") > lit(hi), col("__c"))
+            .otherwise(lit(0.0))))
+        .cast("long").as(c)
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    cells.agg(aggs.head, aggs.tail: _*)
   }
 }
