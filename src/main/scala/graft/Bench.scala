@@ -21,12 +21,12 @@ object Bench {
     // the per-row envelope: r7-r9 steady 0.36-0.75 + margin, r10
     // best-of-4 campaign normalized 0.85 (NOTES r10 bands table)
     "q_stratify_rewritten" -> (0.34, 1.10),
-    // floor widened r9: measured 0.273 steady (fast direction).
-    // Ceiling had been widened to 0.90 on a ~1.45x container (raw
-    // 0.807 → normalized ~0.56); re-tightened post-calibration to the
-    // r8 drift envelope (0.40-0.53) + margin; r10 campaign normalized
-    // 0.65
-    "q_fence_cap"          -> (0.22, 0.75),
+    // re-based r14: the exact-quantile family moved from the buffering
+    // ExactPercentile funnel to the sort-based SortedQuantiles path
+    // (add9f78) — deliberate gate-scale cost for the 100-TB memory
+    // story (sf10d 17x -> 2.9x). Observations: 1.17 idle best-of-4,
+    // 1.19 in-suite (/1.1 calibration); lo = 0.7*min, hi = 1.35*max
+    "q_fence_cap"          -> (0.82, 1.61),
     "q_mahalanobis"        -> (0.90, 2.15),
     "q_multimodal"         -> (0.50, 1.50),
     // floor widened r9 third session (0.337) and again sixth session
@@ -59,7 +59,9 @@ object Bench {
     // the steady state 2.9 -> ~1.2-1.4 s (normalized 1.14 driver-style
     // bench, 1.23 idle best-of-4); lo = 0.7*min, hi = 1.35*max
     "q_basket_rules"       -> (0.80, 1.66),
-    "q_mann_kendall"       -> (0.79, 5.01),
+    // floor re-based r14 (r13 below_floor advisory: the row got FASTER;
+    // driver 0.783 normalized, r14 in-suite 0.75): lo = 0.7*0.75
+    "q_mann_kendall"       -> (0.53, 5.01),
     "q_dsir_sample"        -> (1.26, 4.00),
     "q_substr_fraction"    -> (1.87, 3.83),
     "q_substr_index"       -> (1.58, 3.39),
@@ -77,7 +79,12 @@ object Bench {
     "q_wasserstein_binned" -> (1.05, 2.67),
     "q_cc_split"           -> (1.16, 2.50),
     "q_dedup_cc_keep"      -> (1.16, 2.69),
-    "q_geo_index"          -> (0.97, 2.86),
+    // hi widened r14: idle best-of-4 is 1.84 normalized (in-band) but
+    // one in-suite observation hit 4.83 — the row writes+reads a fresh
+    // parquet index per run and is disk-state-sensitive late in a
+    // 352-row suite (the q_json_extract in-suite-contention family);
+    // band spans both states per the r11 convention (1.35*4.83)
+    "q_geo_index"          -> (0.97, 6.52),
     "q_corr_spearman"      -> (1.03, 2.54))
 
   /** Container-speed calibration references (seconds at sf0.1): the
@@ -99,7 +106,10 @@ object Bench {
     "q_cc_update"     -> 3.00,
     "q_dsir"          -> 2.35,
     "q_substr_spans"  -> 2.37,
-    "q_median_approx" -> 1.96,
+    // updated r14: rank counts folded onto the shared quantile cell
+    // frame (3 corpus scans -> 2); in-suite 1.90 observed / 1.1
+    // factor from the other nine refs
+    "q_median_approx" -> 1.73,
     "q_pq_persist"    -> 1.94,
     "q_weighted_pctl" -> 1.91,
     "q_salted_join"   -> 1.74,
