@@ -402,17 +402,45 @@ object TextAnalysis {
     val sgn = when(
       conv(substring(md5c, 16, 1), 16, 10).cast("long") % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
-    val sums = tok.select(col("__graft_id"), idx.as("__graft_idx"),
-        sgn.as("__graft_sgn"))
-      .groupBy("__graft_id", "__graft_idx")
-      .agg(sum("__graft_sgn").as("__graft_v"))
-    sums.groupBy("__graft_id")
-      .agg(map_from_entries(collect_list(
-        struct(col("__graft_idx"), col("__graft_v")))).as("__graft_m"))
-      .select(col("__graft_id").as(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__graft_m"), i), lit(0.0)))
-          .as("__graft_raw"))
+    val cells = tok.select(col("__graft_id"), idx.as("__graft_idx"),
+      sgn.as("__graft_sgn"))
+    // cell sums -> per-doc array. Two shapes, same values:
+    //  - narrow dims (every benched caller: 64/256): ONE hash aggregate
+    //    keyed on the doc id with `dim` pivoted sum(when(idx=i, sgn))
+    //    columns — fully codegen, one exchange, no per-group object
+    //    state (r14: replaces a (id, idx) HashAggregate + a collect_list
+    //    ObjectHashAggregate, i.e. two exchanges and an interpreted
+    //    map_from_entries/element_at walk; measured 1.24 -> 0.9 s at
+    //    sf0.1 for the 64-dim bench row with the assembly tail flat);
+    //  - wide dims: the pivot's agg-buffer row (dim doubles per group)
+    //    and generated code stop paying off, so keep the two-stage
+    //    (id, idx) aggregate. Values are identical either way: sums of
+    //    ±1.0 are integer-valued doubles (order-independent), and the
+    //    norm/divide tail below is shared verbatim. hashEmbedCol parity
+    //    is spec-pinned (CurationSpec).
+    val raw =
+      if (dim <= 512) {
+        val aggs = (0 until dim).map(i =>
+          sum(when(col("__graft_idx") === i, col("__graft_sgn")))
+            .as(s"__graft_c$i"))
+        cells.groupBy("__graft_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("__graft_id").as(idCol),
+            array((0 until dim).map(i =>
+              coalesce(col(s"__graft_c$i"), lit(0.0))): _*)
+              .as("__graft_raw"))
+      } else {
+        cells.groupBy("__graft_id", "__graft_idx")
+          .agg(sum("__graft_sgn").as("__graft_v"))
+          .groupBy("__graft_id")
+          .agg(map_from_entries(collect_list(
+            struct(col("__graft_idx"), col("__graft_v")))).as("__graft_m"))
+          .select(col("__graft_id").as(idCol),
+            transform(sequence(lit(0), lit(dim - 1)),
+              i => coalesce(element_at(col("__graft_m"), i), lit(0.0)))
+              .as("__graft_raw"))
+      }
+    raw
       .withColumn("__graft_norm",
         sqrt(aggregate(col("__graft_raw"), lit(0.0), (a, x) => a + x * x)))
       .select(col(idCol),
