@@ -195,11 +195,8 @@ object SubstringDedup {
       .agg(sort_array(collect_list(struct(
         col("span_start").cast("long").as("s"),
         col("span_end").cast("long").as("e")))).as("__graft_sp"))
-    // rename the join key: the caller's idCol may itself be "doc_id"
-    val out = df.na.drop(Seq(idCol, textCol))
-      .join(segs.select(col("doc_id").as("__rid"), col("__graft_sp")),
-        col(idCol).cast("long") === col("__rid"), "left")
-    val t = col(textCol).cast("string")
+    val docs = prep(df, idCol, textCol)
+    val t = col("__t")
     val sp = col("__graft_sp")
     // gap before span i (0-based): (prev end + 1) .. (start - 1); the
     // i = 0 gap is the head segment. Zero-length gaps contribute "".
@@ -216,10 +213,24 @@ object SubstringDedup {
     val tailPiece = when(tailLen > 0,
       t.substr((lastEnd + lit(1L)).cast("int"), tailLen.cast("int")))
       .otherwise(lit(""))
-    val rebuilt = concat(array_join(gaps, ""), tailPiece)
+    // Rebuild on the JOIN'S BUILD SIDE — one inner join restricted to
+    // docs that HAVE spans, projected to (doc_id, rebuilt text). The
+    // final attach below then carries PRE-COMPUTED strings, so a
+    // downstream range sort's boundary-sampling job re-executes only a
+    // scan + hash probe, not the substr/concat walk (r14: with the
+    // rebuild inlined in the final projection, q_substr_dedup's
+    // orderBy evaluated it twice — 12.8 -> 22.5 s at sf1d; this shape
+    // restores the one-evaluation property the old piece-aggregate had).
+    val rewritten = docs
+      .join(segs, docs("__id") === segs("doc_id"))
+      .select(col("doc_id").as("__rid"),
+        concat(array_join(gaps, ""), tailPiece).as("__new"))
+    // rename the join key: the caller's idCol may itself be "doc_id"
+    val out = df.na.drop(Seq(idCol, textCol))
+      .join(rewritten, col(idCol).cast("long") === col("__rid"), "left")
     out.select(df.columns.map {
       case c if c == textCol =>
-        when(col("__rid").isNull, col(textCol)).otherwise(rebuilt).as(c)
+        coalesce(col("__new"), col(textCol)).as(c)
       case c => col(c)
     }.toIndexedSeq: _*)
   }

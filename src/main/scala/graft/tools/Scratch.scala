@@ -4,11 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage decomposition for the query under diagnosis (scratch —
-  * contents change per investigation). Currently: r14 optimization-round
-  * anatomy of the SortedQuantiles/RangeCum sort path at gate scale (the
-  * quantile family regressed 2-5x at sf0.1 when the buffering
-  * ExactPercentile funnel moved to the sort path — find out which stage
-  * of the sort path carries the constant). */
+  * contents change per investigation). Currently: q_cc_update anatomy —
+  * the heaviest idle row after the r14 session-1 fixes (3.1 s idle at
+  * sf0.1): how much is the ngram pair pipeline, the base CC, the
+  * incremental fold, and the output sort. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -30,68 +29,38 @@ object Scratch {
       System.gc()
     }
 
-    def time(name: String, runs: Int = 2)(mk: => DataFrame): Unit = {
-      clearAll()
-      mk.write.format("noop").mode("overwrite").save() // warm-up
+    def documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    def mkPairs = graft.pipeline.Dedup
+      .ngramJaccard(documents, "doc_id", "text", 3, maxDf = 20)
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b")
+
+    def timeStage(name: String, runs: Int = 2)(body: => Unit): Unit = {
+      clearAll(); body // warm-up
       val ts = (1 to runs).map { _ =>
         clearAll()
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime(); body
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-34s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
-    }
-    // eager variants (RangeCum runs jobs at build time)
-    def timeEager(name: String, runs: Int = 2)(mk: => Unit): Unit = {
-      clearAll()
-      mk // warm-up
-      val ts = (1 to runs).map { _ =>
-        clearAll()
-        val t0 = System.nanoTime()
-        mk
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-34s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"$name%-30s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
-
-    import graft.agg.SortedQuantiles
-    val reqs = Seq(SortedQuantiles.Req("__q_l_extendedprice",
-      col("l_extendedprice"), Seq(0.25, 0.75)))
-    def cells = SortedQuantiles.cellsOf(lineitem, Nil, reqs)
-    val np = spark.sessionState.conf.numShufflePartitions
-
-    time("A_cells_noop")(cells)
-    time("B_cells_rangesorted_noop")(
-      cells.repartitionByRange(np, col("__qc"), col("__v").asc)
-        .sortWithinPartitions(col("__qc"), col("__v").asc))
-    timeEager("C_rangecum_pass1_only") {
-      // what cumSumWithTotals does eagerly: sort + .rdd subtotal collect
-      val sorted = cells.repartitionByRange(np, col("__qc"), col("__v").asc)
-        .sortWithinPartitions(col("__qc"), col("__v").asc)
-      val rdd = sorted.rdd
-      rdd.mapPartitionsWithIndex { (pi, it) =>
-        var c = 0.0
-        while (it.hasNext) { c += it.next().getDouble(2); }
-        Iterator.single((pi, c))
-      }.collect()
-      ()
+    timeStage("1_pairs_noop") {
+      mkPairs.write.format("noop").mode("overwrite").save()
     }
-    timeEager("D_cumsum_build_plus_noop") {
-      val (cum, _) = graft.util.RangeCum.cumSumWithTotals(
-        cells, Seq("__qc"), "__v", Seq("__c"))
-      cum.write.format("noop").mode("overwrite").save()
+    timeStage("2_pairs_cached_count") {
+      val p = mkPairs.cache(); p.count(); ()
     }
-    timeEager("E_sortedq_of_build_plus_noop") {
-      SortedQuantiles.of(lineitem, Nil, reqs)
+    timeStage("3_cc_base_only") {
+      val p = mkPairs.cache()
+      val base = p.filter((col("id_a") + col("id_b")) % 2 === 0)
+      graft.pipeline.Components.connectedComponents(base)
         .write.format("noop").mode("overwrite").save()
     }
-    time("F_q_fence_cap")(graft.Queries.queries("q_fence_cap")(spark, sfDir))
-    time("G_q_stratify_quantile")(
-      graft.Queries.queries("q_stratify_quantile")(spark, sfDir))
-    time("H_q_percentiles")(graft.Queries.queries("q_percentiles")(spark, sfDir))
-
+    timeStage("4_full_cc_update") {
+      graft.Queries.queries("q_cc_update")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
