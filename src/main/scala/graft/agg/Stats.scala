@@ -1189,11 +1189,19 @@ object Stats {
     val cells = df.na.drop(keys :+ valueCol)
       .groupBy((keys.map(col) :+ x.as("__v")): _*)
       .agg(count(lit(1)).cast("double").as("__c"))
-    val cum = graft.util.RangeCum.cumSum(cells, keys, "__v", Seq("__c"))
-    val withN = cum.withColumn("__n",
-      max("__cum___c").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)))
+    // per-key n from cumSumWithTotals' driver-built totals (broadcast
+    // join) — the previous max().over(partitionBy(keys)) re-shuffled the
+    // whole cell frame into #keys partitions (one straggler per key at
+    // scale); totals are the same integer-double sums bit-for-bit
+    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+      cells, keys, "__v", Seq("__c"))
+    val tot = totals.withColumnRenamed("__tot___c", "__n")
+    val totRenamed = keys.foldLeft(tot)((d, k) =>
+      d.withColumnRenamed(k, s"__t_$k"))
+    val joinCond = keys.map(k =>
+      cum(k) <=> totRenamed(s"__t_$k")).reduce(_ && _)
+    val withN = cum.join(broadcast(totRenamed), joinCond)
+      .drop(keys.map(k => s"__t_$k"): _*)
     def nameOf(p: Double): String = "q_" + p.toString.replace('.', '_')
     // rank r = p(n-1) zero-based -> covering positions r+1 (lo) and
     // r+2 (hi, clamped); frac = r - floor(r)

@@ -224,10 +224,17 @@ object InferenceTests {
     val cells = df.filter(x.isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("__bf_g"), x.as("__v"))
       .agg(count(lit(1)).cast("double").as("__c"))
-    val cum = graft.util.RangeCum.cumSum(cells, Seq("__bf_g"), "__v",
-      Seq("__c"))
-    val withN = cum.withColumn("__n",
-      max("__cum___c").over(Window.partitionBy("__bf_g")))
+    // per-group n comes from cumSumWithTotals' driver-built totals frame
+    // (broadcast join) — the previous max().over(partitionBy(group))
+    // re-shuffled the ENTIRE cell frame into k partitions (k ≈ groups),
+    // a one-straggler-per-group wall at scale; the totals are the same
+    // integer-double sums bit-for-bit
+    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+      cells, Seq("__bf_g"), "__v", Seq("__c"))
+    val tot = totals.withColumnRenamed("__tot___c", "__n")
+      .withColumnRenamed("__bf_g", "__t_bf_g")
+    val withN = cum.join(broadcast(tot),
+      col("__bf_g") <=> col("__t_bf_g")).drop("__t_bf_g")
     def valueAt(pos: Column): Column =
       when(col("__cum___c") >= pos &&
         col("__cum___c") - col("__c") < pos, col("__v"))

@@ -1,13 +1,20 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Ad-hoc stage decomposition for the query under diagnosis (scratch —
-  * contents change per investigation). Currently: q_cc_update anatomy —
-  * the heaviest idle row after the r14 session-1 fixes (3.1 s idle at
-  * sf0.1): how much is the ngram pair pipeline, the base CC, the
-  * incremental fold, and the output sort. */
+  * contents change per investigation). Currently: interleaved same-JVM
+  * A/B of RangeCum's InternalRow rewrite vs the previous Row-boxed
+  * two-pass implementation (inlined below as RangeCumRowAB), on the two
+  * shapes the engine actually feeds it: a global continuous-value cell
+  * frame (l_extendedprice: distinct ≈ n, the Mann-Whitney/conformal/
+  * wasserstein shape) and a keyed strata cell frame (the
+  * SortedQuantiles (keys, __qc) shape). Interleaving inside one JVM is
+  * the only honest comparison on this container (idle best-of-N across
+  * JVMs drifted 25% on identical code within an hour).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -29,38 +36,137 @@ object Scratch {
       System.gc()
     }
 
-    def documents = spark.read.parquet(s"$sfDir/documents.parquet")
-    def mkPairs = graft.pipeline.Dedup
-      .ngramJaccard(documents, "doc_id", "text", 3, maxDf = 20)
-      .filter(col("jaccard") >= 0.3)
-      .select("id_a", "id_b")
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // global continuous shape: ~distinct-per-row cells
+    def cellsGlobal = li
+      .groupBy(col("l_extendedprice").cast("double").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    // keyed strata shape: (returnflag, linestatus) strata over quantity
+    def cellsKeyed = li
+      .groupBy(col("l_returnflag").as("k1"), col("l_linestatus").as("k2"),
+        col("l_quantity").cast("double").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
 
-    def timeStage(name: String, runs: Int = 2)(body: => Unit): Unit = {
-      clearAll(); body // warm-up
-      val ts = (1 to runs).map { _ =>
-        clearAll()
-        val t0 = System.nanoTime(); body
-        (System.nanoTime() - t0) / 1e9
+    def runOne(tag: String, impl: String): Double = {
+      clearAll()
+      val t0 = System.nanoTime()
+      val out = (tag, impl) match {
+        case ("global", "new") =>
+          graft.util.RangeCum.cumSum(cellsGlobal, Nil, "__v", Seq("__c"))
+        case ("global", "old") =>
+          RangeCumRowAB.cumSum(cellsGlobal, Nil, "__v", Seq("__c"))
+        case ("keyed", "new") =>
+          graft.util.RangeCum.cumSum(cellsKeyed, Seq("k1", "k2"), "__v", Seq("__c"))
+        case ("keyed", "old") =>
+          RangeCumRowAB.cumSum(cellsKeyed, Seq("k1", "k2"), "__v", Seq("__c"))
+        case _ => sys.error("bad tag")
       }
-      println(f"$name%-30s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      out.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
 
-    timeStage("1_pairs_noop") {
-      mkPairs.write.format("noop").mode("overwrite").save()
+    // parity check first: identical results bit-for-bit
+    Seq(("global", Nil), ("keyed", Seq("k1", "k2"))).foreach { case (tag, keys) =>
+      val n = runOne(tag, "new"); val o = runOne(tag, "old") // warm both paths
+      val newDf = if (tag == "global")
+        graft.util.RangeCum.cumSum(cellsGlobal, Nil, "__v", Seq("__c"))
+      else graft.util.RangeCum.cumSum(cellsKeyed, keys, "__v", Seq("__c"))
+      val oldDf = if (tag == "global")
+        RangeCumRowAB.cumSum(cellsGlobal, Nil, "__v", Seq("__c"))
+      else RangeCumRowAB.cumSum(cellsKeyed, keys, "__v", Seq("__c"))
+      val diff = newDf.exceptAll(oldDf).count() + oldDf.exceptAll(newDf).count()
+      println(s"parity $tag: exceptAll diff rows = $diff (warm new=$n old=$o)")
     }
-    timeStage("2_pairs_cached_count") {
-      val p = mkPairs.cache(); p.count(); ()
-    }
-    timeStage("3_cc_base_only") {
-      val p = mkPairs.cache()
-      val base = p.filter((col("id_a") + col("id_b")) % 2 === 0)
-      graft.pipeline.Components.connectedComponents(base)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timeStage("4_full_cc_update") {
-      graft.Queries.queries("q_cc_update")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+
+    // interleaved rounds
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    Seq("global", "keyed").foreach { tag =>
+      val ns = scala.collection.mutable.ArrayBuffer[Double]()
+      val os = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to rounds).foreach { _ =>
+        ns += runOne(tag, "new")
+        os += runOne(tag, "old")
+      }
+      def fmt(xs: Seq[Double]) =
+        f"best=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f runs=${xs.map(x => f"$x%.3f").mkString(",")}"
+      println(s"$tag NEW ${fmt(ns.toSeq)}")
+      println(s"$tag OLD ${fmt(os.toSeq)}")
     }
     spark.stop()
+  }
+}
+
+/** The pre-r14 Row-boxed RangeCum, frozen for the A/B above. */
+object RangeCumRowAB {
+  def cumSum(df: DataFrame, keys: Seq[String], orderCol: String,
+             sumCols: Seq[String], ascending: Boolean = true,
+             maxDriverEntries: Int = 4000000): DataFrame = {
+    require(sumCols.nonEmpty, "RangeCum.cumSum needs at least one sum column")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val ocol = if (ascending) col(orderCol).asc else col(orderCol).desc
+    val sortCols = keys.map(col) :+ ocol
+    val sorted = df.repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val sumIdx = sumCols.map(schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    def rowKey(r: Row): Seq[Any] = keyIdx.toSeq.map(r.get)
+    def numAt(r: Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0
+      else r.get(i) match {
+        case n: java.lang.Number => n.doubleValue()
+        case b: Boolean          => if (b) 1.0 else 0.0
+        case other => throw new IllegalArgumentException(
+          s"RangeCum: non-numeric value $other in sum column")
+      }
+    val subtotals = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], Array[Double]]
+      it.foreach { r =>
+        val t = m.getOrElseUpdate(rowKey(r), new Array[Double](sumIdx.length))
+        var i = 0
+        while (i < sumIdx.length) { t(i) += numAt(r, sumIdx(i)); i += 1 }
+      }
+      m.iterator.map { case (k, t) => (pi, k, t) }
+    }.collect()
+    require(subtotals.length <= maxDriverEntries, "too many subtotals")
+    val offsets: Map[Int, Map[Seq[Any], Array[Double]]] = {
+      val byPart = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[Seq[Any], Array[Double]]]
+      subtotals.groupBy(_._2).foreach { case (k, entries) =>
+        var acc = new Array[Double](sumIdx.length)
+        entries.sortBy(_._1).foreach { case (pi, _, tot) =>
+          byPart.getOrElseUpdate(pi,
+            scala.collection.mutable.Map.empty)(k) = acc
+          val next = new Array[Double](sumIdx.length)
+          var i = 0
+          while (i < sumIdx.length) { next(i) = acc(i) + tot(i); i += 1 }
+          acc = next
+        }
+      }
+      byPart.map { case (pi, m) => pi -> m.toMap }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(schema.fields ++
+      sumCols.map(c => StructField(s"__cum_$c", DoubleType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val partOffsets = bc.value.getOrElse(pi, Map.empty[Seq[Any], Array[Double]])
+      var curKey: Seq[Any] = null
+      var run: Array[Double] = null
+      it.map { r =>
+        val k = rowKey(r)
+        if (curKey == null || k != curKey) {
+          curKey = k
+          run = partOffsets.getOrElse(k,
+            new Array[Double](sumIdx.length)).clone()
+        }
+        var i = 0
+        while (i < sumIdx.length) { run(i) += numAt(r, sumIdx(i)); i += 1 }
+        Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 }

@@ -1,8 +1,11 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.graft.InternalRows
+import org.apache.spark.sql.types._
 
 /** Distributed cumulative sums over a value-ordered frame WITHOUT an
   * unpartitioned window — the range-sort + partition-offset scaffold
@@ -20,6 +23,18 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * shuffle emits every row with its running sums. Wall-clock is two
   * passes over shuffle files written once; memory is one row plus the
   * offset map everywhere.
+  *
+  * Both passes stay on `queryExecution.toRdd` (InternalRow): the `.rdd`
+  * formulation deserialized every sorted row into a boxed GenericRow on
+  * BOTH passes and re-encoded pass 2's output through the interpreted
+  * `createDataFrame(RDD[Row])` converter — measured ~1.4× slower for a
+  * doubles projection (see corrSpearman's decode note). The sorted
+  * iterator reuses its UnsafeRow buffer, so key values are copied
+  * (`InternalRow.copyValue`) before they outlive one `next()`: map
+  * inserts in pass 1, the current-group key in pass 2. Pass 2 emits one
+  * mutated JoinedRow per partition — safe because the planned
+  * RDDScanExec unsafe-projects every row before anything downstream
+  * can buffer it.
   *
   * Determinism contract: each emitted cum equals the sequential
   * in-order sum ONLY when the summed columns are integer-valued
@@ -41,6 +56,24 @@ object RangeCum {
              maxDriverEntries: Int = 4000000): DataFrame =
     cumSumWithTotals(df, keys, orderCol, sumCols, ascending,
       maxDriverEntries)._1
+
+  /** Null-safe double read of sum column `i` (null counts as 0). */
+  private def numGetter(dt: DataType, i: Int): InternalRow => Double = {
+    val get: InternalRow => Double = dt match {
+      case DoubleType    => r => r.getDouble(i)
+      case FloatType     => r => r.getFloat(i).toDouble
+      case IntegerType   => r => r.getInt(i).toDouble
+      case LongType      => r => r.getLong(i).toDouble
+      case ShortType     => r => r.getShort(i).toDouble
+      case ByteType      => r => r.getByte(i).toDouble
+      case BooleanType   => r => if (r.getBoolean(i)) 1.0 else 0.0
+      case d: DecimalType =>
+        r => r.getDecimal(i, d.precision, d.scale).toDouble
+      case other => throw new IllegalArgumentException(
+        s"RangeCum: non-numeric type $other in sum column")
+    }
+    r => if (r.isNullAt(i)) 0.0 else get(r)
+  }
 
   /** [[cumSum]] plus the PER-KEY GRAND TOTALS as a second (tiny, driver-
     * built) DataFrame — schema (keys…, `__tot_<c>` double per sum
@@ -65,25 +98,38 @@ object RangeCum {
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val keyIdx = keys.map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(schema.fields(_).dataType)
     val sumIdx = sumCols.map(schema.fieldIndex).toArray
-    val rdd = sorted.rdd // both passes reuse this sort's shuffle files
-    def rowKey(r: Row): Seq[Any] = keyIdx.toSeq.map(r.get)
-    def numAt(r: Row, i: Int): Double =
-      if (r.isNullAt(i)) 0.0
-      else r.get(i) match {
-        case n: java.lang.Number => n.doubleValue()
-        case b: Boolean          => if (b) 1.0 else 0.0
-        case other => throw new IllegalArgumentException(
-          s"RangeCum: non-numeric value $other in sum column")
+    val nSum = sumIdx.length
+    val num: Array[InternalRow => Double] =
+      sumIdx.map(i => numGetter(schema.fields(i).dataType, i))
+    val rdd = sorted.queryExecution.toRdd // both passes reuse this sort's shuffle files
+    // key values WITHOUT copying — valid only until the iterator's next()
+    def rawKey(r: InternalRow): Seq[Any] = {
+      val a = new Array[Any](keyIdx.length)
+      var i = 0
+      while (i < keyIdx.length) {
+        a(i) = if (r.isNullAt(keyIdx(i))) null else r.get(keyIdx(i), keyTypes(i))
+        i += 1
       }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
+    // deep-copied key, safe to hold across rows / ship to the driver
+    def copyKey(k: Seq[Any]): Seq[Any] =
+      k.map(v => if (v == null) null else InternalRow.copyValue(v))
     // pass 1: per-(partition, key) subtotals, in in-partition key order
     val subtotals = rdd.mapPartitionsWithIndex { (pi, it) =>
       val m = scala.collection.mutable.LinkedHashMap
         .empty[Seq[Any], Array[Double]]
       it.foreach { r =>
-        val t = m.getOrElseUpdate(rowKey(r), new Array[Double](sumIdx.length))
+        val kRaw = rawKey(r)
+        var t = m.getOrElse(kRaw, null)
+        if (t == null) {
+          t = new Array[Double](nSum)
+          m.update(copyKey(kRaw), t)
+        }
         var i = 0
-        while (i < sumIdx.length) { t(i) += numAt(r, sumIdx(i)); i += 1 }
+        while (i < nSum) { t(i) += num(i)(r); i += 1 }
       }
       m.iterator.map { case (k, t) => (pi, k, t) }
     }.collect()
@@ -96,13 +142,13 @@ object RangeCum {
       val byPart = scala.collection.mutable.Map
         .empty[Int, scala.collection.mutable.Map[Seq[Any], Array[Double]]]
       subtotals.groupBy(_._2).foreach { case (k, entries) =>
-        var acc = new Array[Double](sumIdx.length)
+        var acc = new Array[Double](nSum)
         entries.sortBy(_._1).foreach { case (pi, _, tot) =>
           byPart.getOrElseUpdate(pi,
             scala.collection.mutable.Map.empty)(k) = acc
-          val next = new Array[Double](sumIdx.length)
+          val next = new Array[Double](nSum)
           var i = 0
-          while (i < sumIdx.length) { next(i) = acc(i) + tot(i); i += 1 }
+          while (i < nSum) { next(i) = acc(i) + tot(i); i += 1 }
           acc = next
         }
       }
@@ -113,35 +159,46 @@ object RangeCum {
       sumCols.map(c => StructField(s"__cum_$c", DoubleType, nullable = false)))
     // pass 2: seed each key's running sums from its offset, emit per row
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
-      val partOffsets = bc.value.getOrElse(pi, Map.empty)
+      val partOffsets = bc.value.getOrElse(pi, Map.empty[Seq[Any], Array[Double]])
       var curKey: Seq[Any] = null
       var run: Array[Double] = null
+      val joined = new JoinedRow
       it.map { r =>
-        val k = rowKey(r)
-        if (curKey == null || k != curKey) {
-          curKey = k
-          run = partOffsets.getOrElse(k,
-            new Array[Double](sumIdx.length)).clone()
+        val kRaw = rawKey(r)
+        if (curKey == null || kRaw != curKey) {
+          curKey = copyKey(kRaw)
+          run = partOffsets.getOrElse(curKey,
+            new Array[Double](nSum)).clone()
         }
+        val cums = new GenericInternalRow(nSum)
         var i = 0
-        while (i < sumIdx.length) { run(i) += numAt(r, sumIdx(i)); i += 1 }
-        Row.fromSeq(r.toSeq ++ run.toSeq)
+        while (i < nSum) {
+          run(i) += num(i)(r)
+          cums.update(i, run(i))
+          i += 1
+        }
+        joined(r, cums): InternalRow
       }
     }
-    val cum = spark.createDataFrame(out, outSchema)
+    val cum = InternalRows.toDF(spark, out, outSchema)
     // grand totals per key: one more fold over the ALREADY-COLLECTED
-    // subtotal array — no cluster work
+    // subtotal array — no cluster work (keys are already internal-typed
+    // copies, so the totals frame goes through the InternalRow path too)
     val totSchema = StructType(keyIdx.map(schema.fields(_)) ++
       sumCols.map(c => StructField(s"__tot_$c", DoubleType, nullable = false)))
-    val totRows = subtotals.groupBy(_._2).map { case (k, entries) =>
-      val tot = new Array[Double](sumIdx.length)
+    val totRows: Seq[InternalRow] = subtotals.groupBy(_._2).map { case (k, entries) =>
+      val tot = new Array[Double](nSum)
       entries.foreach { case (_, _, t) =>
         var i = 0
-        while (i < sumIdx.length) { tot(i) += t(i); i += 1 }
+        while (i < nSum) { tot(i) += t(i); i += 1 }
       }
-      Row.fromSeq(k ++ tot.toSeq)
+      val vals = new Array[Any](k.length + nSum)
+      k.copyToArray(vals)
+      var i = 0
+      while (i < nSum) { vals(k.length + i) = tot(i); i += 1 }
+      new GenericInternalRow(vals): InternalRow
     }.toSeq
-    val totals = spark.createDataFrame(
+    val totals = InternalRows.toDF(spark,
       spark.sparkContext.parallelize(totRows, 1), totSchema)
     (cum, totals)
   }
