@@ -38,7 +38,7 @@ object BinaryMetrics {
     * exact totals of partitions 0..k-1) and the grand totals P and N. One
     * sort shuffle, reused by both the offsets pass and the caller's pass. */
   private def cumScaffold(df: DataFrame, scoreCol: String, labelCol: String)
-      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
          Array[Double], Array[Double], Double, Double) = {
     val spark = df.sparkSession
     val sl = scoreAndLabels(df, scoreCol, labelCol)
@@ -49,7 +49,10 @@ object BinaryMetrics {
     val sorted = perScore
       .repartitionByRange(np, col("score").desc)
       .sortWithinPartitions(col("score").desc)
-    val rdd = sorted.rdd // one val: both passes reuse the sort shuffle
+    // InternalRow on both passes — all three columns are doubles, and the
+    // .rdd path boxed every distinct score twice (the RangeCum rewrite's
+    // measured serialization tax); one val: both passes reuse the shuffle
+    val rdd = sorted.queryExecution.toRdd
     val partTotals = rdd.mapPartitionsWithIndex { (pi, it) =>
       var pos = 0.0; var neg = 0.0
       it.foreach { r => pos += r.getDouble(1); neg += r.getDouble(2) }
@@ -72,7 +75,10 @@ object BinaryMetrics {
       it.map { r =>
         tp += r.getDouble(1)
         fp += r.getDouble(2)
-        org.apache.spark.sql.Row(r.getDouble(0), tp, fp)
+        val o = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(3)
+        o.update(0, r.getDouble(0)); o.update(1, tp); o.update(2, fp)
+        o: org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -88,7 +94,7 @@ object BinaryMetrics {
     // >= 1 row, so tp + fp >= 1 at every curve point.
     val fprE = if (n == 0) lit(Double.NaN) else col("fp") / lit(n)
     val recE = if (p == 0) lit(Double.NaN) else col("tp") / lit(p)
-    spark.createDataFrame(cum, schema)
+    org.apache.spark.sql.graft.InternalRows.toDF(spark, cum, schema)
       .select(col("threshold"), col("tp"), col("fp"),
         (lit(p) - col("tp")).as("fn"),
         (lit(n) - col("fp")).as("tn"),
@@ -537,7 +543,9 @@ object BinaryMetrics {
     val sorted = base
       .repartitionByRange(np, col("__s").desc, col("__t"))
       .sortWithinPartitions(col("__s").desc, col("__t"))
-    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    // InternalRow on both passes (columns are double/long primitives;
+    // nothing here outlives one iterator step)
+    val rdd = sorted.queryExecution.toRdd // both passes reuse the one sort shuffle
     val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }

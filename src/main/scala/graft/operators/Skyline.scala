@@ -35,13 +35,17 @@ object Skyline {
     val np = spark.sessionState.conf.numShufflePartitions
     val sorted = dx.repartitionByRange(np, col("__sx").desc)
       .sortWithinPartitions(col("__sx").desc)
-    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    // InternalRow on both passes; pass 2 re-emits the (reused) sorted row
+    // itself — safe: the planned RDDScanExec unsafe-projects each row
+    // before anything downstream buffers it
+    val rdd = sorted.queryExecution.toRdd // both passes reuse the one sort shuffle
+    val yGet = numGetter(sorted.schema(1).dataType)
     // pass 1: per-partition max of __sy (null-safe: empty partitions)
     val partMax = rdd.mapPartitionsWithIndex { (pi, it) =>
       var m = Double.NegativeInfinity
       var any = false
       it.foreach { r =>
-        val y = toDouble(r.get(1)); if (y > m) m = y; any = true
+        val y = yGet(r); if (y > m) m = y; any = true
       }
       Iterator.single((pi, if (any) m else Double.NegativeInfinity))
     }.collect().sortBy(_._1).map(_._2)
@@ -52,28 +56,33 @@ object Skyline {
     val survivors = rdd.mapPartitionsWithIndex { (pi, it) =>
       var best = prefix(pi)
       it.flatMap { r =>
-        val y = toDouble(r.get(1))
+        val y = yGet(r)
         if (y > best) { best = y; Iterator.single(r) }
         else Iterator.empty
       }
     }
-    val frontier = spark.createDataFrame(survivors, sorted.schema)
+    val frontier = org.apache.spark.sql.graft.InternalRows
+      .toDF(spark, survivors, sorted.schema)
     // keep every input row sitting ON the frontier (duplicates survive);
     // the frontier frame is small — AQE broadcasts it
     base.join(frontier,
       col(xCol) === col("__sx") && col(yCol) === col("__sy"), "leftsemi")
   }
 
-  private def toDouble(v: Any): Double = v match {
-    case d: Double => d
-    case f: Float => f.toDouble
-    case l: Long => l.toDouble
-    case i: Int => i.toDouble
-    case s: Short => s.toDouble
-    case b: Byte => b.toDouble
-    case d: java.math.BigDecimal => d.doubleValue()
-    case other =>
-      throw new IllegalArgumentException(
-        s"skyline2d needs a numeric y column, got value $other")
+  private def numGetter(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.InternalRow => Double = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType     => r => r.getDouble(1)
+      case FloatType      => r => r.getFloat(1).toDouble
+      case LongType       => r => r.getLong(1).toDouble
+      case IntegerType    => r => r.getInt(1).toDouble
+      case ShortType      => r => r.getShort(1).toDouble
+      case ByteType       => r => r.getByte(1).toDouble
+      case d: DecimalType => r => r.getDecimal(1, d.precision, d.scale).toDouble
+      case other =>
+        throw new IllegalArgumentException(
+          s"skyline2d needs a numeric y column, got type $other")
+    }
   }
 }

@@ -48,7 +48,9 @@ object Packing {
       .na.drop(Seq("id", "tokens"))
     val sorted = src.repartitionByRange(np, col("id"))
       .sortWithinPartitions("id")
-    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    // InternalRow on both passes (two long columns in, five out — no
+    // boxed Row decode/re-encode)
+    val rdd = sorted.queryExecution.toRdd // both passes reuse the one sort shuffle
     val totals = rdd.mapPartitionsWithIndex { (pi, it) =>
       var s = 0L
       it.foreach { r =>
@@ -65,11 +67,15 @@ object Packing {
         val t = r.getLong(1)
         val s = start
         start += t
-        Row(r.getLong(0), t, s, s / budget,
-          (s + math.max(t, 1L) - 1L) / budget)
+        val o = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(5)
+        o.update(0, r.getLong(0)); o.update(1, t); o.update(2, s)
+        o.update(3, s / budget)
+        o.update(4, (s + math.max(t, 1L) - 1L) / budget)
+        o: org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(rows, packSchema)
+    org.apache.spark.sql.graft.InternalRows.toDF(spark, rows, packSchema)
       .withColumnRenamed("id", idCol)
   }
 

@@ -449,7 +449,10 @@ object Sampling {
       .sortWithinPartitions(col(scoreCol).desc, col(idCol))
     val schema = sorted.schema
     val tokIdx = schema.fieldIndex("__graft_tok")
-    val rdd = sorted.rdd
+    // InternalRow on both passes; pass 2 appends cum_tokens via one
+    // mutated JoinedRow per partition (safe: the planned RDDScanExec
+    // unsafe-projects each row before anything downstream buffers it)
+    val rdd = sorted.queryExecution.toRdd
     val sums = rdd.mapPartitionsWithIndex { (pi, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(tokIdx))
@@ -458,17 +461,23 @@ object Sampling {
     val offsets = sums.scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
       var cum = offsets(pi)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       // filter (not takeWhile): keeps the output the exact window-sum
       // predicate `cum <= budget` for ANY input, matching the SQL oracle
       // even if a caller feeds a pathological negative token count
       it.flatMap { r =>
         cum += r.getLong(tokIdx)
-        if (cum <= budget)
-          Iterator.single(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum))
-        else Iterator.empty
+        if (cum <= budget) {
+          val c = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(1)
+          c.update(0, cum)
+          Iterator.single(
+            joined(r, c): org.apache.spark.sql.catalyst.InternalRow)
+        } else Iterator.empty
       }
     }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.graft.InternalRows.toDF(spark, out,
+        org.apache.spark.sql.types.StructType(
         schema.fields :+ org.apache.spark.sql.types.StructField(
           "cum_tokens", org.apache.spark.sql.types.LongType, nullable = false)))
       .drop("__graft_tok")

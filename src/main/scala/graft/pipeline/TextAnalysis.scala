@@ -240,7 +240,9 @@ object TextAnalysis {
     val sorted = vocab
       .repartitionByRange(np, col("c").desc, col("token"))
       .sortWithinPartitions(col("c").desc, col("token"))
-    val rdd = sorted.rdd // both passes reuse the one sort shuffle
+    // InternalRow on both passes: the vocab rows are read-only primitive
+    // longs here, and .rdd boxed every (count, token) pair twice
+    val rdd = sorted.queryExecution.toRdd // both passes reuse the one sort shuffle
     val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }
@@ -311,7 +313,9 @@ object TextAnalysis {
     val np = spark.sessionState.conf.numShufflePartitions
     val sorted = joined.repartitionByRange(np, col("__graft_id"))
       .sortWithinPartitions(col("__graft_id"))
-    val rdd = sorted.rdd
+    // InternalRow on both passes (all-long columns, fresh 5-long output
+    // rows — no boxed Row decode/re-encode)
+    val rdd = sorted.queryExecution.toRdd
     val partials = rdd.mapPartitionsWithIndex { (pi, it) =>
       var t = 0L; var y = 0L
       it.foreach { r => t += r.getLong(1); y += r.getLong(2) }
@@ -323,11 +327,15 @@ object TextAnalysis {
       var ct = tokOff(pi); var cy = typOff(pi)
       it.map { r =>
         ct += r.getLong(1); cy += r.getLong(2)
-        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), ct,
-          r.getLong(2), cy)
+        val o = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(5)
+        o.update(0, r.getLong(0)); o.update(1, r.getLong(1)); o.update(2, ct)
+        o.update(3, r.getLong(2)); o.update(4, cy)
+        o: org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.graft.InternalRows.toDF(spark, out,
+      org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("doc_tokens",
