@@ -140,9 +140,22 @@ object Curate {
     def stage(name: String, frame: DataFrame): DataFrame =
       frame.agg(count(lit(1)).as("n"))
         .select(lit(name).as("stage"), col("n"))
-    val head = stage("1_input", input)
-      .unionAll(stage("2_min_words", minw))
-      .unionAll(stage("3_exact_dedup", deduped))
+    // stages 1-3 fold into ONE corpus scan: n_input = count, n_min_words
+    // = conditional count, n_exact_dedup = distinct texts among the
+    // min-words rows (Dedup.exact keeps one row per text, so its count
+    // IS countDistinct) — three separate scans before, and the third
+    // re-ran the dedup window pipeline just to count it
+    val tc = TextAnalysis.tokenCount(col(textCol))
+    val head = input.agg(
+        count(lit(1)).as("__n1"),
+        coalesce(sum(when(tc >= minWords, 1L)), lit(0L)).as("__n2"),
+        countDistinct(when(tc >= minWords, col(textCol))).as("__n3"))
+      .select(explode(array(
+        struct(lit("1_input").as("stage"), col("__n1").as("n")),
+        struct(lit("2_min_words").as("stage"), col("__n2").as("n")),
+        struct(lit("3_exact_dedup").as("stage"), col("__n3").as("n"))))
+        .as("__s"))
+      .select(col("__s.stage").as("stage"), col("__s.n").as("n"))
     // "3_" < "3b_" < "4_" lexicographically, so the stage sort holds
     (if (substrMinLen > 0)
        head.unionAll(stage("3b_substr_rewrite", afterSub))

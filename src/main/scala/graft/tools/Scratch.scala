@@ -65,6 +65,56 @@ object Scratch {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // --- q_curation_funnel_substr anatomy (args(1) == "funnel") --------
+    if (args.length > 1 && args(1) == "funnel") {
+      def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def timeIt(name: String, runs: Int = 2)(body: => Unit): Unit = {
+        clearAll(); body
+        val ts = (1 to runs).map { _ =>
+          clearAll()
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      import graft.pipeline._
+      val idC = "doc_id"; val txt = "text"
+      def input = docs.na.drop(Seq(idC, txt))
+      def minw = input.filter(TextAnalysis.tokenCount(col(txt)) >= 30)
+      def deduped = Dedup.exact(minw, idC, txt)
+      timeIt("a_count_input") { input.agg(count(lit(1))).collect() }
+      timeIt("b_count_minw") { minw.agg(count(lit(1))).collect() }
+      timeIt("c_count_dedup") { deduped.agg(count(lit(1))).collect() }
+      timeIt("d_substr_pipeline") {
+        SubstringDedup.removeRepeatedSubstrings(deduped, idC, txt, 60)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timeIt("e_substr_persist_cnt") {
+        val a = SubstringDedup.removeRepeatedSubstrings(deduped, idC, txt, 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.agg(count(lit(1))).collect(); a.unpersist(); ()
+      }
+      timeIt("f_decont_on_persisted") {
+        val bench = docs.filter(col(idC) % 97 === 0)
+        val a = SubstringDedup.removeRepeatedSubstrings(deduped, idC, txt, 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.agg(count(lit(1))).collect()
+        val c = Decontaminate.decontaminate(a, idC, txt, bench, txt, n = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.agg(count(lit(1))).collect()
+        a.unpersist(); c.unpersist(); ()
+      }
+      timeIt("g_full_funnel") {
+        val bench = docs.filter(col(idC) % 97 === 0)
+        Curate.funnel(docs, idC, txt, bench, minWords = 30,
+            valFraction = 0.15, testFraction = 0.1, seed = 7,
+            substrMinLen = 60)
+          .orderBy("stage")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     // parity check first: identical results bit-for-bit
     Seq(("global", Nil), ("keyed", Seq("k1", "k2"))).foreach { case (tag, keys) =>
       val n = runOne(tag, "new"); val o = runOne(tag, "old") // warm both paths
