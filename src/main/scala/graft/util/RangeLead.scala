@@ -1,7 +1,10 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRows
 import org.apache.spark.sql.types.StructType
 
 /** Distributed `lead(c, 1) OVER (ORDER BY …)` WITHOUT the unpartitioned
@@ -21,6 +24,14 @@ import org.apache.spark.sql.types.StructType
   * zips every row with its in-partition successor — the last row of a
   * partition takes the broadcast handoff instead, and the globally last
   * row gets nulls, exactly SQL `lead`'s contract.
+  *
+  * Both passes run on `queryExecution.toRdd` (InternalRow, the RangeCum
+  * §6 mechanism). The sorted iterator reuses its UnsafeRow buffer and
+  * this scaffold PEEKS at the successor, so the current row is copied
+  * BEFORE the peek (the peek overwrites the shared buffer); the peeked
+  * successor's lead values ride raw — the planned RDDScanExec projects
+  * the emitted JoinedRow before the iterator advances again. Collected
+  * / broadcast lead values are deep-copied (`InternalRow.copyValue`).
   *
   * Determinism: with a total order (the order columns contain a unique
   * key) the result is bit-identical to the sequential window. With ties
@@ -43,13 +54,31 @@ object RangeLead {
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val leadIdx = leadCols.map(schema.fieldIndex).toArray
-    val rdd = sorted.rdd // both passes reuse this sort's shuffle files
+    val leadTypes = leadIdx.map(schema.fields(_).dataType)
+    val nLead = leadIdx.length
+    val rdd = sorted.queryExecution.toRdd // both passes reuse this sort's shuffle files
+    // lead-col values of row r; copied = safe to hold / ship, raw = valid
+    // only until the iterator's next advance
+    def leadVals(r: InternalRow, copied: Boolean): Array[Any] = {
+      val a = new Array[Any](nLead)
+      var i = 0
+      while (i < nLead) {
+        a(i) =
+          if (r.isNullAt(leadIdx(i))) null
+          else {
+            val v = r.get(leadIdx(i), leadTypes(i))
+            if (copied) InternalRow.copyValue(v) else v
+          }
+        i += 1
+      }
+      a
+    }
     // pass 1: first row's lead-col values per non-empty partition
     val firsts: Array[(Int, Array[Any])] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         if (it.hasNext) {
           val r = it.next()
-          Iterator((pi, leadIdx.map(r.get)))
+          Iterator((pi, leadVals(r, copied = true)))
         } else Iterator.empty
       }.collect()
     // successor handoff: partition pi's last row leads into the first row
@@ -61,7 +90,7 @@ object RangeLead {
         ordered.find(_._1 > pi).map { case (_, vals) => pi -> vals }
       }.toMap
     val bc = spark.sparkContext.broadcast(successor)
-    val nulls: Array[Any] = Array.fill(leadIdx.length)(null)
+    val nulls: Array[Any] = Array.fill(nLead)(null)
     val outSchema = StructType(schema.fields ++
       leadCols.map(c =>
         schema(schema.fieldIndex(c)).copy(name = s"__lead_$c",
@@ -69,17 +98,20 @@ object RangeLead {
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
       val handoff = bc.value.getOrElse(pi, nulls)
       val buf = it.buffered
-      new Iterator[Row] {
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
         def hasNext: Boolean = buf.hasNext
-        def next(): Row = {
-          val r = buf.next()
+        def next(): InternalRow = {
+          // copy BEFORE peeking: buf.head advances the underlying
+          // iterator, overwriting the shared row buffer
+          val r = buf.next().copy()
           val lead =
-            if (buf.hasNext) { val n = buf.head; leadIdx.map(n.get) }
+            if (buf.hasNext) leadVals(buf.head, copied = false)
             else handoff
-          Row.fromSeq(r.toSeq ++ lead)
+          joined(r, new GenericInternalRow(lead))
         }
       }
     }
-    spark.createDataFrame(out, outSchema)
+    InternalRows.toDF(spark, out, outSchema)
   }
 }
