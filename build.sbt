@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through UNLOGGED so graft.Bench's one-line
+// JSON reaches stdout bare: sbt's default LoggedOutput prefixes every
+// line with "[info] ", which has broken machine parsing of the bench
+// line in every round to date. Compile-scoped on purpose — test output
+// keeps the default logged strategy.
+Compile / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,6 +22,38 @@ CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 MEM="${JRUN_MEM:-80g}"
 ROOT=/tmp/bench_campaign_$TAG
 rm -rf "$ROOT"; mkdir -p "$ROOT"
+
+# Fixed probe set (r14 VERDICT #3): five stable heavyweight rows, timed
+# ISOLATED (TimeQuery best-of-2 at sf0.1) immediately before slice 0 and
+# after the last slice. Their ratios against the pinned idle references
+# below give each campaign a measured container-speed window factor, so
+# per-row campaign deltas can be adjudicated against measured drift
+# instead of post-hoc. Refs: idle best-of-2 on the r15 entry container
+# (calibration 0.93 vs the r9 driver baseline).
+PROBE_SET="q_dsir,q_salted_join,q_hits,q_median_approx,q_weighted_pctl"
+PROBE_SF="${PROBE_SF:-/root/testdata/sf0.1}"
+run_probes() { # $1 = out file
+  SPARK_GRAFT_CPUS=32 java -Xmx24g -XX:ReservedCodeCacheSize=512m \
+    --add-opens java.base/java.lang=ALL-UNNAMED \
+    --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+    --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
+    --add-opens java.base/java.io=ALL-UNNAMED \
+    --add-opens java.base/java.net=ALL-UNNAMED \
+    --add-opens java.base/java.nio=ALL-UNNAMED \
+    --add-opens java.base/java.util=ALL-UNNAMED \
+    --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+    --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+    --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+    --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+    --add-opens java.base/sun.security.action=ALL-UNNAMED \
+    --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CP" graft.tools.TimeQuery "$PROBE_SF" "$PROBE_SET" 2 \
+    2>/dev/null > "$1" || echo '{"probe":"FAILED"}' >> "$1"
+}
+echo "=== probes (before) $(date -u +%H:%M:%S) ==="
+run_probes "$ROOT/probes_before.jsonl"
+cat "$ROOT/probes_before.jsonl"
 for i in $(seq 0 $((N-1))); do
   D="$ROOT/slice$i"; mkdir -p "$D"; cd "$D"
   echo "=== slice $i/$N start $(date -u +%H:%M:%S) ==="
@@ -46,10 +78,33 @@ for i in $(seq 0 $((N-1))); do
     || { echo "slice $i FAILED rc=$?"; tail -40 bench_err.log; touch FAILED; }
   echo "=== slice $i/$N done  $(date -u +%H:%M:%S) ==="
 done
+echo "=== probes (after) $(date -u +%H:%M:%S) ==="
+run_probes "$ROOT/probes_after.jsonl"
+cat "$ROOT/probes_after.jsonl"
 python3 - "$ROOT" "$N" "$SFDIR" > "/tmp/bench_${TAG}.json" <<'EOF'
 import json, sys, os
 root, n, sf = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 q, skips, oob, failed = {}, {}, {}, []
+# idle best-of-2 references for the fixed probe set (r15 entry container)
+PROBE_REFS = {"q_dsir": None, "q_salted_join": None, "q_hits": None,
+              "q_median_approx": None, "q_weighted_pctl": None}
+def read_probes(name):
+    out = {}
+    p = os.path.join(root, name)
+    if os.path.exists(p):
+        for line in open(p):
+            try:
+                j = json.loads(line)
+                if "query" in j:
+                    out[j["query"]] = j["best"]
+            except json.JSONDecodeError:
+                pass
+    return out
+pb, pa = read_probes("probes_before.jsonl"), read_probes("probes_after.jsonl")
+def window_factor(p):
+    rs = sorted(p[k] / PROBE_REFS[k] for k in p
+                if PROBE_REFS.get(k))
+    return round(rs[len(rs) // 2], 3) if rs else None
 for i in range(n):
     d0 = os.path.join(root, f"slice{i}")
     p = os.path.join(d0, "BENCH_FULL.json")
@@ -66,6 +121,9 @@ for i in range(n):
 print(json.dumps({"metric": "total", "value": round(sum(q.values()), 3),
                   "unit": "sec", "n_queries": len(q), "sf": sf,
                   "failed_slices": failed,
+                  "probes_before": pb, "probes_after": pa,
+                  "probe_window_factor_before": window_factor(pb),
+                  "probe_window_factor_after": window_factor(pa),
                   "out_of_band": oob, "skips": skips, "queries": q}))
 EOF
 if grep -q '"failed_slices": \[\]' "/tmp/bench_${TAG}.json"; then

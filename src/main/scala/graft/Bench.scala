@@ -207,8 +207,12 @@ object Bench {
       graft.util.CacheRegistry.clear() // queue refs; blocks already gone above
       // nudge the ContextCleaner: accumulated broadcast/shuffle state is
       // only released after a driver GC collects the references; 90
-      // queries in one 8 GB JVM otherwise degrade the late queries
+      // queries in one 8 GB JVM otherwise degrade the late queries.
+      // The short settle lets the cleaner's ASYNC removals (broadcast
+      // blocks, shuffle files) finish before the timed pair starts, so
+      // they stop billing the next query (the in-suite-vs-idle tail)
       System.gc()
+      Thread.sleep(150)
       val r1 = once(fn); val r2 = once(fn)
       // stderr progress marker so a long (decade-campaign) run is
       // observable mid-flight; stdout stays the single JSON line

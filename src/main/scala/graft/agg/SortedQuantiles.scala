@@ -112,11 +112,12 @@ object SortedQuantiles {
     // NET-NEGATIVE for one-shot callers with near-continuous columns
     // (q_fence_cap 3.4 → 9.1 s at 100×: materializing a ~10M-cell cache
     // costs more than re-running the codegen melt+fold).
-    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+    val (cum, totals, nKeys) = graft.util.RangeCum.cumSumWithTotalsN(
       cells, keys :+ "__qc", "__v", Seq("__c"))
 
     // broadcast the (tiny) totals back onto the cell stream; null-safe
-    // on the key columns — null strata are groups
+    // on the key columns — null strata are groups. Past the broadcast
+    // key ceiling, fall back to a shuffle join (memory-safe)
     val groupKeys = keys :+ "__qc"
     val tot = totals
       .withColumnRenamed("__tot___c", "__n")
@@ -124,7 +125,9 @@ object SortedQuantiles {
       d.withColumnRenamed(k, s"__t_$k"))
     val joinCond = groupKeys.map(k =>
       cum(k) <=> totRenamed(s"__t_$k")).reduce(_ && _)
-    val joined = cum.join(broadcast(totRenamed), joinCond)
+    val totSide = if (nKeys <= graft.util.RangeCum.MaxBroadcastKeys)
+      broadcast(totRenamed) else totRenamed
+    val joined = cum.join(totSide, joinCond)
       .drop(groupKeys.map(k => s"__t_$k"): _*)
 
     // 4. covering order statistics for the UNION of requested ps, one

@@ -1193,14 +1193,19 @@ object Stats {
     // join) — the previous max().over(partitionBy(keys)) re-shuffled the
     // whole cell frame into #keys partitions (one straggler per key at
     // scale); totals are the same integer-double sums bit-for-bit
-    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+    val (cum, totals, nKeys) = graft.util.RangeCum.cumSumWithTotalsN(
       cells, keys, "__v", Seq("__c"))
     val tot = totals.withColumnRenamed("__tot___c", "__n")
     val totRenamed = keys.foldLeft(tot)((d, k) =>
       d.withColumnRenamed(k, s"__t_$k"))
     val joinCond = keys.map(k =>
       cum(k) <=> totRenamed(s"__t_$k")).reduce(_ && _)
-    val withN = cum.join(broadcast(totRenamed), joinCond)
+    // shuffle-join fallback past the broadcast key ceiling: a per-
+    // executor hash relation of millions of keys on top of the offsets
+    // broadcast is a memory wall the replaced window never had
+    val totSide = if (nKeys <= graft.util.RangeCum.MaxBroadcastKeys)
+      broadcast(totRenamed) else totRenamed
+    val withN = cum.join(totSide, joinCond)
       .drop(keys.map(k => s"__t_$k"): _*)
     def nameOf(p: Double): String = "q_" + p.toString.replace('.', '_')
     // rank r = p(n-1) zero-based -> covering positions r+1 (lo) and

@@ -219,44 +219,65 @@ object Components {
     * components pay: components none of whose members touch a new pair
     * pass through untouched.
     *
-    * Scale shape: the three passes over the corpus-sized `labels` frame
-    * are all BROADCAST joins against batch-bounded sets (touched ids →
-    * affected component ids → the anti-join pass-through), so the
-    * standing labeling never shuffles; the star-edge reconstruction
-    * (member → old component) is exact old connectivity, and the CC
-    * rerun sees only affected-member + batch edges. A batch of b pairs
-    * touching components of total size m costs O(m + b) CC work
-    * regardless of corpus size. */
+    * Scale shape: the standing `labels` frame never shuffles — it is
+    * read by exactly TWO broadcast-joined passes (the affected-id fold
+    * and the final anti-join pass-through), and every broadcast side is
+    * a DRIVER-LOCAL relation so its broadcast build launches no job.
+    * The batch itself is collected once (it is batch-bounded by
+    * contract: the touched/affected sets it feeds had to fit a driver
+    * broadcast at the same magnitude anyway — `maxDriverBatch` makes
+    * the bound loud), the touched-id set folds on the driver, and the
+    * affected component ids come back from ONE semi-join job over
+    * `labels`. The previous formulation re-derived `touched` and
+    * `affected` as lazy broadcast subtrees, so every action re-ran
+    * their broadcast-build jobs and re-scanned `labels` (~8 sequential
+    * small jobs per fold — pure fixed overhead at any scale). The
+    * star-edge reconstruction (member → old component) is exact old
+    * connectivity, and the CC rerun sees only affected-member + batch
+    * edges. A batch of b pairs touching components of total size m
+    * costs O(m + b) CC work regardless of corpus size. */
   def updateComponents(labels: DataFrame, newPairs: DataFrame,
                        aCol: String = "id_a", bCol: String = "id_b",
                        maxIter: Int = 50,
-                       localThreshold: Long = 1L << 20): DataFrame =
+                       localThreshold: Long = 1L << 20,
+                       maxDriverBatch: Int = 4000000): DataFrame =
       graft.util.Errors.context("updateComponents", Seq(aCol, bCol)) {
     val spark = labels.sparkSession
-    // batch pairs feed three consumers (touched ids + sub-edge union) —
-    // tiny by contract, cache so the generator runs once
-    val pairs = newPairs.select(col(aCol).cast("long").as("id_a"),
-      col(bCol).cast("long").as("id_b")).cache()
-    val touched = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
-    // components with at least one member touching a new pair
-    val affected = labels.join(broadcast(touched), Seq("id"), "left_semi")
-      .select(col("component")).distinct()
+    import spark.implicits._
+    // ONE job: the batch generator runs exactly once and the pairs land
+    // on the driver (same null/NPE semantics as the local CC tier's
+    // as[(Long, Long)] collect)
+    val batch = newPairs.select(col(aCol).cast("long"),
+      col(bCol).cast("long")).as[(Long, Long)].collect()
+    require(batch.length <= maxDriverBatch,
+      s"updateComponents: batch of ${batch.length} pairs exceeds " +
+        s"maxDriverBatch=$maxDriverBatch — fold smaller batches, or raise " +
+        "the cap if the driver really has the memory")
+    // driver fold: distinct touched ids (no distinct shuffle, no job)
+    val touchedIds = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      batch.foreach { case (a, b) => s += a; s += b }
+      s.toSeq
+    }
+    // LocalRelation broadcast sides: BroadcastExchange over a
+    // LocalTableScan collects driver-side — no job per build
+    val touchedDf = spark.createDataset(touchedIds).toDF("id")
+    // ONE job over labels: the affected component ids (<= touched size)
+    val affectedIds = labels.join(broadcast(touchedDf), Seq("id"), "left_semi")
+      .select(col("component").cast("long")).distinct().as[Long].collect()
+    val affectedDf = spark.createDataset(affectedIds.toSeq).toDF("component")
     // old connectivity of the affected components as star edges
     // (member -> old min id); reps contribute self-loops, keeping
     // pair-less members present in the rerun
-    val affectedRows = labels.join(broadcast(affected), Seq("component"),
+    val affectedRows = labels.join(broadcast(affectedDf), Seq("component"),
       "left_semi")
     val subEdges = affectedRows
       .select(col("id").as("id_a"), col("component").as("id_b"))
-      .unionAll(pairs)
+      .unionAll(spark.createDataset(batch.toSeq).toDF("id_a", "id_b"))
     val relabeled = connectedComponents(subEdges, maxIter = maxIter,
       localThreshold = localThreshold)
-    val untouched = labels.join(broadcast(affected), Seq("component"),
+    val untouched = labels.join(broadcast(affectedDf), Seq("component"),
       "left_anti")
-    // the batch cache stays resident until LRU eviction (the result is
-    // lazy, so there is no sound unpersist point here) — same lifetime
-    // note as the ngramJaccard posting cache
     untouched.select(col("id"), col("component")).unionAll(relabeled)
   }
 

@@ -62,8 +62,12 @@ object GeoIndex {
 
   private def writeCells(cells: DataFrame, path: String,
                          mode: String): Unit = {
-    val np = cells.sparkSession.sessionState.conf.numShufflePartitions
-    cells.repartitionByRange(np, col("cell_key"))
+    // no explicit partition count: AQE sizes the range shuffle from the
+    // data (advisoryPartitionSizeInBytes), so the index comes out as few
+    // full files instead of numShufflePartitions slivers — deterministic
+    // write cost at gate scale, sensible (~advisory-sized) files at
+    // 100 TB where a pinned count would mean multi-TB files (guide §6)
+    cells.repartitionByRange(col("cell_key"))
       .sortWithinPartitions("cell_key")
       .write.mode(mode).parquet(s"$path/cells")
   }

@@ -442,8 +442,12 @@ object Sampling {
     graft.util.Errors.context("tokenBudgetSelect",
         Seq(idCol, scoreCol, tokenCol)) {
     val spark = df.sparkSession
+    // cast FIRST, then drop on the cast column too (the chunkedPack
+    // convention): a cast-produced null (malformed token value under
+    // non-ANSI cast) would otherwise reach getLong as a silent 0
     val src = df.na.drop(Seq(idCol, scoreCol, tokenCol))
       .withColumn("__graft_tok", col(tokenCol).cast("long"))
+      .na.drop(Seq("__graft_tok"))
     val np = spark.sessionState.conf.numShufflePartitions
     val sorted = src.repartitionByRange(np, col(scoreCol).desc, col(idCol))
       .sortWithinPartitions(col(scoreCol).desc, col(idCol))

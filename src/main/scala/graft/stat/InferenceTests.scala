@@ -229,11 +229,15 @@ object InferenceTests {
     // re-shuffled the ENTIRE cell frame into k partitions (k ≈ groups),
     // a one-straggler-per-group wall at scale; the totals are the same
     // integer-double sums bit-for-bit
-    val (cum, totals) = graft.util.RangeCum.cumSumWithTotals(
+    val (cum, totals, nKeys) = graft.util.RangeCum.cumSumWithTotalsN(
       cells, Seq("__bf_g"), "__v", Seq("__c"))
     val tot = totals.withColumnRenamed("__tot___c", "__n")
       .withColumnRenamed("__bf_g", "__t_bf_g")
-    val withN = cum.join(broadcast(tot),
+    // shuffle-join fallback past the broadcast key ceiling (same guard
+    // as Stats.quantilesByCounts)
+    val totSide = if (nKeys <= graft.util.RangeCum.MaxBroadcastKeys)
+      broadcast(tot) else tot
+    val withN = cum.join(totSide,
       col("__bf_g") <=> col("__t_bf_g")).drop("__t_bf_g")
     def valueAt(pos: Column): Column =
       when(col("__cum___c") >= pos &&

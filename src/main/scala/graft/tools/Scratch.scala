@@ -65,6 +65,104 @@ object Scratch {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // --- hashEmbed wide-dim crossover probe (args(1) == "hashdim") -----
+    // Times the two cell-sum shapes of TextAnalysis.hashEmbed (pivoted
+    // one-aggregate vs two-stage collect_list) at several dims, same
+    // expressions as the operator, interleaved in one JVM — evidence for
+    // the dim<=512 cutoff (r14 VERDICT #6).
+    if (args.length > 1 && args(1) == "hashdim") {
+      def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def cellsFor(dim: Int) = {
+        val tok = docs.na.drop(Seq("doc_id", "text"))
+          .select(col("doc_id").as("__graft_id"),
+            explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+              .as("__graft_token"))
+          .filter(col("__graft_token") =!= "")
+          .select(col("__graft_id"),
+            md5(col("__graft_token")).as("__graft_md5"))
+        val md5c = col("__graft_md5")
+        val idx = pmod(conv(substring(md5c, 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int")
+        val sgn = when(
+          conv(substring(md5c, 16, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0))
+        tok.select(col("__graft_id"), idx.as("__graft_idx"),
+          sgn.as("__graft_sgn"))
+      }
+      def pivot(dim: Int) = {
+        val aggs = (0 until dim).map(i =>
+          sum(when(col("__graft_idx") === i, col("__graft_sgn")))
+            .as(s"__graft_c$i"))
+        cellsFor(dim).groupBy("__graft_id").agg(aggs.head, aggs.tail: _*)
+          .select(col("__graft_id"),
+            array((0 until dim).map(i =>
+              coalesce(col(s"__graft_c$i"), lit(0.0))): _*).as("__graft_raw"))
+      }
+      def twoStage(dim: Int) =
+        cellsFor(dim).groupBy("__graft_id", "__graft_idx")
+          .agg(sum("__graft_sgn").as("__graft_v"))
+          .groupBy("__graft_id")
+          .agg(map_from_entries(collect_list(
+            struct(col("__graft_idx"), col("__graft_v")))).as("__graft_m"))
+          .select(col("__graft_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              i => coalesce(element_at(col("__graft_m"), i), lit(0.0)))
+              .as("__graft_raw"))
+      val dims = if (args.length > 2) args(2).split(",").map(_.toInt)
+        else Array(256, 512, 1024, 2048)
+      dims.foreach { dim =>
+        def time(df: => org.apache.spark.sql.DataFrame): Double = {
+          clearAll()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        time(pivot(dim)); time(twoStage(dim)) // warm both
+        val p = (1 to 2).map(_ => time(pivot(dim))).min
+        val t = (1 to 2).map(_ => time(twoStage(dim))).min
+        println(f"dim=$dim%5d pivot=$p%.2fs twoStage=$t%.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // --- q_cc_update job decomposition (args(1) == "ccjobs") -----------
+    // Counts Spark jobs + wall seconds for (a) the eager part of
+    // updateComponents (labels fold + sub-CC) and (b) the final action,
+    // isolating the fixed job-count overhead the r14 verdict named.
+    if (args.length > 1 && args(1) == "ccjobs") {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        })
+      def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val rounds = if (args.length > 2) args(2).toInt else 3
+      (1 to rounds).foreach { round =>
+        clearAll()
+        val pairs = graft.pipeline.Dedup
+          .ngramJaccard(docs, "doc_id", "text", 3, maxDf = 20)
+          .filter(col("jaccard") >= 0.3)
+          .select("id_a", "id_b").cache()
+        val base = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+        val batch = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+        val labels = graft.pipeline.Components.connectedComponents(base)
+        Thread.sleep(200) // let listener events drain
+        val j0 = jobs.get(); val t0 = System.nanoTime()
+        val upd = graft.pipeline.Components.updateComponents(labels, batch)
+        Thread.sleep(200)
+        val j1 = jobs.get(); val t1 = System.nanoTime()
+        upd.orderBy("id").write.format("noop").mode("overwrite").save()
+        Thread.sleep(200)
+        val j2 = jobs.get(); val t2 = System.nanoTime()
+        println(f"round $round: eager fold jobs=${j1 - j0} " +
+          f"sec=${(t1 - t0) / 1e9}%.2f; action jobs=${j2 - j1} " +
+          f"sec=${(t2 - t1) / 1e9}%.2f")
+      }
+      spark.stop(); return
+    }
+
     // --- q_curation_funnel_substr anatomy (args(1) == "funnel") --------
     if (args.length > 1 && args(1) == "funnel") {
       def docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -47,6 +47,15 @@ import org.apache.spark.sql.types._
   */
 object RangeCum {
 
+  /** Key-count ceiling for broadcast-joining the totals frame back onto
+    * the cum stream: past ~1M keys a per-executor hash relation (on top
+    * of the offsets broadcast of the same magnitude) stops being "tiny" —
+    * callers should fall back to a shuffle join, which is slower but
+    * memory-safe. Well under maxDriverEntries on purpose: the driver can
+    * HOLD 4M subtotals transiently; pinning them in every executor for a
+    * query's lifetime is a different budget. */
+  val MaxBroadcastKeys: Long = 1L << 20
+
   /** Append `__cum_<c>` (running inclusive sum, double) for each c in
     * `sumCols`, ordered by `orderCol` (asc/desc) within `keys` (empty =
     * one global ordering). Exclusive prefixes derive as
@@ -56,6 +65,19 @@ object RangeCum {
              maxDriverEntries: Int = 4000000): DataFrame =
     cumSumWithTotals(df, keys, orderCol, sumCols, ascending,
       maxDriverEntries)._1
+
+  /** [[cumSumWithTotals]] minus the key count (source-compat shim for
+    * callers that don't need a broadcast-size decision). */
+  def cumSumWithTotals(df: DataFrame, keys: Seq[String], orderCol: String,
+                       sumCols: Seq[String], ascending: Boolean,
+                       maxDriverEntries: Int): (DataFrame, DataFrame) = {
+    val (cum, totals, _) = cumSumWithTotalsN(df, keys, orderCol, sumCols,
+      ascending, maxDriverEntries)
+    (cum, totals)
+  }
+  def cumSumWithTotals(df: DataFrame, keys: Seq[String], orderCol: String,
+                       sumCols: Seq[String]): (DataFrame, DataFrame) =
+    cumSumWithTotals(df, keys, orderCol, sumCols, true, 4000000)
 
   /** Null-safe double read of sum column `i` (null counts as 0). */
   private def numGetter(dt: DataType, i: Int): InternalRow => Double = {
@@ -85,10 +107,16 @@ object RangeCum {
     *
     * NOTE this method (like cumSum) is EAGER: pass 1 runs Spark jobs at
     * call time (sort + subtotal collect), not at first action on the
-    * returned frames. */
-  def cumSumWithTotals(df: DataFrame, keys: Seq[String], orderCol: String,
-                       sumCols: Seq[String], ascending: Boolean = true,
-                       maxDriverEntries: Int = 4000000): (DataFrame, DataFrame) = {
+    * returned frames.
+    *
+    * The third element is the DISTINCT KEY COUNT (== totals row count),
+    * known for free from the driver fold — callers broadcast-joining the
+    * totals frame use it to fall back to a shuffle join when the key
+    * cardinality makes a per-executor hash relation unreasonable. */
+  def cumSumWithTotalsN(df: DataFrame, keys: Seq[String], orderCol: String,
+                        sumCols: Seq[String], ascending: Boolean = true,
+                        maxDriverEntries: Int = 4000000)
+      : (DataFrame, DataFrame, Long) = {
     require(sumCols.nonEmpty, "RangeCum.cumSum needs at least one sum column")
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
@@ -99,6 +127,16 @@ object RangeCum {
     val schema = sorted.schema
     val keyIdx = keys.map(schema.fieldIndex).toArray
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
+    // key equality runs through Seq[Any].equals in the driver offset map:
+    // Array[Byte] (BinaryType) and unordered MapData compare by identity
+    // there, which would silently fragment key groups — refuse up front
+    keys.zip(keyTypes).foreach { case (k, dt) => dt match {
+      case BinaryType | _: MapType => throw new IllegalArgumentException(
+        s"RangeCum: key column '$k' has type ${dt.simpleString} — binary/" +
+          "map keys have identity-based equality in the driver offset " +
+          "map and would fragment groups; cast to a value-comparable type")
+      case _ => ()
+    } }
     val sumIdx = sumCols.map(schema.fieldIndex).toArray
     val nSum = sumIdx.length
     val num: Array[InternalRow => Double] =
@@ -200,6 +238,6 @@ object RangeCum {
     }.toSeq
     val totals = InternalRows.toDF(spark,
       spark.sparkContext.parallelize(totRows, 1), totSchema)
-    (cum, totals)
+    (cum, totals, totRows.size.toLong)
   }
 }

@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.StructType
   */
 object InternalRows {
   def toDF(spark: SparkSession, rdd: RDD[InternalRow],
-           schema: StructType): DataFrame =
-    spark.asInstanceOf[ClassicSession].internalCreateDataFrame(rdd, schema)
+           schema: StructType): DataFrame = spark match {
+    case classic: ClassicSession => classic.internalCreateDataFrame(rdd, schema)
+    case other => throw new IllegalStateException(
+      s"InternalRows.toDF needs a classic (JVM-local) SparkSession — got " +
+        s"${other.getClass.getName}; the InternalRow bridge cannot run " +
+        "under Spark Connect")
+  }
 }

@@ -154,6 +154,45 @@ class ComponentsSpec extends SparkSpec {
     assert(fromEmpty == cc(base))
   }
 
+  test("updateComponents: batch past maxDriverBatch fails loudly") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val batch = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Components.updateComponents(labels, batch, maxDriverBatch = 1)
+    }
+    assert(e.getMessage.contains("maxDriverBatch"))
+  }
+
+  test("updateComponents: fold + action stay within the fused job budget") {
+    // pins the r15 fusion: the batch is collected once, affected ids come
+    // back from ONE labels pass, and every broadcast side is driver-local
+    // (no broadcast-build jobs). The un-fused shape measured 20 jobs for
+    // fold + action at sf0.1 (13 + 7); the fused one 15 (11 + 4). Bound
+    // generously (local tier here is cheaper than the sf0.1 probe) so the
+    // spec survives scheduler-detail drift but still catches a return to
+    // per-action broadcast re-derivation.
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(base)
+    labels.count() // settle the standing labeling before counting
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val batch = Seq((3L, 10L), (30L, 31L)).toDF("id_a", "id_b")
+      val upd = Components.updateComponents(labels, batch)
+      upd.orderBy("id").collect()
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.get() <= 16, s"updateComponents fold+action ran " +
+        s"${jobs.get()} jobs — the fused shape runs well under 16")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("empty pair frame yields empty components and a no-op dedup") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
