@@ -85,9 +85,12 @@ python3 - "$ROOT" "$N" "$SFDIR" > "/tmp/bench_${TAG}.json" <<'EOF'
 import json, sys, os
 root, n, sf = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 q, skips, oob, failed = {}, {}, {}, []
-# idle best-of-2 references for the fixed probe set (r15 entry container)
-PROBE_REFS = {"q_dsir": None, "q_salted_join": None, "q_hits": None,
-              "q_median_approx": None, "q_weighted_pctl": None}
+# idle best-of-2 references for the fixed probe set, measured on the
+# r15 container in a window whose calibration vs the r9 driver refs was
+# ~1.09 — i.e. window_factor 1.0 means "the r15 probe window"; compare
+# factors ACROSS runs, not to an absolute ideal
+PROBE_REFS = {"q_dsir": 2.565, "q_salted_join": 1.894, "q_hits": 2.445,
+              "q_median_approx": 2.175, "q_weighted_pctl": 2.090}
 def read_probes(name):
     out = {}
     p = os.path.join(root, name)
