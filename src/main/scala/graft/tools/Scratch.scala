@@ -65,6 +65,34 @@ object Scratch {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // --- q_payload_dedup anatomy (args(1) == "payload") ----------------
+    // Splits the row into UDF-only (PNG encode per row) vs the full
+    // group-by-binary dedup, to localize the sf10d variance.
+    if (args.length > 1 && args(1) == "payload") {
+      def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pngOf = udf((id: Long) =>
+        graft.pipeline.Multimodal.syntheticPng(id % 50))
+      def payloads = docs.na.drop(Seq("doc_id")).select(col("doc_id"))
+        .withColumn("payload", pngOf(col("doc_id")))
+      def timeIt(name: String)(body: => Unit): Unit = {
+        val ts = (1 to 3).map { _ =>
+          clearAll()
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-22s best=${ts.min}%.2f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
+      timeIt("a_udf_only") {
+        payloads.write.format("noop").mode("overwrite").save()
+      }
+      timeIt("b_full_dedup") {
+        graft.pipeline.Multimodal.payloadDedup(payloads, "doc_id", "payload")
+          .select("keep_id", "dup_count").orderBy("keep_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     // --- hashEmbed wide-dim crossover probe (args(1) == "hashdim") -----
     // Times the two cell-sum shapes of TextAnalysis.hashEmbed (pivoted
     // one-aggregate vs two-stage collect_list) at several dims, same
